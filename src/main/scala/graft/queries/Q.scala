@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named query exposed through SparkEntry, with an optional DuckDB
+  * oracle over the same parquet tables (driver contract: column names
+  * must match exactly; driver sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true
+)
+
+trait QueryPack {
+  def queries: Seq[Q]
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * Doubles summed in different orders differ in the last ulp, so any
+  * float aggregate would hash-mismatch the oracle. Playbook:
+  *   - sums/avgs of money-like 2-decimal doubles go through an exact
+  *     DECIMAL accumulation, then a single deterministic cast to DOUBLE;
+  *   - integer aggregates stay integer (and the DuckDB side is cast from
+  *     HUGEINT back to BIGINT);
+  *   - residual float math happens on identical scalar operands with the
+  *     same expression shape on both sides (IEEE-deterministic);
+  *   - every query has a total ORDER BY (ties broken by a key column).
+  */
+object Det {
+  val DecT = "decimal(18,4)"
+
+  /** Exact sum of a ≤4-decimal double column, returned as DOUBLE. */
+  def dsum(c: Column): Column = sum(c.cast(DecT)).cast("double")
+
+  /** Exact average (decimal sum / count), returned as DOUBLE. */
+  def davg(c: Column): Column = sum(c.cast(DecT)).cast("double") / count(lit(1))
+
+  /** DuckDB oracle fragment matching [[dsum]]. */
+  def oSum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** DuckDB oracle fragment matching [[davg]]. */
+  def oAvg(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+
+  /** DuckDB integer-sum fragment (SUM over ints is HUGEINT there). */
+  def oISum(expr: String): String = s"CAST(SUM($expr) AS BIGINT)"
+}
+
+/** All query packs, flattened; names must be unique. */
+object Registry {
+  def packs: Seq[QueryPack] = Seq(
+    QueriesCore,
+    QueriesLogQL,
+    QueriesPipeline
+  )
+
+  lazy val all: Seq[Q] = {
+    val qs = packs.flatMap(_.queries)
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Training-data pipeline operators over documents/embeddings
+  * (builder contract: dedup, similarity search, text analysis).
+  *
+  * Scale notes: exact dedup is a single hash-keyed aggregation (one
+  * shuffle on the digest); cosine top-k broadcasts the query vector and
+  * computes the similarity in a single codegen'd projection, so the scan
+  * parallelizes embarrassingly and only the tiny top-k result is
+  * collected.
+  */
+object QueriesPipeline extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  /** Exact dedup via content digest: keep-first representative per
+    * digest group (md5 is identical across Spark and DuckDB).
+    */
+  val dedupExact: Q = q(
+    "pipe_dedup_exact",
+    """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY digest ORDER BY keep_id""".stripMargin
+  ) { td =>
+    td.documents
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  /** Whitespace token counting per language. */
+  val tokenCount: Q = q(
+    "pipe_token_count",
+    s"""SELECT lang, ${Det.oISum("len(string_split(text, ' '))")} AS tokens, COUNT(*) AS docs
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { td =>
+    td.documents
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ", -1))).as("tokens"), count(lit(1)).as("docs"))
+      .orderBy("lang")
+  }
+
+  /** Brute-force cosine top-k against a query vector (the ANN baseline).
+    * Float arrays are widened to double before the fold on BOTH sides;
+    * the result is rounded to 6 decimals to absorb formula-shape ulp
+    * differences, with vec_id as the total tie-break.
+    */
+  val cosineTopk: Q = q(
+    "pipe_cosine_topk",
+    """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS sim
+      |FROM embeddings, qv
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  ) { td =>
+    val emb = td.embeddings
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val a = transform(col("embedding"), x => x.cast("double"))
+    val b = transform(col("qe"), x => x.cast("double"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, e) => acc + e)
+    emb.crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"),
+        round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6).as("sim")
+      )
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk)
+}
