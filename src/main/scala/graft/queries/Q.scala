@@ -56,6 +56,8 @@ object Registry {
   def packs: Seq[QueryPack] = Seq(
     QueriesCore,
     QueriesLogQL,
+    QueriesLogQLStages,
+    QueriesLogQLMetrics,
     QueriesPipeline
   )
 
