@@ -58,7 +58,10 @@ object Registry {
     QueriesLogQL,
     QueriesLogQLStages,
     QueriesLogQLMetrics,
-    QueriesPipeline
+    QueriesTraceQL,
+    QueriesPromQL,
+    QueriesPipeline,
+    QueriesPipeline2
   )
 
   lazy val all: Seq[Q] = {

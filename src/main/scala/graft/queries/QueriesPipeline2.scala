@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Training-data pipeline operators, part 2 (builder contract): near-dup
+  * dedup (MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
+  * text analysis (language-ID heuristic, quality scoring, document
+  * fingerprinting).
+  *
+  * Scale notes: the LSH path is the 100 TB design — shingle → minhash
+  * signature → band bucket → bucket-equi-join; only same-bucket pairs
+  * are compared, never the n² cross join. Shingling uses a window lead
+  * over tokens (in production this materializes at ingest). The
+  * embedding near-dup prunes via an 8-bit hyperplane-sign bucket, the
+  * standard sign-LSH, so the pair join is bucket-local.
+  */
+object QueriesPipeline2 extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  /** Tokens with positions (doc_id, pos, w). */
+  private def tokens(td: Testdata): DataFrame =
+    td.documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+
+  /** 3-word shingles via window lead (null-tail rows dropped). */
+  private def shingles3(td: Testdata): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokens(td)
+      .withColumn("sh", concat(col("w"), lit(" "), lead(col("w"), 1).over(w),
+        lit(" "), lead(col("w"), 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("sh"))
+  }
+
+  private val oracleShingles3 =
+    """SELECT doc_id, sh FROM (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+      |  FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |      generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents)
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+      |WHERE sh IS NOT NULL""".stripMargin
+
+  /** MinHash + LSH near-dup candidates: 4 md5-seeded minhashes per doc,
+    * one band per hash; pairs = docs agreeing on ANY band. Output is the
+    * first 100 candidate pairs — the shape a dedup job feeds into exact
+    * Jaccard verification.
+    */
+  val minhashLsh: Q = q(
+    "pipe_minhash_lsh",
+    s"""WITH sh AS ($oracleShingles3),
+       |mh AS (
+       |  SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed)
+       |  GROUP BY doc_id, seed)
+       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+       |ORDER BY a, b LIMIT 100""".stripMargin
+  ) { td =>
+    val sh = shingles3(td)
+    val seeds = (0 to 3).map(lit(_))
+    val mh = sh
+      .withColumn("seed", explode(array(seeds: _*)))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+    val a = mh.alias("a")
+    val b = mh.alias("b")
+    a.join(b, col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+      .orderBy("a", "b")
+      .limit(100)
+  }
+
+  /** SimHash (8-bit, md5-nibble hyperplanes): per-bit majority vote over
+    * tokens; bucket histogram = near-dup cluster candidates.
+    */
+  val simhash: Q = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val oracleBits = (0 until 8).map { i =>
+      s"CASE WHEN SUM(CASE WHEN substr(md5(w), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+    q(
+      "pipe_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |fp AS (SELECT doc_id, $oracleBits AS fingerprint FROM toks GROUP BY doc_id)
+         |SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+         |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
+    ) { td =>
+      val bits = (0 until 8).map { i =>
+        when(sum(when(substring(md5(col("w")), i + 1, 1).isin(hexHigh: _*), 1)
+          .otherwise(-1)) > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      tokens(td)
+        .groupBy(col("doc_id"))
+        .agg(bits.as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("fingerprint")
+    }
+  }
+
+  /** Exact n-gram Jaccard for adjacent-id candidate pairs: the verify
+    * stage after LSH (inter/union over distinct 3-shingle sets).
+    */
+  val ngramJaccard: Q = q(
+    "pipe_ngram_jaccard",
+    s"""WITH sh AS ($oracleShingles3),
+       |d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a, COUNT(*) AS i
+       |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND b.sh = a.sh
+       |  GROUP BY a.doc_id)
+       |SELECT a, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a
+       |           JOIN sizes sb ON sb.doc_id = a + 1
+       |ORDER BY jaccard DESC, a LIMIT 50""".stripMargin
+  ) { td =>
+    val d = shingles3(td).distinct()
+    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val inter = a.join(b, col("b.doc_id") === col("a.doc_id") + 1 && col("b.sh") === col("a.sh"))
+      .groupBy(col("a.doc_id").as("a")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.alias("sa"), col("sa.doc_id") === col("a"))
+      .join(sizes.alias("sb"), col("sb.doc_id") === col("a") + 1)
+      .select(col("a"),
+        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"))
+      .limit(50)
+  }
+
+  /** Embedding near-dup via sign-LSH: 8-bit bucket from the signs of the
+    * first 8 dims, then bucket-local cosine > 0.3 pairs.
+    */
+  val embeddingNeardup: Q = q(
+    "pipe_embedding_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+      |  + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+      |  + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END)
+      |  AS bucket FROM e)
+      |SELECT a.vec_id AS a, c.vec_id AS b,
+      |  ROUND(list_cosine_similarity(a.v, c.v), 6) AS sim
+      |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.v, c.v), 6) > 0.3
+      |ORDER BY sim DESC, a, b""".stripMargin
+  ) { td =>
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, e) => acc + e)
+    val e = td.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("v"), i) > 0, 1 << (i - 1)).otherwise(0)).reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val x = b.alias("x")
+    val y = b.alias("y")
+    val sim = round(dot(col("x.v"), col("y.v")) /
+      sqrt(dot(col("x.v"), col("x.v")) * dot(col("y.v"), col("y.v"))), 6)
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), sim.as("sim"))
+      .filter(col("sim") > 0.3)
+      .orderBy(col("sim").desc, col("a"), col("b"))
+  }
+
+  /** Language-ID heuristic: marker-word scores with a fixed tie order —
+    * the n-gram-scoring shape of real langid, portable to any corpus.
+    */
+  val langid: Q = {
+    def occ(txt: String, w: String) =
+      s"(length($txt) - length(replace($txt, '$w', ''))) / ${w.length}"
+    q(
+      "pipe_langid",
+      s"""SELECT predicted, COUNT(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN ${occ("text", "table")} >= ${occ("text", "join")}
+         |     AND ${occ("text", "table")} >= ${occ("text", "window")} THEN 'tabular'
+         |    WHEN ${occ("text", "join")} >= ${occ("text", "window")} THEN 'relational'
+         |    ELSE 'analytic' END AS predicted
+         |  FROM documents)
+         |GROUP BY predicted ORDER BY predicted""".stripMargin
+    ) { td =>
+      def occC(w: String): Column =
+        (length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(w), ""))) / w.length
+      val predicted = when(occC("table") >= occC("join") && occC("table") >= occC("window"), "tabular")
+        .when(occC("join") >= occC("window"), "relational")
+        .otherwise("analytic")
+      td.documents
+        .select(predicted.as("predicted"))
+        .groupBy(col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy("predicted")
+    }
+  }
+
+  /** Quality scoring: char/word/stopword features → linear score →
+    * threshold filter, rollup per lang (decimal-exact average).
+    */
+  val qualityScore: Q = q(
+    "pipe_quality_score",
+    """SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_score
+      |FROM (
+      |  SELECT lang,
+      |    n_chars * 0.01 + len(string_split(text, ' ')) * 0.1
+      |      - ((length(text) - length(replace(text, ' the ', ''))) / 5) * 0.5 AS score
+      |  FROM documents)
+      |WHERE score > 6.0 GROUP BY lang ORDER BY lang""".stripMargin
+  ) { td =>
+    val stop = (length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(" the "), ""))) / 5
+    val score = col("n_chars") * 0.01 + size(split(col("text"), " ", -1)) * 0.1 - stop * 0.5
+    td.documents
+      .withColumn("score", score)
+      .filter(col("score") > 6.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("score").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_score"))
+      .orderBy("lang")
+  }
+
+  /** Document fingerprinting (winnowing-lite): min-md5 over 2-shingles
+    * per doc; per-source dedup accounting (docs vs distinct prints).
+    */
+  val fingerprint: Q = q(
+    "pipe_fingerprint",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+      |    FROM toks) WHERE sh IS NOT NULL),
+      |fp AS (SELECT doc_id, MIN(md5(sh)) AS fp FROM sh GROUP BY doc_id),
+      |j AS (SELECT d.doc_id, d.source, fp.fp FROM documents d JOIN fp ON fp.doc_id = d.doc_id)
+      |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_prints
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+  ) { td =>
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh2 = tokens(td)
+      .withColumn("sh", concat(col("w"), lit(" "), lead(col("w"), 1).over(w)))
+      .filter(col("sh").isNotNull)
+    val fp = sh2.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp"))
+    td.documents.select(col("doc_id"), col("source"))
+      .join(fp, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_prints"))
+      .orderBy("source")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    minhashLsh, simhash, ngramJaccard, embeddingNeardup,
+    langid, qualityScore, fingerprint
+  )
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Structured Streaming transforms for the ingest path (SURVEY.md §2.0,
+  * §7 M6): the OTLP consumers become streaming Datasets; the
+  * MergeTree-append / ReplacingMergeTree semantics become watermarked
+  * appends and within-watermark dedup.
+  *
+  * Each transform takes an unbounded DataFrame (readStream / MemoryStream
+  * source) and returns an unbounded DataFrame ready for writeStream —
+  * the tests drive them with MemoryStream; production wires
+  * `spark.readStream.format(...)` in front and a parquet/Delta sink with
+  * `foreachBatch` behind.
+  *
+  * Scale notes: every transform keys state by the stream's natural
+  * partition key (severity/service for logs, series hash for points), so
+  * state distributes across executors; watermarks bound state size.
+  */
+object Streams {
+
+  /** Log consumer: raw (ts, body, service) records → enriched log rows
+    * with severity deduced from the body text at ingest (reference
+    * internal/logparser/deduce.go:97-225 — same deduction, expressed as
+    * a native codegen expression, not a per-row callback).
+    */
+  def enrichLogs(raw: DataFrame): DataFrame = {
+    val sevNum = GraftFunctions.deduce_severity(col("body"))
+    raw
+      .withColumn("severity_number", sevNum)
+      .withColumn("severity_text", GraftFunctions.severity_text(sevNum))
+      .withColumn("service_name",
+        coalesce(col("service_name"), lit("unknown_service")))
+  }
+
+  /** Windowed severity counts with a watermark — the streaming analogue
+    * of the logs-table daily rollup (reference inserter batching,
+    * internal/chstorage/inserter_logs.go; aggregation semantics
+    * logqlmetric/range_agg.go).
+    */
+  def logSeverityCounts(logs: DataFrame): DataFrame =
+    logs
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(window(col("timestamp"), "5 minutes"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("severity_text"), col("n"))
+
+  /** Series-identity dedup — the ReplacingMergeTree / AggregatingMergeTree
+    * analogue for metrics_timeseries: first sighting of each series hash
+    * within the watermark wins (reference
+    * internal/chstorage/inserter_metrics.go:521-543 series dedup).
+    */
+  def seriesIdentity(points: DataFrame): DataFrame =
+    points
+      .withWatermark("timestamp", "1 hour")
+      .dropDuplicatesWithinWatermark("hash")
+      .select(col("hash"), col("name"), col("timestamp").as("first_seen"))
+
+  /** Metric point decomposition: one OTLP-ish record carrying
+    * gauge/sum/histogram fields → flattened point rows with a `mapping`
+    * discriminator (reference inserter_metrics.go:200-620 histogram
+    * flattening into metrics_points).
+    */
+  def decomposePoints(records: DataFrame): DataFrame = {
+    val base = records.select(
+      col("timestamp"), col("name"),
+      xxhash64(col("name"), col("attrs")).as("hash"),
+      col("gauge"), col("hist_count"), col("hist_sum"))
+    val gauges = base.filter(col("gauge").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("gauge").as("value"), lit(0).as("mapping"))
+    val histCounts = base.filter(col("hist_count").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("hist_count").cast("double").as("value"), lit(1).as("mapping"))
+    val histSums = base.filter(col("hist_sum").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("hist_sum").as("value"), lit(2).as("mapping"))
+    gauges.unionAll(histCounts).unionAll(histSums)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Structured Streaming specs driven by MemoryStream: windowed rollup
+  * with watermark, series dedup, point decomposition, ingest-time
+  * severity deduction.
+  */
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("enrichLogs deduces severity from body at ingest") {
+    val df = Seq(
+      (ts(0), "error: disk full", "api"),
+      (ts(1), "all fine info", null.asInstanceOf[String])
+    ).toDF("timestamp", "body", "service_name")
+    val out = Streams.enrichLogs(df).collect()
+    assert(out.map(_.getAs[String]("severity_text")).toSeq == Seq("ERROR", "INFO"))
+    assert(out.map(_.getAs[String]("service_name")).toSeq == Seq("api", "unknown_service"))
+  }
+
+  test("logSeverityCounts: windowed streaming aggregation with watermark") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val logs = input.toDF().toDF("timestamp", "severity_text")
+    input.addData(
+      (ts(0), "ERROR"), (ts(1), "ERROR"), (ts(2), "INFO"),
+      (ts(6), "ERROR"))
+    val query = Streams.logSeverityCounts(logs)
+      .writeStream.format("memory").queryName("sev_counts")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("sev_counts")
+      .groupBy("window_start", "severity_text").agg(max("n").as("n"))
+      .orderBy("window_start", "severity_text")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (ts(0), "ERROR", 2L), (ts(0), "INFO", 1L), (ts(5), "ERROR", 1L)))
+  }
+
+  test("seriesIdentity: dropDuplicatesWithinWatermark keeps first sighting") {
+    val input = MemoryStream[(Array[Byte], String, Timestamp)](spark)
+    val points = input.toDF().toDF("hash", "name", "timestamp")
+    val h1 = Array[Byte](1, 2)
+    val h2 = Array[Byte](3, 4)
+    input.addData((h1, "cpu", ts(0)), (h1, "cpu", ts(1)), (h2, "mem", ts(2)))
+    val query = Streams.seriesIdentity(points)
+      .writeStream.format("memory").queryName("series_ids")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("series_ids").select("name").as[String].collect().sorted
+    assert(rows.toSeq == Seq("cpu", "mem"))
+  }
+
+  test("decomposePoints flattens histogram records into mapped sub-series") {
+    val df = Seq(
+      (ts(0), "latency", "a=1", Some(0.5), None: Option[Long], None: Option[Double]),
+      (ts(1), "latency", "a=1", None: Option[Double], Some(10L), Some(42.5))
+    ).toDF("timestamp", "name", "attrs", "gauge", "hist_count", "hist_sum")
+    val out = Streams.decomposePoints(df)
+      .select("mapping", "value").orderBy("mapping")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((0, 0.5), (1, 10.0), (2, 42.5)))
+  }
+}
