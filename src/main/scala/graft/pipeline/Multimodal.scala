@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for the training-data pipeline (builder
+  * contract): media items are opaque `binary` payloads plus typed
+  * metadata; decode / feature-extraction runs batched per partition.
+  *
+  * The real decoders (image/audio/video codecs) are NOT in this
+  * container, so [[StubDecoder]] is a clearly-marked deterministic fake;
+  * everything around it — the schema, the Dataset[MediaItem] encoder,
+  * the mapPartitions batch shape, the partitioning strategy — is the
+  * production plumbing and is tested (MultimodalSpec).
+  *
+  * Scale notes: featurize runs mapPartitions so a real decoder amortizes
+  * model/codec init once per partition (the per-batch pattern a Python
+  * stack gets from mapInPandas); media tables should be repartitioned by
+  * media_id range so payload bytes spread evenly and no partition
+  * exceeds executor memory (payloads stream off parquet row-groups).
+  */
+object Multimodal {
+
+  /** One media item: payload is the opaque bytes, meta is typed sidecar. */
+  final case class MediaItem(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      source: String)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      source: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType),
+    StructField("source", StringType)
+  ))
+
+  /** Decoder seam. Production binds an actual codec; tests and this
+    * container use [[StubDecoder]].
+    */
+  trait MediaDecoder extends Serializable {
+    /** (width, height, n_frames) of a decoded payload. */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int)
+  }
+
+  /** STUB: deterministic fake decode — real image/audio libs are not in
+    * this container. Derives plausible dimensions from the payload's
+    * leading bytes so the pipeline shape (schema, batching, joins) is
+    * fully exercisable and reproducible.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val b0 = if (payload.nonEmpty) payload(0) & 0xFF else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xFF else 0
+      val width = b0 % 64 + 16
+      val height = b1 % 64 + 16
+      val frames = kind match {
+        case "video" => b0 % 30 + 1
+        case "audio" => b1 % 100 + 1
+        case _       => 1
+      }
+      (width, height, frames)
+    }
+  }
+
+  /** Batched feature extraction: one decoder instance per partition,
+    * streamed row-at-a-time within the partition (the mapInPandas batch
+    * shape, minus Python).
+    */
+  def featurize(items: Dataset[MediaItem], decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // decoder init happens here ONCE per partition in a real codec
+      it.map { m =>
+        val (w, h, f) = decoder.decode(m.kind, m.payload)
+        MediaFeatures(m.media_id, m.kind, m.source, m.payload.length, w, h, f)
+      }
+    }
+  }
+
+  /** Derive a deterministic media table from the documents corpus (the
+    * container has no real binaries): payload = md5(text) bytes. Used by
+    * tests and the oracle-backed query.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      unhex(md5(col("text"))).as("payload"),
+      col("source")
+    ).as[MediaItem]
+  }
+}

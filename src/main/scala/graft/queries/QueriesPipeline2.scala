@@ -263,8 +263,44 @@ object QueriesPipeline2 extends QueryPack {
       .orderBy("source")
   }
 
+  /** Multimodal feature extraction through the real Dataset plumbing
+    * (graft.pipeline.Multimodal: binary payloads + mapPartitions batch
+    * decode via the stub codec); the oracle recomputes the stub's
+    * arithmetic from md5 hex directly.
+    */
+  val mediaFeatures: Q = {
+    def hexByte(off: Int): String = {
+      val d1 = s"(strpos('0123456789abcdef', substr(md5(text), ${off * 2 + 1}, 1)) - 1)"
+      val d2 = s"(strpos('0123456789abcdef', substr(md5(text), ${off * 2 + 2}, 1)) - 1)"
+      s"($d1 * 16 + $d2)"
+    }
+    Q(
+      "pipe_media_features",
+      (s: SparkSession, dir: String) => {
+        val td = graft.sources.Testdata(s, dir)
+        val media = graft.pipeline.Multimodal.mediaFromDocuments(s, td.documents)
+        graft.pipeline.Multimodal.featurize(media, graft.pipeline.Multimodal.StubDecoder)
+          .toDF()
+          .groupBy(col("kind"), col("source"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("width")).as("sum_width"),
+            sum(col("height")).as("sum_height"))
+          .orderBy("kind", "source")
+      },
+      Some(
+        s"""WITH m AS (
+           |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind, source,
+           |    ${hexByte(0)} AS b0, ${hexByte(1)} AS b1
+           |  FROM documents)
+           |SELECT kind, source, COUNT(*) AS n_items,
+           |  CAST(SUM(b0 % 64 + 16) AS BIGINT) AS sum_width,
+           |  CAST(SUM(b1 % 64 + 16) AS BIGINT) AS sum_height
+           |FROM m GROUP BY kind, source ORDER BY kind, source""".stripMargin)
+    )
+  }
+
   override def queries: Seq[Q] = Seq(
     minhashLsh, simhash, ngramJaccard, embeddingNeardup,
-    langid, qualityScore, fingerprint
+    langid, qualityScore, fingerprint, mediaFeatures
   )
 }
