@@ -58,8 +58,11 @@ object Registry {
     QueriesLogQL,
     QueriesLogQLStages,
     QueriesLogQLMetrics,
+    QueriesLogQLMore,
     QueriesTraceQL,
+    QueriesTraceQLMore,
     QueriesPromQL,
+    QueriesPromQLMore,
     QueriesPipeline,
     QueriesPipeline2
   )

@@ -102,41 +102,12 @@ object QueriesPromQL extends QueryPack {
   private def extrapolation(
       firstTsUs: Column, lastTsUs: Column, bucketUs: Column,
       n: Column, resultValue: Column, firstV: Column,
-      counterZeroClamp: Boolean): Column = {
-    val sampled = (lastTsUs - firstTsUs).cast("double") / 1e6
-    val avg = sampled / (n - 1).cast("double")
-    val toStartRaw = (firstTsUs - bucketUs).cast("double") / 1e6
-    val toEnd = ((bucketUs + DayUs) - lastTsUs).cast("double") / 1e6
-    val toStart = if (counterZeroClamp) {
-      val toZero = sampled * (firstV / resultValue)
-      when(resultValue > 0 && firstV >= 0 && toZero < toStartRaw, toZero)
-        .otherwise(toStartRaw)
-    } else toStartRaw
-    val threshold = avg * 1.1
-    val extended = sampled +
-      when(toStart < threshold, toStart).otherwise(avg / 2) +
-      when(toEnd < threshold, toEnd).otherwise(avg / 2)
-    extended / sampled
-  }
+      counterZeroClamp: Boolean): Column =
+    PromMath.extrapolation(firstTsUs, lastTsUs, bucketUs, n, resultValue, firstV,
+      counterZeroClamp)
 
-  private def oracleExtrapolation(counterZeroClamp: Boolean): String = {
-    val sampled = "(CAST(last_ts_us - first_ts_us AS DOUBLE) / 1e6)"
-    val avg = s"($sampled / CAST(n - 1 AS DOUBLE))"
-    val toStartRaw = "(CAST(first_ts_us - bucket_us AS DOUBLE) / 1e6)"
-    val toEnd = s"(CAST((bucket_us + $DayUs) - last_ts_us AS DOUBLE) / 1e6)"
-    val toStart =
-      if (counterZeroClamp)
-        s"""(CASE WHEN (last_v - first_v) > 0 AND first_v >= 0
-           |  AND ($sampled * (first_v / (last_v - first_v))) < $toStartRaw
-           |  THEN ($sampled * (first_v / (last_v - first_v)))
-           |  ELSE $toStartRaw END)""".stripMargin.replace("\n", " ")
-      else toStartRaw
-    val threshold = s"($avg * 1.1)"
-    s"""(($sampled
-       |  + (CASE WHEN $toStart < $threshold THEN $toStart ELSE $avg / 2 END)
-       |  + (CASE WHEN $toEnd < $threshold THEN $toEnd ELSE $avg / 2 END))
-       | / $sampled)""".stripMargin.replace("\n", " ")
-  }
+  private def oracleExtrapolation(counterZeroClamp: Boolean): String =
+    PromMath.oracleExtrapolation(counterZeroClamp, "(last_v - first_v)")
 
   /** `rate(counter[1d])` with full Prometheus extrapolation + the
     * zero-crossing clamp on durationToStart (reference
