@@ -64,7 +64,8 @@ object Registry {
     QueriesPromQL,
     QueriesPromQLMore,
     QueriesPipeline,
-    QueriesPipeline2
+    QueriesPipeline2,
+    QueriesPushdown
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Optimizer-behavior operators (SURVEY.md §4.1): the `*_over_time`
+  * rollup-table pushdown (embedded-backend sidecar analogue),
+  * `__error__` propagation semantics, and severity name↔number
+  * predicate lowering.
+  */
+object QueriesPushdown extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  private val HourNs = 3600000000000L
+
+  /** `count/sum/min/max_over_time` answered from a PRE-AGGREGATED hourly
+    * rollup instead of decoding samples — the embedded backend's
+    * aggregate sidecar (reference storagebackend/overtime.go:23-140,
+    * docs/storage-integration.md:30-47). The rollup is built as a
+    * first-level aggregation (at scale: a streaming job maintaining a
+    * rollup table); the day-level answer re-aggregates ONLY rollup rows.
+    * The oracle computes straight from raw events, so the two-level
+    * re-aggregation must be exactly lossless.
+    */
+  val overtimeRollup: Q = q(
+    "pushdown_overtime_rollup",
+    s"""SELECT event_type,
+       |  epoch_ns(ts) - epoch_ns(ts) % ${24 * HourNs} AS day_ns,
+       |  COUNT(*) AS n, ${Det.oSum("value")} AS sum_v,
+       |  MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM events GROUP BY event_type, day_ns
+       |ORDER BY event_type, day_ns""".stripMargin
+  ) { td =>
+    // level 1: the hourly rollup a streaming job would maintain
+    val rollup = td.events
+      .withColumn("hour_ns", col("ts") - col("ts") % HourNs)
+      .groupBy(col("event_type"), col("hour_ns"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(Det.DecT)).as("sum_dec"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    // level 2: the query touches only rollup rows (24 per day per series)
+    rollup
+      .withColumn("day_ns", col("hour_ns") - col("hour_ns") % (24 * HourNs))
+      .groupBy(col("event_type"), col("day_ns"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_dec")).cast("double").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+      .select(col("event_type"), col("day_ns"), col("n"), col("sum_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("event_type", "day_ns")
+  }
+
+  /** `__error__` propagation: failed extractions KEEP the row and label
+    * it (reference logqlengine/logqlerrors; optimizer safety analysis
+    * querier_logs_optimizer.go:223-299). Malformed bodies are
+    * synthesized by truncating valid JSON on odd event_ids.
+    */
+  val errorPropagation: Q = q(
+    "pushdown_error_propagation",
+    """SELECT event_type, err, COUNT(*) AS n,
+      |  CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(j) THEN '' ELSE 'JSONParserErr' END AS err,
+      |    CASE WHEN json_valid(j) THEN json_extract_string(j, '$.k') END AS k
+      |  FROM (
+      |    SELECT event_type,
+      |      CASE WHEN event_id % 2 = 1 THEN substr(props, 1, length(props) - 1)
+      |           ELSE props END AS j
+      |    FROM events))
+      |GROUP BY event_type, err ORDER BY event_type, err""".stripMargin
+  ) { td =>
+    val j = when(col("event_id") % 2 === 1,
+      col("props").substr(lit(1), length(col("props")) - 1))
+      .otherwise(col("props"))
+    td.events
+      .withColumn("j", j)
+      // get_json_object($, '$') is null iff the document is malformed
+      .withColumn("err", when(get_json_object(col("j"), "$").isNull, "JSONParserErr")
+        .otherwise(""))
+      .withColumn("k", when(col("err") === "", get_json_object(col("j"), "$.k")))
+      .groupBy(col("event_type"), col("err"))
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type", "err")
+  }
+
+  /** Severity predicate lowering: `level=~"ERROR|FATAL"` becomes a
+    * severity_number range scan on the stored column instead of a regex
+    * over derived text (reference querier_logs_query.go:760-787 regex
+    * enumeration over the 24 levels).
+    */
+  val severityLowering: Q = q(
+    "pushdown_severity_lowering",
+    """SELECT sev, COUNT(*) AS n FROM (
+      |  SELECT CASE event_type
+      |    WHEN 'error' THEN 17 WHEN 'signup' THEN 9 WHEN 'purchase' THEN 9
+      |    WHEN 'click' THEN 5 WHEN 'view' THEN 1 ELSE 0 END AS sev
+      |  FROM events)
+      |WHERE sev BETWEEN 13 AND 24 OR sev BETWEEN 9 AND 12
+      |GROUP BY sev ORDER BY sev""".stripMargin
+  ) { td =>
+    import graft.model.OtelViews
+    val sevNum = OtelViews.severityByEventType.foldLeft(lit(0)) {
+      case (acc, (et, _, num)) => when(col("event_type") === et, num).otherwise(acc)
+    }
+    td.events
+      .select(sevNum.as("sev"))
+      // ERROR|WARN|FATAL range ∪ INFO range — the lowered predicate
+      .filter((col("sev") >= 13 && col("sev") <= 24) || (col("sev") >= 9 && col("sev") <= 12))
+      .groupBy(col("sev")).agg(count(lit(1)).as("n"))
+      .orderBy("sev")
+  }
+
+  override def queries: Seq[Q] = Seq(overtimeRollup, errorPropagation, severityLowering)
+}

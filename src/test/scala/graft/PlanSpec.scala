@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.Registry
+
+/** Physical-plan assertions: the properties that make these queries
+  * scale-correct must survive refactors — filters/projections reaching
+  * the parquet scan, dimension joins broadcasting, no cartesian
+  * products, custom expressions staying inside whole-stage codegen.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Final (post-AQE) physical plan, materialized by running the query;
+    * whole-stage-codegen stages appear as `*(n)` node prefixes.
+    */
+  private def finalPlanOf(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan+filter+limit pushes predicates into the parquet scan") {
+    val p = planOf("src_scan_filter_limit")
+    assert(p.contains("PushedFilters"), s"no pushed filters in:\n$p")
+    assert(p.contains("EqualTo(event_type,error)"), "event_type filter not pushed")
+    assert(p.contains("GreaterThan(value,100"), "value filter not pushed")
+    // column pruning: props is not referenced and must not be read
+    assert(!p.contains("props"), "props column should be pruned from the scan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = planOf("src_broadcast_dim_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("candidate semi-join compiles to a real semi join") {
+    val p = planOf("src_semijoin_trace_spans")
+    assert(p.contains("LeftSemi"), s"expected left-semi join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("group_left vector matching broadcasts the one side") {
+    val p = planOf("promql_group_left")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    val p = finalPlanOf("logql_ip_filter")
+    // the Filter carrying ip_match must be inside a codegen stage (*(n) prefix)
+    val line = p.linesIterator.find(l => l.contains("graft_ip_match") && l.contains("Filter"))
+    assert(line.isDefined, s"ip_match filter missing in:\n$p")
+    assert(line.get.trim.matches("""[+:\-\s]*\*\(\d+\).*"""),
+      s"ip_match filter not in a codegen stage: ${line.get}")
+  }
+
+  test("unwrap pipeline keeps parse_duration in codegen and prunes columns") {
+    val p = planOf("logql_unwrap_duration")
+    assert(p.contains("graft_parse_duration"))
+    assert(!p.contains("props"), "unused body column should be pruned")
+    val f = finalPlanOf("logql_unwrap_duration")
+    val line = f.linesIterator.find(l => l.contains("graft_parse_duration") && l.contains("Project"))
+    assert(line.isDefined, s"parse_duration projection missing in:\n$f")
+    assert(line.get.trim.matches("""[+:\-\s]*\*\(\d+\).*"""),
+      s"parse_duration not in a codegen stage: ${line.get}")
+  }
+
+  test("structural join has no cartesian product") {
+    val p = planOf("traceql_structural_child")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+}
