@@ -175,12 +175,15 @@ object GraftFunctions {
   )
 
   /** SparkSessionExtensions hook: builder.withExtensions(GraftFunctions.inject). */
-  def inject(e: SparkSessionExtensions): Unit = all.foreach { case (name, builder) =>
-    e.injectFunction((
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions.exprs", name),
-      builder
-    ))
+  def inject(e: SparkSessionExtensions): Unit = {
+    all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.exprs", name),
+        builder
+      ))
+    }
+    e.injectOptimizerRule(_ => graft.plans.GraftRules.LowerSeverityPredicates)
   }
 
   /** Late registration on an existing session (tests, shells). */

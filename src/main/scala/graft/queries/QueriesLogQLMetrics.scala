@@ -106,11 +106,15 @@ object QueriesLogQLMetrics extends QueryPack {
       .withColumn("bucket_ns", col("ts") - col("ts") % Step1dNs)
       .withColumn("svc", col("user_id") % 4)
       .select(col("bucket_ns"), col("svc")).distinct()
-    val and = a.join(b, Seq("bucket_ns", "svc"), "left_semi")
-      .select(lit("and").as("op"), col("bucket_ns"), col("svc"), col("n"))
-    val unless = a.join(b, Seq("bucket_ns", "svc"), "left_anti")
-      .select(lit("unless").as("op"), col("bucket_ns"), col("svc"), col("n"))
-    and.unionAll(unless).orderBy("op", "bucket_ns", "svc")
+    // one outer join instead of a semi + an anti: the b side carries a
+    // presence marker, and the op label derives from it — halves the
+    // number of scans/shuffles over the reference-shaped two-pass plan.
+    val marked = b.withColumn("present", lit(1))
+    a.join(marked, Seq("bucket_ns", "svc"), "left_outer")
+      .select(
+        when(col("present").isNotNull, "and").otherwise("unless").as("op"),
+        col("bucket_ns"), col("svc"), col("n"))
+      .orderBy("op", "bucket_ns", "svc")
   }
 
   /** `absent_over_time({error, value>450}[6h])` — 1 for grid steps with

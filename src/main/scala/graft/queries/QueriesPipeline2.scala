@@ -65,12 +65,16 @@ object QueriesPipeline2 extends QueryPack {
        |FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
        |ORDER BY a, b LIMIT 100""".stripMargin
   ) { td =>
+    // all 4 seeded minhashes in ONE aggregation pass over the shingles
+    // (no 4x row explosion), then stacked to (doc_id, seed, mh) rows.
     val sh = shingles3(td)
-    val seeds = (0 to 3).map(lit(_))
-    val mh = sh
-      .withColumn("seed", explode(array(seeds: _*)))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+    val mhAggs = (0 to 3).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
+    val wide = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val mh = wide.select(col("doc_id"),
+      explode(array((0 to 3).map(k =>
+        struct(lit(k).as("seed"), col(s"mh$k").as("mh"))): _*)).as("sm"))
+      .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.mh").as("mh"))
     val a = mh.alias("a")
     val b = mh.alias("b")
     a.join(b, col("a.seed") === col("b.seed") && col("a.mh") === col("b.mh") &&
