@@ -1,0 +1,76 @@
+package graft.logql
+
+/** LogQL AST (subset faithful to the reference's grammar:
+  * internal/logql/log_expr.go:12-40, pipeline.go:16-313,
+  * metric_expr.go:13-253). Scala case classes instead of Go structs;
+  * the planner lowers these to DataFrame transformations.
+  */
+object Ast {
+
+  sealed trait MatchOp
+  case object MatchEq extends MatchOp
+  case object MatchNeq extends MatchOp
+  case object MatchRe extends MatchOp
+  case object MatchNotRe extends MatchOp
+
+  final case class Matcher(label: String, op: MatchOp, value: String)
+
+  /** Pipeline stages (reference pipeline.go). */
+  sealed trait Stage
+  /** |= != |~ !~ with `or` lists (value list is OR-ed). */
+  final case class LineFilter(op: MatchOp, needles: Seq[String]) extends Stage
+  case object JsonStage extends Stage
+  case object LogfmtStage extends Stage
+  case object DecolorizeStage extends Stage
+  final case class PatternStage(pattern: String) extends Stage
+  final case class RegexpStage(pattern: String) extends Stage
+  final case class LabelFilterStage(pred: LabelPredicate) extends Stage
+  final case class KeepStage(labels: Seq[String]) extends Stage
+  final case class DropStage(labels: Seq[String]) extends Stage
+  final case class DistinctStage(labels: Seq[String]) extends Stage
+  /** label_format renames only (templates are line_format's job). */
+  final case class LabelFormatStage(renames: Seq[(String, String)]) extends Stage
+  /** line_format with {{.label}} substitution templates. */
+  final case class LineFormatStage(template: String) extends Stage
+  /** | unwrap lbl [bytes|duration|duration_seconds] */
+  final case class UnwrapStage(label: String, conv: Option[String]) extends Stage
+
+  /** Label predicate tree (reference pipeline.go:165-275). */
+  sealed trait LabelPredicate
+  final case class PredAnd(l: LabelPredicate, r: LabelPredicate) extends LabelPredicate
+  final case class PredOr(l: LabelPredicate, r: LabelPredicate) extends LabelPredicate
+  sealed trait CmpOp
+  case object CmpEq extends CmpOp
+  case object CmpNeq extends CmpOp
+  case object CmpGt extends CmpOp
+  case object CmpGe extends CmpOp
+  case object CmpLt extends CmpOp
+  case object CmpLe extends CmpOp
+  sealed trait CmpValue
+  final case class NumValue(v: Double) extends CmpValue
+  final case class StrValue(v: String) extends CmpValue
+  final case class ReValue(v: String, negate: Boolean) extends CmpValue
+  final case class DurValue(raw: String) extends CmpValue
+  final case class BytesValue(raw: String) extends CmpValue
+  final case class IpValue(pattern: String, negate: Boolean) extends CmpValue
+  final case class PredCmp(label: String, op: CmpOp, value: CmpValue) extends LabelPredicate
+
+  final case class LogQuery(matchers: Seq[Matcher], stages: Seq[Stage])
+
+  /** Metric expressions (reference metric_expr.go). */
+  sealed trait MetricExpr
+  /** count_over_time/rate/bytes_over_time/…_over_time(sel[range] offset o). */
+  final case class RangeAgg(
+      op: String, query: LogQuery, rangeNs: Long, offsetNs: Long,
+      param: Option[Double] = None) extends MetricExpr
+  /** sum/avg/min/max/count/topk/bottomk by(..)/without(..) (inner). */
+  final case class VectorAgg(
+      op: String, by: Seq[String], without: Seq[String],
+      k: Option[Int], inner: MetricExpr) extends MetricExpr
+  final case class BinOp(op: String, lhs: MetricExpr, rhs: MetricExpr) extends MetricExpr
+  final case class ScalarLit(v: Double) extends MetricExpr
+
+  sealed trait Expr
+  final case class LogExpr(q: LogQuery) extends Expr
+  final case class MetricExprTop(m: MetricExpr) extends Expr
+}

@@ -1,0 +1,343 @@
+package graft.logql
+
+import graft.functions.Kernels
+
+/** Hand-rolled LogQL lexer + recursive-descent parser (the reference
+  * also hand-rolls: internal/logql/lexer/, parser*.go). Subset: stream
+  * selectors, line filters (incl. `or` lists), json/logfmt/pattern/
+  * regexp/decolorize stages, label filters (num/str/regex/duration/
+  * bytes/ip with and/or), keep/drop/distinct/label_format/line_format/
+  * unwrap, range aggregations with offset, vector aggregations with
+  * by/without and topk/bottomk, scalar binops.
+  */
+object Parser {
+  import Ast._
+
+  final case class ParseError(msg: String, pos: Int)
+      extends RuntimeException(s"$msg at $pos")
+
+  // ---- lexer ----
+  sealed trait Tok { def pos: Int }
+  final case class TIdent(s: String, pos: Int) extends Tok
+  final case class TStr(s: String, pos: Int) extends Tok
+  final case class TNum(v: Double, raw: String, pos: Int) extends Tok
+  final case class TDur(raw: String, pos: Int) extends Tok
+  final case class TOp(s: String, pos: Int) extends Tok
+  final case class TEof(pos: Int) extends Tok
+
+  private val multiOps = Seq("|=", "!=", "|~", "!~", "=~", ">=", "<=", "==", "|>", "!>")
+
+  def lex(input: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '`') {
+        val quote = c
+        val sb = new StringBuilder
+        val start = i
+        i += 1
+        while (i < n && input.charAt(i) != quote) {
+          val ch = input.charAt(i)
+          if (quote == '"' && ch == '\\' && i + 1 < n) {
+            input.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case o   => sb.append(o)
+            }
+            i += 2
+          } else { sb.append(ch); i += 1 }
+        }
+        if (i >= n) throw ParseError("unterminated string", start)
+        i += 1
+        toks += TStr(sb.toString, start)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+        val numPart = input.substring(start, i)
+        // duration suffix? (5m, 1h30m, 250ms, 1d…)
+        val unitStart = i
+        while (i < n && input.charAt(i).isLetter) i += 1
+        if (i > unitStart) {
+          var j = i
+          // absorb composite durations like 1h30m
+          var composite = input.substring(start, i)
+          while (j < n && (input.charAt(j).isDigit || input.charAt(j).isLetter)) j += 1
+          if (j > i && input.substring(start, j).matches("([0-9.]+[a-zµμ]+)+")) {
+            composite = input.substring(start, j); i = j
+          }
+          if (Kernels.parseDurationSeconds(composite).isDefined)
+            toks += TDur(composite, start)
+          else if (Kernels.parseBytes(composite).isDefined)
+            toks += TDur(composite, start) // planner disambiguates via context
+          else throw ParseError(s"bad number/duration '$composite'", start)
+        } else toks += TNum(numPart.toDouble, numPart, start)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (input.charAt(i).isLetterOrDigit || input.charAt(i) == '_')) i += 1
+        toks += TIdent(input.substring(start, i), start)
+      } else {
+        val two = if (i + 1 < n) input.substring(i, i + 2) else ""
+        if (multiOps.contains(two)) { toks += TOp(two, i); i += 2 }
+        else { toks += TOp(c.toString, i); i += 1 }
+      }
+    }
+    toks += TEof(n)
+    toks.result()
+  }
+
+  // ---- parser ----
+  final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Tok = toks(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expectOp(s: String): Unit = next() match {
+      case TOp(`s`, _) => ()
+      case t           => throw ParseError(s"expected '$s'", t.pos)
+    }
+    def acceptOp(s: String): Boolean = peek match {
+      case TOp(`s`, _) => pos += 1; true
+      case _           => false
+    }
+    def acceptIdent(s: String): Boolean = peek match {
+      case TIdent(`s`, _) => pos += 1; true
+      case _              => false
+    }
+    def ident(): String = next() match {
+      case TIdent(s, _) => s
+      case t            => throw ParseError("expected identifier", t.pos)
+    }
+    def str(): String = next() match {
+      case TStr(s, _) => s
+      case t          => throw ParseError("expected string", t.pos)
+    }
+    def atEof: Boolean = peek.isInstanceOf[TEof]
+  }
+
+  private val rangeOps = Set(
+    "count_over_time", "rate", "bytes_over_time", "bytes_rate", "rate_counter",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "first_over_time", "last_over_time", "stdvar_over_time", "stddev_over_time",
+    "quantile_over_time", "absent_over_time")
+  private val vectorOps = Set(
+    "sum", "avg", "min", "max", "count", "stddev", "stdvar",
+    "topk", "bottomk", "sort", "sort_desc")
+
+  def parse(input: String): Expr = {
+    val p = new P(lex(input))
+    val e = p.peek match {
+      case TOp("{", _) => LogExpr(parseLogQuery(p))
+      case TIdent(name, _) if rangeOps(name) || vectorOps(name) =>
+        MetricExprTop(parseMetric(p))
+      case TNum(_, _, _) => MetricExprTop(parseMetric(p))
+      case t => throw ParseError("expected selector or metric function", t.pos)
+    }
+    if (!p.atEof) throw ParseError("trailing input", p.peek.pos)
+    e
+  }
+
+  def parseLogQuery(p: P): LogQuery = {
+    p.expectOp("{")
+    val ms = Seq.newBuilder[Matcher]
+    if (!p.acceptOp("}")) {
+      var done = false
+      while (!done) {
+        val label = p.ident()
+        val op = p.next() match {
+          case TOp("=", _)  => MatchEq
+          case TOp("!=", _) => MatchNeq
+          case TOp("=~", _) => MatchRe
+          case TOp("!~", _) => MatchNotRe
+          case t            => throw ParseError("expected matcher op", t.pos)
+        }
+        ms += Matcher(label, op, p.str())
+        if (!p.acceptOp(",")) { p.expectOp("}"); done = true }
+      }
+    }
+    val stages = Seq.newBuilder[Stage]
+    var more = true
+    while (more) {
+      p.peek match {
+        case TOp(o @ ("|=" | "!=" | "|~" | "!~"), _) =>
+          p.next()
+          val needles = Seq.newBuilder[String]
+          needles += p.str()
+          while (p.acceptIdent("or")) needles += p.str()
+          val op = o match {
+            case "|=" => MatchEq; case "!=" => MatchNeq
+            case "|~" => MatchRe; case _ => MatchNotRe
+          }
+          stages += LineFilter(op, needles.result())
+        case TOp("|", _) =>
+          p.next()
+          stages += parsePipeStage(p)
+        case _ => more = false
+      }
+    }
+    LogQuery(ms.result(), stages.result())
+  }
+
+  private def parsePipeStage(p: P): Stage = p.next() match {
+    case TIdent("json", _)       => JsonStage
+    case TIdent("logfmt", _)     => LogfmtStage
+    case TIdent("decolorize", _) => DecolorizeStage
+    case TIdent("pattern", _)    => PatternStage(p.str())
+    case TIdent("regexp", _)     => RegexpStage(p.str())
+    case TIdent("unwrap", _) =>
+      val lbl = p.ident()
+      val conv = p.peek match {
+        case TIdent(c @ ("bytes" | "duration" | "duration_seconds"), _) =>
+          p.next(); Some(c)
+        case _ => None
+      }
+      UnwrapStage(lbl, conv)
+    case TIdent("keep", _)  => KeepStage(identList(p))
+    case TIdent("drop", _)  => DropStage(identList(p))
+    case TIdent("distinct", _) => DistinctStage(identList(p))
+    case TIdent("label_format", _) =>
+      val rs = Seq.newBuilder[(String, String)]
+      var done = false
+      while (!done) {
+        val dst = p.ident(); p.expectOp("="); val src = p.ident()
+        rs += (dst -> src)
+        if (!p.acceptOp(",")) done = true
+      }
+      LabelFormatStage(rs.result())
+    case TIdent("line_format", _) => LineFormatStage(p.str())
+    case TIdent(label, _) => // label filter starting with a label name
+      LabelFilterStage(parsePredicateRest(p, label))
+    case TOp("(", _) =>
+      val pred = parsePredicateParen(p)
+      LabelFilterStage(pred)
+    case t => throw ParseError("unknown pipeline stage", t.pos)
+  }
+
+  private def identList(p: P): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    out += p.ident()
+    while (p.acceptOp(",")) out += p.ident()
+    out.result()
+  }
+
+  // predicate grammar: pred := term (('and'|'or') term)* ; term := label cmp value | '(' pred ')'
+  private def parsePredicateParen(p: P): LabelPredicate = {
+    val first = parseTerm(p)
+    parsePredTail(p, first)
+  }
+
+  private def parsePredicateRest(p: P, label: String): LabelPredicate = {
+    val first = parseCmp(p, label)
+    parsePredTail(p, first)
+  }
+
+  private def parsePredTail(p: P, first: LabelPredicate): LabelPredicate = {
+    var acc = first
+    var more = true
+    while (more) {
+      if (p.acceptIdent("and")) acc = PredAnd(acc, parseTerm(p))
+      else if (p.acceptIdent("or")) acc = PredOr(acc, parseTerm(p))
+      else more = false
+    }
+    acc
+  }
+
+  private def parseTerm(p: P): LabelPredicate = p.next() match {
+    case TOp("(", _) =>
+      val inner = parsePredicateParen(p)
+      p.expectOp(")")
+      inner
+    case TIdent(label, _) => parseCmp(p, label)
+    case t => throw ParseError("expected predicate", t.pos)
+  }
+
+  private def parseCmp(p: P, label: String): PredCmp = {
+    val op = p.next() match {
+      case TOp("=", _) | TOp("==", _) => CmpEq
+      case TOp("!=", _)               => CmpNeq
+      case TOp(">", _)                => CmpGt
+      case TOp(">=", _)               => CmpGe
+      case TOp("<", _)                => CmpLt
+      case TOp("<=", _)               => CmpLe
+      case TOp("=~", _) =>
+        return PredCmp(label, CmpEq, ReValue(p.str(), negate = false))
+      case TOp("!~", _) =>
+        return PredCmp(label, CmpEq, ReValue(p.str(), negate = true))
+      case t => throw ParseError("expected comparison", t.pos)
+    }
+    val value = p.peek match {
+      case TNum(v, _, _) => p.next(); NumValue(v)
+      case TStr(s, _)    => p.next(); StrValue(s)
+      case TDur(raw, _) =>
+        p.next()
+        if (Kernels.parseDurationSeconds(raw).isDefined) DurValue(raw) else BytesValue(raw)
+      case TIdent("ip", _) =>
+        p.next(); p.expectOp("("); val pat = p.str(); p.expectOp(")")
+        IpValue(pat, negate = op == CmpNeq)
+      case t => throw ParseError("expected comparison value", t.pos)
+    }
+    PredCmp(label, op, value)
+  }
+
+  def parseMetric(p: P): MetricExpr = {
+    val lhs = parseMetricAtom(p)
+    p.peek match {
+      case TOp(o @ ("+" | "-" | "*" | "/" | "%" | ">" | "<" | ">=" | "<=" | "=="), _) =>
+        p.next()
+        BinOp(o, lhs, parseMetric(p))
+      case TIdent(o @ ("and" | "or" | "unless"), _) =>
+        p.next()
+        BinOp(o, lhs, parseMetric(p))
+      case _ => lhs
+    }
+  }
+
+  private def parseMetricAtom(p: P): MetricExpr = p.peek match {
+    case TNum(v, _, _) => p.next(); ScalarLit(v)
+    case TIdent(name, _) if rangeOps(name) =>
+      p.next(); p.expectOp("(")
+      val param = if (name == "quantile_over_time") {
+        val v = p.next() match {
+          case TNum(x, _, _) => x
+          case t             => throw ParseError("expected quantile", t.pos)
+        }
+        p.expectOp(",")
+        Some(v)
+      } else None
+      val q = parseLogQuery(p)
+      p.expectOp("[")
+      val range = p.next() match {
+        case TDur(raw, _) => (Kernels.parseDurationSeconds(raw).get * 1e9).toLong
+        case t            => throw ParseError("expected range duration", t.pos)
+      }
+      p.expectOp("]")
+      val offset = if (p.acceptIdent("offset")) p.next() match {
+        case TDur(raw, _) => (Kernels.parseDurationSeconds(raw).get * 1e9).toLong
+        case t            => throw ParseError("expected offset duration", t.pos)
+      } else 0L
+      p.expectOp(")")
+      RangeAgg(name, q, range, offset, param)
+    case TIdent(name, _) if vectorOps(name) =>
+      p.next()
+      var by = Seq.empty[String]
+      var without = Seq.empty[String]
+      if (p.acceptIdent("by")) { p.expectOp("("); by = identList(p); p.expectOp(")") }
+      else if (p.acceptIdent("without")) { p.expectOp("("); without = identList(p); p.expectOp(")") }
+      p.expectOp("(")
+      val k = if (name == "topk" || name == "bottomk") {
+        val v = p.next() match {
+          case TNum(x, _, _) => x.toInt
+          case t             => throw ParseError("expected k", t.pos)
+        }
+        p.expectOp(",")
+        Some(v)
+      } else None
+      val inner = parseMetric(p)
+      // trailing grouping form: sum(...) by (a)
+      p.expectOp(")")
+      if (p.acceptIdent("by")) { p.expectOp("("); by = identList(p); p.expectOp(")") }
+      else if (p.acceptIdent("without")) { p.expectOp("("); without = identList(p); p.expectOp(")") }
+      VectorAgg(name, by, without, k, inner)
+    case t => throw ParseError("expected metric expression", t.pos)
+  }
+}

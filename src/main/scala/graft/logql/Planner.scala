@@ -1,0 +1,373 @@
+package graft.logql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.functions.{GraftFunctions, Kernels}
+
+/** LogQL planner: AST → DataFrame transformations (the reference's
+  * engine+optimizer pair collapses into plan construction here —
+  * SURVEY.md §3.1 "the optimizer step largely disappears"; Catalyst does
+  * the rest).
+  *
+  * Input contract: a logs DataFrame with `ts_ns: Long` (epoch ns),
+  * `body: String`, `labels: Map[String, String]`.
+  *
+  * Label resolution: stages push scoped extractors; a reference to
+  * label `k` resolves to the newest extractor that can produce it, with
+  * the stored label map as the base — the same stored-vs-derived
+  * distinction the reference's pushdown safety analysis draws
+  * (querier_logs_optimizer.go:193-333). Extraction failures yield null
+  * (→ `__error__` in the output shape, rows kept).
+  *
+  * Scale notes: everything before the range aggregation is a narrow
+  * filter/projection pipeline (one codegen span, filters pushable);
+  * stream identity is a deterministic JSON rendering of the sorted
+  * label map so the aggregation shuffles once on (bucket, stream).
+  */
+object Planner {
+  import Ast._
+
+  /** One pipeline evaluation: current df + label resolution chain. */
+  final case class Ctx(
+      df: DataFrame,
+      extractors: List[String => Option[Column]],
+      extraLabels: List[Column], // map columns merged into stream identity
+      unwrapped: Option[Column]) {
+
+    def resolve(k: String): Column = {
+      val candidates = extractors.flatMap(f => f(k))
+      val base = element_at(col("labels"), k)
+      candidates match {
+        case Nil => base
+        case cs  => coalesce((cs :+ base): _*)
+      }
+    }
+
+    /** Full label map after the pipeline (stream identity). */
+    def labelsCol: Column =
+      extraLabels.foldLeft(col("labels"))((acc, m) => map_concat(acc, m))
+  }
+
+  private def anchored(re: String): String = s"^(?:$re)$$"
+
+  def matcherCol(m: Matcher, resolve: String => Column): Column = {
+    val l = resolve(m.label)
+    m.op match {
+      case MatchEq    => l === m.value
+      case MatchNeq   => l =!= m.value
+      case MatchRe    => l.rlike(anchored(m.value))
+      case MatchNotRe => !l.rlike(anchored(m.value))
+    }
+  }
+
+  /** Evaluate a log query pipeline over the logs frame. */
+  def evalLog(q: LogQuery, logs: DataFrame): Ctx = {
+    var ctx = Ctx(logs, Nil, Nil, None)
+    val selector = q.matchers
+      .map(m => matcherCol(m, ctx.resolve))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ctx = ctx.copy(df = ctx.df.filter(selector))
+
+    q.stages.foreach { st => ctx = applyStage(ctx, st) }
+    ctx
+  }
+
+  private def applyStage(ctx: Ctx, st: Stage): Ctx = st match {
+    case LineFilter(op, needles) =>
+      val conds = needles.map { v =>
+        op match {
+          case MatchEq | MatchNeq  => col("body").contains(v)
+          case MatchRe | MatchNotRe => col("body").rlike(v)
+        }
+      }
+      val any = conds.reduce(_ || _)
+      val keep = op match {
+        case MatchEq | MatchRe => any
+        case _                 => !any
+      }
+      ctx.copy(df = ctx.df.filter(keep))
+
+    case JsonStage =>
+      val parsed = from_json(col("body"), MapType(StringType, StringType))
+      ctx.copy(
+        extractors = ((k: String) => Some(get_json_object(col("body"), s"$$.$k"))) :: ctx.extractors,
+        extraLabels = coalesce(parsed, map()) :: ctx.extraLabels)
+
+    case LogfmtStage =>
+      ctx.copy(
+        extractors = ((k: String) =>
+          Some(GraftFunctions.logfmt_get(col("body"), lit(k)))) :: ctx.extractors)
+
+    case DecolorizeStage =>
+      ctx.copy(df = ctx.df.withColumn("body", GraftFunctions.decolorize(col("body"))))
+
+    case PatternStage(pattern) =>
+      val (regex, names) = Kernels.patternToRegex(pattern)
+      val idx = names.zipWithIndex.toMap
+      ctx.copy(extractors = ((k: String) =>
+        idx.get(k).map(i => regexp_extract(col("body"), regex, i + 1))) :: ctx.extractors)
+
+    case RegexpStage(pattern) =>
+      // Go (?P<name>) → Java (?<name>); capture names in order
+      val javaRe = pattern.replace("(?P<", "(?<")
+      val names = "\\(\\?<([A-Za-z_][A-Za-z0-9_]*)>".r
+        .findAllMatchIn(javaRe).map(_.group(1)).toList
+      val idx = names.zipWithIndex.toMap
+      ctx.copy(extractors = ((k: String) =>
+        idx.get(k).map(i => regexp_extract(col("body"), javaRe, i + 1))) :: ctx.extractors)
+
+    case LabelFilterStage(pred) =>
+      ctx.copy(df = ctx.df.filter(predCol(pred, ctx.resolve)))
+
+    case KeepStage(keep) =>
+      val keepArr = array(keep.map(lit): _*)
+      ctx.copy(extraLabels = Nil,
+        df = ctx.df.withColumn("labels",
+          map_filter(ctx.labelsCol, (k, _) => array_contains(keepArr, k))))
+
+    case DropStage(drop) =>
+      val dropArr = array(drop.map(lit): _*)
+      ctx.copy(extraLabels = Nil,
+        df = ctx.df.withColumn("labels",
+          map_filter(ctx.labelsCol, (k, _) => !array_contains(dropArr, k))))
+
+    case DistinctStage(labels) =>
+      val keys = labels.map(ctx.resolve)
+      val w = Window.partitionBy(keys: _*).orderBy(col("ts_ns"), col("body"))
+      ctx.copy(df = ctx.df
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn"))
+
+    case LabelFormatStage(renames) =>
+      val snapshot = ctx // resolve sources against the pre-stage chain
+      ctx.copy(extractors = ((k: String) =>
+        renames.collectFirst { case (dst, src) if dst == k => snapshot.resolve(src) })
+        :: ctx.extractors)
+
+    case LineFormatStage(template) =>
+      // {{.label}} substitution compiled into a concat
+      val parts = "\\{\\{\\s*\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
+      var cols = List.empty[Column]
+      var last = 0
+      for (m <- parts.findAllMatchIn(template)) {
+        if (m.start > last) cols :+= lit(template.substring(last, m.start))
+        cols :+= coalesce(ctx.resolve(m.group(1)), lit(""))
+        last = m.end
+      }
+      if (last < template.length) cols :+= lit(template.substring(last))
+      val bodyCol = if (cols.isEmpty) lit("") else concat(cols: _*)
+      ctx.copy(df = ctx.df.withColumn("body", bodyCol))
+
+    case UnwrapStage(label, conv) =>
+      val raw = ctx.resolve(label)
+      val v = conv match {
+        case Some("bytes") => GraftFunctions.parse_bytes(raw)
+        case Some("duration") | Some("duration_seconds") =>
+          GraftFunctions.parse_duration(raw)
+        case None => raw.cast("double")
+      }
+      ctx.copy(unwrapped = Some(v))
+  }
+
+  def predCol(p: LabelPredicate, resolve: String => Column): Column = p match {
+    case PredAnd(l, r) => predCol(l, resolve) && predCol(r, resolve)
+    case PredOr(l, r)  => predCol(l, resolve) || predCol(r, resolve)
+    case PredCmp(label, op, value) =>
+      val l = resolve(label)
+      value match {
+        case StrValue(s) => op match {
+          case CmpEq  => l === s
+          case CmpNeq => l =!= s
+          case _      => cmp(l, op, lit(s))
+        }
+        case ReValue(re, neg) =>
+          if (neg) !l.rlike(anchored(re)) else l.rlike(anchored(re))
+        case NumValue(v)    => cmp(l.cast("double"), op, lit(v))
+        case DurValue(raw)  =>
+          cmp(GraftFunctions.parse_duration(l), op,
+            lit(Kernels.parseDurationSeconds(raw).get))
+        case BytesValue(raw) =>
+          cmp(GraftFunctions.parse_bytes(l), op, lit(Kernels.parseBytes(raw).get))
+        case IpValue(pat, neg) =>
+          val m = GraftFunctions.ip_match(l, lit(pat))
+          if (neg) !m else m
+      }
+  }
+
+  private def cmp(l: Column, op: CmpOp, r: Column): Column = op match {
+    case CmpEq  => l === r
+    case CmpNeq => l =!= r
+    case CmpGt  => l > r
+    case CmpGe  => l >= r
+    case CmpLt  => l < r
+    case CmpLe  => l <= r
+  }
+
+  /** Log query → output rows (ts_ns, body, labels), time-ordered. */
+  def planLog(q: LogQuery, logs: DataFrame): DataFrame = {
+    val ctx = evalLog(q, logs)
+    ctx.df.select(col("ts_ns"), col("body"), ctx.labelsCol.as("labels"))
+      .orderBy(col("ts_ns"), col("body"))
+  }
+
+  /** Metric expression → (bucket_ns, labels, value); aligned-grid steps
+    * (step == range — the reference's grid truncation,
+    * engine_metric_query.go:69-75, with step folded into the bucket).
+    */
+  def planMetric(m: MetricExpr, logs: DataFrame): DataFrame = m match {
+    case RangeAgg(op, q, rangeNs, offsetNs, param) =>
+      val ctx = evalLog(q, logs)
+      val shifted = col("ts_ns") + lit(offsetNs)
+      val bucket = (shifted - (shifted % lit(rangeNs))).as("bucket_ns")
+      val streamKey = to_json(map_entries(ctx.labelsCol)).as("__stream")
+      val base = ctx.df
+        .withColumn("bucket_ns", bucket)
+        .withColumn("__stream", streamKey)
+        .withColumn("__labels", ctx.labelsCol)
+      val rangeSec = rangeNs / 1e9
+      val value: Column = op match {
+        case "count_over_time" => count(lit(1)).cast("double")
+        case "rate"            => count(lit(1)).cast("double") / rangeSec
+        case "bytes_over_time" => sum(length(col("body"))).cast("double")
+        case "bytes_rate"      => sum(length(col("body"))).cast("double") / rangeSec
+        case "sum_over_time"   => sum(unwrap(ctx))
+        case "avg_over_time"   => avg(unwrap(ctx))
+        case "min_over_time"   => min(unwrap(ctx))
+        case "max_over_time"   => max(unwrap(ctx))
+        case "first_over_time" => min_by(unwrap(ctx), col("ts_ns"))
+        case "last_over_time"  => max_by(unwrap(ctx), col("ts_ns"))
+        case "stdvar_over_time" => var_pop(unwrap(ctx))
+        case "stddev_over_time" => stddev_pop(unwrap(ctx))
+        case "quantile_over_time" =>
+          percentile_approx(unwrap(ctx), lit(param.getOrElse(0.5)), lit(10000))
+        case other => throw new IllegalArgumentException(s"range op $other")
+      }
+      base.groupBy(col("bucket_ns"), col("__stream"))
+        .agg(value.as("value"), first(col("__labels")).as("labels"))
+        .select(col("bucket_ns"), col("labels"), col("value"))
+
+    case VectorAgg(op, by, without, k, inner) =>
+      val in = planMetric(inner, logs)
+      // topk/bottomk/sort rank existing series: without an explicit
+      // grouping they keep the input labels (reference vector_agg.go —
+      // only true aggregations regroup to the empty label set).
+      val ranksOnly = Set("topk", "bottomk", "sort", "sort_desc").contains(op)
+      val labelsOut: Column =
+        if (by.nonEmpty) {
+          val byArr = array(by.map(lit): _*)
+          map_filter(col("labels"), (key, _) => array_contains(byArr, key))
+        } else if (without.nonEmpty) {
+          val woArr = array(without.map(lit): _*)
+          map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
+        } else if (ranksOnly) col("labels")
+        else map()
+      val grouped = in
+        .withColumn("labels", labelsOut)
+        .withColumn("__stream", to_json(map_entries(col("labels"))))
+      op match {
+        case "sum" | "avg" | "min" | "max" | "count" | "stddev" | "stdvar" =>
+          val agged: Column = op match {
+            case "sum"   => sum(col("value"))
+            case "avg"   => avg(col("value"))
+            case "min"   => min(col("value"))
+            case "max"   => max(col("value"))
+            case "count" => count(lit(1)).cast("double")
+            case "stddev" => stddev_pop(col("value"))
+            case "stdvar" => var_pop(col("value"))
+          }
+          grouped.groupBy(col("bucket_ns"), col("__stream"))
+            .agg(agged.as("value"), first(col("labels")).as("labels"))
+            .select(col("bucket_ns"), col("labels"), col("value"))
+        case "topk" | "bottomk" =>
+          val ord = if (op == "topk")
+            Seq(col("value").desc, col("__stream"))
+          else Seq(col("value").asc, col("__stream"))
+          val w = Window.partitionBy(col("bucket_ns")).orderBy(ord: _*)
+          grouped
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k.getOrElse(1))
+            .select(col("bucket_ns"), col("labels"), col("value"))
+        case "sort" | "sort_desc" =>
+          val sorted = if (op == "sort") grouped.orderBy(col("bucket_ns"), col("value"))
+          else grouped.orderBy(col("bucket_ns"), col("value").desc)
+          sorted.select(col("bucket_ns"), col("labels"), col("value"))
+        case other => throw new IllegalArgumentException(s"vector op $other")
+      }
+
+    case BinOp(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planMetric(rhs, logs), scalarLeft = true)
+    case BinOp(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planMetric(lhs, logs), scalarLeft = false)
+    case BinOp(op, lhs, rhs) =>
+      val l = planMetric(lhs, logs)
+        .withColumn("__stream", to_json(map_entries(col("labels"))))
+      val r = planMetric(rhs, logs)
+        .withColumn("__stream", to_json(map_entries(col("labels"))))
+        .withColumnRenamed("value", "__rvalue")
+        .drop("labels")
+      op match {
+        case "and" =>
+          l.join(r.select("bucket_ns", "__stream"), Seq("bucket_ns", "__stream"), "left_semi")
+            .select(col("bucket_ns"), col("labels"), col("value"))
+        case "unless" =>
+          l.join(r.select("bucket_ns", "__stream"), Seq("bucket_ns", "__stream"), "left_anti")
+            .select(col("bucket_ns"), col("labels"), col("value"))
+        case "or" =>
+          val extra = r.join(l.select("bucket_ns", "__stream"), Seq("bucket_ns", "__stream"), "left_anti")
+            .select(col("bucket_ns"),
+              from_json(col("__stream"), MapType(StringType, StringType)).as("labels"),
+              col("__rvalue").as("value"))
+          l.select(col("bucket_ns"), col("labels"), col("value")).unionAll(extra)
+        case _ =>
+          val joined = l.join(r, Seq("bucket_ns", "__stream"))
+          val v = arith(op, col("value"), col("__rvalue"))
+          op match {
+            case ">" | "<" | ">=" | "<=" | "==" =>
+              joined.filter(v).select(col("bucket_ns"), col("labels"), col("value"))
+            case _ =>
+              joined.select(col("bucket_ns"), col("labels"), v.as("value"))
+          }
+      }
+
+    case ScalarLit(v) =>
+      throw new IllegalArgumentException("bare scalar is not a vector query")
+  }
+
+  private def unwrap(ctx: Ctx): Column =
+    ctx.unwrapped.getOrElse(
+      throw new IllegalArgumentException("operator requires | unwrap"))
+
+  private def scalarBin(op: String, s: Column, df: DataFrame, scalarLeft: Boolean): DataFrame = {
+    val (l, r) = if (scalarLeft) (s, col("value")) else (col("value"), s)
+    val v = arith(op, l, r)
+    op match {
+      case ">" | "<" | ">=" | "<=" | "==" =>
+        df.filter(v).select(col("bucket_ns"), col("labels"), col("value"))
+      case _ =>
+        df.select(col("bucket_ns"), col("labels"), v.as("value"))
+    }
+  }
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "^" => pow(l, r)
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case "==" => l === r
+  }
+
+  /** Parse + plan in one call. */
+  def query(logql: String, logs: DataFrame): DataFrame =
+    Parser.parse(logql) match {
+      case Ast.LogExpr(q)       => planLog(q, logs)
+      case Ast.MetricExprTop(m) => planMetric(m, logs)
+    }
+}

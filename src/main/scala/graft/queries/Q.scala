@@ -59,6 +59,7 @@ object Registry {
     QueriesLogQLStages,
     QueriesLogQLMetrics,
     QueriesLogQLMore,
+    QueriesLogQLParsed,
     QueriesTraceQL,
     QueriesTraceQLMore,
     QueriesPromQL,

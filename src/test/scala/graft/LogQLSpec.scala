@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.logql.{Ast, Parser, Planner}
+
+/** End-to-end LogQL front-end tests: string → AST → DataFrame → rows,
+  * mirroring the reference's engine-level eval tests
+  * (internal/logql/logqlengine/engine_test.go shape).
+  */
+class LogQLSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // 1h in ns
+
+  /** 12 log lines across 2 services, 3 hours. */
+  private lazy val logs: DataFrame = {
+    val rows = for {
+      h <- 0 until 3
+      i <- 0 until 4
+    } yield {
+      val svc = if (i % 2 == 0) "api" else "web"
+      val status = if (i == 3) 500 else 200
+      val ts = h * H + i * 60L * 1000000000L
+      val body = s"""{"status": $status, "dur": "${100 + i * 10}ms", "msg": "req $i done"}"""
+      (ts, body, Map("service" -> svc, "env" -> "prod"))
+    }
+    rows.toDF("ts_ns", "body", "labels")
+  }
+
+  private def run(q: String): DataFrame = Planner.query(q, logs)
+
+  test("parser builds the expected AST shapes") {
+    val Ast.LogExpr(lq) = Parser.parse(
+      """{service="api", env=~"pro.*"} |= "done" != "oops" | json | status >= 500""")
+    assert(lq.matchers.map(_.label) == Seq("service", "env"))
+    assert(lq.matchers(1).op == Ast.MatchRe)
+    assert(lq.stages.size == 4)
+
+    val Ast.MetricExprTop(m) = Parser.parse(
+      """topk(2, sum by (service) (count_over_time({env="prod"}[1h])))""")
+    val Ast.VectorAgg("topk", _, _, Some(2), inner) = m
+    val Ast.VectorAgg("sum", by, _, None, r: Ast.RangeAgg) = inner
+    assert(by == Seq("service"))
+    assert(r.rangeNs == H)
+
+    intercept[Parser.ParseError](Parser.parse("{service=}"))
+    intercept[Parser.ParseError](Parser.parse("count_over_time({a=\"b\"})"))
+  }
+
+  test("log query: selector + line filter + json + label filter") {
+    val out = run("""{service="api"} |= "done" | json | status = "500"""")
+      .collect()
+    assert(out.length == 0) // api lines are i∈{0,2} → status 200
+    val out2 = run("""{service="web"} | json | status = "500"""").collect()
+    assert(out2.length == 3) // i=3 each hour
+    // extracted labels join the stream identity
+    val labels = out2.head.getAs[Map[String, String]]("labels")
+    assert(labels("status") == "500" && labels("service") == "web")
+  }
+
+  test("label filter with duration comparison and or") {
+    val out = run("""{env="prod"} | json | dur > 115ms or status = "500"""").collect()
+    // dur > 115ms → i∈{2,3}; status=500 → i=3  ⇒ i∈{2,3} = 6 rows
+    assert(out.length == 6)
+  }
+
+  test("line_format and label_format") {
+    val out = run("""{service="api"} | json | line_format "s={{.status}} svc={{.service}}"""")
+      .collect()
+    assert(out.head.getAs[String]("body") == "s=200 svc=api")
+    val out2 = run("""{service="api"} | json | label_format code=status | code = "200"""")
+      .collect()
+    assert(out2.length == 6)
+  }
+
+  test("metric: sum by over count_over_time") {
+    val out = run("""sum by (service) (count_over_time({env="prod"}[1h]))""")
+      .orderBy("bucket_ns", "labels.service")
+      .select($"bucket_ns", $"labels.service", $"value")
+      .as[(Long, String, Double)].collect()
+    // per hour: api 2 lines, web 2 lines, 3 hours
+    assert(out.length == 6)
+    assert(out.forall(_._3 == 2.0))
+    assert(out.take(2).map(_._2).toSeq == Seq("api", "web"))
+  }
+
+  test("metric: rate, unwrap duration sum, scalar binop") {
+    val rate = run("""rate({service="api"}[1h])""")
+      .select($"value").as[Double].collect()
+    assert(rate.forall(v => math.abs(v - 2.0 / 3600) < 1e-12))
+
+    val durSum = run(
+      """sum by (service) (sum_over_time({service="web"} | json | unwrap dur duration [1h]))""")
+      .select($"value").as[Double].collect()
+    // web lines per hour: i=1 (110ms) + i=3 (130ms) = 0.24s
+    assert(durSum.length == 3)
+    assert(durSum.forall(v => math.abs(v - 0.24) < 1e-9))
+
+    val doubled = run("""sum by (service) (count_over_time({env="prod"}[1h])) * 2""")
+      .select($"value").as[Double].collect()
+    assert(doubled.forall(_ == 4.0))
+  }
+
+  test("metric: topk and set binop") {
+    val top = run("""topk(1, sum by (service) (count_over_time({env="prod"}[1h])))""")
+      .collect()
+    assert(top.length == 3) // one winner per hour bucket
+    val unless = run(
+      """sum by (service) (count_over_time({env="prod"}[1h])) unless sum by (service) (count_over_time({service="api"}[1h]))""")
+      .select($"labels.service").as[String].collect()
+    assert(unless.toSet == Set("web"))
+  }
+
+  test("distinct and keep stages") {
+    val d = run("""{env="prod"} | json | distinct service""").collect()
+    assert(d.length == 2) // first line per service
+    val kept = run("""{env="prod"} | keep env""").collect()
+    assert(kept.head.getAs[Map[String, String]]("labels").keySet == Set("env"))
+  }
+}
