@@ -1,0 +1,361 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kernels
+import graft.queries.PromMath
+
+/** PromQL front-end: AST + parser + DataFrame planner (storage-contract
+  * semantics of SURVEY.md §2.3; numeric fidelity via PromMath —
+  * reference prom_math.go:31-104, querier_metrics_rate.go:27-141).
+  *
+  * Points DataFrame contract: `ts_us: Long (epoch µs), name: String,
+  * value: Double, labels: Map[String,String]`.
+  *
+  * Range queries evaluate on an aligned grid (step == range, the grid
+  * truncation of the reference with step folded into the bucket);
+  * instant queries use the lookback/as-of rule.
+  */
+object PromQL {
+
+  // ---------- AST ----------
+  final case class Matcher(label: String, op: String, value: String) // = != =~ !~
+  final case class Selector(name: String, matchers: Seq[Matcher])
+
+  sealed trait Expr
+  final case class Instant(sel: Selector) extends Expr
+  final case class RangeFn(fn: String, sel: Selector, rangeNs: Long) extends Expr
+  final case class Agg(op: String, by: Seq[String], k: Option[Int], inner: Expr) extends Expr
+  final case class Bin(op: String, lhs: Expr, rhs: Expr) extends Expr
+  final case class ScalarLit(v: Double) extends Expr
+
+  // ---------- parser ----------
+  final case class ParseError(msg: String, pos: Int)
+      extends RuntimeException(s"$msg at $pos")
+
+  private val rangeFns = Set("rate", "increase", "delta", "irate",
+    "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
+    "max_over_time", "last_over_time")
+  private val aggOps = Set("sum", "avg", "min", "max", "count", "topk", "bottomk")
+
+  final class P(input: String) {
+    var i = 0
+    def ws(): Unit = while (i < input.length && input.charAt(i).isWhitespace) i += 1
+    def accept(s: String): Boolean = {
+      ws(); if (input.startsWith(s, i)) { i += s.length; true } else false
+    }
+    def expect(s: String): Unit = if (!accept(s)) throw ParseError(s"expected '$s'", i)
+    def peekIdent: String = {
+      ws()
+      var j = i
+      while (j < input.length && (input.charAt(j).isLetterOrDigit || input.charAt(j) == '_')) j += 1
+      input.substring(i, j)
+    }
+    def ident(): String = {
+      val s = peekIdent
+      if (s.isEmpty) throw ParseError("expected identifier", i)
+      i += s.length; s
+    }
+    def str(): String = {
+      expect("\"")
+      val sb = new StringBuilder
+      while (i < input.length && input.charAt(i) != '"') { sb.append(input.charAt(i)); i += 1 }
+      expect("\"")
+      sb.toString
+    }
+    def number(): Double = {
+      ws()
+      val start = i
+      while (i < input.length && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+      if (i == start) throw ParseError("expected number", i)
+      input.substring(start, i).toDouble
+    }
+    def duration(): Long = {
+      ws()
+      val start = i
+      while (i < input.length && (input.charAt(i).isLetterOrDigit || input.charAt(i) == '.')) i += 1
+      val raw = input.substring(start, i)
+      Kernels.parseDurationSeconds(raw) match {
+        case Some(sec) => (sec * 1e9).toLong
+        case None      => throw ParseError(s"bad duration '$raw'", start)
+      }
+    }
+    def done: Boolean = { ws(); i >= input.length }
+    def peekCh: Char = { ws(); if (i < input.length) input.charAt(i) else ' ' }
+  }
+
+  def parse(q: String): Expr = {
+    val p = new P(q)
+    val e = parseExpr(p)
+    if (!p.done) throw ParseError("trailing input", p.i)
+    e
+  }
+
+  private def parseExpr(p: P): Expr = {
+    val lhs = parseAtom(p)
+    p.ws()
+    val ops = Seq(">=", "<=", "==", "+", "-", "*", "/", "%", ">", "<")
+    ops.find(p.accept) match {
+      case Some(op) => Bin(op, lhs, parseExpr(p))
+      case None     => lhs
+    }
+  }
+
+  private def parseAtom(p: P): Expr = {
+    p.ws()
+    if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
+    else if (p.peekIdent.nonEmpty) {
+      val name = p.peekIdent
+      if (rangeFns(name)) {
+        p.ident(); p.expect("(")
+        val sel = parseSelector(p)
+        p.expect("[")
+        val r = p.duration()
+        p.expect("]")
+        p.expect(")")
+        RangeFn(name, sel, r)
+      } else if (aggOps(name)) {
+        p.ident()
+        var by = Seq.empty[String]
+        if (p.accept("by")) {
+          p.expect("(")
+          by = identList(p)
+          p.expect(")")
+        }
+        p.expect("(")
+        val k = if (name == "topk" || name == "bottomk") {
+          val v = p.number(); p.expect(","); Some(v.toInt)
+        } else None
+        val inner = parseExpr(p)
+        p.expect(")")
+        if (p.accept("by")) { p.expect("("); by = identList(p); p.expect(")") }
+        Agg(name, by, k, inner)
+      } else Instant(parseSelector(p))
+    } else throw ParseError("expected expression", p.i)
+  }
+
+  private def identList(p: P): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    out += p.ident()
+    while (p.accept(",")) out += p.ident()
+    out.result()
+  }
+
+  private def parseSelector(p: P): Selector = {
+    val name = p.ident()
+    val ms = Seq.newBuilder[Matcher]
+    if (p.accept("{")) {
+      if (!p.accept("}")) {
+        var done = false
+        while (!done) {
+          val l = p.ident()
+          val op =
+            if (p.accept("=~")) "=~" else if (p.accept("!~")) "!~"
+            else if (p.accept("!=")) "!=" else { p.expect("="); "=" }
+          ms += Matcher(l, op, p.str())
+          if (!p.accept(",")) { p.expect("}"); done = true }
+        }
+      }
+    }
+    Selector(name, ms.result())
+  }
+
+  // ---------- planner ----------
+  private def selCol(sel: Selector): Column = {
+    val nameCond = col("name") === sel.name
+    sel.matchers.foldLeft(nameCond) { (acc, m) =>
+      val l = element_at(col("labels"), m.label)
+      val c = m.op match {
+        case "="  => l === m.value
+        case "!=" => l =!= m.value
+        case "=~" => l.rlike(s"^(?:${m.value})$$")
+        case "!~" => !l.rlike(s"^(?:${m.value})$$")
+      }
+      acc && c
+    }
+  }
+
+  private def streamKey: Column = to_json(map_entries(col("labels")))
+
+  /** Instant query at evalTsUs with the Prometheus lookback rule:
+    * newest sample ≤ t within the window (reference
+    * querier_metrics_scanners.go:204-390 selectPoint).
+    */
+  def instant(q: String, points: DataFrame, evalTsUs: Long,
+      lookbackUs: Long = 300000000L): DataFrame = {
+    parse(q) match {
+      case Instant(sel) =>
+        val w = Window.partitionBy(streamKey).orderBy(col("ts_us").desc)
+        points.filter(selCol(sel))
+          .filter(col("ts_us") <= evalTsUs && col("ts_us") > evalTsUs - lookbackUs)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("labels"), col("value"), col("ts_us"))
+      case other => throw new IllegalArgumentException(s"not an instant selector: $other")
+    }
+  }
+
+  /** Range query on the aligned grid → (bucket_us, labels, value). */
+  def range(q: String, points: DataFrame): DataFrame = planRange(parse(q), points)
+
+  private def planRange(e: Expr, points: DataFrame): DataFrame = e match {
+    case RangeFn(fn, sel, rangeNs) =>
+      val rangeUs = rangeNs / 1000
+      val base = points.filter(selCol(sel))
+        .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
+        .withColumn("__stream", streamKey)
+      fn match {
+        case "rate" | "increase" | "delta" | "irate" =>
+          val wLag = Window.partitionBy(col("__stream"), col("bucket_us"))
+            .orderBy(col("ts_us"))
+          val st = base
+            .withColumn("__prev", lag(col("value"), 1).over(wLag))
+            .groupBy(col("__stream"), col("bucket_us"))
+            .agg(
+              count(lit(1)).as("n"),
+              min(col("ts_us")).as("first_ts_us"),
+              max(col("ts_us")).as("last_ts_us"),
+              min_by(col("value"), col("ts_us")).as("first_v"),
+              max_by(col("value"), col("ts_us")).as("last_v"),
+              coalesce(sum(when(col("value") < col("__prev"), col("__prev"))
+                .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"),
+              first(col("labels")).as("labels"))
+            .filter(col("n") >= 2)
+          val isGauge = fn == "delta"
+          val resultValue =
+            if (isGauge) col("last_v") - col("first_v")
+            else col("last_v") - col("first_v") + col("corr")
+          fn match {
+            case "irate" =>
+              // handled separately below for clarity
+              irateFrame(base)
+            case _ =>
+              val factor = PromMath.extrapolation(col("first_ts_us"), col("last_ts_us"),
+                col("bucket_us"), col("n"), resultValue, col("first_v"),
+                counterZeroClamp = !isGauge, rangeUs = rangeUs)
+              val v = fn match {
+                case "rate"     => resultValue * factor / (rangeUs / 1e6)
+                case "increase" => resultValue * factor
+                case "delta"    => resultValue * factor
+              }
+              st.select(col("bucket_us"), col("labels"), v.as("value"))
+          }
+        case _ =>
+          val v: Column = fn match {
+            case "count_over_time" => count(lit(1)).cast("double")
+            case "sum_over_time"   => sum(col("value"))
+            case "avg_over_time"   => avg(col("value"))
+            case "min_over_time"   => min(col("value"))
+            case "max_over_time"   => max(col("value"))
+            case "last_over_time"  => max_by(col("value"), col("ts_us"))
+          }
+          base.groupBy(col("__stream"), col("bucket_us"))
+            .agg(v.as("value"), first(col("labels")).as("labels"))
+            .select(col("bucket_us"), col("labels"), col("value"))
+      }
+
+    case Agg(op, by, k, inner) =>
+      val in = planRange(inner, points)
+      val labelsOut =
+        if (by.nonEmpty) {
+          val byArr = array(by.map(lit): _*)
+          map_filter(col("labels"), (key, _) => array_contains(byArr, key))
+        } else if (Set("topk", "bottomk").contains(op)) col("labels")
+        else map()
+      val g = in.withColumn("labels", labelsOut)
+        .withColumn("__stream", to_json(map_entries(col("labels"))))
+      op match {
+        case "topk" | "bottomk" =>
+          val ord = if (op == "topk") Seq(col("value").desc, col("__stream"))
+          else Seq(col("value").asc, col("__stream"))
+          val w = Window.partitionBy(col("bucket_us")).orderBy(ord: _*)
+          g.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k.getOrElse(1))
+            .select(col("bucket_us"), col("labels"), col("value"))
+        case _ =>
+          val v: Column = op match {
+            case "sum"   => sum(col("value"))
+            case "avg"   => avg(col("value"))
+            case "min"   => min(col("value"))
+            case "max"   => max(col("value"))
+            case "count" => count(lit(1)).cast("double")
+          }
+          g.groupBy(col("bucket_us"), col("__stream"))
+            .agg(v.as("value"), first(col("labels")).as("labels"))
+            .select(col("bucket_us"), col("labels"), col("value"))
+      }
+
+    case Bin(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planRange(rhs, points))
+    case Bin(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planRange(lhs, points))
+    case Bin(op, lhs, rhs) =>
+      val l = planRange(lhs, points).withColumn("__stream", streamKey)
+      val r = planRange(rhs, points).withColumn("__stream", streamKey)
+        .withColumnRenamed("value", "__rv").drop("labels")
+      val joined = l.join(r, Seq("bucket_us", "__stream"))
+      val v = op match {
+        case "+" => col("value") + col("__rv")
+        case "-" => col("value") - col("__rv")
+        case "*" => col("value") * col("__rv")
+        case "/" => col("value") / col("__rv")
+        case "%" => col("value") % col("__rv")
+        case _   => null
+      }
+      if (v == null) {
+        val cond = op match {
+          case ">" => col("value") > col("__rv")
+          case "<" => col("value") < col("__rv")
+          case ">=" => col("value") >= col("__rv")
+          case "<=" => col("value") <= col("__rv")
+          case "==" => col("value") === col("__rv")
+        }
+        joined.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
+      } else joined.select(col("bucket_us"), col("labels"), v.as("value"))
+
+    case Instant(_) | ScalarLit(_) =>
+      throw new IllegalArgumentException("range query needs a range function")
+  }
+
+  /** irate: last two samples per (stream, bucket); reset → v/dt
+    * (reference querier_metrics_rate.go irate offload).
+    */
+  private def irateFrame(base: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__stream"), col("bucket_us"))
+      .orderBy(col("ts_us").desc)
+    base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("__stream"), col("bucket_us"))
+      .agg(
+        max(when(col("__rn") === 1, col("value"))).as("last_v"),
+        max(when(col("__rn") === 2, col("value"))).as("prev_v"),
+        ((max(when(col("__rn") === 1, col("ts_us")))
+          - max(when(col("__rn") === 2, col("ts_us")))).cast("double") / 1e6).as("dt"),
+        first(col("labels")).as("labels"))
+      .filter(col("prev_v").isNotNull)
+      .select(col("bucket_us"), col("labels"),
+        when(col("last_v") < col("prev_v"), col("last_v") / col("dt"))
+          .otherwise((col("last_v") - col("prev_v")) / col("dt")).as("value"))
+  }
+
+  private def scalarBin(op: String, s: Column, df: DataFrame): DataFrame = op match {
+    case ">" | "<" | ">=" | "<=" | "==" =>
+      val cond = op match {
+        case ">" => col("value") > s
+        case "<" => col("value") < s
+        case ">=" => col("value") >= s
+        case "<=" => col("value") <= s
+        case "==" => col("value") === s
+      }
+      df.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
+    case _ =>
+      val v = op match {
+        case "+" => col("value") + s
+        case "-" => col("value") - s
+        case "*" => col("value") * s
+        case "/" => col("value") / s
+        case "%" => col("value") % s
+      }
+      df.select(col("bucket_us"), col("labels"), v.as("value"))
+  }
+}

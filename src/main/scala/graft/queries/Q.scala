@@ -64,6 +64,7 @@ object Registry {
     QueriesTraceQLMore,
     QueriesPromQL,
     QueriesPromQLMore,
+    QueriesParsedFrontends,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown

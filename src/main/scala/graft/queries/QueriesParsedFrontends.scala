@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.promql.PromQL
+import graft.sources.Testdata
+import graft.traceql.TraceQL
+
+/** TraceQL and PromQL queries through the REAL front-ends (string →
+  * parser → planner → DataFrame), oracle-checked like everything else.
+  */
+object QueriesParsedFrontends extends QueryPack {
+
+  /** lineitem as the spans table for the TraceQL front-end. */
+  private def spansView(td: Testdata): DataFrame =
+    td.lineitem.select(
+      col("l_orderkey").as("trace_id"),
+      col("l_linenumber").as("span_id"),
+      when(col("l_linenumber") > 1, floor(col("l_linenumber") / 2).cast("int"))
+        .as("parent_span_id"),
+      concat(lit("op-"), col("l_returnflag")).as("name"),
+      lit(2).as("kind"),
+      when(col("l_returnflag") === "R", 2).otherwise(0).as("status_code"),
+      round(col("l_quantity") * 1e6, 0).cast("long").as("duration_ns"),
+      (unix_timestamp(col("l_shipdate")) * 1000000000L).as("start_ns"),
+      map(
+        lit("returnflag"), col("l_returnflag"),
+        lit("linestatus"), col("l_linestatus"),
+        lit("quantity"), col("l_quantity").cast("string")).as("attrs"))
+
+  private val oracleSpans =
+    """SELECT l_orderkey AS trace_id, l_linenumber AS span_id,
+      |  CASE WHEN l_linenumber > 1 THEN l_linenumber // 2 END AS parent_span_id,
+      |  'op-' || l_returnflag AS name,
+      |  CAST(round(l_quantity * 1000000, 0) AS BIGINT) AS duration_ns,
+      |  l_returnflag AS returnflag, l_linestatus AS linestatus, l_quantity AS quantity
+      |FROM lineitem""".stripMargin
+
+  /** events as the points table for the PromQL front-end. */
+  private def pointsView(td: Testdata): DataFrame =
+    td.events.select(
+      expr("ts div 1000").as("ts_us"),
+      col("event_type").as("name"),
+      col("value"),
+      map(lit("svc"), (col("user_id") % 4).cast("string")).as("labels"))
+
+  /** TraceQL: span filter + scalar HAVING through the parser. */
+  val traceqlFilter: Q = Q(
+    "traceql_e2e_filter",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ duration > 30ms && linestatus = "F" } | count() >= 3""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans"), col("agg_value")),
+    Some(s"""WITH spans AS ($oracleSpans)
+            |SELECT trace_id, COUNT(*) AS n_spans, CAST(COUNT(*) AS DOUBLE) AS agg_value
+            |FROM spans WHERE duration_ns > 30000000 AND linestatus = 'F'
+            |GROUP BY trace_id HAVING COUNT(*) >= 3
+            |ORDER BY trace_id""".stripMargin))
+
+  /** TraceQL: structural child op through the parser (left-semi
+    * convention: matching parents).
+    */
+  val traceqlStructural: Q = Q(
+    "traceql_e2e_structural",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ returnflag = "R" } > { quantity > 30 }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH spans AS ($oracleSpans)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans p
+            |WHERE returnflag = 'R' AND EXISTS (
+            |  SELECT 1 FROM spans c
+            |  WHERE c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+            |    AND c.quantity > 30)
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
+  /** PromQL: vector agg over count_over_time through the parser. */
+  val promqlSumCount: Q = Q(
+    "promql_e2e_sum_count",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""sum by (svc) (count_over_time(click[6h]))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"), element_at(col("labels"), "svc").as("svc"), col("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(s"""SELECT epoch_us(ts) - epoch_us(ts) % ${21600L * 1000000} AS bucket_us,
+            |  CAST(user_id % 4 AS VARCHAR) AS svc, CAST(COUNT(*) AS DOUBLE) AS value
+            |FROM events WHERE event_type = 'click'
+            |GROUP BY bucket_us, svc ORDER BY bucket_us, svc""".stripMargin))
+
+  /** PromQL: increase with counter-reset correction + extrapolation
+    * through the parser — the full prom_math path end-to-end.
+    */
+  val promqlIncrease: Q = {
+    val DayUs = 86400000000L
+    val resultSql = "(last_v - first_v + corr)"
+    Q(
+      "promql_e2e_increase",
+      (s: SparkSession, dir: String) =>
+        PromQL.range("""increase(error[1d])""", pointsView(Testdata(s, dir)))
+          .select(col("bucket_us"), element_at(col("labels"), "svc").as("svc"), col("value"))
+          .orderBy("bucket_us", "svc"),
+      Some(
+        s"""SELECT bucket_us, svc,
+           |  $resultSql * ${PromMath.oracleExtrapolation(counterZeroClamp = true, resultSql)} AS value
+           |FROM (
+           |  SELECT svc, bucket_us, COUNT(*) AS n,
+           |    MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us,
+           |    ARG_MIN(value, ts_us) AS first_v, ARG_MAX(value, ts_us) AS last_v,
+           |    CAST(COALESCE(SUM(CAST(CASE WHEN value < prev THEN prev END AS DECIMAL(18,4))), 0) AS DOUBLE) AS corr
+           |  FROM (
+           |    SELECT svc, value, ts_us, bucket_us,
+           |      lag(value) OVER (PARTITION BY svc, bucket_us ORDER BY ts_us) AS prev
+           |    FROM (
+           |      SELECT CAST(user_id % 4 AS VARCHAR) AS svc, value, epoch_us(ts) AS ts_us,
+           |        epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us
+           |      FROM events WHERE event_type = 'error'))
+           |  GROUP BY svc, bucket_us)
+           |WHERE n >= 2 ORDER BY bucket_us, svc""".stripMargin))
+  }
+
+  /** PromQL: instant as-of query through the parser. */
+  val promqlInstant: Q = {
+    val tUs = 1705276800000000L // 2024-01-15T00:00:00Z in µs
+    val lookbackUs = 86400000000L
+    Q(
+      "promql_e2e_instant",
+      (s: SparkSession, dir: String) =>
+        PromQL.instant("""error{svc="2"}""", pointsView(Testdata(s, dir)),
+            evalTsUs = tUs, lookbackUs = lookbackUs)
+          .select(element_at(col("labels"), "svc").as("svc"), col("value"), col("ts_us"))
+          .orderBy("svc"),
+      Some(
+        s"""SELECT svc, value, ts_us FROM (
+           |  SELECT CAST(user_id % 4 AS VARCHAR) AS svc, value, epoch_us(ts) AS ts_us,
+           |    row_number() OVER (PARTITION BY user_id % 4 ORDER BY ts DESC) AS rn
+           |  FROM events
+           |  WHERE event_type = 'error' AND user_id % 4 = 2
+           |    AND epoch_us(ts) <= $tUs AND epoch_us(ts) > ${tUs - lookbackUs})
+           |WHERE rn = 1 ORDER BY svc""".stripMargin))
+  }
+
+  override def queries: Seq[Q] = Seq(
+    traceqlFilter, traceqlStructural, promqlSumCount, promqlIncrease, promqlInstant)
+}

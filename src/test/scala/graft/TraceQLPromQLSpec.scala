@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.promql.PromQL
+import graft.traceql.TraceQL
+
+/** Front-end specs for the TraceQL and PromQL parsers + planners. */
+class TraceQLPromQLSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Two traces: t1 = root(1) + children 2,3 (+ grandchild 4→2);
+    * t2 = root(1) + child 2.
+    */
+  private lazy val spans: DataFrame = Seq(
+    // trace, span, parent, name, kind, status, dur_ns, start_ns, attrs
+    (1L, 1, None, "root-op", 1, 0, 50000000L, 0L, Map("svc" -> "api")),
+    (1L, 2, Some(1), "db-query", 2, 0, 40000000L, 1L, Map("svc" -> "db")),
+    (1L, 3, Some(1), "cache-get", 2, 2, 5000000L, 2L, Map("svc" -> "cache")),
+    (1L, 4, Some(2), "db-retry", 2, 2, 35000000L, 3L, Map("svc" -> "db")),
+    (2L, 1, None, "root-op", 1, 0, 9000000L, 0L, Map("svc" -> "api")),
+    (2L, 2, Some(1), "cache-get", 2, 0, 1000000L, 1L, Map("svc" -> "cache"))
+  ).map { case (t, s, p, n, k, st, d, ts, a) =>
+    (t, s, p.map(Int.box).orNull.asInstanceOf[Integer], n, k, st, d, ts, a)
+  }.toDF("trace_id", "span_id", "parent_span_id", "name", "kind",
+    "status_code", "duration_ns", "start_ns", "attrs")
+
+  test("TraceQL: span filter with intrinsics + attrs + scalar filter") {
+    val out = TraceQL.plan("""{ duration > 10ms && svc = "db" } | count() >= 2""", spans)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // only t1 has 2 db spans >10ms
+    val none = TraceQL.plan("""{ status = 2 } | count() > 2""", spans).collect()
+    assert(none.isEmpty)
+  }
+
+  test("TraceQL: structural child / descendant / sibling / negated") {
+    def traces(q: String): Seq[Long] =
+      TraceQL.plan(q, spans).select("trace_id").as[Long].collect().toSeq
+
+    assert(traces("""{ name = "db-query" } > { name = "db-retry" }""") == Seq(1L))
+    assert(traces("""{ name = "root-op" } >> { name = "db-retry" }""") == Seq(1L))
+    assert(traces("""{ name = "db-query" } ~ { name = "cache-get" }""") == Seq(1L))
+    // negated child: root-ops with NO cache-get child → none (both roots have one)
+    assert(traces("""{ name = "root-op" } !> { name = "cache-get" }""").isEmpty)
+    // parent op: cache-gets whose parent is a root-op → both traces
+    assert(traces("""{ name = "cache-get" } < { name = "root-op" }""") == Seq(1L, 2L))
+  }
+
+  test("TraceQL: regex matcher and parse errors") {
+    val out = TraceQL.plan("""{ name =~ "db-.*" }""", spans).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    intercept[TraceQL.ParseError](TraceQL.parse("{ name = }"))
+    intercept[TraceQL.ParseError](TraceQL.parse("{ duration > 5parsecs }"))
+  }
+
+  private val M = 60L * 1000000L // 1 min in µs
+
+  /** counter-ish series: two streams of the same metric. */
+  private lazy val points: DataFrame = {
+    val rows = for {
+      svc <- Seq("a", "b")
+      i <- 0 until 10
+    } yield {
+      val v = if (svc == "a") i.toDouble else (i % 4).toDouble // b resets
+      (i * M, "reqs", v, Map("svc" -> svc))
+    }
+    rows.toDF("ts_us", "name", "value", "labels")
+  }
+
+  test("PromQL: instant selector with lookback") {
+    val out = PromQL.instant("""reqs{svc="a"}""", points, evalTsUs = 5 * M + 1,
+      lookbackUs = 2 * M)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("value") == 5.0)
+    // outside lookback → empty
+    assert(PromQL.instant("""reqs{svc="a"}""", points, evalTsUs = 100 * M,
+      lookbackUs = M).collect().isEmpty)
+  }
+
+  test("PromQL: sum by over count_over_time and scalar binop") {
+    val out = PromQL.range("""sum by (svc) (count_over_time(reqs[5m])) * 2""", points)
+      .orderBy($"bucket_us", $"labels.svc")
+      .select($"labels.svc", $"value").as[(String, Double)].collect()
+    // 5-minute buckets: 2 buckets × 2 svcs × 5 samples = value 10 each
+    assert(out.length == 4)
+    assert(out.forall(_._2 == 10.0))
+  }
+
+  test("PromQL: rate handles counter resets via correction") {
+    val out = PromQL.range("""increase(reqs[10m])""", points)
+      .orderBy($"labels.svc")
+      .select($"labels.svc", $"value").as[(String, Double)].collect()
+    assert(out.length == 2)
+    val bySvc = out.toMap
+    // extrapolation factor: sampled 540s, one 60s tail inside threshold
+    // → ×600/540. a: raw increase 9; b: 7 increments through two resets.
+    assert(math.abs(bySvc("a") - 9.0 * 600 / 540) < 1e-9)
+    assert(math.abs(bySvc("b") - 7.0 * 600 / 540) < 1e-9)
+  }
+
+  test("PromQL: topk keeps input series labels") {
+    val out = PromQL.range("""topk(1, sum by (svc) (count_over_time(reqs[5m])))""", points)
+      .collect()
+    assert(out.length == 2) // one winner per bucket
+    assert(out.forall(!_.isNullAt(1)))
+  }
+}
