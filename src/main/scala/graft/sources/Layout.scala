@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical table layout — the Spark mapping of the reference's
+  * MergeTree storage design (SURVEY.md §1.2/§4.2; golden DDL
+  * internal/chstorage/_golden/schema.*.sql):
+  *
+  *   - PARTITION BY toYYYYMMDD(timestamp)  → parquet `date=` partitions
+  *     (partition pruning = MergeTree partition pruning)
+  *   - ORDER BY (severity, service, ts)    → sortWithinPartitions
+  *     (row-group min/max stats prune like primary-key ranges)
+  *   - bloom_filter index on trace_id      → parquet bloom filters
+  *
+  * At 100 TB this layout is what makes instant lookups and narrow
+  * selectors IO-bound on a few row groups instead of a full scan.
+  */
+object Layout {
+
+  /** logs: daily partitions, reference ORDER BY (severity_number,
+    * service_name, ts_ns), bloom on trace_id when present
+    * (reference columns_logs.go:98-126).
+    */
+  // NB: the partition column leads every sortWithinPartitions below —
+  // the dynamic-partition writer requires rows clustered by partition
+  // columns and would otherwise inject its own re-sort, destroying the
+  // ORDER BY layout.
+  def writeLogs(logs: DataFrame, path: String): Unit = {
+    val withDate = logs.withColumn("date",
+      date_format(timestamp_micros(expr("ts_ns div 1000")), "yyyyMMdd"))
+    val hasTraceId = logs.columns.contains("trace_id")
+    val base = withDate
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("severity_number"), col("service_name"), col("ts_ns"))
+      .write.mode("overwrite")
+      .partitionBy("date")
+    val withBloom =
+      if (hasTraceId)
+        base.option("parquet.bloom.filter.enabled#trace_id", "true")
+          .option("parquet.bloom.filter.expected.ndv#trace_id", "1000000")
+      else base
+    withBloom.parquet(path)
+  }
+
+  /** metric points: daily partitions, ORDER BY (hash, ts) — the
+    * (hash, timestamp) primary key of metrics_points
+    * (reference columns_metrics.go:144-148).
+    */
+  def writePoints(points: DataFrame, path: String): Unit =
+    points
+      .withColumn("date",
+        date_format(timestamp_micros(expr("ts_us")), "yyyyMMdd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("name"), col("ts_us"))
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(path)
+
+  /** spans: service-major sort like traces_spans ORDER BY
+    * (service, start); bucketing-ready on trace_id for shuffle-free
+    * structural joins (reference _golden/schema.traces_spans.sql).
+    */
+  def writeSpans(spans: DataFrame, path: String): Unit =
+    spans
+      .withColumn("date",
+        date_format(timestamp_micros(expr("start_ns div 1000")), "yyyyMMdd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("name"), col("start_ns"))
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .option("parquet.bloom.filter.enabled#trace_id", "true")
+      .parquet(path)
+}

@@ -36,6 +36,44 @@ object Streams {
         coalesce(col("service_name"), lit("unknown_service")))
   }
 
+  /** Ingest-time log-format auto-detection: JSON bodies, logfmt bodies,
+    * klog-style prefixes, or raw text — format tag + extracted severity
+    * and message, all in one `when`-chain (reference
+    * internal/logparser/{json,logfmt,klog,deduce}.go:97-225; a
+    * declarative column expression instead of a per-row parser chain).
+    */
+  def detectLogFormat(raw: DataFrame): DataFrame = {
+    val body = col("body")
+    val trimmed = ltrim(body)
+    val isJson = trimmed.startsWith("{") &&
+      get_json_object(body, "$").isNotNull
+    // klog: [IWEF]MMDD hh:mm:ss.uuuuuu ... ] msg
+    val klogRe = "^([IWEF])\\d{4} \\d{2}:\\d{2}:\\d{2}\\.\\d+.*?\\] (.*)$"
+    val isKlog = body.rlike(klogRe)
+    val isLogfmt = GraftFunctions.logfmt_get(body, lit("level")).isNotNull ||
+      GraftFunctions.logfmt_get(body, lit("msg")).isNotNull
+    val format = when(isJson, "json")
+      .when(isKlog, "klog")
+      .when(isLogfmt, "logfmt")
+      .otherwise("raw")
+    val klogSev = regexp_extract(body, klogRe, 1)
+    val sevText = when(isJson, upper(get_json_object(body, "$.level")))
+      .when(isKlog,
+        when(klogSev === "I", "INFO").when(klogSev === "W", "WARN")
+          .when(klogSev === "E", "ERROR").otherwise("FATAL"))
+      .when(isLogfmt, upper(GraftFunctions.logfmt_get(body, lit("level"))))
+    val msg = when(isJson, get_json_object(body, "$.msg"))
+      .when(isKlog, regexp_extract(body, klogRe, 2))
+      .when(isLogfmt, GraftFunctions.logfmt_get(body, lit("msg")))
+      .otherwise(body)
+    raw
+      .withColumn("detected_format", format)
+      .withColumn("detected_level",
+        coalesce(sevText, GraftFunctions.severity_text(
+          GraftFunctions.deduce_severity(body))))
+      .withColumn("msg", msg)
+  }
+
   /** Windowed severity counts with a watermark — the streaming analogue
     * of the logs-table daily rollup (reference inserter batching,
     * internal/chstorage/inserter_logs.go; aggregation semantics

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Layout, Testdata}
+import graft.streaming.Streams
+
+/** Storage-layout and ingest-parsing specs: partition pruning reaches
+  * the scan, sort keys hold within files, format detection tags and
+  * extracts correctly.
+  */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("date-partitioned logs layout prunes partitions and keeps sort order") {
+    val dir = Files.createTempDirectory("graftlogs").toString
+    val td = Testdata(spark, "/root/testdata/sf0.001")
+    val logs = td.events.select(
+      col("ts").as("ts_ns"),
+      (col("user_id") % 5 * 4 + 1).cast("int").as("severity_number"),
+      concat(lit("svc-"), col("user_id") % 4).as("service_name"),
+      col("props").as("body"))
+    Layout.writeLogs(logs, dir)
+
+    // partition dirs exist per day
+    val days = new java.io.File(dir).listFiles().count(_.getName.startsWith("date="))
+    assert(days >= 28, s"expected ~30 daily partitions, got $days")
+
+    // partition filter reaches the scan
+    val q = spark.read.parquet(dir).filter(col("date") === "20240115")
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("20240115"),
+      s"partition pruning missing:\n$plan")
+    assert(q.count() > 0)
+
+    // rows within each file follow the ORDER BY keys
+    val oneDay = spark.read.parquet(s"$dir/date=20240115")
+      .select("severity_number", "service_name", "ts_ns").collect()
+    val sorted = oneDay.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sorted == sorted.sorted, "rows not sorted within partition")
+  }
+
+  test("detectLogFormat classifies json / logfmt / klog / raw") {
+    val df = Seq(
+      """{"level": "error", "msg": "boom", "k": 1}""",
+      """level=warn msg="disk low" free=5GB""",
+      """I0102 15:04:05.000000 1234 server.go:42] started ok""",
+      """plain panic text"""
+    ).toDF("body")
+    val out = Streams.detectLogFormat(df)
+      .select("detected_format", "detected_level", "msg")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out(0) == ("json", "ERROR", "boom"))
+    assert(out(1) == ("logfmt", "WARN", "disk low"))
+    assert(out(2) == ("klog", "INFO", "started ok"))
+    assert(out(3)._1 == "raw")
+    assert(out(3)._2 == "FATAL") // deduced from 'panic'
+  }
+}
