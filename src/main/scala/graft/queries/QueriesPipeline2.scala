@@ -28,15 +28,18 @@ object QueriesPipeline2 extends QueryPack {
     td.documents.select(col("doc_id"),
       posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
 
-  /** 3-word shingles via window lead (null-tail rows dropped). */
-  private def shingles3(td: Testdata): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tokens(td)
-      .withColumn("sh", concat(col("w"), lit(" "), lead(col("w"), 1).over(w),
-        lit(" "), lead(col("w"), 2).over(w)))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("sh"))
-  }
+  /** 3-word shingles computed inside the row via an array transform —
+    * no explode-then-window shuffle; the whole shingling is one narrow
+    * codegen projection (the window-lead formulation stays in the
+    * oracle SQL, producing identical shingles).
+    */
+  private def shingles3(td: Testdata): DataFrame =
+    td.documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+      )).as("sh"))
 
   private val oracleShingles3 =
     """SELECT doc_id, sh FROM (
