@@ -19,7 +19,7 @@ final case class Testdata(spark: SparkSession, dir: String) {
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   private def table(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Testdata.cached(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -31,4 +31,14 @@ final case class Testdata(spark: SparkSession, dir: String) {
   def events: DataFrame     = table("events")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Testdata {
+  // Reuse resolved relations across the many queries of a Verify/Bench
+  // run: keeps one FileIndex per file instead of re-listing per query.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cached(spark: SparkSession, path: String): DataFrame =
+    cache.computeIfAbsent((spark, path), { case (s, p) => s.read.parquet(p) })
 }

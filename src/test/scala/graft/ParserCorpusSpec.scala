@@ -82,7 +82,9 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ name = "op" } !> { svc = "x" }""",
     """{ svc = "x" } | count() > 1""",
     """{ svc = "x" } | max(duration) >= 10ms""",
-    """{ svc = "x" } | avg(duration) < 1s"""
+    """{ svc = "x" } | avg(duration) < 1s""",
+    """{ name = "op" } && { svc = "x" }""",
+    """{ name = "op" } || { svc = "x" }"""
   )
 
   private val traceqlReject = Seq(
