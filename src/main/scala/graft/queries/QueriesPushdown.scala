@@ -119,5 +119,50 @@ object QueriesPushdown extends QueryPack {
       .orderBy("sev")
   }
 
-  override def queries: Seq[Q] = Seq(overtimeRollup, errorPropagation, severityLowering)
+  /** Skew-safe two-phase aggregation: group keys are salted 16 ways,
+    * partially aggregated, then re-aggregated on the true key — the
+    * manual fallback when one series/label dominates and even AQE skew
+    * handling cannot split a single hot reduce key. The result must be
+    * exactly the unsalted aggregate (oracle computes directly).
+    */
+  val saltedAgg: Q = q(
+    "scale_salted_agg",
+    s"""SELECT event_type, COUNT(*) AS n, ${Det.oISum("user_id")} AS sum_user
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { td =>
+    val salted = td.events
+      .withColumn("__salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_user")).as("sum_user"))
+      .orderBy("event_type")
+  }
+
+  /** attr→scope→resource label resolution: a label read coalesces
+    * across the three attribute scopes, widest-scope last (reference
+    * chstorage/attributes.go:251-266 coalesce lowering;
+    * querier_metrics_timeseries.go:148-260).
+    */
+  val labelScopeCoalesce: Q = q(
+    "pushdown_label_scopes",
+    """SELECT lbl, COUNT(*) AS n FROM (
+      |  SELECT COALESCE(
+      |    CASE WHEN user_id % 3 = 0 THEN event_type END,
+      |    CASE WHEN user_id % 3 = 1 THEN 'scope-' || event_type END,
+      |    'resource-default') AS lbl
+      |  FROM events)
+      |GROUP BY lbl ORDER BY lbl""".stripMargin
+  ) { td =>
+    val attrs = when(col("user_id") % 3 === 0, col("event_type"))
+    val scope = when(col("user_id") % 3 === 1, concat(lit("scope-"), col("event_type")))
+    td.events
+      .select(coalesce(attrs, scope, lit("resource-default")).as("lbl"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .orderBy("lbl")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    overtimeRollup, errorPropagation, severityLowering, saltedAgg, labelScopeCoalesce)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.functions.GraftFunctions
 
@@ -96,6 +97,38 @@ object Streams {
       .withWatermark("timestamp", "1 hour")
       .dropDuplicatesWithinWatermark("hash")
       .select(col("hash"), col("name"), col("timestamp").as("first_seen"))
+
+  final case class PointIn(series: String, ts_us: Long, value: Double)
+  final case class SeriesState(series: String, ts_us: Long, value: Double, n_seen: Long)
+
+  /** Per-series last-sample state carried across micro-batches with
+    * typed `mapGroupsWithState` — the streaming form of the Prometheus
+    * lookback/staleness rule (reference selectPoint,
+    * querier_metrics_scanners.go:204-390): every trigger emits the
+    * newest sample seen so far per series plus a seen-count.
+    *
+    * State is one fixed-size record per series (bounded by series
+    * cardinality, not event volume), keyed by the stream's natural
+    * partition key so it distributes across executors.
+    */
+  def lastValueState(points: Dataset[PointIn]): Dataset[SeriesState] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .mapGroupsWithState[SeriesState, SeriesState](GroupStateTimeout.NoTimeout) {
+        case (series, rows, state) =>
+          val batch = rows.toSeq
+          val prev = state.getOption
+          val newestInBatch = batch.maxBy(_.ts_us)
+          val next =
+            if (prev.forall(_.ts_us <= newestInBatch.ts_us))
+              SeriesState(series, newestInBatch.ts_us, newestInBatch.value,
+                prev.map(_.n_seen).getOrElse(0L) + batch.size)
+            else prev.get.copy(n_seen = prev.get.n_seen + batch.size)
+          state.update(next)
+          next
+      }
+  }
 
   /** Metric point decomposition: one OTLP-ish record carrying
     * gauge/sum/histogram fields → flattened point rows with a `mapping`

@@ -63,6 +63,26 @@ class StreamsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq("cpu", "mem"))
   }
 
+  test("lastValueState carries per-series state across micro-batches") {
+    import graft.streaming.Streams.PointIn
+    val input = MemoryStream[PointIn](spark)
+    val query = Streams.lastValueState(input.toDS())
+      .writeStream.format("memory").queryName("series_state")
+      .outputMode("update").start()
+    input.addData(PointIn("cpu", 100L, 1.0), PointIn("cpu", 200L, 2.0),
+      PointIn("mem", 100L, 7.0))
+    query.processAllAvailable()
+    input.addData(PointIn("cpu", 300L, 3.0))
+    query.processAllAvailable()
+    query.stop()
+    val last = spark.table("series_state")
+      .groupBy("series").agg(max("n_seen").as("n_seen"), max("ts_us").as("ts_us"))
+      .orderBy("series")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cpu saw 3 samples across 2 batches with newest ts 300; mem saw 1
+    assert(last.toSeq == Seq(("cpu", 3L, 300L), ("mem", 1L, 100L)))
+  }
+
   test("decomposePoints flattens histogram records into mapped sub-series") {
     val df = Seq(
       (ts(0), "latency", "a=1", Some(0.5), None: Option[Long], None: Option[Double]),
