@@ -124,6 +124,18 @@ class ParserCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("LogQL corpus: printer round-trips through the parser") {
+    import graft.logql.Printer
+    logqlAccept.foreach { q =>
+      val ast1 = LogQLParser.parse(q)
+      val printed = Printer.print(ast1)
+      val ast2 =
+        try LogQLParser.parse(printed)
+        catch { case e: Throwable => fail(s"printed form of '$q' → '$printed' fails: ${e.getMessage}") }
+      assert(ast1 == ast2, s"round-trip drifted for '$q' → '$printed'")
+    }
+  }
+
   test("LogQL corpus: malformed queries are rejected") {
     logqlReject.foreach { q =>
       assertThrows[LogQLParser.ParseError](LogQLParser.parse(q))
