@@ -169,6 +169,8 @@ object Planner {
         case Some("duration") | Some("duration_seconds") =>
           GraftFunctions.parse_duration(raw)
         case None => raw.cast("double")
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unknown unwrap conversion '$other'")
       }
       ctx.copy(unwrapped = Some(v))
   }
