@@ -221,6 +221,20 @@ object Planner {
     * engine_metric_query.go:69-75, with step folded into the bucket).
     */
   def planMetric(m: MetricExpr, logs: DataFrame): DataFrame = m match {
+    case RangeAgg("absent_over_time", q, rangeNs, _, _) =>
+      // grid over the table extent, anti-joined with present buckets
+      // (reference logqlmetric/aggregator.go:144-148)
+      val ext = logs.agg(
+        min(col("ts_ns") - col("ts_ns") % lit(rangeNs)).as("lo"),
+        max(col("ts_ns") - col("ts_ns") % lit(rangeNs)).as("hi"))
+      val grid = ext.select(
+        explode(sequence(col("lo"), col("hi"), lit(rangeNs))).as("bucket_ns"))
+      val present = evalLog(q, logs).df
+        .select((col("ts_ns") - col("ts_ns") % lit(rangeNs)).as("bucket_ns"))
+        .distinct()
+      grid.join(present, Seq("bucket_ns"), "left_anti")
+        .select(col("bucket_ns"), map().as("labels"), lit(1.0).as("value"))
+
     case RangeAgg(op, q, rangeNs, offsetNs, param) =>
       val ctx = evalLog(q, logs)
       val shifted = col("ts_ns") + lit(offsetNs)

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+import graft.functions.Kernels._
+
+/** Property-based kernel checks (raw ScalaCheck, run natively by sbt):
+  * invariants that must hold for ALL inputs, complementing the
+  * example-based KernelsSpec.
+  */
+object KernelsPropertySpec extends Properties("Kernels") {
+
+  property("parseDurationSeconds: whole-unit compositions are additive") =
+    Prop.forAll(Gen.choose(0, 48), Gen.choose(0, 59), Gen.choose(0, 59)) {
+      (h: Int, m: Int, sec: Int) =>
+        parseDurationSeconds(s"${h}h${m}m${sec}s")
+          .contains(h * 3600.0 + m * 60.0 + sec)
+    }
+
+  property("parseBytes: IEC is 1024^k, SI is 10^(3k)") =
+    Prop.forAll(Gen.choose(0, 999)) { (n: Int) =>
+      parseBytes(s"${n}KiB").contains(n * 1024.0) &&
+        parseBytes(s"${n}MiB").contains(n * 1024.0 * 1024) &&
+        parseBytes(s"${n}KB").contains(n * 1000.0) &&
+        parseBytes(s"${n}MB").contains(n * 1e6)
+    }
+
+  private val octet = Gen.choose(0, 255)
+
+  property("ipMatches: every v4 matches its /32, /24 prefix, /0, and self-range") =
+    Prop.forAll(octet, octet, octet, octet) { (a: Int, b: Int, c: Int, d: Int) =>
+      val ip = s"$a.$b.$c.$d"
+      ipMatches(ip, s"$ip/32") && ipMatches(ip, s"$a.$b.$c.0/24") &&
+        ipMatches(ip, "0.0.0.0/0") && ipMatches(ip, s"$ip-$ip")
+    }
+
+  private val key = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val value = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("logfmt: generated key=value pairs round-trip") =
+    Prop.forAll(key, value, key, value) { (k1: String, v1: String, k2: String, v2: String) =>
+      (k1 != k2) ==> {
+        val line = s"$k1=$v1 $k2=$v2"
+        logfmtGet(line, k1).contains(v1) && logfmtGet(line, k2).contains(v2)
+      }
+    }
+
+  property("promQuantile: bounded by min/max and monotone in q") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)).map(_.toArray),
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (vs, q1, q2) =>
+      val lo = math.min(q1, q2)
+      val hi = math.max(q1, q2)
+      val a = promQuantile(lo, vs)
+      val b = promQuantile(hi, vs)
+      a <= b && a >= vs.min && b <= vs.max
+    }
+
+  private val validSeverity =
+    Set("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "UNKNOWN")
+
+  property("severityText ∘ deduceSeverity stays in range") =
+    Prop.forAll(Gen.asciiPrintableStr) { (s: String) =>
+      validSeverity.contains(severityText(deduceSeverity(s)))
+    }
+}

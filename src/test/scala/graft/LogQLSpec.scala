@@ -112,6 +112,17 @@ class LogQLSpec extends SparkTestBase {
     assert(unless.toSet == Set("web"))
   }
 
+  test("absent_over_time: grid anti-join") {
+    // api never logs status 500 → absent in every 1h bucket
+    val absent = run("""absent_over_time({service="api"} | json | status = "500" [1h])""")
+      .collect()
+    assert(absent.length == 3 && absent.forall(_.getAs[Double]("value") == 1.0))
+    // web logs 500 every hour → never absent
+    val none = run("""absent_over_time({service="web"} | json | status = "500" [1h])""")
+      .collect()
+    assert(none.isEmpty)
+  }
+
   test("distinct and keep stages") {
     val d = run("""{env="prod"} | json | distinct service""").collect()
     assert(d.length == 2) // first line per service
