@@ -19,6 +19,8 @@ object Ast {
   sealed trait Stage
   /** |= != |~ !~ with `or` lists (value list is OR-ed). */
   final case class LineFilter(op: MatchOp, needles: Seq[String]) extends Stage
+  /** `|= ip("…")` / `!= ip("…")` — any IP literal in the body matches. */
+  final case class LineFilterIp(pattern: String, negate: Boolean) extends Stage
   case object JsonStage extends Stage
   case object LogfmtStage extends Stage
   case object DecolorizeStage extends Stage

@@ -161,6 +161,12 @@ object Parser {
       p.peek match {
         case TOp(o @ ("|=" | "!=" | "|~" | "!~"), _) =>
           p.next()
+          if ((o == "|=" || o == "!=") && p.acceptIdent("ip")) {
+            p.expectOp("(")
+            val pat = p.str()
+            p.expectOp(")")
+            stages += LineFilterIp(pat, negate = o == "!=")
+          } else {
           val needles = Seq.newBuilder[String]
           needles += p.str()
           while (p.acceptIdent("or")) needles += p.str()
@@ -169,6 +175,7 @@ object Parser {
             case "|~" => MatchRe; case _ => MatchNotRe
           }
           stages += LineFilter(op, needles.result())
+          }
         case TOp("|", _) =>
           p.next()
           stages += parsePipeStage(p)

@@ -90,6 +90,16 @@ object Planner {
       }
       ctx.copy(df = ctx.df.filter(keep))
 
+    case LineFilterIp(pattern, negate) =>
+      // extract every IPv4 literal from the body; keep lines where ANY
+      // matches the CIDR/range/exact pattern (reference
+      // logqlengine/ip_matcher.go line-filter form)
+      val ips = expr(
+        """regexp_extract_all(body, '(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})', 1)""")
+      val anyMatch = exists(ips,
+        ip => GraftFunctions.ip_match(ip, lit(pattern)))
+      ctx.copy(df = ctx.df.filter(if (negate) !anyMatch else anyMatch))
+
     case JsonStage =>
       val parsed = from_json(col("body"), MapType(StringType, StringType))
       ctx.copy(

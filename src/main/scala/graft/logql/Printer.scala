@@ -40,6 +40,8 @@ object Printer {
   private def printStage(s: Stage): String = s match {
     case LineFilter(op, needles) =>
       s"${lineFilterOp(op)} ${needles.map(quote).mkString(" or ")}"
+    case LineFilterIp(pat, neg) =>
+      s"${if (neg) "!=" else "|="} ip(${quote(pat)})"
     case JsonStage       => "| json"
     case LogfmtStage     => "| logfmt"
     case DecolorizeStage => "| decolorize"

@@ -123,6 +123,18 @@ class LogQLSpec extends SparkTestBase {
     assert(none.isEmpty)
   }
 
+  test("ip() line filter extracts and matches body IPs") {
+    val ipLogs = Seq(
+      (1L, "client 10.1.2.3 connected", Map("app" -> "a")),
+      (2L, "client 192.168.9.9 connected", Map("app" -> "a")),
+      (3L, "no address here", Map("app" -> "a"))
+    ).toDF("ts_ns", "body", "labels")
+    val in = Planner.query("""{app="a"} |= ip("10.0.0.0/8")""", ipLogs).collect()
+    assert(in.map(_.getLong(0)).toSeq == Seq(1L))
+    val out = Planner.query("""{app="a"} != ip("10.0.0.0/8")""", ipLogs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("distinct and keep stages") {
     val d = run("""{env="prod"} | json | distinct service""").collect()
     assert(d.length == 2) // first line per service

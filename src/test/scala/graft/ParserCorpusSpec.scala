@@ -41,6 +41,7 @@ class ParserCorpusSpec extends SparkTestBase {
     """{app="a"} | json | d > 1m30s""",
     """{app="a"} | json | b >= 3MB""",
     """{app="a"} | json | addr = ip("10.0.0.0/8")""",
+    """{app="a"} |= ip("10.0.0.0/8") != ip("192.168.0.0/16")""",
     """{app="a"} | keep app, env | drop env""",
     """{app="a"} | distinct app""",
     """{app="a"} | label_format x=app""",
@@ -84,7 +85,9 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ svc = "x" } | max(duration) >= 10ms""",
     """{ svc = "x" } | avg(duration) < 1s""",
     """{ name = "op" } && { svc = "x" }""",
-    """{ name = "op" } || { svc = "x" }"""
+    """{ name = "op" } || { svc = "x" }""",
+    """{ rootName = "op" && duration > 1ms }""",
+    """{ traceDuration > 5ms }"""
   )
 
   private val traceqlReject = Seq(

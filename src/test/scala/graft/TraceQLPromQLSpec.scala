@@ -46,6 +46,16 @@ class TraceQLPromQLSpec extends SparkTestBase {
     assert(traces("""{ name = "cache-get" } < { name = "root-op" }""") == Seq(1L, 2L))
   }
 
+  test("TraceQL: trace-level intrinsics rootName and traceDuration") {
+    // t1 spans 0..38ms (start 3 + dur 35ms); t2 spans 0..9ms
+    val long = TraceQL.plan("""{ traceDuration > 20ms }""", spans)
+      .select("trace_id").as[Long].collect().toSeq
+    assert(long == Seq(1L))
+    val byRoot = TraceQL.plan("""{ rootName = "root-op" && name = "cache-get" }""", spans)
+      .select("trace_id").as[Long].collect().toSeq
+    assert(byRoot == Seq(1L, 2L))
+  }
+
   test("TraceQL: regex matcher and parse errors") {
     val out = TraceQL.plan("""{ name =~ "db-.*" }""", spans).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
