@@ -93,5 +93,53 @@ object QueriesLogQLParsed extends QueryPack {
     df.select(col("bucket_ns"), col("value")).orderBy("bucket_ns")
   }
 
-  override def queries: Seq[Q] = Seq(parsedPipeline, parsedMetric, parsedTopk, parsedRate)
+  /** bottomk through the parser — rank-ascending per step. */
+  val parsedBottomk: Q = q(
+    "logql_e2e_bottomk",
+    """bottomk(2, sum by (event_type) (count_over_time({}[1d])))""",
+    s"""SELECT bucket_ns, event_type, n AS value FROM (
+       |  SELECT bucket_ns, event_type, CAST(n AS DOUBLE) AS n,
+       |    row_number() OVER (PARTITION BY bucket_ns ORDER BY n ASC, event_type) AS rk
+       |  FROM (
+       |    SELECT epoch_ns(ts) - epoch_ns(ts) % ${86400L * 1000000000} AS bucket_ns,
+       |      event_type, COUNT(*) AS n
+       |    FROM events GROUP BY 1, 2))
+       |WHERE rk <= 2 ORDER BY bucket_ns, value, event_type""".stripMargin
+  ) { df =>
+    df.select(col("bucket_ns"),
+        element_at(col("labels"), "event_type").as("event_type"), col("value"))
+      .orderBy(col("bucket_ns"), col("value"), col("event_type"))
+  }
+
+  /** without() grouping through the parser: drop event_type, keep user_id. */
+  val parsedWithout: Q = q(
+    "logql_e2e_without",
+    """sum without (event_type) (count_over_time({user_id="7"}[1d]))""",
+    s"""SELECT epoch_ns(ts) - epoch_ns(ts) % ${86400L * 1000000000} AS bucket_ns,
+       |  CAST(user_id AS VARCHAR) AS user_id, CAST(COUNT(*) AS DOUBLE) AS value
+       |FROM events WHERE user_id = 7
+       |GROUP BY bucket_ns, user_id ORDER BY bucket_ns""".stripMargin
+  ) { df =>
+    df.select(col("bucket_ns"),
+        element_at(col("labels"), "user_id").as("user_id"), col("value"))
+      .orderBy("bucket_ns")
+  }
+
+  /** line_format + logfmt + label filter chained through the parser:
+    * the body is rewritten to logfmt, re-parsed by the logfmt stage,
+    * and filtered on the extracted field.
+    */
+  val parsedLogfmt: Q = q(
+    "logql_e2e_logfmt",
+    """{event_type="signup"} | line_format "uid={{.user_id}} t={{.event_type}}" | logfmt | t = "signup"""",
+    """SELECT COUNT(*) AS n, MAX(body) AS max_body FROM (
+      |  SELECT 'uid=' || user_id || ' t=' || event_type AS body
+      |  FROM events WHERE event_type = 'signup')""".stripMargin
+  ) { df =>
+    df.agg(count(lit(1)).as("n"), max(col("body")).as("max_body"))
+  }
+
+  override def queries: Seq[Q] = Seq(
+    parsedPipeline, parsedMetric, parsedTopk, parsedRate,
+    parsedBottomk, parsedWithout, parsedLogfmt)
 }
