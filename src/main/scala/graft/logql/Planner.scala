@@ -226,11 +226,40 @@ object Planner {
       .orderBy(col("ts_ns"), col("body"))
   }
 
-  /** Metric expression → (bucket_ns, labels, value); aligned-grid steps
-    * (step == range — the reference's grid truncation,
-    * engine_metric_query.go:69-75, with step folded into the bucket).
+  /** Sliding-window step fan-out: each sample row explodes to every
+    * step S on the epoch-aligned `stepNs` grid whose window
+    * (S-range, S] covers `ts + offset` — the reference's step fan-out
+    * CTE (internal/chstorage/chsql_stepfanout.go:32-140: first covering
+    * step snapped up to the grid, at most range/step+1 steps per row,
+    * ns-precision boundary checks). Integer `div` everywhere: epoch-ns
+    * Longs exceed 2^53, so double division would corrupt the grid.
     */
-  def planMetric(m: MetricExpr, logs: DataFrame): DataFrame = m match {
+  private[graft] def stepFanout(
+      df: DataFrame, tsCol: String, stepNs: Long, rangeNs: Long,
+      offsetNs: Long, out: String): DataFrame = {
+    require(stepNs > 0 && rangeNs > 0, "step and range must be positive")
+    val nSteps = rangeNs / stepNs + 1
+    val firstStep =
+      expr(s"(($tsCol + ${offsetNs + stepNs - 1}) div $stepNs) * $stepNs")
+    val steps = filter(
+      sequence(col("__first_step"),
+        col("__first_step") + lit((nSteps - 1) * stepNs), lit(stepNs)),
+      s => s < col(tsCol) + lit(offsetNs + rangeNs))
+    df.withColumn("__first_step", firstStep)
+      .withColumn(out, explode(steps))
+      .drop("__first_step")
+  }
+
+  /** Metric expression → (bucket_ns, labels, value).
+    *
+    * Without an explicit step the grid is aligned (step == range — the
+    * reference's grid truncation, engine_metric_query.go:69-75, with
+    * step folded into the bucket). With `stepNs` set, every range
+    * aggregation evaluates on sliding (bucket-range, bucket] windows
+    * via [[stepFanout]] — the Grafana panel shape (step << range).
+    */
+  def planMetric(m: MetricExpr, logs: DataFrame,
+      stepNs: Option[Long] = None): DataFrame = m match {
     case RangeAgg("absent_over_time", q, rangeNs, _, _) =>
       // grid over the table extent, anti-joined with present buckets
       // (reference logqlmetric/aggregator.go:144-148)
@@ -247,11 +276,14 @@ object Planner {
 
     case RangeAgg(op, q, rangeNs, offsetNs, param) =>
       val ctx = evalLog(q, logs)
-      val shifted = col("ts_ns") + lit(offsetNs)
-      val bucket = (shifted - (shifted % lit(rangeNs))).as("bucket_ns")
       val streamKey = to_json(map_entries(ctx.labelsCol)).as("__stream")
-      val base = ctx.df
-        .withColumn("bucket_ns", bucket)
+      val bucketed = stepNs match {
+        case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
+        case None =>
+          val shifted = col("ts_ns") + lit(offsetNs)
+          ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rangeNs)))
+      }
+      val base = bucketed
         .withColumn("__stream", streamKey)
         .withColumn("__labels", ctx.labelsCol)
       val rangeSec = rangeNs / 1e9
@@ -269,7 +301,10 @@ object Planner {
         case "stdvar_over_time" => var_pop(unwrap(ctx))
         case "stddev_over_time" => stddev_pop(unwrap(ctx))
         case "quantile_over_time" =>
-          percentile_approx(unwrap(ctx), lit(param.getOrElse(0.5)), lit(10000))
+          // exact Prometheus linear interpolation (prom_math.go:120-147):
+          // Spark's `percentile` is the same rank-interpolation, unlike
+          // the t-digest sketch of percentile_approx
+          percentile(unwrap(ctx), lit(param.getOrElse(0.5)))
         case other => throw new IllegalArgumentException(s"range op $other")
       }
       base.groupBy(col("bucket_ns"), col("__stream"))
@@ -277,7 +312,7 @@ object Planner {
         .select(col("bucket_ns"), col("labels"), col("value"))
 
     case VectorAgg(op, by, without, k, inner) =>
-      val in = planMetric(inner, logs)
+      val in = planMetric(inner, logs, stepNs)
       // topk/bottomk/sort rank existing series: without an explicit
       // grouping they keep the input labels (reference vector_agg.go —
       // only true aggregations regroup to the empty label set).
@@ -324,12 +359,12 @@ object Planner {
         case other => throw new IllegalArgumentException(s"vector op $other")
       }
 
-    case BinOp(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planMetric(rhs, logs), scalarLeft = true)
-    case BinOp(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planMetric(lhs, logs), scalarLeft = false)
+    case BinOp(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planMetric(rhs, logs, stepNs), scalarLeft = true)
+    case BinOp(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false)
     case BinOp(op, lhs, rhs) =>
-      val l = planMetric(lhs, logs)
+      val l = planMetric(lhs, logs, stepNs)
         .withColumn("__stream", to_json(map_entries(col("labels"))))
-      val r = planMetric(rhs, logs)
+      val r = planMetric(rhs, logs, stepNs)
         .withColumn("__stream", to_json(map_entries(col("labels"))))
         .withColumnRenamed("value", "__rvalue")
         .drop("labels")
@@ -390,10 +425,13 @@ object Planner {
     case "==" => l === r
   }
 
-  /** Parse + plan in one call. */
-  def query(logql: String, logs: DataFrame): DataFrame =
+  /** Parse + plan in one call. `stepNs` is the API-level step param
+    * (Loki's `&step=`): metric queries evaluate on that sliding grid.
+    */
+  def query(logql: String, logs: DataFrame,
+      stepNs: Option[Long] = None): DataFrame =
     Parser.parse(logql) match {
       case Ast.LogExpr(q)       => planLog(q, logs)
-      case Ast.MetricExprTop(m) => planMetric(m, logs)
+      case Ast.MetricExprTop(m) => planMetric(m, logs, stepNs)
     }
 }

@@ -197,15 +197,42 @@ object PromQL {
     }
   }
 
-  /** Range query on the aligned grid → (bucket_us, labels, value). */
-  def range(q: String, points: DataFrame): DataFrame = planRange(parse(q), points)
+  /** Range query → (bucket_us, labels, value). Without `stepUs` the
+    * grid is aligned (step == range); with it, every range function
+    * evaluates on sliding (bucket-range, bucket] windows — the step
+    * fan-out of the reference (chsql_stepfanout.go:32-140), each row
+    * exploded to every covering step on the epoch-aligned step grid.
+    */
+  def range(q: String, points: DataFrame,
+      stepUs: Option[Long] = None): DataFrame =
+    planRange(parse(q), points, stepUs)
 
-  private def planRange(e: Expr, points: DataFrame): DataFrame = e match {
+  private def planRange(e: Expr, points: DataFrame,
+      stepUs: Option[Long] = None): DataFrame = e match {
     case RangeFn(fn, sel, rangeNs) =>
       val rangeUs = rangeNs / 1000
-      val base = points.filter(selCol(sel))
-        .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
-        .withColumn("__stream", streamKey)
+      // sliding buckets are labeled by window END; extrapolation math
+      // needs the window START, so carry it alongside
+      val bucketed = stepUs match {
+        case Some(st) =>
+          val nSteps = rangeUs / st + 1
+          points.filter(selCol(sel))
+            .withColumn("__first_step",
+              expr(s"((ts_us + ${st - 1}) div $st) * $st"))
+            .withColumn("bucket_us", explode(filter(
+              sequence(col("__first_step"),
+                col("__first_step") + lit((nSteps - 1) * st), lit(st)),
+              s => s < col("ts_us") + lit(rangeUs))))
+            .drop("__first_step")
+        case None =>
+          points.filter(selCol(sel))
+            .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
+      }
+      // sliding buckets are labeled by window END; the extrapolation
+      // math anchors on the window START
+      val winStart: Column =
+        if (stepUs.isDefined) col("bucket_us") - lit(rangeUs) else col("bucket_us")
+      val base = bucketed.withColumn("__stream", streamKey)
       fn match {
         case "rate" | "increase" | "delta" | "irate" =>
           val wLag = Window.partitionBy(col("__stream"), col("bucket_us"))
@@ -233,7 +260,7 @@ object PromQL {
               irateFrame(base)
             case _ =>
               val factor = PromMath.extrapolation(col("first_ts_us"), col("last_ts_us"),
-                col("bucket_us"), col("n"), resultValue, col("first_v"),
+                winStart, col("n"), resultValue, col("first_v"),
                 counterZeroClamp = !isGauge, rangeUs = rangeUs)
               val v = fn match {
                 case "rate"     => resultValue * factor / (rangeUs / 1e6)
@@ -257,7 +284,7 @@ object PromQL {
       }
 
     case Agg(op, by, k, inner) =>
-      val in = planRange(inner, points)
+      val in = planRange(inner, points, stepUs)
       val labelsOut =
         if (by.nonEmpty) {
           val byArr = array(by.map(lit): _*)
@@ -287,11 +314,11 @@ object PromQL {
             .select(col("bucket_us"), col("labels"), col("value"))
       }
 
-    case Bin(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planRange(rhs, points))
-    case Bin(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planRange(lhs, points))
+    case Bin(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planRange(rhs, points, stepUs))
+    case Bin(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planRange(lhs, points, stepUs))
     case Bin(op, lhs, rhs) =>
-      val l = planRange(lhs, points).withColumn("__stream", streamKey)
-      val r = planRange(rhs, points).withColumn("__stream", streamKey)
+      val l = planRange(lhs, points, stepUs).withColumn("__stream", streamKey)
+      val r = planRange(rhs, points, stepUs).withColumn("__stream", streamKey)
         .withColumnRenamed("value", "__rv").drop("labels")
       val joined = l.join(r, Seq("bucket_us", "__stream"))
       val v = op match {

@@ -65,6 +65,7 @@ object Registry {
     QueriesPromQL,
     QueriesPromQLMore,
     QueriesParsedFrontends,
+    QueriesSliding,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.Planner
+import graft.promql.PromQL
+import graft.sources.Testdata
+
+/** Sliding step windows (step != range) through both front-ends — the
+  * reference's step fan-out (internal/chstorage/chsql_stepfanout.go:
+  * 32-140): each sample belongs to every step S on the step grid whose
+  * window (S-range, S] covers it, so with step = range/4 every row
+  * lands in up to 4 output steps. The oracle re-derives the fan-out in
+  * SQL with generate_series (inclusive stop, same as Spark `sequence`).
+  */
+object QueriesSliding extends QueryPack {
+
+  private val StepNs  = 21600000000000L // 6h
+  private val RangeNs = 86400000000000L // 1d (range = 4 * step)
+  private val StepUs  = 21600000000L
+  private val RangeUs = 86400000000L
+
+  /** events as the logs table (same view as QueriesLogQLParsed). */
+  private def logsView(td: Testdata): DataFrame =
+    td.events.select(
+      col("ts").as("ts_ns"),
+      col("props").as("body"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"))
+
+  /** events as the points table (same view as QueriesParsedFrontends). */
+  private def pointsView(td: Testdata): DataFrame =
+    td.events.select(
+      expr("ts div 1000").as("ts_us"),
+      col("event_type").as("name"),
+      col("value"),
+      map(lit("svc"), (col("user_id") % 4).cast("string")).as("labels"))
+
+  /** DuckDB step fan-out over epoch-ns: rows exploded to covering steps. */
+  private def oracleFanoutNs(from: String, where: String): String =
+    s"""SELECT step_ns, t, event_type, user_id FROM (
+       |  SELECT unnest(generate_series(fs, fs + ${(RangeNs / StepNs) * StepNs}, $StepNs)) AS step_ns,
+       |    t, event_type, user_id
+       |  FROM (
+       |    SELECT ((epoch_ns(ts) + ${StepNs - 1}) // $StepNs) * $StepNs AS fs,
+       |      epoch_ns(ts) AS t, event_type, user_id
+       |    FROM $from $where))
+       |WHERE step_ns < t + $RangeNs""".stripMargin
+
+  /** LogQL count_over_time on a 6h step / 1d range sliding grid, through
+    * the parser; the trailing /86400 keeps the float math to one exact
+    * division (counts are integer-valued doubles).
+    */
+  val logqlRateSliding: Q = Q(
+    "logql_rate_sliding",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """sum by (event_type) (count_over_time({}[1d])) / 86400""",
+          logsView(Testdata(s, dir)), stepNs = Some(StepNs))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT step_ns AS bucket_ns, event_type,
+         |  CAST(COUNT(*) AS DOUBLE) / 86400 AS value
+         |FROM (${oracleFanoutNs("events", "")})
+         |GROUP BY bucket_ns, event_type
+         |ORDER BY bucket_ns, event_type""".stripMargin))
+
+  /** PromQL rate() with counter-reset correction + extrapolation on the
+    * sliding grid — window START is step END minus range, which anchors
+    * the extrapolation boundaries (querier_metrics_rate.go:27-141).
+    */
+  val promqlRateSliding: Q = {
+    val resultSql = "(last_v - first_v + corr)"
+    Q(
+      "promql_rate_sliding",
+      (s: SparkSession, dir: String) =>
+        PromQL.range("""rate(error[1d])""", pointsView(Testdata(s, dir)),
+            stepUs = Some(StepUs))
+          .select(col("bucket_us"), element_at(col("labels"), "svc").as("svc"),
+            col("value"))
+          .orderBy("bucket_us", "svc"),
+      Some(
+        s"""SELECT step_us AS bucket_us, svc,
+           |  $resultSql * ${PromMath.oracleExtrapolation(counterZeroClamp = true, resultSql)} / 86400.0 AS value
+           |FROM (
+           |  SELECT svc, step_us, step_us - $RangeUs AS bucket_us, COUNT(*) AS n,
+           |    MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us,
+           |    ARG_MIN(value, ts_us) AS first_v, ARG_MAX(value, ts_us) AS last_v,
+           |    CAST(COALESCE(SUM(CAST(CASE WHEN value < prev THEN prev END AS DECIMAL(18,4))), 0) AS DOUBLE) AS corr
+           |  FROM (
+           |    SELECT svc, value, ts_us, step_us,
+           |      lag(value) OVER (PARTITION BY svc, step_us ORDER BY ts_us) AS prev
+           |    FROM (
+           |      SELECT svc, value, ts_us,
+           |        unnest(generate_series(fs, fs + ${(RangeUs / StepUs) * StepUs}, $StepUs)) AS step_us
+           |      FROM (
+           |        SELECT CAST(user_id % 4 AS VARCHAR) AS svc, value, epoch_us(ts) AS ts_us,
+           |          ((epoch_us(ts) + ${StepUs - 1}) // $StepUs) * $StepUs AS fs
+           |        FROM events WHERE event_type = 'error'))
+           |    WHERE step_us < ts_us + $RangeUs)
+           |  GROUP BY svc, step_us)
+           |WHERE n >= 2 ORDER BY bucket_us, svc""".stripMargin))
+  }
+
+  /** Exact quantile_over_time through the parser (prom_math.go:120-147
+    * linear interpolation — `percentile`, not a sketch); round(6) on
+    * both sides per the interpolated-float determinism playbook.
+    */
+  val logqlQuantileE2e: Q = Q(
+    "logql_e2e_quantile",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """quantile_over_time(0.95, {event_type="click"} | json | keep event_type, user_id | unwrap k [1d])""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"),
+          element_at(col("labels"), "user_id").as("user_id"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_ns", "event_type", "user_id"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $RangeNs AS bucket_ns,
+         |  event_type, CAST(user_id AS VARCHAR) AS user_id,
+         |  round(quantile_cont(CAST(json_extract_string(props, '$$.k') AS DOUBLE), 0.95), 6) AS value
+         |FROM events WHERE event_type = 'click'
+         |GROUP BY bucket_ns, event_type, user_id
+         |ORDER BY bucket_ns, event_type, user_id""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(
+    logqlRateSliding, promqlRateSliding, logqlQuantileE2e)
+}
