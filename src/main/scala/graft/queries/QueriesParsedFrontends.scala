@@ -75,6 +75,56 @@ object QueriesParsedFrontends extends QueryPack {
             |    AND c.quantity > 30)
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
+  /** TraceQL: descendant op through the parser — ancestry from
+    * parent_span_id on both sides (recursive CTE in the oracle), no
+    * dependence on the testdata's span-id numbering.
+    */
+  val traceqlDescendant: Q = Q(
+    "traceql_e2e_descendant",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ returnflag = "R" } >> { quantity > 45 }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH RECURSIVE spans AS ($oracleSpans),
+            |uspans AS (SELECT DISTINCT trace_id, span_id, parent_span_id FROM spans),
+            |anc AS (
+            |  SELECT trace_id, span_id, parent_span_id AS anc FROM uspans
+            |  WHERE parent_span_id IS NOT NULL
+            |  UNION ALL
+            |  SELECT a.trace_id, a.span_id, u.parent_span_id
+            |  FROM anc a JOIN uspans u
+            |    ON u.trace_id = a.trace_id AND u.span_id = a.anc
+            |  WHERE u.parent_span_id IS NOT NULL)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans p
+            |WHERE returnflag = 'R' AND EXISTS (
+            |  SELECT 1 FROM spans c
+            |  JOIN anc x ON x.trace_id = c.trace_id AND x.span_id = c.span_id
+            |  WHERE c.trace_id = p.trace_id AND x.anc = p.span_id
+            |    AND c.quantity > 45)
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
+  /** TraceQL: spanset `&&` through the parser — traces where both sides
+    * match keep the MERGED spans of both sides, deduped by span id
+    * (reference spanset_op.go:41-47 mergeSpans).
+    */
+  val traceqlSpansetAnd: Q = Q(
+    "traceql_spanset_and",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ returnflag = "R" } && { quantity > 45 }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH spans AS ($oracleSpans),
+            |l AS (SELECT trace_id, span_id FROM spans WHERE returnflag = 'R'),
+            |r AS (SELECT trace_id, span_id FROM spans WHERE quantity > 45),
+            |matched AS (
+            |  SELECT DISTINCT trace_id FROM l
+            |  INTERSECT SELECT DISTINCT trace_id FROM r)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM (
+            |  SELECT trace_id, span_id FROM l
+            |  UNION SELECT trace_id, span_id FROM r)
+            |WHERE trace_id IN (SELECT trace_id FROM matched)
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
   /** PromQL: vector agg over count_over_time through the parser. */
   val promqlSumCount: Q = Q(
     "promql_e2e_sum_count",
@@ -141,5 +191,6 @@ object QueriesParsedFrontends extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    traceqlFilter, traceqlStructural, promqlSumCount, promqlIncrease, promqlInstant)
+    traceqlFilter, traceqlStructural, traceqlDescendant, traceqlSpansetAnd,
+    promqlSumCount, promqlIncrease, promqlInstant)
 }

@@ -97,29 +97,38 @@ object QueriesTraceQL extends QueryPack {
       .orderBy("trace_id")
   }
 
-  /** Structural descendant `{returnflag="R"} >> {quantity > 45}` — via a
-    * precomputed exploded ancestor path (SURVEY §7 scale design: the
-    * 100 TB plan stores parent_path at ingest; the reference leaves
-    * `>>` as an in-memory tree walk, spanset_op.go:49-88).
+  /** Structural descendant `{returnflag="R"} >> {quantity > 45}` — via
+    * the real ancestor chain derived from parent_span_id (a per-trace
+    * window walk, graft.traceql.TraceQL.withAncestors; at 100 TB the
+    * same array is written once at ingest). The oracle re-derives
+    * ancestry with a recursive CTE, so it is independent of the
+    * testdata's span-id numbering (reference spanset_op.go:78-88).
     */
   val structuralDescendant: Q = q(
     "traceql_structural_descendant",
-    s"""WITH spans AS ($oracleSpans)
-       |SELECT a.trace_id, COUNT(*) AS n_pairs
-       |FROM spans a JOIN spans c
-       |  ON c.trace_id = a.trace_id
-       |  AND (c.span_id // 2 = a.span_id OR c.span_id // 4 = a.span_id)
-       |  AND c.span_id > 1
-       |WHERE a.returnflag = 'R' AND c.quantity > 45
-       |GROUP BY a.trace_id ORDER BY a.trace_id""".stripMargin
+    s"""WITH RECURSIVE spans AS ($oracleSpans),
+       |uspans AS (SELECT DISTINCT trace_id, span_id, parent_span_id FROM spans),
+       |anc AS (
+       |  SELECT trace_id, span_id, parent_span_id AS anc FROM uspans
+       |  WHERE parent_span_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT a.trace_id, a.span_id, u.parent_span_id
+       |  FROM anc a JOIN uspans u
+       |    ON u.trace_id = a.trace_id AND u.span_id = a.anc
+       |  WHERE u.parent_span_id IS NOT NULL)
+       |SELECT a2.trace_id, COUNT(*) AS n_pairs
+       |FROM spans a2 JOIN (
+       |  SELECT c.trace_id, x.anc FROM spans c
+       |  JOIN anc x ON x.trace_id = c.trace_id AND x.span_id = c.span_id
+       |  WHERE c.quantity > 45) d
+       |  ON d.trace_id = a2.trace_id AND d.anc = a2.span_id
+       |WHERE a2.returnflag = 'R'
+       |GROUP BY a2.trace_id ORDER BY a2.trace_id""".stripMargin
   ) { td =>
     val s = spans(td)
-    // parent path for the binary-tree shape: [id/2, id/4] minus zeros —
-    // at scale this array is written once at ingest, not derived per query.
-    val c = s.filter(col("quantity") > 45 && col("span_id") > 1)
-      .withColumn("anc", explode(array_compact(array(
-        floor(col("span_id") / 2).cast("int"),
-        when(floor(col("span_id") / 4) >= 1, floor(col("span_id") / 4).cast("int"))))))
+    val c = graft.traceql.TraceQL.withAncestors(s)
+      .filter(col("quantity") > 45)
+      .withColumn("anc", explode(col("__ancestors")))
       .select(col("trace_id"), col("anc")).alias("c")
     val a = s.filter(col("returnflag") === "R")
       .select(col("trace_id"), col("span_id")).alias("a")

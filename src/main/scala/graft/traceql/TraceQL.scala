@@ -255,6 +255,42 @@ object TraceQL {
       }
   }
 
+  /** Max ancestry depth materialized for `>>` — bounds the unrolled
+    * per-trace parent walk (real traces nest far shallower; the
+    * reference walks an in-memory parent pointer, spanset_op.go:78-88).
+    */
+  val MaxAncestorDepth = 32
+
+  /** Ancestor chain per span, derived purely from parent_span_id: a
+    * per-trace span→parent map built with one window (co-partitioned
+    * on trace_id, no self-joins), then walked [[MaxAncestorDepth]]
+    * levels by an `aggregate` fold. Null-safe lookups (`get` /
+    * `try_element_at`) terminate the walk at the root.
+    */
+  private[graft] def ancestorsCol: Column = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("trace_id"))
+    // array_distinct: physical span rows may repeat (the testdata keys
+    // are non-unique); identical (span, parent) pairs collapse so
+    // map_from_entries sees unique keys
+    val pmap = map_from_entries(array_distinct(
+      collect_list(struct(col("span_id"), col("parent_span_id"))).over(w)))
+    val init = when(col("parent_span_id").isNotNull, array(col("parent_span_id")))
+      .otherwise(array().cast("array<int>"))
+    aggregate(
+      sequence(lit(1), lit(MaxAncestorDepth)), init,
+      (acc, _) => {
+        val next = try_element_at(pmap, get(acc, size(acc) - 1))
+        when(next.isNotNull, concat(acc, array(next))).otherwise(acc)
+      })
+  }
+
+  /** Spans + `__ancestors` (the span's full parent chain, nearest
+    * first), computed from the unfiltered spans table so ancestry is
+    * complete even when a filter dropped intermediate spans.
+    */
+  private[graft] def withAncestors(spans: DataFrame): DataFrame =
+    spans.withColumn("__ancestors", ancestorsCol)
+
   /** Spanset evaluation → matching spans. Structural results follow the
     * pair convention of the engine queries: the LEFT side's matches
     * that stand in the relation to a RIGHT match.
@@ -275,12 +311,13 @@ object TraceQL {
         case "<" => // l is child of r
           l.join(r.select(col("trace_id"), col("span_id")).alias("r"),
               sameTrace && col("l.parent_span_id") === col("r.span_id"), "left_semi")
-        case ">>" => // l is ancestor of r (binary-tree parent path)
-          val anc = evalSpanset(rhs, spans)
-            .filter(col("span_id") > 1)
-            .withColumn("anc", explode(array_compact(array(
-              floor(col("span_id") / 2).cast("int"),
-              when(floor(col("span_id") / 4) >= 1, floor(col("span_id") / 4).cast("int"))))))
+        case ">>" => // l is ancestor of r: explode r's real parent chain
+          // (derived from parent_span_id at plan time — reference
+          // spanset_op.go:78-88 descendantSpans) and semi-join on it
+          val anc = withAncestors(spans)
+            .join(evalSpanset(rhs, spans).select(col("trace_id"), col("span_id")),
+              Seq("trace_id", "span_id"), "left_semi")
+            .withColumn("anc", explode(col("__ancestors")))
             .select(col("trace_id"), col("anc")).alias("r")
           l.join(anc, sameTrace && col("r.anc") === col("l.span_id"), "left_semi")
         case "~" => // l has a sibling matching r
@@ -291,9 +328,16 @@ object TraceQL {
         case "!>" => // l has NO child matching r
           l.join(r.select(col("trace_id"), col("parent_span_id")).alias("r"),
               sameTrace && col("r.parent_span_id") === col("l.span_id"), "left_anti")
-        case "&&" => // spanset intersect: l's spans in traces where r also matched
-          l.join(r.select(col("trace_id")).distinct().alias("r"),
-            sameTrace, "left_semi")
+        case "&&" => // traces where BOTH sides matched keep the merged
+          // spans of both sides, deduped by span identity (reference
+          // spanset_op.go:41-47 mergeSpans)
+          val lm = evalSpanset(lhs, spans)
+          val rm = evalSpanset(rhs, spans)
+          val both = lm.select(col("trace_id")).distinct()
+            .join(rm.select(col("trace_id")).distinct(), Seq("trace_id"), "left_semi")
+          lm.unionAll(rm)
+            .join(both, Seq("trace_id"), "left_semi")
+            .dropDuplicates("trace_id", "span_id")
         case "||" => // spanset union, deduped by span identity (set ops
           // on map columns are unsupported, so dedup on the span key)
           evalSpanset(lhs, spans).unionAll(evalSpanset(rhs, spans))

@@ -46,6 +46,39 @@ class TraceQLPromQLSpec extends SparkTestBase {
     assert(traces("""{ name = "cache-get" } < { name = "root-op" }""") == Seq(1L, 2L))
   }
 
+  test("TraceQL: descendant walks the real parent chain on an irregular tree") {
+    // span ids deliberately unrelated to tree position (7→3→9→15→6):
+    // any id-arithmetic ancestry would fail here, and the chain is 4
+    // levels deep — beyond any fixed-hop shortcut
+    val irregular = Seq(
+      (9L, 7, None, "root"),
+      (9L, 3, Some(7), "mid"),
+      (9L, 9, Some(3), "mid2"),
+      (9L, 15, Some(9), "mid3"),
+      (9L, 6, Some(15), "leaf")
+    ).map { case (t, s, p, n) =>
+      (t, s, p.map(Int.box).orNull.asInstanceOf[Integer], n, 2, 0,
+        1000000L, 0L, Map.empty[String, String])
+    }.toDF("trace_id", "span_id", "parent_span_id", "name", "kind",
+      "status_code", "duration_ns", "start_ns", "attrs")
+
+    def traces(q: String): Seq[Long] =
+      TraceQL.plan(q, irregular).select("trace_id").as[Long].collect().toSeq
+
+    assert(traces("""{ name = "root" } >> { name = "leaf" }""") == Seq(9L))
+    assert(traces("""{ name = "mid2" } >> { name = "leaf" }""") == Seq(9L))
+    assert(traces("""{ name = "leaf" } >> { name = "root" }""").isEmpty)
+  }
+
+  test("TraceQL: && merges both sides' spans in traces where both match") {
+    // t1 matches both sides: db-query (>20ms AND db) appears once after
+    // dedup; cache-get (status=2) joins from the right side
+    val out = TraceQL.plan("""{ svc = "db" } && { status = 2 }""", spans)
+      .select("trace_id", "n_spans").as[(Long, Long)].collect().toSeq
+    // t1: spans {2,4} (db) ∪ {3,4} (status=2) = {2,3,4} → 3 spans
+    assert(out == Seq((1L, 3L)))
+  }
+
   test("TraceQL: trace-level intrinsics rootName and traceDuration") {
     // t1 spans 0..38ms (start 3 + dur 35ms); t2 spans 0..9ms
     val long = TraceQL.plan("""{ traceDuration > 20ms }""", spans)
