@@ -69,7 +69,14 @@ object Ast {
   final case class VectorAgg(
       op: String, by: Seq[String], without: Seq[String],
       k: Option[Int], inner: MetricExpr) extends MetricExpr
-  final case class BinOp(op: String, lhs: MetricExpr, rhs: MetricExpr) extends MetricExpr
+  /** on/ignoring + group_left/group_right binop modifiers (reference
+    * metric_expr.go:238-253, logqlmetric/bin_op.go:13-254).
+    */
+  final case class VectorMatch(
+      on: Boolean, labels: Seq[String],
+      groupSide: Option[String], include: Seq[String])
+  final case class BinOp(op: String, lhs: MetricExpr, rhs: MetricExpr,
+      matching: Option[VectorMatch] = None) extends MetricExpr
   final case class ScalarLit(v: Double) extends MetricExpr
 
   sealed trait Expr

@@ -291,11 +291,37 @@ object Parser {
     p.peek match {
       case TOp(o @ ("+" | "-" | "*" | "/" | "%" | ">" | "<" | ">=" | "<=" | "=="), _) =>
         p.next()
-        BinOp(o, lhs, parseMetric(p))
+        val m = parseMatching(p)
+        BinOp(o, lhs, parseMetric(p), m)
       case TIdent(o @ ("and" | "or" | "unless"), _) =>
         p.next()
-        BinOp(o, lhs, parseMetric(p))
+        val m = parseMatching(p)
+        BinOp(o, lhs, parseMetric(p), m)
       case _ => lhs
+    }
+  }
+
+  /** `on(..)/ignoring(..) [group_left|group_right [(include..)]]`
+    * after a binop (reference metric_expr.go:238-253).
+    */
+  private def parseMatching(p: P): Option[VectorMatch] = {
+    val on =
+      if (p.acceptIdent("on")) Some(true)
+      else if (p.acceptIdent("ignoring")) Some(false)
+      else None
+    on.map { isOn =>
+      p.expectOp("(")
+      val ls = if (p.acceptOp(")")) Seq.empty[String]
+      else { val l = identList(p); p.expectOp(")"); l }
+      val side =
+        if (p.acceptIdent("group_left")) Some("left")
+        else if (p.acceptIdent("group_right")) Some("right")
+        else None
+      val include = if (side.isDefined && p.acceptOp("(")) {
+        if (p.acceptOp(")")) Seq.empty[String]
+        else { val l = identList(p); p.expectOp(")"); l }
+      } else Seq.empty[String]
+      VectorMatch(isOn, ls, side, include)
     }
   }
 

@@ -359,9 +359,12 @@ object Planner {
         case other => throw new IllegalArgumentException(s"vector op $other")
       }
 
-    case BinOp(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planMetric(rhs, logs, stepNs), scalarLeft = true)
-    case BinOp(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false)
-    case BinOp(op, lhs, rhs) =>
+    case BinOp(op, ScalarLit(v), rhs, _) => scalarBin(op, lit(v), planMetric(rhs, logs, stepNs), scalarLeft = true)
+    case BinOp(op, lhs, ScalarLit(v), _) => scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false)
+    case BinOp(op, lhs, rhs, Some(m)) =>
+      VectorMatching.bin(op, planMetric(lhs, logs, stepNs),
+        planMetric(rhs, logs, stepNs), m, "bucket_ns")
+    case BinOp(op, lhs, rhs, None) =>
       val l = planMetric(lhs, logs, stepNs)
         .withColumn("__stream", to_json(map_entries(col("labels"))))
       val r = planMetric(rhs, logs, stepNs)

@@ -93,7 +93,16 @@ object Printer {
         else ""
       val kArg = k.map(v => s"$v, ").getOrElse("")
       s"$op$grouping($kArg${printMetric(inner)})"
-    case BinOp(op, l, r) => s"${printMetric(l)} $op ${printMetric(r)}"
+    case BinOp(op, l, r, m) =>
+      val mod = m.map { vm =>
+        val kw = if (vm.on) "on" else "ignoring"
+        val grp = vm.groupSide.map { s =>
+          val inc = if (vm.include.nonEmpty) s"(${vm.include.mkString(", ")})" else ""
+          s" group_$s$inc"
+        }.getOrElse("")
+        s" $kw(${vm.labels.mkString(", ")})$grp"
+      }.getOrElse("")
+      s"${printMetric(l)} $op$mod ${printMetric(r)}"
     case ScalarLit(v) =>
       if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString
   }

@@ -1,0 +1,112 @@
+package graft.logql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-matching binop evaluation shared by the LogQL and PromQL
+  * planners (reference logqlmetric/bin_op.go:13-254 and the vendored
+  * PromQL engine's one-to-one / many-to-one matching).
+  *
+  * Input frames carry (bucketCol, labels: Map[String,String], value:
+  * Double). The match key is the on()/ignoring()-filtered label map
+  * rendered through a SORTED entry list, so maps built in different
+  * key orders on the two sides still compare equal.
+  *
+  * Scale notes: one-to-one matching is an equi-join on (bucket, key) —
+  * co-partitioned after the upstream aggregations. group_left/right
+  * broadcast the "one" side (an info-series frame, small by
+  * construction), the same shape as the reference's hand query.
+  */
+object VectorMatching {
+  import Ast.VectorMatch
+
+  private def filteredLabels(labels: Column, m: VectorMatch): Column = {
+    val arr = array(m.labels.map(lit): _*)
+    if (m.on) map_filter(labels, (k, _) => array_contains(arr, k))
+    else map_filter(labels, (k, _) => !array_contains(arr, k))
+  }
+
+  private def matchKey(labels: Column, m: VectorMatch): Column =
+    to_json(array_sort(map_entries(filteredLabels(labels, m))))
+
+  private val cmpOps = Set(">", "<", ">=", "<=", "==")
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "^" => pow(l, r)
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case "==" => l === r
+  }
+
+  /** Evaluate `l op r` under the given matching; both frames have
+    * (bucketCol, labels, value), and so does the result.
+    */
+  def bin(op: String, l: DataFrame, r: DataFrame, m: VectorMatch,
+      bucketCol: String): DataFrame = op match {
+    case "and" =>
+      l.withColumn("__mk", matchKey(col("labels"), m))
+        .join(r.select(col(bucketCol),
+            matchKey(col("labels"), m).as("__mk")).distinct(),
+          Seq(bucketCol, "__mk"), "left_semi")
+        .select(col(bucketCol), col("labels"), col("value"))
+    case "unless" =>
+      l.withColumn("__mk", matchKey(col("labels"), m))
+        .join(r.select(col(bucketCol),
+            matchKey(col("labels"), m).as("__mk")).distinct(),
+          Seq(bucketCol, "__mk"), "left_anti")
+        .select(col(bucketCol), col("labels"), col("value"))
+    case "or" =>
+      val lk = l.withColumn("__mk", matchKey(col("labels"), m))
+      val extra = r.withColumn("__mk", matchKey(col("labels"), m))
+        .join(lk.select(col(bucketCol), col("__mk")).distinct(),
+          Seq(bucketCol, "__mk"), "left_anti")
+      lk.select(col(bucketCol), col("labels"), col("value"))
+        .unionAll(extra.select(col(bucketCol), col("labels"), col("value")))
+    case _ =>
+      m.groupSide match {
+        case None =>
+          // one-to-one: result labels are the match labels
+          val lk = l.select(col(bucketCol),
+            matchKey(col("labels"), m).as("__mk"),
+            filteredLabels(col("labels"), m).as("labels"), col("value"))
+          val rk = r.select(col(bucketCol),
+            matchKey(col("labels"), m).as("__mk"), col("value").as("__rv"))
+          val j = lk.join(rk, Seq(bucketCol, "__mk"))
+          finish(op, j, col("value"), col("__rv"), bucketCol)
+        case Some(side) =>
+          // many-to-one: the many side keeps its labels (+ include
+          // labels copied from the one side); the one side broadcasts
+          val (many, one) = if (side == "left") (l, r) else (r, l)
+          val incArr = array(m.include.map(lit): _*)
+          val oneK = one.select(col(bucketCol),
+            matchKey(col("labels"), m).as("__mk"), col("value").as("__ov"),
+            map_filter(col("labels"), (k, _) => array_contains(incArr, k)).as("__inc"))
+          val j = many.withColumn("__mk", matchKey(col("labels"), m))
+            .join(broadcast(oneK), Seq(bucketCol, "__mk"))
+            .withColumn("labels", map_concat(
+              map_filter(col("labels"), (k, _) => !array_contains(incArr, k)),
+              col("__inc")))
+          // operand order follows the written query: l op r
+          val (lv, rv) =
+            if (side == "left") (col("value"), col("__ov"))
+            else (col("__ov"), col("value"))
+          finish(op, j, lv, rv, bucketCol)
+      }
+  }
+
+  private def finish(op: String, j: DataFrame, lv: Column, rv: Column,
+      bucketCol: String): DataFrame = {
+    val v = arith(op, lv, rv)
+    if (cmpOps(op))
+      j.filter(v).select(col(bucketCol), col("labels"), lv.as("value"))
+    else
+      j.select(col(bucketCol), col("labels"), v.as("value"))
+  }
+}

@@ -28,7 +28,8 @@ object PromQL {
   final case class Instant(sel: Selector) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeNs: Long) extends Expr
   final case class Agg(op: String, by: Seq[String], k: Option[Int], inner: Expr) extends Expr
-  final case class Bin(op: String, lhs: Expr, rhs: Expr) extends Expr
+  final case class Bin(op: String, lhs: Expr, rhs: Expr,
+      matching: Option[graft.logql.Ast.VectorMatch] = None) extends Expr
   final case class ScalarLit(v: Double) extends Expr
 
   // ---------- parser ----------
@@ -98,8 +99,37 @@ object PromQL {
     p.ws()
     val ops = Seq(">=", "<=", "==", "+", "-", "*", "/", "%", ">", "<")
     ops.find(p.accept) match {
-      case Some(op) => Bin(op, lhs, parseExpr(p))
-      case None     => lhs
+      case Some(op) =>
+        val m = parseMatching(p) // modifiers sit between op and rhs
+        Bin(op, lhs, parseExpr(p), m)
+      case None =>
+        if (Seq("and", "or", "unless").contains(p.peekIdent)) {
+          val op = p.ident()
+          val m = parseMatching(p)
+          Bin(op, lhs, parseExpr(p), m)
+        } else lhs
+    }
+  }
+
+  /** `on(..)/ignoring(..) [group_left|group_right [(include..)]]`. */
+  private def parseMatching(p: P): Option[graft.logql.Ast.VectorMatch] = {
+    val on =
+      if (p.peekIdent == "on") { p.ident(); Some(true) }
+      else if (p.peekIdent == "ignoring") { p.ident(); Some(false) }
+      else None
+    on.map { isOn =>
+      p.expect("(")
+      val ls = if (p.accept(")")) Seq.empty[String]
+      else { val l = identList(p); p.expect(")"); l }
+      val side =
+        if (p.peekIdent == "group_left") { p.ident(); Some("left") }
+        else if (p.peekIdent == "group_right") { p.ident(); Some("right") }
+        else None
+      val include = if (side.isDefined && p.accept("(")) {
+        if (p.accept(")")) Seq.empty[String]
+        else { val l = identList(p); p.expect(")"); l }
+      } else Seq.empty[String]
+      graft.logql.Ast.VectorMatch(isOn, ls, side, include)
     }
   }
 
@@ -314,9 +344,17 @@ object PromQL {
             .select(col("bucket_us"), col("labels"), col("value"))
       }
 
-    case Bin(op, ScalarLit(v), rhs) => scalarBin(op, lit(v), planRange(rhs, points, stepUs))
-    case Bin(op, lhs, ScalarLit(v)) => scalarBin(op, lit(v), planRange(lhs, points, stepUs))
-    case Bin(op, lhs, rhs) =>
+    case Bin(op, ScalarLit(v), rhs, _) => scalarBin(op, lit(v), planRange(rhs, points, stepUs))
+    case Bin(op, lhs, ScalarLit(v), _) => scalarBin(op, lit(v), planRange(lhs, points, stepUs))
+    case Bin(op, lhs, rhs, Some(m)) =>
+      graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
+        planRange(rhs, points, stepUs), m, "bucket_us")
+    case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None) =>
+      // full-label-set matching (reference vendored engine set binops)
+      graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
+        planRange(rhs, points, stepUs),
+        graft.logql.Ast.VectorMatch(on = false, Nil, None, Nil), "bucket_us")
+    case Bin(op, lhs, rhs, None) =>
       val l = planRange(lhs, points, stepUs).withColumn("__stream", streamKey)
       val r = planRange(rhs, points, stepUs).withColumn("__stream", streamKey)
         .withColumnRenamed("value", "__rv").drop("labels")

@@ -66,6 +66,7 @@ object Registry {
     QueriesPromQLMore,
     QueriesParsedFrontends,
     QueriesSliding,
+    QueriesMatching,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown
