@@ -32,6 +32,8 @@ object Ast {
   final case class DistinctStage(labels: Seq[String]) extends Stage
   /** label_format renames only (templates are line_format's job). */
   final case class LabelFormatStage(renames: Seq[(String, String)]) extends Stage
+  /** label_format dst="template" — template form (template.go:33-110). */
+  final case class LabelFormatTemplateStage(label: String, template: String) extends Stage
   /** line_format with {{.label}} substitution templates. */
   final case class LineFormatStage(template: String) extends Stage
   /** | unwrap lbl [bytes|duration|duration_seconds] */

@@ -204,13 +204,24 @@ object Parser {
     case TIdent("distinct", _) => DistinctStage(identList(p))
     case TIdent("label_format", _) =>
       val rs = Seq.newBuilder[(String, String)]
+      val tpls = Seq.newBuilder[(String, String)]
       var done = false
+      var pos = 0
       while (!done) {
-        val dst = p.ident(); p.expectOp("="); val src = p.ident()
-        rs += (dst -> src)
+        pos = p.peek.pos
+        val dst = p.ident(); p.expectOp("=")
+        p.peek match {
+          case TStr(t, _) => p.next(); tpls += (dst -> t)
+          case _          => rs += (dst -> p.ident())
+        }
         if (!p.acceptOp(",")) done = true
       }
-      LabelFormatStage(rs.result())
+      (rs.result(), tpls.result()) match {
+        case (renames, Seq())       => LabelFormatStage(renames)
+        case (Seq(), Seq((d, t)))   => LabelFormatTemplateStage(d, t)
+        case _ => throw ParseError(
+          "label_format: mixing renames and templates unsupported", pos)
+      }
     case TIdent("line_format", _) => LineFormatStage(p.str())
     case TIdent(label, _) => // label filter starting with a label name
       LabelFilterStage(parsePredicateRest(p, label))

@@ -101,10 +101,16 @@ object Planner {
       ctx.copy(df = ctx.df.filter(if (negate) !anyMatch else anyMatch))
 
     case JsonStage =>
+      // failed parses keep the row and label it __error__ — the
+      // reference's error propagation (logqlengine/logqlerrors/,
+      // Loki's JSONParserErr convention); extraction still yields null
       val parsed = from_json(col("body"), MapType(StringType, StringType))
+      val labelsOrError = coalesce(parsed,
+        map(lit("__error__"), lit("JSONParserErr"),
+          lit("__error_details__"), lit("could not parse JSON")))
       ctx.copy(
         extractors = ((k: String) => Some(get_json_object(col("body"), s"$$.$k"))) :: ctx.extractors,
-        extraLabels = coalesce(parsed, map()) :: ctx.extraLabels)
+        extraLabels = labelsOrError :: ctx.extraLabels)
 
     case LogfmtStage =>
       ctx.copy(
@@ -159,18 +165,18 @@ object Planner {
         :: ctx.extractors)
 
     case LineFormatStage(template) =>
-      // {{.label}} substitution compiled into a concat
-      val parts = "\\{\\{\\s*\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
-      var cols = List.empty[Column]
-      var last = 0
-      for (m <- parts.findAllMatchIn(template)) {
-        if (m.start > last) cols :+= lit(template.substring(last, m.start))
-        cols :+= coalesce(ctx.resolve(m.group(1)), lit(""))
-        last = m.end
-      }
-      if (last < template.length) cols :+= lit(template.substring(last))
-      val bodyCol = if (cols.isEmpty) lit("") else concat(cols: _*)
-      ctx.copy(df = ctx.df.withColumn("body", bodyCol))
+      // Go-template subset compiled to Column exprs (Template.scala;
+      // reference logqlengine/template.go:33-110)
+      ctx.copy(df = ctx.df.withColumn("body",
+        Template.compile(template, ctx.resolve)))
+
+    case LabelFormatTemplateStage(dst, tpl) =>
+      val snapshot = ctx // resolve against the pre-stage chain
+      val compiled = Template.compile(tpl, snapshot.resolve)
+      ctx.copy(
+        extractors = ((k: String) =>
+          if (k == dst) Some(compiled) else None) :: ctx.extractors,
+        extraLabels = map(lit(dst), compiled) :: ctx.extraLabels)
 
     case UnwrapStage(label, conv) =>
       val raw = ctx.resolve(label)

@@ -53,6 +53,7 @@ object Printer {
     case DistinctStage(ls) => s"| distinct ${ls.mkString(", ")}"
     case LabelFormatStage(rs) =>
       s"| label_format ${rs.map { case (d, src) => s"$d=$src" }.mkString(", ")}"
+    case LabelFormatTemplateStage(d, t) => s"| label_format $d=${quote(t)}"
     case LineFormatStage(t) => s"| line_format ${quote(t)}"
     case UnwrapStage(l, conv) =>
       s"| unwrap $l${conv.map(" " + _).getOrElse("")}"

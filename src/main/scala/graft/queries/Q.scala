@@ -67,6 +67,7 @@ object Registry {
     QueriesParsedFrontends,
     QueriesSliding,
     QueriesMatching,
+    QueriesErrorsTemplates,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown

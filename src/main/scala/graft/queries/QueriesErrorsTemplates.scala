@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.Planner
+import graft.sources.Testdata
+
+/** `__error__` propagation and template functions through the LogQL
+  * front-end (reference logqlengine/logqlerrors/ and template.go).
+  */
+object QueriesErrorsTemplates extends QueryPack {
+
+  private val DayNs = 86400000000000L
+
+  private def logsView(td: Testdata): DataFrame =
+    td.events.select(
+      col("ts").as("ts_ns"),
+      col("props").as("body"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"))
+
+  /** Every 5th user's bodies are truncated to 10 chars — invalid JSON
+    * unless the original was that short.
+    */
+  private def corruptedView(td: Testdata): DataFrame =
+    logsView(td).withColumn("body",
+      when(element_at(col("labels"), "user_id").cast("long") % 5 === 0,
+        substring(col("body"), 1, 10)).otherwise(col("body")))
+
+  /** `| json` on broken bodies keeps the rows and labels them
+    * __error__=JSONParserErr; counting by that label through the parser
+    * is the reference's error-propagation contract end-to-end.
+    */
+  val errorPropagation: Q = Q(
+    "logql_e2e_error",
+    (s: SparkSession, dir: String) =>
+      Planner.query("""sum by (__error__) (count_over_time({} | json [1d]))""",
+          corruptedView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          coalesce(try_element_at(col("labels"), lit("__error__")), lit("ok")).as("err"),
+          col("value"))
+        .orderBy("bucket_ns", "err"),
+    Some(
+      s"""SELECT bucket_ns, err, CAST(COUNT(*) AS DOUBLE) AS value FROM (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |    CASE WHEN json_valid(CASE WHEN user_id % 5 = 0
+         |        THEN substr(props, 1, 10) ELSE props END)
+         |      THEN 'ok' ELSE 'JSONParserErr' END AS err
+         |  FROM events)
+         |GROUP BY bucket_ns, err ORDER BY bucket_ns, err""".stripMargin))
+
+  /** line_format with template FUNCTIONS (trunc, ToUpper,
+    * regexReplaceAll, pipelines) compiled to Column exprs.
+    */
+  val lineFormatFuncs: Q = Q(
+    "logql_line_format_funcs",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """{event_type="signup"} | line_format `u={{ .user_id | trunc 2 }} T={{ ToUpper .event_type }} s={{ regexReplaceAll "n.*" .event_type "N" }}`""",
+          logsView(Testdata(s, dir)))
+        .agg(count(lit(1)).as("n"), min(col("body")).as("min_body"),
+          max(col("body")).as("max_body")),
+    Some(
+      """SELECT COUNT(*) AS n, MIN(body) AS min_body, MAX(body) AS max_body FROM (
+        |  SELECT 'u=' || substr(CAST(user_id AS VARCHAR), 1, 2)
+        |    || ' T=' || upper(event_type)
+        |    || ' s=' || regexp_replace(event_type, 'n.*', 'N', 'g') AS body
+        |  FROM events WHERE event_type = 'signup')""".stripMargin))
+
+  /** label_format template form: a derived label built with template
+    * functions becomes part of the stream identity.
+    */
+  val labelFormatTemplate: Q = Q(
+    "logql_e2e_label_template",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """sum by (tier) (count_over_time({} | label_format tier="{{ .event_type | trunc 3 | ToUpper }}" [1d]))""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "tier").as("tier"), col("value"))
+        .orderBy("bucket_ns", "tier"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  upper(substr(event_type, 1, 3)) AS tier,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events GROUP BY bucket_ns, tier
+         |ORDER BY bucket_ns, tier""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(
+    errorPropagation, lineFormatFuncs, labelFormatTemplate)
+}
