@@ -218,7 +218,13 @@ object PromQL {
     parse(q) match {
       case Instant(sel) =>
         val w = Window.partitionBy(streamKey).orderBy(col("ts_us").desc)
+        // Prometheus stale markers are skipped at scan time (reference
+        // querier_metrics_rate.go:25,444 filters the stale-NaN bit
+        // pattern 0x7ff0000000000002; Spark normalizes NaN payloads in
+        // UnsafeRow, so ALL NaN is treated as stale — a conservative
+        // superset)
         points.filter(selCol(sel))
+          .filter(!isnan(col("value")))
           .filter(col("ts_us") <= evalTsUs && col("ts_us") > evalTsUs - lookbackUs)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
@@ -265,9 +271,11 @@ object PromQL {
       val base = bucketed.withColumn("__stream", streamKey)
       fn match {
         case "rate" | "increase" | "delta" | "irate" =>
+          // stale-NaN skip, same scope as the reference's rate offload
+          val live = base.filter(!isnan(col("value")))
           val wLag = Window.partitionBy(col("__stream"), col("bucket_us"))
             .orderBy(col("ts_us"))
-          val st = base
+          val st = live
             .withColumn("__prev", lag(col("value"), 1).over(wLag))
             .groupBy(col("__stream"), col("bucket_us"))
             .agg(
@@ -287,7 +295,7 @@ object PromQL {
           fn match {
             case "irate" =>
               // handled separately below for clarity
-              irateFrame(base)
+              irateFrame(live)
             case _ =>
               val factor = PromMath.extrapolation(col("first_ts_us"), col("last_ts_us"),
                 winStart, col("n"), resultValue, col("first_v"),

@@ -74,11 +74,11 @@ object QueriesPromQLMore extends QueryPack {
     "promql_exemplars",
     """SELECT event_type, epoch_us(ts) AS ts_us, event_id AS exemplar_id, value
       |FROM events
-      |WHERE event_type = 'error' AND value > 400
+      |WHERE event_type = 'error' AND value > 300
       |ORDER BY ts_us, exemplar_id LIMIT 50""".stripMargin
   ) { td =>
     td.events
-      .filter(col("event_type") === "error" && col("value") > 400)
+      .filter(col("event_type") === "error" && col("value") > 300)
       .select(col("event_type"), expr("ts div 1000").as("ts_us"),
         col("event_id").as("exemplar_id"), col("value"))
       .orderBy("ts_us", "exemplar_id")

@@ -129,6 +129,43 @@ object QueriesSliding extends QueryPack {
          |GROUP BY bucket_ns, event_type, user_id
          |ORDER BY bucket_ns, event_type, user_id""".stripMargin))
 
+  /** Stale-marker handling: every 7th event's value becomes NaN (the
+    * closest Spark can hold to Prometheus's stale-NaN bit pattern —
+    * UnsafeRow normalizes NaN payloads); the instant as-of rule must
+    * skip them and surface the newest LIVE sample per series.
+    */
+  val promqlStaleSkip: Q = {
+    val tUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    val lookbackUs = 86400000000L
+    Q(
+      "promql_stale_skip",
+      (s: SparkSession, dir: String) => {
+        val td = Testdata(s, dir)
+        val staled = td.events.select(
+          expr("ts div 1000").as("ts_us"),
+          col("event_type").as("name"),
+          when(col("event_id") % 7 === 0, lit(Double.NaN))
+            .otherwise(col("value")).as("value"),
+          map(lit("svc"), (col("user_id") % 4).cast("string")).as("labels"))
+        PromQL.instant("""error{}""", staled, evalTsUs = tUs, lookbackUs = lookbackUs)
+          .select(element_at(col("labels"), "svc").as("svc"), col("value"),
+            col("ts_us"))
+          .orderBy("svc")
+      },
+      Some(
+        s"""SELECT svc, value, ts_us FROM (
+           |  SELECT svc, value, ts_us,
+           |    row_number() OVER (PARTITION BY svc ORDER BY ts_us DESC) AS rn
+           |  FROM (
+           |    SELECT CAST(user_id % 4 AS VARCHAR) AS svc,
+           |      CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS value,
+           |      epoch_us(ts) AS ts_us
+           |    FROM events WHERE event_type = 'error')
+           |  WHERE NOT isnan(value)
+           |    AND ts_us <= $tUs AND ts_us > ${tUs - lookbackUs})
+           |WHERE rn = 1 ORDER BY svc""".stripMargin))
+  }
+
   override def queries: Seq[Q] = Seq(
-    logqlRateSliding, promqlRateSliding, logqlQuantileE2e)
+    logqlRateSliding, promqlRateSliding, logqlQuantileE2e, promqlStaleSkip)
 }
