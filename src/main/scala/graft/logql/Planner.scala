@@ -225,11 +225,23 @@ object Planner {
     case CmpLe  => l <= r
   }
 
-  /** Log query → output rows (ts_ns, body, labels), time-ordered. */
-  def planLog(q: LogQuery, logs: DataFrame): DataFrame = {
+  /** Default log-line cap (Loki's API default limit — the reference
+    * pushes it into the query, engine_log_query.go:190-199).
+    */
+  val DefaultLogLimit = 1000
+
+  /** Log query → output rows (ts_ns, body, labels), time-ordered and
+    * CAPPED: orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a global sort of
+    * every matching line. Pass None only for downstream aggregation.
+    */
+  def planLog(q: LogQuery, logs: DataFrame,
+      limit: Option[Int] = Some(DefaultLogLimit)): DataFrame = {
     val ctx = evalLog(q, logs)
-    ctx.df.select(col("ts_ns"), col("body"), ctx.labelsCol.as("labels"))
+    val ordered = ctx.df
+      .select(col("ts_ns"), col("body"), ctx.labelsCol.as("labels"))
       .orderBy(col("ts_ns"), col("body"))
+    limit.fold(ordered)(ordered.limit)
   }
 
   /** Sliding-window step fan-out: each sample row explodes to every
@@ -438,9 +450,10 @@ object Planner {
     * (Loki's `&step=`): metric queries evaluate on that sliding grid.
     */
   def query(logql: String, logs: DataFrame,
-      stepNs: Option[Long] = None): DataFrame =
+      stepNs: Option[Long] = None,
+      logLimit: Option[Int] = Some(DefaultLogLimit)): DataFrame =
     Parser.parse(logql) match {
-      case Ast.LogExpr(q)       => planLog(q, logs)
+      case Ast.LogExpr(q)       => planLog(q, logs, logLimit)
       case Ast.MetricExprTop(m) => planMetric(m, logs, stepNs)
     }
 }

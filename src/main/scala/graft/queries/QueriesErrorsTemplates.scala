@@ -59,7 +59,7 @@ object QueriesErrorsTemplates extends QueryPack {
     (s: SparkSession, dir: String) =>
       Planner.query(
           """{event_type="signup"} | line_format `u={{ .user_id | trunc 2 }} T={{ ToUpper .event_type }} s={{ regexReplaceAll "n.*" .event_type "N" }}`""",
-          logsView(Testdata(s, dir)))
+          logsView(Testdata(s, dir)), logLimit = None) // aggregated below
         .agg(count(lit(1)).as("n"), min(col("body")).as("min_body"),
           max(col("body")).as("max_body")),
     Some(

@@ -22,10 +22,12 @@ object QueriesLogQLParsed extends QueryPack {
         lit("event_type"), col("event_type"),
         lit("user_id"), col("user_id").cast("string")).as("labels"))
 
-  private def q(name: String, logql: String, oracle: String)(
+  private def q(name: String, logql: String, oracle: String,
+      logLimit: Option[Int] = Some(Planner.DefaultLogLimit))(
       post: DataFrame => DataFrame): Q =
     Q(name, (s: SparkSession, dir: String) =>
-      post(Planner.query(logql, logsView(Testdata(s, dir)))), Some(oracle))
+      post(Planner.query(logql, logsView(Testdata(s, dir)), logLimit = logLimit)),
+      Some(oracle))
 
   /** Log pipeline through the parser: selector + json + numeric label
     * filter; output rows.
@@ -36,8 +38,10 @@ object QueriesLogQLParsed extends QueryPack {
     """SELECT epoch_us(ts) AS ts_us, props AS body FROM events
       |WHERE event_type = 'error'
       |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
-      |ORDER BY ts_us, body""".stripMargin
+      |ORDER BY ts_us, body LIMIT 1000""".stripMargin
   ) { df =>
+    // planLog's default 1000-line cap is part of the contract here —
+    // the total (ts, body) order makes the top-1000 deterministic
     df.select(expr("ts_ns div 1000").as("ts_us"), col("body"))
       .orderBy("ts_us", "body")
   }
@@ -134,7 +138,8 @@ object QueriesLogQLParsed extends QueryPack {
     """{event_type="signup"} | line_format "uid={{.user_id}} t={{.event_type}}" | logfmt | t = "signup"""",
     """SELECT COUNT(*) AS n, MAX(body) AS max_body FROM (
       |  SELECT 'uid=' || user_id || ' t=' || event_type AS body
-      |  FROM events WHERE event_type = 'signup')""".stripMargin
+      |  FROM events WHERE event_type = 'signup')""".stripMargin,
+    logLimit = None // aggregated downstream: the line cap must not apply
   ) { df =>
     df.agg(count(lit(1)).as("n"), max(col("body")).as("max_body"))
   }

@@ -81,12 +81,17 @@ object QueriesPushdown extends QueryPack {
     val j = when(col("event_id") % 2 === 1,
       col("props").substr(lit(1), length(col("props")) - 1))
       .otherwise(col("props"))
+    // ONE JSON parse per row: from_json to a map (null iff malformed),
+    // then err and k both read the parsed column — from_json is
+    // non-cheap so CollapseProject keeps it materialized once
     td.events
       .withColumn("j", j)
-      // get_json_object($, '$') is null iff the document is malformed
-      .withColumn("err", when(get_json_object(col("j"), "$").isNull, "JSONParserErr")
-        .otherwise(""))
-      .withColumn("k", when(col("err") === "", get_json_object(col("j"), "$.k")))
+      .withColumn("__p", from_json(col("j"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .withColumn("err", when(col("__p").isNull, "JSONParserErr").otherwise(""))
+      .withColumn("k", try_element_at(col("__p"), lit("k")))
       .groupBy(col("event_type"), col("err"))
       .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
       .orderBy("event_type", "err")

@@ -126,9 +126,10 @@ object QueriesTraceQL extends QueryPack {
        |GROUP BY a2.trace_id ORDER BY a2.trace_id""".stripMargin
   ) { td =>
     val s = spans(td)
-    val c = graft.traceql.TraceQL.withAncestors(s)
-      .filter(col("quantity") > 45)
-      .withColumn("anc", explode(col("__ancestors")))
+    // physical c rows (duplicates count) joined to the ancestor closure
+    val c = s.filter(col("quantity") > 45)
+      .select(col("trace_id"), col("span_id"))
+      .join(graft.traceql.TraceQL.ancestorPairs(s), Seq("trace_id", "span_id"))
       .select(col("trace_id"), col("anc")).alias("c")
     val a = s.filter(col("returnflag") === "R")
       .select(col("trace_id"), col("span_id")).alias("a")

@@ -255,41 +255,49 @@ object TraceQL {
       }
   }
 
-  /** Max ancestry depth materialized for `>>` — bounds the unrolled
-    * per-trace parent walk (real traces nest far shallower; the
-    * reference walks an in-memory parent pointer, spanset_op.go:78-88).
+  /** Max ancestry depth materialized for `>>` (real traces nest far
+    * shallower; the reference walks an in-memory parent pointer,
+    * spanset_op.go:78-88).
     */
   val MaxAncestorDepth = 32
 
-  /** Ancestor chain per span, derived purely from parent_span_id: a
-    * per-trace span→parent map built with one window (co-partitioned
-    * on trace_id, no self-joins), then walked [[MaxAncestorDepth]]
-    * levels by an `aggregate` fold. Null-safe lookups (`get` /
-    * `try_element_at`) terminate the walk at the root.
+  /** (trace_id, span_id, anc) — every ancestor within
+    * [[MaxAncestorDepth]] levels, derived purely from parent_span_id
+    * by BFS over the parent edges: level k+1 joins the level-k
+    * frontier back to the edge table (both sides keyed on trace_id, so
+    * the joins co-partition) and stops at the REAL tree depth — the
+    * frontier empties. Each level persists so the loop is linear work,
+    * and the assembled closure is materialized before the
+    * intermediates unpersist. In a tree every (span, anc) pair has one
+    * path, so the union needs no distinct. At 100 TB this table is
+    * written once at ingest (SURVEY §7 parent_path), not derived per
+    * query.
     */
-  private[graft] def ancestorsCol: Column = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("trace_id"))
-    // array_distinct: physical span rows may repeat (the testdata keys
-    // are non-unique); identical (span, parent) pairs collapse so
-    // map_from_entries sees unique keys
-    val pmap = map_from_entries(array_distinct(
-      collect_list(struct(col("span_id"), col("parent_span_id"))).over(w)))
-    val init = when(col("parent_span_id").isNotNull, array(col("parent_span_id")))
-      .otherwise(array().cast("array<int>"))
-    aggregate(
-      sequence(lit(1), lit(MaxAncestorDepth)), init,
-      (acc, _) => {
-        val next = try_element_at(pmap, get(acc, size(acc) - 1))
-        when(next.isNotNull, concat(acc, array(next))).otherwise(acc)
-      })
+  private[graft] def ancestorPairs(spans: DataFrame): DataFrame = {
+    val edges = spans
+      .select(col("trace_id"), col("span_id"), col("parent_span_id").as("anc"))
+      .filter(col("anc").isNotNull)
+      .distinct() // physical span rows may repeat in the testdata
+      .persist()
+    var levels = List(edges)
+    var frontier = edges
+    var depth = 1
+    var done = false
+    while (!done && depth < MaxAncestorDepth) {
+      val next = frontier.alias("a").join(edges.alias("b"),
+          col("a.trace_id") === col("b.trace_id") &&
+            col("a.anc") === col("b.span_id"))
+        .select(col("a.trace_id").as("trace_id"),
+          col("a.span_id").as("span_id"), col("b.anc").as("anc"))
+        .persist()
+      if (next.isEmpty) { next.unpersist(); done = true }
+      else { levels ::= next; frontier = next; depth += 1 }
+    }
+    val closure = levels.reduce(_ unionAll _).persist()
+    closure.count() // materialize before dropping the per-level caches
+    levels.foreach(_.unpersist(blocking = false))
+    closure
   }
-
-  /** Spans + `__ancestors` (the span's full parent chain, nearest
-    * first), computed from the unfiltered spans table so ancestry is
-    * complete even when a filter dropped intermediate spans.
-    */
-  private[graft] def withAncestors(spans: DataFrame): DataFrame =
-    spans.withColumn("__ancestors", ancestorsCol)
 
   /** Spanset evaluation → matching spans. Structural results follow the
     * pair convention of the engine queries: the LEFT side's matches
@@ -311,13 +319,12 @@ object TraceQL {
         case "<" => // l is child of r
           l.join(r.select(col("trace_id"), col("span_id")).alias("r"),
               sameTrace && col("l.parent_span_id") === col("r.span_id"), "left_semi")
-        case ">>" => // l is ancestor of r: explode r's real parent chain
-          // (derived from parent_span_id at plan time — reference
-          // spanset_op.go:78-88 descendantSpans) and semi-join on it
-          val anc = withAncestors(spans)
+        case ">>" => // l is ancestor of r: the real parent-chain closure
+          // (derived from parent_span_id — reference spanset_op.go:78-88
+          // descendantSpans), restricted to r's matches, semi-joined
+          val anc = ancestorPairs(spans)
             .join(evalSpanset(rhs, spans).select(col("trace_id"), col("span_id")),
               Seq("trace_id", "span_id"), "left_semi")
-            .withColumn("anc", explode(col("__ancestors")))
             .select(col("trace_id"), col("anc")).alias("r")
           l.join(anc, sameTrace && col("r.anc") === col("l.span_id"), "left_semi")
         case "~" => // l has a sibling matching r
