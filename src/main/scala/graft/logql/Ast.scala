@@ -21,7 +21,19 @@ object Ast {
   final case class LineFilter(op: MatchOp, needles: Seq[String]) extends Stage
   /** `|= ip("…")` / `!= ip("…")` — any IP literal in the body matches. */
   final case class LineFilterIp(pattern: String, negate: Boolean) extends Stage
+  /** `|> "pat<_>tern"` / `!> "…"` — pattern line filters
+    * (reference pipeline.go:35-91 PatternFilter).
+    */
+  final case class PatternLineFilter(pattern: String, negate: Boolean) extends Stage
   case object JsonStage extends Stage
+  /** `| json a="x.b", arr1="arr[1]"` — JSONPath field selection into
+    * labels (reference pipeline.go:152-155 + jsonexpr).
+    */
+  final case class JsonPathStage(paths: Seq[(String, String)]) extends Stage
+  /** `| unpack` — promtail pack format: JSON fields → labels, `_entry`
+    * → the line (reference pipeline.go:93-99, logqlengine/unpack.go).
+    */
+  case object UnpackStage extends Stage
   case object LogfmtStage extends Stage
   case object DecolorizeStage extends Stage
   final case class PatternStage(pattern: String) extends Stage

@@ -176,6 +176,9 @@ object Parser {
           }
           stages += LineFilter(op, needles.result())
           }
+        case TOp(o @ ("|>" | "!>"), _) =>
+          p.next()
+          stages += PatternLineFilter(p.str(), negate = o == "!>")
         case TOp("|", _) =>
           p.next()
           stages += parsePipeStage(p)
@@ -186,7 +189,22 @@ object Parser {
   }
 
   private def parsePipeStage(p: P): Stage = p.next() match {
-    case TIdent("json", _)       => JsonStage
+    case TIdent("json", _) =>
+      // optional path args: json a="x.b", n  (bare ident = own name)
+      p.peek match {
+        case TIdent(_, _) =>
+          val paths = Seq.newBuilder[(String, String)]
+          var done = false
+          while (!done) {
+            val name = p.ident()
+            val path = if (p.acceptOp("=")) p.str() else name
+            paths += (name -> path)
+            if (!p.acceptOp(",")) done = true
+          }
+          JsonPathStage(paths.result())
+        case _ => JsonStage
+      }
+    case TIdent("unpack", _)     => UnpackStage
     case TIdent("logfmt", _)     => LogfmtStage
     case TIdent("decolorize", _) => DecolorizeStage
     case TIdent("pattern", _)    => PatternStage(p.str())

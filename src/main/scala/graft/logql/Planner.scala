@@ -90,6 +90,13 @@ object Planner {
       }
       ctx.copy(df = ctx.df.filter(keep))
 
+    case PatternLineFilter(pattern, negate) =>
+      // <_>/<name> wildcards compile to one anchored regex (Kernels);
+      // stays a plain rlike filter → pushable, codegen'd
+      val (regex, _) = Kernels.patternToRegex(pattern)
+      val m = col("body").rlike(regex)
+      ctx.copy(df = ctx.df.filter(if (negate) !m else m))
+
     case LineFilterIp(pattern, negate) =>
       // extract every IPv4 literal from the body; keep lines where ANY
       // matches the CIDR/range/exact pattern (reference
@@ -111,6 +118,31 @@ object Planner {
       ctx.copy(
         extractors = ((k: String) => Some(get_json_object(col("body"), s"$$.$k"))) :: ctx.extractors,
         extraLabels = labelsOrError :: ctx.extraLabels)
+
+    case JsonPathStage(paths) =>
+      // named JSONPath extraction; only the named labels join the
+      // stream identity (reference jsonexpr path selection)
+      def pathCol(p: String): Column = get_json_object(col("body"), s"$$.$p")
+      val entries = paths.flatMap { case (name, p) => Seq(lit(name), pathCol(p)) }
+      ctx.copy(
+        extractors = ((k: String) =>
+          paths.collectFirst { case (n, p) if n == k => pathCol(p) }) :: ctx.extractors,
+        extraLabels = map(entries: _*) :: ctx.extraLabels)
+
+    case UnpackStage =>
+      // promtail pack: fields → labels, `_entry` → the line; parse once
+      // into a helper column shared by body rewrite and extraction
+      val parsed = from_json(col("body"), MapType(StringType, StringType))
+      val unpacked = ctx.df
+        .withColumn("__unpacked", parsed)
+        .withColumn("body",
+          coalesce(try_element_at(col("__unpacked"), lit("_entry")), col("body")))
+      ctx.copy(
+        df = unpacked,
+        extractors = ((k: String) =>
+          Some(try_element_at(col("__unpacked"), lit(k)))) :: ctx.extractors,
+        extraLabels = map_filter(coalesce(col("__unpacked"), map()),
+          (k, _) => k =!= "_entry") :: ctx.extraLabels)
 
     case LogfmtStage =>
       ctx.copy(

@@ -43,6 +43,11 @@ object Printer {
     case LineFilterIp(pat, neg) =>
       s"${if (neg) "!=" else "|="} ip(${quote(pat)})"
     case JsonStage       => "| json"
+    case JsonPathStage(paths) =>
+      s"| json ${paths.map { case (n, p) => s"$n=${quote(p)}" }.mkString(", ")}"
+    case UnpackStage     => "| unpack"
+    case PatternLineFilter(pat, neg) =>
+      s"${if (neg) "!>" else "|>"} ${quote(pat)}"
     case LogfmtStage     => "| logfmt"
     case DecolorizeStage => "| decolorize"
     case PatternStage(p) => s"| pattern ${quote(p)}"

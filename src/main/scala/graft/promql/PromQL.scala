@@ -26,10 +26,15 @@ object PromQL {
 
   sealed trait Expr
   final case class Instant(sel: Selector) extends Expr
-  final case class RangeFn(fn: String, sel: Selector, rangeNs: Long) extends Expr
-  final case class Agg(op: String, by: Seq[String], k: Option[Int], inner: Expr) extends Expr
+  final case class RangeFn(fn: String, sel: Selector, rangeNs: Long,
+      offsetNs: Long = 0L) extends Expr
+  final case class Agg(op: String, by: Seq[String], without: Seq[String],
+      k: Option[Int], param: Option[Double], inner: Expr) extends Expr
   final case class Bin(op: String, lhs: Expr, rhs: Expr,
-      matching: Option[graft.logql.Ast.VectorMatch] = None) extends Expr
+      matching: Option[graft.logql.Ast.VectorMatch] = None,
+      boolMod: Boolean = false) extends Expr
+  /** histogram_quantile(φ, expr-with-le-buckets). */
+  final case class HistQuantile(phi: Double, inner: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
 
   // ---------- parser ----------
@@ -39,7 +44,8 @@ object PromQL {
   private val rangeFns = Set("rate", "increase", "delta", "irate",
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "last_over_time")
-  private val aggOps = Set("sum", "avg", "min", "max", "count", "topk", "bottomk")
+  private val aggOps = Set("sum", "avg", "min", "max", "count",
+    "stddev", "stdvar", "quantile", "topk", "bottomk")
 
   final class P(input: String) {
     var i = 0
@@ -100,8 +106,10 @@ object PromQL {
     val ops = Seq(">=", "<=", "==", "+", "-", "*", "/", "%", ">", "<")
     ops.find(p.accept) match {
       case Some(op) =>
-        val m = parseMatching(p) // modifiers sit between op and rhs
-        Bin(op, lhs, parseExpr(p), m)
+        // modifiers sit between op and rhs: [bool] [on/ignoring …]
+        val b = if (p.peekIdent == "bool") { p.ident(); true } else false
+        val m = parseMatching(p)
+        Bin(op, lhs, parseExpr(p), m, b)
       case None =>
         if (Seq("and", "or", "unless").contains(p.peekIdent)) {
           val op = p.ident()
@@ -138,30 +146,41 @@ object PromQL {
     if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
     else if (p.peekIdent.nonEmpty) {
       val name = p.peekIdent
-      if (rangeFns(name)) {
+      if (name == "histogram_quantile") {
+        p.ident(); p.expect("(")
+        val phi = p.number(); p.expect(",")
+        val inner = parseExpr(p)
+        p.expect(")")
+        HistQuantile(phi, inner)
+      } else if (rangeFns(name)) {
         p.ident(); p.expect("(")
         val sel = parseSelector(p)
         p.expect("[")
         val r = p.duration()
         p.expect("]")
+        val off = if (p.peekIdent == "offset") { p.ident(); p.duration() } else 0L
         p.expect(")")
-        RangeFn(name, sel, r)
+        RangeFn(name, sel, r, off)
       } else if (aggOps(name)) {
         p.ident()
         var by = Seq.empty[String]
-        if (p.accept("by")) {
-          p.expect("(")
-          by = identList(p)
-          p.expect(")")
+        var without = Seq.empty[String]
+        def grouping(): Unit = {
+          if (p.peekIdent == "by") { p.ident(); p.expect("("); by = identList(p); p.expect(")") }
+          else if (p.peekIdent == "without") { p.ident(); p.expect("("); without = identList(p); p.expect(")") }
         }
+        grouping()
         p.expect("(")
-        val k = if (name == "topk" || name == "bottomk") {
-          val v = p.number(); p.expect(","); Some(v.toInt)
-        } else None
+        val (k, param) =
+          if (name == "topk" || name == "bottomk") {
+            val v = p.number(); p.expect(","); (Some(v.toInt), None)
+          } else if (name == "quantile") {
+            val v = p.number(); p.expect(","); (None, Some(v))
+          } else (None, None)
         val inner = parseExpr(p)
         p.expect(")")
-        if (p.accept("by")) { p.expect("("); by = identList(p); p.expect(")") }
-        Agg(name, by, k, inner)
+        grouping()
+        Agg(name, by, without, k, param, inner)
       } else Instant(parseSelector(p))
     } else throw ParseError("expected expression", p.i)
   }
@@ -245,14 +264,21 @@ object PromQL {
 
   private def planRange(e: Expr, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame = e match {
-    case RangeFn(fn, sel, rangeNs) =>
+    case RangeFn(fn, sel, rangeNs, offsetNs) =>
       val rangeUs = rangeNs / 1000
+      val offsetUs = offsetNs / 1000
+      // offset shifts the working timestamps forward so every bucket
+      // boundary check downstream stays offset-free (same trick as the
+      // reference's point_offset_ns, chsql_stepfanout.go)
+      val src =
+        if (offsetUs == 0) points
+        else points.withColumn("ts_us", col("ts_us") + lit(offsetUs))
       // sliding buckets are labeled by window END; extrapolation math
       // needs the window START, so carry it alongside
       val bucketed = stepUs match {
         case Some(st) =>
           val nSteps = rangeUs / st + 1
-          points.filter(selCol(sel))
+          src.filter(selCol(sel))
             .withColumn("__first_step",
               expr(s"((ts_us + ${st - 1}) div $st) * $st"))
             .withColumn("bucket_us", explode(filter(
@@ -261,7 +287,7 @@ object PromQL {
               s => s < col("ts_us") + lit(rangeUs))))
             .drop("__first_step")
         case None =>
-          points.filter(selCol(sel))
+          src.filter(selCol(sel))
             .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
       }
       // sliding buckets are labeled by window END; the extrapolation
@@ -321,16 +347,19 @@ object PromQL {
             .select(col("bucket_us"), col("labels"), col("value"))
       }
 
-    case Agg(op, by, k, inner) =>
+    case Agg(op, by, without, k, param, inner) =>
       val in = planRange(inner, points, stepUs)
       val labelsOut =
         if (by.nonEmpty) {
           val byArr = array(by.map(lit): _*)
           map_filter(col("labels"), (key, _) => array_contains(byArr, key))
+        } else if (without.nonEmpty) {
+          val woArr = array(without.map(lit): _*)
+          map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
         } else if (Set("topk", "bottomk").contains(op)) col("labels")
         else map()
       val g = in.withColumn("labels", labelsOut)
-        .withColumn("__stream", to_json(map_entries(col("labels"))))
+        .withColumn("__stream", to_json(array_sort(map_entries(col("labels")))))
       op match {
         case "topk" | "bottomk" =>
           val ord = if (op == "topk") Seq(col("value").desc, col("__stream"))
@@ -346,23 +375,26 @@ object PromQL {
             case "min"   => min(col("value"))
             case "max"   => max(col("value"))
             case "count" => count(lit(1)).cast("double")
+            case "stddev" => stddev_pop(col("value"))
+            case "stdvar" => var_pop(col("value"))
+            case "quantile" => percentile(col("value"), lit(param.getOrElse(0.5)))
           }
           g.groupBy(col("bucket_us"), col("__stream"))
             .agg(v.as("value"), first(col("labels")).as("labels"))
             .select(col("bucket_us"), col("labels"), col("value"))
       }
 
-    case Bin(op, ScalarLit(v), rhs, _) => scalarBin(op, lit(v), planRange(rhs, points, stepUs))
-    case Bin(op, lhs, ScalarLit(v), _) => scalarBin(op, lit(v), planRange(lhs, points, stepUs))
-    case Bin(op, lhs, rhs, Some(m)) =>
+    case Bin(op, ScalarLit(v), rhs, _, b) => scalarBin(op, lit(v), planRange(rhs, points, stepUs), b)
+    case Bin(op, lhs, ScalarLit(v), _, b) => scalarBin(op, lit(v), planRange(lhs, points, stepUs), b)
+    case Bin(op, lhs, rhs, Some(m), _) =>
       graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
         planRange(rhs, points, stepUs), m, "bucket_us")
-    case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None) =>
+    case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None, _) =>
       // full-label-set matching (reference vendored engine set binops)
       graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
         planRange(rhs, points, stepUs),
         graft.logql.Ast.VectorMatch(on = false, Nil, None, Nil), "bucket_us")
-    case Bin(op, lhs, rhs, None) =>
+    case Bin(op, lhs, rhs, None, boolMod) =>
       val l = planRange(lhs, points, stepUs).withColumn("__stream", streamKey)
       val r = planRange(rhs, points, stepUs).withColumn("__stream", streamKey)
         .withColumnRenamed("value", "__rv").drop("labels")
@@ -383,8 +415,47 @@ object PromQL {
           case "<=" => col("value") <= col("__rv")
           case "==" => col("value") === col("__rv")
         }
-        joined.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
+        if (boolMod) // bool: keep every pair, value becomes 0/1
+          joined.select(col("bucket_us"), col("labels"),
+            when(cond, 1.0).otherwise(0.0).as("value"))
+        else
+          joined.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
       } else joined.select(col("bucket_us"), col("labels"), v.as("value"))
+
+    case HistQuantile(phi, inner) =>
+      // classic-histogram quantile over cumulative le buckets
+      // (Prometheus bucketQuantile): per (step, series-sans-le) find the
+      // first bucket whose cumulative count reaches rank = φ·total and
+      // interpolate linearly inside it; the +Inf bucket clamps to the
+      // highest finite le. One window over the bucket axis — tiny
+      // partitions (#buckets), already co-partitioned by the upstream agg.
+      val in = planRange(inner, points, stepUs)
+      val leStr = element_at(col("labels"), "le")
+      val df = in
+        .withColumn("__g", to_json(array_sort(map_entries(
+          map_filter(col("labels"), (k, _) => k =!= "le")))))
+        .withColumn("__le", when(leStr === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(leStr.cast("double")))
+      val w = Window.partitionBy(col("bucket_us"), col("__g")).orderBy(col("__le"))
+      val wAll = Window.partitionBy(col("bucket_us"), col("__g"))
+      val st = df
+        .withColumn("__prevLe", lag(col("__le"), 1).over(w))
+        .withColumn("__prevV", lag(col("value"), 1).over(w))
+        .withColumn("__total", max(col("value")).over(wAll))
+        .withColumn("__maxFinite",
+          max(when(!col("__le").isin(Double.PositiveInfinity), col("__le"))).over(wAll))
+      val rank = lit(phi) * col("__total")
+      val isTarget = col("value") >= rank &&
+        (col("__prevV").isNull || col("__prevV") < rank)
+      val lower = coalesce(col("__prevLe"), lit(0.0))
+      val prevC = coalesce(col("__prevV"), lit(0.0))
+      val interp = lower +
+        (col("__le") - lower) * (rank - prevC) / (col("value") - prevC)
+      st.filter(isTarget)
+        .select(col("bucket_us"),
+          map_filter(col("labels"), (k, _) => k =!= "le").as("labels"),
+          when(col("__le") === Double.PositiveInfinity, col("__maxFinite"))
+            .otherwise(interp).as("value"))
 
     case Instant(_) | ScalarLit(_) =>
       throw new IllegalArgumentException("range query needs a range function")
@@ -411,7 +482,8 @@ object PromQL {
           .otherwise((col("last_v") - col("prev_v")) / col("dt")).as("value"))
   }
 
-  private def scalarBin(op: String, s: Column, df: DataFrame): DataFrame = op match {
+  private def scalarBin(op: String, s: Column, df: DataFrame,
+      boolMod: Boolean = false): DataFrame = op match {
     case ">" | "<" | ">=" | "<=" | "==" =>
       val cond = op match {
         case ">" => col("value") > s
@@ -420,7 +492,11 @@ object PromQL {
         case "<=" => col("value") <= s
         case "==" => col("value") === s
       }
-      df.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
+      if (boolMod)
+        df.select(col("bucket_us"), col("labels"),
+          when(cond, 1.0).otherwise(0.0).as("value"))
+      else
+        df.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
     case _ =>
       val v = op match {
         case "+" => col("value") + s

@@ -68,6 +68,7 @@ object Registry {
     QueriesSliding,
     QueriesMatching,
     QueriesErrorsTemplates,
+    QueriesGrammar,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown

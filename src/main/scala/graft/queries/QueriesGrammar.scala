@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.Planner
+import graft.promql.PromQL
+import graft.sources.Testdata
+import graft.traceql.TraceQL
+
+/** Grammar-completeness sweep, every query through a REAL front-end:
+  * LogQL pattern line filters / unpack / json path args, TraceQL
+  * symbolic status + by()/select() pipeline, PromQL offset / bool /
+  * without() / stddev / quantile / histogram_quantile.
+  */
+object QueriesGrammar extends QueryPack {
+
+  private val DayNs = 86400000000000L
+  private val DayUs = 86400000000L
+
+  private def logsView(td: Testdata): DataFrame =
+    td.events.select(
+      col("ts").as("ts_ns"),
+      col("props").as("body"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"))
+
+  private def pointsView(td: Testdata): DataFrame =
+    td.events.select(
+      expr("ts div 1000").as("ts_us"),
+      lit("ev").as("name"),
+      col("value"),
+      map(
+        lit("svc"), (col("user_id") % 4).cast("string"),
+        lit("et"), col("event_type")).as("labels"))
+
+  private def spansView(td: Testdata): DataFrame =
+    td.lineitem.select(
+      col("l_orderkey").as("trace_id"),
+      col("l_linenumber").as("span_id"),
+      when(col("l_linenumber") > 1, floor(col("l_linenumber") / 2).cast("int"))
+        .as("parent_span_id"),
+      concat(lit("op-"), col("l_returnflag")).as("name"),
+      lit(2).as("kind"),
+      when(col("l_returnflag") === "R", 2).otherwise(0).as("status_code"),
+      round(col("l_quantity") * 1e6, 0).cast("long").as("duration_ns"),
+      (unix_timestamp(col("l_shipdate")) * 1000000000L).as("start_ns"),
+      map(
+        lit("returnflag"), col("l_returnflag"),
+        lit("linestatus"), col("l_linestatus"),
+        lit("quantity"), col("l_quantity").cast("string")).as("attrs"))
+
+  private val oracleSpans =
+    """SELECT l_orderkey AS trace_id, l_linenumber AS span_id,
+      |  l_returnflag AS returnflag, l_linestatus AS linestatus,
+      |  l_quantity AS quantity
+      |FROM lineitem""".stripMargin
+
+  /** `|>` / `!>` pattern line filters through the parser — `<_>`
+    * wildcards compile to one anchored regex; on single-line bodies
+    * they are containment semantics.
+    */
+  val patternFilter: Q = Q(
+    "logql_e2e_pattern_filter",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """sum by (event_type) (count_over_time({event_type="error"} |> `<_>"k": 7<_>` !> `<_>"k": 71<_>` [1d]))""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events
+         |WHERE event_type = 'error'
+         |  AND contains(props, '"k": 7') AND NOT contains(props, '"k": 71')
+         |GROUP BY bucket_ns, event_type ORDER BY bucket_ns""".stripMargin))
+
+  /** `| unpack` through the parser: packed JSON fields become stream
+    * labels (promtail pack format, logqlengine/unpack.go).
+    */
+  val unpackE2e: Q = Q(
+    "logql_e2e_unpack",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      val packed = td.events.select(
+        col("ts").as("ts_ns"),
+        concat(lit("{\"_entry\":\"line-"), col("event_id"),
+          lit("\",\"lvl\":\""), col("event_type"), lit("\"}")).as("body"),
+        map(lit("job"), lit("pack")).as("labels"))
+      Planner.query("""sum by (lvl) (count_over_time({} | unpack [1d]))""", packed)
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "lvl").as("lvl"), col("value"))
+        .orderBy("bucket_ns", "lvl")
+    },
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type AS lvl, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events GROUP BY bucket_ns, lvl
+         |ORDER BY bucket_ns, lvl""".stripMargin))
+
+  /** `| json a="path"` JSONPath args through the parser, with a path
+    * into an array and a numeric label filter on the second path.
+    */
+  val jsonPathsE2e: Q = Q(
+    "logql_e2e_json_paths",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      val nested = td.events.select(
+        col("ts").as("ts_ns"),
+        concat(lit("{\"a\":{\"b\":"), col("user_id"),
+          lit("},\"arr\":[1,"), col("event_id") % 100, lit("]}")).as("body"),
+        map(lit("event_type"), col("event_type")).as("labels"))
+      Planner.query(
+          """sum by (event_type) (sum_over_time({} | json ab="a.b", a1="arr[1]" | a1 > 50 | unwrap ab [1d]))""",
+          nested)
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type")
+    },
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns, event_type,
+         |  CAST(SUM(user_id) AS DOUBLE) AS value
+         |FROM events WHERE event_id % 100 > 50
+         |GROUP BY bucket_ns, event_type
+         |ORDER BY bucket_ns, event_type""".stripMargin))
+
+  /** TraceQL by()/select() pipeline through the parser. */
+  val bySelectE2e: Q = Q(
+    "traceql_e2e_by_select",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan(
+          """{ quantity > 20 } | by(linestatus) | count() > 3 | select(quantity)""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("by_value"), col("n_spans"),
+          col("agg_value"), col("quantity_sum")),
+    Some(
+      s"""WITH spans AS ($oracleSpans)
+         |SELECT trace_id, linestatus AS by_value, COUNT(*) AS n_spans,
+         |  CAST(COUNT(*) AS DOUBLE) AS agg_value,
+         |  CAST(SUM(CAST(quantity AS DECIMAL(18,4))) AS DOUBLE) AS quantity_sum
+         |FROM spans WHERE quantity > 20
+         |GROUP BY trace_id, by_value HAVING COUNT(*) > 3
+         |ORDER BY trace_id, by_value""".stripMargin))
+
+  /** `status = error` symbolic literal through the parser. */
+  val statusLiteralE2e: Q = Q(
+    "traceql_e2e_status_literal",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ status = error } | count() >= 2""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans"), col("agg_value")),
+    Some(
+      s"""WITH spans AS ($oracleSpans)
+         |SELECT trace_id, COUNT(*) AS n_spans, CAST(COUNT(*) AS DOUBLE) AS agg_value
+         |FROM spans WHERE returnflag = 'R'
+         |GROUP BY trace_id HAVING COUNT(*) >= 2
+         |ORDER BY trace_id""".stripMargin))
+
+  /** `offset` modifier through the PromQL parser: the window shifts
+    * back, the reported bucket shifts forward.
+    */
+  val offsetE2e: Q = Q(
+    "promql_e2e_offset",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""sum by (svc) (count_over_time(ev[1d] offset 1d))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"), col("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT (epoch_us(ts) + $DayUs) - (epoch_us(ts) + $DayUs) % $DayUs AS bucket_us,
+         |  CAST(user_id % 4 AS VARCHAR) AS svc, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events GROUP BY bucket_us, svc
+         |ORDER BY bucket_us, svc""".stripMargin))
+
+  /** `bool` modifier: comparison keeps every series with a 0/1 value. */
+  val boolE2e: Q = Q(
+    "promql_e2e_bool",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""count_over_time(ev[1d]) > bool 100""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT bucket_us, svc, et,
+         |  CASE WHEN n > 100 THEN 1.0 ELSE 0.0 END AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2, 3)
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** `quantile without (…) (φ, …)` — exact interpolation, grouped by
+    * dropping labels.
+    */
+  val quantileWithoutE2e: Q = Q(
+    "promql_e2e_quantile_without",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""quantile without (et) (0.9, count_over_time(ev[1d]))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT bucket_us, svc, round(quantile_cont(n, 0.9), 6) AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type,
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY 1, 2, 3)
+         |GROUP BY bucket_us, svc ORDER BY bucket_us, svc""".stripMargin))
+
+  /** `stddev by (…)` population deviation across series. */
+  val stddevE2e: Q = Q(
+    "promql_e2e_stddev",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""stddev by (svc) (count_over_time(ev[1d]))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT bucket_us, svc, round(stddev_pop(n), 6) AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type,
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY 1, 2, 3)
+         |GROUP BY bucket_us, svc ORDER BY bucket_us, svc""".stripMargin))
+
+  /** histogram_quantile() over cumulative le buckets built by exploding
+    * each sample into every bucket it falls under (classic-histogram
+    * cumulative data model), then Prometheus bucket interpolation.
+    */
+  val histQuantileE2e: Q = Q(
+    "promql_e2e_hist_quantile",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      val thresholds = Seq(10, 100, 400)
+      val les = array((thresholds.map(t =>
+        when(col("value") <= t, lit(t.toString))) :+ lit("+Inf")): _*)
+      val bucketed = td.events.select(
+        expr("ts div 1000").as("ts_us"),
+        lit("bkt").as("name"),
+        lit(1.0).as("value"),
+        explode(array_compact(les)).as("le"))
+        .select(col("ts_us"), col("name"), col("value"),
+          map(lit("le"), col("le")).as("labels"))
+      PromQL.range("""histogram_quantile(0.9, sum by (le) (count_over_time(bkt[1d])))""",
+          bucketed)
+        .select(col("bucket_us"), round(col("value"), 6).as("value"))
+        .orderBy("bucket_us")
+    },
+    Some(
+      s"""SELECT bucket_us, round(CASE
+         |    WHEN r <= c10 THEN 0.0 + (10.0 - 0.0) * (r - 0.0) / (c10 - 0.0)
+         |    WHEN r <= c100 THEN 10.0 + (100.0 - 10.0) * (r - c10) / (c100 - c10)
+         |    WHEN r <= c400 THEN 100.0 + (400.0 - 100.0) * (r - c100) / (c400 - c100)
+         |    ELSE 400.0 END, 6) AS value
+         |FROM (
+         |  SELECT bucket_us,
+         |    CAST(COUNT(*) FILTER (WHERE value <= 10) AS DOUBLE) AS c10,
+         |    CAST(COUNT(*) FILTER (WHERE value <= 100) AS DOUBLE) AS c100,
+         |    CAST(COUNT(*) FILTER (WHERE value <= 400) AS DOUBLE) AS c400,
+         |    0.9 * CAST(COUNT(*) AS DOUBLE) AS r
+         |  FROM (SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us, value
+         |        FROM events)
+         |  GROUP BY bucket_us)
+         |ORDER BY bucket_us""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(
+    patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
+    offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e)
+}

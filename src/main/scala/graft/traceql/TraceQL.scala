@@ -44,7 +44,14 @@ object TraceQL {
 
   /** {…} | agg(field?) cmp value  (count/max/min/avg/sum). */
   final case class ScalarFilter(agg: String, field: Option[FieldRef], op: String, v: Double)
-  final case class Query(spanset: SpansetExpr, scalar: Option[ScalarFilter])
+  /** Full query: spanset, then optional pipeline stages — by(field)
+    * partitioning, coalesce() (flatten, a no-op on our span-set shape),
+    * select(fields) extra projections, and the scalar HAVING
+    * (reference internal/traceql/pipeline.go:44-55).
+    */
+  final case class Query(
+      spanset: SpansetExpr, scalar: Option[ScalarFilter],
+      by: Option[FieldRef] = None, selects: Seq[FieldRef] = Nil)
 
   // ---------- parser ----------
   final case class ParseError(msg: String, pos: Int)
@@ -101,9 +108,30 @@ object TraceQL {
   def parse(q: String): Query = {
     val p = new P(q)
     val ss = parseSpanset(p)
-    val scalar = if (p.accept("|")) Some(parseScalarFilter(p)) else None
+    var scalar: Option[ScalarFilter] = None
+    var by: Option[FieldRef] = None
+    var selects = Seq.empty[FieldRef]
+    while (p.accept("|")) {
+      val save = p.i
+      p.ident() match {
+        case "by" =>
+          p.expect("("); by = Some(parseRef(p)); p.expect(")")
+        case "coalesce" =>
+          p.expect("("); p.expect(")") // flatten: no-op on our shape
+        case "select" =>
+          p.expect("(")
+          val rs = Seq.newBuilder[FieldRef]
+          rs += parseRef(p)
+          while (p.accept(",")) rs += parseRef(p)
+          p.expect(")")
+          selects = selects ++ rs.result()
+        case _ =>
+          p.i = save // an aggregate: re-parse as the scalar filter
+          scalar = Some(parseScalarFilter(p))
+      }
+    }
     if (!p.done) throw ParseError("trailing input", p.i)
-    Query(ss, scalar)
+    Query(ss, scalar, by, selects)
   }
 
   private def parseSpanset(p: P): SpansetExpr = {
@@ -159,8 +187,20 @@ object TraceQL {
     p.ws()
     val v: Static =
       if (p.peekCh == '"') SStr(p.str())
+      else if (p.peekCh.isLetter) symbolic(p.ident(), p.i)
       else p.numberOrDuration()
     FCmp(ref, op, v)
+  }
+
+  /** `status = error` / `kind = server` symbolic literals → the OTel
+    * codes (reference traceql static values; evaluater.go status/kind).
+    */
+  private def symbolic(word: String, pos: Int): Static = word match {
+    case "unset" => SNum(0); case "ok" => SNum(1); case "error" => SNum(2)
+    case "unspecified" => SNum(0); case "internal" => SNum(1)
+    case "server" => SNum(2); case "client" => SNum(3)
+    case "producer" => SNum(4); case "consumer" => SNum(5)
+    case other => throw ParseError(s"unknown symbolic value '$other'", pos)
   }
 
   private def parseRef(p: P): FieldRef = {
@@ -355,13 +395,31 @@ object TraceQL {
   /** Full query → per-trace rollup (trace_id, n_spans, agg value) with
     * the scalar HAVING applied (reference aggregator.go + scalar_filter).
     */
+  private def refName(r: FieldRef): String = r match {
+    case Intrinsic(n) => n
+    case Attr(_, n)   => n
+  }
+
   def plan(q: String, spans: DataFrame): DataFrame = {
     val ast = parse(q)
-    val matched = evalSpanset(ast.spanset, spans)
-    val base = matched.groupBy(col("trace_id"))
+    val matched0 = evalSpanset(ast.spanset, spans)
+    // by(field): the field value becomes part of the spanset identity
+    val (grouped, groupCols) = ast.by match {
+      case Some(r) =>
+        (matched0.withColumn("by_value", refCol(r))
+          .groupBy(col("trace_id"), col("by_value")),
+          Seq("trace_id", "by_value"))
+      case None => (matched0.groupBy(col("trace_id")), Seq("trace_id"))
+    }
+    // select(f): decimal-exact sum projection per selected field
+    val selAggs = ast.selects.map(r =>
+      sum(refCol(r).cast("decimal(18,4)")).cast("double")
+        .as(s"${refName(r)}_sum"))
+    val orderCols = groupCols.map(col)
     ast.scalar match {
       case None =>
-        base.agg(count(lit(1)).as("n_spans")).orderBy("trace_id")
+        grouped.agg(count(lit(1)).as("n_spans"), selAggs: _*)
+          .orderBy(orderCols: _*)
       case Some(ScalarFilter(agg, field, op, v)) =>
         val target: Column = agg match {
           case "count" => count(lit(1)).cast("double")
@@ -370,7 +428,8 @@ object TraceQL {
           case "avg"   => avg(refCol(field.get).cast("double"))
           case "sum"   => sum(refCol(field.get).cast("double"))
         }
-        val df = base.agg(count(lit(1)).as("n_spans"), target.as("agg_value"))
+        val df = grouped.agg(count(lit(1)).as("n_spans"),
+          (target.as("agg_value") +: selAggs): _*)
         val cond = op match {
           case "="  => col("agg_value") === v
           case "!=" => col("agg_value") =!= v
@@ -379,7 +438,7 @@ object TraceQL {
           case "<"  => col("agg_value") < v
           case "<=" => col("agg_value") <= v
         }
-        df.filter(cond).orderBy("trace_id")
+        df.filter(cond).orderBy(orderCols: _*)
     }
   }
 }
