@@ -275,7 +275,72 @@ object QueriesGrammar extends QueryPack {
          |  GROUP BY bucket_us)
          |ORDER BY bucket_us""".stripMargin))
 
+  /** spansView + the full intrinsic surface: statusMessage,
+    * instrumentation scope, event/link arrays, resource service.name.
+    */
+  private def richSpansView(td: Testdata): DataFrame =
+    spansView(td)
+      .withColumn("status_message",
+        when(col("status_code") === 2, lit("forced error")).otherwise(lit("")))
+      .withColumn("scope_name",
+        concat(lit("lib-"), element_at(col("attrs"), "linestatus")))
+      .withColumn("scope_version", lit("1.0"))
+      .withColumn("events", array(struct(
+        concat(lit("ev-"), element_at(col("attrs"), "linestatus")).as("name"),
+        (col("start_ns") + 1000L).as("ts_ns"))))
+      .withColumn("links", when(col("parent_span_id").isNotNull,
+        array(struct(col("trace_id").as("trace_id"),
+          col("parent_span_id").as("span_id"))))
+        .otherwise(array().cast("array<struct<trace_id:bigint,span_id:int>>")))
+      .withColumn("attrs", map_concat(col("attrs"),
+        map(lit("service.name"),
+          concat(lit("svc-"), element_at(col("attrs"), "returnflag")))))
+
+  /** statusMessage + span:parentID scoped intrinsics through the parser. */
+  val scopedIntrinsicsE2e: Q = Q(
+    "traceql_e2e_scoped_intrinsics",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ statusMessage = "forced error" && span:parentID = 1 } | count() >= 1""",
+          richSpansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans"), col("agg_value")),
+    Some(
+      s"""WITH spans AS ($oracleSpans)
+         |SELECT trace_id, COUNT(*) AS n_spans, CAST(COUNT(*) AS DOUBLE) AS agg_value
+         |FROM spans
+         |WHERE returnflag = 'R' AND span_id // 2 = 1 AND span_id > 1
+         |GROUP BY trace_id HAVING COUNT(*) >= 1
+         |ORDER BY trace_id""".stripMargin))
+
+  /** event:name and link:spanID array quantifiers through the parser. */
+  val eventLinkE2e: Q = Q(
+    "traceql_e2e_event_link",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ event:name = "ev-F" && link:spanID = 2 }""",
+          richSpansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(
+      s"""WITH spans AS ($oracleSpans)
+         |SELECT trace_id, COUNT(*) AS n_spans FROM spans
+         |WHERE linestatus = 'F' AND span_id // 2 = 2 AND span_id > 1
+         |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
+  /** rootServiceName (trace-level window) + instrumentation:name. */
+  val rootServiceE2e: Q = Q(
+    "traceql_e2e_root_service",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ rootServiceName = "svc-A" && instrumentation:name = "lib-F" }""",
+          richSpansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(
+      s"""WITH spans AS ($oracleSpans)
+         |SELECT trace_id, COUNT(*) AS n_spans FROM spans s
+         |WHERE linestatus = 'F'
+         |  AND (SELECT min('svc-' || r.returnflag) FROM spans r
+         |       WHERE r.trace_id = s.trace_id AND r.span_id = 1) = 'svc-A'
+         |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
-    offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e)
+    offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
+    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e)
 }

@@ -24,6 +24,11 @@ object TraceQL {
   sealed trait FieldRef
   final case class Intrinsic(name: String) extends FieldRef // duration,name,status,kind
   final case class Attr(scope: String, name: String) extends FieldRef
+  /** Tempo scoped-intrinsic syntax: span:id, span:parentID, trace:id,
+    * event:name, link:traceID/spanID, instrumentation:name/version
+    * (reference traceqlengine/evaluater.go:371-620).
+    */
+  final case class ScopedRef(scope: String, name: String) extends FieldRef
 
   sealed trait Static
   final case class SStr(v: String) extends Static
@@ -206,9 +211,16 @@ object TraceQL {
   private def parseRef(p: P): FieldRef = {
     p.ws()
     val first = p.ident()
-    if (p.accept(".")) Attr(first, p.ident())
-    else first match {
-      case "duration" | "name" | "status" | "kind" | "rootName" | "traceDuration" =>
+    if (p.accept(":")) ScopedRef(first, p.ident())
+    else if (p.accept(".")) {
+      // dotted attr path: resource.service.name → scope + full name
+      val parts = Seq.newBuilder[String]
+      parts += p.ident()
+      while (p.accept(".")) parts += p.ident()
+      Attr(first, parts.result().mkString("."))
+    } else first match {
+      case "duration" | "name" | "status" | "kind" | "rootName" |
+           "traceDuration" | "statusMessage" | "rootServiceName" =>
         Intrinsic(first)
       case other => Attr("span", other) // bare attr shorthand
     }
@@ -234,15 +246,56 @@ object TraceQL {
 
   // ---------- planner ----------
   private def refCol(r: FieldRef): Column = r match {
-    case Intrinsic("duration")      => col("duration_ns")
-    case Intrinsic("name")          => col("name")
-    case Intrinsic("status")        => col("status_code")
-    case Intrinsic("kind")          => col("kind")
-    case Intrinsic("rootName")      => col("__root_name")
-    case Intrinsic("traceDuration") => col("__trace_duration_ns")
-    case Intrinsic(other)           => col(other)
+    case Intrinsic("duration")        => col("duration_ns")
+    case Intrinsic("name")            => col("name")
+    case Intrinsic("status")          => col("status_code")
+    case Intrinsic("kind")            => col("kind")
+    case Intrinsic("rootName")        => col("__root_name")
+    case Intrinsic("traceDuration")   => col("__trace_duration_ns")
+    case Intrinsic("statusMessage")   => col("status_message")
+    case Intrinsic("rootServiceName") => col("__root_service")
+    case Intrinsic(other)             => col(other)
+    case ScopedRef("span", "id")         => col("span_id")
+    case ScopedRef("span", "parentID")   => col("parent_span_id")
+    case ScopedRef("span", "duration")   => col("duration_ns")
+    case ScopedRef("span", "name")       => col("name")
+    case ScopedRef("span", "kind")       => col("kind")
+    case ScopedRef("span", "status")     => col("status_code")
+    case ScopedRef("span", "statusMessage") => col("status_message")
+    case ScopedRef("trace", "id")        => col("trace_id")
+    case ScopedRef("trace", "duration")  => col("__trace_duration_ns")
+    case ScopedRef("trace", "rootName")  => col("__root_name")
+    case ScopedRef("trace", "rootService") => col("__root_service")
+    case ScopedRef("instrumentation", "name")    => col("scope_name")
+    case ScopedRef("instrumentation", "version") => col("scope_version")
+    case ScopedRef(s, n) =>
+      throw new IllegalArgumentException(s"unsupported scoped ref $s:$n")
     case Attr("resource", n)        => element_at(col("attrs"), n)
     case Attr(_, n)                 => element_at(col("attrs"), n)
+  }
+
+  /** event: and link: predicates quantify over the span's event/link
+    * arrays — ANY element matching satisfies the span
+    * (evaluater.go event/link scopes).
+    */
+  private def existsRef(scope: String, field: String,
+      test: Column => Column): Column = scope match {
+    case "event" =>
+      val f = field match {
+        case "name" => (e: Column) => e.getField("name")
+        case other =>
+          throw new IllegalArgumentException(s"unsupported event field '$other'")
+      }
+      exists(col("events"), e => test(f(e)))
+    case "link" =>
+      val f = field match {
+        case "traceID" => (e: Column) => e.getField("trace_id")
+        case "spanID"  => (e: Column) => e.getField("span_id")
+        case other =>
+          throw new IllegalArgumentException(s"unsupported link field '$other'")
+      }
+      exists(col("links"), e => test(f(e)))
+    case other => throw new IllegalArgumentException(s"no array scope '$other'")
   }
 
   /** Trace-level intrinsics computed once per trace with a window over
@@ -254,45 +307,60 @@ object TraceQL {
     spans
       .withColumn("__root_name",
         min(when(col("parent_span_id").isNull, col("name"))).over(w))
+      .withColumn("__root_service",
+        min(when(col("parent_span_id").isNull,
+          element_at(col("attrs"), "service.name"))).over(w))
       .withColumn("__trace_duration_ns",
         max(col("start_ns") + col("duration_ns")).over(w) - min(col("start_ns")).over(w))
+  }
+
+  private def traceLevelRef(r: FieldRef): Boolean = r match {
+    case Intrinsic("rootName" | "traceDuration" | "rootServiceName") => true
+    case ScopedRef("trace", _) => true
+    case _ => false
   }
 
   private def usesTraceIntrinsics(e: FieldExpr): Boolean = e match {
     case FAnd(l, r) => usesTraceIntrinsics(l) || usesTraceIntrinsics(r)
     case FOr(l, r)  => usesTraceIntrinsics(l) || usesTraceIntrinsics(r)
     case FNot(x)    => usesTraceIntrinsics(x)
-    case FCmp(Intrinsic("rootName" | "traceDuration"), _, _) => true
-    case FRe(Intrinsic("rootName" | "traceDuration"), _, _)  => true
-    case _ => false
+    case FCmp(r, _, _) => traceLevelRef(r)
+    case FRe(r, _, _)  => traceLevelRef(r)
+  }
+
+  private def cmpCol(l: Column, op: String, v: Static): Column = {
+    val r: Column = v match {
+      case SStr(s)   => lit(s)
+      case SNum(n)   => lit(n)
+      case SDurNs(n) => lit(n)
+    }
+    val lc = v match {
+      case SNum(_) => l.cast("double")
+      case _       => l
+    }
+    op match {
+      case "="  => lc === r
+      case "!=" => lc =!= r
+      case ">"  => lc > r
+      case ">=" => lc >= r
+      case "<"  => lc < r
+      case "<=" => lc <= r
+    }
   }
 
   def condCol(e: FieldExpr): Column = e match {
     case FAnd(l, r) => condCol(l) && condCol(r)
     case FOr(l, r)  => condCol(l) || condCol(r)
     case FNot(x)    => !condCol(x)
+    case FRe(ScopedRef(s @ ("event" | "link"), f), re, neg) =>
+      val c = existsRef(s, f, x => x.rlike(s"^(?:$re)$$"))
+      if (neg) !c else c
     case FRe(ref, re, neg) =>
       val c = refCol(ref).rlike(s"^(?:$re)$$")
       if (neg) !c else c
-    case FCmp(ref, op, v) =>
-      val l = refCol(ref)
-      val r: Column = v match {
-        case SStr(s)   => lit(s)
-        case SNum(n)   => lit(n)
-        case SDurNs(n) => lit(n)
-      }
-      val lc = v match {
-        case SNum(_) => l.cast("double")
-        case _       => l
-      }
-      op match {
-        case "="  => lc === r
-        case "!=" => lc =!= r
-        case ">"  => lc > r
-        case ">=" => lc >= r
-        case "<"  => lc < r
-        case "<=" => lc <= r
-      }
+    case FCmp(ScopedRef(s @ ("event" | "link"), f), op, v) =>
+      existsRef(s, f, x => cmpCol(x, op, v))
+    case FCmp(ref, op, v) => cmpCol(refCol(ref), op, v)
   }
 
   /** Max ancestry depth materialized for `>>` (real traces nest far
