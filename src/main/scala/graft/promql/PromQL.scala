@@ -27,7 +27,10 @@ object PromQL {
   sealed trait Expr
   final case class Instant(sel: Selector) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeNs: Long,
-      offsetNs: Long = 0L) extends Expr
+      offsetNs: Long = 0L, param: Option[Double] = None) extends Expr
+  /** Math/label function call: fn(inner, numArgs…/strArgs…). */
+  final case class FnCall(fn: String, inner: Expr,
+      nums: Seq[Double] = Nil, strs: Seq[String] = Nil) extends Expr
   final case class Agg(op: String, by: Seq[String], without: Seq[String],
       k: Option[Int], param: Option[Double], inner: Expr) extends Expr
   final case class Bin(op: String, lhs: Expr, rhs: Expr,
@@ -43,9 +46,14 @@ object PromQL {
 
   private val rangeFns = Set("rate", "increase", "delta", "irate",
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
-    "max_over_time", "last_over_time")
+    "max_over_time", "last_over_time", "first_over_time",
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
+    "quantile_over_time")
   private val aggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "quantile", "topk", "bottomk")
+  private val mathFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
+    "log2", "log10", "clamp", "clamp_min", "clamp_max", "sort", "sort_desc",
+    "label_replace", "label_join")
 
   final class P(input: String) {
     var i = 0
@@ -152,15 +160,29 @@ object PromQL {
         val inner = parseExpr(p)
         p.expect(")")
         HistQuantile(phi, inner)
+      } else if (mathFns(name)) {
+        p.ident(); p.expect("(")
+        val inner = parseExpr(p)
+        val nums = Seq.newBuilder[Double]
+        val strs = Seq.newBuilder[String]
+        while (p.accept(",")) {
+          p.ws()
+          if (p.peekCh == '"') strs += p.str() else nums += p.number()
+        }
+        p.expect(")")
+        FnCall(name, inner, nums.result(), strs.result())
       } else if (rangeFns(name)) {
         p.ident(); p.expect("(")
+        val param = if (name == "quantile_over_time") {
+          val v = p.number(); p.expect(","); Some(v)
+        } else None
         val sel = parseSelector(p)
         p.expect("[")
         val r = p.duration()
         p.expect("]")
         val off = if (p.peekIdent == "offset") { p.ident(); p.duration() } else 0L
         p.expect(")")
-        RangeFn(name, sel, r, off)
+        RangeFn(name, sel, r, off, param)
       } else if (aggOps(name)) {
         p.ident()
         var by = Seq.empty[String]
@@ -264,7 +286,7 @@ object PromQL {
 
   private def planRange(e: Expr, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame = e match {
-    case RangeFn(fn, sel, rangeNs, offsetNs) =>
+    case RangeFn(fn, sel, rangeNs, offsetNs, param) =>
       val rangeUs = rangeNs / 1000
       val offsetUs = offsetNs / 1000
       // offset shifts the working timestamps forward so every bucket
@@ -341,6 +363,12 @@ object PromQL {
             case "min_over_time"   => min(col("value"))
             case "max_over_time"   => max(col("value"))
             case "last_over_time"  => max_by(col("value"), col("ts_us"))
+            case "first_over_time" => min_by(col("value"), col("ts_us"))
+            case "stddev_over_time" => stddev_pop(col("value"))
+            case "stdvar_over_time" => var_pop(col("value"))
+            case "present_over_time" => first(lit(1.0))
+            case "quantile_over_time" =>
+              percentile(col("value"), lit(param.getOrElse(0.5)))
           }
           base.groupBy(col("__stream"), col("bucket_us"))
             .agg(v.as("value"), first(col("labels")).as("labels"))
@@ -421,6 +449,46 @@ object PromQL {
         else
           joined.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
       } else joined.select(col("bucket_us"), col("labels"), v.as("value"))
+
+    case FnCall(fn, inner, nums, strs) =>
+      val in = planRange(inner, points, stepUs)
+      def num(i: Int): Column = lit(nums(i))
+      fn match {
+        case "abs"   => in.withColumn("value", abs(col("value")))
+        case "ceil"  => in.withColumn("value", ceil(col("value")).cast("double"))
+        case "floor" => in.withColumn("value", floor(col("value")).cast("double"))
+        case "sqrt"  => in.withColumn("value", sqrt(col("value")))
+        case "exp"   => in.withColumn("value", exp(col("value")))
+        case "ln"    => in.withColumn("value", log(col("value")))
+        case "log2"  => in.withColumn("value", log2(col("value")))
+        case "log10" => in.withColumn("value", log10(col("value")))
+        case "clamp" =>
+          in.withColumn("value", least(greatest(col("value"), num(0)), num(1)))
+        case "clamp_min" => in.withColumn("value", greatest(col("value"), num(0)))
+        case "clamp_max" => in.withColumn("value", least(col("value"), num(0)))
+        case "sort"      => in.orderBy(col("bucket_us"), col("value"))
+        case "sort_desc" => in.orderBy(col("bucket_us"), col("value").desc)
+        case "label_replace" =>
+          // label_replace(v, dst, replacement, src, regex): dst set only
+          // when regex matches the ENTIRE src value (Prometheus rule)
+          val Seq(dst, repl, src, re) = strs
+          val srcVal = coalesce(try_element_at(col("labels"), lit(src)), lit(""))
+          val anchored = s"^(?:$re)$$"
+          val newVal = regexp_replace(srcVal, anchored, repl)
+          in.withColumn("labels",
+            when(srcVal.rlike(anchored), map_concat(
+              map_filter(col("labels"), (k, _) => k =!= dst),
+              map(lit(dst), newVal))).otherwise(col("labels")))
+        case "label_join" =>
+          val dst = strs.head
+          val sep = strs(1)
+          val srcVals = strs.drop(2).map(s =>
+            coalesce(try_element_at(col("labels"), lit(s)), lit("")))
+          in.withColumn("labels", map_concat(
+            map_filter(col("labels"), (k, _) => k =!= dst),
+            map(lit(dst), concat_ws(sep, srcVals: _*))))
+        case other => throw new IllegalArgumentException(s"function $other")
+      }
 
     case HistQuantile(phi, inner) =>
       // classic-histogram quantile over cumulative le buckets

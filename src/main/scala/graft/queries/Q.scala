@@ -69,6 +69,7 @@ object Registry {
     QueriesMatching,
     QueriesErrorsTemplates,
     QueriesGrammar,
+    QueriesPromFns,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown

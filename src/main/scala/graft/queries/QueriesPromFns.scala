@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.promql.PromQL
+import graft.sources.Testdata
+
+/** PromQL function surface through the parser: math/clamp functions,
+  * label_replace/label_join, and the extended *_over_time family.
+  */
+object QueriesPromFns extends QueryPack {
+
+  private val DayUs = 86400000000L
+
+  private def pointsView(td: Testdata): DataFrame =
+    td.events.select(
+      expr("ts div 1000").as("ts_us"),
+      lit("ev").as("name"),
+      col("value"),
+      map(
+        lit("svc"), (col("user_id") % 4).cast("string"),
+        lit("et"), col("event_type")).as("labels"))
+
+  /** clamp(sqrt(·)) composition — identical IEEE shapes both sides. */
+  val mathFns: Q = Q(
+    "promql_e2e_math_fns",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""clamp(sqrt(sum by (svc) (count_over_time(ev[1d]))), 10, 50)""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT bucket_us, svc,
+         |  round(least(greatest(sqrt(n), 10.0), 50.0), 6) AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY 1, 2)
+         |ORDER BY bucket_us, svc""".stripMargin))
+
+  /** label_replace + label_join rewrite the label map (full-match rule). */
+  val labelFns: Q = Q(
+    "promql_e2e_label_fns",
+    (s: SparkSession, dir: String) =>
+      PromQL.range(
+          """label_join(label_replace(sum by (svc) (count_over_time(ev[1d])), "env", "zone-$1", "svc", "(.*)"), "combo", "|", "svc", "env")""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "env").as("env"),
+          element_at(col("labels"), "combo").as("combo"), col("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT bucket_us, svc, 'zone-' || svc AS env,
+         |  svc || '|' || 'zone-' || svc AS combo, CAST(n AS DOUBLE) AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |ORDER BY bucket_us, svc""".stripMargin))
+
+  /** quantile_over_time × present_over_time — the extended over-time
+    * family through the parser; present contributes exactly 1.0 per
+    * live series, so the product must equal the median alone.
+    */
+  val overtimeExt: Q = Q(
+    "promql_e2e_overtime_ext",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""quantile_over_time(0.5, ev[1d]) * present_over_time(ev[1d])""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |  CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+         |  round(quantile_cont(value, 0.5) * 1.0, 6) AS value
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** stddev_over_time per series. */
+  val stddevOverTime: Q = Q(
+    "promql_e2e_stddev_over_time",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""stddev_over_time(ev[1d])""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |  CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+         |  round(stddev_pop(value), 6) AS value
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(mathFns, labelFns, overtimeExt, stddevOverTime)
+}
