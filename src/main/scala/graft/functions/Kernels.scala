@@ -216,6 +216,49 @@ object Kernels {
     out.toList
   }
 
+  /** RE2 → Java regex compatibility shim. The reference engines match
+    * with Go's RE2; Java's Pattern is a near-superset, but three RE2
+    * idioms break outright and are translated here:
+    *   - `(?P<name>…)` named groups → `(?<name>…)`
+    *   - POSIX classes `[:alpha:]` etc. → `\p{…}` equivalents
+    *   - a `{` that does not open a valid quantifier is a LITERAL in
+    *     RE2 but a PatternSyntaxException in Java → escaped
+    * Java-only extensions (backreferences, lookaround) simply never
+    * occur in RE2 input, so the superset direction needs no handling.
+    */
+  def re2ToJava(re: String): String = {
+    val posix = Map(
+      "alpha" -> "\\p{Alpha}", "digit" -> "\\p{Digit}",
+      "alnum" -> "\\p{Alnum}", "upper" -> "\\p{Upper}",
+      "lower" -> "\\p{Lower}", "space" -> "\\p{Space}",
+      "punct" -> "\\p{Punct}", "xdigit" -> "\\p{XDigit}",
+      "cntrl" -> "\\p{Cntrl}", "graph" -> "\\p{Graph}",
+      "print" -> "\\p{Print}", "blank" -> "\\p{Blank}",
+      "word" -> "\\w")
+    var s = re.replace("(?P<", "(?<")
+    for ((k, v) <- posix) s = s.replace(s"[:$k:]", v)
+    val quant = java.util.regex.Pattern.compile("\\{\\d+(,\\d*)?\\}")
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val esc = s.charAt(i + 1)
+        out.append(c).append(esc); i += 2
+        // \p{Alpha} / \P{L}: the braces belong to the class name
+        if ((esc == 'p' || esc == 'P') && i < s.length && s.charAt(i) == '{') {
+          val close = s.indexOf('}', i)
+          val end = if (close < 0) s.length else close + 1
+          out.append(s.substring(i, end)); i = end
+        }
+      } else if (c == '{' &&
+          !quant.matcher(s).region(i, s.length).lookingAt()) {
+        out.append("\\{"); i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Compile a Loki `pattern` expression (`<_> <method> <status>`) to an
     * anchored Java regex with named groups g0..gN; returns (regex,
     * capture names in order). Literal text between captures is quoted

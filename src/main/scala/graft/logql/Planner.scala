@@ -51,7 +51,10 @@ object Planner {
       extraLabels.foldLeft(col("labels"))((acc, m) => map_concat(acc, m))
   }
 
-  private def anchored(re: String): String = s"^(?:$re)$$"
+  /** Full-match anchor + RE2→Java compat (reference engines match with
+    * Go's RE2; Kernels.re2ToJava translates the incompatible idioms).
+    */
+  private def anchored(re: String): String = s"^(?:${Kernels.re2ToJava(re)})$$"
 
   def matcherCol(m: Matcher, resolve: String => Column): Column = {
     val l = resolve(m.label)
@@ -80,7 +83,7 @@ object Planner {
       val conds = needles.map { v =>
         op match {
           case MatchEq | MatchNeq  => col("body").contains(v)
-          case MatchRe | MatchNotRe => col("body").rlike(v)
+          case MatchRe | MatchNotRe => col("body").rlike(Kernels.re2ToJava(v))
         }
       }
       val any = conds.reduce(_ || _)
@@ -159,8 +162,8 @@ object Planner {
         idx.get(k).map(i => regexp_extract(col("body"), regex, i + 1))) :: ctx.extractors)
 
     case RegexpStage(pattern) =>
-      // Go (?P<name>) → Java (?<name>); capture names in order
-      val javaRe = pattern.replace("(?P<", "(?<")
+      // full RE2→Java shim (incl. (?P<name>) → (?<name>)); names in order
+      val javaRe = Kernels.re2ToJava(pattern)
       val names = "\\(\\?<([A-Za-z_][A-Za-z0-9_]*)>".r
         .findAllMatchIn(javaRe).map(_.group(1)).toList
       val idx = names.zipWithIndex.toMap

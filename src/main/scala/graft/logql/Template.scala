@@ -123,7 +123,8 @@ object Template {
       case "replace" => // replace old new .v
         replace(value, lit(strArg(args(0))), lit(strArg(args(1))))
       case "regexReplaceAll" => // regexReplaceAll "re" .v "repl"
-        regexp_replace(atom(args(1), resolve), strArg(args(0)), strArg(args(2)))
+        regexp_replace(atom(args(1), resolve),
+          graft.functions.Kernels.re2ToJava(strArg(args(0))), strArg(args(2)))
       case "bytes"    => GraftFunctions.parse_bytes(value).cast("string")
       case "duration" => GraftFunctions.parse_duration(value).cast("string")
       case "b64enc"   => base64(value.cast("binary"))
@@ -173,7 +174,8 @@ object Template {
     case "replace" =>
       replace(piped, lit(strArg(args(0))), lit(strArg(args(1))))
     case "regexReplaceAll" => // .v | regexReplaceAll "re" "repl"
-      regexp_replace(piped, strArg(args(0)), strArg(args(1)))
+      regexp_replace(piped,
+        graft.functions.Kernels.re2ToJava(strArg(args(0))), strArg(args(1)))
     case "bytes"    => GraftFunctions.parse_bytes(piped).cast("string")
     case "duration" => GraftFunctions.parse_duration(piped).cast("string")
     case "b64enc"   => base64(piped.cast("binary"))

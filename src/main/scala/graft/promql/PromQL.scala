@@ -241,8 +241,8 @@ object PromQL {
       val c = m.op match {
         case "="  => l === m.value
         case "!=" => l =!= m.value
-        case "=~" => l.rlike(s"^(?:${m.value})$$")
-        case "!~" => !l.rlike(s"^(?:${m.value})$$")
+        case "=~" => l.rlike(s"^(?:${Kernels.re2ToJava(m.value)})$$")
+        case "!~" => !l.rlike(s"^(?:${Kernels.re2ToJava(m.value)})$$")
       }
       acc && c
     }

@@ -339,8 +339,31 @@ object QueriesGrammar extends QueryPack {
          |       WHERE r.trace_id = s.trace_id AND r.span_id = 1) = 'svc-A'
          |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
+  /** RE2 syntax through the shim: POSIX classes and a literal `{` that
+    * Java would reject — DuckDB matches with RE2 natively, so the
+    * oracle uses the raw RE2 patterns.
+    */
+  val re2E2e: Q = Q(
+    "logql_e2e_re2",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """sum by (event_type) (count_over_time({event_type=~"[[:lower:]]+"} |~ `"k": [[:digit:]][[:digit:]]` |~ "^{" [1d]))""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events
+         |WHERE regexp_matches(event_type, '^(?:[[:lower:]]+)$$')
+         |  AND regexp_matches(props, '"k": [[:digit:]][[:digit:]]')
+         |  AND regexp_matches(props, '^{')
+         |GROUP BY bucket_ns, event_type
+         |ORDER BY bucket_ns, event_type""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
-    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e)
+    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e)
 }

@@ -353,10 +353,10 @@ object TraceQL {
     case FOr(l, r)  => condCol(l) || condCol(r)
     case FNot(x)    => !condCol(x)
     case FRe(ScopedRef(s @ ("event" | "link"), f), re, neg) =>
-      val c = existsRef(s, f, x => x.rlike(s"^(?:$re)$$"))
+      val c = existsRef(s, f, x => x.rlike(s"^(?:${Kernels.re2ToJava(re)})$$"))
       if (neg) !c else c
     case FRe(ref, re, neg) =>
-      val c = refCol(ref).rlike(s"^(?:$re)$$")
+      val c = refCol(ref).rlike(s"^(?:${Kernels.re2ToJava(re)})$$")
       if (neg) !c else c
     case FCmp(ScopedRef(s @ ("event" | "link"), f), op, v) =>
       existsRef(s, f, x => cmpCol(x, op, v))

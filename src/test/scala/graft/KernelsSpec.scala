@@ -106,4 +106,18 @@ class KernelsSpec extends AnyFunSuite {
     assert(promQuantile(-0.1, v).isNegInfinity)
     assert(promQuantile(1.1, v).isPosInfinity)
   }
+
+  test("re2ToJava: named groups, POSIX classes, literal braces") {
+    assert(re2ToJava("(?P<x>a+)b") == "(?<x>a+)b")
+    assert(re2ToJava("[[:digit:]]{2}") == "[\\p{Digit}]{2}")
+    assert(re2ToJava("a{") == "a\\{")
+    assert(re2ToJava("^{") == "^\\{")
+    assert(re2ToJava("a{2,3}") == "a{2,3}")
+    assert(re2ToJava("a{2,}") == "a{2,}")
+    assert(re2ToJava("\\p{L}{2}") == "\\p{L}{2}")
+    assert(re2ToJava("\\{x\\}") == "\\{x\\}")
+    // translated POSIX class actually compiles and matches in Java
+    assert("123".matches(re2ToJava("[[:digit:]]+")))
+    assert("{a}".matches(re2ToJava("{a}")))
+  }
 }
