@@ -26,14 +26,14 @@ object Layout {
   // the dynamic-partition writer requires rows clustered by partition
   // columns and would otherwise inject its own re-sort, destroying the
   // ORDER BY layout.
-  def writeLogs(logs: DataFrame, path: String): Unit = {
+  def writeLogs(logs: DataFrame, path: String, mode: String = "overwrite"): Unit = {
     val withDate = logs.withColumn("date",
       date_format(timestamp_micros(expr("ts_ns div 1000")), "yyyyMMdd"))
     val hasTraceId = logs.columns.contains("trace_id")
     val base = withDate
       .repartition(col("date"))
       .sortWithinPartitions(col("date"), col("severity_number"), col("service_name"), col("ts_ns"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("date")
     val withBloom =
       if (hasTraceId)

@@ -151,4 +151,60 @@ object Streams {
         col("hist_sum").as("value"), lit(2).as("mapping"))
     gauges.unionAll(histCounts).unionAll(histSums)
   }
+
+  /** Exponential-histogram + summary decomposition — the streaming path
+    * for the two record shapes decomposePoints leaves out (reference
+    * inserter_metrics.go exp-hist/summary flattening into
+    * metrics_exp_histograms / summary points):
+    *   - exp-hist: zero-count row (mapping 10) + one row per positive
+    *     bucket (mapping 11) with bucket_idx = offset + position and
+    *     the scale carried alongside
+    *   - summary: one row per (quantile, value) pair (mapping 20)
+    * posexplode keeps the flattening distributed and codegen'd.
+    */
+  def decomposeExpHist(records: DataFrame): DataFrame = {
+    val base = records.select(
+      col("timestamp"), col("name"),
+      xxhash64(col("name"), col("attrs")).as("hash"),
+      col("exp_scale"), col("exp_zerocount"),
+      col("exp_positive_offset"), col("exp_positive_counts"),
+      col("summary_quantiles"))
+    val zeros = base.filter(col("exp_zerocount").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("exp_zerocount").cast("double").as("value"),
+        lit(10).as("mapping"), lit(null).cast("int").as("bucket_idx"),
+        col("exp_scale").as("scale"))
+    val buckets = base.filter(col("exp_positive_counts").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"), col("exp_scale"),
+        col("exp_positive_offset"),
+        posexplode(col("exp_positive_counts")).as(Seq("pos", "cnt")))
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("cnt").cast("double").as("value"), lit(11).as("mapping"),
+        (col("exp_positive_offset") + col("pos")).cast("int").as("bucket_idx"),
+        col("exp_scale").as("scale"))
+    val summaries = base.filter(col("summary_quantiles").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"),
+        explode(col("summary_quantiles")).as("qv"))
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("qv.value").as("value"), lit(20).as("mapping"),
+        (col("qv.q") * 100).cast("int").as("bucket_idx"),
+        lit(null).cast("int").as("scale"))
+    zeros.unionAll(buckets).unionAll(summaries)
+  }
+
+  /** Batched log inserter: wires an unbounded log stream into the
+    * MergeTree-analogue Layout via foreachBatch — each micro-batch
+    * appends date-partitioned, ORDER BY-sorted parquet, which is
+    * exactly the reference's batched inserter shape
+    * (inserter_logs.go batching → MergeTree part per insert).
+    */
+  def logsSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Layout.writeLogs(batch, path, mode = "append")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -83,6 +83,47 @@ class StreamsSpec extends SparkTestBase {
     assert(last.toSeq == Seq(("cpu", 3L, 300L), ("mem", 1L, 100L)))
   }
 
+  test("decomposeExpHist flattens exp-hist buckets and summary quantiles") {
+    val df = Seq(
+      // exp-hist record: scale 2, zerocount 5, buckets [3,0,7] at offset 4
+      (ts(0), "lat", "a=1", Some(2), Some(9L), Some(4), Some(Seq(3L, 0L, 7L)),
+        None: Option[Seq[(Double, Double)]]),
+      // summary record: q50=1.5, q99=9.9
+      (ts(1), "lat", "a=1", None: Option[Int], None: Option[Long],
+        None: Option[Int], None: Option[Seq[Long]], Some(Seq((0.5, 1.5), (0.99, 9.9))))
+    ).toDF("timestamp", "name", "attrs", "exp_scale", "exp_zerocount",
+      "exp_positive_offset", "exp_positive_counts", "summary_quantiles")
+      .withColumn("summary_quantiles",
+        col("summary_quantiles").cast("array<struct<q:double,value:double>>"))
+    val out = Streams.decomposeExpHist(df)
+      .select("mapping", "bucket_idx", "value")
+      .orderBy("mapping", "bucket_idx")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (10, -1, 9.0),                       // zero-count row
+      (11, 4, 3.0), (11, 5, 0.0), (11, 6, 7.0), // positive buckets at offset
+      (20, 50, 1.5), (20, 99, 9.9)))       // summary quantiles
+  }
+
+  test("logsSink appends date-partitioned sorted parquet per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[(Long, String, Int, String)](spark)
+    val logs = input.toDF().toDF("ts_ns", "body", "severity_number", "service_name")
+    // two days of data — must land in two date= partitions
+    val day1 = 1704103200000000000L // 2024-01-01T10:00Z in ns
+    val day2 = day1 + 86400000000000L
+    input.addData((day1, "a", 9, "api"), (day1 + 1000L, "b", 17, "api"),
+      (day2, "c", 5, "web"))
+    val query = Streams.logsSink(logs, s"$dir/logs", s"$dir/ckpt")
+    query.processAllAvailable()
+    query.stop()
+    val back = spark.read.parquet(s"$dir/logs")
+    assert(back.count() == 3)
+    assert(back.select("date").distinct().count() == 2)
+    assert(back.filter(col("date") === "20240102")
+      .select("body").as[String].collect().toSeq == Seq("c"))
+  }
+
   test("decomposePoints flattens histogram records into mapped sub-series") {
     val df = Seq(
       (ts(0), "latency", "a=1", Some(0.5), None: Option[Long], None: Option[Double]),
