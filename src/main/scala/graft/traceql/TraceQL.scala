@@ -387,24 +387,30 @@ object TraceQL {
       .filter(col("anc").isNotNull)
       .distinct() // physical span rows may repeat in the testdata
       .persist()
-    var levels = List(edges)
-    var frontier = edges
-    var depth = 1
-    var done = false
-    while (!done && depth < MaxAncestorDepth) {
-      val next = frontier.alias("a").join(edges.alias("b"),
+    def step(f: DataFrame): DataFrame =
+      f.alias("a").join(edges.alias("b"),
           col("a.trace_id") === col("b.trace_id") &&
             col("a.anc") === col("b.span_id"))
         .select(col("a.trace_id").as("trace_id"),
           col("a.span_id").as("span_id"), col("b.anc").as("anc"))
-        .persist()
-      if (next.isEmpty) { next.unpersist(); done = true }
-      else { levels ::= next; frontier = next; depth += 1 }
+    // unroll four levels LAZILY — one plan, the edge exchange reused —
+    // then probe emptiness once; only trees deeper than 4 pay for an
+    // eager per-level loop
+    val l2 = step(edges)
+    val l3 = step(l2)
+    val l4 = step(l3).persist()
+    var levels = List(edges, l2, l3, l4)
+    var frontier = l4
+    var depth = 4
+    var done = false
+    while (!done && depth < MaxAncestorDepth) {
+      if (frontier.isEmpty) done = true
+      else {
+        val next = step(frontier).persist()
+        levels ::= next; frontier = next; depth += 1
+      }
     }
-    val closure = levels.reduce(_ unionAll _).persist()
-    closure.count() // materialize before dropping the per-level caches
-    levels.foreach(_.unpersist(blocking = false))
-    closure
+    levels.reduce(_ unionAll _)
   }
 
   /** Spanset evaluation → matching spans. Structural results follow the
