@@ -35,6 +35,12 @@ object Ast {
     */
   case object UnpackStage extends Stage
   case object LogfmtStage extends Stage
+  /** `| logfmt [--strict] [--keep-empty] [dst="src", bare…]` —
+    * flagged/param form (reference pipeline.go logfmt flags + exprs).
+    */
+  final case class LogfmtExprStage(
+      params: Seq[(String, String)], strict: Boolean,
+      keepEmpty: Boolean) extends Stage
   case object DecolorizeStage extends Stage
   final case class PatternStage(pattern: String) extends Stage
   final case class RegexpStage(pattern: String) extends Stage

@@ -205,7 +205,37 @@ object Parser {
         case _ => JsonStage
       }
     case TIdent("unpack", _)     => UnpackStage
-    case TIdent("logfmt", _)     => LogfmtStage
+    case TIdent("logfmt", _) =>
+      var strict = false
+      var keepEmpty = false
+      var flags = true
+      while (flags && p.acceptOp("-")) {
+        p.expectOp("-")
+        p.ident() match {
+          case "strict"     => strict = true
+          case "keep"       => // lexed as keep-empty → "keep" "-" "empty"
+            p.expectOp("-"); if (p.ident() != "empty")
+              throw ParseError("unknown logfmt flag", p.peek.pos)
+            keepEmpty = true
+          case other => throw ParseError(s"unknown logfmt flag --$other", p.peek.pos)
+        }
+        flags = p.peek match { case TOp("-", _) => true; case _ => false }
+      }
+      val params = Seq.newBuilder[(String, String)]
+      p.peek match {
+        case TIdent(_, _) =>
+          var done = false
+          while (!done) {
+            val name = p.ident()
+            val src = if (p.acceptOp("=")) p.str() else name
+            params += (name -> src)
+            if (!p.acceptOp(",")) done = true
+          }
+        case _ => ()
+      }
+      val ps = params.result()
+      if (ps.isEmpty && !strict && !keepEmpty) LogfmtStage
+      else LogfmtExprStage(ps, strict, keepEmpty)
     case TIdent("decolorize", _) => DecolorizeStage
     case TIdent("pattern", _)    => PatternStage(p.str())
     case TIdent("regexp", _)     => RegexpStage(p.str())

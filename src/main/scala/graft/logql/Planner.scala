@@ -152,6 +152,38 @@ object Planner {
         extractors = ((k: String) =>
           Some(GraftFunctions.logfmt_get(col("body"), lit(k)))) :: ctx.extractors)
 
+    case LogfmtExprStage(params, strict, keepEmpty) =>
+      // --strict: a whitespace token without '=' marks the row
+      // __error__=LogfmtParserErr (heuristic form of the reference's
+      // strict parse; quoted-space values are out of this subset)
+      val errMap =
+        if (strict) {
+          val valid = forall(split(col("body"), " "),
+            t => t === "" || t.contains("="))
+          when(!valid, map(lit("__error__"), lit("LogfmtParserErr")))
+            .otherwise(map())
+        } else map()
+      def srcCol(src: String): Column =
+        GraftFunctions.logfmt_get(col("body"), lit(src))
+      val labelMap =
+        if (params.isEmpty) map()
+        else {
+          val entries = params.flatMap { case (dst, src) =>
+            Seq(lit(dst), srcCol(src)) }
+          val m = map(entries: _*)
+          // --keep-empty keeps `key=` as an empty-string label;
+          // default drops empties (Loki behavior)
+          if (keepEmpty)
+            map_filter(m, (_, v) => v.isNotNull)
+          else map_filter(m, (_, v) => v.isNotNull && v =!= "")
+        }
+      ctx.copy(
+        extractors = ((k: String) =>
+          params.collectFirst { case (d, s) if d == k => srcCol(s) }
+            .orElse(if (params.isEmpty) Some(srcCol(k)) else None))
+          :: ctx.extractors,
+        extraLabels = labelMap :: errMap :: ctx.extraLabels)
+
     case DecolorizeStage =>
       ctx.copy(df = ctx.df.withColumn("body", GraftFunctions.decolorize(col("body"))))
 

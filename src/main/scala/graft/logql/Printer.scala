@@ -49,6 +49,13 @@ object Printer {
     case PatternLineFilter(pat, neg) =>
       s"${if (neg) "!>" else "|>"} ${quote(pat)}"
     case LogfmtStage     => "| logfmt"
+    case LogfmtExprStage(ps, strict, keepEmpty) =>
+      val flags = (if (strict) " --strict" else "") +
+        (if (keepEmpty) " --keep-empty" else "")
+      val args = if (ps.isEmpty) ""
+        else " " + ps.map { case (d, s) =>
+          if (d == s) d else s"$d=${quote(s)}" }.mkString(", ")
+      s"| logfmt$flags$args"
     case DecolorizeStage => "| decolorize"
     case PatternStage(p) => s"| pattern ${quote(p)}"
     case RegexpStage(p)  => s"| regexp ${quote(p)}"

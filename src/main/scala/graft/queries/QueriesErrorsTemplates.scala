@@ -88,6 +88,58 @@ object QueriesErrorsTemplates extends QueryPack {
          |FROM events GROUP BY bucket_ns, tier
          |ORDER BY bucket_ns, tier""".stripMargin))
 
+  private def logfmtView(td: Testdata): DataFrame =
+    td.events.select(
+      col("ts").as("ts_ns"),
+      concat(lit("uid="), col("user_id"), lit(" t="), col("event_type")).as("body"),
+      map(lit("job"), lit("fmt")).as("labels"))
+
+  /** `| logfmt dst="src"` param form through the parser: renamed
+    * extraction becomes the stream label.
+    */
+  val logfmtParams: Q = Q(
+    "logql_e2e_logfmt_params",
+    (s: SparkSession, dir: String) =>
+      Planner.query("""sum by (u2) (count_over_time({} | logfmt u2="uid" [1d]))""",
+          logfmtView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "u2").as("u2"), col("value"))
+        .orderBy("bucket_ns", "u2"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  CAST(user_id AS VARCHAR) AS u2, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events GROUP BY bucket_ns, u2
+         |ORDER BY bucket_ns, u2""".stripMargin))
+
+  /** `| logfmt --strict` labels malformed rows LogfmtParserErr, rows
+    * kept (error-propagation contract).
+    */
+  val logfmtStrict: Q = Q(
+    "logql_e2e_logfmt_strict",
+    (s: SparkSession, dir: String) => {
+      // corruption keyed on user_id: raw-ns keys diverge from the
+      // oracle (DuckDB truncates TIMESTAMP(NANOS) to µs)
+      val td = Testdata(s, dir)
+      val broken = td.events.select(
+        col("ts").as("ts_ns"),
+        concat(lit("uid="), col("user_id"), lit(" t="), col("event_type"),
+          when(col("user_id") % 3 === 0, " <<<").otherwise("")).as("body"),
+        map(lit("job"), lit("fmt")).as("labels"))
+      Planner.query("""sum by (__error__) (count_over_time({} | logfmt --strict [1d]))""",
+          broken)
+        .select(col("bucket_ns"),
+          coalesce(try_element_at(col("labels"), lit("__error__")), lit("ok")).as("err"),
+          col("value"))
+        .orderBy("bucket_ns", "err")
+    },
+    Some(
+      s"""SELECT bucket_ns, err, CAST(COUNT(*) AS DOUBLE) AS value FROM (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |    CASE WHEN user_id % 3 = 0 THEN 'LogfmtParserErr' ELSE 'ok' END AS err
+         |  FROM events)
+         |GROUP BY bucket_ns, err ORDER BY bucket_ns, err""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
-    errorPropagation, lineFormatFuncs, labelFormatTemplate)
+    errorPropagation, lineFormatFuncs, labelFormatTemplate,
+    logfmtParams, logfmtStrict)
 }
