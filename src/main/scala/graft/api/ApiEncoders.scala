@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTTP API response encoders — the reference's user surface
+  * (internal/lokihandler, promhandler, tempohandler JSON shapes),
+  * re-expressed Spark-first: everything per-series/per-trace is built
+  * DISTRIBUTED with column expressions (to_json + concat assembly for
+  * the heterogenous [ts, "value"] pairs JSON needs), and only the
+  * final envelope — one row per series, bounded by series cardinality,
+  * not sample volume — is assembled on the driver.
+  *
+  * Value rendering uses Spark's double→string form; Go's strconv
+  * renders some floats differently (e.g. exponents) — a presentation
+  * nuance, not a data one.
+  */
+object ApiEncoders {
+
+  /** One JSON object per series: {"metric":{…},"values":[[sec,"v"],…]}
+    * from metric rows (tsCol, labels, value); tsDivToSec converts the
+    * bucket column to integer unix seconds (e.g. 1e9 for ns buckets).
+    */
+  def matrixSeries(df: DataFrame, tsCol: String, tsDivToSec: Long): DataFrame = {
+    val pair = (p: Column) => concat(
+      lit("["), p.getField("t"), lit(",\""), p.getField("v").cast("string"), lit("\"]"))
+    df.groupBy(col("labels"))
+      .agg(sort_array(collect_list(struct(
+        expr(s"$tsCol div $tsDivToSec").as("t"), col("value").as("v")))).as("pts"))
+      .select(concat(
+        lit("{\"metric\":"), to_json(col("labels")),
+        lit(",\"values\":["),
+        concat_ws(",", transform(col("pts"), pair)),
+        lit("]}")).as("series_json"))
+      .orderBy("series_json")
+  }
+
+  /** Loki /loki/api/v1/query_range matrix envelope. */
+  def lokiMatrix(df: DataFrame, tsCol: String = "bucket_ns",
+      tsDivToSec: Long = 1000000000L): String =
+    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec))
+
+  /** Prometheus /api/v1/query_range matrix envelope (µs buckets). */
+  def promMatrix(df: DataFrame, tsCol: String = "bucket_us"): String =
+    envelope("matrix", matrixSeries(df, tsCol, 1000000L))
+
+  /** Loki streams result for log queries: rows (ts_ns, body, labels) →
+    * {"stream":{…},"values":[["<ns>","line"],…]} per stream.
+    */
+  def lokiStreams(df: DataFrame): String = {
+    // ["<ns>","line"] is a homogeneous string pair → to_json escapes
+    // the log line correctly
+    val pair = (p: Column) =>
+      to_json(array(p.getField("t").cast("string"), p.getField("line")))
+    val series = df.groupBy(col("labels"))
+      .agg(sort_array(collect_list(struct(
+        col("ts_ns").as("t"), col("body").as("line")))).as("pts"))
+      .select(concat(
+        lit("{\"stream\":"), to_json(col("labels")),
+        lit(",\"values\":["),
+        concat_ws(",", transform(col("pts"), pair)),
+        lit("]}")).as("series_json"))
+      .orderBy("series_json")
+    envelope("streams", series)
+  }
+
+  /** Tempo /api/search response from per-trace rollups
+    * (trace_id, root_name, root_service, start_ns, duration_ns).
+    */
+  def tempoSearch(df: DataFrame): String = {
+    val traces = df.select(to_json(struct(
+        format_string("%016x", col("trace_id")).as("traceID"),
+        col("root_service").as("rootServiceName"),
+        col("root_name").as("rootTraceName"),
+        col("start_ns").cast("string").as("startTimeUnixNano"),
+        (col("duration_ns") / lit(1000000.0)).as("durationMs"))).as("j"))
+      .orderBy("j")
+      .collect().map(_.getString(0))
+    s"""{"traces":[${traces.mkString(",")}]}"""
+  }
+
+  private def envelope(resultType: String, series: DataFrame): String = {
+    val rows = series.collect().map(_.getString(0)) // one row PER SERIES
+    s"""{"status":"success","data":{"resultType":"$resultType","result":[${rows.mkString(",")}]}}"""
+  }
+}

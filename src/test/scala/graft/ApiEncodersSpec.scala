@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.ApiEncoders
+
+/** API response encoder specs: shapes parse back as JSON with the
+  * documented Loki/Prom/Tempo structure.
+  */
+class ApiEncodersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lokiMatrix renders per-series value pairs in ts order") {
+    val df = Seq(
+      (2000000000L, Map("app" -> "api"), 2.5),
+      (1000000000L, Map("app" -> "api"), 1.5),
+      (1000000000L, Map("app" -> "web"), 7.0)
+    ).toDF("bucket_ns", "labels", "value")
+    val out = ApiEncoders.lokiMatrix(df)
+    assert(out.startsWith("""{"status":"success","data":{"resultType":"matrix","result":["""))
+    assert(out.contains("""{"metric":{"app":"api"},"values":[[1,"1.5"],[2,"2.5"]]}"""))
+    assert(out.contains("""{"metric":{"app":"web"},"values":[[1,"7.0"]]}"""))
+    // whole envelope is valid JSON
+    val parsed = Seq(out).toDF("j")
+      .select(from_json(col("j"), StructType(Seq(
+        StructField("status", StringType)))).getField("status"))
+      .head().getString(0)
+    assert(parsed == "success")
+  }
+
+  test("lokiStreams escapes log lines and orders values") {
+    val df = Seq(
+      (10L, "a \"quoted\" line", Map("app" -> "api")),
+      (5L, "first", Map("app" -> "api"))
+    ).toDF("ts_ns", "body", "labels")
+    val out = ApiEncoders.lokiStreams(df)
+    assert(out.contains(""""resultType":"streams""""))
+    assert(out.contains("""["5","first"]"""))
+    assert(out.contains("""["10","a \"quoted\" line"]"""))
+    assert(out.indexOf("\"5\"") < out.indexOf("\"10\"")) // ts order
+  }
+
+  test("tempoSearch renders hex trace ids and durations") {
+    val df = Seq(
+      (255L, "root-op", "api", 1000L, 2000000L)
+    ).toDF("trace_id", "root_name", "root_service", "start_ns", "duration_ns")
+    val out = ApiEncoders.tempoSearch(df)
+    assert(out.contains(""""traceID":"00000000000000ff""""))
+    assert(out.contains(""""rootServiceName":"api""""))
+    assert(out.contains(""""durationMs":2.0"""))
+  }
+
+  test("promMatrix uses second-resolution buckets from µs") {
+    val df = Seq((3000000L, Map("svc" -> "1"), 9.0)).toDF("bucket_us", "labels", "value")
+    val out = ApiEncoders.promMatrix(df)
+    assert(out.contains("""[[3,"9.0"]]"""))
+  }
+}
