@@ -47,6 +47,11 @@ object Ast {
   final case class LabelFilterStage(pred: LabelPredicate) extends Stage
   final case class KeepStage(labels: Seq[String]) extends Stage
   final case class DropStage(labels: Seq[String]) extends Stage
+  /** `| drop lbl="value", other` — value-conditional drops: the label
+    * is removed only where its value matches; None = always
+    * (reference pipeline.go drop with matchers).
+    */
+  final case class DropValuesStage(items: Seq[(String, Option[String])]) extends Stage
   final case class DistinctStage(labels: Seq[String]) extends Stage
   /** label_format renames only (templates are line_format's job). */
   final case class LabelFormatStage(renames: Seq[(String, String)]) extends Stage

@@ -248,7 +248,18 @@ object Parser {
       }
       UnwrapStage(lbl, conv)
     case TIdent("keep", _)  => KeepStage(identList(p))
-    case TIdent("drop", _)  => DropStage(identList(p))
+    case TIdent("drop", _) =>
+      val items = Seq.newBuilder[(String, Option[String])]
+      var done = false
+      while (!done) {
+        val name = p.ident()
+        val v = if (p.acceptOp("=")) Some(p.str()) else None
+        items += (name -> v)
+        if (!p.acceptOp(",")) done = true
+      }
+      val is = items.result()
+      if (is.forall(_._2.isEmpty)) DropStage(is.map(_._1))
+      else DropValuesStage(is)
     case TIdent("distinct", _) => DistinctStage(identList(p))
     case TIdent("label_format", _) =>
       val rs = Seq.newBuilder[(String, String)]

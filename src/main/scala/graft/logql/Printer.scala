@@ -62,6 +62,11 @@ object Printer {
     case LabelFilterStage(p) => s"| ${printPred(p)}"
     case KeepStage(ls)   => s"| keep ${ls.mkString(", ")}"
     case DropStage(ls)   => s"| drop ${ls.mkString(", ")}"
+    case DropValuesStage(items) =>
+      s"| drop ${items.map {
+        case (l, Some(v)) => s"$l=${quote(v)}"
+        case (l, None)    => l
+      }.mkString(", ")}"
     case DistinctStage(ls) => s"| distinct ${ls.mkString(", ")}"
     case LabelFormatStage(rs) =>
       s"| label_format ${rs.map { case (d, src) => s"$d=$src" }.mkString(", ")}"

@@ -139,7 +139,26 @@ object QueriesErrorsTemplates extends QueryPack {
          |  FROM events)
          |GROUP BY bucket_ns, err ORDER BY bucket_ns, err""".stripMargin))
 
+  /** `| drop lbl="value"` value-conditional drop through the parser:
+    * only the matching streams lose the label.
+    */
+  val dropValues: Q = Q(
+    "logql_e2e_drop_values",
+    (s: SparkSession, dir: String) =>
+      Planner.query("""sum by (user_id) (count_over_time({} | drop user_id="7" [1d]))""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          coalesce(try_element_at(col("labels"), lit("user_id")), lit("none")).as("user_id"),
+          col("value"))
+        .orderBy("bucket_ns", "user_id"),
+    Some(
+      s"""SELECT bucket_ns, user_id, CAST(COUNT(*) AS DOUBLE) AS value FROM (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |    CASE WHEN user_id = 7 THEN 'none' ELSE CAST(user_id AS VARCHAR) END AS user_id
+         |  FROM events)
+         |GROUP BY bucket_ns, user_id ORDER BY bucket_ns, user_id""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     errorPropagation, lineFormatFuncs, labelFormatTemplate,
-    logfmtParams, logfmtStrict)
+    logfmtParams, logfmtStrict, dropValues)
 }

@@ -157,8 +157,47 @@ object QueriesPromQLMore extends QueryPack {
       .orderBy("depth", "path")
   }
 
+  /** Flame-graph DIFF: baseline vs comparison window totals per stack
+    * path, full-outer joined — the Pyroscope diff view (reference
+    * profilehandler diff rendering). Decimal-exact totals, single
+    * subtraction, co-partitioned on path.
+    */
+  val flameDiff: Q = q(
+    "profileql_flame_diff",
+    """SELECT COALESCE(a.path, b.path) AS path,
+      |  CAST(COALESCE(a.t, 0) AS DOUBLE) AS base_total,
+      |  CAST(COALESCE(b.t, 0) AS DOUBLE) AS comp_total,
+      |  CAST(COALESCE(b.t, 0) - COALESCE(a.t, 0) AS DOUBLE) AS delta
+      |FROM (
+      |  SELECT l_returnflag || ';p' || CAST(l_partkey % 5 AS VARCHAR) AS path,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS t
+      |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1) a
+      |FULL OUTER JOIN (
+      |  SELECT l_returnflag || ';p' || CAST(l_partkey % 5 AS VARCHAR) AS path,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS t
+      |  FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1) b
+      |ON a.path = b.path
+      |ORDER BY path""".stripMargin
+  ) { td =>
+    def side(status: String) = td.lineitem
+      .filter(col("l_linestatus") === status)
+      .groupBy(concat(col("l_returnflag"), lit(";p"),
+        (col("l_partkey") % 5).cast("string")).as("path"))
+      .agg(sum(col("l_quantity").cast(Det.DecT)).as("t"))
+    val zero = lit(0).cast(Det.DecT)
+    side("F").alias("a").join(side("O").alias("b"),
+        col("a.path") === col("b.path"), "full_outer")
+      .select(
+        coalesce(col("a.path"), col("b.path")).as("path"),
+        coalesce(col("a.t"), zero).cast("double").as("base_total"),
+        coalesce(col("b.t"), zero).cast("double").as("comp_total"),
+        (coalesce(col("b.t"), zero) - coalesce(col("a.t"), zero))
+          .cast("double").as("delta"))
+      .orderBy("path")
+  }
+
   override def queries: Seq[Q] = Seq(
     sumByRate, groupLeft, exemplars, expHistogramMerge,
-    profileSelector, flameTree
+    profileSelector, flameTree, flameDiff
   )
 }

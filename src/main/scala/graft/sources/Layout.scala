@@ -61,6 +61,21 @@ object Layout {
     * (service, start); bucketing-ready on trace_id for shuffle-free
     * structural joins (reference _golden/schema.traces_spans.sql).
     */
+  /** Spans bucketed on trace_id: every structural TraceQL op is a
+    * self-join keyed on trace_id, and bucketing makes those joins
+    * SHUFFLE-FREE — HashPartitioning(trace_id) satisfies the join's
+    * clustered distribution even when the equi-keys are a superset
+    * (trace_id + parent/span ids). The 100 TB deployment writes spans
+    * this way once; LayoutSpec asserts the exchange-free plan.
+    */
+  def writeSpansBucketed(spans: DataFrame, table: String, path: String,
+      buckets: Int = 32): Unit =
+    spans.write.mode("overwrite")
+      .bucketBy(buckets, "trace_id")
+      .sortBy("trace_id", "span_id")
+      .option("path", path)
+      .saveAsTable(table)
+
   def writeSpans(spans: DataFrame, path: String): Unit =
     spans
       .withColumn("date",

@@ -43,6 +43,37 @@ class LayoutSpec extends SparkTestBase {
     assert(sorted == sorted.sorted, "rows not sorted within partition")
   }
 
+  test("bucketed span tables self-join with NO exchange") {
+    val dir = Files.createTempDirectory("graftbuckets").toString
+    val td = Testdata(spark, "/root/testdata/sf0.001")
+    val spans = td.lineitem.select(
+      col("l_orderkey").as("trace_id"),
+      col("l_linenumber").as("span_id"),
+      when(col("l_linenumber") > 1, floor(col("l_linenumber") / 2).cast("int"))
+        .as("parent_span_id"),
+      col("l_quantity").as("quantity"))
+    Layout.writeSpansBucketed(spans, "spans_bucketed_spec", s"$dir/spans", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: at 100 TB neither side broadcasts,
+      // and bucketing is what removes the shuffle; subset-of-join-keys
+      // co-partitioning needs requireAllClusterKeysForCoPartition=false
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val t = spark.table("spans_bucketed_spec")
+      val joined = t.alias("p").join(t.alias("c"),
+        expr("p.trace_id = c.trace_id AND c.parent_span_id = p.span_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed structural join must be shuffle-free, got:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.sql("DROP TABLE IF EXISTS spans_bucketed_spec")
+    }
+  }
+
   test("detectLogFormat classifies json / logfmt / klog / raw") {
     val df = Seq(
       """{"level": "error", "msg": "boom", "k": 1}""",
