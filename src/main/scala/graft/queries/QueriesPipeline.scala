@@ -72,5 +72,64 @@ object QueriesPipeline extends QueryPack {
       .limit(10)
   }
 
-  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk)
+  /** IVF-style ANN — the scale path beyond brute force: a coarse
+    * quantizer (every 50th vector as a centroid) partitions the corpus
+    * into inverted lists; the query probes ONLY its nearest centroid's
+    * list. Assignment is one broadcast-centroid pass (linear, no n²);
+    * at 100 TB the assignment is materialized at ingest and the probe
+    * reads one list ≈ corpus/K. Rounding to 6 decimals before ranking
+    * absorbs formula-shape ulp differences; (sim, id) ordering makes
+    * the ranks total.
+    */
+  val annIvf: Q = q(
+    "pipe_ann_ivf",
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS sim
+      |  FROM embeddings e, cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM sims)
+      |  WHERE rn = 1),
+      |qcid AS (SELECT cid FROM assigned WHERE vec_id = 0),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe), 6) AS sim
+      |FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id, qcid, qv
+      |WHERE a.cid = qcid.cid
+      |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+  ) { td =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = td.embeddings
+    def d(c: Column): Column = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, e) => acc + e)
+    def cos(x: Column, y: Column): Column =
+      round(dot(x, y) / sqrt(dot(x, x) * dot(y, y)), 6)
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        col("cid"), cos(d(col("embedding")), d(col("ce"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val qcid = assigned.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    assigned
+      .join(broadcast(qcid), col("cid") === col("qcid"), "inner") // probe ONE list
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cos(d(col("embedding")), d(col("qe"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk, annIvf)
 }
