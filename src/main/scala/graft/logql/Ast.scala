@@ -102,6 +102,11 @@ object Ast {
       groupSide: Option[String], include: Seq[String])
   final case class BinOp(op: String, lhs: MetricExpr, rhs: MetricExpr,
       matching: Option[VectorMatch] = None) extends MetricExpr
+  /** label_replace / label_join over a metric expr (Loki supports the
+    * Prometheus label functions; logqlengine label fns).
+    */
+  final case class LabelFnExpr(fn: String, inner: MetricExpr,
+      strs: Seq[String]) extends MetricExpr
   final case class ScalarLit(v: Double) extends MetricExpr
 
   sealed trait Expr

@@ -1,0 +1,45 @@
+package graft.logql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kernels
+
+/** label_replace / label_join shared by the LogQL and PromQL planners
+  * (both languages expose them; reference logqlengine + vendored
+  * engine). Pure label-map rewrites — no shuffle, stays in the
+  * projection pipeline.
+  */
+object LabelFns {
+
+  /** label_replace(v, dst, replacement, src, regex): dst set only when
+    * regex matches the ENTIRE src value (Prometheus rule; RE2 shimmed).
+    */
+  def labelReplace(in: DataFrame, strs: Seq[String]): DataFrame = {
+    val Seq(dst, repl, src, re) = strs
+    val srcVal = coalesce(try_element_at(col("labels"), lit(src)), lit(""))
+    val anchored = s"^(?:${Kernels.re2ToJava(re)})$$"
+    val newVal = regexp_replace(srcVal, anchored, repl)
+    in.withColumn("labels",
+      when(srcVal.rlike(anchored), map_concat(
+        map_filter(col("labels"), (k, _) => k =!= dst),
+        map(lit(dst), newVal))).otherwise(col("labels")))
+  }
+
+  /** label_join(v, dst, sep, src...): dst = src values joined by sep. */
+  def labelJoin(in: DataFrame, strs: Seq[String]): DataFrame = {
+    val dst = strs.head
+    val sep = strs(1)
+    val srcVals: Seq[Column] = strs.drop(2).map(s =>
+      coalesce(try_element_at(col("labels"), lit(s)), lit("")))
+    in.withColumn("labels", map_concat(
+      map_filter(col("labels"), (k, _) => k =!= dst),
+      map(lit(dst), concat_ws(sep, srcVals: _*))))
+  }
+
+  def apply(fn: String, in: DataFrame, strs: Seq[String]): DataFrame = fn match {
+    case "label_replace" => labelReplace(in, strs)
+    case "label_join"    => labelJoin(in, strs)
+    case other => throw new IllegalArgumentException(s"label fn $other")
+  }
+}

@@ -128,7 +128,8 @@ object Parser {
     val p = new P(lex(input))
     val e = p.peek match {
       case TOp("{", _) => LogExpr(parseLogQuery(p))
-      case TIdent(name, _) if rangeOps(name) || vectorOps(name) =>
+      case TIdent(name, _) if rangeOps(name) || vectorOps(name) ||
+          name == "label_replace" || name == "label_join" =>
         MetricExprTop(parseMetric(p))
       case TNum(_, _, _) => MetricExprTop(parseMetric(p))
       case t => throw ParseError("expected selector or metric function", t.pos)
@@ -397,6 +398,13 @@ object Parser {
 
   private def parseMetricAtom(p: P): MetricExpr = p.peek match {
     case TNum(v, _, _) => p.next(); ScalarLit(v)
+    case TIdent(fn @ ("label_replace" | "label_join"), _) =>
+      p.next(); p.expectOp("(")
+      val inner = parseMetric(p)
+      val strs = Seq.newBuilder[String]
+      while (p.acceptOp(",")) strs += p.str()
+      p.expectOp(")")
+      LabelFnExpr(fn, inner, strs.result())
     case TIdent(name, _) if rangeOps(name) =>
       p.next(); p.expectOp("(")
       val param = if (name == "quantile_over_time") {

@@ -492,6 +492,9 @@ object Planner {
           }
       }
 
+    case LabelFnExpr(fn, inner, strs) =>
+      LabelFns(fn, planMetric(inner, logs, stepNs), strs)
+
     case ScalarLit(v) =>
       throw new IllegalArgumentException("bare scalar is not a vector query")
   }

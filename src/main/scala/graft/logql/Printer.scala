@@ -121,6 +121,8 @@ object Printer {
         s" $kw(${vm.labels.mkString(", ")})$grp"
       }.getOrElse("")
       s"${printMetric(l)} $op$mod ${printMetric(r)}"
+    case LabelFnExpr(fn, inner, strs) =>
+      s"$fn(${printMetric(inner)}, ${strs.map(quote).mkString(", ")})"
     case ScalarLit(v) =>
       if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString
   }

@@ -468,25 +468,8 @@ object PromQL {
         case "clamp_max" => in.withColumn("value", least(col("value"), num(0)))
         case "sort"      => in.orderBy(col("bucket_us"), col("value"))
         case "sort_desc" => in.orderBy(col("bucket_us"), col("value").desc)
-        case "label_replace" =>
-          // label_replace(v, dst, replacement, src, regex): dst set only
-          // when regex matches the ENTIRE src value (Prometheus rule)
-          val Seq(dst, repl, src, re) = strs
-          val srcVal = coalesce(try_element_at(col("labels"), lit(src)), lit(""))
-          val anchored = s"^(?:$re)$$"
-          val newVal = regexp_replace(srcVal, anchored, repl)
-          in.withColumn("labels",
-            when(srcVal.rlike(anchored), map_concat(
-              map_filter(col("labels"), (k, _) => k =!= dst),
-              map(lit(dst), newVal))).otherwise(col("labels")))
-        case "label_join" =>
-          val dst = strs.head
-          val sep = strs(1)
-          val srcVals = strs.drop(2).map(s =>
-            coalesce(try_element_at(col("labels"), lit(s)), lit("")))
-          in.withColumn("labels", map_concat(
-            map_filter(col("labels"), (k, _) => k =!= dst),
-            map(lit(dst), concat_ws(sep, srcVals: _*))))
+        case "label_replace" | "label_join" =>
+          graft.logql.LabelFns(fn, in, strs)
         case other => throw new IllegalArgumentException(s"function $other")
       }
 

@@ -158,7 +158,27 @@ object QueriesErrorsTemplates extends QueryPack {
          |  FROM events)
          |GROUP BY bucket_ns, user_id ORDER BY bucket_ns, user_id""".stripMargin))
 
+  /** label_replace through the LOGQL parser (Loki exposes the
+    * Prometheus label fns; planner shares graft.logql.LabelFns).
+    */
+  val labelReplaceE2e: Q = Q(
+    "logql_e2e_label_replace",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """label_replace(sum by (event_type) (count_over_time({}[1d])), "etype", "E-$1", "event_type", "(.*)")""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"),
+          element_at(col("labels"), "etype").as("etype"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, 'E-' || event_type AS etype,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events GROUP BY bucket_ns, event_type
+         |ORDER BY bucket_ns, event_type""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     errorPropagation, lineFormatFuncs, labelFormatTemplate,
-    logfmtParams, logfmtStrict, dropValues)
+    logfmtParams, logfmtStrict, dropValues, labelReplaceE2e)
 }
