@@ -52,6 +52,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
   }
 
+  test("PARSED group_left also broadcasts the one side") {
+    val p = planOf("logql_e2e_group_left")
+    assert(p.contains("BroadcastHashJoin"),
+      s"VectorMatching must broadcast the one side:\n$p")
+  }
+
+  test("sliding step fan-out adds no shuffle beyond the aggregations") {
+    val p = planOf("logql_rate_sliding")
+    // explode(sequence) is a generator in the scan pipeline — the only
+    // exchanges are the two aggregation shuffles (range agg + sum by)
+    // plus AQE reads; no fan-out-induced repartition
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("Generate"), "fan-out should be a Generate (explode)")
+  }
+
+  test("IVF probe broadcasts centroids and the single-list filter") {
+    val p = planOf("pipe_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cartesian allowed")
+  }
+
   test("native expressions run inside whole-stage codegen") {
     val p = finalPlanOf("logql_ip_filter")
     // the Filter carrying ip_match must be inside a codegen stage (*(n) prefix)
