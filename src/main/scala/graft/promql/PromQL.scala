@@ -28,6 +28,11 @@ object PromQL {
   final case class Instant(sel: Selector) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeNs: Long,
       offsetNs: Long = 0L, param: Option[Double] = None) extends Expr
+  /** Subquery form: fn(expr[range:step]) — the inner expr evaluates on
+    * its own step grid, the outer *_over_time aggregates those points.
+    */
+  final case class RangeSub(fn: String, inner: Expr, rangeNs: Long,
+      stepNs: Long, offsetNs: Long = 0L, param: Option[Double] = None) extends Expr
   /** Math/label function call: fn(inner, numArgs…/strArgs…). */
   final case class FnCall(fn: String, inner: Expr,
       nums: Seq[Double] = Nil, strs: Seq[String] = Nil) extends Expr
@@ -176,13 +181,19 @@ object PromQL {
         val param = if (name == "quantile_over_time") {
           val v = p.number(); p.expect(","); Some(v)
         } else None
-        val sel = parseSelector(p)
+        val inner = parseExpr(p)
         p.expect("[")
         val r = p.duration()
+        val subStep = if (p.accept(":")) Some(p.duration()) else None
         p.expect("]")
         val off = if (p.peekIdent == "offset") { p.ident(); p.duration() } else 0L
         p.expect(")")
-        RangeFn(name, sel, r, off, param)
+        (inner, subStep) match {
+          case (Instant(sel), None) => RangeFn(name, sel, r, off, param)
+          case (sub, Some(st))      => RangeSub(name, sub, r, st, off, param)
+          case (_, None) =>
+            throw ParseError("subquery needs an explicit step ([range:step])", p.i)
+        }
       } else if (aggOps(name)) {
         p.ident()
         var by = Seq.empty[String]
@@ -449,6 +460,38 @@ object PromQL {
         else
           joined.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
       } else joined.select(col("bucket_us"), col("labels"), v.as("value"))
+
+    case RangeSub(fn, inner, rangeNs, stepNs, offsetNs, param) =>
+      // inner evaluates on ITS step grid (sliding fan-out); the outer
+      // over-time treats those step points as samples on a tumbling
+      // outer grid — the vendored engine's subquery shape
+      val rangeUs = rangeNs / 1000
+      val pts0 = planRange(inner, points, Some(stepNs / 1000))
+        .withColumnRenamed("bucket_us", "ts_us")
+      val pts = if (offsetNs == 0) pts0
+        else pts0.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
+      val base = pts
+        .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
+        .withColumn("__stream", to_json(array_sort(map_entries(col("labels")))))
+      val v: Column = fn match {
+        case "count_over_time" => count(lit(1)).cast("double")
+        case "sum_over_time"   => sum(col("value"))
+        case "avg_over_time"   => avg(col("value"))
+        case "min_over_time"   => min(col("value"))
+        case "max_over_time"   => max(col("value"))
+        case "last_over_time"  => max_by(col("value"), col("ts_us"))
+        case "first_over_time" => min_by(col("value"), col("ts_us"))
+        case "stddev_over_time" => stddev_pop(col("value"))
+        case "stdvar_over_time" => var_pop(col("value"))
+        case "present_over_time" => first(lit(1.0))
+        case "quantile_over_time" =>
+          percentile(col("value"), lit(param.getOrElse(0.5)))
+        case other =>
+          throw new IllegalArgumentException(s"$other over a subquery is unsupported")
+      }
+      base.groupBy(col("__stream"), col("bucket_us"))
+        .agg(v.as("value"), first(col("labels")).as("labels"))
+        .select(col("bucket_us"), col("labels"), col("value"))
 
     case FnCall(fn, inner, nums, strs) =>
       val in = planRange(inner, points, stepUs)

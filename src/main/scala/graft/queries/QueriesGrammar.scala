@@ -362,8 +362,27 @@ object QueriesGrammar extends QueryPack {
          |GROUP BY bucket_ns, event_type
          |ORDER BY bucket_ns, event_type""".stripMargin))
 
+  /** parent-scope refs through the parser: condition on the parent
+    * span's attributes via a co-partitioned self-join.
+    */
+  val parentScopeE2e: Q = Q(
+    "traceql_e2e_parent_scope",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ parent.returnflag = "R" && quantity > 40 }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(
+      s"""WITH spans AS (SELECT l_orderkey AS trace_id, l_linenumber AS span_id,
+         |  CASE WHEN l_linenumber > 1 THEN l_linenumber // 2 END AS parent_span_id,
+         |  l_returnflag AS returnflag, l_quantity AS quantity FROM lineitem)
+         |SELECT c.trace_id, COUNT(*) AS n_spans
+         |FROM spans c JOIN spans p
+         |  ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+         |WHERE p.returnflag = 'R' AND c.quantity > 40
+         |GROUP BY c.trace_id ORDER BY c.trace_id""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
-    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e)
+    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e)
 }

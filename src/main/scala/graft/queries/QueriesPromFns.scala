@@ -100,5 +100,29 @@ object QueriesPromFns extends QueryPack {
          |FROM events GROUP BY 1, 2, 3
          |ORDER BY bucket_us, svc, et""".stripMargin))
 
-  override def queries: Seq[Q] = Seq(mathFns, labelFns, overtimeExt, stddevOverTime)
+  /** Subquery: daily max of 6h counts per svc — the inner evaluates on
+    * its own (end-labeled) 6h step grid, the outer over-time tumbles
+    * those points by day.
+    */
+  val subquery: Q = {
+    val H6 = 21600000000L
+    Q(
+      "promql_e2e_subquery",
+      (s: SparkSession, dir: String) =>
+        PromQL.range("""max_over_time(sum by (svc) (count_over_time(ev[6h]))[1d:6h])""",
+            pointsView(Testdata(s, dir)))
+          .select(col("bucket_us"),
+            element_at(col("labels"), "svc").as("svc"), col("value"))
+          .orderBy("bucket_us", "svc"),
+      Some(
+        s"""SELECT s6 - s6 % $DayUs AS bucket_us, svc, CAST(MAX(n) AS DOUBLE) AS value
+           |FROM (
+           |  SELECT ((epoch_us(ts) + ${H6 - 1}) // $H6) * $H6 AS s6,
+           |    CAST(user_id % 4 AS VARCHAR) AS svc, COUNT(*) AS n
+           |  FROM events GROUP BY s6, svc)
+           |GROUP BY bucket_us, svc ORDER BY bucket_us, svc""".stripMargin))
+  }
+
+  override def queries: Seq[Q] =
+    Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery)
 }

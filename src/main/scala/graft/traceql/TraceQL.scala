@@ -270,8 +270,38 @@ object TraceQL {
     case ScopedRef("instrumentation", "version") => col("scope_version")
     case ScopedRef(s, n) =>
       throw new IllegalArgumentException(s"unsupported scoped ref $s:$n")
+    case Attr("parent", n)          => element_at(col("__parent_attrs"), n)
+    case ScopedRef("parent", "id")  => col("__parent_sid")
+    case ScopedRef("parent", "name") => col("__parent_name")
+    case ScopedRef("parent", "duration") => col("__parent_duration_ns")
+    case ScopedRef("parent", "status")   => col("__parent_status")
     case Attr("resource", n)        => element_at(col("attrs"), n)
     case Attr(_, n)                 => element_at(col("attrs"), n)
+  }
+
+  private def usesParentScope(e: FieldExpr): Boolean = e match {
+    case FAnd(l, r) => usesParentScope(l) || usesParentScope(r)
+    case FOr(l, r)  => usesParentScope(l) || usesParentScope(r)
+    case FNot(x)    => usesParentScope(x)
+    case FCmp(Attr("parent", _) | ScopedRef("parent", _), _, _) => true
+    case FRe(Attr("parent", _) | ScopedRef("parent", _), _, _)  => true
+    case _ => false
+  }
+
+  /** parent-scope refs join each span to its parent row — keyed on
+    * trace_id so the join co-partitions (evaluater.go parent scope).
+    */
+  private def withParentColumns(spans: DataFrame): DataFrame = {
+    val parents = spans.select(
+      col("trace_id").as("__p_tid"), col("span_id").as("__parent_sid"),
+      col("name").as("__parent_name"),
+      col("duration_ns").as("__parent_duration_ns"),
+      col("status_code").as("__parent_status"),
+      col("attrs").as("__parent_attrs"))
+    spans.join(parents,
+      spans("trace_id") === parents("__p_tid") &&
+        spans("parent_span_id") === parents("__parent_sid"), "left")
+      .drop("__p_tid")
   }
 
   /** event: and link: predicates quantify over the span's event/link
@@ -419,7 +449,8 @@ object TraceQL {
     */
   def evalSpanset(e: SpansetExpr, spans: DataFrame): DataFrame = e match {
     case SFilter(cond) =>
-      val in = if (usesTraceIntrinsics(cond)) withTraceIntrinsics(spans) else spans
+      val in0 = if (usesTraceIntrinsics(cond)) withTraceIntrinsics(spans) else spans
+      val in = if (usesParentScope(cond)) withParentColumns(in0) else in0
       in.filter(condCol(cond))
         .select(spans.columns.map(col): _*) // shed helper columns
     case SStructural(op, lhs, rhs) =>
