@@ -371,6 +371,47 @@ object Planner {
       grid.join(present, Seq("bucket_ns"), "left_anti")
         .select(col("bucket_ns"), map().as("labels"), lit(1.0).as("value"))
 
+    case RangeAgg("rate_counter", q, rangeNs, offsetNs, _) =>
+      // Prometheus extrapolatedRate over unwrapped values with
+      // counter-reset correction (reference logqlmetric/
+      // aggregator.go:81-89 + prom_math.go:31-104), all in ns
+      val ctx = evalLog(q, logs)
+      val v = unwrap(ctx)
+      val bucketed = stepNs match {
+        case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
+        case None =>
+          val shifted = col("ts_ns") + lit(offsetNs)
+          ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rangeNs)))
+      }
+      val base = bucketed
+        .withColumn("__stream", to_json(map_entries(ctx.labelsCol)))
+        .withColumn("__labels", ctx.labelsCol)
+        .withColumn("__v", v)
+      val wLag = Window.partitionBy(col("__stream"), col("bucket_ns"))
+        .orderBy(col("ts_ns"), col("body"))
+      val winStart: Column =
+        if (stepNs.isDefined) col("bucket_ns") - lit(rangeNs) else col("bucket_ns")
+      val st = base
+        .withColumn("__prev", lag(col("__v"), 1).over(wLag))
+        .groupBy(col("__stream"), col("bucket_ns"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("ts_ns")).as("first_ts"),
+          max(col("ts_ns")).as("last_ts"),
+          min_by(col("__v"), col("ts_ns")).as("first_v"),
+          max_by(col("__v"), col("ts_ns")).as("last_v"),
+          coalesce(sum(when(col("__v") < col("__prev"), col("__prev"))
+            .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"),
+          first(col("__labels")).as("labels"))
+        .filter(col("n") >= 2)
+      val resultValue = col("last_v") - col("first_v") + col("corr")
+      val factor = graft.queries.PromMath.extrapolation(
+        col("first_ts"), col("last_ts"), winStart, col("n"), resultValue,
+        col("first_v"), counterZeroClamp = true, rangeUs = rangeNs,
+        tickPerSec = 1e9)
+      st.select(col("bucket_ns"), col("labels"),
+        (resultValue * factor / (rangeNs / 1e9)).as("value"))
+
     case RangeAgg(op, q, rangeNs, offsetNs, param) =>
       val ctx = evalLog(q, logs)
       val streamKey = to_json(map_entries(ctx.labelsCol)).as("__stream")

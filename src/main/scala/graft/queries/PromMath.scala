@@ -20,11 +20,12 @@ object PromMath {
   def extrapolation(
       firstTsUs: Column, lastTsUs: Column, bucketUs: Column,
       n: Column, resultValue: Column, firstV: Column,
-      counterZeroClamp: Boolean, rangeUs: Long = DayUs): Column = {
-    val sampled = (lastTsUs - firstTsUs).cast("double") / 1e6
+      counterZeroClamp: Boolean, rangeUs: Long = DayUs,
+      tickPerSec: Double = 1e6): Column = {
+    val sampled = (lastTsUs - firstTsUs).cast("double") / tickPerSec
     val avg = sampled / (n - 1).cast("double")
-    val toStartRaw = (firstTsUs - bucketUs).cast("double") / 1e6
-    val toEnd = ((bucketUs + rangeUs) - lastTsUs).cast("double") / 1e6
+    val toStartRaw = (firstTsUs - bucketUs).cast("double") / tickPerSec
+    val toEnd = ((bucketUs + rangeUs) - lastTsUs).cast("double") / tickPerSec
     val toStart = if (counterZeroClamp) {
       val toZero = sampled * (firstV / resultValue)
       when(resultValue > 0 && firstV >= 0 && toZero < toStartRaw, toZero)
@@ -42,11 +43,12 @@ object PromMath {
     * counter zero-crossing clamp).
     */
   def oracleExtrapolation(
-      counterZeroClamp: Boolean, resultSql: String, rangeUs: Long = DayUs): String = {
-    val sampled = "(CAST(last_ts_us - first_ts_us AS DOUBLE) / 1e6)"
+      counterZeroClamp: Boolean, resultSql: String, rangeUs: Long = DayUs,
+      tickPerSec: String = "1e6"): String = {
+    val sampled = s"(CAST(last_ts_us - first_ts_us AS DOUBLE) / $tickPerSec)"
     val avg = s"($sampled / CAST(n - 1 AS DOUBLE))"
-    val toStartRaw = "(CAST(first_ts_us - bucket_us AS DOUBLE) / 1e6)"
-    val toEnd = s"(CAST((bucket_us + $rangeUs) - last_ts_us AS DOUBLE) / 1e6)"
+    val toStartRaw = s"(CAST(first_ts_us - bucket_us AS DOUBLE) / $tickPerSec)"
+    val toEnd = s"(CAST((bucket_us + $rangeUs) - last_ts_us AS DOUBLE) / $tickPerSec)"
     val toStart =
       if (counterZeroClamp)
         s"""(CASE WHEN $resultSql > 0 AND first_v >= 0

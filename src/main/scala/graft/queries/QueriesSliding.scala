@@ -166,6 +166,52 @@ object QueriesSliding extends QueryPack {
            |WHERE rn = 1 ORDER BY svc""".stripMargin))
   }
 
+  /** rate_counter through the parser — extrapolated rate with
+    * counter-reset correction over unwrapped json values. The view
+    * truncates ts to µs so the ns math agrees with DuckDB's
+    * TIMESTAMP(NANOS) truncation.
+    */
+  val logqlRateCounterE2e: Q = {
+    val resultSql = "(last_v - first_v + corr)"
+    Q(
+      "logql_e2e_rate_counter",
+      (s: SparkSession, dir: String) => {
+        val td = Testdata(s, dir)
+        val mview = td.events.select(
+          expr("(ts div 1000) * 1000").as("ts_ns"),
+          col("props").as("body"),
+          map(lit("event_type"), col("event_type")).as("labels"))
+        Planner.query(
+            """rate_counter({} | json | keep event_type | unwrap k [1d])""",
+            mview)
+          .select(col("bucket_ns"),
+            element_at(col("labels"), "event_type").as("event_type"),
+            col("value"))
+          .orderBy("bucket_ns", "event_type")
+      },
+      Some(
+        s"""SELECT bucket_ns, event_type,
+           |  $resultSql * ${PromMath.oracleExtrapolation(counterZeroClamp = true,
+                resultSql, rangeUs = RangeNs, tickPerSec = "1e9")} / 86400.0 AS value
+           |FROM (
+           |  SELECT event_type, bucket_ns, COUNT(*) AS n,
+           |    MIN(t) AS first_ts_us, MAX(t) AS last_ts_us, bucket_ns AS bucket_us,
+           |    ARG_MIN(k, t) AS first_v, ARG_MAX(k, t) AS last_v,
+           |    CAST(COALESCE(SUM(CAST(CASE WHEN k < prev THEN prev END AS DECIMAL(18,4))), 0) AS DOUBLE) AS corr
+           |  FROM (
+           |    SELECT event_type, k, t, bucket_ns,
+           |      lag(k) OVER (PARTITION BY event_type, bucket_ns ORDER BY t, props) AS prev
+           |    FROM (
+           |      SELECT event_type, props,
+           |        CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k,
+           |        epoch_ns(ts) AS t,
+           |        epoch_ns(ts) - epoch_ns(ts) % $RangeNs AS bucket_ns
+           |      FROM events))
+           |  GROUP BY event_type, bucket_ns)
+           |WHERE n >= 2 ORDER BY bucket_ns, event_type""".stripMargin))
+  }
+
   override def queries: Seq[Q] = Seq(
-    logqlRateSliding, promqlRateSliding, logqlQuantileE2e, promqlStaleSkip)
+    logqlRateSliding, promqlRateSliding, logqlQuantileE2e, promqlStaleSkip,
+    logqlRateCounterE2e)
 }
