@@ -579,4 +579,38 @@ object Planner {
       case Ast.LogExpr(q)       => planLog(q, logs, logLimit)
       case Ast.MetricExprTop(m) => planMetric(m, logs, stepNs)
     }
+
+  private def ranges(m: MetricExpr): Seq[Long] = m match {
+    case RangeAgg(_, _, r, _, _)  => Seq(r)
+    case VectorAgg(_, _, _, _, i) => ranges(i)
+    case BinOp(_, l, r, _)        => ranges(l) ++ ranges(r)
+    case LabelFnExpr(_, i, _)     => ranges(i)
+    case ScalarLit(_)             => Nil
+  }
+
+  /** Instant metric query at `evalTsNs` (Loki's /query endpoint):
+    * every range selector evaluates over (t-range, t]. Implemented by
+    * shifting timestamps so t lands on a tumbling-bucket boundary,
+    * planning normally, and keeping only the bucket that ends at t —
+    * one extra projection, no second evaluator. Requires all range
+    * selectors in the expression to share one range.
+    */
+  def instant(logql: String, logs: DataFrame, evalTsNs: Long): DataFrame =
+    Parser.parse(logql) match {
+      case Ast.LogExpr(_) =>
+        throw new IllegalArgumentException("instant needs a metric query")
+      case Ast.MetricExprTop(m) =>
+        val rs = ranges(m).distinct
+        require(rs.size == 1, s"instant needs one shared range, got $rs")
+        val range = rs.head
+        val delta = ((range - (evalTsNs % range)) % range + range) % range
+        val target = evalTsNs + delta - range // range-aligned by construction
+        // the -1 turns the tumbling [b, b+range) inclusion into the
+        // Prometheus (t-range, t] window at ns precision
+        val shifted = logs.withColumn("ts_ns", col("ts_ns") + lit(delta - 1))
+          .filter(col("ts_ns") >= lit(target)) // scan only the live window
+        planMetric(m, shifted, None)
+          .filter(col("bucket_ns") === target)
+          .select(lit(evalTsNs).as("ts_ns"), col("labels"), col("value"))
+    }
 }

@@ -211,7 +211,35 @@ object QueriesSliding extends QueryPack {
            |WHERE n >= 2 ORDER BY bucket_ns, event_type""".stripMargin))
   }
 
+  /** Loki instant query (/query endpoint): metric expr at one eval
+    * time, every range selector over (t-range, t]; t deliberately NOT
+    * range-aligned. The view truncates ts to µs so boundary membership
+    * agrees with DuckDB's TIMESTAMP(NANOS) truncation.
+    */
+  val logqlInstantE2e: Q = {
+    val tNs = 1704866400000000000L // 2024-01-10T06:00:00Z — mid-data, off-grid
+    Q(
+      "logql_e2e_instant",
+      (s: SparkSession, dir: String) => {
+        val td = Testdata(s, dir)
+        val mview = td.events.select(
+          expr("(ts div 1000) * 1000").as("ts_ns"),
+          col("props").as("body"),
+          map(lit("event_type"), col("event_type")).as("labels"))
+        Planner.instant("""sum by (event_type) (count_over_time({}[1d]))""",
+            mview, evalTsNs = tNs)
+          .select(col("ts_ns"),
+            element_at(col("labels"), "event_type").as("event_type"), col("value"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""SELECT $tNs AS ts_ns, event_type, CAST(COUNT(*) AS DOUBLE) AS value
+           |FROM events
+           |WHERE epoch_ns(ts) > ${tNs - RangeNs} AND epoch_ns(ts) <= $tNs
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  }
+
   override def queries: Seq[Q] = Seq(
     logqlRateSliding, promqlRateSliding, logqlQuantileE2e, promqlStaleSkip,
-    logqlRateCounterE2e)
+    logqlRateCounterE2e, logqlInstantE2e)
 }
