@@ -64,4 +64,43 @@ object KernelsPropertySpec extends Properties("Kernels") {
     Prop.forAll(Gen.asciiPrintableStr) { (s: String) =>
       validSeverity.contains(severityText(deduceSeverity(s)))
     }
+
+  // RE2 fragments a user could write: literals (incl. lone braces),
+  // POSIX classes, named groups, quantifiers, alternation
+  private val re2Fragment: Gen[String] = Gen.oneOf(
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    Gen.const("{"), Gen.const("a{2}"), Gen.const("x{1,3}"),
+    Gen.const("[[:digit:]]"), Gen.const("[[:alpha:]]+"),
+    Gen.const("(a|b)"), Gen.const("\\d+"),
+    Gen.const(".*"), Gen.const("[a-z{]"))
+
+  // noShrink: shrinking fabricates strings outside the generator (e.g.
+  // a lone "(") that are invalid RE2 to begin with; group names get
+  // unique suffixes — duplicates are invalid in RE2 too
+  property("re2ToJava: translated valid-RE2 patterns compile in Java") =
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(re2Fragment)) { frags =>
+      val re = frags.zipWithIndex.map { case (f, i) =>
+        if (i % 3 == 0) s"(?P<g$i>[a-z]+)$f" else f
+      }.mkString
+      val javaRe = re2ToJava(re)
+      scala.util.Try(java.util.regex.Pattern.compile(javaRe)).isSuccess
+    }
+
+  // mirror of the Planner.stepFanout / chsql_stepfanout grid math
+  private def fanoutSteps(ts: Long, step: Long, range: Long): Seq[Long] = {
+    val first = ((ts + step - 1) / step) * step
+    val n = range / step + 1
+    (0L until n).map(i => first + i * step).filter(_ < ts + range)
+  }
+
+  property("step fan-out: every produced step's (S-range, S] window covers ts") =
+    Prop.forAll(
+      Gen.choose(1L, 1000000L), Gen.choose(1L, 200L), Gen.choose(1L, 10L)) {
+      (ts, step, mult) =>
+        val range = step * mult
+        val steps = fanoutSteps(ts, step, range)
+        steps.nonEmpty &&
+          steps.forall(s => s >= ts && s < ts + range && s % step == 0) &&
+          steps.forall(s => ts > s - range && ts <= s)
+    }
 }
