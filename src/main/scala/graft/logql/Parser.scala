@@ -357,19 +357,36 @@ object Parser {
     PredCmp(label, op, value)
   }
 
-  def parseMetric(p: P): MetricExpr = {
-    val lhs = parseMetricAtom(p)
-    p.peek match {
-      case TOp(o @ ("+" | "-" | "*" | "/" | "%" | ">" | "<" | ">=" | "<=" | "=="), _) =>
-        p.next()
-        val m = parseMatching(p)
-        BinOp(o, lhs, parseMetric(p), m)
-      case TIdent(o @ ("and" | "or" | "unless"), _) =>
-        p.next()
-        val m = parseMatching(p)
-        BinOp(o, lhs, parseMetric(p), m)
-      case _ => lhs
+  /** Prometheus operator precedence (left-assoc except ^). */
+  private val precOf = Map(
+    "or" -> 1, "and" -> 2, "unless" -> 2,
+    ">" -> 3, "<" -> 3, ">=" -> 3, "<=" -> 3, "==" -> 3,
+    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
+
+  def parseMetric(p: P): MetricExpr = parseBin(p, 1)
+
+  /** Precedence-climbing binop parser: left-associative chains at equal
+    * precedence (a - b + c = (a-b)+c), ^ right-associative.
+    */
+  private def parseBin(p: P, minPrec: Int): MetricExpr = {
+    var lhs = parseMetricAtom(p)
+    var more = true
+    while (more) {
+      val opOpt = p.peek match {
+        case TOp(o, _) if precOf.contains(o)   => Some(o)
+        case TIdent(o, _) if precOf.contains(o) => Some(o)
+        case _ => None
+      }
+      opOpt match {
+        case Some(op) if precOf(op) >= minPrec =>
+          p.next()
+          val m = parseMatching(p)
+          val nextMin = if (op == "^") precOf(op) else precOf(op) + 1
+          lhs = BinOp(op, lhs, parseBin(p, nextMin), m)
+        case _ => more = false
+      }
     }
+    lhs
   }
 
   /** `on(..)/ignoring(..) [group_left|group_right [(include..)]]`
@@ -397,6 +414,11 @@ object Parser {
   }
 
   private def parseMetricAtom(p: P): MetricExpr = p.peek match {
+    case TOp("(", _) => // grouping
+      p.next()
+      val e = parseBin(p, 1)
+      p.expectOp(")")
+      e
     case TNum(v, _, _) => p.next(); ScalarLit(v)
     case TIdent(fn @ ("label_replace" | "label_join"), _) =>
       p.next(); p.expectOp("(")

@@ -60,7 +60,7 @@ object PromQL {
     "log2", "log10", "clamp", "clamp_min", "clamp_max", "sort", "sort_desc",
     "label_replace", "label_join")
 
-  final class P(input: String) {
+  final class P(val input: String) {
     var i = 0
     def ws(): Unit = while (i < input.length && input.charAt(i).isWhitespace) i += 1
     def accept(s: String): Boolean = {
@@ -113,23 +113,35 @@ object PromQL {
     e
   }
 
-  private def parseExpr(p: P): Expr = {
-    val lhs = parseAtom(p)
-    p.ws()
-    val ops = Seq(">=", "<=", "==", "+", "-", "*", "/", "%", ">", "<")
-    ops.find(p.accept) match {
-      case Some(op) =>
-        // modifiers sit between op and rhs: [bool] [on/ignoring …]
-        val b = if (p.peekIdent == "bool") { p.ident(); true } else false
-        val m = parseMatching(p)
-        Bin(op, lhs, parseExpr(p), m, b)
-      case None =>
-        if (Seq("and", "or", "unless").contains(p.peekIdent)) {
-          val op = p.ident()
+  /** Prometheus operator precedence (left-assoc except ^). */
+  private val precOf = Map(
+    "or" -> 1, "and" -> 2, "unless" -> 2,
+    ">=" -> 3, "<=" -> 3, "==" -> 3, ">" -> 3, "<" -> 3,
+    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
+  private val symOps = Seq(">=", "<=", "==", "+", "-", "*", "/", "%", "^", ">", "<")
+
+  private def parseExpr(p: P): Expr = parseBin(p, 1)
+
+  /** Precedence climbing: left-assoc chains at equal precedence. */
+  private def parseBin(p: P, minPrec: Int): Expr = {
+    var lhs = parseAtom(p)
+    var more = true
+    while (more) {
+      p.ws()
+      val opOpt = symOps.find(s => p.input.startsWith(s, p.i))
+        .orElse(Seq("and", "or", "unless").find(_ == p.peekIdent))
+      opOpt match {
+        case Some(op) if precOf(op) >= minPrec =>
+          if (op.head.isLetter) p.ident() else { p.i += op.length }
+          // modifiers sit between op and rhs: [bool] [on/ignoring …]
+          val b = if (p.peekIdent == "bool") { p.ident(); true } else false
           val m = parseMatching(p)
-          Bin(op, lhs, parseExpr(p), m)
-        } else lhs
+          val nextMin = if (op == "^") precOf(op) else precOf(op) + 1
+          lhs = Bin(op, lhs, parseBin(p, nextMin), m, b)
+        case _ => more = false
+      }
     }
+    lhs
   }
 
   /** `on(..)/ignoring(..) [group_left|group_right [(include..)]]`. */
@@ -156,7 +168,12 @@ object PromQL {
 
   private def parseAtom(p: P): Expr = {
     p.ws()
-    if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
+    if (p.peekCh == '(') { // grouping
+      p.expect("(")
+      val e = parseExpr(p)
+      p.expect(")")
+      e
+    } else if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
     else if (p.peekIdent.nonEmpty) {
       val name = p.peekIdent
       if (name == "histogram_quantile") {
@@ -423,8 +440,10 @@ object PromQL {
             .select(col("bucket_us"), col("labels"), col("value"))
       }
 
-    case Bin(op, ScalarLit(v), rhs, _, b) => scalarBin(op, lit(v), planRange(rhs, points, stepUs), b)
-    case Bin(op, lhs, ScalarLit(v), _, b) => scalarBin(op, lit(v), planRange(lhs, points, stepUs), b)
+    case Bin(op, ScalarLit(v), rhs, _, b) =>
+      scalarBin(op, lit(v), planRange(rhs, points, stepUs), b, scalarLeft = true)
+    case Bin(op, lhs, ScalarLit(v), _, b) =>
+      scalarBin(op, lit(v), planRange(lhs, points, stepUs), b, scalarLeft = false)
     case Bin(op, lhs, rhs, Some(m), _) =>
       graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
         planRange(rhs, points, stepUs), m, "bucket_us")
@@ -444,6 +463,7 @@ object PromQL {
         case "*" => col("value") * col("__rv")
         case "/" => col("value") / col("__rv")
         case "%" => col("value") % col("__rv")
+        case "^" => pow(col("value"), col("__rv"))
         case _   => null
       }
       if (v == null) {
@@ -577,28 +597,34 @@ object PromQL {
   }
 
   private def scalarBin(op: String, s: Column, df: DataFrame,
-      boolMod: Boolean = false): DataFrame = op match {
-    case ">" | "<" | ">=" | "<=" | "==" =>
-      val cond = op match {
-        case ">" => col("value") > s
-        case "<" => col("value") < s
-        case ">=" => col("value") >= s
-        case "<=" => col("value") <= s
-        case "==" => col("value") === s
-      }
-      if (boolMod)
-        df.select(col("bucket_us"), col("labels"),
-          when(cond, 1.0).otherwise(0.0).as("value"))
-      else
-        df.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
-    case _ =>
-      val v = op match {
-        case "+" => col("value") + s
-        case "-" => col("value") - s
-        case "*" => col("value") * s
-        case "/" => col("value") / s
-        case "%" => col("value") % s
-      }
-      df.select(col("bucket_us"), col("labels"), v.as("value"))
+      boolMod: Boolean = false, scalarLeft: Boolean = false): DataFrame = {
+    // operand order follows the written query: scalar ⚬ vector when
+    // the scalar is on the left
+    val (l, r) = if (scalarLeft) (s, col("value")) else (col("value"), s)
+    op match {
+      case ">" | "<" | ">=" | "<=" | "==" =>
+        val cond = op match {
+          case ">" => l > r
+          case "<" => l < r
+          case ">=" => l >= r
+          case "<=" => l <= r
+          case "==" => l === r
+        }
+        if (boolMod)
+          df.select(col("bucket_us"), col("labels"),
+            when(cond, 1.0).otherwise(0.0).as("value"))
+        else
+          df.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
+      case _ =>
+        val v = op match {
+          case "+" => l + r
+          case "-" => l - r
+          case "*" => l * r
+          case "/" => l / r
+          case "%" => l % r
+          case "^" => pow(l, r)
+        }
+        df.select(col("bucket_us"), col("labels"), v.as("value"))
+    }
   }
 }

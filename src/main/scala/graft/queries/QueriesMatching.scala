@@ -111,5 +111,42 @@ object QueriesMatching extends QueryPack {
          |  ON a.bucket_us = b.bucket_us AND a.svc = b.svc
          |ORDER BY a.bucket_us, a.svc, a.et""".stripMargin))
 
-  override def queries: Seq[Q] = Seq(logqlBinopOn, logqlGroupLeft, promqlGroupLeft)
+  /** Operator precedence + left associativity through the LogQL
+    * parser: * binds over +/-, equal precedence folds left.
+    */
+  val logqlPrecedence: Q = Q(
+    "logql_e2e_precedence",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """sum by (event_type) (count_over_time({}[1d])) * 2 + 10 - 4""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns, event_type,
+         |  CAST(COUNT(*) AS DOUBLE) * 2 + 10 - 4 AS value
+         |FROM events GROUP BY bucket_ns, event_type
+         |ORDER BY bucket_ns, event_type""".stripMargin))
+
+  /** Parenthesized grouping through the PromQL parser. */
+  val promqlPrecedence: Q = Q(
+    "promql_e2e_precedence",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""(count_over_time(ev[1d]) + 10) * 2 - 100""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |  CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+         |  (CAST(COUNT(*) AS DOUBLE) + 10) * 2 - 100 AS value
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(
+    logqlBinopOn, logqlGroupLeft, promqlGroupLeft,
+    logqlPrecedence, promqlPrecedence)
 }
