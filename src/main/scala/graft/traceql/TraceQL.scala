@@ -416,7 +416,6 @@ object TraceQL {
       .select(col("trace_id"), col("span_id"), col("parent_span_id").as("anc"))
       .filter(col("anc").isNotNull)
       .distinct() // physical span rows may repeat in the testdata
-      .persist()
     def step(f: DataFrame): DataFrame =
       f.alias("a").join(edges.alias("b"),
           col("a.trace_id") === col("b.trace_id") &&
@@ -424,11 +423,13 @@ object TraceQL {
         .select(col("a.trace_id").as("trace_id"),
           col("a.span_id").as("span_id"), col("b.anc").as("anc"))
     // unroll four levels LAZILY — one plan, the edge exchange reused —
-    // then probe emptiness once; only trees deeper than 4 pay for an
-    // eager per-level loop
+    // then probe emptiness once; NOTHING persists on the common path
+    // (persisted intermediates linger past the query and degrade
+    // unrelated work). Only trees deeper than 4 pay an eager per-level
+    // loop, which does persist its (small) deep frontiers.
     val l2 = step(edges)
     val l3 = step(l2)
-    val l4 = step(l3).persist()
+    val l4 = step(l3)
     var levels = List(edges, l2, l3, l4)
     var frontier = l4
     var depth = 4
