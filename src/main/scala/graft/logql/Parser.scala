@@ -128,6 +128,7 @@ object Parser {
     val p = new P(lex(input))
     val e = p.peek match {
       case TOp("{", _) => LogExpr(parseLogQuery(p))
+      case TOp("(", _) => MetricExprTop(parseMetric(p))
       case TIdent(name, _) if rangeOps(name) || vectorOps(name) ||
           name == "label_replace" || name == "label_join" =>
         MetricExprTop(parseMetric(p))

@@ -369,7 +369,8 @@ object Planner {
         .select((col("ts_ns") - col("ts_ns") % lit(rangeNs)).as("bucket_ns"))
         .distinct()
       grid.join(present, Seq("bucket_ns"), "left_anti")
-        .select(col("bucket_ns"), map().as("labels"), lit(1.0).as("value"))
+        .select(col("bucket_ns"),
+          map().cast("map<string,string>").as("labels"), lit(1.0).as("value"))
 
     case RangeAgg("rate_counter", q, rangeNs, offsetNs, _) =>
       // Prometheus extrapolatedRate over unwrapped values with
@@ -463,7 +464,7 @@ object Planner {
           val woArr = array(without.map(lit): _*)
           map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
         } else if (ranksOnly) col("labels")
-        else map()
+        else map().cast("map<string,string>") // typed: downstream map ops need string keys
       val grouped = in
         .withColumn("labels", labelsOut)
         .withColumn("__stream", to_json(map_entries(col("labels"))))
@@ -572,12 +573,30 @@ object Planner {
   /** Parse + plan in one call. `stepNs` is the API-level step param
     * (Loki's `&step=`): metric queries evaluate on that sliding grid.
     */
+  /** Constant-fold scalar⚬scalar arithmetic (Prometheus evaluates
+    * scalar exprs eagerly; the planners only see vector operands).
+    */
+  private def foldScalars(m: MetricExpr): MetricExpr = m match {
+    case BinOp(op, l, r, mm) =>
+      (foldScalars(l), foldScalars(r)) match {
+        case (ScalarLit(a), ScalarLit(b)) if Set("+", "-", "*", "/", "%", "^")(op) =>
+          ScalarLit(op match {
+            case "+" => a + b; case "-" => a - b; case "*" => a * b
+            case "/" => a / b; case "%" => a % b; case "^" => math.pow(a, b)
+          })
+        case (fl, fr) => BinOp(op, fl, fr, mm)
+      }
+    case VectorAgg(o, b, w, k, i) => VectorAgg(o, b, w, k, foldScalars(i))
+    case LabelFnExpr(f, i, s)     => LabelFnExpr(f, foldScalars(i), s)
+    case other => other
+  }
+
   def query(logql: String, logs: DataFrame,
       stepNs: Option[Long] = None,
       logLimit: Option[Int] = Some(DefaultLogLimit)): DataFrame =
     Parser.parse(logql) match {
       case Ast.LogExpr(q)       => planLog(q, logs, logLimit)
-      case Ast.MetricExprTop(m) => planMetric(m, logs, stepNs)
+      case Ast.MetricExprTop(m) => planMetric(foldScalars(m), logs, stepNs)
     }
 
   private def ranges(m: MetricExpr): Seq[Long] = m match {

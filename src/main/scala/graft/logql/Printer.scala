@@ -120,7 +120,13 @@ object Printer {
         }.getOrElse("")
         s" $kw(${vm.labels.mkString(", ")})$grp"
       }.getOrElse("")
-      s"${printMetric(l)} $op$mod ${printMetric(r)}"
+      // nested binops print parenthesized so the precedence-climbing
+      // parser reconstructs the same tree
+      def side(e: MetricExpr): String = e match {
+        case _: BinOp => s"(${printMetric(e)})"
+        case _        => printMetric(e)
+      }
+      s"${side(l)} $op$mod ${side(r)}"
     case LabelFnExpr(fn, inner, strs) =>
       s"$fn(${printMetric(inner)}, ${strs.map(quote).mkString(", ")})"
     case ScalarLit(v) =>

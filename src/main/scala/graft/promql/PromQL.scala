@@ -308,9 +308,27 @@ object PromQL {
     * fan-out of the reference (chsql_stepfanout.go:32-140), each row
     * exploded to every covering step on the epoch-aligned step grid.
     */
+  /** Constant-fold scalar⚬scalar arithmetic before planning. */
+  private def foldScalars(e: Expr): Expr = e match {
+    case Bin(op, l, r, m, b) =>
+      (foldScalars(l), foldScalars(r)) match {
+        case (ScalarLit(x), ScalarLit(y)) if Set("+", "-", "*", "/", "%", "^")(op) =>
+          ScalarLit(op match {
+            case "+" => x + y; case "-" => x - y; case "*" => x * y
+            case "/" => x / y; case "%" => x % y; case "^" => math.pow(x, y)
+          })
+        case (fl, fr) => Bin(op, fl, fr, m, b)
+      }
+    case Agg(o, by, wo, k, p, i)  => Agg(o, by, wo, k, p, foldScalars(i))
+    case FnCall(f, i, n, s)       => FnCall(f, foldScalars(i), n, s)
+    case HistQuantile(phi, i)     => HistQuantile(phi, foldScalars(i))
+    case RangeSub(f, i, r, st, o, p) => RangeSub(f, foldScalars(i), r, st, o, p)
+    case other => other
+  }
+
   def range(q: String, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame =
-    planRange(parse(q), points, stepUs)
+    planRange(foldScalars(parse(q)), points, stepUs)
 
   private def planRange(e: Expr, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame = e match {
@@ -413,7 +431,7 @@ object PromQL {
           val woArr = array(without.map(lit): _*)
           map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
         } else if (Set("topk", "bottomk").contains(op)) col("labels")
-        else map()
+        else map().cast("map<string,string>") // typed: downstream map ops need string keys
       val g = in.withColumn("labels", labelsOut)
         .withColumn("__stream", to_json(array_sort(map_entries(col("labels")))))
       op match {

@@ -21,9 +21,9 @@ class ParserCorpusSpec extends SparkTestBase {
       .toDF("ts_ns", "body", "labels")
 
   private lazy val spans: DataFrame = Seq(
-    (1L, 1, null.asInstanceOf[Integer], "op", 1, 0, 10L, 0L, Map("svc" -> "x")))
+    (1L, 1, null.asInstanceOf[Integer], "op", 1, 0, 10L, 0L, Map("svc" -> "x"), ""))
     .toDF("trace_id", "span_id", "parent_span_id", "name", "kind",
-      "status_code", "duration_ns", "start_ns", "attrs")
+      "status_code", "duration_ns", "start_ns", "attrs", "status_message")
 
   private lazy val points: DataFrame =
     Seq((1L, "m", 1.0, Map("svc" -> "x"))).toDF("ts_us", "name", "value", "labels")
@@ -58,7 +58,23 @@ class ParserCorpusSpec extends SparkTestBase {
     """sort_desc(count_over_time({app="a"}[5m]))""",
     """sum(count_over_time({}[5m])) / 60""",
     """sum by (app) (count_over_time({}[5m])) > 10""",
-    """sum by (app) (count_over_time({}[5m])) unless sum by (app) (rate({env="p"}[5m]))"""
+    """sum by (app) (count_over_time({}[5m])) unless sum by (app) (rate({env="p"}[5m]))""",
+    // round-2 surface
+    """{app="a"} |> "req <_> done" !> "dbg <_>"""",
+    """{app="a"} | unpack | k = "v"""",
+    """{app="a"} | json ab="a.b", a1="arr[1]" | a1 > 5""",
+    """{app="a"} | logfmt --strict --keep-empty x="y", bare""",
+    """{app="a"} | drop env="p", app""",
+    """{app="a"} | label_format t="{{ .app | ToUpper | trunc 2 }}"""",
+    """{app="a"} | line_format `{{ regexReplaceAll "a+" .app "A" }}`""",
+    """sum by (app) (count_over_time({}[5m])) / on(app) sum by (app) (rate({}[5m]))""",
+    """count_over_time({}[5m]) / on(app) group_left sum by (app) (count_over_time({}[5m]))""",
+    """sum by (app) (count_over_time({}[5m])) * ignoring(env) group_right(app) sum(rate({}[5m]))""",
+    """label_replace(sum by (app) (count_over_time({}[5m])), "x", "$1", "app", "(.*)")""",
+    """label_join(sum by (app) (count_over_time({}[5m])), "x", "-", "app", "env")""",
+    """rate_counter({app="a"} | json | unwrap k [5m])""",
+    """(sum(count_over_time({}[5m])) + 1) * 2 - 3 / 4""",
+    """sum(count_over_time({}[5m])) ^ 2 ^ 3"""
   )
 
   private val logqlReject = Seq(
@@ -87,7 +103,16 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ name = "op" } && { svc = "x" }""",
     """{ name = "op" } || { svc = "x" }""",
     """{ rootName = "op" && duration > 1ms }""",
-    """{ traceDuration > 5ms }"""
+    """{ traceDuration > 5ms }""",
+    // round-2 surface
+    """{ status = error }""",
+    """{ kind = server && status != unset }""",
+    """{ span:id = 1 && span:parentID = 2 }""",
+    """{ trace:duration > 1ms }""",
+    """{ quantity > 1 } | by(svc) | count() > 1 | select(duration)""",
+    """{ name = "op" } | coalesce() | count() >= 1""",
+    """{ resource.service.name = "x" }""",
+    """{ rootServiceName = "x" && statusMessage = "" }"""
   )
 
   private val traceqlReject = Seq(
@@ -110,7 +135,21 @@ class ParserCorpusSpec extends SparkTestBase {
     """sum by (svc) (rate(m[5m]))""",
     """topk(2, sum by (svc) (count_over_time(m[5m])))""",
     """sum by (svc) (count_over_time(m[5m])) * 60""",
-    """sum(rate(m[5m])) > 0.5"""
+    """sum(rate(m[5m])) > 0.5""",
+    // round-2 surface
+    """count_over_time(m[5m] offset 1h)""",
+    """count_over_time(m[5m]) > bool 1""",
+    """sum without (svc) (count_over_time(m[5m]))""",
+    """stddev by (svc) (count_over_time(m[5m]))""",
+    """quantile(0.9, count_over_time(m[5m]))""",
+    """histogram_quantile(0.95, sum by (le) (count_over_time(m[5m])))""",
+    """clamp(sqrt(sum(count_over_time(m[5m]))), 1, 10)""",
+    """label_replace(sum by (svc) (count_over_time(m[5m])), "x", "$1", "svc", "(.*)")""",
+    """quantile_over_time(0.5, m[5m])""",
+    """max_over_time(sum by (svc) (count_over_time(m[5m]))[1h:5m])""",
+    """(rate(m[5m]) + 1) * 2""",
+    """rate(m[5m]) and sum by (svc) (rate(m[5m]))""",
+    """rate(m[5m]) / on(svc) group_left sum by (svc) (rate(m[5m]))"""
   )
 
   private val promqlReject = Seq(
