@@ -153,6 +153,7 @@ object TraceQL {
 
   private def parseFilterBlock(p: P): SpansetExpr = {
     p.expect("{")
+    if (p.accept("}")) return SFilter(FCmp(Intrinsic("duration"), ">=", SDurNs(0)))
     val cond = parseOr(p)
     p.expect("}")
     SFilter(cond)

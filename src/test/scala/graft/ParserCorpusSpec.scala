@@ -112,7 +112,9 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ quantity > 1 } | by(svc) | count() > 1 | select(duration)""",
     """{ name = "op" } | coalesce() | count() >= 1""",
     """{ resource.service.name = "x" }""",
-    """{ rootServiceName = "x" && statusMessage = "" }"""
+    """{ rootServiceName = "x" && statusMessage = "" }""",
+    """{}""",
+    """{} | count() > 0"""
   )
 
   private val traceqlReject = Seq(
