@@ -125,6 +125,49 @@ object QueriesParsedFrontends extends QueryPack {
             |WHERE trace_id IN (SELECT trace_id FROM matched)
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
+  /** TraceQL: descendant-of op `<<` through the parser — matches that
+    * sit BELOW a matching ancestor.
+    */
+  val traceqlDescOf: Q = Q(
+    "traceql_e2e_desc_of",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ quantity > 45 } << { returnflag = "R" }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH RECURSIVE spans AS ($oracleSpans),
+            |uspans AS (SELECT DISTINCT trace_id, span_id, parent_span_id FROM spans),
+            |anc AS (
+            |  SELECT trace_id, span_id, parent_span_id AS anc FROM uspans
+            |  WHERE parent_span_id IS NOT NULL
+            |  UNION ALL
+            |  SELECT a.trace_id, a.span_id, u.parent_span_id
+            |  FROM anc a JOIN uspans u
+            |    ON u.trace_id = a.trace_id AND u.span_id = a.anc
+            |  WHERE u.parent_span_id IS NOT NULL)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans s
+            |WHERE s.quantity > 45 AND EXISTS (
+            |  SELECT 1 FROM anc x JOIN spans r
+            |    ON r.trace_id = x.trace_id AND r.span_id = x.anc
+            |  WHERE x.trace_id = s.trace_id AND x.span_id = s.span_id
+            |    AND r.returnflag = 'R')
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
+  /** TraceQL: negated sibling `!~` through the parser. */
+  val traceqlNoSibling: Q = Q(
+    "traceql_e2e_no_sibling",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ linestatus = "F" } !~ { returnflag = "R" }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH spans AS ($oracleSpans)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans s
+            |WHERE s.linestatus = 'F' AND NOT EXISTS (
+            |  SELECT 1 FROM spans r
+            |  WHERE r.trace_id = s.trace_id
+            |    AND r.parent_span_id = s.parent_span_id
+            |    AND r.span_id <> s.span_id AND r.returnflag = 'R')
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
   /** PromQL: vector agg over count_over_time through the parser. */
   val promqlSumCount: Q = Q(
     "promql_e2e_sum_count",
@@ -192,5 +235,6 @@ object QueriesParsedFrontends extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     traceqlFilter, traceqlStructural, traceqlDescendant, traceqlSpansetAnd,
+    traceqlDescOf, traceqlNoSibling,
     promqlSumCount, promqlIncrease, promqlInstant)
 }

@@ -108,7 +108,9 @@ object TraceQL {
     def done: Boolean = { ws(); i >= input.length }
   }
 
-  private val structuralOps = Seq(">>", "!>", ">", "~", "<", "&&", "||")
+  /** Longest-first so `!>>` wins over `!>` over `>`. */
+  private val structuralOps =
+    Seq("!>>", "!<<", ">>", "<<", "!>", "!<", "!~", ">", "~", "<", "&&", "||")
 
   def parse(q: String): Query = {
     val p = new P(q)
@@ -474,14 +476,32 @@ object TraceQL {
               Seq("trace_id", "span_id"), "left_semi")
             .select(col("trace_id"), col("anc")).alias("r")
           l.join(anc, sameTrace && col("r.anc") === col("l.span_id"), "left_semi")
-        case "~" => // l has a sibling matching r
+        case "<<" | "!<<" => // l is (not) a descendant of a matching r
+          val rm = evalSpanset(rhs, spans)
+            .select(col("trace_id"), col("span_id").as("anc")).distinct()
+          val desc = ancestorPairs(spans)
+            .join(rm, Seq("trace_id", "anc"), "left_semi")
+            .select(col("trace_id"), col("span_id")).alias("r")
+          l.join(desc, sameTrace && col("r.span_id") === col("l.span_id"),
+            if (op == "<<") "left_semi" else "left_anti")
+        case "!>>" => // l has NO descendant matching r
+          val anc = ancestorPairs(spans)
+            .join(evalSpanset(rhs, spans).select(col("trace_id"), col("span_id")),
+              Seq("trace_id", "span_id"), "left_semi")
+            .select(col("trace_id"), col("anc")).alias("r")
+          l.join(anc, sameTrace && col("r.anc") === col("l.span_id"), "left_anti")
+        case "~" | "!~" => // l has a sibling (not) matching r
           val sib = r.select(col("trace_id"), col("span_id"), col("parent_span_id")).alias("r")
           l.join(sib,
             sameTrace && col("l.parent_span_id") === col("r.parent_span_id") &&
-              col("l.span_id") =!= col("r.span_id"), "left_semi")
+              col("l.span_id") =!= col("r.span_id"),
+            if (op == "~") "left_semi" else "left_anti")
         case "!>" => // l has NO child matching r
           l.join(r.select(col("trace_id"), col("parent_span_id")).alias("r"),
               sameTrace && col("r.parent_span_id") === col("l.span_id"), "left_anti")
+        case "!<" => // l's parent does NOT match r (or l is a root)
+          l.join(r.select(col("trace_id"), col("span_id")).alias("r"),
+              sameTrace && col("l.parent_span_id") === col("r.span_id"), "left_anti")
         case "&&" => // traces where BOTH sides matched keep the merged
           // spans of both sides, deduped by span identity (reference
           // spanset_op.go:41-47 mergeSpans)

@@ -114,7 +114,12 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ resource.service.name = "x" }""",
     """{ rootServiceName = "x" && statusMessage = "" }""",
     """{}""",
-    """{} | count() > 0"""
+    """{} | count() > 0""",
+    """{ name = "op" } << { svc = "x" }""",
+    """{ name = "op" } !<< { svc = "x" }""",
+    """{ name = "op" } !>> { svc = "x" }""",
+    """{ name = "op" } !< { svc = "x" }""",
+    """{ name = "op" } !~ { svc = "x" }"""
   )
 
   private val traceqlReject = Seq(
