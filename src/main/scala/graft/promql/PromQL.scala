@@ -302,6 +302,37 @@ object PromQL {
     }
   }
 
+  private def collectRanges(e: Expr): Seq[Long] = e match {
+    case RangeFn(_, _, r, _, _)    => Seq(r / 1000)
+    case RangeSub(_, _, _, _, _, _) =>
+      throw new IllegalArgumentException("instant over a subquery is unsupported")
+    case Agg(_, _, _, _, _, i)     => collectRanges(i)
+    case Bin(_, l, r, _, _)        => collectRanges(l) ++ collectRanges(r)
+    case FnCall(_, i, _, _)        => collectRanges(i)
+    case HistQuantile(_, i)        => collectRanges(i)
+    case Instant(_) | ScalarLit(_) => Nil
+  }
+
+  /** Instant evaluation of a FULL metric expression at `evalTsUs`
+    * (the /api/v1/query endpoint): every range selector evaluates over
+    * (t-range, t], via the same window-alignment shift as the LogQL
+    * instant path. Requires one shared range across the expression.
+    */
+  def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame = {
+    val e = foldScalars(parse(q))
+    val rs = collectRanges(e).distinct
+    require(rs.size == 1, s"instant needs one shared range, got $rs")
+    val range = rs.head
+    val delta = ((range - (evalTsUs % range)) % range + range) % range
+    val target = evalTsUs + delta - range // range-aligned
+    // -1 turns [b, b+range) tumbling inclusion into (t-range, t] at µs
+    val shifted = points.withColumn("ts_us", col("ts_us") + lit(delta - 1))
+      .filter(col("ts_us") >= lit(target))
+    planRange(e, shifted, None)
+      .filter(col("bucket_us") === target)
+      .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+  }
+
   /** Range query → (bucket_us, labels, value). Without `stepUs` the
     * grid is aligned (step == range); with it, every range function
     * evaluates on sliding (bucket-range, bucket] windows — the step

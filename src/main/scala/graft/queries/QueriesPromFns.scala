@@ -123,6 +123,33 @@ object QueriesPromFns extends QueryPack {
            |GROUP BY bucket_us, svc ORDER BY bucket_us, svc""".stripMargin))
   }
 
+  /** Instant evaluation of a full expression (sum of rates at one
+    * off-grid time) — the /api/v1/query endpoint shape. The oracle
+    * mirrors the shifted-window math literally.
+    */
+  val instantExprE2e: Q = {
+    val tUs = 1705305600000000L // 2024-01-15T08:00Z — off the 1d grid
+    val range = 86400000000L
+    val delta = ((range - (tUs % range)) % range + range) % range
+    val target = tUs + delta - range
+    Q(
+      "promql_e2e_instant_expr",
+      (s: SparkSession, dir: String) =>
+        PromQL.instantExpr("""sum by (svc) (count_over_time(ev[1d])) * 2""",
+            pointsView(Testdata(s, dir)))
+          .select(col("ts_us"),
+            element_at(col("labels"), "svc").as("svc"), col("value"))
+          .orderBy("svc"),
+      Some(
+        s"""SELECT $tUs AS ts_us, svc, CAST(COUNT(*) AS DOUBLE) * 2 AS value
+           |FROM (
+           |  SELECT CAST(user_id % 4 AS VARCHAR) AS svc,
+           |    epoch_us(ts) + ${delta - 1} AS ts_shift
+           |  FROM events)
+           |WHERE ts_shift >= $target AND ts_shift < ${target + range}
+           |GROUP BY svc ORDER BY svc""".stripMargin))
+  }
+
   override def queries: Seq[Q] =
-    Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery)
+    Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery, instantExprE2e)
 }
