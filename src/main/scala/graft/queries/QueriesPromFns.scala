@@ -136,7 +136,7 @@ object QueriesPromFns extends QueryPack {
       "promql_e2e_instant_expr",
       (s: SparkSession, dir: String) =>
         PromQL.instantExpr("""sum by (svc) (count_over_time(ev[1d])) * 2""",
-            pointsView(Testdata(s, dir)))
+            pointsView(Testdata(s, dir)), evalTsUs = tUs)
           .select(col("ts_us"),
             element_at(col("labels"), "svc").as("svc"), col("value"))
           .orderBy("svc"),
