@@ -46,6 +46,11 @@ object Ast {
   final case class RegexpStage(pattern: String) extends Stage
   final case class LabelFilterStage(pred: LabelPredicate) extends Stage
   final case class KeepStage(labels: Seq[String]) extends Stage
+  /** `| keep lbl="value", other` — keep a label only where its value
+    * matches; bare names always keep (reference pipeline.go keep with
+    * matchers).
+    */
+  final case class KeepValuesStage(items: Seq[(String, Option[String])]) extends Stage
   final case class DropStage(labels: Seq[String]) extends Stage
   /** `| drop lbl="value", other` — value-conditional drops: the label
     * is removed only where its value matches; None = always

@@ -249,7 +249,18 @@ object Parser {
         case _ => None
       }
       UnwrapStage(lbl, conv)
-    case TIdent("keep", _)  => KeepStage(identList(p))
+    case TIdent("keep", _) =>
+      val items = Seq.newBuilder[(String, Option[String])]
+      var done = false
+      while (!done) {
+        val name = p.ident()
+        val v = if (p.acceptOp("=")) Some(p.str()) else None
+        items += (name -> v)
+        if (!p.acceptOp(",")) done = true
+      }
+      val is = items.result()
+      if (is.forall(_._2.isEmpty)) KeepStage(is.map(_._1))
+      else KeepValuesStage(is)
     case TIdent("drop", _) =>
       val items = Seq.newBuilder[(String, Option[String])]
       var done = false

@@ -217,6 +217,18 @@ object Planner {
         df = ctx.df.withColumn("labels",
           map_filter(ctx.labelsCol, (k, _) => !array_contains(dropArr, k))))
 
+    case KeepValuesStage(items) =>
+      val keepCond = (k: Column, v: Column) =>
+        items.map { case (lbl, value) =>
+          value match {
+            case Some(s) => k === lbl && v === s
+            case None    => k === lbl
+          }
+        }.reduce(_ || _)
+      ctx.copy(extraLabels = Nil,
+        df = ctx.df.withColumn("labels",
+          map_filter(ctx.labelsCol, keepCond)))
+
     case DropValuesStage(items) =>
       val dropCond = (k: Column, v: Column) =>
         items.map { case (lbl, value) =>

@@ -61,6 +61,11 @@ object Printer {
     case RegexpStage(p)  => s"| regexp ${quote(p)}"
     case LabelFilterStage(p) => s"| ${printPred(p)}"
     case KeepStage(ls)   => s"| keep ${ls.mkString(", ")}"
+    case KeepValuesStage(items) =>
+      s"| keep ${items.map {
+        case (l, Some(v)) => s"$l=${quote(v)}"
+        case (l, None)    => l
+      }.mkString(", ")}"
     case DropStage(ls)   => s"| drop ${ls.mkString(", ")}"
     case DropValuesStage(items) =>
       s"| drop ${items.map {

@@ -333,6 +333,25 @@ object PromQL {
       .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
   }
 
+  /** Raw matrix selector (`m{..}[5m]` on the /query endpoint): the
+    * samples themselves over (t-range, t], stale markers skipped,
+    * total (ts, labels) order.
+    */
+  def matrix(q: String, points: DataFrame, evalTsUs: Long): DataFrame = {
+    val p = new P(q)
+    val sel = parseSelector(p)
+    p.expect("[")
+    val rangeUs = p.duration() / 1000
+    p.expect("]")
+    if (!p.done) throw ParseError("trailing input", p.i)
+    points.filter(selCol(sel))
+      .filter(col("ts_us") > lit(evalTsUs - rangeUs) &&
+        col("ts_us") <= lit(evalTsUs))
+      .filter(!isnan(col("value")))
+      .select(col("ts_us"), col("labels"), col("value"))
+      .orderBy(col("ts_us"), to_json(array_sort(map_entries(col("labels")))))
+  }
+
   /** Range query → (bucket_us, labels, value). Without `stepUs` the
     * grid is aligned (step == range); with it, every range function
     * evaluates on sliding (bucket-range, bucket] windows — the step

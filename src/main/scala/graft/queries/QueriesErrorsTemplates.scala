@@ -178,7 +178,27 @@ object QueriesErrorsTemplates extends QueryPack {
          |FROM events GROUP BY bucket_ns, event_type
          |ORDER BY bucket_ns, event_type""".stripMargin))
 
+  /** `| keep lbl="value"` value-conditional keep through the parser. */
+  val keepValues: Q = Q(
+    "logql_e2e_keep_values",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """sum by (event_type, user_id) (count_over_time({} | keep event_type, user_id="7" [1d]))""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"),
+          coalesce(try_element_at(col("labels"), lit("user_id")), lit("none")).as("user_id"),
+          col("value"))
+        .orderBy("bucket_ns", "event_type", "user_id"),
+    Some(
+      s"""SELECT bucket_ns, event_type, user_id, CAST(COUNT(*) AS DOUBLE) AS value FROM (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns, event_type,
+         |    CASE WHEN user_id = 7 THEN '7' ELSE 'none' END AS user_id
+         |  FROM events)
+         |GROUP BY bucket_ns, event_type, user_id
+         |ORDER BY bucket_ns, event_type, user_id""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     errorPropagation, lineFormatFuncs, labelFormatTemplate,
-    logfmtParams, logfmtStrict, dropValues, labelReplaceE2e)
+    logfmtParams, logfmtStrict, dropValues, labelReplaceE2e, keepValues)
 }

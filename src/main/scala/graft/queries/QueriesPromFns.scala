@@ -150,6 +150,28 @@ object QueriesPromFns extends QueryPack {
            |GROUP BY svc ORDER BY svc""".stripMargin))
   }
 
+  /** Raw matrix selector at an instant: the samples of (t-5d, t]. */
+  val matrixE2e: Q = {
+    val tUs = 1705305600000000L
+    val rangeUs = 5L * 86400000000L
+    Q(
+      "promql_e2e_matrix_raw",
+      (s: SparkSession, dir: String) =>
+        PromQL.matrix("""ev{svc="2"}[5d]""", pointsView(Testdata(s, dir)),
+            evalTsUs = tUs)
+          .select(col("ts_us"),
+            element_at(col("labels"), "svc").as("svc"),
+            element_at(col("labels"), "et").as("et"), col("value")),
+      Some(
+        s"""SELECT epoch_us(ts) AS ts_us, CAST(user_id % 4 AS VARCHAR) AS svc,
+           |  event_type AS et, value
+           |FROM events
+           |WHERE user_id % 4 = 2
+           |  AND epoch_us(ts) > ${tUs - rangeUs} AND epoch_us(ts) <= $tUs
+           |ORDER BY ts_us, et""".stripMargin))
+  }
+
   override def queries: Seq[Q] =
-    Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery, instantExprE2e)
+    Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery,
+      instantExprE2e, matrixE2e)
 }
