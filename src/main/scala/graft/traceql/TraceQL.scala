@@ -425,26 +425,37 @@ object TraceQL {
             col("a.anc") === col("b.span_id"))
         .select(col("a.trace_id").as("trace_id"),
           col("a.span_id").as("span_id"), col("b.anc").as("anc"))
-    // unroll four levels LAZILY — one plan, the edge exchange reused —
-    // then probe emptiness once; NOTHING persists on the common path
-    // (persisted intermediates linger past the query and degrade
-    // unrelated work). Only trees deeper than 4 pay an eager per-level
-    // loop, which does persist its (small) deep frontiers.
-    val l2 = step(edges)
-    val l3 = step(l2)
-    val l4 = step(l3)
-    var levels = List(edges, l2, l3, l4)
-    var frontier = l4
-    var depth = 4
-    var done = false
-    while (!done && depth < MaxAncestorDepth) {
-      if (frontier.isEmpty) done = true
-      else {
-        val next = step(frontier).persist()
-        levels ::= next; frontier = next; depth += 1
+    // Tree depth is bounded by spans-per-trace - 1; when that bound is
+    // small (one cheap aggregate to find out), unroll EXACTLY that many
+    // levels lazily — one consumer job, no emptiness probes, nothing
+    // persisted (persisted intermediates linger past the query and
+    // degrade unrelated work). Wide traces fall back to probe-and-
+    // extend, which persists only its (small) deep frontiers.
+    val maxRow = spans.groupBy(col("trace_id")).count()
+      .agg(max(col("count"))).head()
+    val maxSpans = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
+    val boundedDepth = math.min(maxSpans - 1, MaxAncestorDepth.toLong).toInt
+    if (boundedDepth <= 8) {
+      var levels = List(edges)
+      for (_ <- 2 to math.max(boundedDepth, 1)) levels ::= step(levels.head)
+      levels.reduce(_ unionAll _)
+    } else {
+      val l2 = step(edges)
+      val l3 = step(l2)
+      val l4 = step(l3)
+      var levels = List(edges, l2, l3, l4)
+      var frontier = l4
+      var depth = 4
+      var done = false
+      while (!done && depth < MaxAncestorDepth) {
+        if (frontier.isEmpty) done = true
+        else {
+          val next = step(frontier).persist()
+          levels ::= next; frontier = next; depth += 1
+        }
       }
+      levels.reduce(_ unionAll _)
     }
-    levels.reduce(_ unionAll _)
   }
 
   /** Spanset evaluation → matching spans. Structural results follow the
