@@ -64,6 +64,18 @@ object ApiEncoders {
     envelope("streams", series)
   }
 
+  /** Instant-query vector result: rows (ts_us, labels, value) →
+    * {"metric":{…},"value":[sec,"v"]} per series.
+    */
+  def promVector(df: DataFrame): String = {
+    val series = df.select(concat(
+        lit("{\"metric\":"), to_json(col("labels")),
+        lit(",\"value\":["), expr("ts_us div 1000000"),
+        lit(",\""), col("value").cast("string"), lit("\"]}")).as("series_json"))
+      .orderBy("series_json")
+    envelope("vector", series)
+  }
+
   /** Tempo /api/search response from per-trace rollups
     * (trace_id, root_name, root_service, start_ns, duration_ns).
     */

@@ -121,7 +121,14 @@ object QueriesPipeline extends QueryPack {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    val qcid = assigned.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+    // the query's own centroid comes from a 1×K mini-assignment —
+    // referencing `assigned` twice would recompute the full table
+    val qcid = emb.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cos(d(col("embedding")), d(col("ce"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("qcid"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     assigned
       .join(broadcast(qcid), col("cid") === col("qcid"), "inner") // probe ONE list

@@ -47,13 +47,14 @@ object Layout {
     * (hash, timestamp) primary key of metrics_points
     * (reference columns_metrics.go:144-148).
     */
-  def writePoints(points: DataFrame, path: String): Unit =
+  def writePoints(points: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
     points
       .withColumn("date",
         date_format(timestamp_micros(expr("ts_us")), "yyyyMMdd"))
       .repartition(col("date"))
       .sortWithinPartitions(col("date"), col("name"), col("ts_us"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("date")
       .parquet(path)
 

@@ -207,4 +207,17 @@ object Streams {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Batched metric-point inserter: same foreachBatch shape into the
+    * (hash, ts)-sorted daily layout (inserter_metrics.go batching).
+    */
+  def pointsSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Layout.writePoints(batch, path, mode = "append")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

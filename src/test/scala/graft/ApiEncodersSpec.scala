@@ -51,6 +51,13 @@ class ApiEncodersSpec extends SparkTestBase {
     assert(out.contains(""""durationMs":2.0"""))
   }
 
+  test("promVector renders instant results") {
+    val df = Seq((5000000L, Map("svc" -> "a"), 3.25)).toDF("ts_us", "labels", "value")
+    val out = ApiEncoders.promVector(df)
+    assert(out.contains(""""resultType":"vector""""))
+    assert(out.contains("""{"metric":{"svc":"a"},"value":[5,"3.25"]}"""))
+  }
+
   test("promMatrix uses second-resolution buckets from µs") {
     val df = Seq((3000000L, Map("svc" -> "1"), 9.0)).toDF("bucket_us", "labels", "value")
     val out = ApiEncoders.promMatrix(df)
