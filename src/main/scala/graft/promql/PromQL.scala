@@ -53,7 +53,7 @@ object PromQL {
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "last_over_time", "first_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "quantile_over_time")
+    "absent_over_time", "quantile_over_time")
   private val aggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "quantile", "topk", "bottomk")
   private val mathFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
@@ -382,6 +382,24 @@ object PromQL {
 
   private def planRange(e: Expr, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame = e match {
+    case RangeFn("absent_over_time", sel, rangeNs, offsetNs, _) =>
+      // grid over the table extent anti-joined with present buckets —
+      // same shape as the LogQL absent path (logqlmetric/aggregator.go)
+      val rangeUs = rangeNs / 1000
+      val src0 = if (offsetNs == 0) points
+        else points.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
+      val ext = src0.agg(
+        min(col("ts_us") - col("ts_us") % lit(rangeUs)).as("lo"),
+        max(col("ts_us") - col("ts_us") % lit(rangeUs)).as("hi"))
+      val grid = ext.select(
+        explode(sequence(col("lo"), col("hi"), lit(rangeUs))).as("bucket_us"))
+      val present = src0.filter(selCol(sel))
+        .select((col("ts_us") - col("ts_us") % lit(rangeUs)).as("bucket_us"))
+        .distinct()
+      grid.join(present, Seq("bucket_us"), "left_anti")
+        .select(col("bucket_us"),
+          map().cast("map<string,string>").as("labels"), lit(1.0).as("value"))
+
     case RangeFn(fn, sel, rangeNs, offsetNs, param) =>
       val rangeUs = rangeNs / 1000
       val offsetUs = offsetNs / 1000

@@ -171,7 +171,22 @@ object QueriesPromFns extends QueryPack {
            |ORDER BY ts_us, et""".stripMargin))
   }
 
+  /** absent_over_time through the parser: a never-matching selector
+    * yields value 1 on every grid bucket of the table extent.
+    */
+  val absentE2e: Q = Q(
+    "promql_e2e_absent",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""absent_over_time(ev{svc="9"}[1d])""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"), col("value"))
+        .orderBy("bucket_us"),
+    Some(
+      s"""SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |  1.0 AS value
+         |FROM events ORDER BY bucket_us""".stripMargin))
+
   override def queries: Seq[Q] =
     Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery,
-      instantExprE2e, matrixE2e)
+      instantExprE2e, matrixE2e, absentE2e)
 }
