@@ -381,8 +381,25 @@ object QueriesGrammar extends QueryPack {
          |WHERE p.returnflag = 'R' AND c.quantity > 40
          |GROUP BY c.trace_id ORDER BY c.trace_id""".stripMargin))
 
+  /** TraceQL metrics through the parser: `{status=error} | rate() by(…)`
+    * on a daily step grid.
+    */
+  val metricsE2e: Q = Q(
+    "traceql_e2e_metrics_rate",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ status = error } | rate() | by(linestatus)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("by_value"), col("value")),
+    Some(
+      s"""SELECT CAST(epoch(l_shipdate) AS BIGINT) * 1000000000
+         |    - (CAST(epoch(l_shipdate) AS BIGINT) * 1000000000) % 86400000000000 AS bucket_ns,
+         |  l_linestatus AS by_value, CAST(COUNT(*) AS DOUBLE) / 86400.0 AS value
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |GROUP BY bucket_ns, by_value ORDER BY bucket_ns, by_value""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
-    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e)
+    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
+    metricsE2e)
 }

@@ -534,8 +534,49 @@ object TraceQL {
     * the scalar HAVING applied (reference aggregator.go + scalar_filter).
     */
   private def refName(r: FieldRef): String = r match {
-    case Intrinsic(n) => n
-    case Attr(_, n)   => n
+    case Intrinsic(n)    => n
+    case Attr(_, n)      => n
+    case ScopedRef(_, n) => n
+  }
+
+  /** TraceQL METRICS query (`{cond} | rate() | by(field)` /
+    * `| count_over_time() | by(field)` — Tempo's metrics endpoint,
+    * left NotImplemented in the reference): matched spans bucket on
+    * start_ns over `stepNs` and aggregate per optional by-field.
+    * Output (bucket_ns, [by_value,] value).
+    */
+  def planMetrics(q: String, spans: DataFrame, stepNs: Long): DataFrame = {
+    val p = new P(q)
+    val ss = parseSpanset(p)
+    p.expect("|")
+    val fn = p.ident() match {
+      case f @ ("rate" | "count_over_time") => f
+      case other => throw ParseError(s"unknown metrics fn '$other'", p.i)
+    }
+    p.expect("(")
+    p.expect(")")
+    val by = if (p.accept("|")) {
+      if (p.ident() != "by") throw ParseError("expected by()", p.i)
+      p.expect("(")
+      val r = parseRef(p)
+      p.expect(")")
+      Some(r)
+    } else None
+    if (!p.done) throw ParseError("trailing input", p.i)
+
+    val matched = evalSpanset(ss, spans)
+      .withColumn("bucket_ns", col("start_ns") - col("start_ns") % lit(stepNs))
+    val v =
+      if (fn == "rate") (count(lit(1)).cast("double") / (stepNs / 1e9)).as("value")
+      else count(lit(1)).cast("double").as("value")
+    by match {
+      case Some(r) =>
+        matched.withColumn("by_value", refCol(r))
+          .groupBy(col("bucket_ns"), col("by_value")).agg(v)
+          .orderBy("bucket_ns", "by_value")
+      case None =>
+        matched.groupBy(col("bucket_ns")).agg(v).orderBy("bucket_ns")
+    }
   }
 
   def plan(q: String, spans: DataFrame): DataFrame = {
