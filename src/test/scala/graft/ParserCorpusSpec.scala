@@ -65,6 +65,7 @@ class ParserCorpusSpec extends SparkTestBase {
     """{app="a"} | json ab="a.b", a1="arr[1]" | a1 > 5""",
     """{app="a"} | logfmt --strict --keep-empty x="y", bare""",
     """{app="a"} | drop env="p", app""",
+    """{app="a"} | keep app, env="p"""",
     """{app="a"} | label_format t="{{ .app | ToUpper | trunc 2 }}"""",
     """{app="a"} | line_format `{{ regexReplaceAll "a+" .app "A" }}`""",
     """sum by (app) (count_over_time({}[5m])) / on(app) sum by (app) (rate({}[5m]))""",
