@@ -91,6 +91,22 @@ object ApiEncoders {
     s"""{"traces":[${traces.mkString(",")}]}"""
   }
 
+  /** Tempo trace-by-id response: one trace's spans as a batch
+    * (hex ids, ns strings) — the /api/traces/{id} shape.
+    */
+  def tempoTrace(spans: DataFrame, traceId: Long): String = {
+    val rows = spans.filter(col("trace_id") === traceId)
+      .select(to_json(struct(
+        format_string("%016x", col("trace_id")).as("traceId"),
+        format_string("%016x", col("span_id")).as("spanId"),
+        col("name"),
+        col("start_ns").cast("string").as("startTimeUnixNano"),
+        (col("start_ns") + col("duration_ns")).cast("string").as("endTimeUnixNano"))).as("j"))
+      .orderBy("j")
+      .collect().map(_.getString(0))
+    s"""{"batches":[{"scopeSpans":[{"spans":[${rows.mkString(",")}]}]}]}"""
+  }
+
   private def envelope(resultType: String, series: DataFrame): String = {
     val rows = series.collect().map(_.getString(0)) // one row PER SERIES
     s"""{"status":"success","data":{"resultType":"$resultType","result":[${rows.mkString(",")}]}}"""

@@ -77,13 +77,14 @@ object Layout {
       .option("path", path)
       .saveAsTable(table)
 
-  def writeSpans(spans: DataFrame, path: String): Unit =
+  def writeSpans(spans: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
     spans
       .withColumn("date",
         date_format(timestamp_micros(expr("start_ns div 1000")), "yyyyMMdd"))
       .repartition(col("date"))
       .sortWithinPartitions(col("date"), col("name"), col("start_ns"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("date")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .parquet(path)

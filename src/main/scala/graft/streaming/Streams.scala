@@ -208,6 +208,19 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Batched span inserter: foreachBatch into the bloom-filtered,
+    * (name, start)-sorted daily span layout (inserter_traces.go).
+    */
+  def spansSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Layout.writeSpans(batch, path, mode = "append")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batched metric-point inserter: same foreachBatch shape into the
     * (hash, ts)-sorted daily layout (inserter_metrics.go batching).
     */

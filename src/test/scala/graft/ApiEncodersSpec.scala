@@ -58,6 +58,19 @@ class ApiEncodersSpec extends SparkTestBase {
     assert(out.contains("""{"metric":{"svc":"a"},"value":[5,"3.25"]}"""))
   }
 
+  test("tempoTrace renders one trace's spans with hex ids and ns strings") {
+    val df = Seq(
+      (7L, 1L, "root", 1000L, 500L),
+      (7L, 2L, "child", 1200L, 100L),
+      (8L, 1L, "other", 0L, 1L)
+    ).toDF("trace_id", "span_id", "name", "start_ns", "duration_ns")
+    val out = ApiEncoders.tempoTrace(df, 7L)
+    assert(out.startsWith("""{"batches":[{"scopeSpans":[{"spans":["""))
+    assert(out.contains(""""spanId":"0000000000000002""""))
+    assert(out.contains(""""endTimeUnixNano":"1500""""))
+    assert(!out.contains("other"))
+  }
+
   test("promMatrix uses second-resolution buckets from µs") {
     val df = Seq((3000000L, Map("svc" -> "1"), 9.0)).toDF("bucket_us", "labels", "value")
     val out = ApiEncoders.promMatrix(df)

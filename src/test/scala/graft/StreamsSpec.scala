@@ -139,6 +139,18 @@ class StreamsSpec extends SparkTestBase {
     assert(back.select("date").distinct().collect().map(_.get(0).toString).toSeq == Seq("20240101"))
   }
 
+  test("spansSink appends the bloom-filtered daily span layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssink").toString
+    val input = MemoryStream[(Long, Int, String, Long, Long)](spark)
+    val spans = input.toDF().toDF("trace_id", "span_id", "name", "start_ns", "duration_ns")
+    val day1 = 1704103200000000000L
+    input.addData((1L, 1, "op", day1, 100L), (2L, 1, "op", day1 + 5000L, 200L))
+    val query = Streams.spansSink(spans, s"$dir/spans", s"$dir/ckpt")
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.read.parquet(s"$dir/spans").count() == 2)
+  }
+
   test("decomposePoints flattens histogram records into mapped sub-series") {
     val df = Seq(
       (ts(0), "latency", "a=1", Some(0.5), None: Option[Long], None: Option[Double]),
