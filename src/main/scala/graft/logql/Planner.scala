@@ -279,7 +279,13 @@ object Planner {
         case Some(other) =>
           throw new IllegalArgumentException(s"unknown unwrap conversion '$other'")
       }
-      ctx.copy(unwrapped = Some(v))
+      // a present-but-unconvertible value labels the row (rows kept —
+      // Loki's SampleExtractionErr convention); clean rows carry an
+      // empty map so the stream identity is unchanged
+      val errMap = when(raw.isNotNull && v.isNull,
+        map(lit("__error__"), lit("SampleExtractionErr")))
+        .otherwise(map().cast("map<string,string>"))
+      ctx.copy(unwrapped = Some(v), extraLabels = errMap :: ctx.extraLabels)
   }
 
   def predCol(p: LabelPredicate, resolve: String => Column): Column = p match {

@@ -198,7 +198,36 @@ object QueriesErrorsTemplates extends QueryPack {
          |GROUP BY bucket_ns, event_type, user_id
          |ORDER BY bucket_ns, event_type, user_id""".stripMargin))
 
+  /** unwrap conversion failures label rows SampleExtractionErr and
+    * split the stream — rows are never dropped.
+    */
+  val unwrapError: Q = Q(
+    "logql_e2e_unwrap_error",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      val durLogs = td.events.select(
+        col("ts").as("ts_ns"),
+        concat(lit("{\"dur\":\""),
+          when(col("user_id") % 4 === 0, "garbage").otherwise("1h30m"),
+          lit("\"}")).as("body"),
+        map(lit("event_type"), col("event_type")).as("labels"))
+      Planner.query(
+          """sum by (__error__) (count_over_time({} | json | keep event_type | unwrap dur duration [1d]))""",
+          durLogs)
+        .select(col("bucket_ns"),
+          coalesce(try_element_at(col("labels"), lit("__error__")), lit("ok")).as("err"),
+          col("value"))
+        .orderBy("bucket_ns", "err")
+    },
+    Some(
+      s"""SELECT bucket_ns, err, CAST(COUNT(*) AS DOUBLE) AS value FROM (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |    CASE WHEN user_id % 4 = 0 THEN 'SampleExtractionErr' ELSE 'ok' END AS err
+         |  FROM events)
+         |GROUP BY bucket_ns, err ORDER BY bucket_ns, err""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     errorPropagation, lineFormatFuncs, labelFormatTemplate,
-    logfmtParams, logfmtStrict, dropValues, labelReplaceE2e, keepValues)
+    logfmtParams, logfmtStrict, dropValues, labelReplaceE2e, keepValues,
+    unwrapError)
 }
