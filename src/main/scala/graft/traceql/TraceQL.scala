@@ -271,13 +271,13 @@ object TraceQL {
     case ScopedRef("trace", "rootService") => col("__root_service")
     case ScopedRef("instrumentation", "name")    => col("scope_name")
     case ScopedRef("instrumentation", "version") => col("scope_version")
+    case ScopedRef("parent", "id")       => col("__parent_sid")
+    case ScopedRef("parent", "name")     => col("__parent_name")
+    case ScopedRef("parent", "duration") => col("__parent_duration_ns")
+    case ScopedRef("parent", "status")   => col("__parent_status")
     case ScopedRef(s, n) =>
       throw new IllegalArgumentException(s"unsupported scoped ref $s:$n")
     case Attr("parent", n)          => element_at(col("__parent_attrs"), n)
-    case ScopedRef("parent", "id")  => col("__parent_sid")
-    case ScopedRef("parent", "name") => col("__parent_name")
-    case ScopedRef("parent", "duration") => col("__parent_duration_ns")
-    case ScopedRef("parent", "status")   => col("__parent_status")
     case Attr("resource", n)        => element_at(col("attrs"), n)
     case Attr(_, n)                 => element_at(col("attrs"), n)
   }

@@ -120,7 +120,9 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ name = "op" } !<< { svc = "x" }""",
     """{ name = "op" } !>> { svc = "x" }""",
     """{ name = "op" } !< { svc = "x" }""",
-    """{ name = "op" } !~ { svc = "x" }"""
+    """{ name = "op" } !~ { svc = "x" }""",
+    """{ parent.svc = "x" && parent:name = "op" }""",
+    """{ parent:duration > 1ms }"""
   )
 
   private val traceqlReject = Seq(
