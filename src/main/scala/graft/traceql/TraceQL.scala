@@ -467,7 +467,7 @@ object TraceQL {
       val in0 = if (usesTraceIntrinsics(cond)) withTraceIntrinsics(spans) else spans
       val in = if (usesParentScope(cond)) withParentColumns(in0) else in0
       in.filter(condCol(cond))
-        .select(spans.columns.map(col): _*) // shed helper columns
+        .select(spans.columns.toIndexedSeq.map(col): _*) // shed helper columns
     case SStructural(op, lhs, rhs) =>
       val l = evalSpanset(lhs, spans).alias("l")
       val r = evalSpanset(rhs, spans).alias("r")
