@@ -96,22 +96,27 @@ object QueriesCore extends QueryPack {
     "q1_agg",
     s"""SELECT l_returnflag, l_linestatus,
        |  ${oSum("l_quantity")} AS sum_qty,
-       |  ${oSum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       |  ROUND(${oSum("l_extendedprice")}, 2) AS sum_base_price,
+       |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
        |  ${oAvg("l_quantity")} AS avg_qty,
        |  COUNT(*) AS count_order
        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) { td =>
+    // the big money sums round back onto their exact decimal grid
+    // (2dp prices, 4dp discounted products): above ~2^32 the two
+    // engines' decimal→double casts can differ by one ulp (DuckDB
+    // divides an int128 by a power of ten; Spark rounds the exact
+    // BigDecimal), and re-rounding collapses both to the same grid point
     td.lineitem
       .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(DecT) * (lit(1) - col("l_discount").cast(DecT)))
-          .cast("double").as("sum_disc_price"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice").cast(DecT) * (lit(1) - col("l_discount").cast(DecT)))
+          .cast("double"), 4).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order")
       )
