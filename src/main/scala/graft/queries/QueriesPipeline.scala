@@ -138,5 +138,39 @@ object QueriesPipeline extends QueryPack {
       .limit(5)
   }
 
-  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk, annIvf)
+  /** PII redaction sweep — emails and IPv4 literals replaced with
+    * typed placeholders, verified gone. One narrow projection pass
+    * (two codegen'd regexp_replace), no shuffle before the rollup —
+    * the shape a 100 TB scrub job runs per partition.
+    */
+  val redact: Q = {
+    val emailRe = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    Q(
+      "pipe_redact",
+      (s: SparkSession, dir: String) => {
+        val td = Testdata(s, dir)
+        val tainted = td.documents.withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com at 10.1.2.3"))).otherwise(col("text")))
+        val redacted = tainted.withColumn("clean",
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"))
+        redacted.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("clean") =!= col("text"), 1L).otherwise(0L)).as("n_redacted"),
+            sum(when(col("clean").rlike(emailRe) || col("clean").rlike(ipRe), 1L)
+              .otherwise(0L)).as("n_residual"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_redacted,
+           |  CAST(0 AS BIGINT) AS n_residual
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+  }
+
+  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk, annIvf, redact)
 }
