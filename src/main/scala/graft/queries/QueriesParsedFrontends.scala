@@ -58,8 +58,9 @@ object QueriesParsedFrontends extends QueryPack {
             |GROUP BY trace_id HAVING COUNT(*) >= 3
             |ORDER BY trace_id""".stripMargin))
 
-  /** TraceQL: structural child op through the parser (left-semi
-    * convention: matching parents).
+  /** TraceQL: structural child op through the parser — returns the
+    * RIGHT side's matches (reference spanset_op.go:196-215 childSpans:
+    * b-spans whose parent matches a).
     */
   val traceqlStructural: Q = Q(
     "traceql_e2e_structural",
@@ -68,16 +69,18 @@ object QueriesParsedFrontends extends QueryPack {
           spansView(Testdata(s, dir)))
         .select(col("trace_id"), col("n_spans")),
     Some(s"""WITH spans AS ($oracleSpans)
-            |SELECT trace_id, COUNT(*) AS n_spans FROM spans p
-            |WHERE returnflag = 'R' AND EXISTS (
-            |  SELECT 1 FROM spans c
-            |  WHERE c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
-            |    AND c.quantity > 30)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans c
+            |WHERE quantity > 30 AND EXISTS (
+            |  SELECT 1 FROM spans p
+            |  WHERE p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+            |    AND p.returnflag = 'R')
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
-  /** TraceQL: descendant op through the parser — ancestry from
-    * parent_span_id on both sides (recursive CTE in the oracle), no
-    * dependence on the testdata's span-id numbering.
+  /** TraceQL: descendant op through the parser — returns the RIGHT
+    * side's matches that descend from a left match (reference
+    * spanset_op.go:158-193 descendantSpans); ancestry from
+    * parent_span_id (recursive CTE in the oracle), no dependence on the
+    * testdata's span-id numbering.
     */
   val traceqlDescendant: Q = Q(
     "traceql_e2e_descendant",
@@ -95,12 +98,12 @@ object QueriesParsedFrontends extends QueryPack {
             |  FROM anc a JOIN uspans u
             |    ON u.trace_id = a.trace_id AND u.span_id = a.anc
             |  WHERE u.parent_span_id IS NOT NULL)
-            |SELECT trace_id, COUNT(*) AS n_spans FROM spans p
-            |WHERE returnflag = 'R' AND EXISTS (
-            |  SELECT 1 FROM spans c
-            |  JOIN anc x ON x.trace_id = c.trace_id AND x.span_id = c.span_id
-            |  WHERE c.trace_id = p.trace_id AND x.anc = p.span_id
-            |    AND c.quantity > 45)
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans c
+            |WHERE quantity > 45 AND EXISTS (
+            |  SELECT 1 FROM anc x
+            |  JOIN spans p ON p.trace_id = x.trace_id AND p.span_id = x.anc
+            |  WHERE x.trace_id = c.trace_id AND x.span_id = c.span_id
+            |    AND p.returnflag = 'R')
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
   /** TraceQL: spanset `&&` through the parser — traces where both sides
@@ -125,8 +128,9 @@ object QueriesParsedFrontends extends QueryPack {
             |WHERE trace_id IN (SELECT trace_id FROM matched)
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
-  /** TraceQL: descendant-of op `<<` through the parser — matches that
-    * sit BELOW a matching ancestor.
+  /** TraceQL: ancestor op `<<` through the parser — returns the RIGHT
+    * side's matches that are ancestors of a left match (mirror of
+    * descendantSpans, right-side convention).
     */
   val traceqlDescOf: Q = Q(
     "traceql_e2e_desc_of",
@@ -144,15 +148,17 @@ object QueriesParsedFrontends extends QueryPack {
             |  FROM anc a JOIN uspans u
             |    ON u.trace_id = a.trace_id AND u.span_id = a.anc
             |  WHERE u.parent_span_id IS NOT NULL)
-            |SELECT trace_id, COUNT(*) AS n_spans FROM spans s
-            |WHERE s.quantity > 45 AND EXISTS (
-            |  SELECT 1 FROM anc x JOIN spans r
-            |    ON r.trace_id = x.trace_id AND r.span_id = x.anc
-            |  WHERE x.trace_id = s.trace_id AND x.span_id = s.span_id
-            |    AND r.returnflag = 'R')
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans r
+            |WHERE r.returnflag = 'R' AND EXISTS (
+            |  SELECT 1 FROM anc x JOIN spans s
+            |    ON s.trace_id = x.trace_id AND s.span_id = x.span_id
+            |  WHERE x.trace_id = r.trace_id AND x.anc = r.span_id
+            |    AND s.quantity > 45)
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
-  /** TraceQL: negated sibling `!~` through the parser. */
+  /** TraceQL: negated sibling `!~` through the parser — right-side
+    * matches with NO left-matching sibling.
+    */
   val traceqlNoSibling: Q = Q(
     "traceql_e2e_no_sibling",
     (s: SparkSession, dir: String) =>
@@ -160,12 +166,12 @@ object QueriesParsedFrontends extends QueryPack {
           spansView(Testdata(s, dir)))
         .select(col("trace_id"), col("n_spans")),
     Some(s"""WITH spans AS ($oracleSpans)
-            |SELECT trace_id, COUNT(*) AS n_spans FROM spans s
-            |WHERE s.linestatus = 'F' AND NOT EXISTS (
-            |  SELECT 1 FROM spans r
-            |  WHERE r.trace_id = s.trace_id
-            |    AND r.parent_span_id = s.parent_span_id
-            |    AND r.span_id <> s.span_id AND r.returnflag = 'R')
+            |SELECT trace_id, COUNT(*) AS n_spans FROM spans r
+            |WHERE r.returnflag = 'R' AND NOT EXISTS (
+            |  SELECT 1 FROM spans s
+            |  WHERE s.trace_id = r.trace_id
+            |    AND s.parent_span_id = r.parent_span_id
+            |    AND s.span_id <> r.span_id AND s.linestatus = 'F')
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
   /** PromQL: vector agg over count_over_time through the parser. */

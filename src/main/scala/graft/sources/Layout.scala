@@ -77,9 +77,24 @@ object Layout {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Ingest-materialized ancestry: adds `parent_path Array[Int]` — the
+    * root-ward ancestor chain of every span, derived once here (one
+    * groupByKey(trace_id) shuffle) so `>>`/`<<` queries explode a
+    * stored column instead of re-walking parent pointers per query
+    * (the reference keeps the same parent map in memory per trace,
+    * traceqlengine/spanset_op.go:156-193; SURVEY §7 commits to the
+    * ingest-time column for 100 TB).
+    */
+  def withParentPath(spans: DataFrame): DataFrame =
+    if (spans.columns.contains("parent_path")) spans
+    else
+      spans.join(
+        graft.traceql.TraceQL.parentPaths(spans),
+        Seq("trace_id", "span_id"), "left")
+
   def writeSpans(spans: DataFrame, path: String,
       mode: String = "overwrite"): Unit =
-    spans
+    withParentPath(spans)
       .withColumn("date",
         date_format(timestamp_micros(expr("start_ns div 1000")), "yyyyMMdd"))
       .repartition(col("date"))

@@ -396,71 +396,78 @@ object TraceQL {
     case FCmp(ref, op, v) => cmpCol(refCol(ref), op, v)
   }
 
-  /** Max ancestry depth materialized for `>>` (real traces nest far
-    * shallower; the reference walks an in-memory parent pointer,
-    * spanset_op.go:78-88).
+  /** (trace_id, span_id, parent_path) — the root-ward ancestor chain of
+    * every non-root span, derived from parent_span_id by a per-trace
+    * pointer walk (reference walks the same in-memory parent map,
+    * spanset_op.go:156-193). ONE shuffle (groupByKey on trace_id), then
+    * linear in-memory work per trace — traces are small even at 100 TB,
+    * so this is the shape that scales: no driver-side probes, no
+    * depth-many self-joins, nothing persisted. A cycle guard mirrors the
+    * reference's `seen` set for malformed parent links.
+    *
+    * This is also the ingest-time computation: [[graft.sources.Layout]]
+    * writes the result as a `parent_path` column so queries explode a
+    * stored array instead of re-deriving the walk.
     */
-  val MaxAncestorDepth = 32
-
-  /** (trace_id, span_id, anc) — every ancestor within
-    * [[MaxAncestorDepth]] levels, derived purely from parent_span_id
-    * by BFS over the parent edges: level k+1 joins the level-k
-    * frontier back to the edge table (both sides keyed on trace_id, so
-    * the joins co-partition) and stops at the REAL tree depth — the
-    * frontier empties. Each level persists so the loop is linear work,
-    * and the assembled closure is materialized before the
-    * intermediates unpersist. In a tree every (span, anc) pair has one
-    * path, so the union needs no distinct. At 100 TB this table is
-    * written once at ingest (SURVEY §7 parent_path), not derived per
-    * query.
-    */
-  private[graft] def ancestorPairs(spans: DataFrame): DataFrame = {
-    val edges = spans
-      .select(col("trace_id"), col("span_id"), col("parent_span_id").as("anc"))
-      .filter(col("anc").isNotNull)
-      .distinct() // physical span rows may repeat in the testdata
-    def step(f: DataFrame): DataFrame =
-      f.alias("a").join(edges.alias("b"),
-          col("a.trace_id") === col("b.trace_id") &&
-            col("a.anc") === col("b.span_id"))
-        .select(col("a.trace_id").as("trace_id"),
-          col("a.span_id").as("span_id"), col("b.anc").as("anc"))
-    // Tree depth is bounded by spans-per-trace - 1; when that bound is
-    // small (one cheap aggregate to find out), unroll EXACTLY that many
-    // levels lazily — one consumer job, no emptiness probes, nothing
-    // persisted (persisted intermediates linger past the query and
-    // degrade unrelated work). Wide traces fall back to probe-and-
-    // extend, which persists only its (small) deep frontiers.
-    val maxRow = spans.groupBy(col("trace_id")).count()
-      .agg(max(col("count"))).head()
-    val maxSpans = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
-    val boundedDepth = math.min(maxSpans - 1, MaxAncestorDepth.toLong).toInt
-    if (boundedDepth <= 8) {
-      var levels = List(edges)
-      for (_ <- 2 to math.max(boundedDepth, 1)) levels ::= step(levels.head)
-      levels.reduce(_ unionAll _)
-    } else {
-      val l2 = step(edges)
-      val l3 = step(l2)
-      val l4 = step(l3)
-      var levels = List(edges, l2, l3, l4)
-      var frontier = l4
-      var depth = 4
-      var done = false
-      while (!done && depth < MaxAncestorDepth) {
-        if (frontier.isEmpty) done = true
-        else {
-          val next = step(frontier).persist()
-          levels ::= next; frontier = next; depth += 1
+  private[graft] def parentPaths(spans: DataFrame): DataFrame = {
+    val ss = spans.sparkSession
+    import ss.implicits._
+    spans
+      .select(col("trace_id").cast("long"), col("span_id").cast("int"),
+        col("parent_span_id").cast("int"))
+      .as[(Long, Int, Option[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (tid, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Int, Int]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val seenSpan = scala.collection.mutable.HashSet.empty[Int]
+        it.foreach { case (_, sid, p) =>
+          if (seenSpan.add(sid)) { // physical span rows may repeat
+            ids += sid
+            p.foreach(parent.update(sid, _))
+          }
+        }
+        ids.iterator.map { sid =>
+          val path = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val seen = scala.collection.mutable.HashSet.empty[Int]
+          var cur = parent.get(sid)
+          while (cur.isDefined && seen.add(cur.get)) {
+            path += cur.get
+            cur = parent.get(cur.get)
+          }
+          (tid, sid, path.toSeq)
         }
       }
-      levels.reduce(_ unionAll _)
-    }
+      .toDF("trace_id", "span_id", "parent_path")
   }
 
+  /** (trace_id, span_id, anc) ancestor-closure pairs. When the spans
+    * table carries an ingest-materialized `parent_path` column
+    * ([[graft.sources.Layout.withParentPath]]) this is a pure column
+    * explode — no extra shuffle; otherwise the chain is derived ad hoc
+    * by [[parentPaths]] (one shuffle).
+    */
+  private[graft] def ancestorPairs(spans: DataFrame): DataFrame =
+    if (spans.columns.contains("parent_path"))
+      spans.select(col("trace_id"), col("span_id"), col("parent_path"))
+        .dropDuplicates("trace_id", "span_id")
+        .select(col("trace_id"), col("span_id"),
+          explode(col("parent_path")).as("anc"))
+    else
+      parentPaths(spans)
+        .select(col("trace_id"), col("span_id"),
+          explode(col("parent_path")).as("anc"))
+
   /** Spanset evaluation → matching spans. Structural results follow the
-    * pair convention of the engine queries: the LEFT side's matches
-    * that stand in the relation to a RIGHT match.
+    * reference's convention (spanset_op.go:156-230 childSpans/
+    * descendantSpans/siblingSpans all return RIGHT-side spans): `{a} op
+    * {b}` yields the b-matches standing in the relation to an a-match —
+    * `{a} >> {b}` is "b-spans that descend from an a-span". Negated
+    * forms return the b-matches NOT in the relation (anti-join). One
+    * intentional divergence, Tempo-faithful: ancestry walks the FULL
+    * parent chain of the trace, where the reference resolves parent
+    * links only through spans visible on either side (descendantSpans
+    * parentOf map) and so misses chains through unmatched intermediates.
     */
   def evalSpanset(e: SpansetExpr, spans: DataFrame): DataFrame = e match {
     case SFilter(cond) =>
@@ -469,50 +476,45 @@ object TraceQL {
       in.filter(condCol(cond))
         .select(spans.columns.toIndexedSeq.map(col): _*) // shed helper columns
     case SStructural(op, lhs, rhs) =>
-      val l = evalSpanset(lhs, spans).alias("l")
-      val r = evalSpanset(rhs, spans).alias("r")
-      val sameTrace = col("l.trace_id") === col("r.trace_id")
+      def l = evalSpanset(lhs, spans)
+      def r = evalSpanset(rhs, spans).alias("r")
+      def sameTrace = col("r.trace_id") === col("l.trace_id")
       op match {
-        case ">" => // l is parent of r
-          l.join(r.select(col("trace_id"), col("parent_span_id")).alias("r"),
-              sameTrace && col("r.parent_span_id") === col("l.span_id"), "left_semi")
-        case "<" => // l is child of r
-          l.join(r.select(col("trace_id"), col("span_id")).alias("r"),
-              sameTrace && col("l.parent_span_id") === col("r.span_id"), "left_semi")
-        case ">>" => // l is ancestor of r: the real parent-chain closure
-          // (derived from parent_span_id — reference spanset_op.go:78-88
-          // descendantSpans), restricted to r's matches, semi-joined
-          val anc = ancestorPairs(spans)
-            .join(evalSpanset(rhs, spans).select(col("trace_id"), col("span_id")),
-              Seq("trace_id", "span_id"), "left_semi")
-            .select(col("trace_id"), col("anc")).alias("r")
-          l.join(anc, sameTrace && col("r.anc") === col("l.span_id"), "left_semi")
-        case "<<" | "!<<" => // l is (not) a descendant of a matching r
-          val rm = evalSpanset(rhs, spans)
-            .select(col("trace_id"), col("span_id").as("anc")).distinct()
-          val desc = ancestorPairs(spans)
-            .join(rm, Seq("trace_id", "anc"), "left_semi")
-            .select(col("trace_id"), col("span_id")).alias("r")
-          l.join(desc, sameTrace && col("r.span_id") === col("l.span_id"),
+        case ">" | "!>" => // r is (not) a child of a matching l
+          r.join(l.select(col("trace_id"), col("span_id")).alias("l"),
+            sameTrace && col("r.parent_span_id") === col("l.span_id"),
+            if (op == ">") "left_semi" else "left_anti")
+        case "<" | "!<" => // r is (not) the parent of a matching l
+          r.join(l.select(col("trace_id"), col("parent_span_id")).alias("l"),
+            sameTrace && col("r.span_id") === col("l.parent_span_id"),
+            if (op == "<") "left_semi" else "left_anti")
+        case ">>" | "!>>" => // r does (not) descend from a matching l:
+          // the real parent-chain closure restricted to l's matches
+          // (reference spanset_op.go:158-193 descendantSpans)
+          val lIds = l.select(col("trace_id"), col("span_id").as("anc")).distinct()
+          val descOfL = ancestorPairs(spans)
+            .join(lIds, Seq("trace_id", "anc"), "left_semi")
+            .select(col("trace_id"), col("span_id")).alias("d")
+          r.join(descOfL,
+            col("r.trace_id") === col("d.trace_id") &&
+              col("r.span_id") === col("d.span_id"),
+            if (op == ">>") "left_semi" else "left_anti")
+        case "<<" | "!<<" => // r is (not) an ancestor of a matching l
+          val lIds = l.select(col("trace_id"), col("span_id")).distinct()
+          val ancOfL = ancestorPairs(spans)
+            .join(lIds, Seq("trace_id", "span_id"), "left_semi")
+            .select(col("trace_id"), col("anc")).alias("d")
+          r.join(ancOfL,
+            col("r.trace_id") === col("d.trace_id") &&
+              col("r.span_id") === col("d.anc"),
             if (op == "<<") "left_semi" else "left_anti")
-        case "!>>" => // l has NO descendant matching r
-          val anc = ancestorPairs(spans)
-            .join(evalSpanset(rhs, spans).select(col("trace_id"), col("span_id")),
-              Seq("trace_id", "span_id"), "left_semi")
-            .select(col("trace_id"), col("anc")).alias("r")
-          l.join(anc, sameTrace && col("r.anc") === col("l.span_id"), "left_anti")
-        case "~" | "!~" => // l has a sibling (not) matching r
-          val sib = r.select(col("trace_id"), col("span_id"), col("parent_span_id")).alias("r")
-          l.join(sib,
-            sameTrace && col("l.parent_span_id") === col("r.parent_span_id") &&
-              col("l.span_id") =!= col("r.span_id"),
+        case "~" | "!~" => // r shares (does not share) a parent with a
+          // DIFFERENT matching l span (a span is not its own sibling)
+          val sib = l.select(col("trace_id"), col("span_id"), col("parent_span_id")).alias("l")
+          r.join(sib,
+            sameTrace && col("r.parent_span_id") === col("l.parent_span_id") &&
+              col("r.span_id") =!= col("l.span_id"),
             if (op == "~") "left_semi" else "left_anti")
-        case "!>" => // l has NO child matching r
-          l.join(r.select(col("trace_id"), col("parent_span_id")).alias("r"),
-              sameTrace && col("r.parent_span_id") === col("l.span_id"), "left_anti")
-        case "!<" => // l's parent does NOT match r (or l is a root)
-          l.join(r.select(col("trace_id"), col("span_id")).alias("r"),
-              sameTrace && col("l.parent_span_id") === col("r.span_id"), "left_anti")
         case "&&" => // traces where BOTH sides matched keep the merged
           // spans of both sides, deduped by span identity (reference
           // spanset_op.go:41-47 mergeSpans)

@@ -40,10 +40,17 @@ class TraceQLPromQLSpec extends SparkTestBase {
     assert(traces("""{ name = "db-query" } > { name = "db-retry" }""") == Seq(1L))
     assert(traces("""{ name = "root-op" } >> { name = "db-retry" }""") == Seq(1L))
     assert(traces("""{ name = "db-query" } ~ { name = "cache-get" }""") == Seq(1L))
-    // negated child: root-ops with NO cache-get child → none (both roots have one)
+    // negated child: cache-gets that are NOT a child of a root-op → none
+    // (both traces' cache-gets hang off the root)
     assert(traces("""{ name = "root-op" } !> { name = "cache-get" }""").isEmpty)
-    // parent op: cache-gets whose parent is a root-op → both traces
+    // parent op: root-ops that are the parent of a cache-get → both traces
     assert(traces("""{ name = "cache-get" } < { name = "root-op" }""") == Seq(1L, 2L))
+    // right-side convention (reference childSpans returns b-spans): the
+    // result spans are the RIGHT side's matches — t1's root has TWO
+    // kind=2 children, t2's root has one
+    val children = TraceQL.plan("""{ name = "root-op" } > { kind = 2 }""", spans)
+      .select("trace_id", "n_spans").as[(Long, Long)].collect().toSeq
+    assert(children == Seq((1L, 2L), (2L, 1L)))
   }
 
   test("TraceQL: descendant walks the real parent chain on an irregular tree") {
