@@ -117,6 +117,41 @@ object exprs {
       copy(child = newChild)
   }
 
+  /** cosine_sim(a, b) over float/double arrays → double, computed in a
+    * single fused pass (dot product + both norms) inside whole-stage
+    * codegen — the hot kernel of the ANN operators, where the
+    * interpreted aggregate(zip_with(...)) HOF fold was the bottleneck.
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(e: Expression) = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _                                    => false
+      }
+      if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine_sim"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      JKernels.cosine(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        elemIsFloat(left), elemIsFloat(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.JKernels.cosine($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** severity_text(17) → 'ERROR'; 24-level OTel mapping
     * (reference internal/chstorage/querier_logs_query.go:179-215).
     */
@@ -160,6 +195,7 @@ object GraftFunctions {
   def ip_match(ip: Column, pattern: Column): Column = col(IpMatch(ex(ip), ex(pattern)))
   def logfmt_get(line: Column, key: Column): Column = col(LogfmtGet(ex(line), ex(key)))
   def decolorize(c: Column): Column = col(Decolorize(ex(c)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def severity_text(c: Column): Column = col(SeverityText(ex(c)))
   def deduce_severity(c: Column): Column = col(DeduceSeverity(ex(c)))
 
@@ -170,6 +206,7 @@ object GraftFunctions {
     "graft_ip_match" -> { args => IpMatch(args(0), args(1)) },
     "graft_logfmt_get" -> { args => LogfmtGet(args(0), args(1)) },
     "graft_decolorize" -> { args => Decolorize(args.head) },
+    "graft_cosine_sim" -> { args => CosineSim(args(0), args(1)) },
     "graft_severity_text" -> { args => SeverityText(args.head) },
     "graft_deduce_severity" -> { args => DeduceSeverity(args.head) }
   )

@@ -34,4 +34,28 @@ object JKernels {
 
   def deduceSeverity(text: UTF8String): Int =
     if (text == null) 0 else Kernels.deduceSeverity(text.toString)
+
+  /** cosine(a, b) in ONE fused pass (dot + both norms), widening each
+    * element to double — the codegen replacement for the interpreted
+    * aggregate(zip_with(...)) fold (≈µs/row/centroid, SCALE.md) that
+    * dominated the IVF assignment pass.
+    */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
 }

@@ -403,7 +403,7 @@ object Planner {
           ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rangeNs)))
       }
       val base = bucketed
-        .withColumn("__stream", to_json(map_entries(ctx.labelsCol)))
+        .withColumn("__stream", VectorMatching.streamKey(ctx.labelsCol))
         .withColumn("__labels", ctx.labelsCol)
         .withColumn("__v", v)
       val wLag = Window.partitionBy(col("__stream"), col("bucket_ns"))
@@ -433,7 +433,7 @@ object Planner {
 
     case RangeAgg(op, q, rangeNs, offsetNs, param) =>
       val ctx = evalLog(q, logs)
-      val streamKey = to_json(map_entries(ctx.labelsCol)).as("__stream")
+      val streamKey = VectorMatching.streamKey(ctx.labelsCol).as("__stream")
       val bucketed = stepNs match {
         case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
         case None =>
@@ -485,7 +485,7 @@ object Planner {
         else map().cast("map<string,string>") // typed: downstream map ops need string keys
       val grouped = in
         .withColumn("labels", labelsOut)
-        .withColumn("__stream", to_json(map_entries(col("labels"))))
+        .withColumn("__stream", VectorMatching.streamKey(col("labels")))
       op match {
         case "sum" | "avg" | "min" | "max" | "count" | "stddev" | "stdvar" =>
           val agged: Column = op match {
@@ -523,9 +523,9 @@ object Planner {
         planMetric(rhs, logs, stepNs), m, "bucket_ns")
     case BinOp(op, lhs, rhs, None) =>
       val l = planMetric(lhs, logs, stepNs)
-        .withColumn("__stream", to_json(map_entries(col("labels"))))
+        .withColumn("__stream", VectorMatching.streamKey(col("labels")))
       val r = planMetric(rhs, logs, stepNs)
-        .withColumn("__stream", to_json(map_entries(col("labels"))))
+        .withColumn("__stream", VectorMatching.streamKey(col("labels")))
         .withColumnRenamed("value", "__rvalue")
         .drop("labels")
       op match {

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
 object VectorMatching {
   import Ast.VectorMatch
 
+  /** THE series-identity key: a label map rendered through a SORTED
+    * entry list. Every place a label map becomes a join or group key
+    * must use this — map_concat/label_replace/group_left build maps in
+    * different entry orders, and raw to_json(map_entries(...)) would
+    * silently fail to match equal label sets.
+    */
+  def streamKey(labels: Column): Column =
+    to_json(array_sort(map_entries(labels)))
+
   private def filteredLabels(labels: Column, m: VectorMatch): Column = {
     val arr = array(m.labels.map(lit): _*)
     if (m.on) map_filter(labels, (k, _) => array_contains(arr, k))

@@ -276,7 +276,7 @@ object PromQL {
     }
   }
 
-  private def streamKey: Column = to_json(map_entries(col("labels")))
+  private def streamKey: Column = graft.logql.VectorMatching.streamKey(col("labels"))
 
   /** Instant query at evalTsUs with the Prometheus lookback rule:
     * newest sample ≤ t within the window (reference
@@ -349,7 +349,7 @@ object PromQL {
         col("ts_us") <= lit(evalTsUs))
       .filter(!isnan(col("value")))
       .select(col("ts_us"), col("labels"), col("value"))
-      .orderBy(col("ts_us"), to_json(array_sort(map_entries(col("labels")))))
+      .orderBy(col("ts_us"), graft.logql.VectorMatching.streamKey(col("labels")))
   }
 
   /** Range query → (bucket_us, labels, value). Without `stepUs` the
@@ -501,7 +501,7 @@ object PromQL {
         } else if (Set("topk", "bottomk").contains(op)) col("labels")
         else map().cast("map<string,string>") // typed: downstream map ops need string keys
       val g = in.withColumn("labels", labelsOut)
-        .withColumn("__stream", to_json(array_sort(map_entries(col("labels")))))
+        .withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
       op match {
         case "topk" | "bottomk" =>
           val ord = if (op == "topk") Seq(col("value").desc, col("__stream"))
@@ -578,7 +578,7 @@ object PromQL {
         else pts0.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
       val base = pts
         .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
-        .withColumn("__stream", to_json(array_sort(map_entries(col("labels")))))
+        .withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
       val v: Column = fn match {
         case "count_over_time" => count(lit(1)).cast("double")
         case "sum_over_time"   => sum(col("value"))
@@ -676,7 +676,9 @@ object PromQL {
         ((max(when(col("__rn") === 1, col("ts_us")))
           - max(when(col("__rn") === 2, col("ts_us")))).cast("double") / 1e6).as("dt"),
         first(col("labels")).as("labels"))
-      .filter(col("prev_v").isNotNull)
+      // dt == 0 (duplicate timestamps) → no point, matching upstream
+      // funcIrate's skip of zero-interval pairs, not Infinity/NaN
+      .filter(col("prev_v").isNotNull && col("dt") > 0)
       .select(col("bucket_us"), col("labels"),
         when(col("last_v") < col("prev_v"), col("last_v") / col("dt"))
           .otherwise((col("last_v") - col("prev_v")) / col("dt")).as("value"))

@@ -59,14 +59,11 @@ object QueriesPipeline extends QueryPack {
   ) { td =>
     val emb = td.embeddings
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val a = transform(col("embedding"), x => x.cast("double"))
-    val b = transform(col("qe"), x => x.cast("double"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, e) => acc + e)
     emb.crossJoin(broadcast(qv))
       .select(
         col("vec_id"),
-        round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6).as("sim")
+        round(graft.functions.GraftFunctions.cosine_sim(
+          col("embedding"), col("qe")), 6).as("sim")
       )
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
@@ -106,18 +103,18 @@ object QueriesPipeline extends QueryPack {
   ) { td =>
     import org.apache.spark.sql.expressions.Window
     val emb = td.embeddings
-    def d(c: Column): Column = transform(c, x => x.cast("double"))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, e) => acc + e)
+    // fused codegen cosine (one pass: dot + both norms) — the
+    // interpreted aggregate(zip_with(...)) fold this replaces was the
+    // assignment pass's bottleneck
     def cos(x: Column, y: Column): Column =
-      round(dot(x, y) / sqrt(dot(x, x) * dot(y, y)), 6)
+      round(graft.functions.GraftFunctions.cosine_sim(x, y), 6)
     val cents = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
-        col("cid"), cos(d(col("embedding")), d(col("ce"))).as("sim"))
+        col("cid"), cos(col("embedding"), col("ce")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
@@ -125,7 +122,7 @@ object QueriesPipeline extends QueryPack {
     // referencing `assigned` twice would recompute the full table
     val qcid = emb.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
-        cos(d(col("embedding")), d(col("ce"))).as("sim"))
+        cos(col("embedding"), col("ce")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cid").as("qcid"))
@@ -133,7 +130,7 @@ object QueriesPipeline extends QueryPack {
     assigned
       .join(broadcast(qcid), col("cid") === col("qcid"), "inner") // probe ONE list
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), cos(d(col("embedding")), d(col("qe"))).as("sim"))
+      .select(col("vec_id"), cos(col("embedding"), col("qe")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
   }

@@ -168,8 +168,6 @@ object QueriesPipeline2 extends QueryPack {
       |WHERE ROUND(list_cosine_similarity(a.v, c.v), 6) > 0.3
       |ORDER BY sim DESC, a, b""".stripMargin
   ) { td =>
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, e) => acc + e)
     val e = td.embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val bucket = (1 to 8).map(i =>
@@ -177,8 +175,8 @@ object QueriesPipeline2 extends QueryPack {
     val b = e.withColumn("bucket", bucket)
     val x = b.alias("x")
     val y = b.alias("y")
-    val sim = round(dot(col("x.v"), col("y.v")) /
-      sqrt(dot(col("x.v"), col("x.v")) * dot(col("y.v"), col("y.v"))), 6)
+    val sim = round(
+      graft.functions.GraftFunctions.cosine_sim(col("x.v"), col("y.v")), 6)
     x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), sim.as("sim"))
       .filter(col("sim") > 0.3)

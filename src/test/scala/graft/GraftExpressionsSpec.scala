@@ -53,6 +53,23 @@ class GraftExpressionsSpec extends SparkTestBase {
       Seq("FATAL", "ERROR", "WARN", "UNKNOWN"))
   }
 
+  test("cosine_sim matches the naive formula on float and double arrays") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),   // identical → 1
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),   // orthogonal → 0
+      (Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))    // parallel → 1
+    ).toDF("a", "b")
+    val sims = df.select(cosine_sim(col("a"), col("b")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+    assert(math.abs(sims(2) - 1.0) < 1e-12)
+    // double arrays + SQL registration path
+    val viaSql = spark.sql(
+      "SELECT graft_cosine_sim(array(3.0D, 4.0D), array(4.0D, 3.0D))").collect()
+    assert(math.abs(viaSql.head.getDouble(0) - 24.0 / 25.0) < 1e-12)
+  }
+
   test("expressions survive filters inside whole-stage codegen") {
     val df = Seq.tabulate(100)(i => s"10.0.$i.7").toDF("ip")
       .filter(ip_match(col("ip"), lit("10.0.0.0/20")))

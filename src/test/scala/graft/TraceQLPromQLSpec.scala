@@ -149,6 +149,23 @@ class TraceQLPromQLSpec extends SparkTestBase {
     assert(math.abs(bySvc("b") - 7.0 * 600 / 540) < 1e-9)
   }
 
+  test("PromQL: irate skips zero-interval sample pairs") {
+    // svc=dup: the two newest samples share a timestamp → dt == 0 → no
+    // point (upstream funcIrate skips when lastSample.T == prevSample.T);
+    // svc=ok still yields 1/60s from its last two samples
+    val dup = Seq(
+      (0L, "reqs", 1.0, Map("svc" -> "dup")),
+      (5 * M, "reqs", 2.0, Map("svc" -> "dup")),
+      (5 * M, "reqs", 3.0, Map("svc" -> "dup")),
+      (4 * M, "reqs", 1.0, Map("svc" -> "ok")),
+      (5 * M, "reqs", 2.0, Map("svc" -> "ok"))
+    ).toDF("ts_us", "name", "value", "labels")
+    val out = PromQL.range("""irate(reqs[10m])""", dup)
+      .select($"labels.svc", $"value").as[(String, Double)].collect().toMap
+    assert(!out.contains("dup"))
+    assert(math.abs(out("ok") - 1.0 / 60) < 1e-12)
+  }
+
   test("PromQL: topk keeps input series labels") {
     val out = PromQL.range("""topk(1, sum by (svc) (count_over_time(reqs[5m])))""", points)
       .collect()
