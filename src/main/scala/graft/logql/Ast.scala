@@ -46,17 +46,21 @@ object Ast {
   final case class RegexpStage(pattern: String) extends Stage
   final case class LabelFilterStage(pred: LabelPredicate) extends Stage
   final case class KeepStage(labels: Seq[String]) extends Stage
+  /** Value condition on keep/drop items: exact (`lbl="v"`) or regex
+    * (`lbl=~"re"`) — reference pipeline.go:296-306 matcher forms.
+    */
+  final case class ValueMatcher(value: String, regex: Boolean)
   /** `| keep lbl="value", other` — keep a label only where its value
     * matches; bare names always keep (reference pipeline.go keep with
     * matchers).
     */
-  final case class KeepValuesStage(items: Seq[(String, Option[String])]) extends Stage
+  final case class KeepValuesStage(items: Seq[(String, Option[ValueMatcher])]) extends Stage
   final case class DropStage(labels: Seq[String]) extends Stage
-  /** `| drop lbl="value", other` — value-conditional drops: the label
-    * is removed only where its value matches; None = always
-    * (reference pipeline.go drop with matchers).
+  /** `| drop lbl="value"` / `| drop lbl=~"re"` — value-conditional
+    * drops: the label is removed only where its value matches; None =
+    * always (reference pipeline.go drop with matchers).
     */
-  final case class DropValuesStage(items: Seq[(String, Option[String])]) extends Stage
+  final case class DropValuesStage(items: Seq[(String, Option[ValueMatcher])]) extends Stage
   final case class DistinctStage(labels: Seq[String]) extends Stage
   /** label_format renames only (templates are line_format's job). */
   final case class LabelFormatStage(renames: Seq[(String, String)]) extends Stage
@@ -113,6 +117,10 @@ object Ast {
   final case class LabelFnExpr(fn: String, inner: MetricExpr,
       strs: Seq[String]) extends MetricExpr
   final case class ScalarLit(v: Double) extends MetricExpr
+  /** `vector(x)`: a constant one-series vector with empty labels at
+    * every step of the query grid (reference metric_expr.go:126-144).
+    */
+  final case class VectorLit(v: Double) extends MetricExpr
 
   sealed trait Expr
   final case class LogExpr(q: LogQuery) extends Expr

@@ -130,7 +130,7 @@ object Parser {
       case TOp("{", _) => LogExpr(parseLogQuery(p))
       case TOp("(", _) => MetricExprTop(parseMetric(p))
       case TIdent(name, _) if rangeOps(name) || vectorOps(name) ||
-          name == "label_replace" || name == "label_join" =>
+          name == "label_replace" || name == "label_join" || name == "vector" =>
         MetricExprTop(parseMetric(p))
       case TNum(_, _, _) => MetricExprTop(parseMetric(p))
       case t => throw ParseError("expected selector or metric function", t.pos)
@@ -250,27 +250,11 @@ object Parser {
       }
       UnwrapStage(lbl, conv)
     case TIdent("keep", _) =>
-      val items = Seq.newBuilder[(String, Option[String])]
-      var done = false
-      while (!done) {
-        val name = p.ident()
-        val v = if (p.acceptOp("=")) Some(p.str()) else None
-        items += (name -> v)
-        if (!p.acceptOp(",")) done = true
-      }
-      val is = items.result()
+      val is = keepDropItems(p)
       if (is.forall(_._2.isEmpty)) KeepStage(is.map(_._1))
       else KeepValuesStage(is)
     case TIdent("drop", _) =>
-      val items = Seq.newBuilder[(String, Option[String])]
-      var done = false
-      while (!done) {
-        val name = p.ident()
-        val v = if (p.acceptOp("=")) Some(p.str()) else None
-        items += (name -> v)
-        if (!p.acceptOp(",")) done = true
-      }
-      val is = items.result()
+      val is = keepDropItems(p)
       if (is.forall(_._2.isEmpty)) DropStage(is.map(_._1))
       else DropValuesStage(is)
     case TIdent("distinct", _) => DistinctStage(identList(p))
@@ -301,6 +285,24 @@ object Parser {
       val pred = parsePredicateParen(p)
       LabelFilterStage(pred)
     case t => throw ParseError("unknown pipeline stage", t.pos)
+  }
+
+  /** keep/drop item list: `name`, `name="value"`, or `name=~"regex"`
+    * (reference pipeline.go:296-306).
+    */
+  private def keepDropItems(p: P): Seq[(String, Option[ValueMatcher])] = {
+    val items = Seq.newBuilder[(String, Option[ValueMatcher])]
+    var done = false
+    while (!done) {
+      val name = p.ident()
+      val v =
+        if (p.acceptOp("=~")) Some(ValueMatcher(p.str(), regex = true))
+        else if (p.acceptOp("=")) Some(ValueMatcher(p.str(), regex = false))
+        else None
+      items += (name -> v)
+      if (!p.acceptOp(",")) done = true
+    }
+    items.result()
   }
 
   private def identList(p: P): Seq[String] = {
@@ -432,6 +434,14 @@ object Parser {
       p.expectOp(")")
       e
     case TNum(v, _, _) => p.next(); ScalarLit(v)
+    case TIdent("vector", _) =>
+      p.next(); p.expectOp("(")
+      val v = p.next() match {
+        case TNum(x, _, _) => x
+        case t             => throw ParseError("expected number", t.pos)
+      }
+      p.expectOp(")")
+      VectorLit(v)
     case TIdent(fn @ ("label_replace" | "label_join"), _) =>
       p.next(); p.expectOp("(")
       val inner = parseMetric(p)

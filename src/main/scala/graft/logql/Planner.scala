@@ -56,6 +56,16 @@ object Planner {
     */
   private def anchored(re: String): String = s"^(?:${Kernels.re2ToJava(re)})$$"
 
+  /** One keep/drop item over a (key, value) map entry: bare name, exact
+    * value, or regex value (reference pipeline.go:296-306).
+    */
+  private def valueCond(k: Column, v: Column,
+      item: (String, Option[ValueMatcher])): Column = item match {
+    case (lbl, Some(ValueMatcher(re, true))) => k === lbl && v.rlike(anchored(re))
+    case (lbl, Some(ValueMatcher(s, false))) => k === lbl && v === s
+    case (lbl, None)                         => k === lbl
+  }
+
   def matcherCol(m: Matcher, resolve: String => Column): Column = {
     val l = resolve(m.label)
     m.op match {
@@ -219,24 +229,14 @@ object Planner {
 
     case KeepValuesStage(items) =>
       val keepCond = (k: Column, v: Column) =>
-        items.map { case (lbl, value) =>
-          value match {
-            case Some(s) => k === lbl && v === s
-            case None    => k === lbl
-          }
-        }.reduce(_ || _)
+        items.map(valueCond(k, v, _)).reduce(_ || _)
       ctx.copy(extraLabels = Nil,
         df = ctx.df.withColumn("labels",
           map_filter(ctx.labelsCol, keepCond)))
 
     case DropValuesStage(items) =>
       val dropCond = (k: Column, v: Column) =>
-        items.map { case (lbl, value) =>
-          value match {
-            case Some(s) => k === lbl && v === s
-            case None    => k === lbl
-          }
-        }.reduce(_ || _)
+        items.map(valueCond(k, v, _)).reduce(_ || _)
       ctx.copy(extraLabels = Nil,
         df = ctx.df.withColumn("labels",
           map_filter(ctx.labelsCol, (k, v) => !dropCond(k, v))))
@@ -555,6 +555,19 @@ object Planner {
     case LabelFnExpr(fn, inner, strs) =>
       LabelFns(fn, planMetric(inner, logs, stepNs), strs)
 
+    case VectorLit(v) =>
+      // constant one-series vector with empty labels on the query grid
+      // (table extent at step granularity; the engine's default grid
+      // unit is 1d, the same grid the hand-built vector query uses) —
+      // reference metric_expr.go:126-144
+      val gridNs = stepNs.getOrElse(86400L * 1000000000L)
+      val ext = logs.agg(
+        min(col("ts_ns") - col("ts_ns") % lit(gridNs)).as("lo"),
+        max(col("ts_ns") - col("ts_ns") % lit(gridNs)).as("hi"))
+      ext.select(explode(sequence(col("lo"), col("hi"), lit(gridNs))).as("bucket_ns"))
+        .select(col("bucket_ns"),
+          map().cast("map<string,string>").as("labels"), lit(v).as("value"))
+
     case ScalarLit(v) =>
       throw new IllegalArgumentException("bare scalar is not a vector query")
   }
@@ -622,7 +635,7 @@ object Planner {
     case VectorAgg(_, _, _, _, i) => ranges(i)
     case BinOp(_, l, r, _)        => ranges(l) ++ ranges(r)
     case LabelFnExpr(_, i, _)     => ranges(i)
-    case ScalarLit(_)             => Nil
+    case ScalarLit(_) | VectorLit(_) => Nil
   }
 
   /** Instant metric query at `evalTsNs` (Loki's /query endpoint):

@@ -62,16 +62,10 @@ object Printer {
     case LabelFilterStage(p) => s"| ${printPred(p)}"
     case KeepStage(ls)   => s"| keep ${ls.mkString(", ")}"
     case KeepValuesStage(items) =>
-      s"| keep ${items.map {
-        case (l, Some(v)) => s"$l=${quote(v)}"
-        case (l, None)    => l
-      }.mkString(", ")}"
+      s"| keep ${items.map(printItem).mkString(", ")}"
     case DropStage(ls)   => s"| drop ${ls.mkString(", ")}"
     case DropValuesStage(items) =>
-      s"| drop ${items.map {
-        case (l, Some(v)) => s"$l=${quote(v)}"
-        case (l, None)    => l
-      }.mkString(", ")}"
+      s"| drop ${items.map(printItem).mkString(", ")}"
     case DistinctStage(ls) => s"| distinct ${ls.mkString(", ")}"
     case LabelFormatStage(rs) =>
       s"| label_format ${rs.map { case (d, src) => s"$d=$src" }.mkString(", ")}"
@@ -79,6 +73,12 @@ object Printer {
     case LineFormatStage(t) => s"| line_format ${quote(t)}"
     case UnwrapStage(l, conv) =>
       s"| unwrap $l${conv.map(" " + _).getOrElse("")}"
+  }
+
+  private def printItem(item: (String, Option[ValueMatcher])): String = item match {
+    case (l, Some(ValueMatcher(v, true)))  => s"$l=~${quote(v)}"
+    case (l, Some(ValueMatcher(v, false))) => s"$l=${quote(v)}"
+    case (l, None)                         => l
   }
 
   private def printPred(p: LabelPredicate): String = p match {
@@ -136,6 +136,7 @@ object Printer {
       s"$fn(${printMetric(inner)}, ${strs.map(quote).mkString(", ")})"
     case ScalarLit(v) =>
       if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString
+    case VectorLit(v) => s"vector(${printMetric(ScalarLit(v))})"
   }
 
   /** ns → the shortest whole-unit LogQL duration. */

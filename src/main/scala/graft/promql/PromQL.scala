@@ -44,6 +44,12 @@ object PromQL {
   /** histogram_quantile(φ, expr-with-le-buckets). */
   final case class HistQuantile(phi: Double, inner: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
+  /** `@` modifier: the inner selector/range-fn evaluates at the PINNED
+    * unix timestamp, and the (constant-in-time) result repeats at every
+    * step of the query grid (reference: vendored engine semantics,
+    * SURVEY §2.3; upstream promql parser @-modifier).
+    */
+  final case class At(inner: Expr, tsUs: Long) extends Expr
 
   // ---------- parser ----------
   final case class ParseError(msg: String, pos: Int)
@@ -203,14 +209,23 @@ object PromQL {
         val r = p.duration()
         val subStep = if (p.accept(":")) Some(p.duration()) else None
         p.expect("]")
-        val off = if (p.peekIdent == "offset") { p.ident(); p.duration() } else 0L
+        // offset and @ may follow the brackets in either order
+        var off = 0L
+        var atTs: Option[Long] = None
+        var more = true
+        while (more) {
+          if (p.peekIdent == "offset") { p.ident(); off = p.duration() }
+          else if (p.accept("@")) atTs = Some((p.number() * 1e6).toLong)
+          else more = false
+        }
         p.expect(")")
-        (inner, subStep) match {
+        val rf = (inner, subStep) match {
           case (Instant(sel), None) => RangeFn(name, sel, r, off, param)
           case (sub, Some(st))      => RangeSub(name, sub, r, st, off, param)
           case (_, None) =>
             throw ParseError("subquery needs an explicit step ([range:step])", p.i)
         }
+        atTs.fold(rf: Expr)(At(rf, _))
       } else if (aggOps(name)) {
         p.ident()
         var by = Seq.empty[String]
@@ -231,7 +246,10 @@ object PromQL {
         p.expect(")")
         grouping()
         Agg(name, by, without, k, param, inner)
-      } else Instant(parseSelector(p))
+      } else {
+        val sel = Instant(parseSelector(p))
+        if (p.accept("@")) At(sel, (p.number() * 1e6).toLong) else sel
+      }
     } else throw ParseError("expected expression", p.i)
   }
 
@@ -310,6 +328,7 @@ object PromQL {
     case Bin(_, l, r, _, _)        => collectRanges(l) ++ collectRanges(r)
     case FnCall(_, i, _, _)        => collectRanges(i)
     case HistQuantile(_, i)        => collectRanges(i)
+    case At(_, _)                  => Nil // pinned: grid-independent
     case Instant(_) | ScalarLit(_) => Nil
   }
 
@@ -373,6 +392,7 @@ object PromQL {
     case FnCall(f, i, n, s)       => FnCall(f, foldScalars(i), n, s)
     case HistQuantile(phi, i)     => HistQuantile(phi, foldScalars(i))
     case RangeSub(f, i, r, st, o, p) => RangeSub(f, foldScalars(i), r, st, o, p)
+    case At(i, t)                 => At(foldScalars(i), t)
     case other => other
   }
 
@@ -488,6 +508,47 @@ object PromQL {
             .agg(v.as("value"), first(col("labels")).as("labels"))
             .select(col("bucket_us"), col("labels"), col("value"))
       }
+
+    case At(inner, tUs) =>
+      // Pinned evaluation: compute the inner ONCE at tUs, fan the
+      // constant result out over the query grid (the table extent at
+      // range/step granularity — same grid as absent_over_time). The
+      // pinned frame is tiny (one row per series), so the fan-out is a
+      // broadcast cross join; nothing rescans per bucket.
+      val gridUs: Long = stepUs.getOrElse(inner match {
+        case RangeFn(_, _, r, _, _) => r / 1000
+        case _                      => 300000000L // bare selector: 5m lookback grid
+      })
+      val pinned = inner match {
+        case RangeFn(fn, sel, rangeNs, offsetNs, param) =>
+          // same window-alignment shift as instantExpr: (t-range, t]
+          // becomes one tumbling bucket ending at the pin
+          val rangeUs = rangeNs / 1000
+          val delta = ((rangeUs - (tUs % rangeUs)) % rangeUs + rangeUs) % rangeUs
+          val target = tUs + delta - rangeUs
+          val shifted = points.withColumn("ts_us", col("ts_us") + lit(delta - 1))
+            .filter(col("ts_us") >= lit(target))
+          planRange(RangeFn(fn, sel, rangeNs, offsetNs, param), shifted, None)
+            .filter(col("bucket_us") === target)
+            .select(col("labels"), col("value"))
+        case Instant(sel) =>
+          val w = Window.partitionBy(streamKey).orderBy(col("ts_us").desc)
+          points.filter(selCol(sel))
+            .filter(!isnan(col("value")))
+            .filter(col("ts_us") <= tUs && col("ts_us") > tUs - 300000000L)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("labels"), col("value"))
+        case other =>
+          throw new IllegalArgumentException(s"@ not supported over $other")
+      }
+      val ext = points.agg(
+        min(col("ts_us") - col("ts_us") % lit(gridUs)).as("lo"),
+        max(col("ts_us") - col("ts_us") % lit(gridUs)).as("hi"))
+      val grid = ext.select(
+        explode(sequence(col("lo"), col("hi"), lit(gridUs))).as("bucket_us"))
+      grid.crossJoin(broadcast(pinned))
+        .select(col("bucket_us"), col("labels"), col("value"))
 
     case Agg(op, by, without, k, param, inner) =>
       val in = planRange(inner, points, stepUs)

@@ -226,8 +226,45 @@ object QueriesErrorsTemplates extends QueryPack {
          |  FROM events)
          |GROUP BY bucket_ns, err ORDER BY bucket_ns, err""".stripMargin))
 
+  /** `| drop lbl=~"regex"` through the parser (reference
+    * pipeline.go:296-306 drop with regex matchers): user_ids matching
+    * the regex lose the label and fold into the 'none' stream.
+    */
+  val dropRegex: Q = Q(
+    "logql_e2e_drop_regex",
+    (s: SparkSession, dir: String) =>
+      Planner.query("""sum by (user_id) (count_over_time({} | drop user_id=~"[0-9]*[02468]" [1d]))""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          coalesce(try_element_at(col("labels"), lit("user_id")), lit("none")).as("user_id"),
+          col("value"))
+        .orderBy("bucket_ns", "user_id"),
+    Some(
+      s"""SELECT bucket_ns, user_id, CAST(COUNT(*) AS DOUBLE) AS value FROM (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |    CASE WHEN user_id % 2 = 0 THEN 'none' ELSE CAST(user_id AS VARCHAR) END AS user_id
+         |  FROM events)
+         |GROUP BY bucket_ns, user_id ORDER BY bucket_ns, user_id""".stripMargin))
+
+  /** `vector(5) * 2 + 1` through the PARSER (the hand-built
+    * logql_vector_literal query promoted into the grammar — reference
+    * metric_expr.go:126-144): a constant series on the query grid.
+    */
+  val vectorE2e: Q = Q(
+    "logql_e2e_vector",
+    (s: SparkSession, dir: String) =>
+      Planner.query("""vector(5) * 2 + 1""", logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"), col("value"))
+        .orderBy("bucket_ns"),
+    Some(
+      s"""WITH ext AS (
+         |  SELECT min(epoch_ns(ts) - epoch_ns(ts) % $DayNs) AS lo,
+         |         max(epoch_ns(ts) - epoch_ns(ts) % $DayNs) AS hi FROM events)
+         |SELECT unnest(generate_series(lo, hi, $DayNs)) AS bucket_ns, 11.0 AS value
+         |FROM ext ORDER BY bucket_ns""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     errorPropagation, lineFormatFuncs, labelFormatTemplate,
     logfmtParams, logfmtStrict, dropValues, labelReplaceE2e, keepValues,
-    unwrapError)
+    unwrapError, dropRegex, vectorE2e)
 }

@@ -186,7 +186,37 @@ object QueriesPromFns extends QueryPack {
          |  1.0 AS value
          |FROM events ORDER BY bucket_us""".stripMargin))
 
+  /** `@` modifier: the pinned count_over_time(ev[1d] @ t) evaluates once
+    * over (t-1d, t] and repeats at every grid step (upstream promql
+    * @-modifier semantics; evaluable in the reference via the vendored
+    * engine, SURVEY §2.3).
+    */
+  val atModifier: Q = {
+    val tSec = 1705276800L // 2024-01-15T00:00:00Z
+    val tUs = tSec * 1000000L
+    Q(
+      "promql_e2e_at_modifier",
+      (s: SparkSession, dir: String) =>
+        PromQL.range(s"""sum by (svc) (count_over_time(ev[1d] @ $tSec))""",
+            pointsView(Testdata(s, dir)))
+          .select(col("bucket_us"),
+            element_at(col("labels"), "svc").as("svc"), col("value"))
+          .orderBy("bucket_us", "svc"),
+      Some(
+        s"""WITH grid AS (
+           |  SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us
+           |  FROM events),
+           |pinned AS (
+           |  SELECT CAST(user_id % 4 AS VARCHAR) AS svc,
+           |    CAST(COUNT(*) AS DOUBLE) AS value
+           |  FROM events
+           |  WHERE epoch_us(ts) > $tUs - $DayUs AND epoch_us(ts) <= $tUs
+           |  GROUP BY 1)
+           |SELECT bucket_us, svc, value FROM grid, pinned
+           |ORDER BY bucket_us, svc""".stripMargin))
+  }
+
   override def queries: Seq[Q] =
     Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery,
-      instantExprE2e, matrixE2e, absentE2e)
+      instantExprE2e, matrixE2e, absentE2e, atModifier)
 }
