@@ -78,15 +78,22 @@ object ApiEncoders {
 
   /** Tempo /api/search response from per-trace rollups
     * (trace_id, root_name, root_service, start_ns, duration_ns).
+    *
+    * Capped BEFORE collect: newest `limit` traces by start time
+    * (default 20, the reference's default search limit,
+    * traceqlengine/engine.go:220-222) — a `{}` match-everything search
+    * must never pull the whole store onto the driver.
     */
-  def tempoSearch(df: DataFrame): String = {
-    val traces = df.select(to_json(struct(
+  def tempoSearch(df: DataFrame, limit: Int = 20): String = {
+    val traces = df
+      .orderBy(col("start_ns").desc, col("trace_id"))
+      .limit(limit)
+      .select(to_json(struct(
         format_string("%016x", col("trace_id")).as("traceID"),
         col("root_service").as("rootServiceName"),
         col("root_name").as("rootTraceName"),
         col("start_ns").cast("string").as("startTimeUnixNano"),
         (col("duration_ns") / lit(1000000.0)).as("durationMs"))).as("j"))
-      .orderBy("j")
       .collect().map(_.getString(0))
     s"""{"traces":[${traces.mkString(",")}]}"""
   }

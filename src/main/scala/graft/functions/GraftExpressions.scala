@@ -121,6 +121,8 @@ object exprs {
     * single fused pass (dot product + both norms) inside whole-stage
     * codegen — the hot kernel of the ANN operators, where the
     * interpreted aggregate(zip_with(...)) HOF fold was the bottleneck.
+    * Edge cases: length mismatch / null element raise; zero-norm → 0.0
+    * (see [[JKernels.cosine]]).
     */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {

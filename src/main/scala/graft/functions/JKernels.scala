@@ -39,16 +39,27 @@ object JKernels {
     * element to double — the codegen replacement for the interpreted
     * aggregate(zip_with(...)) fold (≈µs/row/centroid, SCALE.md) that
     * dominated the IVF assignment pass.
+    *
+    * Edge semantics (explicit, not silent): mismatched lengths and null
+    * elements RAISE — both indicate corrupt embedding data that should
+    * fail the job, not skew the ranking; a zero-norm vector yields 0.0
+    * ("no similarity"), keeping top-k ordering NaN-free.
     */
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData,
       aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine_sim: length mismatch ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_cosine_sim: null element at index $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -56,6 +67,6 @@ object JKernels {
       nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 }

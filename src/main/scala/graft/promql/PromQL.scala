@@ -225,6 +225,8 @@ object PromQL {
           case (_, None) =>
             throw ParseError("subquery needs an explicit step ([range:step])", p.i)
         }
+        if (atTs.isDefined && rf.isInstanceOf[RangeSub])
+          throw ParseError("@ modifier is not supported on subqueries", p.i)
         atTs.fold(rf: Expr)(At(rf, _))
       } else if (aggOps(name)) {
         p.ident()
@@ -340,6 +342,10 @@ object PromQL {
   def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame = {
     val e = foldScalars(parse(q))
     val rs = collectRanges(e).distinct
+    require(rs.nonEmpty,
+      "instant over a fully @-pinned expression is unsupported: the @ " +
+        "modifier already fixes the evaluation time — query it directly " +
+        "via query() / rangeExpr instead")
     require(rs.size == 1, s"instant needs one shared range, got $rs")
     val range = rs.head
     val delta = ((range - (evalTsUs % range)) % range + range) % range
@@ -526,8 +532,11 @@ object PromQL {
           val rangeUs = rangeNs / 1000
           val delta = ((rangeUs - (tUs % rangeUs)) % rangeUs + rangeUs) % rangeUs
           val target = tUs + delta - rangeUs
+          // planRange shifts ts_us forward by the offset, so the needed
+          // raw window for `[r] offset o @ t` is (t-o-r, t-o] — keep the
+          // pre-filter bound offset-aware or that window is truncated
           val shifted = points.withColumn("ts_us", col("ts_us") + lit(delta - 1))
-            .filter(col("ts_us") >= lit(target))
+            .filter(col("ts_us") >= lit(target - offsetNs / 1000))
           planRange(RangeFn(fn, sel, rangeNs, offsetNs, param), shifted, None)
             .filter(col("bucket_us") === target)
             .select(col("labels"), col("value"))

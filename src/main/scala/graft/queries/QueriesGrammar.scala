@@ -36,6 +36,11 @@ object QueriesGrammar extends QueryPack {
         lit("et"), col("event_type")).as("labels"))
 
   private def spansView(td: Testdata): DataFrame =
+    Fixtures.materializedSpans(td.spark, td.dir, "gr") {
+      buildSpansView(td)
+    }
+
+  private def buildSpansView(td: Testdata): DataFrame =
     td.lineitem.select(
       col("l_orderkey").as("trace_id"),
       col("l_linenumber").as("span_id"),
@@ -397,9 +402,85 @@ object QueriesGrammar extends QueryPack {
          |FROM lineitem WHERE l_returnflag = 'R'
          |GROUP BY bucket_ns, by_value ORDER BY bucket_ns, by_value""".stripMargin))
 
+  // --- TraceQL metrics family (reference parses the full set,
+  // traceql/metrics_expr.go:23-145 + second-stage op.go:350-416; its
+  // engine is NotImplemented — we execute them on the windowed-agg core).
+  // Det notes: min over 2-decimal values is order-free; avg/sum/quantile
+  // use integral duration_ns so double accumulation is exact.
+
+  private val bucketNs =
+    """CAST(epoch(l_shipdate) AS BIGINT) * 1000000000
+      |    - (CAST(epoch(l_shipdate) AS BIGINT) * 1000000000) % 86400000000000""".stripMargin
+
+  val metricsMin: Q = Q(
+    "traceql_metrics_min",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ quantity > 10 } | min_over_time(quantity) | by(linestatus)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("by_value"), col("value")),
+    Some(
+      s"""SELECT $bucketNs AS bucket_ns,
+         |  l_linestatus AS by_value, CAST(min(l_quantity) AS DOUBLE) AS value
+         |FROM lineitem WHERE l_quantity > 10
+         |GROUP BY bucket_ns, by_value ORDER BY bucket_ns, by_value""".stripMargin))
+
+  val metricsAvg: Q = Q(
+    "traceql_metrics_avg",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ status = error } | avg_over_time(duration) | by(linestatus)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("by_value"), col("value")),
+    Some(
+      s"""SELECT $bucketNs AS bucket_ns, l_linestatus AS by_value,
+         |  CAST(SUM(CAST(round(l_quantity * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |    / COUNT(*) AS value
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |GROUP BY bucket_ns, by_value ORDER BY bucket_ns, by_value""".stripMargin))
+
+  val metricsSum: Q = Q(
+    "traceql_metrics_sum",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ linestatus = "F" } | sum_over_time(duration) | by(returnflag)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("by_value"), col("value")),
+    Some(
+      s"""SELECT $bucketNs AS bucket_ns, l_returnflag AS by_value,
+         |  CAST(SUM(CAST(round(l_quantity * 1000000, 0) AS BIGINT)) AS DOUBLE) AS value
+         |FROM lineitem WHERE l_linestatus = 'F'
+         |GROUP BY bucket_ns, by_value ORDER BY bucket_ns, by_value""".stripMargin))
+
+  val metricsQuantile: Q = Q(
+    "traceql_metrics_quantile",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ quantity > 30 } | quantile_over_time(duration, 0.5) | by(linestatus)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("by_value"), col("value")),
+    Some(
+      s"""SELECT $bucketNs AS bucket_ns, l_linestatus AS by_value,
+         |  quantile_cont(CAST(round(l_quantity * 1000000, 0) AS BIGINT), 0.5) AS value
+         |FROM lineitem WHERE l_quantity > 30
+         |GROUP BY bucket_ns, by_value ORDER BY bucket_ns, by_value""".stripMargin))
+
+  val metricsTopk: Q = Q(
+    "traceql_metrics_topk",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ quantity > 5 } | rate() | by(returnflag) | topk(2)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("by_value"), col("value")),
+    Some(
+      s"""SELECT bucket_ns, by_value, value FROM (
+         |  SELECT $bucketNs AS bucket_ns, l_returnflag AS by_value,
+         |    CAST(COUNT(*) AS DOUBLE) / 86400.0 AS value
+         |  FROM lineitem WHERE l_quantity > 5
+         |  GROUP BY bucket_ns, by_value)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY bucket_ns ORDER BY value DESC, by_value) <= 2
+         |ORDER BY bucket_ns, by_value""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
     scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
-    metricsE2e)
+    metricsE2e, metricsMin, metricsAvg, metricsSum, metricsQuantile,
+    metricsTopk)
 }

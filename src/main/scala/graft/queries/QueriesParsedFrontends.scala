@@ -12,8 +12,15 @@ import graft.traceql.TraceQL
   */
 object QueriesParsedFrontends extends QueryPack {
 
-  /** lineitem as the spans table for the TraceQL front-end. */
+  /** lineitem as the spans table for the TraceQL front-end —
+    * ingest-materialized once per sfDir (stored parent_path column).
+    */
   private def spansView(td: Testdata): DataFrame =
+    Fixtures.materializedSpans(td.spark, td.dir, "pf") {
+      buildSpansView(td)
+    }
+
+  private def buildSpansView(td: Testdata): DataFrame =
     td.lineitem.select(
       col("l_orderkey").as("trace_id"),
       col("l_linenumber").as("span_id"),

@@ -29,6 +29,11 @@ object QueriesTraceQL extends QueryPack {
     * derivation stays visibly in sync): duration_ns = round(quantity·1e6).
     */
   private def spans(td: Testdata): DataFrame =
+    Fixtures.materializedSpans(td.spark, td.dir, "tq") {
+      buildSpans(td)
+    }
+
+  private def buildSpans(td: Testdata): DataFrame =
     td.lineitem.select(
       col("l_orderkey").as("trace_id"),
       col("l_linenumber").as("span_id"),

@@ -22,6 +22,11 @@ object QueriesTraceQLMore extends QueryPack {
       |FROM lineitem""".stripMargin
 
   private def spans(td: Testdata): DataFrame =
+    Fixtures.materializedSpans(td.spark, td.dir, "tqm") {
+      buildSpans(td)
+    }
+
+  private def buildSpans(td: Testdata): DataFrame =
     td.lineitem.select(
       col("l_orderkey").as("trace_id"),
       col("l_linenumber").as("span_id"),

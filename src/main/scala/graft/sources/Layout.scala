@@ -87,6 +87,12 @@ object Layout {
     */
   def withParentPath(spans: DataFrame): DataFrame =
     if (spans.columns.contains("parent_path")) spans
+    else if (!spans.columns.contains("parent_span_id") ||
+             !spans.columns.contains("span_id") ||
+             !spans.columns.contains("trace_id"))
+      // frames without ancestry columns (e.g. streaming enrich fixtures)
+      // can't carry a path — structural ops aren't expressible on them
+      spans
     else
       spans.join(
         graft.traceql.TraceQL.parentPaths(spans),

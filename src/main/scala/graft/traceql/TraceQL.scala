@@ -278,9 +278,23 @@ object TraceQL {
     case ScopedRef(s, n) =>
       throw new IllegalArgumentException(s"unsupported scoped ref $s:$n")
     case Attr("parent", n)          => element_at(col("__parent_attrs"), n)
-    case Attr("resource", n)        => element_at(col("attrs"), n)
-    case Attr(_, n)                 => element_at(col("attrs"), n)
+    // resource./span. attribute maps are DISTINCT (reference keeps
+    // separate maps and coalesces span→resource for unscoped lookups,
+    // chstorage/attributes.go:251-266); frames without a resource_attrs
+    // column get an empty one via withResourceAttrs
+    case Attr("resource", n)        => element_at(col("resource_attrs"), n)
+    case Attr(_, n)                 =>
+      coalesce(element_at(col("attrs"), n), element_at(col("resource_attrs"), n))
   }
+
+  /** Normalizes the span frame to always carry a `resource_attrs` map so
+    * attribute resolution (span→resource coalesce) is uniform; span
+    * frames modeled with a single merged map just get an empty overlay.
+    */
+  private[graft] def withResourceAttrs(spans: DataFrame): DataFrame =
+    if (spans.columns.contains("resource_attrs")) spans
+    else spans.withColumn("resource_attrs",
+      map().cast("map<string,string>"))
 
   private def usesParentScope(e: FieldExpr): Boolean = e match {
     case FAnd(l, r) => usesParentScope(l) || usesParentScope(r)
@@ -412,15 +426,22 @@ object TraceQL {
   private[graft] def parentPaths(spans: DataFrame): DataFrame = {
     val ss = spans.sparkSession
     import ss.implicits._
+    // 64-bit ids throughout; a non-numeric id (e.g. hex-string OTel ids
+    // not yet normalized to int64) fails LOUDLY instead of null-casting
+    // into a broken walk or int-truncating into ancestry collisions.
+    def asLong(c: String) =
+      when(col(c).isNotNull && col(c).cast("long").isNull,
+        raise_error(concat(
+          lit(s"graft.parentPaths: non-numeric $c: "), col(c).cast("string"))))
+        .otherwise(col(c).cast("long")).as(c)
     spans
-      .select(col("trace_id").cast("long"), col("span_id").cast("int"),
-        col("parent_span_id").cast("int"))
-      .as[(Long, Int, Option[Int])]
+      .select(asLong("trace_id"), asLong("span_id"), asLong("parent_span_id"))
+      .as[(Long, Long, Option[Long])]
       .groupByKey(_._1)
       .flatMapGroups { (tid, it) =>
-        val parent = scala.collection.mutable.HashMap.empty[Int, Int]
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val seenSpan = scala.collection.mutable.HashSet.empty[Int]
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val seenSpan = scala.collection.mutable.HashSet.empty[Long]
         it.foreach { case (_, sid, p) =>
           if (seenSpan.add(sid)) { // physical span rows may repeat
             ids += sid
@@ -428,8 +449,8 @@ object TraceQL {
           }
         }
         ids.iterator.map { sid =>
-          val path = scala.collection.mutable.ArrayBuffer.empty[Int]
-          val seen = scala.collection.mutable.HashSet.empty[Int]
+          val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val seen = scala.collection.mutable.HashSet.empty[Long]
           var cur = parent.get(sid)
           while (cur.isDefined && seen.add(cur.get)) {
             path += cur.get
@@ -447,13 +468,17 @@ object TraceQL {
     * explode — no extra shuffle; otherwise the chain is derived ad hoc
     * by [[parentPaths]] (one shuffle).
     */
-  private[graft] def ancestorPairs(spans: DataFrame): DataFrame =
-    if (spans.columns.contains("parent_path"))
-      spans.select(col("trace_id"), col("span_id"), col("parent_path"))
-        .dropDuplicates("trace_id", "span_id")
-        .select(col("trace_id"), col("span_id"),
-          explode(col("parent_path")).as("anc"))
-    else
+  private[graft] def ancestorPairs(spans: DataFrame,
+      dedup: Boolean = true): DataFrame =
+    if (spans.columns.contains("parent_path")) {
+      // `dedup = false` skips the (trace_id, span_id) dropDuplicates
+      // shuffle — safe whenever the pairs feed a semi/anti join, which
+      // dedups inherently; pair-COUNTING callers keep the default.
+      val base = spans.select(col("trace_id"), col("span_id"), col("parent_path"))
+      val uniq = if (dedup) base.dropDuplicates("trace_id", "span_id") else base
+      uniq.select(col("trace_id"), col("span_id"),
+        explode(col("parent_path")).as("anc"))
+    } else
       parentPaths(spans)
         .select(col("trace_id"), col("span_id"),
           explode(col("parent_path")).as("anc"))
@@ -472,12 +497,15 @@ object TraceQL {
   def evalSpanset(e: SpansetExpr, spans: DataFrame): DataFrame = e match {
     case SFilter(cond) =>
       val in0 = if (usesTraceIntrinsics(cond)) withTraceIntrinsics(spans) else spans
-      val in = if (usesParentScope(cond)) withParentColumns(in0) else in0
+      val in1 = if (usesParentScope(cond)) withParentColumns(in0) else in0
+      val in = withResourceAttrs(in1)
       in.filter(condCol(cond))
         .select(spans.columns.toIndexedSeq.map(col): _*) // shed helper columns
     case SStructural(op, lhs, rhs) =>
-      def l = evalSpanset(lhs, spans)
-      def r = evalSpanset(rhs, spans).alias("r")
+      // Each operand is planned exactly ONCE per structural node; `&&`
+      // avoids re-reading either subtree by tagging sides in one union.
+      lazy val l = evalSpanset(lhs, spans)
+      lazy val r = evalSpanset(rhs, spans).alias("r")
       def sameTrace = col("r.trace_id") === col("l.trace_id")
       op match {
         case ">" | "!>" => // r is (not) a child of a matching l
@@ -490,9 +518,10 @@ object TraceQL {
             if (op == "<") "left_semi" else "left_anti")
         case ">>" | "!>>" => // r does (not) descend from a matching l:
           // the real parent-chain closure restricted to l's matches
-          // (reference spanset_op.go:158-193 descendantSpans)
-          val lIds = l.select(col("trace_id"), col("span_id").as("anc")).distinct()
-          val descOfL = ancestorPairs(spans)
+          // (reference spanset_op.go:158-193 descendantSpans); every
+          // join here is semi/anti, so no distinct/dedup shuffles
+          val lIds = l.select(col("trace_id"), col("span_id").as("anc"))
+          val descOfL = ancestorPairs(spans, dedup = false)
             .join(lIds, Seq("trace_id", "anc"), "left_semi")
             .select(col("trace_id"), col("span_id")).alias("d")
           r.join(descOfL,
@@ -500,8 +529,8 @@ object TraceQL {
               col("r.span_id") === col("d.span_id"),
             if (op == ">>") "left_semi" else "left_anti")
         case "<<" | "!<<" => // r is (not) an ancestor of a matching l
-          val lIds = l.select(col("trace_id"), col("span_id")).distinct()
-          val ancOfL = ancestorPairs(spans)
+          val lIds = l.select(col("trace_id"), col("span_id"))
+          val ancOfL = ancestorPairs(spans, dedup = false)
             .join(lIds, Seq("trace_id", "span_id"), "left_semi")
             .select(col("trace_id"), col("anc")).alias("d")
           r.join(ancOfL,
@@ -517,18 +546,20 @@ object TraceQL {
             if (op == "~") "left_semi" else "left_anti")
         case "&&" => // traces where BOTH sides matched keep the merged
           // spans of both sides, deduped by span identity (reference
-          // spanset_op.go:41-47 mergeSpans)
-          val lm = evalSpanset(lhs, spans)
+          // spanset_op.go:41-47 mergeSpans). Single evaluation of each
+          // operand: tag the side in a union, then keep traces that saw
+          // both tags — one shuffle on trace_id, no semi-join re-scans.
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("trace_id")
           val rm = evalSpanset(rhs, spans)
-          val both = lm.select(col("trace_id")).distinct()
-            .join(rm.select(col("trace_id")).distinct(), Seq("trace_id"), "left_semi")
-          lm.unionAll(rm)
-            .join(both, Seq("trace_id"), "left_semi")
+          l.withColumn("_side", lit(0)).unionAll(rm.withColumn("_side", lit(1)))
+            .withColumn("_nsides", size(collect_set(col("_side")).over(w)))
+            .filter(col("_nsides") === 2)
             .dropDuplicates("trace_id", "span_id")
+            .drop("_side", "_nsides")
         case "||" => // spanset union, deduped by span identity (set ops
           // on map columns are unsupported, so dedup on the span key)
-          evalSpanset(lhs, spans).unionAll(evalSpanset(rhs, spans))
-            .dropDuplicates("trace_id", "span_id")
+          val rm = evalSpanset(rhs, spans)
+          l.unionAll(rm).dropDuplicates("trace_id", "span_id")
       }
   }
 
@@ -547,42 +578,103 @@ object TraceQL {
     * start_ns over `stepNs` and aggregate per optional by-field.
     * Output (bucket_ns, [by_value,] value).
     */
-  def planMetrics(q: String, spans: DataFrame, stepNs: Long): DataFrame = {
+  def planMetrics(q: String, spans0: DataFrame, stepNs: Long): DataFrame = {
+    val spans = withResourceAttrs(spans0)
     val p = new P(q)
     val ss = parseSpanset(p)
     p.expect("|")
-    val fn = p.ident() match {
-      case f @ ("rate" | "count_over_time") => f
-      case other => throw ParseError(s"unknown metrics fn '$other'", p.i)
-    }
+    val fn = p.ident()
     p.expect("(")
+    // field-arg family: min/max/avg/sum/quantile/histogram_over_time(f)
+    // (reference parses the same set, traceql/metrics_expr.go:23-145;
+    // its engine is NotImplemented — semantics follow Tempo's docs)
+    val fieldFns = Set("min_over_time", "max_over_time", "avg_over_time",
+      "sum_over_time", "quantile_over_time", "histogram_over_time")
+    val field: Option[FieldRef] =
+      if (fieldFns(fn)) Some(parseRef(p)) else None
+    val quantile: Option[Double] =
+      if (fn == "quantile_over_time") {
+        p.expect(",")
+        p.numberOrDuration() match {
+          case SNum(x) => Some(x)
+          case _       => throw ParseError("expected quantile", p.i)
+        }
+      } else None
+    if (!fieldFns(fn) && fn != "rate" && fn != "count_over_time")
+      throw ParseError(s"unknown metrics fn '$fn'", p.i)
     p.expect(")")
-    val by = if (p.accept("|")) {
-      if (p.ident() != "by") throw ParseError("expected by()", p.i)
-      p.expect("(")
-      val r = parseRef(p)
-      p.expect(")")
-      Some(r)
-    } else None
+    var by: Option[FieldRef] = None
+    // second stage: topk(n)/bottomk(n) keep the n highest/lowest-valued
+    // series PER STEP (reference second-stage ops, traceql/op.go:350-416)
+    var topK: Option[(Int, Boolean)] = None
+    while (p.accept("|")) {
+      p.ident() match {
+        case "by" =>
+          p.expect("("); by = Some(parseRef(p)); p.expect(")")
+        case k @ ("topk" | "bottomk") =>
+          p.expect("(")
+          val n = p.numberOrDuration() match {
+            case SNum(x) => x.toInt
+            case _       => throw ParseError("expected k", p.i)
+          }
+          p.expect(")")
+          topK = Some((n, k == "topk"))
+        case other => throw ParseError(s"unexpected metrics stage '$other'", p.i)
+      }
+    }
     if (!p.done) throw ParseError("trailing input", p.i)
 
-    val matched = evalSpanset(ss, spans)
+    val matched0 = evalSpanset(ss, spans)
       .withColumn("bucket_ns", col("start_ns") - col("start_ns") % lit(stepNs))
-    val v =
-      if (fn == "rate") (count(lit(1)).cast("double") / (stepNs / 1e9)).as("value")
-      else count(lit(1)).cast("double").as("value")
-    by match {
-      case Some(r) =>
+    val fv = field.map(r => refCol(r).cast("double"))
+    // histogram_over_time raises each value into its next power-of-2
+    // bucket and counts per (step, le) — the extra `le` dimension rides
+    // the by_value slot
+    val matched = fn match {
+      case "histogram_over_time" =>
+        matched0.withColumn("__le",
+          pow(lit(2.0), ceil(log(2.0, fv.get))).cast("double"))
+      case _ => matched0
+    }
+    val v: Column = (fn match {
+      case "rate"              => count(lit(1)).cast("double") / (stepNs / 1e9)
+      case "count_over_time"   => count(lit(1)).cast("double")
+      case "min_over_time"     => min(fv.get)
+      case "max_over_time"     => max(fv.get)
+      case "avg_over_time"     => avg(fv.get)
+      case "sum_over_time"     => sum(fv.get)
+      case "quantile_over_time" => percentile(fv.get, lit(quantile.get))
+      case "histogram_over_time" => count(lit(1)).cast("double")
+    }).as("value")
+    val grouped = (fn, by) match {
+      case ("histogram_over_time", _) =>
+        matched.withColumn("by_value", col("__le").cast("string"))
+          .groupBy(col("bucket_ns"), col("by_value")).agg(v)
+      case (_, Some(r)) =>
         matched.withColumn("by_value", refCol(r))
           .groupBy(col("bucket_ns"), col("by_value")).agg(v)
-          .orderBy("bucket_ns", "by_value")
-      case None =>
-        matched.groupBy(col("bucket_ns")).agg(v).orderBy("bucket_ns")
+      case (_, None) =>
+        matched.groupBy(col("bucket_ns")).agg(v)
     }
+    val ranked = topK match {
+      case Some((n, top)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket_ns"))
+          .orderBy(if (top) col("value").desc else col("value").asc,
+            col("by_value")) // deterministic tie-break
+        grouped.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= n).drop("__rk")
+      case None => grouped
+    }
+    val ordCols =
+      if (grouped.columns.contains("by_value")) Seq("bucket_ns", "by_value")
+      else Seq("bucket_ns")
+    ranked.orderBy(ordCols.map(col): _*)
   }
 
-  def plan(q: String, spans: DataFrame): DataFrame = {
+  def plan(q: String, spans0: DataFrame): DataFrame = {
     val ast = parse(q)
+    val spans = withResourceAttrs(spans0)
     val matched0 = evalSpanset(ast.spanset, spans)
     // by(field): the field value becomes part of the spanset identity
     val (grouped, groupCols) = ast.by match {

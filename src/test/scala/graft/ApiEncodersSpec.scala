@@ -51,6 +51,17 @@ class ApiEncodersSpec extends SparkTestBase {
     assert(out.contains(""""durationMs":2.0"""))
   }
 
+  test("tempoSearch caps results at the default limit, newest first") {
+    val df = (1L to 50L).map(i => (i, s"op-$i", "api", i * 1000L, 1000000L))
+      .toDF("trace_id", "root_name", "root_service", "start_ns", "duration_ns")
+    val out = ApiEncoders.tempoSearch(df)
+    assert("\"traceID\"".r.findAllIn(out).length == 20)
+    // newest trace (50) present, oldest (1) dropped
+    assert(out.contains(""""traceID":"0000000000000032""""))
+    assert(!out.contains(""""traceID":"0000000000000001""""))
+    assert("\"traceID\"".r.findAllIn(ApiEncoders.tempoSearch(df, 5)).length == 5)
+  }
+
   test("promVector renders instant results") {
     val df = Seq((5000000L, Map("svc" -> "a"), 3.25)).toDF("ts_us", "labels", "value")
     val out = ApiEncoders.promVector(df)

@@ -149,6 +149,28 @@ class StreamsSpec extends SparkTestBase {
     query.processAllAvailable()
     query.stop()
     assert(spark.read.parquet(s"$dir/spans").count() == 2)
+    // no parent_span_id in the frame → no parent_path materialized, no failure
+    assert(!spark.read.parquet(s"$dir/spans").columns.contains("parent_path"))
+  }
+
+  test("spansSink materializes parent_path when ancestry columns exist") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssink2").toString
+    val input = MemoryStream[(Long, Long, Option[Long], String, Long, Long)](spark)
+    val spans = input.toDF().toDF(
+      "trace_id", "span_id", "parent_span_id", "name", "start_ns", "duration_ns")
+    val day1 = 1704103200000000000L
+    input.addData(
+      (1L, 1L, None, "root", day1, 100L),
+      (1L, 2L, Some(1L), "child", day1 + 10L, 50L),
+      (1L, 3L, Some(2L), "leaf", day1 + 20L, 10L))
+    val query = Streams.spansSink(spans, s"$dir/spans", s"$dir/ckpt")
+    query.processAllAvailable()
+    query.stop()
+    val back = spark.read.parquet(s"$dir/spans")
+    assert(back.columns.contains("parent_path"))
+    val leafPath = back.filter(col("name") === "leaf")
+      .select("parent_path").collect().head.getSeq[Long](0)
+    assert(leafPath.toSet == Set(1L, 2L))
   }
 
   test("decomposePoints flattens histogram records into mapped sub-series") {
