@@ -154,6 +154,32 @@ object exprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** xxh3_128(bytes|string) → 16-byte canonical digest (BE high64 ++
+    * low64). The series-identity hash of the reference
+    * (otelstorage/hash.go:25-107) — xxhash64 is NOT interoperable with
+    * reference-written data, this is. Codegen'd static call; the
+    * algorithm itself comes from the parquet-column shaded copy of the
+    * public-domain openhft XXH3 (KAT in KernelsSpec).
+    */
+  case class Xxh3_128(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"xxh3_128 needs string or binary input, got $other")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_xxh3_128"
+    override protected def nullSafeEval(input: Any): Any = input match {
+      case s: UTF8String => JKernels.xxh3_128(s)
+      case b: Array[Byte] => JKernels.xxh3_128(b)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.JKernels.xxh3_128($c)")
+    override protected def withNewChildInternal(newChild: Expression): Xxh3_128 =
+      copy(child = newChild)
+  }
+
   /** severity_text(17) → 'ERROR'; 24-level OTel mapping
     * (reference internal/chstorage/querier_logs_query.go:179-215).
     */
@@ -198,6 +224,7 @@ object GraftFunctions {
   def logfmt_get(line: Column, key: Column): Column = col(LogfmtGet(ex(line), ex(key)))
   def decolorize(c: Column): Column = col(Decolorize(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def xxh3_128(c: Column): Column = col(Xxh3_128(ex(c)))
   def severity_text(c: Column): Column = col(SeverityText(ex(c)))
   def deduce_severity(c: Column): Column = col(DeduceSeverity(ex(c)))
 
@@ -209,6 +236,7 @@ object GraftFunctions {
     "graft_logfmt_get" -> { args => LogfmtGet(args(0), args(1)) },
     "graft_decolorize" -> { args => Decolorize(args.head) },
     "graft_cosine_sim" -> { args => CosineSim(args(0), args(1)) },
+    "graft_xxh3_128" -> { args => Xxh3_128(args.head) },
     "graft_severity_text" -> { args => SeverityText(args.head) },
     "graft_deduce_severity" -> { args => DeduceSeverity(args.head) }
   )

@@ -35,6 +35,32 @@ object JKernels {
   def deduceSeverity(text: UTF8String): Int =
     if (text == null) 0 else Kernels.deduceSeverity(text.toString)
 
+  // Stateless and thread-safe; shaded into parquet-column (on every
+  // Spark classpath) from the public-domain openhft implementation of
+  // Yann Collet's XXH3. KAT-verified against the published canonical
+  // vectors in KernelsSpec.
+  private val Xx128 =
+    shaded.parquet.net.openhft.hashing.LongTupleHashFunction.xx128()
+
+  /** Canonical XXH3-128 digest: big-endian high64 ++ low64, the
+    * XXH128_canonicalFromHash byte order — bit-compatible with the
+    * reference's series hashes (otelstorage/hash.go:25-107).
+    */
+  def xxh3_128(b: Array[Byte]): Array[Byte] = {
+    val r = Xx128.hashBytes(b) // r(0)=low64, r(1)=high64
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      out(i) = (r(1) >>> (56 - 8 * i)).toByte
+      out(i + 8) = (r(0) >>> (56 - 8 * i)).toByte
+      i += 1
+    }
+    out
+  }
+
+  def xxh3_128(s: UTF8String): Array[Byte] =
+    if (s == null) null else xxh3_128(s.getBytes)
+
   /** cosine(a, b) in ONE fused pass (dot + both norms), widening each
     * element to double — the codegen replacement for the interpreted
     * aggregate(zip_with(...)) fold (≈µs/row/centroid, SCALE.md) that

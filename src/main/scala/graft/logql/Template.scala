@@ -129,9 +129,59 @@ object Template {
       case "duration" => GraftFunctions.parse_duration(value).cast("string")
       case "b64enc"   => base64(value.cast("binary"))
       case "b64dec"   => unbase64(value).cast("string")
-      case other      => throw TemplateError(s"unsupported template function '$other'")
+      case other      => extended(other, args.init, value).getOrElse(
+        throw TemplateError(s"unsupported template function '$other'"))
     }
   }
+
+  /** Go reference time layout → java.time pattern for the tokens the
+    * reference's templates use (logqlengine/template.go toDateInZone).
+    */
+  private def goLayoutToJava(l: String): String =
+    l.replace("2006", "yyyy").replace("Jan", "MMM").replace("Mon", "EEE")
+      .replace("01", "MM").replace("02", "dd").replace("15", "HH")
+      .replace("04", "mm").replace("05", "ss").replace(".000", ".SSS")
+
+  /** The remaining FuncMap entries (reference logqlengine/
+    * template.go:33-110) — all take the value LAST in Go order, so one
+    * table serves both the direct and the piped call forms.
+    *
+    *   - urlencode/urldecode: query-string escaping
+    *   - toDateInZone "layout" "zone" v: parse a wall-clock string in
+    *     the zone (rendered in Spark's timestamp string form)
+    *   - unixToTime v: epoch by DIGIT COUNT — sec/ms/µs/ns, the
+    *     reference's heuristic
+    *   - alignLeft/alignRight n v: space-pad without truncating
+    *   - count "sub" v: non-overlapping occurrence count
+    */
+  private def extended(fn: String, pre: List[Tok], value: Column): Option[Column] =
+    fn match {
+      case "urlencode" => Some(url_encode(value))
+      case "urldecode" => Some(url_decode(value))
+      case "toDateInZone" =>
+        val fmt = goLayoutToJava(strArg(pre(0)))
+        val zone = strArg(pre(1))
+        Some(to_utc_timestamp(to_timestamp(value, fmt), zone).cast("string"))
+      case "unixToTime" =>
+        val n = value.cast("long")
+        val d = length(trim(value))
+        Some(when(d <= 10, timestamp_seconds(n))
+          .when(d === 13, timestamp_millis(n))
+          .when(d === 16, timestamp_micros(n))
+          .otherwise(timestamp_micros((n / 1000).cast("long")))
+          .cast("string"))
+      case "alignLeft" =>
+        val n = intArg(pre.head)
+        Some(when(length(value) >= n, value).otherwise(rpad(value, n, " ")))
+      case "alignRight" =>
+        val n = intArg(pre.head)
+        Some(when(length(value) >= n, value).otherwise(lpad(value, n, " ")))
+      case "count" =>
+        val sub = strArg(pre.head)
+        Some(((length(value) - length(replace(value, lit(sub), lit("")))) /
+          sub.length).cast("long").cast("string"))
+      case _ => None
+    }
 
   /** Compile the inside of one `{{ ... }}` action. */
   private def compileAction(action: String, resolve: String => Column): Column = {
@@ -180,7 +230,8 @@ object Template {
     case "duration" => GraftFunctions.parse_duration(piped).cast("string")
     case "b64enc"   => base64(piped.cast("binary"))
     case "b64dec"   => unbase64(piped).cast("string")
-    case other      => throw TemplateError(s"unsupported template function '$other'")
+    case other      => extended(other, args, piped).getOrElse(
+      throw TemplateError(s"unsupported template function '$other'"))
   }
 
   private val Action = "\\{\\{(.*?)\\}\\}".r

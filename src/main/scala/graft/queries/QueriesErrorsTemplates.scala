@@ -69,6 +69,48 @@ object QueriesErrorsTemplates extends QueryPack {
         |    || ' s=' || regexp_replace(event_type, 'n.*', 'N', 'g') AS body
         |  FROM events WHERE event_type = 'signup')""".stripMargin))
 
+  /** View for the extended template-function sweep: labels carrying a
+    * query-string-ish value, epoch seconds, and a date string.
+    */
+  private def tmplView(td: Testdata): DataFrame =
+    td.events.select(
+      col("ts").as("ts_ns"),
+      col("event_type").as("body"),
+      map(
+        lit("etype"), col("event_type"),
+        lit("et"), concat(col("event_type"), lit("&x")),
+        lit("ts_s"), expr("ts div 1000000000").cast("string"),
+        lit("ds"), date_format(timestamp_micros(expr("ts div 1000")),
+          "yyyy-MM-dd")).as("labels"))
+
+  /** The reference FuncMap's remaining entries through line_format:
+    * urlencode/urldecode, alignLeft/alignRight, count, unixToTime,
+    * toDateInZone (logqlengine/template.go:33-110).
+    */
+  val lineFormatFuncs2: Q = Q(
+    "logql_line_format_funcs2",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """{} | line_format `u={{ .et | urlencode }} a={{ alignRight 8 .etype }} l={{ alignLeft 8 .etype }} c={{ count "n" .etype }} t={{ .ts_s | unixToTime }} d={{ toDateInZone "2006-01-02" "UTC" .ds }} x={{ .et | urlencode | urldecode }}`""",
+          tmplView(Testdata(s, dir)), logLimit = None)
+        .agg(count(lit(1)).as("n"), min(col("body")).as("min_body"),
+          max(col("body")).as("max_body")),
+    Some(
+      """SELECT COUNT(*) AS n, MIN(body) AS min_body, MAX(body) AS max_body FROM (
+        |  SELECT 'u=' || replace(event_type || '&x', '&', '%26')
+        |    || ' a=' || CASE WHEN length(event_type) >= 8 THEN event_type
+        |                     ELSE lpad(event_type, 8, ' ') END
+        |    || ' l=' || CASE WHEN length(event_type) >= 8 THEN event_type
+        |                     ELSE rpad(event_type, 8, ' ') END
+        |    || ' c=' || CAST(length(event_type)
+        |                   - length(replace(event_type, 'n', '')) AS VARCHAR)
+        |    || ' t=' || CAST(make_timestamp(
+        |                   (epoch_ns(ts) // 1000000000) * 1000000) AS VARCHAR)
+        |    || ' d=' || CAST(strptime(strftime(make_timestamp(epoch_ns(ts) // 1000),
+        |                   '%Y-%m-%d'), '%Y-%m-%d') AS VARCHAR)
+        |    || ' x=' || event_type || '&x' AS body
+        |  FROM events)""".stripMargin))
+
   /** label_format template form: a derived label built with template
     * functions becomes part of the stream identity.
     */
@@ -264,7 +306,7 @@ object QueriesErrorsTemplates extends QueryPack {
          |FROM ext ORDER BY bucket_ns""".stripMargin))
 
   override def queries: Seq[Q] = Seq(
-    errorPropagation, lineFormatFuncs, labelFormatTemplate,
+    errorPropagation, lineFormatFuncs, lineFormatFuncs2, labelFormatTemplate,
     logfmtParams, logfmtStrict, dropValues, labelReplaceE2e, keepValues,
     unwrapError, dropRegex, vectorE2e)
 }

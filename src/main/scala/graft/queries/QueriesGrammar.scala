@@ -477,10 +477,48 @@ object QueriesGrammar extends QueryPack {
          |  PARTITION BY bucket_ns ORDER BY value DESC, by_value) <= 2
          |ORDER BY bucket_ns, by_value""".stripMargin))
 
+  /** Distinct span/resource attribute maps sharing the key `team` with
+    * DIFFERENT values — the discriminator for strict resource.x vs
+    * unscoped coalesce (chstorage/attributes.go:251-266).
+    */
+  private def dualAttrsView(td: Testdata): DataFrame =
+    spansView(td)
+      .withColumn("attrs", map_concat(col("attrs"),
+        map(lit("team"), element_at(col("attrs"), "linestatus"))))
+      .withColumn("resource_attrs",
+        map(lit("team"), element_at(col("attrs"), "returnflag")))
+
+  /** resource.team reads the resource map, bare team coalesces to the
+    * span map — a shared key with different values proves the scopes
+    * stay distinct.
+    */
+  val resourceScopeE2e: Q = Q(
+    "traceql_e2e_resource_scope",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ resource.team = "R" && team = "F" }""",
+          dualAttrsView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(
+      """SELECT l_orderkey AS trace_id, COUNT(*) AS n_spans FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
+  /** Selector-filtered tag autocomplete (SearchTagValuesV2): values of
+    * `linestatus` restricted to spans matching `{ returnflag = "R" }`.
+    */
+  val tagFilteredE2e: Q = Q(
+    "traceql_tag_autocomplete_filtered",
+    (s: SparkSession, dir: String) =>
+      TraceQL.tagValues("""{ returnflag = "R" }""", "linestatus",
+        spansView(Testdata(s, dir))),
+    Some(
+      """SELECT DISTINCT l_linestatus AS value FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY value""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
     scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
     metricsE2e, metricsMin, metricsAvg, metricsSum, metricsQuantile,
-    metricsTopk)
+    metricsTopk, resourceScopeE2e, tagFilteredE2e)
 }

@@ -138,7 +138,8 @@ object Streams {
   def decomposePoints(records: DataFrame): DataFrame = {
     val base = records.select(
       col("timestamp"), col("name"),
-      xxhash64(col("name"), col("attrs")).as("hash"),
+      GraftFunctions.xxh3_128(concat_ws("\u0000", col("name"), col("attrs")))
+        .as("hash"),
       col("gauge"), col("hist_count"), col("hist_sum"))
     val gauges = base.filter(col("gauge").isNotNull)
       .select(col("hash"), col("name"), col("timestamp"),
@@ -165,7 +166,8 @@ object Streams {
   def decomposeExpHist(records: DataFrame): DataFrame = {
     val base = records.select(
       col("timestamp"), col("name"),
-      xxhash64(col("name"), col("attrs")).as("hash"),
+      GraftFunctions.xxh3_128(concat_ws("\u0000", col("name"), col("attrs")))
+        .as("hash"),
       col("exp_scale"), col("exp_zerocount"),
       col("exp_positive_offset"), col("exp_positive_counts"),
       col("summary_quantiles"))

@@ -225,7 +225,7 @@ object TraceQL {
       case "duration" | "name" | "status" | "kind" | "rootName" |
            "traceDuration" | "statusMessage" | "rootServiceName" =>
         Intrinsic(first)
-      case other => Attr("span", other) // bare attr shorthand
+      case other => Attr("", other) // bare attr: unscoped lookup
     }
   }
 
@@ -278,10 +278,11 @@ object TraceQL {
     case ScopedRef(s, n) =>
       throw new IllegalArgumentException(s"unsupported scoped ref $s:$n")
     case Attr("parent", n)          => element_at(col("__parent_attrs"), n)
-    // resource./span. attribute maps are DISTINCT (reference keeps
-    // separate maps and coalesces span→resource for unscoped lookups,
-    // chstorage/attributes.go:251-266); frames without a resource_attrs
-    // column get an empty one via withResourceAttrs
+    // resource./span. attribute maps are DISTINCT and their scoped
+    // lookups STRICT; only the unscoped form coalesces span→resource
+    // (reference chstorage/attributes.go:251-266). Frames without a
+    // resource_attrs column get an empty one via withResourceAttrs.
+    case Attr("span", n)            => element_at(col("attrs"), n)
     case Attr("resource", n)        => element_at(col("resource_attrs"), n)
     case Attr(_, n)                 =>
       coalesce(element_at(col("attrs"), n), element_at(col("resource_attrs"), n))
@@ -670,6 +671,31 @@ object TraceQL {
       if (grouped.columns.contains("by_value")) Seq("bucket_ns", "by_value")
       else Seq("bucket_ns")
     ranked.orderBy(ordCols.map(col): _*)
+  }
+
+  /** Selector-filtered tag autocomplete (SearchTagValuesV2,
+    * reference chstorage/querier_traces.go:113-391): the distinct
+    * values `tag` takes on spans matching the spanset selector —
+    * unscoped lookup (span→resource coalesce), nulls dropped, sorted.
+    */
+  def tagValues(q: String, tag: String, spans0: DataFrame): DataFrame =
+    matchSpans(q, spans0)
+      .transform(withResourceAttrs)
+      .select(coalesce(element_at(col("attrs"), tag),
+        element_at(col("resource_attrs"), tag)).as("value"))
+      .filter(col("value").isNotNull)
+      .distinct().orderBy("value")
+
+  /** Bare spanset evaluation: the spans matching `q`'s selector, with
+    * no pipeline stages — the building block for search endpoints and
+    * autocomplete.
+    */
+  def matchSpans(q: String, spans0: DataFrame): DataFrame = {
+    val spans = withResourceAttrs(spans0)
+    val p = new P(q)
+    val ss = parseSpanset(p)
+    if (!p.done) throw ParseError("trailing input", p.i)
+    evalSpanset(ss, spans)
   }
 
   def plan(q: String, spans0: DataFrame): DataFrame = {

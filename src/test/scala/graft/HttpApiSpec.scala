@@ -1,0 +1,109 @@
+package graft
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+
+import org.apache.spark.sql.functions._
+
+import graft.api.HttpApi
+
+/** Integration spec: one query per signal through HTTP → parser →
+  * Spark plan → JSON envelope, against the in-process JDK server.
+  */
+class HttpApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayNs = 86400L * 1000000000L
+
+  private def logsDf = Seq(
+    (DayNs + 1000L, "error: boom", Map("app" -> "api")),
+    (DayNs + 2000L, "ok", Map("app" -> "api")),
+    (DayNs + 3000L, "error: again", Map("app" -> "web"))
+  ).toDF("ts_ns", "body", "labels")
+
+  private def pointsDf = Seq(
+    (1000000L, "cpu", Map("host" -> "a"), 1.0),
+    (61000000L, "cpu", Map("host" -> "a"), 3.0),
+    (1000000L, "cpu", Map("host" -> "b"), 5.0)
+  ).toDF("ts_us", "name", "labels", "value")
+
+  private def spansDf = Seq(
+    (7L, 1L, None: Option[Long], "root-op", 1000L, 500L, Map("service.name" -> "api")),
+    (7L, 2L, Some(1L), "child", 1100L, 100L, Map("service.name" -> "api")),
+    (8L, 1L, None: Option[Long], "other-root", 2000L, 300L, Map("service.name" -> "web"))
+  ).toDF("trace_id", "span_id", "parent_span_id", "name", "start_ns",
+    "duration_ns", "attrs")
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, body)
+  }
+
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+
+  private def withApi(f: Int => Unit): Unit = {
+    val api = new HttpApi(logsDf, pointsDf, spansDf)
+    val port = api.start()
+    try f(port) finally api.stop()
+  }
+
+  test("loki query_range serves streams and matrix envelopes") {
+    withApi { port =>
+      val (c1, streams) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("""{app="api"} |= "error"""")}""")
+      assert(c1 == 200)
+      assert(streams.contains(""""resultType":"streams""""))
+      assert(streams.contains("error: boom"))
+      assert(!streams.contains("error: again")) // other stream selector
+
+      val (c2, matrix) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("""count_over_time({} [1d])""")}""")
+      assert(c2 == 200)
+      assert(matrix.contains(""""resultType":"matrix""""))
+    }
+  }
+
+  test("prom query_range serves a matrix envelope") {
+    withApi { port =>
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_range?query=${enc("""sum by (host) (count_over_time(cpu[1m]))""")}""")
+      assert(code == 200)
+      assert(body.contains(""""resultType":"matrix""""))
+      assert(body.contains(""""host":"a""""))
+    }
+  }
+
+  test("tempo search filters by TraceQL selector and renders rollups") {
+    withApi { port =>
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/api/search?q=${enc("""{ name = "child" }""")}""")
+      assert(code == 200)
+      assert(body.contains(""""traceID":"0000000000000007""""))
+      assert(!body.contains(""""traceID":"0000000000000008""""))
+      assert(body.contains(""""rootServiceName":"api""""))
+      assert(body.contains(""""rootTraceName":"root-op""""))
+
+      val (c2, all) = get(s"http://127.0.0.1:$port/api/search")
+      assert(c2 == 200)
+      assert(all.contains("0000000000000007") && all.contains("0000000000000008"))
+    }
+  }
+
+  test("tempo trace-by-id returns the span batch; bad query returns 400") {
+    withApi { port =>
+      val (code, body) = get(s"http://127.0.0.1:$port/api/traces/7")
+      assert(code == 200)
+      assert(body.contains(""""spanId":"0000000000000002""""))
+      assert(!body.contains("other-root"))
+
+      val (c2, err) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("{{{")}""")
+      assert(c2 == 400)
+      assert(err.contains(""""status":"error""""))
+    }
+  }
+}

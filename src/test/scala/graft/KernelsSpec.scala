@@ -120,4 +120,21 @@ class KernelsSpec extends AnyFunSuite {
     assert("123".matches(re2ToJava("[[:digit:]]+")))
     assert("{a}".matches(re2ToJava("{a}")))
   }
+
+  test("xxh3_128: canonical known-answer vectors (seedless XXH128)") {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    // canonical byte order = BE(high64) ++ BE(low64), matching
+    // XXH128_canonicalFromHash of the published reference implementation
+    assert(hex(graft.functions.JKernels.xxh3_128(Array.emptyByteArray)) ==
+      "99aa06d3014798d86001c324468d497f")
+    assert(hex(graft.functions.JKernels.xxh3_128("abc".getBytes("UTF-8"))) ==
+      "06b05ab6733a618578af5f94892f3950")
+    assert(hex(graft.functions.JKernels.xxh3_128(
+      "Nobody inspects the spammish repetition".getBytes("UTF-8"))) ==
+      "a32c6f55b80b5f449f1a957522431b91")
+    // one-shot vs UTF8String path agree
+    assert(hex(graft.functions.JKernels.xxh3_128(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))) ==
+      "06b05ab6733a618578af5f94892f3950")
+  }
 }
