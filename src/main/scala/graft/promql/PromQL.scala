@@ -44,6 +44,10 @@ object PromQL {
   /** histogram_quantile(φ, expr-with-le-buckets). */
   final case class HistQuantile(phi: Double, inner: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
+  /** `time()` — the evaluation timestamp as a value on the step grid. */
+  case object TimeFn extends Expr
+  /** `vector(s)` — a constant one-sample vector on the step grid. */
+  final case class VectorLit(v: Double) extends Expr
   /** `@` modifier: the inner selector/range-fn evaluates at the PINNED
     * unix timestamp, and the (constant-in-time) result repeats at every
     * step of the query grid (reference: vendored engine semantics,
@@ -55,7 +59,8 @@ object PromQL {
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg at $pos")
 
-  private val rangeFns = Set("rate", "increase", "delta", "irate",
+  private val rangeFns = Set("rate", "increase", "delta", "irate", "idelta",
+    "resets", "changes", "deriv", "predict_linear",
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "last_over_time", "first_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
@@ -63,8 +68,10 @@ object PromQL {
   private val aggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "quantile", "topk", "bottomk")
   private val mathFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
-    "log2", "log10", "clamp", "clamp_min", "clamp_max", "sort", "sort_desc",
-    "label_replace", "label_join")
+    "log2", "log10", "sgn", "round", "clamp", "clamp_min", "clamp_max",
+    "sort", "sort_desc", "timestamp", "absent", "label_replace", "label_join",
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year")
 
   final class P(val input: String) {
     var i = 0
@@ -94,7 +101,23 @@ object PromQL {
     def number(): Double = {
       ws()
       val start = i
+      // hex literals (0x3d) and exponents (1.23e-3), like Prometheus
+      if (input.startsWith("0x", i) || input.startsWith("0X", i)) {
+        i += 2
+        val hs = i
+        while (i < input.length && Character.digit(input.charAt(i), 16) >= 0) i += 1
+        if (i == hs) throw ParseError("expected hex digits", i)
+        return java.lang.Long.parseLong(input.substring(hs, i), 16).toDouble
+      }
       while (i < input.length && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+      if (i < input.length && (input.charAt(i) == 'e' || input.charAt(i) == 'E')) {
+        val save = i
+        i += 1
+        if (i < input.length && (input.charAt(i) == '+' || input.charAt(i) == '-')) i += 1
+        val ds = i
+        while (i < input.length && input.charAt(i).isDigit) i += 1
+        if (i == ds) i = save // 'e' starts an identifier, not an exponent
+      }
       if (i == start) throw ParseError("expected number", i)
       input.substring(start, i).toDouble
     }
@@ -172,6 +195,9 @@ object PromQL {
     }
   }
 
+  private val dateFns = Set("minute", "hour", "day_of_week", "day_of_month",
+    "day_of_year", "days_in_month", "month", "year")
+
   private def parseAtom(p: P): Expr = {
     p.ws()
     if (p.peekCh == '(') { // grouping
@@ -179,18 +205,51 @@ object PromQL {
       val e = parseExpr(p)
       p.expect(")")
       e
+    } else if (p.peekCh == '+') { p.i += 1; parseAtom(p) }
+    else if (p.peekCh == '-') {
+      // unary minus binds looser than ^ only (Prometheus: -1^2 = -(1^2))
+      p.i += 1
+      parseBin(p, precOf("^")) match {
+        case ScalarLit(v) => ScalarLit(-v)
+        case e            => Bin("*", ScalarLit(-1), e)
+      }
     } else if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
+    else if (p.peekCh == '{') Instant(parseSelector(p)) // name-less {...}
     else if (p.peekIdent.nonEmpty) {
       val name = p.peekIdent
-      if (name == "histogram_quantile") {
+      if (name.equalsIgnoreCase("Inf")) { p.ident(); ScalarLit(Double.PositiveInfinity) }
+      else if (name.equalsIgnoreCase("NaN")) { p.ident(); ScalarLit(Double.NaN) }
+      else if (name == "time") {
+        p.ident(); p.expect("("); p.expect(")"); TimeFn
+      } else if (name == "vector") {
+        p.ident(); p.expect("(")
+        val e = parseExpr(p) // scalar expression, folded before planning
+        p.expect(")")
+        foldScalars(e) match {
+          case ScalarLit(v) => VectorLit(v)
+          case TimeFn       => TimeFn // vector(time()) ≡ time()
+          case other =>
+            throw ParseError(s"vector() needs a scalar, got $other", p.i)
+        }
+      } else if (name == "histogram_quantile") {
         p.ident(); p.expect("(")
         val phi = p.number(); p.expect(",")
         val inner = parseExpr(p)
         p.expect(")")
         HistQuantile(phi, inner)
+      } else if (name == "count_values") {
+        // count_values("label", v) — the label name is a string param
+        p.ident(); p.expect("(")
+        val lbl = p.str(); p.expect(",")
+        val inner = parseExpr(p)
+        p.expect(")")
+        FnCall("count_values", inner, Nil, Seq(lbl))
       } else if (mathFns(name)) {
         p.ident(); p.expect("(")
-        val inner = parseExpr(p)
+        p.ws()
+        // date functions default to vector(time()) with no argument
+        val inner =
+          if (p.peekCh == ')' && dateFns(name)) TimeFn else parseExpr(p)
         val nums = Seq.newBuilder[Double]
         val strs = Seq.newBuilder[String]
         while (p.accept(",")) {
@@ -218,10 +277,16 @@ object PromQL {
           else if (p.accept("@")) atTs = Some((p.number() * 1e6).toLong)
           else more = false
         }
+        // predict_linear's horizon comes AFTER the selector
+        val postParam =
+          if (name == "predict_linear") { p.expect(","); Some(p.number()) }
+          else None
         p.expect(")")
         val rf = (inner, subStep) match {
-          case (Instant(sel), None) => RangeFn(name, sel, r, off, param)
-          case (sub, Some(st))      => RangeSub(name, sub, r, st, off, param)
+          case (Instant(sel), None) =>
+            RangeFn(name, sel, r, off, param.orElse(postParam))
+          case (sub, Some(st)) =>
+            RangeSub(name, sub, r, st, off, param.orElse(postParam))
           case (_, None) =>
             throw ParseError("subquery needs an explicit step ([range:step])", p.i)
         }
@@ -263,7 +328,9 @@ object PromQL {
   }
 
   private def parseSelector(p: P): Selector = {
-    val name = p.ident()
+    // name-less form `{__name__="m", ...}` — the metric name rides as a
+    // matcher instead (resolved in selCol)
+    val name = { p.ws(); if (p.peekCh == '{') "" else p.ident() }
     val ms = Seq.newBuilder[Matcher]
     if (p.accept("{")) {
       if (!p.accept("}")) {
@@ -283,9 +350,13 @@ object PromQL {
 
   // ---------- planner ----------
   private def selCol(sel: Selector): Column = {
-    val nameCond = col("name") === sel.name
+    // "" = name-less `{...}` selector: no name constraint of its own;
+    // an equality __name__ matcher below provides one
+    val nameCond = if (sel.name.isEmpty) lit(true) else col("name") === sel.name
     sel.matchers.foldLeft(nameCond) { (acc, m) =>
-      val l = element_at(col("labels"), m.label)
+      val l =
+        if (m.label == "__name__") col("name")
+        else element_at(col("labels"), m.label)
       val c = m.op match {
         case "="  => l === m.value
         case "!=" => l =!= m.value
@@ -331,7 +402,7 @@ object PromQL {
     case FnCall(_, i, _, _)        => collectRanges(i)
     case HistQuantile(_, i)        => collectRanges(i)
     case At(_, _)                  => Nil // pinned: grid-independent
-    case Instant(_) | ScalarLit(_) => Nil
+    case Instant(_) | ScalarLit(_) | TimeFn | VectorLit(_) => Nil
   }
 
   /** Instant evaluation of a FULL metric expression at `evalTsUs`
@@ -495,6 +566,76 @@ object PromQL {
               }
               st.select(col("bucket_us"), col("labels"), v.as("value"))
           }
+        case "resets" | "changes" | "idelta" =>
+          // pairwise walk over the sorted window via lag, rolled up per
+          // bucket (Prometheus funcResets/funcChanges/funcIdelta)
+          val live = base.filter(!isnan(col("value")))
+          val wLag = Window.partitionBy(col("__stream"), col("bucket_us"))
+            .orderBy(col("ts_us"))
+          val st = live
+            .withColumn("__prev", lag(col("value"), 1).over(wLag))
+            .groupBy(col("__stream"), col("bucket_us"))
+            .agg(
+              count(lit(1)).as("n"),
+              coalesce(sum(when(col("value") < col("__prev"), 1L)), lit(0L))
+                .as("n_resets"),
+              coalesce(sum(when(col("value") =!= col("__prev"), 1L)), lit(0L))
+                .as("n_changes"),
+              max_by(col("value"), col("ts_us")).as("last_v"),
+              max_by(col("__prev"), col("ts_us")).as("penult_v"),
+              first(col("labels")).as("labels"))
+          val out = fn match {
+            case "resets"  => st.withColumn("value", col("n_resets").cast("double"))
+            case "changes" => st.withColumn("value", col("n_changes").cast("double"))
+            case "idelta"  => st.filter(col("n") >= 2)
+              .withColumn("value", col("last_v") - col("penult_v"))
+          }
+          out.select(col("bucket_us"), col("labels"), col("value"))
+
+        case "deriv" | "predict_linear" =>
+          // least-squares slope per window (Prometheus linearRegression).
+          // Determinism: t is whole seconds from the window start and v a
+          // short decimal, so every Σ below accumulates EXACTLY in
+          // decimal on both engines regardless of order — the slope is
+          // one double division at the end (Det playbook, Q.scala).
+          // Divergence: the time axis truncates to whole seconds.
+          val live = base.filter(!isnan(col("value")))
+          val dec = "decimal(38,6)"
+          val t = floor((col("ts_us") - winStart).cast("double") / 1e6)
+            .cast("long").cast(dec)
+          val v = col("value").cast(dec)
+          val st = live
+            .withColumn("__t", t).withColumn("__v", v)
+            .groupBy(col("__stream"), col("bucket_us"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("__t")).as("s_t"),
+              sum(col("__v")).as("s_v"),
+              sum(col("__t") * col("__v")).as("s_tv"),
+              sum(col("__t") * col("__t")).as("s_tt"),
+              first(col("labels")).as("labels"))
+            .filter(col("n") >= 2)
+          // Each Σ is exact decimal (order-free); the combination runs in
+          // DOUBLE on identical operands, so any engine mirroring this
+          // exact expression shape reproduces the value bit-for-bit.
+          val nD = col("n").cast("double")
+          val sT = col("s_t").cast("double")
+          val sV = col("s_v").cast("double")
+          val den = nD * col("s_tt").cast("double") - sT * sT
+          val num = nD * col("s_tv").cast("double") - sT * sV
+          val slope = num / den
+          val value = fn match {
+            case "deriv" => slope
+            case "predict_linear" =>
+              // v̄ + slope·(T − t̄) with T = window end + horizon,
+              // regrouped: (Σv + slope·(n·T − Σt)) / n
+              val horizon = param.getOrElse(0.0)
+              val tEnd = lit(rangeUs / 1e6 + horizon)
+              (sV + slope * (nD * tEnd - sT)) / nD
+          }
+          st.filter(den =!= 0.0)
+            .select(col("bucket_us"), col("labels"), value.as("value"))
+
         case _ =>
           val v: Column = fn match {
             case "count_over_time" => count(lit(1)).cast("double")
@@ -669,6 +810,24 @@ object PromQL {
         .agg(v.as("value"), first(col("labels")).as("labels"))
         .select(col("bucket_us"), col("labels"), col("value"))
 
+    case FnCall("absent", Instant(sel), _, _) =>
+      // absent(v) on the step grid: a 1-valued empty-label sample at
+      // every step where the selector matches nothing within the step
+      // bucket — delegated to the absent_over_time machinery
+      val gridNs = stepUs.getOrElse(300000000L) * 1000L
+      planRange(RangeFn("absent_over_time", sel, gridNs, 0L, None), points, stepUs)
+
+    case FnCall("count_values", inner, _, strs) =>
+      // count_values("label", v): occurrences of each distinct value,
+      // the value itself becoming the only output label
+      val lbl = strs.head
+      planRange(inner, points, stepUs)
+        .groupBy(col("bucket_us"), col("value").as("__cv"))
+        .agg(count(lit(1)).cast("double").as("__n"))
+        .select(col("bucket_us"),
+          map(lit(lbl), col("__cv").cast("string")).as("labels"),
+          col("__n").as("value"))
+
     case FnCall(fn, inner, nums, strs) =>
       val in = planRange(inner, points, stepUs)
       def num(i: Int): Column = lit(nums(i))
@@ -681,12 +840,37 @@ object PromQL {
         case "ln"    => in.withColumn("value", log(col("value")))
         case "log2"  => in.withColumn("value", log2(col("value")))
         case "log10" => in.withColumn("value", log10(col("value")))
+        case "sgn"   => in.withColumn("value", signum(col("value")))
+        case "round" => // round to nearest multiple of to_nearest (def 1)
+          val n = nums.headOption.getOrElse(1.0)
+          in.withColumn("value",
+            floor(col("value") / lit(n) + lit(0.5)) * lit(n))
         case "clamp" =>
           in.withColumn("value", least(greatest(col("value"), num(0)), num(1)))
         case "clamp_min" => in.withColumn("value", greatest(col("value"), num(0)))
         case "clamp_max" => in.withColumn("value", least(col("value"), num(0)))
         case "sort"      => in.orderBy(col("bucket_us"), col("value"))
         case "sort_desc" => in.orderBy(col("bucket_us"), col("value").desc)
+        case "timestamp" =>
+          // derived vectors carry the evaluation timestamp (Prometheus
+          // enh.Ts); our step label is the bucket time
+          in.withColumn("value", col("bucket_us").cast("double") / 1e6)
+        case "minute" | "hour" | "day_of_week" | "day_of_month" |
+             "day_of_year" | "days_in_month" | "month" | "year" =>
+          // value is interpreted as epoch seconds, truncated to int64
+          // like the upstream date functions (funcDaysInMonth et al.)
+          val ts = timestamp_seconds(col("value").cast("long"))
+          val v = fn match {
+            case "minute"        => minute(ts)
+            case "hour"          => hour(ts)
+            case "day_of_week"   => dayofweek(ts) - 1 // Prom: 0 = Sunday
+            case "day_of_month"  => dayofmonth(ts)
+            case "day_of_year"   => dayofyear(ts)
+            case "days_in_month" => dayofmonth(last_day(ts))
+            case "month"         => month(ts)
+            case "year"          => year(ts)
+          }
+          in.withColumn("value", v.cast("double"))
         case "label_replace" | "label_join" =>
           graft.logql.LabelFns(fn, in, strs)
         case other => throw new IllegalArgumentException(s"function $other")
@@ -727,8 +911,33 @@ object PromQL {
           when(col("__le") === Double.PositiveInfinity, col("__maxFinite"))
             .otherwise(interp).as("value"))
 
+    case TimeFn =>
+      // the step grid itself, carrying the step time in seconds as the
+      // value (Prometheus time() on a range query)
+      gridFrame(points, stepUs)
+        .select(col("bucket_us"),
+          map().cast("map<string,string>").as("labels"),
+          (col("bucket_us").cast("double") / 1e6).as("value"))
+
+    case VectorLit(v) =>
+      // vector(s): one empty-label sample per step
+      gridFrame(points, stepUs)
+        .select(col("bucket_us"),
+          map().cast("map<string,string>").as("labels"),
+          lit(v).as("value"))
+
     case Instant(_) | ScalarLit(_) =>
       throw new IllegalArgumentException("range query needs a range function")
+  }
+
+  /** The aligned step grid spanning the table extent. */
+  private def gridFrame(points: DataFrame, stepUs: Option[Long]): DataFrame = {
+    val gridUs = stepUs.getOrElse(300000000L)
+    points
+      .agg(
+        min(col("ts_us") - col("ts_us") % lit(gridUs)).as("lo"),
+        max(col("ts_us") - col("ts_us") % lit(gridUs)).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(gridUs))).as("bucket_us"))
   }
 
   /** irate: last two samples per (stream, bucket); reset → v/dt

@@ -76,7 +76,9 @@ object Fixtures {
     */
   def materializedSpans(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val key = s"${dir}_${name}_$CacheVersion".replaceAll("[^A-Za-z0-9._-]", "_")
+    // "g_" prefix keeps the dir name from starting with '_' (Spark
+    // treats underscore-prefixed paths as hidden metadata)
+    val key = s"g_${dir}_${name}_$CacheVersion".replaceAll("[^A-Za-z0-9._-]", "_")
     val root = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_spans")
     val target = new java.io.File(root, key)
     Fixtures.synchronized {

@@ -216,7 +216,230 @@ object QueriesPromFns extends QueryPack {
            |ORDER BY bucket_us, svc""".stripMargin))
   }
 
+  // ---- compliance-corpus sweep (dev/local/ch-compliance/
+  // promql-test-queries.yml): resets/changes/idelta, deriv/
+  // predict_linear, count_values, date functions over time(), absent(),
+  // timestamp(), sgn/round, unary minus + hex + exponent literals. ----
+
+  private val lagBase =
+    s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+       |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+       |    value, epoch_us(ts) AS ts_us,
+       |    lag(value) OVER (
+       |      PARTITION BY epoch_us(ts) - epoch_us(ts) % $DayUs,
+       |        user_id % 4, event_type ORDER BY epoch_us(ts)) AS prev
+       |  FROM events""".stripMargin
+
+  /** resets: pairwise decreases per window (counter resets). */
+  val resetsE2e: Q = Q(
+    "promql_e2e_resets",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""resets(ev[1d])""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT bucket_us, svc, et,
+         |  CAST(COALESCE(SUM(CASE WHEN value < prev THEN 1 END), 0) AS DOUBLE) AS value
+         |FROM ($lagBase)
+         |GROUP BY bucket_us, svc, et ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** changes: pairwise value changes per window. */
+  val changesE2e: Q = Q(
+    "promql_e2e_changes",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""changes(ev[1d])""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT bucket_us, svc, et,
+         |  CAST(COALESCE(SUM(CASE WHEN value <> prev THEN 1 END), 0) AS DOUBLE) AS value
+         |FROM ($lagBase)
+         |GROUP BY bucket_us, svc, et ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** idelta: difference of the last two samples per window. */
+  val ideltaE2e: Q = Q(
+    "promql_e2e_idelta",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""idelta(ev[1d])""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""SELECT bucket_us, svc, et,
+         |  arg_max(value, ts_us) - arg_max(prev, ts_us) AS value
+         |FROM ($lagBase)
+         |GROUP BY bucket_us, svc, et HAVING COUNT(*) >= 2
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  private val regBase =
+    s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+       |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+       |    (epoch_us(ts) - (epoch_us(ts) - epoch_us(ts) % $DayUs)) // 1000000 AS t,
+       |    CAST(value AS DECIMAL(18,4)) AS v
+       |  FROM events""".stripMargin
+
+  private val regSums =
+    """SELECT bucket_us, svc, et, COUNT(*) AS n,
+      |    CAST(SUM(t) AS DOUBLE) AS s_t, CAST(SUM(v) AS DOUBLE) AS s_v,
+      |    CAST(SUM(t * v) AS DOUBLE) AS s_tv,
+      |    CAST(SUM(t * t) AS DOUBLE) AS s_tt
+      |  FROM base GROUP BY bucket_us, svc, et HAVING COUNT(*) >= 2""".stripMargin
+
+  /** deriv: least-squares slope — Σ components exact, combination
+    * mirrored double-op-for-double-op against the engine.
+    */
+  val derivE2e: Q = Q(
+    "promql_e2e_deriv",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""deriv(ev[1d])""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"),
+          round(col("value"), 9).as("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""WITH base AS ($regBase), sums AS ($regSums)
+         |SELECT bucket_us, svc, et,
+         |  round((CAST(n AS DOUBLE) * s_tv - s_t * s_v)
+         |      / (CAST(n AS DOUBLE) * s_tt - s_t * s_t), 9) AS value
+         |FROM sums WHERE CAST(n AS DOUBLE) * s_tt - s_t * s_t <> 0
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** predict_linear: regression value at window end + 1h horizon. */
+  val predictE2e: Q = Q(
+    "promql_e2e_predict_linear",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""predict_linear(ev[1d], 3600)""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""WITH base AS ($regBase), sums AS ($regSums)
+         |SELECT bucket_us, svc, et,
+         |  round((s_v + ((CAST(n AS DOUBLE) * s_tv - s_t * s_v)
+         |      / (CAST(n AS DOUBLE) * s_tt - s_t * s_t))
+         |    * (CAST(n AS DOUBLE) * 90000.0 - s_t)) / CAST(n AS DOUBLE), 6) AS value
+         |FROM sums WHERE CAST(n AS DOUBLE) * s_tt - s_t * s_t <> 0
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** count_values: occurrence count per distinct value, the value
+    * itself becoming the output label.
+    */
+  val countValuesE2e: Q = Q(
+    "promql_e2e_count_values",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""count_values("cnt", sum by (svc) (count_over_time(ev[1d])))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "cnt").as("cnt"), col("value"))
+        .orderBy("bucket_us", "cnt"),
+    Some(
+      s"""SELECT bucket_us, CAST(n AS VARCHAR) AS cnt,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    user_id % 4 AS svc, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY 1, 2)
+         |GROUP BY bucket_us, cnt ORDER BY bucket_us, cnt""".stripMargin))
+
+  /** hour(time()): date function over the bare evaluation grid. */
+  val dateFnE2e: Q = Q(
+    "promql_e2e_date_fns",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""hour(time()) + day_of_week(time()) * 100""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"), col("value"))
+        .orderBy("bucket_us"),
+    Some(
+      """WITH ext AS (
+        |  SELECT min(epoch_us(ts) - epoch_us(ts) % 300000000) AS lo,
+        |         max(epoch_us(ts) - epoch_us(ts) % 300000000) AS hi
+        |  FROM events)
+        |SELECT g AS bucket_us,
+        |  CAST(hour(make_timestamp(g)) AS DOUBLE)
+        |    + CAST(dayofweek(make_timestamp(g)) AS DOUBLE) * 100 AS value
+        |FROM (SELECT unnest(generate_series(lo, hi, 300000000)) AS g FROM ext)
+        |ORDER BY bucket_us""".stripMargin))
+
+  /** absent(v) over a matching-nothing selector: 1.0 on every bucket of
+    * the full 5m grid spanning the table extent.
+    */
+  val absentFnE2e: Q = Q(
+    "promql_e2e_absent_fn",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""absent(ev{et="__none__"})""", pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"), col("value"))
+        .orderBy("bucket_us"),
+    Some(
+      """WITH ext AS (
+        |  SELECT min(epoch_us(ts) - epoch_us(ts) % 300000000) AS lo,
+        |         max(epoch_us(ts) - epoch_us(ts) % 300000000) AS hi
+        |  FROM events)
+        |SELECT unnest(generate_series(lo, hi, 300000000)) AS bucket_us,
+        |  1.0 AS value
+        |FROM ext ORDER BY bucket_us""".stripMargin))
+
+  /** timestamp() over a derived vector: the step time in seconds. */
+  val timestampE2e: Q = Q(
+    "promql_e2e_timestamp",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""timestamp(sum by (svc) (count_over_time(ev[1d])))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"), col("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |  CAST(user_id % 4 AS VARCHAR) AS svc,
+         |  (epoch_us(ts) - epoch_us(ts) % $DayUs) / 1000000.0 AS value
+         |FROM events ORDER BY bucket_us, svc""".stripMargin))
+
+  /** sgn + round(·, to_nearest) + unary minus + hex (0x10) + exponent
+    * (1.5e1) literals in one expression.
+    */
+  val scalarExtrasE2e: Q = Q(
+    "promql_e2e_scalar_extras",
+    (s: SparkSession, dir: String) =>
+      PromQL.range(
+          """sgn(sum by (svc) (count_over_time(ev[1d])) - 5000.5) + round(sum by (svc) (count_over_time(ev[1d])) * 7, 100) - -0x10 + 1.5e1 * -1""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"), col("value"))
+        .orderBy("bucket_us", "svc"),
+    Some(
+      s"""SELECT bucket_us, svc,
+         |  CAST(sign(n - 5000.5) AS DOUBLE)
+         |    + floor(n * 7 / 100.0 + 0.5) * 100.0 + 16 - 15 AS value
+         |FROM (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM events GROUP BY 1, 2)
+         |ORDER BY bucket_us, svc""".stripMargin))
+
+  /** vector(s) literal + name-less `{__name__="…"}` selector. */
+  val vectorFnE2e: Q = Q(
+    "promql_e2e_vector_fn",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""vector(7) + sum(count_over_time({__name__="ev"}[5m]))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"), col("value"))
+        .orderBy("bucket_us"),
+    Some(
+      """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS bucket_us,
+        |  7.0 + CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin))
+
   override def queries: Seq[Q] =
     Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery,
-      instantExprE2e, matrixE2e, absentE2e, atModifier)
+      instantExprE2e, matrixE2e, absentE2e, atModifier,
+      resetsE2e, changesE2e, ideltaE2e, derivE2e, predictE2e,
+      countValuesE2e, dateFnE2e, absentFnE2e, timestampE2e, scalarExtrasE2e,
+      vectorFnE2e)
 }

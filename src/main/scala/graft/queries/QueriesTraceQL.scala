@@ -131,11 +131,11 @@ object QueriesTraceQL extends QueryPack {
        |GROUP BY a2.trace_id ORDER BY a2.trace_id""".stripMargin
   ) { td =>
     val s = spans(td)
-    // physical c rows (duplicates count) joined to the ancestor closure
+    // physical c rows (duplicates count) with their STORED ancestor
+    // chain — exploding the ingest-materialized parent_path column is
+    // the whole closure; no self-join, no dedup shuffle
     val c = s.filter(col("quantity") > 45)
-      .select(col("trace_id"), col("span_id"))
-      .join(graft.traceql.TraceQL.ancestorPairs(s), Seq("trace_id", "span_id"))
-      .select(col("trace_id"), col("anc")).alias("c")
+      .select(col("trace_id"), explode(col("parent_path")).as("anc")).alias("c")
     val a = s.filter(col("returnflag") === "R")
       .select(col("trace_id"), col("span_id")).alias("a")
     a.join(c, col("a.trace_id") === col("c.trace_id") && col("c.anc") === col("a.span_id"))

@@ -37,33 +37,48 @@ object Streams {
         coalesce(col("service_name"), lit("unknown_service")))
   }
 
-  /** Ingest-time log-format auto-detection: JSON bodies, logfmt bodies,
-    * klog-style prefixes, or raw text — format tag + extracted severity
-    * and message, all in one `when`-chain (reference
-    * internal/logparser/{json,logfmt,klog,deduce}.go:97-225; a
-    * declarative column expression instead of a per-row parser chain).
+  /** Ingest-time log-format auto-detection: JSON bodies, zap
+    * development-mode consoles, logfmt bodies, klog-style prefixes, or
+    * raw text — format tag + extracted severity and message, all in one
+    * `when`-chain (reference internal/logparser/{json,logfmt,klog,
+    * zap_development,deduce}.go; a declarative column expression
+    * instead of a per-row parser chain).
     */
   def detectLogFormat(raw: DataFrame): DataFrame = {
     val body = col("body")
     val trimmed = ltrim(body)
     val isJson = trimmed.startsWith("{") &&
       get_json_object(body, "$").isNotNull
+    // zap development console: ISO8601-millis TAB LEVEL TAB
+    // [logger TAB] file.go:line TAB msg [TAB {json fields}]
+    // (reference logparser/zap_development.go:26-110)
+    val zapRe = "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}" +
+      "(Z|[+-]\\d{4})\t(DEBUG|INFO|WARN|ERROR|DPANIC|PANIC|FATAL)\t"
+    val isZap = body.rlike(zapRe)
+    val zapParts = split(body, "\t")
+    val zapLevel = element_at(zapParts, 2)
+    val zapMsg = when(element_at(zapParts, 3).contains(".go:"),
+      element_at(zapParts, 4)).otherwise(element_at(zapParts, 5))
     // klog: [IWEF]MMDD hh:mm:ss.uuuuuu ... ] msg
     val klogRe = "^([IWEF])\\d{4} \\d{2}:\\d{2}:\\d{2}\\.\\d+.*?\\] (.*)$"
     val isKlog = body.rlike(klogRe)
     val isLogfmt = GraftFunctions.logfmt_get(body, lit("level")).isNotNull ||
       GraftFunctions.logfmt_get(body, lit("msg")).isNotNull
     val format = when(isJson, "json")
+      .when(isZap, "zap-development")
       .when(isKlog, "klog")
       .when(isLogfmt, "logfmt")
       .otherwise("raw")
     val klogSev = regexp_extract(body, klogRe, 1)
     val sevText = when(isJson, upper(get_json_object(body, "$.level")))
+      .when(isZap, // DPANIC/PANIC map to FATAL like the reference
+        when(zapLevel.isin("DPANIC", "PANIC"), "FATAL").otherwise(zapLevel))
       .when(isKlog,
         when(klogSev === "I", "INFO").when(klogSev === "W", "WARN")
           .when(klogSev === "E", "ERROR").otherwise("FATAL"))
       .when(isLogfmt, upper(GraftFunctions.logfmt_get(body, lit("level"))))
     val msg = when(isJson, get_json_object(body, "$.msg"))
+      .when(isZap, zapMsg)
       .when(isKlog, regexp_extract(body, klogRe, 2))
       .when(isLogfmt, GraftFunctions.logfmt_get(body, lit("msg")))
       .otherwise(body)

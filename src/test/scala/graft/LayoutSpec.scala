@@ -91,4 +91,21 @@ class LayoutSpec extends SparkTestBase {
     assert(out(3)._1 == "raw")
     assert(out(3)._2 == "FATAL") // deduced from 'panic'
   }
+
+  test("detectLogFormat classifies zap development consoles") {
+    val df = Seq(
+      // file directly after level
+      "2023-12-12T15:49:36.355+0300\tDEBUG\tlogparser/x_test.go:123\tIntruder alert\t{\"pin\": 1111}",
+      // named logger, then file
+      "2023-12-12T15:49:36.355+0300\tINFO\tnamed\tlogparser/x_test.go:129\tIntruder alert",
+      "2023-12-12T15:49:36.355+0300\tDPANIC\tlogparser/x_test.go:1\tboom"
+    ).toDF("body")
+    val out = Streams.detectLogFormat(df)
+      .select("detected_format", "detected_level", "msg")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out(0) == ("zap-development", "DEBUG", "Intruder alert"))
+    assert(out(1) == ("zap-development", "INFO", "Intruder alert"))
+    assert(out(2) == ("zap-development", "FATAL", "boom"))
+  }
 }
