@@ -20,7 +20,7 @@ object Ast {
   /** |= != |~ !~ with `or` lists (value list is OR-ed). */
   final case class LineFilter(op: MatchOp, needles: Seq[String]) extends Stage
   /** `|= ip("…")` / `!= ip("…")` — any IP literal in the body matches. */
-  final case class LineFilterIp(pattern: String, negate: Boolean) extends Stage
+  final case class LineFilterIp(patterns: Seq[String], negate: Boolean) extends Stage
   /** `|> "pat<_>tern"` / `!> "…"` — pattern line filters
     * (reference pipeline.go:35-91 PatternFilter).
     */
@@ -95,10 +95,15 @@ object Ast {
 
   /** Metric expressions (reference metric_expr.go). */
   sealed trait MetricExpr
-  /** count_over_time/rate/bytes_over_time/…_over_time(sel[range] offset o). */
+  /** count_over_time/rate/bytes_over_time/…_over_time(sel[range] offset o),
+    * with optional trailing grouping `… by (l)` / `… without (l)`
+    * (Loki range-aggregation grouping: samples regroup on the label
+    * subset BEFORE aggregating over the window).
+    */
   final case class RangeAgg(
       op: String, query: LogQuery, rangeNs: Long, offsetNs: Long,
-      param: Option[Double] = None) extends MetricExpr
+      param: Option[Double] = None,
+      by: Seq[String] = Nil, without: Seq[String] = Nil) extends MetricExpr
   /** sum/avg/min/max/count/topk/bottomk by(..)/without(..) (inner). */
   final case class VectorAgg(
       op: String, by: Seq[String], without: Seq[String],

@@ -165,9 +165,16 @@ object Parser {
           p.next()
           if ((o == "|=" || o == "!=") && p.acceptIdent("ip")) {
             p.expectOp("(")
-            val pat = p.str()
+            val pats = Seq.newBuilder[String]
+            pats += p.str()
             p.expectOp(")")
-            stages += LineFilterIp(pat, negate = o == "!=")
+            while (p.acceptIdent("or")) { // |= ip("a") or ip("b") or-list
+              if (!p.acceptIdent("ip")) throw ParseError("expected ip(...)", p.peek.pos)
+              p.expectOp("(")
+              pats += p.str()
+              p.expectOp(")")
+            }
+            stages += LineFilterIp(pats.result(), negate = o == "!=")
           } else {
           val needles = Seq.newBuilder[String]
           needles += p.str()
@@ -242,13 +249,22 @@ object Parser {
     case TIdent("pattern", _)    => PatternStage(p.str())
     case TIdent("regexp", _)     => RegexpStage(p.str())
     case TIdent("unwrap", _) =>
-      val lbl = p.ident()
-      val conv = p.peek match {
-        case TIdent(c @ ("bytes" | "duration" | "duration_seconds"), _) =>
-          p.next(); Some(c)
-        case _ => None
+      val first = p.ident()
+      first match {
+        // Loki's conversion-function form: unwrap duration(took)
+        case "bytes" | "duration" | "duration_seconds" if p.acceptOp("(") =>
+          val lbl = p.ident()
+          p.expectOp(")")
+          UnwrapStage(lbl, Some(first))
+        case _ =>
+          // postfix form: unwrap took duration
+          val conv = p.peek match {
+            case TIdent(c @ ("bytes" | "duration" | "duration_seconds"), _) =>
+              p.next(); Some(c)
+            case _ => None
+          }
+          UnwrapStage(first, conv)
       }
-      UnwrapStage(lbl, conv)
     case TIdent("keep", _) =>
       val is = keepDropItems(p)
       if (is.forall(_._2.isEmpty)) KeepStage(is.map(_._1))
@@ -471,7 +487,12 @@ object Parser {
         case t            => throw ParseError("expected offset duration", t.pos)
       } else 0L
       p.expectOp(")")
-      RangeAgg(name, q, range, offset, param)
+      // trailing grouping: avg_over_time(...) by (method)
+      var by = Seq.empty[String]
+      var without = Seq.empty[String]
+      if (p.acceptIdent("by")) { p.expectOp("("); by = identList(p); p.expectOp(")") }
+      else if (p.acceptIdent("without")) { p.expectOp("("); without = identList(p); p.expectOp(")") }
+      RangeAgg(name, q, range, offset, param, by, without)
     case TIdent(name, _) if vectorOps(name) =>
       p.next()
       var by = Seq.empty[String]

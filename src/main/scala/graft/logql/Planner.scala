@@ -110,14 +110,15 @@ object Planner {
       val m = col("body").rlike(regex)
       ctx.copy(df = ctx.df.filter(if (negate) !m else m))
 
-    case LineFilterIp(pattern, negate) =>
+    case LineFilterIp(patterns, negate) =>
       // extract every IPv4 literal from the body; keep lines where ANY
-      // matches the CIDR/range/exact pattern (reference
-      // logqlengine/ip_matcher.go line-filter form)
+      // matches ANY of the CIDR/range/exact patterns (reference
+      // logqlengine/ip_matcher.go line-filter form, or-list included)
       val ips = expr(
         """regexp_extract_all(body, '(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})', 1)""")
-      val anyMatch = exists(ips,
-        ip => GraftFunctions.ip_match(ip, lit(pattern)))
+      val anyMatch = patterns
+        .map(p => exists(ips, ip => GraftFunctions.ip_match(ip, lit(p))))
+        .reduce(_ || _)
       ctx.copy(df = ctx.df.filter(if (negate) !anyMatch else anyMatch))
 
     case JsonStage =>

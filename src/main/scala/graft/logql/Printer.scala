@@ -40,8 +40,8 @@ object Printer {
   private def printStage(s: Stage): String = s match {
     case LineFilter(op, needles) =>
       s"${lineFilterOp(op)} ${needles.map(quote).mkString(" or ")}"
-    case LineFilterIp(pat, neg) =>
-      s"${if (neg) "!=" else "|="} ip(${quote(pat)})"
+    case LineFilterIp(pats, neg) =>
+      s"${if (neg) "!=" else "|="} ${pats.map(p => s"ip(${quote(p)})").mkString(" or ")}"
     case JsonStage       => "| json"
     case JsonPathStage(paths) =>
       s"| json ${paths.map { case (n, p) => s"$n=${quote(p)}" }.mkString(", ")}"

@@ -225,6 +225,24 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** OTLP protobuf ingest: raw ExportTraceServiceRequest payloads →
+    * span rows matching the engine schema (attrs/resource_attrs split,
+    * events/links arrays, parent ids). The decode runs distributed in
+    * mapPartitions over [[graft.sources.OtlpProto]] — the same entry
+    * point the reference reaches through the collector's OTLP receiver
+    * (internal/otelreceiver/receiver.go:45-93). Works on static frames
+    * and streaming micro-batches alike; chain into [[spansSink]] /
+    * [[graft.sources.Layout.writeSpans]] for the stored layout.
+    */
+  def spansFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.OtlpProto.decodeSpans))
+      .toDF()
+  }
+
   /** Batched span inserter: foreachBatch into the bloom-filtered,
     * (name, start)-sorted daily span layout (inserter_traces.go).
     */
