@@ -55,6 +55,15 @@ object Parser {
       } else if (c.isDigit || (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
         val start = i
         while (i < n && (input.charAt(i).isDigit || input.charAt(i) == '.')) i += 1
+        // scientific notation (1.23e-3) — consume the exponent before
+        // the duration-unit probe so 'e' isn't taken for a unit
+        if (i < n && (input.charAt(i) == 'e' || input.charAt(i) == 'E')) {
+          var j = i + 1
+          if (j < n && (input.charAt(j) == '+' || input.charAt(j) == '-')) j += 1
+          val ds = j
+          while (j < n && input.charAt(j).isDigit) j += 1
+          if (j > ds && !(j < n && input.charAt(j).isLetter)) i = j
+        }
         val numPart = input.substring(start, i)
         // duration suffix? (5m, 1h30m, 250ms, 1d…)
         val unitStart = i
@@ -120,6 +129,13 @@ object Parser {
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "first_over_time", "last_over_time", "stdvar_over_time", "stddev_over_time",
     "quantile_over_time", "absent_over_time")
+  /** Range-agg ops that accept trailing by/without grouping (reference
+    * metric_expr.go:48-60).
+    */
+  private val groupableRangeOps = Set(
+    "avg_over_time", "min_over_time", "max_over_time", "first_over_time",
+    "last_over_time", "stdvar_over_time", "stddev_over_time",
+    "quantile_over_time")
   private val vectorOps = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar",
     "topk", "bottomk", "sort", "sort_desc")
@@ -492,6 +508,12 @@ object Parser {
       var without = Seq.empty[String]
       if (p.acceptIdent("by")) { p.expectOp("("); by = identList(p); p.expectOp(")") }
       else if (p.acceptIdent("without")) { p.expectOp("("); without = identList(p); p.expectOp(")") }
+      // grouping is only legal on the label-regrouping ops (reference
+      // metric_expr.go:48-60 — avg/stddev/stdvar/quantile/max/min/
+      // first/last); count_over_time/rate/bytes_* by (...) is a parse error
+      if ((by.nonEmpty || without.nonEmpty) && !groupableRangeOps(name))
+        throw ParseError(
+          s"grouping aggregation is not allowed for operation $name", 0)
       RangeAgg(name, q, range, offset, param, by, without)
     case TIdent(name, _) if vectorOps(name) =>
       p.next()

@@ -88,6 +88,26 @@ object Planner {
     ctx
   }
 
+  /** Label resolution for templates, extended with the zero-arg
+    * built-ins `__line__` (the pre-format body) and `__timestamp__`
+    * (the entry time rendered in Go `time.Time.String()` form,
+    * `2006-01-02 15:04:05.999999999 +0000 UTC`, trailing fraction
+    * zeros trimmed — reference logqlengine/template.go bindings).
+    */
+  private def templateResolve(ctx: Ctx): String => Column = {
+    case "__line__" => col("body")
+    case "__timestamp__" =>
+      val frac = pmod(col("ts_ns"), lit(1000000000L))
+      val fracStr = when(frac === 0, lit("")).otherwise(
+        concat(lit("."),
+          regexp_replace(lpad(frac.cast("string"), 9, "0"), "0+$", "")))
+      concat(
+        date_format(timestamp_seconds(expr("ts_ns div 1000000000")),
+          "yyyy-MM-dd HH:mm:ss"),
+        fracStr, lit(" +0000 UTC"))
+    case k => ctx.resolve(k)
+  }
+
   private def applyStage(ctx: Ctx, st: Stage): Ctx = st match {
     case LineFilter(op, needles) =>
       val conds = needles.map { v =>
@@ -260,11 +280,11 @@ object Planner {
       // Go-template subset compiled to Column exprs (Template.scala;
       // reference logqlengine/template.go:33-110)
       ctx.copy(df = ctx.df.withColumn("body",
-        Template.compile(template, ctx.resolve)))
+        Template.compile(template, templateResolve(ctx))))
 
     case LabelFormatTemplateStage(dst, tpl) =>
       val snapshot = ctx // resolve against the pre-stage chain
-      val compiled = Template.compile(tpl, snapshot.resolve)
+      val compiled = Template.compile(tpl, templateResolve(snapshot))
       ctx.copy(
         extractors = ((k: String) =>
           if (k == dst) Some(compiled) else None) :: ctx.extractors,
@@ -376,7 +396,7 @@ object Planner {
     */
   def planMetric(m: MetricExpr, logs: DataFrame,
       stepNs: Option[Long] = None): DataFrame = m match {
-    case RangeAgg("absent_over_time", q, rangeNs, _, _) =>
+    case RangeAgg("absent_over_time", q, rangeNs, _, _, _, _) =>
       // grid over the table extent, anti-joined with present buckets
       // (reference logqlmetric/aggregator.go:144-148)
       val ext = logs.agg(
@@ -391,7 +411,7 @@ object Planner {
         .select(col("bucket_ns"),
           map().cast("map<string,string>").as("labels"), lit(1.0).as("value"))
 
-    case RangeAgg("rate_counter", q, rangeNs, offsetNs, _) =>
+    case RangeAgg("rate_counter", q, rangeNs, offsetNs, _, _, _) =>
       // Prometheus extrapolatedRate over unwrapped values with
       // counter-reset correction (reference logqlmetric/
       // aggregator.go:81-89 + prom_math.go:31-104), all in ns
@@ -432,9 +452,22 @@ object Planner {
       st.select(col("bucket_ns"), col("labels"),
         (resultValue * factor / (rangeNs / 1e9)).as("value"))
 
-    case RangeAgg(op, q, rangeNs, offsetNs, param) =>
+    case RangeAgg(op, q, rangeNs, offsetNs, param, by, without) =>
       val ctx = evalLog(q, logs)
-      val streamKey = VectorMatching.streamKey(ctx.labelsCol).as("__stream")
+      // by/without regroups samples on the label subset BEFORE the
+      // windowed aggregation (reference range_agg.go:73-93: the grouper
+      // keys the window map) — distinct from a wrapping vector agg,
+      // e.g. avg_over_time(..) by (m) averages samples per m, not a
+      // per-stream avg re-averaged.
+      val groupedLabels: Column =
+        if (by.nonEmpty) {
+          val byArr = array(by.map(lit): _*)
+          map_filter(ctx.labelsCol, (key, _) => array_contains(byArr, key))
+        } else if (without.nonEmpty) {
+          val woArr = array(without.map(lit): _*)
+          map_filter(ctx.labelsCol, (key, _) => !array_contains(woArr, key))
+        } else ctx.labelsCol
+      val streamKey = VectorMatching.streamKey(groupedLabels).as("__stream")
       val bucketed = stepNs match {
         case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
         case None =>
@@ -443,7 +476,7 @@ object Planner {
       }
       val base = bucketed
         .withColumn("__stream", streamKey)
-        .withColumn("__labels", ctx.labelsCol)
+        .withColumn("__labels", groupedLabels)
       val rangeSec = rangeNs / 1e9
       val value: Column = op match {
         case "count_over_time" => count(lit(1)).cast("double")
@@ -570,7 +603,10 @@ object Planner {
           map().cast("map<string,string>").as("labels"), lit(v).as("value"))
 
     case ScalarLit(v) =>
-      throw new IllegalArgumentException("bare scalar is not a vector query")
+      // top-level literal query (reference engine_literal_query.go:26-66:
+      // instant → scalar, range → the literal at every step with empty
+      // labels) — scalar-only arithmetic folds here via foldScalars
+      planMetric(VectorLit(v), logs, stepNs)
   }
 
   private def unwrap(ctx: Ctx): Column =
@@ -632,12 +668,26 @@ object Planner {
     }
 
   private def ranges(m: MetricExpr): Seq[Long] = m match {
-    case RangeAgg(_, _, r, _, _)  => Seq(r)
+    case RangeAgg(_, _, r, _, _, _, _) => Seq(r)
     case VectorAgg(_, _, _, _, i) => ranges(i)
     case BinOp(_, l, r, _)        => ranges(l) ++ ranges(r)
     case LabelFnExpr(_, i, _)     => ranges(i)
     case ScalarLit(_) | VectorLit(_) => Nil
   }
+
+  /** Series-endpoint selector: `{m...}` with no pipeline stages →
+    * filtered logs (reference lokihandler.go:365-407 match[] handling).
+    */
+  def selectorFilter(sel: String, logs: DataFrame): DataFrame =
+    Parser.parse(sel) match {
+      case Ast.LogExpr(lq) if lq.stages.isEmpty =>
+        val resolve = (k: String) => element_at(col("labels"), k)
+        lq.matchers.map(m => matcherCol(m, resolve))
+          .reduceOption(_ && _).fold(logs)(logs.filter)
+      case _ =>
+        throw new IllegalArgumentException(
+          "series match[] must be a selector-only query")
+    }
 
   /** Instant metric query at `evalTsNs` (Loki's /query endpoint):
     * every range selector evaluates over (t-range, t]. Implemented by

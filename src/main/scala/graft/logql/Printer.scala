@@ -104,11 +104,15 @@ object Printer {
   }
 
   def printMetric(m: MetricExpr): String = m match {
-    case RangeAgg(op, q, rangeNs, offsetNs, param) =>
+    case RangeAgg(op, q, rangeNs, offsetNs, param, by, without) =>
       val dur = formatDuration(rangeNs)
       val off = if (offsetNs != 0) s" offset ${formatDuration(offsetNs)}" else ""
       val p = param.map(v => s"$v, ").getOrElse("")
-      s"$op($p${printLog(q)}[$dur]$off)"
+      val grouping =
+        if (by.nonEmpty) s" by (${by.mkString(", ")})"
+        else if (without.nonEmpty) s" without (${without.mkString(", ")})"
+        else ""
+      s"$op($p${printLog(q)}[$dur]$off)$grouping"
     case VectorAgg(op, by, without, k, inner) =>
       val grouping =
         if (by.nonEmpty) s" by (${by.mkString(", ")})"

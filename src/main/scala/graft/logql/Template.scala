@@ -106,6 +106,11 @@ object Template {
   private def call(fn: String, args: List[Tok], resolve: String => Column): Column = {
     def value: Column = atom(args.last, resolve)
     fn match {
+      case "__line__" | "__timestamp__" if args.isEmpty =>
+        // built-in zero-arg template variables (reference
+        // logqlengine/template.go __line__/__timestamp__ bindings) —
+        // the planner's resolver supplies the body / rendered ts
+        coalesce(resolve(fn), lit(""))
       case "ToLower" | "lower" => lower(value)
       case "ToUpper" | "upper" => upper(value)
       case "trim"              => trim(value)

@@ -112,6 +112,7 @@ object Registry {
     QueriesParsedFrontends,
     QueriesSliding,
     QueriesMatching,
+    QueriesRangeGroup,
     QueriesErrorsTemplates,
     QueriesGrammar,
     QueriesPromFns,

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.logql.Planner
+import graft.sources.Testdata
+
+/** Range-aggregation grouping `op(...) by (l)` / `without (l)` through
+  * the LogQL front-end (reference metric_expr.go:48-60 validation,
+  * logqlengine/logqlmetric/range_agg.go:73-93 semantics).
+  *
+  * The semantic pitfall these pin: the grouper keys the WINDOW map, so
+  * samples regroup on the label subset BEFORE the windowed aggregation.
+  * `avg_over_time(...) by (et)` pools every sample of an `et` across
+  * streams into one average — NOT a per-stream average re-averaged,
+  * which is what the (different) `avg by (et) (avg_over_time(...))`
+  * nesting computes.
+  *
+  * Determinism: unwrapped values are integer user_ids, so double sums
+  * are exact (< 2^53) in any order; the avg division is one IEEE op on
+  * both sides.
+  *
+  * Scale: grouping-before-agg REDUCES shuffle cardinality (fewer, fatter
+  * groups than per-stream keys) and the partial agg is map-side.
+  */
+object QueriesRangeGroup extends QueryPack {
+
+  private val DayNs = 86400000000000L
+
+  private def logsView(td: Testdata): DataFrame =
+    td.events.select(
+      col("ts").as("ts_ns"),
+      col("props").as("body"),
+      map(
+        lit("event_type"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"))
+
+  /** `avg_over_time({} | unwrap user_id [1d]) by (event_type)` — one
+    * pooled average per (bucket, event_type), across all user streams.
+    */
+  val rangeAggBy: Q = Q(
+    "logql_e2e_rangeagg_by",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """avg_over_time({} | unwrap user_id [1d]) by (event_type)""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, CAST(SUM(user_id) AS DOUBLE) / COUNT(*) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_ns, event_type""".stripMargin))
+
+  /** `max_over_time({} | unwrap user_id [1d]) without (user_id)` —
+    * dropping the unwrapped label regroups to the remaining labels.
+    */
+  val rangeAggWithout: Q = Q(
+    "logql_e2e_rangeagg_without",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """max_over_time({} | unwrap user_id [1d]) without (user_id)""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, CAST(MAX(user_id) AS DOUBLE) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_ns, event_type""".stripMargin))
+
+  /** `quantile_over_time(0.5, {} | unwrap user_id [1d]) by (event_type)`
+    * — grouped exact rank-interpolated quantile; interpolation between
+    * two integers is a single IEEE op on both sides.
+    */
+  val rangeAggQuantileBy: Q = Q(
+    "logql_e2e_rangeagg_quantile_by",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """quantile_over_time(0.5, {} | unwrap user_id [1d]) by (event_type)""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, quantile_cont(CAST(user_id AS DOUBLE), 0.5) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_ns, event_type""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(rangeAggBy, rangeAggWithout, rangeAggQuantileBy)
+}

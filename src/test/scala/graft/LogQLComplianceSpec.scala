@@ -98,20 +98,22 @@ class LogQLComplianceSpec extends AnyFunSuite {
         """quantile_over_time(0.90, {job="varlogs"} | json status,took,size | unwrap status [1m]) without (job)""") ++
       vecAggOps.map(op => s"""$op(count_over_time({job="varlogs"} [1m]))""") ++
       Seq("sort", "sort_desc").map(op => s"""$op(count_over_time({job="varlogs"} [1m]))""") ++
-      Seq("topk", "bottomk").map(op => s"""$op(3, count_over_time({job="varlogs"} [1m]))""")
+      Seq("topk", "bottomk").map(op => s"""$op(3, count_over_time({job="varlogs"} [1m]))""") ++
+      // bare scalar literal queries + scalar-only arithmetic
+      // (engine_literal_query.go: the literal at every grid step)
+      Seq("42", "1.234", ".123", "1.23e-3", "1 + 2 / 3", "2 * 3 % 2") ++
+      // line_format built-in template variables
+      Seq("""{job="varlogs"} | line_format "{{ __timestamp__ }}"""",
+        """{job="varlogs"} | line_format "{{ __line__ }}"""")
 
   /** Corpus queries the grammar intentionally rejects today. */
   private val knownUnsupported: Seq[String] = Seq(
-    "42", "1.234", ".123", "1.23e-3", // bare scalar literal queries
-    "1 + 2 / 3", "2 * 3 % 2",         // scalar-only arithmetic
     // trailing comment
     """{job="varlogs"} # anything that comes after will not be interpreted""",
     // comma / juxtaposition label-filter chaining
     """{job="varlogs"} | json | took >= 1ms, size >= 1KB""",
     """{job="varlogs"} | json | took >= 1ms size >= 1KB""",
-    """{job="varlogs"} | json | (status > 1000, status < 0) or method != "HEAD"""",
-    // quoted-template line_format corpus forms
-    """{job="varlogs"} | line_format "{{ __timestamp__ }}""""
+    """{job="varlogs"} | json | (status > 1000, status < 0) or method != "HEAD""""
   )
 
   test("LogQL compliance corpus: every supported query parses") {

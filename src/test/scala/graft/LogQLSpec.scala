@@ -46,6 +46,59 @@ class LogQLSpec extends SparkTestBase {
 
     intercept[Parser.ParseError](Parser.parse("{service=}"))
     intercept[Parser.ParseError](Parser.parse("count_over_time({a=\"b\"})"))
+    // grouping is only legal on the regrouping ops (reference
+    // metric_expr.go:48-60)
+    intercept[Parser.ParseError](
+      Parser.parse("""count_over_time({a="b"}[1m]) by (service)"""))
+    intercept[Parser.ParseError](
+      Parser.parse("""rate({a="b"}[1m]) without (service)"""))
+    intercept[Parser.ParseError](
+      Parser.parse("""sum_over_time({a="b"} | unwrap x [1m]) by (service)"""))
+  }
+
+  test("range-agg grouping regroups samples BEFORE the window agg") {
+    // per hour: statuses are 200,200,200,500 across both services.
+    // by (env) pools them → avg 275; a per-stream avg re-averaged
+    // would give (200 + 350)/2 = 275 too, so also check max/min per
+    // service split: by (service) → api avg 200, web avg 350.
+    val out = run("""avg_over_time({env="prod"} | json | unwrap status [1h]) by (service)""")
+      .collect()
+    assert(out.length == 6) // 3 hours × 2 services
+    val bySvc = out.map(r =>
+      (r.getAs[Map[String, String]]("labels"), r.getAs[Double]("value")))
+    bySvc.foreach { case (labels, v) =>
+      assert(labels.keySet == Set("service"))
+      if (labels("service") == "api") assert(v == 200.0) else assert(v == 350.0)
+    }
+    // pooled across everything: by (env) keeps only env → one series
+    val pooled = run("""avg_over_time({env="prod"} | json | unwrap status [1h]) by (env)""")
+      .collect()
+    assert(pooled.length == 3 && pooled.forall(_.getAs[Double]("value") == 275.0))
+    // without (service, status, ...) — drop down to env as well
+    val wo = run(
+      """max_over_time({env="prod"} | json | unwrap status [1h]) without (service, status, dur, msg)""")
+      .collect()
+    assert(wo.length == 3 && wo.forall(_.getAs[Double]("value") == 500.0))
+  }
+
+  test("scalar literal queries: the literal at every grid step") {
+    // "1 + 2 / 3" folds to one scalar, fanned over the 1h-extent grid
+    val out = run("1 + 2 / 3").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Double]("value") == 1.0 + 2.0 / 3.0))
+    assert(run("42").collect().forall(_.getAs[Double]("value") == 42.0))
+    assert(run("1.23e-3").collect().forall(_.getAs[Double]("value") == 1.23e-3))
+  }
+
+  test("line_format __line__ and __timestamp__ built-ins") {
+    val lines = run("""{service="api"} | line_format "at {{ __timestamp__ }}: {{ __line__ }}"""")
+      .orderBy("ts_ns").collect()
+    assert(lines.length == 6)
+    // first api line: ts 0 → no fraction, Go time.String() form
+    assert(lines.head.getAs[String]("body") ==
+      """at 1970-01-01 00:00:00 +0000 UTC: {"status": 200, "dur": "100ms", "msg": "req 0 done"}""")
+    // second api line of hour 0: ts = 120s exactly (no sub-second part)
+    assert(lines(1).getAs[String]("body").startsWith("at 1970-01-01 00:02:00 +0000 UTC:"))
   }
 
   test("log query: selector + line filter + json + label filter") {
