@@ -114,6 +114,52 @@ object ApiEncoders {
     s"""{"batches":[{"scopeSpans":[{"spans":[${rows.mkString(",")}]}]}]}"""
   }
 
+  /** Label-name discovery: distinct map keys, sorted — bounded by
+    * label-name cardinality, never sample volume (reference
+    * lokihandler.go:243-311 Labels / promhandler.go:72-130 GetLabels).
+    * `extra` prepends a synthetic name (`__name__` for Prom).
+    */
+  def labelNames(df: DataFrame, extra: Option[String]): String = {
+    val names = df.select(explode(map_keys(col("labels"))).as("l"))
+      .distinct().orderBy("l")
+      .collect().map(r => jsonString(r.getString(0)))
+    val all = extra.map(jsonString).toSeq ++ names
+    s"""{"status":"success","data":[${all.mkString(",")}]}"""
+  }
+
+  /** Label-value discovery: distinct non-null values of one label
+    * (lokihandler.go:312-364 / promhandler.go:131-180).
+    */
+  def labelValues(df: DataFrame, value: Column): String = {
+    val vals = df.select(value.as("v")).filter(col("v").isNotNull)
+      .distinct().orderBy("v")
+      .collect().map(r => jsonString(r.getString(0)))
+    s"""{"status":"success","data":[${vals.mkString(",")}]}"""
+  }
+
+  /** Series discovery: the distinct label SETS, one JSON object each
+    * (lokihandler.go:365-604 / promhandler.go:181-281). Distinct runs
+    * on the canonical sorted-entry rendering (maps aren't groupable),
+    * then the driver collects one row per series.
+    */
+  def seriesSet(df: DataFrame, labels: Column): String = {
+    val rows = df
+      .groupBy(graft.logql.VectorMatching.streamKey(labels).as("__k"))
+      .agg(first(to_json(labels)).as("j"))
+      .orderBy("__k")
+      .select("j")
+      .collect().map(_.getString(0))
+    s"""{"status":"success","data":[${rows.mkString(",")}]}"""
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def envelope(resultType: String, series: DataFrame): String = {
     val rows = series.collect().map(_.getString(0)) // one row PER SERIES
     s"""{"status":"success","data":{"resultType":"$resultType","result":[${rows.mkString(",")}]}}"""

@@ -6,34 +6,60 @@ import java.net.InetSocketAddress
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Minimal in-process HTTP facade over the four query front-ends —
-  * the reference's entire user surface is HTTP
+/** In-process HTTP facade over the query front-ends — the reference's
+  * entire user surface is HTTP
   * (internal/lokihandler/lokihandler.go:67-645, promhandler.go:72-646,
   * tempohandler.go:66-697); this closes the same loop
   * parser → plan → encode → serve on the JDK's built-in server, no
   * extra dependencies.
   *
   * Endpoints (GET, query-string params):
-  *   - /loki/api/v1/query_range?query=&step=   (LogQL; streams or matrix)
-  *   - /api/v1/query_range?query=&step=        (PromQL; matrix)
-  *   - /api/search?q=&limit=                   (TraceQL spanset search)
-  *   - /api/traces/{hexTraceId}                (trace by id)
+  *   - /loki/api/v1/query_range?query=&step=&start=&end=
+  *   - /loki/api/v1/labels?start=&end=
+  *   - /loki/api/v1/label/{name}/values?query=&start=&end=
+  *   - /loki/api/v1/series?match[]=&start=&end=
+  *   - /api/v1/query_range?query=&step=&start=&end=   (PromQL)
+  *   - /api/v1/query?query=&time=                     (PromQL instant)
+  *   - /api/v1/labels | /api/v1/label/{name}/values | /api/v1/series
+  *   - /api/search?q=&limit=&start=&end=              (TraceQL search)
+  *   - /api/search/tags | /api/search/tag/{name}/values
+  *   - /api/v2/search/tag/{name}/values?q=            (selector-filtered)
+  *   - /api/traces/{hexTraceId}
+  *
+  * Every handler threads `start`/`end` into the scan BEFORE planning
+  * (reference tempohandler.go:126-180, lokihandler.go:365-407,
+  * promhandler.go:328-374) — at 100 TB an unbounded request must not
+  * become a full-table scan; the time filter lands on the parquet
+  * reader as a pushed predicate (partition/row-group pruning).
   *
   * Spark is the execution engine behind every handler; the HTTP layer
   * only parses params and serializes the already-distributed result
   * (ApiEncoders collects bounded envelopes: per-series rows, capped
-  * trace lists).
+  * trace lists, distinct label/tag sets).
   */
 final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
 
   private var server: HttpServer = _
 
-  /** Starts on `port` (0 = ephemeral); returns the bound port. */
+  /** Starts on `port` (0 = ephemeral); returns the bound port.
+    * The JDK server picks the LONGEST matching context prefix, so the
+    * more specific routes shadow their parents.
+    */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/loki/api/v1/query_range", handler(lokiQueryRange))
+    server.createContext("/loki/api/v1/labels", handler(lokiLabels))
+    server.createContext("/loki/api/v1/label/", handler(lokiLabelValues))
+    server.createContext("/loki/api/v1/series", handler(lokiSeries))
     server.createContext("/api/v1/query_range", handler(promQueryRange))
+    server.createContext("/api/v1/query", handler(promInstant))
+    server.createContext("/api/v1/labels", handler(promLabels))
+    server.createContext("/api/v1/label/", handler(promLabelValues))
+    server.createContext("/api/v1/series", handler(promSeries))
     server.createContext("/api/search", handler(tempoSearchHandler))
+    server.createContext("/api/search/tags", handler(tempoTags))
+    server.createContext("/api/search/tag/", handler(tempoTagValues(_, v2 = false)))
+    server.createContext("/api/v2/search/tag/", handler(tempoTagValues(_, v2 = true)))
     server.createContext("/api/traces/", handler(tempoTraceById))
     server.start()
     server.getAddress.getPort
@@ -41,39 +67,129 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  // ---------- handlers ----------
+  // ---------- time bounds ----------
+
+  /** Unix time param → ns. Floats are seconds (Prom convention);
+    * integers are seconds up to 10 digits, nanoseconds beyond (Loki
+    * sends ns epochs, Tempo seconds — digit count disambiguates, the
+    * same heuristic as the template `unixToTime`).
+    */
+  private def toNs(v: String): Long =
+    if (v.exists(c => c == '.' || c == 'e' || c == 'E'))
+      (v.toDouble * 1e9).toLong
+    else {
+      val digits = if (v.startsWith("-")) v.length - 1 else v.length
+      if (digits <= 10) v.toLong * 1000000000L else v.toLong
+    }
+
+  /** start/end → pushed scan predicate on `tsCol` (ns/`divisor`),
+    * half-open [start, end) like the reference's range handling.
+    */
+  private def windowed(df: DataFrame, p: Map[String, String],
+      tsCol: String, divisor: Long): DataFrame = {
+    val lo = p.get("start").filter(_.nonEmpty).map(toNs(_) / divisor)
+    val hi = p.get("end").filter(_.nonEmpty).map(toNs(_) / divisor)
+    val f1 = lo.fold(df)(v => df.filter(col(tsCol) >= v))
+    hi.fold(f1)(v => f1.filter(col(tsCol) < v))
+  }
+
+  // ---------- Loki handlers ----------
 
   private def lokiQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepNs = p.get("step").map(s => (s.toDouble * 1e9).toLong)
-    val df = graft.logql.Planner.query(p("query"), logs, stepNs = stepNs)
+    val src = windowed(logs, p, "ts_ns", 1L)
+    val df = graft.logql.Planner.query(p("query"), src, stepNs = stepNs)
     if (df.columns.contains("value")) ApiEncoders.lokiMatrix(df)
     else ApiEncoders.lokiStreams(df)
   }
 
+  private def lokiLabels(ex: HttpExchange): String =
+    ApiEncoders.labelNames(windowed(logs, params(ex), "ts_ns", 1L), None)
+
+  private def lokiLabelValues(ex: HttpExchange): String = {
+    val p = params(ex)
+    val name = pathSegment(ex, "/label/", "/values")
+    val src0 = windowed(logs, p, "ts_ns", 1L)
+    val src = p.get("query").filter(_.nonEmpty)
+      .fold(src0)(graft.logql.Planner.selectorFilter(_, src0))
+    ApiEncoders.labelValues(src, element_at(col("labels"), name))
+  }
+
+  private def lokiSeries(ex: HttpExchange): String = {
+    val src = windowed(logs, params(ex), "ts_ns", 1L)
+    val matched = multiParams(ex, "match[]") match {
+      case Nil  => src
+      case sels => sels.map(graft.logql.Planner.selectorFilter(_, src))
+        .reduce(_ unionAll _)
+    }
+    ApiEncoders.seriesSet(matched, col("labels"))
+  }
+
+  // ---------- Prometheus handlers ----------
+
   private def promQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepUs = p.get("step").map(s => (s.toDouble * 1e6).toLong)
-    ApiEncoders.promMatrix(
-      graft.promql.PromQL.range(p("query"), points, stepUs))
+    val src = windowed(points, p, "ts_us", 1000L)
+    ApiEncoders.promMatrix(graft.promql.PromQL.range(p("query"), src, stepUs))
   }
+
+  private def promInstant(ex: HttpExchange): String = {
+    val p = params(ex)
+    // default eval time: the store's newest sample (a static store has
+    // no "now"; reference promhandler defaults to time.Now())
+    val tUs = p.get("time").filter(_.nonEmpty).map(toNs(_) / 1000L)
+      .getOrElse(points.agg(max(col("ts_us"))).head().getLong(0))
+    ApiEncoders.promVector(graft.promql.PromQL.instant(p("query"), points, tUs))
+  }
+
+  private def promLabels(ex: HttpExchange): String =
+    ApiEncoders.labelNames(windowed(points, params(ex), "ts_us", 1000L),
+      Some("__name__"))
+
+  private def promLabelValues(ex: HttpExchange): String = {
+    val name = pathSegment(ex, "/label/", "/values")
+    val src = promMatched(ex)
+    val value =
+      if (name == "__name__") col("name") else element_at(col("labels"), name)
+    ApiEncoders.labelValues(src, value)
+  }
+
+  private def promSeries(ex: HttpExchange): String =
+    ApiEncoders.seriesSet(promMatched(ex),
+      map_concat(map(lit("__name__"), col("name")), col("labels")))
+
+  /** Windowed points, optionally narrowed by match[] selectors. */
+  private def promMatched(ex: HttpExchange): DataFrame = {
+    val src = windowed(points, params(ex), "ts_us", 1000L)
+    multiParams(ex, "match[]") match {
+      case Nil  => src
+      case sels => sels.map(graft.promql.PromQL.selectorFilter(_, src))
+        .reduce(_ unionAll _)
+    }
+  }
+
+  // ---------- Tempo handlers ----------
 
   /** Tempo search: per-trace rollups of the traces with ≥1 span
     * matching the TraceQL selector, newest first, default limit 20
-    * (reference traceqlengine/engine.go:220-222).
+    * (reference traceqlengine/engine.go:220-222). `start`/`end`
+    * (unix seconds) bound the span scan BEFORE the semi-join.
     */
   private def tempoSearchHandler(ex: HttpExchange): String = {
     val p = params(ex)
     val limit = p.get("limit").map(_.toInt).getOrElse(20)
+    val sp = windowed(spans, p, "start_ns", 1L)
     val matched = p.get("q").filter(_.nonEmpty) match {
       case Some(q) =>
-        graft.traceql.TraceQL.matchSpans(q, spans).select(col("trace_id"))
-      case None => spans.select(col("trace_id"))
+        graft.traceql.TraceQL.matchSpans(q, sp).select(col("trace_id"))
+      case None => sp.select(col("trace_id"))
     }
     val hasAttrs = spans.columns.contains("attrs")
     val rootService =
       if (hasAttrs) element_at(col("attrs"), "service.name") else lit(null)
-    val rollup = spans
+    val rollup = sp
       .join(matched.distinct(), Seq("trace_id"), "left_semi")
       .groupBy(col("trace_id"))
       .agg(
@@ -85,6 +201,32 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     ApiEncoders.tempoSearch(rollup, limit)
   }
 
+  private def tempoTags(ex: HttpExchange): String = {
+    val sp = windowed(spans, params(ex), "start_ns", 1L)
+    val tags = graft.traceql.TraceQL.tagNames(sp)
+      .collect().map(r => jsonStr(r.getString(0)))
+    s"""{"tagNames":[${tags.mkString(",")}]}"""
+  }
+
+  /** SearchTagValues (v1: bare strings) / V2 (typed objects, optional
+    * `q` spanset pre-filter) — reference tempohandler.go:247-536.
+    */
+  private def tempoTagValues(ex: HttpExchange, v2: Boolean): String = {
+    val p = params(ex)
+    val prefix = if (v2) "/v2/search/tag/" else "/search/tag/"
+    val tag = pathSegment(ex, prefix, "/values")
+    val sp = windowed(spans, p, "start_ns", 1L)
+    val sel = p.get("q").filter(_.nonEmpty).getOrElse("{}")
+    val vals = graft.traceql.TraceQL.tagValues(sel, tag, sp)
+      .collect().map(_.getString(0))
+    if (v2) {
+      val items = vals.map(v =>
+        s"""{"type":"string","value":${jsonStr(v)}}""")
+      s"""{"tagValues":[${items.mkString(",")}]}"""
+    } else
+      s"""{"tagValues":[${vals.map(jsonStr).mkString(",")}]}"""
+  }
+
   private def tempoTraceById(ex: HttpExchange): String = {
     val path = ex.getRequestURI.getPath
     val hex = path.substring(path.lastIndexOf('/') + 1)
@@ -93,6 +235,17 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
 
   // ---------- plumbing ----------
 
+  /** `{base}{segment}{suffix}` path parameter (e.g. the label name in
+    * `/loki/api/v1/label/app/values`).
+    */
+  private def pathSegment(ex: HttpExchange, base: String,
+      suffix: String): String = {
+    val path = ex.getRequestURI.getPath
+    val i = path.indexOf(base)
+    require(i >= 0 && path.endsWith(suffix), s"bad path $path")
+    urlDec(path.substring(i + base.length, path.length - suffix.length))
+  }
+
   private def params(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("")
       .split("&").iterator.filter(_.nonEmpty).map { kv =>
@@ -100,6 +253,16 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
         if (i < 0) urlDec(kv) -> ""
         else urlDec(kv.take(i)) -> urlDec(kv.drop(i + 1))
       }.toMap
+
+  /** All values of a repeatable param (match[]=a&match[]=b). */
+  private def multiParams(ex: HttpExchange, key: String): List[String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").iterator.filter(_.nonEmpty).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) None
+        else if (urlDec(kv.take(i)) == key) Some(urlDec(kv.drop(i + 1)))
+        else None
+      }.filter(_.nonEmpty).toList
 
   private def urlDec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")

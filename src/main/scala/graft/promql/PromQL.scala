@@ -369,6 +369,16 @@ object PromQL {
 
   private def streamKey: Column = graft.logql.VectorMatching.streamKey(col("labels"))
 
+  /** Metadata-endpoint selector: `name{m...}` / `{m...}` → filtered
+    * points (reference promhandler.go:72-281 series/labels matchers).
+    */
+  def selectorFilter(q: String, points: DataFrame): DataFrame = {
+    val p = new P(q)
+    val sel = parseSelector(p)
+    if (!p.done) throw ParseError("trailing input", p.i)
+    points.filter(selCol(sel))
+  }
+
   /** Instant query at evalTsUs with the Prometheus lookback rule:
     * newest sample ≤ t within the window (reference
     * querier_metrics_scanners.go:204-390 selectPoint).
@@ -410,8 +420,35 @@ object PromQL {
     * (t-range, t], via the same window-alignment shift as the LogQL
     * instant path. Requires one shared range across the expression.
     */
-  def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame = {
-    val e = foldScalars(parse(q))
+  def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
+    instantOf(foldScalars(parse(q)), points, evalTsUs)
+
+  /** Instant /api/v1/query dispatch: a bare vector selector evaluates
+    * via the 5m-lookback latest-sample rule (reference
+    * promhandler.go:328-374 instant path); anything with a range goes
+    * through the shared-range window alignment of [[instantExpr]].
+    */
+  def instant(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
+    foldScalars(parse(q)) match {
+      case Instant(sel)        => lookback(sel, points, evalTsUs)
+      case At(Instant(sel), t) => lookback(sel, points, t)
+        .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+      case e => instantOf(e, points, evalTsUs)
+    }
+
+  /** Latest live sample per series in (t-5m, t]. */
+  private def lookback(sel: Selector, points: DataFrame,
+      tUs: Long): DataFrame = {
+    val w = Window.partitionBy(streamKey).orderBy(col("ts_us").desc)
+    points.filter(selCol(sel))
+      .filter(!isnan(col("value")))
+      .filter(col("ts_us") <= tUs && col("ts_us") > tUs - 300000000L)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(lit(tUs).as("ts_us"), col("labels"), col("value"))
+  }
+
+  private def instantOf(e: Expr, points: DataFrame, evalTsUs: Long): DataFrame = {
     val rs = collectRanges(e).distinct
     require(rs.nonEmpty,
       "instant over a fully @-pinned expression is unsupported: the @ " +

@@ -686,6 +686,20 @@ object TraceQL {
       .filter(col("value").isNotNull)
       .distinct().orderBy("value")
 
+  /** Distinct attribute names across span + resource scopes
+    * (SearchTags, reference tempohandler.go:247-312) — one distinct
+    * shuffle over exploded keys, never a per-span driver walk.
+    */
+  def tagNames(spans0: DataFrame): DataFrame = {
+    val withA =
+      if (spans0.columns.contains("attrs")) spans0
+      else spans0.withColumn("attrs", map().cast("map<string,string>"))
+    withResourceAttrs(withA)
+      .select(explode(concat(map_keys(col("attrs")),
+        map_keys(col("resource_attrs")))).as("tag"))
+      .distinct().orderBy("tag")
+  }
+
   /** Bare spanset evaluation: the spans matching `q`'s selector, with
     * no pipeline stages — the building block for search endpoints and
     * autocomplete.

@@ -93,6 +93,91 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("start/end bound every query path before the scan") {
+    withApi { port =>
+      // loki: [start, end) in ns — excludes the ts=DayNs+3000 web line
+      val (c1, streams) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("{}")}&start=${DayNs + 1000}&end=${DayNs + 3000}""")
+      assert(c1 == 200)
+      assert(streams.contains("error: boom") && streams.contains("\"ok\""))
+      assert(!streams.contains("error: again"))
+
+      // prom: seconds params over µs points — only the ts=1s samples
+      val (c2, matrix) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_range?query=${enc("count_over_time(cpu[1m])")}&start=0&end=60""")
+      assert(c2 == 200 && matrix.contains("matrix"))
+      assert(!matrix.contains("[60,")) // the 61s sample's bucket is absent
+
+      // tempo: unix-seconds window keeps only trace 8 (start_ns 2000)
+      val (c3, hits) = get(
+        s"http://127.0.0.1:$port/api/search?start=0&end=2")
+      assert(c3 == 200)
+      assert(hits.contains("0000000000000007") && hits.contains("0000000000000008"))
+      val (c4, none) = get(
+        s"http://127.0.0.1:$port/api/search?start=1000&end=2000")
+      assert(c4 == 200 && !none.contains("traceID"))
+    }
+  }
+
+  test("loki metadata endpoints: labels, label values, series") {
+    withApi { port =>
+      val (c1, labels) = get(s"http://127.0.0.1:$port/loki/api/v1/labels")
+      assert(c1 == 200 && labels == """{"status":"success","data":["app"]}""")
+
+      val (c2, values) = get(s"http://127.0.0.1:$port/loki/api/v1/label/app/values")
+      assert(c2 == 200 && values == """{"status":"success","data":["api","web"]}""")
+
+      // selector-narrowed values
+      val (c3, narrowed) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/label/app/values?query=${enc("""{app="web"}""")}""")
+      assert(c3 == 200 && narrowed == """{"status":"success","data":["web"]}""")
+
+      val (c4, series) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/series?match[]=${enc("""{app=~".*"}""")}""")
+      assert(c4 == 200)
+      assert(series.contains("""{"app":"api"}""") && series.contains("""{"app":"web"}"""))
+    }
+  }
+
+  test("prom metadata endpoints and instant query") {
+    withApi { port =>
+      val (c1, labels) = get(s"http://127.0.0.1:$port/api/v1/labels")
+      assert(c1 == 200 && labels == """{"status":"success","data":["__name__","host"]}""")
+
+      val (c2, names) = get(s"http://127.0.0.1:$port/api/v1/label/__name__/values")
+      assert(c2 == 200 && names == """{"status":"success","data":["cpu"]}""")
+
+      val (c3, series) = get(
+        s"""http://127.0.0.1:$port/api/v1/series?match[]=${enc("""cpu{host="a"}""")}""")
+      assert(c3 == 200)
+      assert(series.contains("""{"__name__":"cpu","host":"a"}"""))
+      assert(!series.contains(""""host":"b""""))
+
+      // instant at t=61s: host a → latest sample 3, host b → within 5m lookback → 5
+      val (c4, vec) = get(
+        s"""http://127.0.0.1:$port/api/v1/query?query=cpu&time=61""")
+      assert(c4 == 200)
+      assert(vec.contains(""""resultType":"vector""""))
+      assert(vec.contains("""[61,"3.0"]""") && vec.contains("""[61,"5.0"]"""))
+    }
+  }
+
+  test("tempo tag discovery: names, values, filtered v2 values") {
+    withApi { port =>
+      val (c1, tags) = get(s"http://127.0.0.1:$port/api/search/tags")
+      assert(c1 == 200 && tags == """{"tagNames":["service.name"]}""")
+
+      val (c2, values) = get(
+        s"http://127.0.0.1:$port/api/search/tag/service.name/values")
+      assert(c2 == 200 && values == """{"tagValues":["api","web"]}""")
+
+      val (c3, v2) = get(
+        s"""http://127.0.0.1:$port/api/v2/search/tag/service.name/values?q=${enc("""{ name = "child" }""")}""")
+      assert(c3 == 200)
+      assert(v2 == """{"tagValues":[{"type":"string","value":"api"}]}""")
+    }
+  }
+
   test("tempo trace-by-id returns the span batch; bad query returns 400") {
     withApi { port =>
       val (code, body) = get(s"http://127.0.0.1:$port/api/traces/7")
