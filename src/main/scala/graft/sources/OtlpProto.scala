@@ -33,6 +33,73 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object OtlpProto {
 
+  final case class QuantileValue(q: Double, value: Double)
+
+  /** One LogRecord (logs/v1/logs.proto):
+    *   ExportLogsServiceRequest: 1 resource_logs
+    *   ResourceLogs: 1 resource, 2 scope_logs
+    *   ScopeLogs:    1 scope, 2 log_records
+    *   LogRecord: 1 time_unix_nano, 2 severity_number, 3 severity_text,
+    *              5 body (AnyValue), 6 attributes, 8 flags (fixed32),
+    *              9 trace_id, 10 span_id, 11 observed_time_unix_nano
+    */
+  final case class OtlpLog(
+      ts_ns: Long, // time_unix_nano, falling back to observed time
+      severity_number: Int,
+      severity_text: String,
+      body: String,
+      trace_id_hex: String,
+      trace_id: Option[Long],
+      span_id: Option[Long],
+      flags: Int,
+      attrs: Map[String, String],
+      resource_attrs: Map[String, String],
+      scope_name: String,
+      scope_version: String)
+
+  /** One metric data point, flattened across the five OTLP metric
+    * kinds (metrics/v1/metrics.proto):
+    *   ExportMetricsServiceRequest: 1 resource_metrics
+    *   ResourceMetrics: 1 resource, 2 scope_metrics
+    *   ScopeMetrics:    1 scope, 2 metrics
+    *   Metric: 1 name, 3 unit, 5 gauge, 7 sum, 9 histogram,
+    *           10 exponential_histogram, 11 summary
+    *   NumberDataPoint: 2 start, 3 time, 4 as_double, 6 as_int,
+    *                    7 attributes
+    *   HistogramDataPoint: 2 start, 3 time, 4 count, 5 sum,
+    *                    6 bucket_counts (packed fixed64),
+    *                    7 explicit_bounds (packed double), 9 attributes
+    *   ExponentialHistogramDataPoint: 1 attributes, 2 start, 3 time,
+    *                    4 count, 5 sum, 6 scale (sint32),
+    *                    7 zero_count, 8 positive (1 offset sint32,
+    *                    2 bucket_counts packed varint)
+    *   SummaryDataPoint: 2 start, 3 time, 4 count, 5 sum,
+    *                    6 quantile_values (1 quantile, 2 value),
+    *                    7 attributes
+    * Gauge/sum values land in `gauge`; the discriminating fields for
+    * histogram/exp-hist/summary mirror the decomposePoints /
+    * decomposeExpHist input shapes (Streams.scala).
+    */
+  final case class OtlpMetric(
+      name: String,
+      unit: String,
+      ts_ns: Long,
+      start_ns: Long,
+      attrs: Map[String, String],
+      resource_attrs: Map[String, String],
+      temporality: Int, // 0 unspec, 1 delta, 2 cumulative
+      is_monotonic: Boolean,
+      gauge: Option[Double],
+      hist_count: Option[Long],
+      hist_sum: Option[Double],
+      hist_bounds: Option[Seq[Double]],
+      hist_counts: Option[Seq[Long]],
+      exp_scale: Option[Int],
+      exp_zerocount: Option[Long],
+      exp_positive_offset: Option[Int],
+      exp_positive_counts: Option[Seq[Long]],
+      summary_quantiles: Option[Seq[QuantileValue]])
+
   final case class SpanEvent(name: String, ts_ns: Long)
   final case class SpanLink(trace_id: Long, span_id: Long)
   final case class OtlpSpan(
@@ -53,8 +120,10 @@ object OtlpProto {
       events: Seq[SpanEvent],
       links: Seq[SpanLink])
 
-  /** Minimal protobuf wire reader over a byte-range. */
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  /** Minimal protobuf wire reader over a byte-range (shared with the
+    * prompb decoder, [[Prompb]]).
+    */
+  private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0
@@ -89,6 +158,13 @@ object OtlpProto {
       var i = 0
       while (i < 8) { out |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8
+      out
+    }
+    def fixed32(): Int = {
+      var out = 0
+      var i = 0
+      while (i < 4) { out |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
+      pos += 4
       out
     }
     def string(): String = new String(lenBytes(), UTF_8)
@@ -307,4 +383,278 @@ object OtlpProto {
       events = events.result(),
       links = links.result())
   }
+
+  // ---------- logs ----------
+
+  /** Decodes one ExportLogsServiceRequest payload into log rows. */
+  def decodeLogs(payload: Array[Byte]): Seq[OtlpLog] = {
+    val out = Seq.newBuilder[OtlpLog]
+    val root = new Reader(payload, 0, payload.length)
+    while (root.hasMore) {
+      val (f, wt) = root.tag()
+      if (f == 1 && wt == 2) decodeResourceScoped(root.sub()) {
+        (rec, resAttrs, scopeName, scopeVer) =>
+          out += decodeLogRecord(rec, resAttrs, scopeName, scopeVer)
+      }
+      else root.skip(wt)
+    }
+    out.result()
+  }
+
+  /** Shared ResourceLogs/ResourceMetrics walk: both nest
+    * resource(1) → scope list(2) → [scope(1), records(2)].
+    */
+  private def decodeResourceScoped(r: Reader)(
+      each: (Reader, Map[String, String], String, String) => Unit): Unit = {
+    var resourceAttrs = Map.empty[String, String]
+    val scoped = Seq.newBuilder[Reader]
+    while (r.hasMore) {
+      val (f, wt) = r.tag()
+      f match {
+        case 1 =>
+          val res = r.sub()
+          val kvs = Seq.newBuilder[Reader]
+          while (res.hasMore) {
+            val (rf, rwt) = res.tag()
+            if (rf == 1 && rwt == 2) kvs += res.sub() else res.skip(rwt)
+          }
+          resourceAttrs = attrMap(kvs.result())
+        case 2 => scoped += r.sub()
+        case _ => r.skip(wt)
+      }
+    }
+    scoped.result().foreach { ss =>
+      var scopeName = ""
+      var scopeVersion = ""
+      val records = Seq.newBuilder[Reader]
+      while (ss.hasMore) {
+        val (f, wt) = ss.tag()
+        f match {
+          case 1 =>
+            val sc = ss.sub()
+            while (sc.hasMore) {
+              val (sf, swt) = sc.tag()
+              sf match {
+                case 1 => scopeName = sc.string()
+                case 2 => scopeVersion = sc.string()
+                case _ => sc.skip(swt)
+              }
+            }
+          case 2 => records += ss.sub()
+          case _ => ss.skip(wt)
+        }
+      }
+      records.result().foreach(each(_, resourceAttrs, scopeName, scopeVersion))
+    }
+  }
+
+  private def decodeLogRecord(r: Reader, resourceAttrs: Map[String, String],
+      scopeName: String, scopeVersion: String): OtlpLog = {
+    var tsNs = 0L
+    var observedNs = 0L
+    var sevNum = 0
+    var sevText = ""
+    var body = ""
+    var traceId = Array.emptyByteArray
+    var spanId = Array.emptyByteArray
+    var flags = 0
+    val attrs = Seq.newBuilder[Reader]
+    while (r.hasMore) {
+      val (f, wt) = r.tag()
+      f match {
+        case 1  => tsNs = r.fixed64()
+        case 2  => sevNum = r.varint().toInt
+        case 3  => sevText = r.string()
+        case 5  => body = anyValue(r.sub())
+        case 6  => attrs += r.sub()
+        case 8  => flags = r.fixed32()
+        case 9  => traceId = r.lenBytes()
+        case 10 => spanId = r.lenBytes()
+        case 11 => observedNs = r.fixed64()
+        case _  => r.skip(wt)
+      }
+    }
+    OtlpLog(
+      ts_ns = if (tsNs != 0) tsNs else observedNs,
+      severity_number = sevNum,
+      severity_text = sevText,
+      body = body,
+      trace_id_hex = hex(traceId),
+      trace_id = if (traceId.isEmpty) None else Some(idLong(traceId)),
+      span_id = if (spanId.isEmpty) None else Some(idLong(spanId)),
+      flags = flags,
+      attrs = attrMap(attrs.result()),
+      resource_attrs = resourceAttrs,
+      scope_name = scopeName,
+      scope_version = scopeVersion)
+  }
+
+  // ---------- metrics ----------
+
+  private def zigzag(v: Long): Int = ((v >>> 1) ^ -(v & 1)).toInt
+
+  /** Packed or singular repeated fixed64 doubles (wire type 2 or 1). */
+  private def doubles(r: Reader, wt: Int,
+      acc: scala.collection.mutable.Builder[Double, Seq[Double]]): Unit =
+    if (wt == 2) {
+      val p = r.sub()
+      while (p.hasMore) acc += java.lang.Double.longBitsToDouble(p.fixed64())
+    } else acc += java.lang.Double.longBitsToDouble(r.fixed64())
+
+  /** Packed or singular repeated fixed64 longs. */
+  private def fixed64s(r: Reader, wt: Int,
+      acc: scala.collection.mutable.Builder[Long, Seq[Long]]): Unit =
+    if (wt == 2) {
+      val p = r.sub()
+      while (p.hasMore) acc += p.fixed64()
+    } else acc += r.fixed64()
+
+  /** Packed or singular repeated varints. */
+  private def varints(r: Reader, wt: Int,
+      acc: scala.collection.mutable.Builder[Long, Seq[Long]]): Unit =
+    if (wt == 2) {
+      val p = r.sub()
+      while (p.hasMore) acc += p.varint()
+    } else acc += r.varint()
+
+  /** Decodes one ExportMetricsServiceRequest payload into one row per
+    * data point.
+    */
+  def decodeMetrics(payload: Array[Byte]): Seq[OtlpMetric] = {
+    val out = Seq.newBuilder[OtlpMetric]
+    val root = new Reader(payload, 0, payload.length)
+    while (root.hasMore) {
+      val (f, wt) = root.tag()
+      if (f == 1 && wt == 2) decodeResourceScoped(root.sub()) {
+        (metric, resAttrs, _, _) => decodeMetric(metric, resAttrs, out)
+      }
+      else root.skip(wt)
+    }
+    out.result()
+  }
+
+  private def decodeMetric(r: Reader, resourceAttrs: Map[String, String],
+      out: scala.collection.mutable.Builder[OtlpMetric, Seq[OtlpMetric]]): Unit = {
+    var name = ""
+    var unit = ""
+    // (kind, temporality, monotonic, data-point readers) — points are
+    // buffered because name/unit fields may follow the data oneof
+    var kind = 0 // 5 gauge, 7 sum, 9 hist, 10 exp-hist, 11 summary
+    var temporality = 0
+    var monotonic = false
+    val points = Seq.newBuilder[Reader]
+    while (r.hasMore) {
+      val (f, wt) = r.tag()
+      f match {
+        case 1 => name = r.string()
+        case 3 => unit = r.string()
+        case 5 | 7 | 9 | 10 | 11 =>
+          kind = f
+          val data = r.sub()
+          while (data.hasMore) {
+            val (df, dwt) = data.tag()
+            df match {
+              case 1 => points += data.sub()
+              case 2 => temporality = data.varint().toInt
+              case 3 => monotonic = data.varint() != 0
+              case _ => data.skip(dwt)
+            }
+          }
+        case _ => r.skip(wt)
+      }
+    }
+    val base = OtlpMetric(name, unit, 0L, 0L, Map.empty, resourceAttrs,
+      temporality, monotonic, None, None, None, None, None, None, None,
+      None, None, None)
+    points.result().foreach(p => out += decodeDataPoint(p, kind, base))
+  }
+
+  private def decodeDataPoint(r: Reader, kind: Int,
+      base: OtlpMetric): OtlpMetric = {
+    var startNs = 0L
+    var tsNs = 0L
+    var num = Option.empty[Double]
+    var count = Option.empty[Long]
+    var sum = Option.empty[Double]
+    val bounds = Seq.newBuilder[Double]
+    val counts = Seq.newBuilder[Long]
+    var scale = Option.empty[Int]
+    var zero = Option.empty[Long]
+    var posOffset = Option.empty[Int]
+    val posCounts = Seq.newBuilder[Long]
+    val quantiles = Seq.newBuilder[QuantileValue]
+    val attrs = Seq.newBuilder[Reader]
+    // field meanings diverge by kind: NumberDataPoint's 4/6 are the
+    // value; Histogram/Summary's 4/5 are count/sum; ExpHist adds 6/7/8.
+    // attributes: ExpHist 1, Histogram 9, Number/Summary 7
+    val attrField = kind match {
+      case 10 => 1
+      case 9  => 9
+      case _  => 7
+    }
+    while (r.hasMore) {
+      val (f, wt) = r.tag()
+      f match {
+        case 2 => startNs = r.fixed64()
+        case 3 => tsNs = r.fixed64()
+        case `attrField` if wt == 2 => attrs += r.sub()
+        case 4 =>
+          if (kind == 5 || kind == 7)
+            num = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
+          else count = Some(r.fixed64())
+        case 5 if kind != 5 && kind != 7 =>
+          sum = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case 6 =>
+          if (kind == 5 || kind == 7) num = Some(r.fixed64().toDouble) // as_int
+          else if (kind == 9) fixed64s(r, wt, counts) // bucket_counts
+          else if (kind == 10) scale = Some(zigzag(r.varint())) // sint32
+          else if (kind == 11) { // quantile_values
+            val qv = r.sub()
+            var q = 0.0
+            var v = 0.0
+            while (qv.hasMore) {
+              val (qf, qwt) = qv.tag()
+              qf match {
+                case 1 => q = java.lang.Double.longBitsToDouble(qv.fixed64())
+                case 2 => v = java.lang.Double.longBitsToDouble(qv.fixed64())
+                case _ => qv.skip(qwt)
+              }
+            }
+            quantiles += QuantileValue(q, v)
+          } else r.skip(wt)
+        case 7 if kind == 9 => doubles(r, wt, bounds) // explicit_bounds
+        case 7 if kind == 10 => zero = Some(r.fixed64())
+        case 8 if kind == 10 => // positive Buckets
+          val b = r.sub()
+          while (b.hasMore) {
+            val (bf, bwt) = b.tag()
+            bf match {
+              case 1 => posOffset = Some(zigzag(b.varint()))
+              case 2 => varints(b, bwt, posCounts)
+              case _ => b.skip(bwt)
+            }
+          }
+        case _ => r.skip(wt)
+      }
+    }
+    val boundsOut = bounds.result()
+    val countsOut = counts.result()
+    val posOut = posCounts.result()
+    val qsOut = quantiles.result()
+    base.copy(
+      ts_ns = tsNs,
+      start_ns = startNs,
+      attrs = attrMap(attrs.result()),
+      gauge = num,
+      hist_count = if (kind == 9 || kind == 11) count else None,
+      hist_sum = if (kind == 9 || kind == 11) sum else None,
+      hist_bounds = if (boundsOut.nonEmpty) Some(boundsOut) else None,
+      hist_counts = if (countsOut.nonEmpty) Some(countsOut) else None,
+      exp_scale = scale,
+      exp_zerocount = zero,
+      exp_positive_offset = posOffset,
+      exp_positive_counts = if (posOut.nonEmpty) Some(posOut) else None,
+      summary_quantiles = if (qsOut.nonEmpty) Some(qsOut) else None)
+  }
+
 }

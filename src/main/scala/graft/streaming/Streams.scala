@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
@@ -241,6 +241,86 @@ object Streams {
     frames.select(col(payloadCol)).as[Array[Byte]]
       .mapPartitions(_.flatMap(graft.sources.OtlpProto.decodeSpans))
       .toDF()
+  }
+
+  /** OTLP logs ingest: ExportLogsServiceRequest payloads → log rows
+    * (body rendered from AnyValue, severity fields, trace/span ids,
+    * attr maps) plus the `service_name`/`timestamp` columns the
+    * enrichment/sink stages key on. Distributed decode, same shape as
+    * [[spansFromOtlp]] (reference otelreceiver consumes all three
+    * signals, internal/otelreceiver/receiver.go:45-93).
+    */
+  def logsFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.OtlpProto.decodeLogs))
+      .toDF()
+      .withColumn("service_name",
+        element_at(col("resource_attrs"), "service.name"))
+      .withColumn("timestamp", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Canonical series-identity rendering: resource + point attrs as
+    * one sorted `k=v` list (the hash input decomposePoints expects —
+    * inserter_metrics.go hashes the flattened attr set the same way).
+    */
+  private def attrsKey: Column = concat_ws(",",
+    transform(
+      array_sort(concat(map_entries(col("resource_attrs")),
+        map_entries(col("attrs")))),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))))
+
+  /** OTLP metrics ingest: ExportMetricsServiceRequest payloads → one
+    * row per data point, bridged to the [[decomposePoints]] input
+    * shape (timestamp, name, attrs, gauge, hist_count, hist_sum).
+    */
+  def pointsFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame =
+    metricsFromOtlp(frames, payloadCol)
+      .select(col("timestamp"), col("name"), col("attrs"),
+        col("gauge"), col("hist_count"), col("hist_sum"))
+
+  /** OTLP exp-hist/summary ingest → the [[decomposeExpHist]] input
+    * shape.
+    */
+  def expHistFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame =
+    metricsFromOtlp(frames, payloadCol)
+      .filter(col("exp_scale").isNotNull || col("summary_quantiles").isNotNull)
+      .select(col("timestamp"), col("name"), col("attrs"),
+        col("exp_scale"), col("exp_zerocount"), col("exp_positive_offset"),
+        col("exp_positive_counts"), col("summary_quantiles"))
+
+  /** Full decoded metric frame (all five OTLP kinds flattened to one
+    * row per data point, attrs rendered canonically).
+    */
+  def metricsFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.OtlpProto.decodeMetrics))
+      .toDF()
+      .withColumn("timestamp", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("attrs", attrsKey)
+  }
+
+  /** Prometheus remote-write ingest: uncompressed WriteRequest
+    * payloads → the query-ready points schema (ts_us, name, labels,
+    * value) — every PromQL front-end runs directly on the result
+    * (reference /api/v1/write → inserter_metrics.go path).
+    */
+  def pointsFromPrompb(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.Prompb.decodeWriteRequest))
+      .toDF()
+      .select((col("ts_ms") * 1000L).as("ts_us"),
+        col("name"), col("labels"), col("value"))
   }
 
   /** Batched span inserter: foreachBatch into the bloom-filtered,

@@ -98,4 +98,215 @@ class OtlpProtoSpec extends SparkTestBase {
       """{ resource.service.name = "api" && span:parentID = 1 }""", spans)
     assert(matched.select("name").as[String].collect().toSeq == Seq("child-op"))
   }
+
+  // ---- logs ----
+
+  private def fix32(w: W, field: Int, v: Int): W = {
+    w.tag(field, 5)
+    var i = 0; while (i < 4) { w.out.write((v >>> (8 * i)) & 0xff); i += 1 }
+    w
+  }
+
+  private def logsPayload: Array[Byte] = {
+    val rec1 = new W()
+      .fix64(1, 1704103200000000000L) // time
+      .vint(2, 17).str(3, "ERROR")    // severity
+      .msg(5, strVal("boom happened"))
+      .msg(6, kv("code", intVal(500)))
+    fix32(rec1, 8, 1)
+    rec1.bytes(9, tid16(0xabcL)).bytes(10, sid8(3L))
+    val rec2 = new W()
+      .vint(2, 9).str(3, "INFO")
+      .msg(5, strVal("all good"))
+      .fix64(11, 1704103201000000000L) // observed only → ts fallback
+    val scope = new W().str(1, "applog").str(2, "0.1")
+    val scopeLogs = new W().msg(1, scope).msg(2, rec1).msg(2, rec2)
+    val resource = new W().msg(1, kv("service.name", strVal("api")))
+    val resourceLogs = new W().msg(1, resource).msg(2, scopeLogs)
+    new W().msg(1, resourceLogs).out.toByteArray
+  }
+
+  test("decodeLogs reads body, severity, ids, flags, attrs, ts fallback") {
+    val logs = OtlpProto.decodeLogs(logsPayload)
+    assert(logs.size == 2)
+    val err = logs.find(_.severity_text == "ERROR").get
+    assert(err.ts_ns == 1704103200000000000L)
+    assert(err.severity_number == 17 && err.body == "boom happened")
+    assert(err.attrs == Map("code" -> "500"))
+    assert(err.resource_attrs == Map("service.name" -> "api"))
+    assert(err.trace_id.contains(0xabcL) && err.span_id.contains(3L))
+    assert(err.flags == 1)
+    assert(err.scope_name == "applog" && err.scope_version == "0.1")
+    val info = logs.find(_.severity_text == "INFO").get
+    assert(info.ts_ns == 1704103201000000000L) // observed_time fallback
+    assert(info.trace_id.isEmpty && info.span_id.isEmpty)
+  }
+
+  test("logsFromOtlp bridges into enrichLogs") {
+    import spark.implicits._
+    val frames = Seq(logsPayload).toDF("payload")
+    val enriched = Streams.enrichLogs(Streams.logsFromOtlp(frames))
+    val rows = enriched.select("service_name", "severity_number", "body")
+      .orderBy("body").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(0) == "api"))
+  }
+
+  // ---- metrics ----
+
+  private def dbl(w: W, field: Int, v: Double): W =
+    w.fix64(field, java.lang.Double.doubleToLongBits(v))
+
+  private def packedDoubles(field: Int, vs: Seq[Double]): W = {
+    val inner = new java.io.ByteArrayOutputStream()
+    vs.foreach { v =>
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0; while (i < 8) { inner.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    new W().bytes(field, inner.toByteArray)
+  }
+
+  private def packedFix64(field: Int, vs: Seq[Long]): W = {
+    val inner = new java.io.ByteArrayOutputStream()
+    vs.foreach { v =>
+      var i = 0; while (i < 8) { inner.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    new W().bytes(field, inner.toByteArray)
+  }
+
+  private def metricsPayload: Array[Byte] = {
+    // gauge: one double point
+    val gaugePoint = new W().fix64(2, 1L).fix64(3, 1704103200000000000L)
+    dbl(gaugePoint, 4, 0.75)
+    gaugePoint.msg(7, kv("core", intVal(0)))
+    val gauge = new W().str(1, "cpu_usage").str(3, "1")
+      .msg(5, new W().msg(1, gaugePoint))
+    // monotonic cumulative sum: one as_int point
+    val sumPoint = new W().fix64(3, 1704103200000000000L)
+    sumPoint.tag(6, 1) // as_int, sfixed64
+    var x = 42L
+    var i = 0; while (i < 8) { sumPoint.out.write(((x >>> (8 * i)) & 0xff).toInt); i += 1 }
+    val sum = new W().str(1, "requests_total")
+      .msg(7, new W().msg(1, sumPoint).vint(2, 2).vint(3, 1))
+    // histogram: count/sum/bounds/buckets
+    val histPoint = new W().fix64(3, 1704103200000000000L).fix64(4, 10L)
+    dbl(histPoint, 5, 99.5)
+    histPoint.out.write(packedFix64(6, Seq(1L, 4L, 5L)).out.toByteArray)
+    histPoint.out.write(packedDoubles(7, Seq(0.1, 1.0)).out.toByteArray)
+    histPoint.msg(9, kv("route", strVal("/api")))
+    val hist = new W().str(1, "latency").msg(9, new W().msg(1, histPoint).vint(2, 2))
+    // exponential histogram: scale -2 (zigzag), offset 3, counts varint
+    val pos = new W().vint(1, 6 /* zigzag(3) */)
+    val counts = new java.io.ByteArrayOutputStream()
+    Seq(2L, 7L).foreach { v => counts.write(v.toInt) } // single-byte varints
+    pos.bytes(2, counts.toByteArray)
+    val expPoint = new W().msg(1, kv("svc", strVal("a")))
+      .fix64(3, 1704103200000000000L).fix64(4, 9L)
+    expPoint.vint(6, 3 /* zigzag(-2) */).fix64(7, 5L).msg(8, pos)
+    val exp = new W().str(1, "lat_exp").msg(10, new W().msg(1, expPoint))
+    // summary: quantiles
+    val q1 = new W(); dbl(q1, 1, 0.5); dbl(q1, 2, 1.5)
+    val q2 = new W(); dbl(q2, 1, 0.99); dbl(q2, 2, 9.9)
+    val sumPointS = new W().fix64(3, 1704103200000000000L).fix64(4, 100L)
+    dbl(sumPointS, 5, 123.0)
+    sumPointS.msg(6, q1).msg(6, q2).msg(7, kv("job", strVal("api")))
+    val summary = new W().str(1, "rpc_ms").msg(11, new W().msg(1, sumPointS))
+
+    val scope = new W().str(1, "meter")
+    val scopeMetrics = new W().msg(1, scope)
+      .msg(2, gauge).msg(2, sum).msg(2, hist).msg(2, exp).msg(2, summary)
+    val resource = new W().msg(1, kv("service.name", strVal("api")))
+    val resourceMetrics = new W().msg(1, resource).msg(2, scopeMetrics)
+    new W().msg(1, resourceMetrics).out.toByteArray
+  }
+
+  test("decodeMetrics reads all five metric kinds") {
+    val ms = OtlpProto.decodeMetrics(metricsPayload)
+    assert(ms.size == 5)
+    val g = ms.find(_.name == "cpu_usage").get
+    assert(g.gauge.contains(0.75) && g.attrs == Map("core" -> "0"))
+    assert(g.start_ns == 1L && g.ts_ns == 1704103200000000000L)
+    assert(g.resource_attrs == Map("service.name" -> "api"))
+
+    val s = ms.find(_.name == "requests_total").get
+    assert(s.gauge.contains(42.0) && s.is_monotonic && s.temporality == 2)
+
+    val h = ms.find(_.name == "latency").get
+    assert(h.hist_count.contains(10L) && h.hist_sum.contains(99.5))
+    assert(h.hist_bounds.contains(Seq(0.1, 1.0)))
+    assert(h.hist_counts.contains(Seq(1L, 4L, 5L)))
+    assert(h.attrs == Map("route" -> "/api"))
+
+    val e = ms.find(_.name == "lat_exp").get
+    assert(e.exp_scale.contains(-2) && e.exp_zerocount.contains(5L))
+    assert(e.exp_positive_offset.contains(3))
+    assert(e.exp_positive_counts.contains(Seq(2L, 7L)))
+    assert(e.hist_count.isEmpty) // count rides the exp-hist row only via field 4
+    assert(e.attrs == Map("svc" -> "a"))
+
+    val q = ms.find(_.name == "rpc_ms").get
+    assert(q.hist_count.contains(100L) && q.hist_sum.contains(123.0))
+    assert(q.summary_quantiles.contains(Seq(
+      OtlpProto.QuantileValue(0.5, 1.5), OtlpProto.QuantileValue(0.99, 9.9))))
+  }
+
+  // ---- prompb remote-write ----
+
+  private def writeRequestPayload: Array[Byte] = {
+    def label(n: String, v: String): W = new W().str(1, n).str(2, v)
+    def sample(v: Double, tsMs: Long): W = {
+      val w = new W(); dbl(w, 1, v); w.vint(2, tsMs)
+    }
+    val ts1 = new W()
+      .msg(1, label("__name__", "http_requests_total"))
+      .msg(1, label("job", "api")).msg(1, label("instance", "i1"))
+      .msg(2, sample(1.0, 1704103200000L))
+      .msg(2, sample(4.0, 1704103260000L))
+    val ts2 = new W()
+      .msg(1, label("__name__", "http_requests_total"))
+      .msg(1, label("job", "api")).msg(1, label("instance", "i2"))
+      .msg(2, sample(7.0, 1704103200000L))
+    new W().msg(1, ts1).msg(1, ts2).out.toByteArray
+  }
+
+  test("prompb WriteRequest decodes and feeds the PromQL points schema") {
+    import graft.sources.Prompb
+    val samples = Prompb.decodeWriteRequest(writeRequestPayload)
+    assert(samples.size == 3)
+    assert(samples.forall(_.name == "http_requests_total"))
+    assert(samples.count(_.labels("instance") == "i1") == 2)
+    assert(samples.find(_.labels("instance") == "i2").get.value == 7.0)
+    assert(samples.forall(!_.labels.contains("__name__")))
+
+    import spark.implicits._
+    val points = Streams.pointsFromPrompb(Seq(writeRequestPayload).toDF("payload"))
+    assert(points.columns.toSeq == Seq("ts_us", "name", "labels", "value"))
+    // the decoded frame IS queryable: instant vector at the last sample
+    val vec = graft.promql.PromQL.instant(
+      """http_requests_total{job="api"}""", points, 1704103260000000L)
+    val byInst = vec.collect()
+      .map(r => (r.getAs[Map[String, String]]("labels")("instance"),
+        r.getAs[Double]("value"))).toMap
+    assert(byInst == Map("i1" -> 4.0, "i2" -> 7.0))
+  }
+
+  test("pointsFromOtlp/expHistFromOtlp bridge into the decomposers") {
+    import spark.implicits._
+    val frames = Seq(metricsPayload).toDF("payload")
+    val flat = Streams.decomposePoints(Streams.pointsFromOtlp(frames))
+      .select("mapping", "value").orderBy("mapping", "value")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // gauges/sums → mapping 0; hist+summary counts → 1; sums → 2
+    assert(flat.toSeq == Seq((0, 0.75), (0, 42.0),
+      (1, 10.0), (1, 100.0), (2, 99.5), (2, 123.0)))
+
+    val expFlat = Streams.decomposeExpHist(Streams.expHistFromOtlp(frames))
+      .select("mapping", "bucket_idx", "value")
+      .orderBy("mapping", "bucket_idx").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getDouble(2)))
+    assert(expFlat.toSeq == Seq(
+      (10, -1, 5.0),          // zero-count
+      (11, 3, 2.0), (11, 4, 7.0), // positive buckets at offset 3
+      (20, 50, 1.5), (20, 99, 9.9))) // summary quantiles
+  }
 }
