@@ -477,6 +477,50 @@ object QueriesGrammar extends QueryPack {
          |  PARTITION BY bucket_ns ORDER BY value DESC, by_value) <= 2
          |ORDER BY bucket_ns, by_value""".stripMargin))
 
+  /** `{} | compare({ status = error }, 2)` — selection/baseline split
+    * with per-(group, attribute) top-2 value ranking (reference parses
+    * + validates only, traceql/metrics_expr.go:59-96; semantics follow
+    * Tempo's compare()). Det: counts are integers, ranking breaks ties
+    * on the value string in both engines; quantity strings render
+    * identically (integral doubles → "N.0") in Spark and DuckDB.
+    */
+  val metricsCompare: Q = Q(
+    "traceql_metrics_compare",
+    (s: SparkSession, dir: String) =>
+      TraceQL.planMetrics("""{ } | compare({ status = error }, 2)""",
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+        .select(col("bucket_ns"), col("meta_type"), col("attr"),
+          col("attr_value"), col("n")),
+    Some(
+      s"""WITH sp AS (
+         |  SELECT CASE WHEN l_returnflag = 'R' THEN 'selection' ELSE 'baseline' END AS meta_type,
+         |    $bucketNs AS bucket_ns,
+         |    l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |    CAST(l_quantity AS VARCHAR) AS quantity
+         |  FROM lineitem),
+         |exploded AS (
+         |  SELECT meta_type, bucket_ns, 'returnflag' AS attr, returnflag AS attr_value FROM sp
+         |  UNION ALL
+         |  SELECT meta_type, bucket_ns, 'linestatus', linestatus FROM sp
+         |  UNION ALL
+         |  SELECT meta_type, bucket_ns, 'quantity', quantity FROM sp),
+         |counts AS (
+         |  SELECT meta_type, attr, attr_value, bucket_ns,
+         |    CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM exploded GROUP BY 1, 2, 3, 4),
+         |keep AS (
+         |  SELECT meta_type, attr, attr_value FROM (
+         |    SELECT meta_type, attr, attr_value,
+         |      row_number() OVER (PARTITION BY meta_type, attr
+         |        ORDER BY SUM(n) DESC, attr_value) AS rk
+         |    FROM counts GROUP BY meta_type, attr, attr_value)
+         |  WHERE rk <= 2)
+         |SELECT c.bucket_ns, c.meta_type, c.attr, c.attr_value, c.n
+         |FROM counts c JOIN keep k
+         |  ON c.meta_type = k.meta_type AND c.attr = k.attr
+         |    AND c.attr_value = k.attr_value
+         |ORDER BY c.attr, c.attr_value, c.meta_type, c.bucket_ns""".stripMargin))
+
   /** Distinct span/resource attribute maps sharing the key `team` with
     * DIFFERENT values — the discriminator for strict resource.x vs
     * unscoped coalesce (chstorage/attributes.go:251-266).
@@ -520,5 +564,5 @@ object QueriesGrammar extends QueryPack {
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
     scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
     metricsE2e, metricsMin, metricsAvg, metricsSum, metricsQuantile,
-    metricsTopk, resourceScopeE2e, tagFilteredE2e)
+    metricsTopk, metricsCompare, resourceScopeE2e, tagFilteredE2e)
 }

@@ -585,6 +585,7 @@ object TraceQL {
     val ss = parseSpanset(p)
     p.expect("|")
     val fn = p.ident()
+    if (fn == "compare") return planCompare(p, ss, spans, stepNs)
     p.expect("(")
     // field-arg family: min/max/avg/sum/quantile/histogram_over_time(f)
     // (reference parses the same set, traceql/metrics_expr.go:23-145;
@@ -671,6 +672,93 @@ object TraceQL {
       if (grouped.columns.contains("by_value")) Seq("bucket_ns", "by_value")
       else Seq("bucket_ns")
     ranked.orderBy(ordCols.map(col): _*)
+  }
+
+  /** `{ spanset } | compare({ filter }[, topN[, startNs, endNs]])` —
+    * splits the matched spans into a selection (matching the filter,
+    * optionally within [start, end) ns) and a baseline (the rest) and
+    * returns, per attribute value found on them, a count series per
+    * group (reference parses + validates only,
+    * traceql/metrics_expr.go:59-96; split/series semantics follow
+    * Tempo's compare() docs). TopN (default 10, max 1000) keeps the
+    * most frequent values PER (group, attribute), ranked by total
+    * count with a value tie-break.
+    *
+    * Output: (bucket_ns, meta_type, attr, attr_value, n).
+    *
+    * Scale: one explode of the attr maps (narrow), one count shuffle
+    * keyed by (group, attr, value, bucket), and a value-cardinality-
+    * sized ranking join — never an all-pairs or per-span driver walk.
+    */
+  private def planCompare(p: P, outer: SpansetExpr, spans0: DataFrame,
+      stepNs: Long): DataFrame = {
+    p.expect("(")
+    val filter = parseFilterBlock(p) match {
+      case SFilter(cond) => cond
+      case _ => throw ParseError("compare() filter must be one block", p.i)
+    }
+    var topN = 10
+    var startNs = 0L
+    var endNs = 0L
+    if (p.accept(",")) {
+      topN = p.numberOrDuration() match {
+        case SNum(x) if x == x.floor => x.toLong.toInt
+        case _ => throw ParseError("compare() topN must be an integer", p.i)
+      }
+      if (p.accept(",")) {
+        startNs = p.numberOrDuration() match {
+          case SNum(x) => x.toLong
+          case _       => throw ParseError("expected start ns", p.i)
+        }
+        // 3-arg form is invalid: start and end come together
+        p.expect(",")
+        endNs = p.numberOrDuration() match {
+          case SNum(x) => x.toLong
+          case _       => throw ParseError("expected end ns", p.i)
+        }
+      }
+    }
+    p.expect(")")
+    if (!p.done) throw ParseError("trailing input", p.i)
+    if (topN <= 0 || topN > 1000)
+      throw ParseError(s"compare() top number of values must be between 1 and 1000, got $topN", 0)
+    if (startNs != 0 || endNs != 0) {
+      if (startNs <= 0 || endNs <= 0)
+        throw ParseError("compare() start and end timestamps must be both set", 0)
+      if (endNs <= startNs)
+        throw ParseError("compare() end timestamp must be greater than start timestamp", 0)
+    }
+
+    val spans =
+      if (spans0.columns.contains("attrs")) spans0
+      else spans0.withColumn("attrs", map().cast("map<string,string>"))
+    val matched = evalSpanset(outer, spans)
+    val selBase = condCol(filter)
+    val sel =
+      if (startNs != 0)
+        selBase && col("start_ns") >= startNs && col("start_ns") < endNs
+      else selBase
+    val tagged = matched
+      .withColumn("bucket_ns", col("start_ns") - col("start_ns") % lit(stepNs))
+      .withColumn("meta_type", when(sel, "selection").otherwise("baseline"))
+    val exploded = tagged.select(col("bucket_ns"), col("meta_type"),
+        explode(concat(map_entries(col("attrs")),
+          map_entries(col("resource_attrs")))).as("kv"))
+      .select(col("bucket_ns"), col("meta_type"),
+        col("kv.key").as("attr"), col("kv.value").as("attr_value"))
+    val counts = exploded
+      .groupBy("meta_type", "attr", "attr_value", "bucket_ns")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val totals = counts.groupBy("meta_type", "attr", "attr_value")
+      .agg(sum(col("n")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("meta_type"), col("attr"))
+      .orderBy(col("__total").desc, col("attr_value"))
+    val keep = totals.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topN)
+      .select("meta_type", "attr", "attr_value")
+    counts.join(keep, Seq("meta_type", "attr", "attr_value"), "left_semi")
+      .orderBy("attr", "attr_value", "meta_type", "bucket_ns")
   }
 
   /** Selector-filtered tag autocomplete (SearchTagValuesV2,

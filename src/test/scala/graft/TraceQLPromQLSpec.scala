@@ -103,6 +103,45 @@ class TraceQLPromQLSpec extends SparkTestBase {
     intercept[TraceQL.ParseError](TraceQL.parse("{ duration > 5parsecs }"))
   }
 
+  test("TraceQL metrics compare(): selection/baseline split + topN + validation") {
+    val out = TraceQL.planMetrics(
+        """{ } | compare({ status = 2 })""", spans, stepNs = 1000000000L)
+      .select("meta_type", "attr", "attr_value", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    // selection = the two status=2 spans (svc cache + db), baseline = 4
+    val sel = out.filter(_._1 == "selection")
+    assert(sel.toSet == Set(
+      ("selection", "svc", "cache", 1.0), ("selection", "svc", "db", 1.0)))
+    val base = out.filter(_._1 == "baseline").map(t => (t._3, t._4)).toSeq.sorted
+    assert(base == Seq(("api", 2.0), ("cache", 1.0), ("db", 1.0)))
+
+    // topN=1 keeps only the most frequent value per (group, attr)
+    val top1 = TraceQL.planMetrics(
+        """{ } | compare({ status = 2 }, 1)""", spans, stepNs = 1000000000L)
+      .select("meta_type", "attr_value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top1 == Set(("baseline", "api"), ("selection", "cache")))
+
+    // time-window selection: only start_ns in [3, 4) → just the db-retry
+    val windowed = TraceQL.planMetrics(
+        """{ } | compare({ status = 2 }, 10, 3, 4)""", spans, stepNs = 1000000000L)
+      .filter($"meta_type" === "selection")
+      .select("attr_value").collect().map(_.getString(0)).toSeq
+    assert(windowed == Seq("db"))
+
+    // validation mirrors the reference (metrics_expr.go:83-95)
+    intercept[TraceQL.ParseError](TraceQL.planMetrics(
+      """{ } | compare()""", spans, 1000000000L))
+    intercept[TraceQL.ParseError](TraceQL.planMetrics(
+      """{ } | compare({}, 0)""", spans, 1000000000L))
+    intercept[TraceQL.ParseError](TraceQL.planMetrics(
+      """{ } | compare({}, 1001)""", spans, 1000000000L))
+    intercept[TraceQL.ParseError](TraceQL.planMetrics(
+      """{ } | compare({}, 10, 1000)""", spans, 1000000000L)) // 3-arg form
+    intercept[TraceQL.ParseError](TraceQL.planMetrics(
+      """{ } | compare({}, 10, 2000, 1000)""", spans, 1000000000L))
+  }
+
   private val M = 60L * 1000000L // 1 min in µs
 
   /** counter-ish series: two streams of the same metric. */
