@@ -67,7 +67,10 @@ object Planner {
   }
 
   def matcherCol(m: Matcher, resolve: String => Column): Column = {
-    val l = resolve(m.label)
+    // Prometheus/Loki matcher convention: a missing label is the empty
+    // string, so `{absent!="x"}` and `{absent=""}` MATCH and
+    // `{absent=~".+"}` does not (lokicompliance corpus pins these)
+    val l = coalesce(resolve(m.label), lit(""))
     m.op match {
       case MatchEq    => l === m.value
       case MatchNeq   => l =!= m.value

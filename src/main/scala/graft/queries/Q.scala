@@ -58,7 +58,7 @@ object Fixtures {
     * cache below is keyed by (sfDir, name, version) and would otherwise
     * serve stale rows across builds.
     */
-  private val CacheVersion = "r4a"
+  private val CacheVersion = "r5a"
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -83,9 +83,24 @@ object Fixtures {
     val target = new java.io.File(root, key)
     Fixtures.synchronized {
       if (!new java.io.File(target, "_SUCCESS").exists()) {
+        // purge stale fixture generations (older CacheVersions and the
+        // pre-rename `_root_*` names) so the cache dir doesn't grow
+        // without bound across builds
+        Option(root.listFiles()).foreach(_.foreach { f =>
+          val stale = f.getName.startsWith("_root_") ||
+            (f.getName.startsWith("g_") && !f.getName.contains(s"_$CacheVersion") &&
+              !f.getName.contains(".tmp."))
+          if (stale) deleteRec(f)
+        })
         val tmp = new java.io.File(root,
           s"$key.tmp.${ProcessHandle.current().pid()}")
+        // repartition on the join key: scan parallelism follows file
+        // count, and a handful of inherited upstream files would leave
+        // a 32-core scan 3-wide; trace_id is also every structural
+        // join's key (at 100 TB this is the file-sizing discipline the
+        // inserter applies, not a bench trick)
         graft.sources.Layout.withParentPath(build)
+          .repartition(32, org.apache.spark.sql.functions.col("trace_id"))
           .write.mode("overwrite").parquet(tmp.getPath)
         // cross-process race: losing the rename means a complete copy
         // already landed — discard ours

@@ -749,15 +749,21 @@ object TraceQL {
     val counts = exploded
       .groupBy("meta_type", "attr", "attr_value", "bucket_ns")
       .agg(count(lit(1)).cast("double").as("n"))
-    val totals = counts.groupBy("meta_type", "attr", "attr_value")
-      .agg(sum(col("n")).as("__total"))
-    val w = org.apache.spark.sql.expressions.Window
+    // topN ranking via two windows over the (small) aggregated counts —
+    // a totals+semi-join formulation would recompute the whole
+    // explode+agg subtree on both join sides (no exchange reuse across
+    // differently-keyed shuffles); dense_rank over (total desc, value)
+    // is a per-VALUE rank because same-value rows share the pair
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("meta_type"), col("attr"), col("attr_value"))
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("meta_type"), col("attr"))
       .orderBy(col("__total").desc, col("attr_value"))
-    val keep = totals.withColumn("__rk", row_number().over(w))
+    counts
+      .withColumn("__total", sum(col("n")).over(wTot))
+      .withColumn("__rk", dense_rank().over(wRank))
       .filter(col("__rk") <= topN)
-      .select("meta_type", "attr", "attr_value")
-    counts.join(keep, Seq("meta_type", "attr", "attr_value"), "left_semi")
+      .drop("__total", "__rk")
       .orderBy("attr", "attr_value", "meta_type", "bucket_ns")
   }
 
