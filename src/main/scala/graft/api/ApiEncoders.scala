@@ -64,6 +64,18 @@ object ApiEncoders {
     envelope("streams", series)
   }
 
+  /** Loki instant vector from (labels, value) rows at a fixed
+    * evaluation second (the volume endpoints' shape).
+    */
+  def lokiVector(df: DataFrame, evalSec: Long): String = {
+    val series = df.select(concat(
+        lit("{\"metric\":"), to_json(col("labels")),
+        lit(s",\"value\":[$evalSec,\""), col("value").cast("string"),
+        lit("\"]}")).as("series_json"))
+      .orderBy("series_json")
+    envelope("vector", series)
+  }
+
   /** Instant-query vector result: rows (ts_us, labels, value) →
     * {"metric":{…},"value":[sec,"v"]} per series.
     */

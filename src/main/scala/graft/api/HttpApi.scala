@@ -51,6 +51,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     server.createContext("/loki/api/v1/labels", handler(lokiLabels))
     server.createContext("/loki/api/v1/label/", handler(lokiLabelValues))
     server.createContext("/loki/api/v1/series", handler(lokiSeries))
+    server.createContext("/loki/api/v1/index/volume", handler(lokiVolume))
+    server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
+    server.createContext("/loki/api/v1/detected_fields", handler(lokiDetectedFields))
+    server.createContext("/loki/api/v1/detected_field/", handler(lokiDetectedFieldValues))
     server.createContext("/api/v1/query_range", handler(promQueryRange))
     server.createContext("/api/v1/query", handler(promInstant))
     server.createContext("/api/v1/labels", handler(promLabels))
@@ -124,6 +128,55 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
         .reduce(_ unionAll _)
     }
     ApiEncoders.seriesSet(matched, col("labels"))
+  }
+
+  /** Log volume (Grafana drilldown): counts per targetLabels group,
+    * rendered as a Loki instant vector at the window end
+    * (lokihandler.go:404-551).
+    */
+  private def lokiVolume(ex: HttpExchange): String = {
+    val p = params(ex)
+    val src = windowed(logs, p, "ts_ns", 1L)
+    val targets = p.get("targetLabels").filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val evalSec = p.get("end").filter(_.nonEmpty).map(toNs(_) / 1000000000L)
+      .getOrElse(0L)
+    ApiEncoders.lokiVector(
+      graft.logql.Discovery.volume(src, p.getOrElse("query", "{}"), targets),
+      evalSec)
+  }
+
+  private def lokiDetectedLabels(ex: HttpExchange): String = {
+    val src = lokiDiscoverySrc(ex)
+    val items = graft.logql.Discovery.detectedLabels(src).collect()
+      .map(r => s"""{"label":${jsonStr(r.getString(0))},"cardinality":${r.getLong(1)}}""")
+    s"""{"detectedLabels":[${items.mkString(",")}]}"""
+  }
+
+  private def lokiDetectedFields(ex: HttpExchange): String = {
+    val src = lokiDiscoverySrc(ex)
+    val items = graft.logql.Discovery.detectedFields(src).collect()
+      .map(r => s"""{"label":${jsonStr(r.getString(0))},"type":${jsonStr(
+        r.getString(1))},"cardinality":${r.getLong(2)}}""")
+    s"""{"fields":[${items.mkString(",")}],"limit":${items.length}}"""
+  }
+
+  private def lokiDetectedFieldValues(ex: HttpExchange): String = {
+    val field = pathSegment(ex, "/detected_field/", "/values")
+    val src = lokiDiscoverySrc(ex)
+    val vals = graft.logql.Discovery.detectedFieldValues(src, field)
+      .collect().map(r => jsonStr(r.getString(0)))
+    s"""{"values":[${vals.mkString(",")}],"limit":${vals.length}}"""
+  }
+
+  /** Windowed + optionally selector-narrowed logs for the discovery
+    * endpoints (they all take `query=` as a selector).
+    */
+  private def lokiDiscoverySrc(ex: HttpExchange): DataFrame = {
+    val p = params(ex)
+    val src = windowed(logs, p, "ts_ns", 1L)
+    p.get("query").filter(_.nonEmpty)
+      .fold(src)(graft.logql.Planner.selectorFilter(_, src))
   }
 
   // ---------- Prometheus handlers ----------

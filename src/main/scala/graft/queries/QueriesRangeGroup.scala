@@ -88,5 +88,46 @@ object QueriesRangeGroup extends QueryPack {
          |  event_type, quantile_cont(CAST(user_id AS DOUBLE), 0.5) AS value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_ns, event_type""".stripMargin))
 
-  override def queries: Seq[Q] = Seq(rangeAggBy, rangeAggWithout, rangeAggQuantileBy)
+  /** Log volume grouped by target label (Grafana drilldown; reference
+    * lokihandler.go:495-551 — sum by (agg) count_over_time collapses
+    * to one grouped count).
+    */
+  val volumeByTarget: Q = Q(
+    "logql_volume",
+    (s: SparkSession, dir: String) =>
+      graft.logql.Discovery.volume(
+          logsView(Testdata(s, dir)),
+          """{event_type=~".+"}""", Seq("event_type"))
+        .select(element_at(col("labels"), "event_type").as("event_type"),
+          col("value")),
+    Some("""SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** DetectedLabels: stream-label cardinality rollup (reference
+    * querier_logs.go:246-330).
+    */
+  val detectedLabelsQ: Q = Q(
+    "logql_detected_labels",
+    (s: SparkSession, dir: String) =>
+      graft.logql.Discovery.detectedLabels(logsView(Testdata(s, dir))),
+    Some("""SELECT 'event_type' AS label,
+           |  COUNT(DISTINCT event_type) AS cardinality FROM events
+           |UNION ALL
+           |SELECT 'user_id', COUNT(DISTINCT CAST(user_id AS VARCHAR)) FROM events
+           |ORDER BY label""".stripMargin))
+
+  /** DetectedFields: JSON-body field discovery with type deduction +
+    * cardinality (reference querier_logs.go:361-470; the `k` field of
+    * the events props JSON is integral → type int).
+    */
+  val detectedFieldsQ: Q = Q(
+    "logql_detected_fields",
+    (s: SparkSession, dir: String) =>
+      graft.logql.Discovery.detectedFields(logsView(Testdata(s, dir))),
+    Some("""SELECT 'k' AS label, 'int' AS type,
+           |  COUNT(DISTINCT json_extract_string(props, '$.k')) AS cardinality
+           |FROM events""".stripMargin))
+
+  override def queries: Seq[Q] = Seq(rangeAggBy, rangeAggWithout,
+    rangeAggQuantileBy, volumeByTarget, detectedLabelsQ, detectedFieldsQ)
 }

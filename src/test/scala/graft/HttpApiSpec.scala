@@ -139,6 +139,30 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("loki drilldown: volume, detected labels/fields/field values") {
+    withApi { port =>
+      // end also bounds the scan: 86401s covers the DayNs-epoch fixture
+      val (c1, vol) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/index/volume?query=${enc("""{app=~".+"}""")}&end=86401""")
+      assert(c1 == 200)
+      assert(vol.contains(""""resultType":"vector""""))
+      assert(vol.contains("""{"metric":{"app":"api"},"value":[86401,"2.0"]}"""))
+      assert(vol.contains("""{"metric":{"app":"web"},"value":[86401,"1.0"]}"""))
+
+      val (c2, dl) = get(s"http://127.0.0.1:$port/loki/api/v1/detected_labels")
+      assert(c2 == 200)
+      assert(dl == """{"detectedLabels":[{"label":"app","cardinality":2}]}""")
+
+      // bodies aren't JSON in this fixture → no detected fields
+      val (c3, df0) = get(s"http://127.0.0.1:$port/loki/api/v1/detected_fields")
+      assert(c3 == 200 && df0 == """{"fields":[],"limit":0}""")
+
+      val (c4, fv) = get(
+        s"http://127.0.0.1:$port/loki/api/v1/detected_field/app/values")
+      assert(c4 == 200 && fv == """{"values":["api","web"],"limit":2}""")
+    }
+  }
+
   test("prom metadata endpoints and instant query") {
     withApi { port =>
       val (c1, labels) = get(s"http://127.0.0.1:$port/api/v1/labels")
