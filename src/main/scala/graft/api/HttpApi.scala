@@ -48,6 +48,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/loki/api/v1/query_range", handler(lokiQueryRange))
+    server.createContext("/loki/api/v1/query", handler(lokiInstant))
     server.createContext("/loki/api/v1/labels", handler(lokiLabels))
     server.createContext("/loki/api/v1/label/", handler(lokiLabelValues))
     server.createContext("/loki/api/v1/series", handler(lokiSeries))
@@ -106,6 +107,29 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     val df = graft.logql.Planner.query(p("query"), src, stepNs = stepNs)
     if (df.columns.contains("value")) ApiEncoders.lokiMatrix(df)
     else ApiEncoders.lokiStreams(df)
+  }
+
+  /** Loki instant query (lokihandler.go Query): metric queries
+    * evaluate at `time` and render a vector; log queries return the
+    * newest `limit` entries at or before `time` as streams.
+    */
+  private def lokiInstant(ex: HttpExchange): String = {
+    val p = params(ex)
+    val q = p("query")
+    val tNs = p.get("time").filter(_.nonEmpty).map(toNs)
+      .getOrElse(logs.agg(max(col("ts_ns"))).head().getLong(0))
+    graft.logql.Parser.parse(q) match {
+      case graft.logql.Ast.LogExpr(_) =>
+        val limit = p.get("limit").map(_.toInt).getOrElse(100)
+        val df = graft.logql.Planner.query(q, logs.filter(col("ts_ns") <= tNs))
+          .orderBy(col("ts_ns").desc).limit(limit)
+        ApiEncoders.lokiStreams(df)
+      case _ =>
+        ApiEncoders.lokiVector(
+          graft.logql.Planner.instant(q, logs, tNs)
+            .select(col("labels"), col("value")),
+          tNs / 1000000000L)
+    }
   }
 
   private def lokiLabels(ex: HttpExchange): String =

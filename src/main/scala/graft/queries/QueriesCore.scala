@@ -49,7 +49,7 @@ object QueriesCore extends QueryPack {
       |FROM lineitem
       |WHERE l_orderkey IN (
       |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 49)
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
   ) { td =>
     val li = td.lineitem
     val candidates = li
@@ -57,7 +57,9 @@ object QueriesCore extends QueryPack {
       .select(col("l_orderkey"))
     li.join(candidates, Seq("l_orderkey"), "left_semi")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (orderkey, linenumber) is NOT unique in the testdata — the
+      // ORDER BY must be total or tie order follows scan order
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
   }
 
   /** Point lookup by id — TraceByID / bloom-index analogue

@@ -40,5 +40,52 @@ object Testdata {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def cached(spark: SparkSession, path: String): DataFrame =
-    cache.computeIfAbsent((spark, path), { case (s, p) => s.read.parquet(p) })
+    cache.computeIfAbsent((spark, path), { case (s, p) => materialized(s, p) })
+
+  private val TableCacheVersion = "r5b"
+
+  /** Parquet splits are at ROW-GROUP granularity, and the driver's
+    * testdata is one row group per table — a scan (and every parser
+    * stage fused into it) would run single-threaded no matter the
+    * partition-bytes setting. Tables above ~1 MB are therefore
+    * re-materialized once into a 32-file layout, which is exactly the
+    * part-sizing discipline a real inserter applies (the reference's
+    * MergeTree parts; SURVEY §4.2) — queries read the stored layout,
+    * ingest runs once. Small dims stay single-file (broadcast-sized).
+    */
+  private def materialized(s: SparkSession, p: String): DataFrame = {
+    val src = new java.io.File(p)
+    if (!src.isFile || src.length() < 1000000) return s.read.parquet(p)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_tables")
+    val key = s"g_${p}_$TableCacheVersion".replaceAll("[^A-Za-z0-9._-]", "_")
+    val target = new java.io.File(root, key)
+    this.synchronized {
+      if (!new java.io.File(target, "_SUCCESS").exists()) {
+        root.mkdirs()
+        // purge stale generations
+        Option(root.listFiles()).foreach(_.foreach { f =>
+          if (f.getName.startsWith("g_") &&
+              !f.getName.contains(s"_$TableCacheVersion") &&
+              !f.getName.contains(".tmp.")) deleteRec(f)
+        })
+        val tmp = new java.io.File(root,
+          s"$key.tmp.${ProcessHandle.current().pid()}")
+        // part count sized to the table (~256 KB compressed parts,
+        // 4..32): full fan-out for the big scan-heavy tables, but no
+        // 32-task scheduling tax on 2 MB ones
+        val parts = math.max(4, math.min(32, (src.length() / 262144).toInt))
+        s.read.parquet(p).repartition(parts)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        // cross-process race: losing the rename means a complete copy
+        // already landed — discard ours
+        if (!tmp.renameTo(target)) deleteRec(tmp)
+      }
+    }
+    s.read.parquet(target.getPath)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
 }

@@ -139,6 +139,25 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("loki instant query: metric vector and newest-first streams") {
+    withApi { port =>
+      // metric instant at t = DayNs+3000 (ns): count over the last 1d
+      val (c1, vec) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query?query=${enc("count_over_time({} [1d])")}&time=${2 * DayNs}""")
+      assert(c1 == 200)
+      assert(vec.contains(""""resultType":"vector""""))
+      // per-stream counts within (t-1d, t]
+      assert(vec.contains("""{"metric":{"app":"api"},"value":[172800,"2.0"]}"""))
+      assert(vec.contains("""{"metric":{"app":"web"},"value":[172800,"1.0"]}"""))
+
+      val (c2, streams) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query?query=${enc("""{app="api"}""")}&limit=1&time=${2 * DayNs}""")
+      assert(c2 == 200)
+      assert(streams.contains(""""resultType":"streams""""))
+      assert(streams.contains("\"ok\"") && !streams.contains("error: boom"))
+    }
+  }
+
   test("loki drilldown: volume, detected labels/fields/field values") {
     withApi { port =>
       // end also bounds the scan: 86401s covers the DayNs-epoch fixture
