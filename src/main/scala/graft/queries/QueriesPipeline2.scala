@@ -150,6 +150,80 @@ object QueriesPipeline2 extends QueryPack {
       .limit(50)
   }
 
+  /** END-TO-END dedup pipeline: MinHash banding (b=2 bands × r=2
+    * hashes — the real banding structure, unlike the single-hash bands
+    * of the candidate demo above) → exact n-gram Jaccard verification
+    * of the LSH candidates. This is the production shape: the
+    * all-pairs space (12.5M at sf0.1) never materializes; the verify
+    * join runs only over the ~600 band-collision pairs.
+    *
+    * Det: i/(na+nb-i) is one IEEE division of exact integers; round 6
+    * on both sides; total ORDER BY (jaccard DESC, a, b).
+    */
+  val lshJaccardVerify: Q = q(
+    "pipe_lsh_jaccard_verify",
+    s"""WITH sh AS ($oracleShingles3),
+       |d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |mh AS (
+       |  SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed)
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |    string_agg(mh, '|' ORDER BY seed) AS sig
+       |  FROM mh GROUP BY doc_id, seed // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN d da ON da.doc_id = c.a
+       |  JOIN d db ON db.doc_id = c.b AND db.sh = da.sh
+       |  GROUP BY c.a, c.b)
+       |SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
+  ) { td =>
+    val sh = shingles3(td)
+    val d = sh.distinct()
+    // both bands in one aggregation pass: 4 minhash aggs, paired
+    val mhAggs = (0 to 3).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
+    val wide = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = wide.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"),
+          concat(col("mh0"), lit("|"), col("mh1")).as("sig")),
+        struct(lit(1).as("band"),
+          concat(col("mh2"), lit("|"), col("mh3")).as("sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.alias("ba")
+      .join(bands.alias("bb"),
+        col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(d.alias("da"), col("da.doc_id") === col("a"))
+      .join(d.alias("db"),
+        col("db.doc_id") === col("b") && col("db.sh") === col("da.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.alias("sa"), col("sa.doc_id") === col("a"))
+      .join(sizes.alias("sb"), col("sb.doc_id") === col("b"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   /** Embedding near-dup via sign-LSH: 8-bit bucket from the signs of the
     * first 8 dims, then bucket-local cosine > 0.3 pairs.
     */
@@ -305,7 +379,7 @@ object QueriesPipeline2 extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    minhashLsh, simhash, ngramJaccard, embeddingNeardup,
+    minhashLsh, simhash, ngramJaccard, lshJaccardVerify, embeddingNeardup,
     langid, qualityScore, fingerprint, mediaFeatures
   )
 }
