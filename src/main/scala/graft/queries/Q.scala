@@ -75,7 +75,20 @@ object Fixtures {
     * is ingest work, and ingest runs once.
     */
   def materializedSpans(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    materialized(spark, dir, name, "trace_id")(
+      graft.sources.Layout.withParentPath(build))
+
+  /** Generic ingest-materialized table: `build` runs ONCE per
+    * (sfDir, name), lands as parquet repartitioned on `partCol` (the
+    * downstream join key — file count drives scan parallelism), and
+    * every query reads the STORED table. Same deployment argument as
+    * the span fixture: derived columns a pipeline joins on repeatedly
+    * (shingle sets, ancestry paths) are write-time work, not per-query
+    * work.
+    */
+  def materialized(spark: SparkSession, dir: String, name: String,
+      partCol: String)(build: => DataFrame): DataFrame = {
     // "g_" prefix keeps the dir name from starting with '_' (Spark
     // treats underscore-prefixed paths as hidden metadata)
     val key = s"g_${dir}_${name}_$CacheVersion".replaceAll("[^A-Za-z0-9._-]", "_")
@@ -96,11 +109,10 @@ object Fixtures {
           s"$key.tmp.${ProcessHandle.current().pid()}")
         // repartition on the join key: scan parallelism follows file
         // count, and a handful of inherited upstream files would leave
-        // a 32-core scan 3-wide; trace_id is also every structural
-        // join's key (at 100 TB this is the file-sizing discipline the
-        // inserter applies, not a bench trick)
-        graft.sources.Layout.withParentPath(build)
-          .repartition(32, org.apache.spark.sql.functions.col("trace_id"))
+        // a 32-core scan 3-wide (at 100 TB this is the file-sizing
+        // discipline the inserter applies, not a bench trick)
+        build
+          .repartition(32, org.apache.spark.sql.functions.col(partCol))
           .write.mode("overwrite").parquet(tmp.getPath)
         // cross-process race: losing the rename means a complete copy
         // already landed — discard ours
