@@ -38,7 +38,7 @@ object VectorMatching {
   private def matchKey(labels: Column, m: VectorMatch): Column =
     to_json(array_sort(map_entries(filteredLabels(labels, m))))
 
-  private val cmpOps = Set(">", "<", ">=", "<=", "==")
+  private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
 
   private def arith(op: String, l: Column, r: Column): Column = op match {
     case "+" => l + r
@@ -47,11 +47,13 @@ object VectorMatching {
     case "/" => l / r
     case "%" => l % r
     case "^" => pow(l, r)
+    case "atan2" => atan2(l, r)
     case ">" => l > r
     case "<" => l < r
     case ">=" => l >= r
     case "<=" => l <= r
     case "==" => l === r
+    case "!=" => l =!= r
   }
 
   /** Evaluate `l op r` under the given matching; both frames have

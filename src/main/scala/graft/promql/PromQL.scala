@@ -27,12 +27,12 @@ object PromQL {
   sealed trait Expr
   final case class Instant(sel: Selector) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeNs: Long,
-      offsetNs: Long = 0L, param: Option[Double] = None) extends Expr
+      offsetNs: Long = 0L, param: Seq[Double] = Nil) extends Expr
   /** Subquery form: fn(expr[range:step]) — the inner expr evaluates on
     * its own step grid, the outer *_over_time aggregates those points.
     */
   final case class RangeSub(fn: String, inner: Expr, rangeNs: Long,
-      stepNs: Long, offsetNs: Long = 0L, param: Option[Double] = None) extends Expr
+      stepNs: Long, offsetNs: Long = 0L, param: Seq[Double] = Nil) extends Expr
   /** Math/label function call: fn(inner, numArgs…/strArgs…). */
   final case class FnCall(fn: String, inner: Expr,
       nums: Seq[Double] = Nil, strs: Seq[String] = Nil) extends Expr
@@ -64,12 +64,15 @@ object PromQL {
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "last_over_time", "first_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "absent_over_time", "quantile_over_time")
-  private val aggOps = Set("sum", "avg", "min", "max", "count",
+    "absent_over_time", "quantile_over_time", "mad_over_time",
+    "holt_winters", "double_exponential_smoothing")
+  private val aggOps = Set("sum", "avg", "min", "max", "count", "group",
     "stddev", "stdvar", "quantile", "topk", "bottomk")
   private val mathFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
     "log2", "log10", "sgn", "round", "clamp", "clamp_min", "clamp_max",
     "sort", "sort_desc", "timestamp", "absent", "label_replace", "label_join",
+    "scalar", "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
     "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
     "days_in_month", "month", "year")
 
@@ -145,9 +148,11 @@ object PromQL {
   /** Prometheus operator precedence (left-assoc except ^). */
   private val precOf = Map(
     "or" -> 1, "and" -> 2, "unless" -> 2,
-    ">=" -> 3, "<=" -> 3, "==" -> 3, ">" -> 3, "<" -> 3,
-    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
-  private val symOps = Seq(">=", "<=", "==", "+", "-", "*", "/", "%", "^", ">", "<")
+    ">=" -> 3, "<=" -> 3, "==" -> 3, "!=" -> 3, ">" -> 3, "<" -> 3,
+    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "atan2" -> 5,
+    "^" -> 6)
+  private val symOps =
+    Seq(">=", "<=", "==", "!=", "+", "-", "*", "/", "%", "^", ">", "<")
 
   private def parseExpr(p: P): Expr = parseBin(p, 1)
 
@@ -158,7 +163,7 @@ object PromQL {
     while (more) {
       p.ws()
       val opOpt = symOps.find(s => p.input.startsWith(s, p.i))
-        .orElse(Seq("and", "or", "unless").find(_ == p.peekIdent))
+        .orElse(Seq("and", "or", "unless", "atan2").find(_ == p.peekIdent))
       opOpt match {
         case Some(op) if precOf(op) >= minPrec =>
           if (op.head.isLetter) p.ident() else { p.i += op.length }
@@ -221,6 +226,8 @@ object PromQL {
       else if (name.equalsIgnoreCase("NaN")) { p.ident(); ScalarLit(Double.NaN) }
       else if (name == "time") {
         p.ident(); p.expect("("); p.expect(")"); TimeFn
+      } else if (name == "pi") {
+        p.ident(); p.expect("("); p.expect(")"); ScalarLit(math.Pi)
       } else if (name == "vector") {
         p.ident(); p.expect("(")
         val e = parseExpr(p) // scalar expression, folded before planning
@@ -261,8 +268,8 @@ object PromQL {
       } else if (rangeFns(name)) {
         p.ident(); p.expect("(")
         val param = if (name == "quantile_over_time") {
-          val v = p.number(); p.expect(","); Some(v)
-        } else None
+          val v = p.number(); p.expect(","); Seq(v)
+        } else Nil
         val inner = parseExpr(p)
         p.expect("[")
         val r = p.duration()
@@ -277,16 +284,25 @@ object PromQL {
           else if (p.accept("@")) atTs = Some((p.number() * 1e6).toLong)
           else more = false
         }
-        // predict_linear's horizon comes AFTER the selector
-        val postParam =
-          if (name == "predict_linear") { p.expect(","); Some(p.number()) }
-          else None
+        // trailing scalar params AFTER the selector: predict_linear's
+        // horizon, holt_winters' (sf, tf)
+        val postParams = Seq.newBuilder[Double]
+        while (p.accept(",")) postParams += p.number()
         p.expect(")")
+        val allParams = param ++ postParams.result()
+        val wantParams = name match {
+          case "quantile_over_time" | "predict_linear"          => 1
+          case "holt_winters" | "double_exponential_smoothing"  => 2
+          case _                                                => 0
+        }
+        if (allParams.size != wantParams)
+          throw ParseError(
+            s"$name takes $wantParams scalar parameter(s), got ${allParams.size}", p.i)
         val rf = (inner, subStep) match {
           case (Instant(sel), None) =>
-            RangeFn(name, sel, r, off, param.orElse(postParam))
+            RangeFn(name, sel, r, off, allParams)
           case (sub, Some(st)) =>
-            RangeSub(name, sub, r, st, off, param.orElse(postParam))
+            RangeSub(name, sub, r, st, off, allParams)
           case (_, None) =>
             throw ParseError("subquery needs an explicit step ([range:step])", p.i)
         }
@@ -666,12 +682,70 @@ object PromQL {
             case "predict_linear" =>
               // v̄ + slope·(T − t̄) with T = window end + horizon,
               // regrouped: (Σv + slope·(n·T − Σt)) / n
-              val horizon = param.getOrElse(0.0)
+              val horizon = param.headOption.getOrElse(0.0)
               val tEnd = lit(rangeUs / 1e6 + horizon)
               (sV + slope * (nD * tEnd - sT)) / nD
           }
           st.filter(den =!= 0.0)
             .select(col("bucket_us"), col("labels"), value.as("value"))
+
+        case "mad_over_time" =>
+          // median absolute deviation: quantile(0.5, |v − median(v)|)
+          // per window (upstream funcMadOverTime). Two exact medians —
+          // the inner one rides a window partition co-keyed with the
+          // groupBy, so AQE sees ONE shuffle for both.
+          val live = base.filter(!isnan(col("value")))
+          val wMed = Window.partitionBy(col("__stream"), col("bucket_us"))
+          live
+            .withColumn("__med", percentile(col("value"), lit(0.5)).over(wMed))
+            .groupBy(col("__stream"), col("bucket_us"))
+            .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("value"),
+              first(col("labels")).as("labels"))
+            .select(col("bucket_us"), col("labels"), col("value"))
+
+        case "holt_winters" | "double_exponential_smoothing" =>
+          // Double exponential smoothing (upstream funcHoltWinters):
+          // s1 = v0, b = v1 − v0; then per sample
+          //   b' = tf·(s1−s0) + (1−tf)·b   (first step keeps b)
+          //   s1' = sf·v + (1−sf)·(s1+b'), s0' = s1.
+          // A sequential recurrence — folded with `aggregate` over the
+          // ts-sorted sample array per (stream, window). The array is
+          // one window's samples (bounded by range/scrape-interval),
+          // never a whole series, so memory stays flat at 100 TB. The
+          // fold's float ops mirror upstream's exact order, so an
+          // oracle replaying the same recurrence matches bit-for-bit.
+          val sf = param(0)
+          val tf = param(1)
+          if (sf <= 0 || sf >= 1)
+            throw new IllegalArgumentException(
+              s"invalid smoothing factor. Expected: 0 < sf < 1, got: $sf")
+          if (tf <= 0 || tf >= 1)
+            throw new IllegalArgumentException(
+              s"invalid trend factor. Expected: 0 < tf < 1, got: $tf")
+          val live = base.filter(!isnan(col("value")))
+          val trend = (acc: String) =>
+            s"CASE WHEN $acc.fst THEN $acc.b " +
+              s"ELSE ${tf}D * ($acc.s1 - $acc.s0) + ${1 - tf}D * $acc.b END"
+          live
+            .groupBy(col("__stream"), col("bucket_us"))
+            .agg(
+              array_sort(collect_list(struct(col("ts_us"), col("value"))))
+                .as("__pts"),
+              first(col("labels")).as("labels"))
+            .filter(size(col("__pts")) >= 2)
+            .withColumn("value", expr(
+              s"""aggregate(
+                 |  slice(__pts, 2, size(__pts) - 1),
+                 |  named_struct(
+                 |    's0', CAST(0.0 AS DOUBLE), 's1', __pts[0].value,
+                 |    'b', __pts[1].value - __pts[0].value, 'fst', true),
+                 |  (acc, p) -> named_struct(
+                 |    's0', acc.s1,
+                 |    's1', ${sf}D * p.value + ${1 - sf}D * (acc.s1 + (${trend("acc")})),
+                 |    'b', ${trend("acc")},
+                 |    'fst', false),
+                 |  acc -> acc.s1)""".stripMargin))
+            .select(col("bucket_us"), col("labels"), col("value"))
 
         case _ =>
           val v: Column = fn match {
@@ -686,7 +760,7 @@ object PromQL {
             case "stdvar_over_time" => var_pop(col("value"))
             case "present_over_time" => first(lit(1.0))
             case "quantile_over_time" =>
-              percentile(col("value"), lit(param.getOrElse(0.5)))
+              percentile(col("value"), lit(param.headOption.getOrElse(0.5)))
           }
           base.groupBy(col("__stream"), col("bucket_us"))
             .agg(v.as("value"), first(col("labels")).as("labels"))
@@ -767,6 +841,7 @@ object PromQL {
             case "count" => count(lit(1)).cast("double")
             case "stddev" => stddev_pop(col("value"))
             case "stdvar" => var_pop(col("value"))
+            case "group" => max(lit(1.0)) // upstream: 1 per group
             case "quantile" => percentile(col("value"), lit(param.getOrElse(0.5)))
           }
           g.groupBy(col("bucket_us"), col("__stream"))
@@ -778,6 +853,23 @@ object PromQL {
       scalarBin(op, lit(v), planRange(rhs, points, stepUs), b, scalarLeft = true)
     case Bin(op, lhs, ScalarLit(v), _, b) =>
       scalarBin(op, lit(v), planRange(lhs, points, stepUs), b, scalarLeft = false)
+    // scalar(x) in a binop: a per-step dynamic scalar — broadcast the
+    // one-row-per-step frame onto the vector side's grid (upstream
+    // scalar-vector evaluation); steps where the inner is empty are NaN
+    case Bin(op, sc @ FnCall("scalar", _, _, _), rhs, _, b) =>
+      val sdf = broadcast(planRange(sc, points, stepUs)
+        .select(col("bucket_us"), col("value").as("__sv")))
+      val joined = planRange(rhs, points, stepUs)
+        .join(sdf, Seq("bucket_us"), "left")
+        .withColumn("__sv", coalesce(col("__sv"), lit(Double.NaN)))
+      scalarBin(op, col("__sv"), joined, b, scalarLeft = true)
+    case Bin(op, lhs, sc @ FnCall("scalar", _, _, _), _, b) =>
+      val sdf = broadcast(planRange(sc, points, stepUs)
+        .select(col("bucket_us"), col("value").as("__sv")))
+      val joined = planRange(lhs, points, stepUs)
+        .join(sdf, Seq("bucket_us"), "left")
+        .withColumn("__sv", coalesce(col("__sv"), lit(Double.NaN)))
+      scalarBin(op, col("__sv"), joined, b, scalarLeft = false)
     case Bin(op, lhs, rhs, Some(m), _) =>
       graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
         planRange(rhs, points, stepUs), m, "bucket_us")
@@ -798,6 +890,7 @@ object PromQL {
         case "/" => col("value") / col("__rv")
         case "%" => col("value") % col("__rv")
         case "^" => pow(col("value"), col("__rv"))
+        case "atan2" => atan2(col("value"), col("__rv"))
         case _   => null
       }
       if (v == null) {
@@ -807,6 +900,7 @@ object PromQL {
           case ">=" => col("value") >= col("__rv")
           case "<=" => col("value") <= col("__rv")
           case "==" => col("value") === col("__rv")
+          case "!=" => col("value") =!= col("__rv")
         }
         if (boolMod) // bool: keep every pair, value becomes 0/1
           joined.select(col("bucket_us"), col("labels"),
@@ -839,7 +933,7 @@ object PromQL {
         case "stdvar_over_time" => var_pop(col("value"))
         case "present_over_time" => first(lit(1.0))
         case "quantile_over_time" =>
-          percentile(col("value"), lit(param.getOrElse(0.5)))
+          percentile(col("value"), lit(param.headOption.getOrElse(0.5)))
         case other =>
           throw new IllegalArgumentException(s"$other over a subquery is unsupported")
       }
@@ -852,7 +946,7 @@ object PromQL {
       // every step where the selector matches nothing within the step
       // bucket — delegated to the absent_over_time machinery
       val gridNs = stepUs.getOrElse(300000000L) * 1000L
-      planRange(RangeFn("absent_over_time", sel, gridNs, 0L, None), points, stepUs)
+      planRange(RangeFn("absent_over_time", sel, gridNs, 0L, Nil), points, stepUs)
 
     case FnCall("count_values", inner, _, strs) =>
       // count_values("label", v): occurrences of each distinct value,
@@ -878,6 +972,27 @@ object PromQL {
         case "log2"  => in.withColumn("value", log2(col("value")))
         case "log10" => in.withColumn("value", log10(col("value")))
         case "sgn"   => in.withColumn("value", signum(col("value")))
+        case "sin"   => in.withColumn("value", sin(col("value")))
+        case "cos"   => in.withColumn("value", cos(col("value")))
+        case "tan"   => in.withColumn("value", tan(col("value")))
+        case "asin"  => in.withColumn("value", asin(col("value")))
+        case "acos"  => in.withColumn("value", acos(col("value")))
+        case "atan"  => in.withColumn("value", atan(col("value")))
+        case "sinh"  => in.withColumn("value", sinh(col("value")))
+        case "cosh"  => in.withColumn("value", cosh(col("value")))
+        case "tanh"  => in.withColumn("value", tanh(col("value")))
+        case "deg"   => in.withColumn("value", degrees(col("value")))
+        case "rad"   => in.withColumn("value", radians(col("value")))
+        case "scalar" =>
+          // scalar(v): per step, the single sample's value if the inner
+          // has exactly one series, else NaN (upstream funcScalar) —
+          // empty label set either way
+          in.groupBy(col("bucket_us"))
+            .agg(count(lit(1)).as("__n"), max(col("value")).as("__v"))
+            .select(col("bucket_us"),
+              map().cast("map<string,string>").as("labels"),
+              when(col("__n") === 1, col("__v"))
+                .otherwise(lit(Double.NaN)).as("value"))
         case "round" => // round to nearest multiple of to_nearest (def 1)
           val n = nums.headOption.getOrElse(1.0)
           in.withColumn("value",
@@ -1006,13 +1121,14 @@ object PromQL {
     // the scalar is on the left
     val (l, r) = if (scalarLeft) (s, col("value")) else (col("value"), s)
     op match {
-      case ">" | "<" | ">=" | "<=" | "==" =>
+      case ">" | "<" | ">=" | "<=" | "==" | "!=" =>
         val cond = op match {
           case ">" => l > r
           case "<" => l < r
           case ">=" => l >= r
           case "<=" => l <= r
           case "==" => l === r
+          case "!=" => l =!= r
         }
         if (boolMod)
           df.select(col("bucket_us"), col("labels"),
@@ -1027,6 +1143,7 @@ object PromQL {
           case "/" => l / r
           case "%" => l % r
           case "^" => pow(l, r)
+          case "atan2" => atan2(l, r)
         }
         df.select(col("bucket_us"), col("labels"), v.as("value"))
     }

@@ -143,6 +143,7 @@ object Registry {
     QueriesErrorsTemplates,
     QueriesGrammar,
     QueriesPromFns,
+    QueriesPromFns2,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown

@@ -80,7 +80,22 @@ class PromQLComplianceSpec extends AnyFunSuite {
       "absent(nonexistent_metric_name)",
       "timestamp(demo_num_cpus)",
       "timestamp(timestamp(demo_num_cpus))",
-      "avg_over_time(rate(demo_cpu_usage_seconds_total[1m])[2m:10s])"
+      "avg_over_time(rate(demo_cpu_usage_seconds_total[1m])[2m:10s])",
+      // round-5 additions: trig family + atan2 binop, scalar(), group,
+      // !=, pi(), mad/holt_winters
+      "demo_memory_usage_bytes atan2 demo_memory_usage_bytes",
+      "deg(sin(demo_memory_usage_bytes) atan2 cos(demo_memory_usage_bytes))",
+      "rad(deg(atan(tan(demo_memory_usage_bytes))))",
+      "sinh(cosh(tanh(asin(acos(demo_memory_usage_bytes / 1e10)))))",
+      "scalar(demo_num_cpus) * demo_memory_usage_bytes",
+      "demo_memory_usage_bytes / scalar(sum(demo_memory_usage_bytes))",
+      "group by(instance) (demo_memory_usage_bytes)",
+      "demo_memory_usage_bytes != 1.2345",
+      "demo_memory_usage_bytes != bool 1.2345",
+      "vector(pi())",
+      "mad_over_time(demo_memory_usage_bytes[1m])",
+      "holt_winters(demo_disk_usage_bytes[1m], 0.5, 0.3)",
+      "double_exponential_smoothing(demo_disk_usage_bytes[1m], 0.5, 0.3)"
     ) ++
       aggOps.map(op => s"$op(demo_memory_usage_bytes)") ++
       aggOps.map(op => s"$op by(instance) (demo_memory_usage_bytes)") ++
@@ -104,7 +119,11 @@ class PromQLComplianceSpec extends AnyFunSuite {
     */
   private val knownUnsupported: Seq[String] = Seq(
     "demo_memory_usage_bytes offset 1m",  // offset on a bare selector
-    "demo_memory_usage_bytes offset -1m"  // negative offset
+    "demo_memory_usage_bytes offset -1m", // negative offset
+    // wrong arity on the parameterized range functions
+    "holt_winters(demo_disk_usage_bytes[1m], 0.5)",
+    "predict_linear(demo_disk_usage_bytes[1m])",
+    "quantile_over_time(demo_memory_usage_bytes[1m])"
   )
 
   test("compliance corpus: every supported query parses") {
