@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * stage of the dedup pipeline: LSH banding emits candidate duplicate
+  * PAIRS, but the keep/drop decision needs per-document CLUSTERS
+  * (transitive closure: if a~b and b~c, one canonical doc survives of
+  * the three).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round is two grouped aggregations + joins on the edge list, and the
+  * edge set contracts toward a star per component in O(log n) rounds
+  * (2–4 in practice for dedup graphs, whose components are small).
+  * This is the 100 TB shape: per-round cost is bounded by the edge
+  * list, nothing is ever collected to the driver, and no component is
+  * materialized in one task's memory (contrast label propagation,
+  * whose round count tracks component DIAMETER, or a driver-side
+  * union-find, which needs all edges on one machine).
+  */
+object Components {
+
+  /** (src, dst) edges → (id, component) where component is the
+    * smallest node id reachable from `id`. Only nodes appearing in an
+    * edge are returned (callers union isolated nodes back if needed).
+    */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical undirected form: small < large, self-loops dropped
+    var edges = edges0
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // localCheckpoint truncates the per-round lineage growth (the
+      // standard iterative-Spark discipline; on a cluster this would be
+      // a reliable checkpoint dir). Eager, so each round is one job.
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // fixpoint: every edge is (node, componentMin); roots map to themselves
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    edges.select(col("src").as("id"), col("dst").as("component"))
+      .unionAll(roots)
+      .distinct()
+  }
+
+  /** Large-star: every node u links each STRICTLY LARGER neighbor to
+    * the minimum of its neighborhood (incl. u). Long chains shortcut
+    * toward the minimum without growing the edge count.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges large→small; every node links its
+    * smaller neighbors (and itself) to the minimum of that set —
+    * flattening each neighborhood into a star.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
+    dir.join(m, "src")
+      .select(explode(array(
+        struct(col("dst").as("a"), col("m").as("b")),
+        struct(col("src").as("a"), col("m").as("b")))).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Order-independent fingerprint of the edge set (count + hash XOR —
+    * XOR can't overflow under ANSI mode): equal fingerprints across a
+    * round ⇒ fixpoint. One tiny aggregate per round, no driver-side
+    * edge materialization.
+    */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

@@ -160,6 +160,51 @@ object QueriesPipeline2 extends QueryPack {
       .limit(50)
   }
 
+  /** LSH band-collision candidate pairs (a < b): b=2 bands × r=2
+    * minhashes per band — the shared head of the dedup chain (verify
+    * and clustering both consume it). The all-pairs space never
+    * materializes; only band-bucket collisions join.
+    */
+  private def bandCandidates(td: Testdata): DataFrame = {
+    val sh = shingles3(td)
+    // both bands in one aggregation pass: 4 minhash aggs, paired
+    val mhAggs = (0 to 3).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
+    val wide = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = wide.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"),
+          concat(col("mh0"), lit("|"), col("mh1")).as("sig")),
+        struct(lit(1).as("band"),
+          concat(col("mh2"), lit("|"), col("mh3")).as("sig")))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bands.alias("ba")
+      .join(bands.alias("bb"),
+        col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** The banding CTE chain of [[bandCandidates]] in oracle SQL
+    * (ends with `cand(a, b)`), shared by the verify and clustering
+    * oracles.
+    */
+  private val oracleCand =
+    s"""sh AS ($oracleShingles3),
+       |mh AS (
+       |  SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed)
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |    string_agg(mh, '|' ORDER BY seed) AS sig
+       |  FROM mh GROUP BY doc_id, seed // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
   /** END-TO-END dedup pipeline: MinHash banding (b=2 bands × r=2
     * hashes — the real banding structure, unlike the single-hash bands
     * of the candidate demo above) → exact n-gram Jaccard verification
@@ -172,20 +217,8 @@ object QueriesPipeline2 extends QueryPack {
     */
   val lshJaccardVerify: Q = q(
     "pipe_lsh_jaccard_verify",
-    s"""WITH sh AS ($oracleShingles3),
+    s"""WITH $oracleCand,
        |d AS (SELECT DISTINCT doc_id, sh FROM sh),
-       |mh AS (
-       |  SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS mh
-       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed)
-       |  GROUP BY doc_id, seed),
-       |bands AS (
-       |  SELECT doc_id, seed // 2 AS band,
-       |    string_agg(mh, '|' ORDER BY seed) AS sig
-       |  FROM mh GROUP BY doc_id, seed // 2),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
        |inter AS (
        |  SELECT c.a, c.b, COUNT(*) AS i
@@ -199,25 +232,8 @@ object QueriesPipeline2 extends QueryPack {
        |JOIN sizes sb ON sb.doc_id = b
        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
   ) { td =>
-    val sh = shingles3(td)
-    val d = sh.distinct()
-    // both bands in one aggregation pass: 4 minhash aggs, paired
-    val mhAggs = (0 to 3).map(k =>
-      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
-    val wide = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = wide.select(col("doc_id"),
-      explode(array(
-        struct(lit(0).as("band"),
-          concat(col("mh0"), lit("|"), col("mh1")).as("sig")),
-        struct(lit(1).as("band"),
-          concat(col("mh2"), lit("|"), col("mh3")).as("sig")))).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.alias("ba")
-      .join(bands.alias("bb"),
-        col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
-          col("ba.doc_id") < col("bb.doc_id"))
-      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
-      .distinct()
+    val d = shingles3(td).distinct()
+    val cand = bandCandidates(td)
     val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(d.alias("da"), col("da.doc_id") === col("a"))
@@ -232,6 +248,44 @@ object QueriesPipeline2 extends QueryPack {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(50)
+  }
+
+  /** Dedup CLUSTERING: LSH candidate pairs → connected components →
+    * canonical keep/drop per doc ([[graft.pipeline.Components]],
+    * alternating large-star/small-star). The missing last stage of the
+    * dedup chain: pairs only say "a~b"; the drop decision needs the
+    * transitive closure (a~b, b~c ⇒ keep ONE of three). The oracle
+    * computes the same closure with a recursive CTE — tractable there
+    * because sf components are small; the Spark side is the O(log n)
+    * rounds formulation that holds at 100 TB.
+    */
+  val dedupClusters: Q = q(
+    "pipe_dedup_clusters",
+    s"""WITH RECURSIVE $oracleCand,
+       |sym AS (SELECT a AS src, b AS dst FROM cand
+       |        UNION SELECT b, a FROM cand),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+       |cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY cluster)
+       |SELECT cc.doc_id, cc.cluster, sz.cluster_size,
+       |  cc.doc_id = cc.cluster AS keep
+       |FROM cc JOIN sz ON sz.cluster = cc.cluster
+       |ORDER BY cc.doc_id""".stripMargin
+  ) { td =>
+    val cc = graft.pipeline.Components.connectedComponents(
+      bandCandidates(td)
+        .select(col("a").as("src"), col("b").as("dst")))
+    // size via a window over the component partition: one shuffle, no
+    // join, and no driver/broadcast bound on the number of clusters
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    cc.withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("component").as("cluster"),
+        col("cluster_size"), (col("id") === col("component")).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** Embedding near-dup via sign-LSH: 8-bit bucket from the signs of the
@@ -389,7 +443,7 @@ object QueriesPipeline2 extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    minhashLsh, simhash, ngramJaccard, lshJaccardVerify, embeddingNeardup,
-    langid, qualityScore, fingerprint, mediaFeatures
+    minhashLsh, simhash, ngramJaccard, lshJaccardVerify, dedupClusters,
+    embeddingNeardup, langid, qualityScore, fingerprint, mediaFeatures
   )
 }
