@@ -63,6 +63,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     server.createContext("/api/v1/series", handler(promSeries))
     server.createContext("/api/search", handler(tempoSearchHandler))
     server.createContext("/api/search/tags", handler(tempoTags))
+    server.createContext("/api/v2/search/tags", handler(tempoTagsV2))
     server.createContext("/api/search/tag/", handler(tempoTagValues(_, v2 = false)))
     server.createContext("/api/v2/search/tag/", handler(tempoTagValues(_, v2 = true)))
     server.createContext("/api/traces/", handler(tempoTraceById))
@@ -283,6 +284,32 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     val tags = graft.traceql.TraceQL.tagNames(sp)
       .collect().map(r => jsonStr(r.getString(0)))
     s"""{"tagNames":[${tags.mkString(",")}]}"""
+  }
+
+  /** SearchTagsV2: tag names grouped into per-scope blocks, plus the
+    * engine's intrinsic names when all scopes are requested
+    * (reference tempohandler.go:448-531). `scope` narrows to
+    * span|resource|intrinsic; the intrinsic block short-circuits
+    * without touching storage.
+    */
+  private def tempoTagsV2(ex: HttpExchange): String = {
+    val p = params(ex)
+    val scope = p.getOrElse("scope", "")
+    def block(name: String, tags: Seq[String]): String =
+      s"""{"name":${jsonStr(name)},"tags":[${tags.map(jsonStr).mkString(",")}]}"""
+    val intrinsic = block("intrinsic", graft.traceql.TraceQL.intrinsicNames)
+    if (scope == "intrinsic") return s"""{"scopes":[$intrinsic]}"""
+    val sp = windowed(spans, p, "start_ns", 1L)
+    val scoped = graft.traceql.TraceQL.tagNamesScoped(sp)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val wanted = scope match {
+      case "span" | "resource" => scoped.filter(_._1 == scope)
+      case _                   => scoped
+    }
+    val blocks = wanted.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, ts) => block(s, ts.map(_._2)) }
+    val all = if (scope.isEmpty || scope == "none") intrinsic +: blocks else blocks
+    s"""{"scopes":[${all.mkString(",")}]}"""
   }
 
   /** SearchTagValues (v1: bare strings) / V2 (typed objects, optional

@@ -559,10 +559,26 @@ object QueriesGrammar extends QueryPack {
       """SELECT DISTINCT l_linestatus AS value FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY value""".stripMargin))
 
+  /** Scoped tag discovery (SearchTagsV2): span attrs under `span`,
+    * resource attrs under `resource` — one distinct shuffle carrying
+    * the scope through the explode (reference tempohandler.go:497-528).
+    */
+  val tagsScopedE2e: Q = Q(
+    "traceql_tags_scoped",
+    (s: SparkSession, dir: String) =>
+      TraceQL.tagNamesScoped(dualAttrsView(Testdata(s, dir))),
+    Some(
+      """SELECT 'span' AS scope,
+        |  unnest(['returnflag', 'linestatus', 'quantity', 'team']) AS tag
+        |FROM (SELECT 1)
+        |UNION ALL SELECT 'resource', 'team' FROM (SELECT 1)
+        |ORDER BY scope, tag""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
     scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
     metricsE2e, metricsMin, metricsAvg, metricsSum, metricsQuantile,
-    metricsTopk, metricsCompare, resourceScopeE2e, tagFilteredE2e)
+    metricsTopk, metricsCompare, resourceScopeE2e, tagFilteredE2e,
+    tagsScopedE2e)
 }

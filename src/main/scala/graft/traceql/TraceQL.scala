@@ -794,6 +794,34 @@ object TraceQL {
       .distinct().orderBy("tag")
   }
 
+  /** Intrinsic field names the grammar evaluates — the `intrinsic`
+    * scope block of SearchTagsV2 (reference traceql.IntrinsicNames(),
+    * tempohandler.go:469-484).
+    */
+  val intrinsicNames: Seq[String] = Seq(
+    "duration", "kind", "name", "rootName", "rootServiceName",
+    "status", "statusMessage", "traceDuration")
+
+  /** (scope, tag) pairs split by attribute scope — SearchTagsV2's
+    * per-scope blocks (reference tempohandler.go:497-528): span attrs
+    * under `span`, resource attrs under `resource`. Same single
+    * distinct shuffle as [[tagNames]], with the scope carried through
+    * the explode.
+    */
+  def tagNamesScoped(spans0: DataFrame): DataFrame = {
+    val withA =
+      if (spans0.columns.contains("attrs")) spans0
+      else spans0.withColumn("attrs", map().cast("map<string,string>"))
+    withResourceAttrs(withA)
+      .select(explode(concat(
+        transform(map_keys(col("attrs")),
+          k => struct(lit("span").as("scope"), k.as("tag"))),
+        transform(map_keys(col("resource_attrs")),
+          k => struct(lit("resource").as("scope"), k.as("tag"))))).as("st"))
+      .select(col("st.scope").as("scope"), col("st.tag").as("tag"))
+      .distinct().orderBy("scope", "tag")
+  }
+
   /** Bare spanset evaluation: the spans matching `q`'s selector, with
     * no pipeline stages — the building block for search endpoints and
     * autocomplete.

@@ -218,6 +218,23 @@ class HttpApiSpec extends SparkTestBase {
         s"""http://127.0.0.1:$port/api/v2/search/tag/service.name/values?q=${enc("""{ name = "child" }""")}""")
       assert(c3 == 200)
       assert(v2 == """{"tagValues":[{"type":"string","value":"api"}]}""")
+
+      // v2 tags: scoped blocks; no resource attrs in the fixture, so
+      // span + the intrinsic block when all scopes are requested
+      val (c4, v2tags) = get(s"http://127.0.0.1:$port/api/v2/search/tags")
+      assert(c4 == 200)
+      assert(v2tags.contains(""""name":"span","tags":["service.name"]"""))
+      assert(v2tags.contains(""""name":"intrinsic""""))
+      assert(v2tags.contains(""""duration""""))
+
+      val (c5, spanOnly) = get(
+        s"http://127.0.0.1:$port/api/v2/search/tags?scope=span")
+      assert(c5 == 200)
+      assert(spanOnly == """{"scopes":[{"name":"span","tags":["service.name"]}]}""")
+
+      val (c6, intr) = get(
+        s"http://127.0.0.1:$port/api/v2/search/tags?scope=intrinsic")
+      assert(c6 == 200 && intr.startsWith("""{"scopes":[{"name":"intrinsic""""))
     }
   }
 
