@@ -419,10 +419,32 @@ object PromQL {
     }
   }
 
+  /** The plain sample-aggregating *_over_time functions — shared by the
+    * subquery range path and the instant-over-subquery path (the full
+    * RangeFn machinery has extra rate/regression cases on top).
+    */
+  private def overTimeAgg(fn: String, param: Seq[Double]): Option[Column] =
+    fn match {
+      case "count_over_time" => Some(count(lit(1)).cast("double"))
+      case "sum_over_time"   => Some(sum(col("value")))
+      case "avg_over_time"   => Some(avg(col("value")))
+      case "min_over_time"   => Some(min(col("value")))
+      case "max_over_time"   => Some(max(col("value")))
+      case "last_over_time"  => Some(max_by(col("value"), col("ts_us")))
+      case "first_over_time" => Some(min_by(col("value"), col("ts_us")))
+      case "stddev_over_time" => Some(stddev_pop(col("value")))
+      case "stdvar_over_time" => Some(var_pop(col("value")))
+      case "present_over_time" => Some(first(lit(1.0)))
+      case "quantile_over_time" =>
+        Some(percentile(col("value"), lit(param.headOption.getOrElse(0.5))))
+      case _ => None
+    }
+
   private def collectRanges(e: Expr): Seq[Long] = e match {
     case RangeFn(_, _, r, _, _)    => Seq(r / 1000)
     case RangeSub(_, _, _, _, _, _) =>
-      throw new IllegalArgumentException("instant over a subquery is unsupported")
+      throw new IllegalArgumentException(
+        "instant over a NESTED subquery is unsupported")
     case Agg(_, _, _, _, _, i)     => collectRanges(i)
     case Bin(_, l, r, _, _)        => collectRanges(l) ++ collectRanges(r)
     case FnCall(_, i, _, _)        => collectRanges(i)
@@ -464,7 +486,37 @@ object PromQL {
       .select(lit(tUs).as("ts_us"), col("labels"), col("value"))
   }
 
-  private def instantOf(e: Expr, points: DataFrame, evalTsUs: Long): DataFrame = {
+  private def instantOf(e: Expr, points: DataFrame, evalTsUs: Long): DataFrame = e match {
+    case RangeSub(fn, inner, rangeNs, stepNs, offsetNs, param) =>
+      // instant subquery fn(expr[range:step]) @ t: the inner evaluates
+      // on its absolute-aligned step grid over (t−o−range, t−o], the
+      // outer fn aggregates those step samples into ONE output
+      // (upstream subquery evaluation). Pre-filter the source to the
+      // needed raw window (outer range + the inner's own lookback) so
+      // the inner never scans outside it — at 100 TB this bound is the
+      // difference between a window read and a full-table pass.
+      val rangeUs = rangeNs / 1000
+      val end = evalTsUs - offsetNs / 1000
+      val innerLookbackUs =
+        (try collectRanges(inner) catch { case _: Throwable => Nil })
+          .maxOption.getOrElse(300000000L)
+      val pre = points
+        .filter(col("ts_us") > lit(end - rangeUs - innerLookbackUs) &&
+          col("ts_us") <= lit(end))
+      val v = overTimeAgg(fn, param).getOrElse(
+        throw new IllegalArgumentException(s"$fn over a subquery is unsupported"))
+      planRange(inner, pre, Some(stepNs / 1000))
+        .filter(col("bucket_us") > lit(end - rangeUs) &&
+          col("bucket_us") <= lit(end))
+        .withColumnRenamed("bucket_us", "ts_us")
+        .withColumn("__stream", streamKey)
+        .groupBy(col("__stream"))
+        .agg(v.as("value"), first(col("labels")).as("labels"))
+        .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+    case _ => instantShared(e, points, evalTsUs)
+  }
+
+  private def instantShared(e: Expr, points: DataFrame, evalTsUs: Long): DataFrame = {
     val rs = collectRanges(e).distinct
     require(rs.nonEmpty,
       "instant over a fully @-pinned expression is unsupported: the @ " +
@@ -921,22 +973,8 @@ object PromQL {
       val base = pts
         .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
         .withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
-      val v: Column = fn match {
-        case "count_over_time" => count(lit(1)).cast("double")
-        case "sum_over_time"   => sum(col("value"))
-        case "avg_over_time"   => avg(col("value"))
-        case "min_over_time"   => min(col("value"))
-        case "max_over_time"   => max(col("value"))
-        case "last_over_time"  => max_by(col("value"), col("ts_us"))
-        case "first_over_time" => min_by(col("value"), col("ts_us"))
-        case "stddev_over_time" => stddev_pop(col("value"))
-        case "stdvar_over_time" => var_pop(col("value"))
-        case "present_over_time" => first(lit(1.0))
-        case "quantile_over_time" =>
-          percentile(col("value"), lit(param.headOption.getOrElse(0.5)))
-        case other =>
-          throw new IllegalArgumentException(s"$other over a subquery is unsupported")
-      }
+      val v = overTimeAgg(fn, param).getOrElse(
+        throw new IllegalArgumentException(s"$fn over a subquery is unsupported"))
       base.groupBy(col("__stream"), col("bucket_us"))
         .agg(v.as("value"), first(col("labels")).as("labels"))
         .select(col("bucket_us"), col("labels"), col("value"))

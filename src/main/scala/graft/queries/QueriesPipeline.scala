@@ -169,5 +169,73 @@ object QueriesPipeline extends QueryPack {
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   }
 
-  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk, annIvf, redact)
+  /** Deterministic stratified sampling: per-language keep rates from a
+    * hash of the doc id (md5 renders identically in both engines), the
+    * reproducible downsampling a curation pipeline uses — re-running
+    * selects the SAME docs, no RNG state, no driver coordination, and
+    * the filter is a one-pass codegen projection at any scale. Here the
+    * dominant language keeps 5%, the rest 20%.
+    */
+  val sampleStratified: Q = q(
+    "pipe_sample_stratified",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100
+      |        < (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { td =>
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    val rate = when(col("lang") === "en", 5).otherwise(20)
+    td.documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Int8 scalar quantization + quantized dot product: per-vector
+    * scale = max|x|/127, q = round(x/scale) — the memory-bound ANN
+    * path (4× smaller vectors, integer dot products; rescoring happens
+    * in float on the top candidates). The dot product core is EXACT
+    * integer arithmetic, so both engines agree bit-for-bit; only the
+    * final dequantization multiplies floats (identical shape, round 6).
+    */
+  val embedQuantize: Q = q(
+    "pipe_embed_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      |q AS (SELECT vec_id, scale,
+      |  list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv FROM s)
+      |SELECT a.vec_id,
+      |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+      |    z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) AS qdot,
+      |  round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+      |    z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT)
+      |    * a.scale * b.scale, 6) AS approx_dot
+      |FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+      |ORDER BY a.vec_id""".stripMargin
+  ) { td =>
+    val quant = td.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))) / 127.0"))
+      .withColumn("qv", expr("transform(v, x -> CAST(round(x / scale) AS INT))"))
+      .select(col("vec_id"), col("scale"), col("qv"))
+    val a = quant.alias("a")
+    val b = quant.alias("b")
+    a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      .withColumn("qdot", expr(
+        """aggregate(zip_with(a.qv, b.qv, (x, y) -> CAST(x AS BIGINT) * y),
+          |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin))
+      .select(col("a.vec_id").as("vec_id"), col("qdot"),
+        round(col("qdot") * col("a.scale") * col("b.scale"), 6).as("approx_dot"))
+      .orderBy("vec_id")
+  }
+
+  override def queries: Seq[Q] = Seq(dedupExact, tokenCount, cosineTopk, annIvf,
+    redact, sampleStratified, embedQuantize)
 }

@@ -169,6 +169,38 @@ object QueriesPromFns2 extends QueryPack {
          |WHERE h.i = sz.n
          |ORDER BY h.bucket_us, h.et""".stripMargin))
 
+  /** INSTANT query over a subquery: the inner evaluates on its
+    * absolute-aligned 1d step grid inside (t−3d, t], the outer
+    * max_over_time folds those step samples into one output at t
+    * (upstream subquery evaluation; range-path subqueries were already
+    * covered by promql_e2e_subquery).
+    */
+  val instantSubquery: Q = {
+    val tUs = 1705305600000000L // 2024-01-15T08:00Z — off the 1d grid
+    val topStep = tUs - tUs % DayUs
+    val steps = Seq(topStep - 2 * DayUs, topStep - DayUs, topStep)
+    Q(
+      "promql_e2e_instant_subquery",
+      (s: SparkSession, dir: String) =>
+        PromQL.instant(
+            """max_over_time(sum by (svc) (count_over_time(ev[1d]))[3d:1d])""",
+            pointsView(Testdata(s, dir)), evalTsUs = tUs)
+          .select(col("ts_us"),
+            element_at(col("labels"), "svc").as("svc"), col("value"))
+          .orderBy("svc"),
+      Some(
+        s"""WITH steps AS (SELECT unnest([${steps.mkString(", ")}]) AS b),
+           |per AS (
+           |  SELECT s.b, CAST(user_id % 4 AS VARCHAR) AS svc,
+           |    CAST(COUNT(*) AS DOUBLE) AS n
+           |  FROM events e JOIN steps s
+           |    ON epoch_us(ts) > s.b - $DayUs AND epoch_us(ts) <= s.b
+           |  GROUP BY s.b, svc)
+           |SELECT $tUs AS ts_us, svc, MAX(n) AS value
+           |FROM per GROUP BY svc ORDER BY svc""".stripMargin))
+  }
+
   override def queries: Seq[Q] =
-    Seq(trig, scalarDyn, groupAgg, neBool, madOverTime, holtWinters)
+    Seq(trig, scalarDyn, groupAgg, neBool, madOverTime, holtWinters,
+      instantSubquery)
 }
