@@ -164,7 +164,7 @@ object ApiEncoders {
     s"""{"status":"success","data":[${rows.mkString(",")}]}"""
   }
 
-  private def jsonString(s: String): String =
+  private[graft] def jsonString(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * (ApiEncoders collects bounded envelopes: per-series rows, capped
   * trace lists, distinct label/tag sets).
   */
-final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
+final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
+    profiles: Option[DataFrame] = None) {
 
   private var server: HttpServer = _
 
@@ -67,6 +68,14 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     server.createContext("/api/search/tag/", handler(tempoTagValues(_, v2 = false)))
     server.createContext("/api/v2/search/tag/", handler(tempoTagValues(_, v2 = true)))
     server.createContext("/api/traces/", handler(tempoTraceById))
+    // Pyroscope front-end (reference profilehandler.go:54-223) — only
+    // mounted when a profiles frame is wired in
+    profiles.foreach { _ =>
+      server.createContext("/pyroscope/render", handler(pyroRender))
+      server.createContext("/pyroscope/labels", handler(pyroLabels))
+      server.createContext("/pyroscope/label-values", handler(pyroLabelValues))
+      server.createContext("/pyroscope/apps", handler(pyroApps))
+    }
     server.start()
     server.getAddress.getPort
   }
@@ -336,6 +345,38 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame) {
     val hex = path.substring(path.lastIndexOf('/') + 1)
     ApiEncoders.tempoTrace(spans, java.lang.Long.parseUnsignedLong(hex, 16))
   }
+
+  // ---------- Pyroscope ----------
+
+  /** /pyroscope/render: ProfileQL selector → merged flamegraph →
+    * flamebearer JSON (reference profilehandler.go:164-223). `from` /
+    * `until` are unix seconds, `maxNodes` folds the tail.
+    */
+  private def pyroRender(ex: HttpExchange): String = {
+    val p = params(ex)
+    val query = p.getOrElse("query",
+      throw new IllegalArgumentException("\"query\" is required"))
+    def sec(k: String): Option[Long] =
+      p.get(k).filter(_.nonEmpty).map(s => s.toLong * 1000000L)
+    graft.profileql.Flame.flamebearer(profiles.get, query,
+      fromUs = sec("from"), untilUs = sec("until"),
+      maxNodes = p.get("maxNodes").map(_.toInt).getOrElse(0))
+  }
+
+  private def pyroLabels(ex: HttpExchange): String =
+    graft.profileql.Flame.labelNames(profiles.get)
+      .map(jsonStr).mkString("[", ",", "]")
+
+  private def pyroLabelValues(ex: HttpExchange): String = {
+    val label = params(ex).getOrElse("label",
+      throw new IllegalArgumentException("\"label\" is required"))
+    graft.profileql.Flame.labelValues(profiles.get, label)
+      .map(jsonStr).mkString("[", ",", "]")
+  }
+
+  private def pyroApps(ex: HttpExchange): String =
+    graft.profileql.Flame.apps(profiles.get)
+      .map(n => s"""{"name":${jsonStr(n)}}""").mkString("[", ",", "]")
 
   // ---------- plumbing ----------
 

@@ -1,0 +1,152 @@
+package graft.profileql
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ProfileQL render path: selector → merged flamegraph → Pyroscope
+  * flamebearer JSON ("single" format: interned names + per-level
+  * [xOffsetΔ, total, self, nameIdx] quads, offsets delta-encoded
+  * against the end of the previous sibling) — reference
+  * profileqlengine/flamebearer.go:11-126, profilehandler.go:164-223.
+  *
+  * Split of work: the MERGE (sum per distinct stack) is distributed —
+  * one groupBy over the matching samples; only the merged per-stack
+  * totals reach the driver, bounded by the number of distinct stacks
+  * (a flamegraph is only renderable when that is small; `maxNodes`
+  * folds the tail into "other" like the reference's minValue rule).
+  *
+  * Profiles frame contract: `ts_us Long, name String,
+  * labels Map[String,String], stack Array[String] (root→leaf),
+  * value Long`.
+  */
+object Flame {
+
+  /** `name{k="v",k2="v2"}` — the ProfileQL selector subset the render
+    * endpoint accepts (reference profileql/parser.go:10-230; full
+    * matcher ops are exercised through the query pack).
+    */
+  private[graft] def parseSelector(q: String): (String, Seq[(String, String)]) = {
+    val brace = q.indexOf('{')
+    if (brace < 0) return (q.trim, Nil)
+    val name = q.substring(0, brace).trim
+    val body = q.substring(brace + 1, q.lastIndexOf('}')).trim
+    if (body.isEmpty) return (name, Nil)
+    val ms = body.split(',').toSeq.map { m =>
+      val Array(k, v) = m.split("=", 2)
+      (k.trim, v.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    (name, ms)
+  }
+
+  /** Matching samples merged per distinct stack (the distributed part). */
+  private def mergedStacks(profiles: DataFrame, query: String,
+      fromUs: Option[Long], untilUs: Option[Long]): Seq[(Seq[String], Long)] = {
+    val (name, matchers) = parseSelector(query)
+    var df = profiles
+    if (name.nonEmpty) df = df.filter(col("name") === name)
+    matchers.foreach { case (k, v) =>
+      df = df.filter(element_at(col("labels"), k) === v)
+    }
+    fromUs.foreach(t => df = df.filter(col("ts_us") >= t))
+    untilUs.foreach(t => df = df.filter(col("ts_us") <= t))
+    df.groupBy(col("stack")).agg(sum(col("value")).as("total"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1)))
+      .toSeq
+  }
+
+  private final class Node(val name: String) {
+    var total = 0L
+    var self = 0L
+    val children = mutable.SortedMap.empty[String, Node]
+  }
+
+  /** Flamebearer JSON for `query` over the profiles frame. */
+  def flamebearer(profiles: DataFrame, query: String,
+      fromUs: Option[Long] = None, untilUs: Option[Long] = None,
+      maxNodes: Int = 0): String = {
+    val stacks = mergedStacks(profiles, query, fromUs, untilUs)
+    val root = new Node("total")
+    stacks.foreach { case (frames, v) =>
+      root.total += v
+      var cur = root
+      frames.foreach { f =>
+        cur = cur.children.getOrElseUpdate(f, new Node(f))
+        cur.total += v
+      }
+      cur.self += v
+    }
+
+    // fold threshold: keep at most maxNodes nodes by total, fold the
+    // rest into per-parent "other" nodes (reference minValue rule)
+    val minVal: Long =
+      if (maxNodes <= 0) 0L
+      else {
+        val totals = mutable.ArrayBuffer.empty[Long]
+        def collect(n: Node): Unit = { totals += n.total; n.children.values.foreach(collect) }
+        collect(root)
+        if (totals.size <= maxNodes) 0L
+        else totals.sortBy(-_).apply(maxNodes - 1)
+      }
+
+    val names = mutable.ArrayBuffer.empty[String]
+    val nameIndex = mutable.HashMap.empty[String, Int]
+    def intern(n: String): Int = nameIndex.getOrElseUpdate(n, {
+      names += (if (names.isEmpty) "total" else n); names.size - 1
+    })
+    val levels = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Long]]
+    var maxSelf = 0L
+    def walk(n: Node, level: Int, xOffset: Long): Unit = {
+      if (n.self > maxSelf) maxSelf = n.self
+      val idx = intern(n.name)
+      if (level == levels.size) levels += mutable.ArrayBuffer.empty[Long]
+      levels(level) ++= Seq(xOffset, n.total, n.self, idx.toLong)
+      var childX = xOffset + n.self
+      var otherTotal = 0L
+      n.children.values.foreach { c =>
+        if (minVal > 0 && c.total < minVal) otherTotal += c.total
+        else { walk(c, level + 1, childX); childX += c.total }
+      }
+      if (otherTotal > 0) {
+        val o = new Node("other"); o.total = otherTotal; o.self = otherTotal
+        walk(o, level + 1, childX)
+      }
+    }
+    walk(root, 0, 0L)
+    // delta-encode x offsets against the end of the previous sibling
+    levels.foreach { l =>
+      var prev = 0L
+      var i = 0
+      while (i < l.size) {
+        val abs = l(i)
+        l(i) = abs - prev
+        prev = abs + l(i + 1)
+        i += 4
+      }
+    }
+
+    val namesJson = names.map(graft.api.ApiEncoders.jsonString).mkString(",")
+    val levelsJson = levels.map(_.mkString("[", ",", "]")).mkString(",")
+    s"""{"version":1,"flamebearer":{"names":[$namesJson],"levels":[$levelsJson],""" +
+      s""""numTicks":${root.total},"maxSelf":$maxSelf},""" +
+      s""""metadata":{"format":"single","spyName":"graft","sampleRate":100,"units":"samples"}}"""
+  }
+
+  /** Distinct label names on matching profiles (Labels endpoint). */
+  def labelNames(profiles: DataFrame): Seq[String] =
+    profiles.select(explode(map_keys(col("labels"))).as("k"))
+      .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+
+  /** Distinct values of one label (LabelValues endpoint). */
+  def labelValues(profiles: DataFrame, label: String): Seq[String] =
+    profiles.select(element_at(col("labels"), label).as("v"))
+      .filter(col("v").isNotNull)
+      .distinct().orderBy("v").collect().map(_.getString(0)).toSeq
+
+  /** Distinct profile names (GetApps endpoint). */
+  def apps(profiles: DataFrame): Seq[String] =
+    profiles.select(col("name")).distinct().orderBy("name")
+      .collect().map(_.getString(0)).toSeq
+}

@@ -45,8 +45,16 @@ class HttpApiSpec extends SparkTestBase {
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
 
+  private def profilesDf = Seq(
+    (1000000L, "cpu", Map("svc" -> "api"), Seq("main", "handler", "parse"), 3L),
+    (2000000L, "cpu", Map("svc" -> "api"), Seq("main", "handler", "parse"), 2L),
+    (3000000L, "cpu", Map("svc" -> "api"), Seq("main", "handler"), 4L),
+    (4000000L, "cpu", Map("svc" -> "web"), Seq("main", "io"), 6L),
+    (5000000L, "alloc", Map("svc" -> "api"), Seq("main"), 9L)
+  ).toDF("ts_us", "name", "labels", "stack", "value")
+
   private def withApi(f: Int => Unit): Unit = {
-    val api = new HttpApi(logsDf, pointsDf, spansDf)
+    val api = new HttpApi(logsDf, pointsDf, spansDf, Some(profilesDf))
     val port = api.start()
     try f(port) finally api.stop()
   }
@@ -235,6 +243,36 @@ class HttpApiSpec extends SparkTestBase {
       val (c6, intr) = get(
         s"http://127.0.0.1:$port/api/v2/search/tags?scope=intrinsic")
       assert(c6 == 200 && intr.startsWith("""{"scopes":[{"name":"intrinsic""""))
+    }
+  }
+
+  test("pyroscope render/labels/label-values/apps") {
+    withApi { port =>
+      // selector-filtered: cpu{svc="api"} = two stacks sharing a prefix
+      val (c1, fb) = get(
+        s"""http://127.0.0.1:$port/pyroscope/render?query=${enc("""cpu{svc="api"}""")}""")
+      assert(c1 == 200)
+      assert(fb == """{"version":1,"flamebearer":{"names":["total","main","handler","parse"],""" +
+        """"levels":[[0,9,0,0],[0,9,0,1],[0,9,4,2],[4,5,5,3]],"numTicks":9,"maxSelf":5},""" +
+        """"metadata":{"format":"single","spyName":"graft","sampleRate":100,"units":"samples"}}""")
+
+      // unfiltered cpu: the web stack joins at level 2 with a delta-
+      // encoded offset after handler's subtree
+      val (c2, fb2) = get(
+        s"http://127.0.0.1:$port/pyroscope/render?query=cpu")
+      assert(c2 == 200)
+      assert(fb2.contains(""""levels":[[0,15,0,0],[0,15,0,1],[0,9,4,2,0,6,6,4],[4,5,5,3]]"""))
+      assert(fb2.contains(""""names":["total","main","handler","parse","io"]"""))
+
+      val (c3, labels) = get(s"http://127.0.0.1:$port/pyroscope/labels")
+      assert(c3 == 200 && labels == """["svc"]""")
+
+      val (c4, vals) = get(
+        s"http://127.0.0.1:$port/pyroscope/label-values?label=svc")
+      assert(c4 == 200 && vals == """["api","web"]""")
+
+      val (c5, apps) = get(s"http://127.0.0.1:$port/pyroscope/apps")
+      assert(c5 == 200 && apps == """[{"name":"alloc"},{"name":"cpu"}]""")
     }
   }
 
