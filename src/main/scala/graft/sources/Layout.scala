@@ -109,4 +109,60 @@ object Layout {
       .partitionBy("date")
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .parquet(path)
+
+  /** Compaction — the MergeTree background-merge analogue (the
+    * reference gets this from ClickHouse for free; a parquet layout
+    * has to run it as a maintenance job). Streaming ingest appends one
+    * file set per micro-batch, so a day partition accumulates many
+    * small files: scan parallelism degrades to file-open overhead and
+    * row-group min/max pruning loses power because each tiny file
+    * spans the whole key range. Compact rewrites ONE date partition
+    * into ceil(bytes/target) files, range-partitioned and re-sorted on
+    * the table's ORDER BY — so row-group stats become tight key ranges
+    * again — then atomically swaps the directory. Run per partition
+    * (days are independent) off the write path, exactly like MergeTree
+    * merges.
+    */
+  def compactPartition(spark: SparkSession, root: String, date: String,
+      sortCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(root, s"date=$date")
+    require(dir.isDirectory, s"no partition at $dir")
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(dir.getPath)
+    val tmp = new java.io.File(root, s".compact.date=$date")
+    val keys = sortCols.map(col)
+    df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(dir)
+    require(tmp.renameTo(dir), s"compaction swap failed for $dir")
+    n
+  }
+
+  /** TTL expiry — the `TTL timestamp + INTERVAL n DAY` clause of the
+    * reference DDL (chstorage golden schema), expressed as partition
+    * drops: a date partition strictly older than the horizon is
+    * removed whole, never row-by-row — O(partitions) metadata work
+    * regardless of data size. Returns the dropped partition names.
+    */
+  def enforceTtl(root: String, keepDays: Int, nowDate: String): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val horizon = java.time.LocalDate.parse(nowDate, fmt).minusDays(keepDays.toLong)
+    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    dirs.toSeq.flatMap { d =>
+      val date = d.getName.stripPrefix("date=")
+      val parsed =
+        try Some(java.time.LocalDate.parse(date, fmt)) catch { case _: Exception => None }
+      parsed.filter(_.isBefore(horizon)).map { _ => deleteRec(d); d.getName }
+    }.sorted
+  }
 }

@@ -43,6 +43,52 @@ class LayoutSpec extends SparkTestBase {
     assert(sorted == sorted.sorted, "rows not sorted within partition")
   }
 
+  test("compaction merges micro-batch files and restores the sort") {
+    val dir = Files.createTempDirectory("graftcompact").toString
+    val td = Testdata(spark, "/root/testdata/sf0.001")
+    val logs = td.events.select(
+      col("ts").as("ts_ns"),
+      (col("user_id") % 5 * 4 + 1).cast("int").as("severity_number"),
+      concat(lit("svc-"), col("user_id") % 4).as("service_name"),
+      col("props").as("body"))
+    // two micro-batches append two file sets per day partition
+    Layout.writeLogs(logs.filter(col("severity_number") <= 9), dir)
+    Layout.writeLogs(logs.filter(col("severity_number") > 9), dir, mode = "append")
+    val part = new java.io.File(dir, "date=20240115")
+    def files() = part.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() >= 2, "append should have produced multiple files")
+    val before = spark.read.parquet(part.getPath)
+      .select("severity_number", "service_name", "ts_ns")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+    val n = Layout.compactPartition(spark, dir, "20240115",
+      Seq("severity_number", "service_name", "ts_ns"))
+    assert(n == 1 && files() == 1, s"expected one compacted file, got ${files()}")
+
+    val after = spark.read.parquet(part.getPath)
+      .select("severity_number", "service_name", "ts_ns")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after.sorted == before, "compaction must not change the data")
+    assert(after == after.sorted, "compacted file must follow the ORDER BY")
+    // the whole table still reads with partition discovery intact
+    assert(spark.read.parquet(dir).filter(col("date") === "20240115").count()
+      == before.size)
+  }
+
+  test("ttl drops whole partitions past the horizon") {
+    val root = Files.createTempDirectory("graftttl").toString
+    Seq("20240101", "20240107", "20240110").foreach { d =>
+      val f = new java.io.File(root, s"date=$d")
+      assert(f.mkdirs())
+      Files.writeString(f.toPath.resolve("part-0.parquet"), "x")
+    }
+    // horizon = 20240112 - 5d = 20240107; strictly-older drops
+    val dropped = Layout.enforceTtl(root, keepDays = 5, nowDate = "20240112")
+    assert(dropped == Seq("date=20240101"))
+    val left = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    assert(left == Seq("date=20240107", "date=20240110"))
+  }
+
   test("bucketed span tables self-join with NO exchange") {
     val dir = Files.createTempDirectory("graftbuckets").toString
     val td = Testdata(spark, "/root/testdata/sf0.001")
