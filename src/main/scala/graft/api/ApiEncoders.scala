@@ -172,6 +172,41 @@ object ApiEncoders {
       case c => c.toString
     } + "\""
 
+  /** /api/v1/query_exemplars sets: one entry per series, exemplars
+    * ts-sorted (reference promhandler.go:392-460). The grouping and
+    * per-set JSON render distributed; only one string per series is
+    * collected.
+    *
+    * Frame contract: (ts_us, name, labels, exemplar_labels, value).
+    */
+  def promExemplars(df: DataFrame): String = {
+    val sets = df
+      .withColumn("__ex",
+        struct(col("ts_us"), col("exemplar_labels"), col("value")))
+      .groupBy(col("labels"))
+      .agg(collect_list(col("__ex")).as("exs0"))
+      // comparator form: sort_array can't order structs holding maps
+      .withColumn("exs", expr(
+        """array_sort(exs0, (a, b) -> CASE
+          |  WHEN a.ts_us < b.ts_us THEN -1 WHEN a.ts_us > b.ts_us THEN 1
+          |  WHEN a.value < b.value THEN -1 WHEN a.value > b.value THEN 1
+          |  ELSE 0 END)""".stripMargin))
+      .select(concat(
+        lit("{\"seriesLabels\":"), to_json(col("labels")),
+        lit(",\"exemplars\":"),
+        // DECIMAL timestamp: to_json renders it plain (a DOUBLE in
+        // epoch-seconds range would render scientific)
+        to_json(expr(
+          """transform(exs, e -> named_struct(
+            |  'labels', e.exemplar_labels,
+            |  'value', e.value,
+            |  'timestamp', CAST(CAST(e.ts_us AS DOUBLE) / 1e6 AS DECIMAL(20,6))))""".stripMargin)),
+        lit("}")).as("j"))
+      .orderBy("j")
+    val rows = sets.collect().map(_.getString(0))
+    s"""{"status":"success","data":[${rows.mkString(",")}]}"""
+  }
+
   private def envelope(resultType: String, series: DataFrame): String = {
     val rows = series.collect().map(_.getString(0)) // one row PER SERIES
     s"""{"status":"success","data":{"resultType":"$resultType","result":[${rows.mkString(",")}]}}"""

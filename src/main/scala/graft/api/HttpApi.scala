@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   * trace lists, distinct label/tag sets).
   */
 final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
-    profiles: Option[DataFrame] = None) {
+    profiles: Option[DataFrame] = None,
+    exemplars: Option[DataFrame] = None) {
 
   private var server: HttpServer = _
 
@@ -62,6 +63,9 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     server.createContext("/api/v1/labels", handler(promLabels))
     server.createContext("/api/v1/label/", handler(promLabelValues))
     server.createContext("/api/v1/series", handler(promSeries))
+    exemplars.foreach { _ =>
+      server.createContext("/api/v1/query_exemplars", handler(promQueryExemplars))
+    }
     server.createContext("/api/search", handler(tempoSearchHandler))
     server.createContext("/api/search/tags", handler(tempoTags))
     server.createContext("/api/v2/search/tags", handler(tempoTagsV2))
@@ -344,6 +348,20 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val path = ex.getRequestURI.getPath
     val hex = path.substring(path.lastIndexOf('/') + 1)
     ApiEncoders.tempoTrace(spans, java.lang.Long.parseUnsignedLong(hex, 16))
+  }
+
+  /** /api/v1/query_exemplars: series matching ANY selector of the
+    * query, each with its ts-sorted exemplars in [start, end)
+    * (reference promhandler.go:392-460).
+    */
+  private def promQueryExemplars(ex: HttpExchange): String = {
+    val p = params(ex)
+    val sels = graft.promql.PromQL.extractSelectors(
+      graft.promql.PromQL.parse(p("query")))
+    require(sels.nonEmpty, "query has no vector selector")
+    val matched = sels.map(graft.promql.PromQL.selectorColumn).reduce(_ || _)
+    ApiEncoders.promExemplars(
+      windowed(exemplars.get, p, "ts_us", 1000L).filter(matched))
   }
 
   // ---------- Pyroscope ----------

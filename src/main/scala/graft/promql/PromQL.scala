@@ -365,6 +365,24 @@ object PromQL {
   }
 
   // ---------- planner ----------
+  /** Every vector selector in the expression — the exemplar endpoint
+    * matches series against ANY of them (upstream ExtractSelectors,
+    * promhandler.go:392-460).
+    */
+  private[graft] def extractSelectors(e: Expr): Seq[Selector] = e match {
+    case Instant(s)                  => Seq(s)
+    case RangeFn(_, s, _, _, _)      => Seq(s)
+    case RangeSub(_, i, _, _, _, _)  => extractSelectors(i)
+    case Agg(_, _, _, _, _, i)       => extractSelectors(i)
+    case Bin(_, l, r, _, _)          => extractSelectors(l) ++ extractSelectors(r)
+    case FnCall(_, i, _, _)          => extractSelectors(i)
+    case HistQuantile(_, i)          => extractSelectors(i)
+    case At(i, _)                    => extractSelectors(i)
+    case _                           => Nil
+  }
+
+  private[graft] def selectorColumn(sel: Selector): Column = selCol(sel)
+
   private def selCol(sel: Selector): Column = {
     // "" = name-less `{...}` selector: no name constraint of its own;
     // an equality __name__ matcher below provides one

@@ -53,8 +53,15 @@ class HttpApiSpec extends SparkTestBase {
     (5000000L, "alloc", Map("svc" -> "api"), Seq("main"), 9L)
   ).toDF("ts_us", "name", "labels", "stack", "value")
 
+  private def exemplarsDf = Seq(
+    (2000000L, "latency", Map("svc" -> "api"), Map("trace_id" -> "beef"), 0.25),
+    (1000000L, "latency", Map("svc" -> "api"), Map("trace_id" -> "cafe"), 0.75),
+    (1000000L, "latency", Map("svc" -> "web"), Map("trace_id" -> "f00d"), 1.5)
+  ).toDF("ts_us", "name", "labels", "exemplar_labels", "value")
+
   private def withApi(f: Int => Unit): Unit = {
-    val api = new HttpApi(logsDf, pointsDf, spansDf, Some(profilesDf))
+    val api = new HttpApi(logsDf, pointsDf, spansDf, Some(profilesDf),
+      Some(exemplarsDf))
     val port = api.start()
     try f(port) finally api.stop()
   }
@@ -243,6 +250,25 @@ class HttpApiSpec extends SparkTestBase {
       val (c6, intr) = get(
         s"http://127.0.0.1:$port/api/v2/search/tags?scope=intrinsic")
       assert(c6 == 200 && intr.startsWith("""{"scopes":[{"name":"intrinsic""""))
+    }
+  }
+
+  test("prom query_exemplars matches selectors and sorts by timestamp") {
+    withApi { port =>
+      val (c1, body) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_exemplars?query=${enc("""rate(latency{svc="api"}[1m])""")}""")
+      assert(c1 == 200, s"body: $body")
+      // one series set (svc=api), exemplars ts-ascending: cafe then beef
+      assert(body == """{"status":"success","data":[""" +
+        """{"seriesLabels":{"svc":"api"},"exemplars":[""" +
+        """{"labels":{"trace_id":"cafe"},"value":0.75,"timestamp":1.000000},""" +
+        """{"labels":{"trace_id":"beef"},"value":0.25,"timestamp":2.000000}]}]}""")
+
+      // window excludes the later exemplar
+      val (c2, body2) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_exemplars?query=${enc("latency")}&start=0&end=${enc("1.5")}""")
+      assert(c2 == 200)
+      assert(body2.contains("cafe") && body2.contains("f00d") && !body2.contains("beef"))
     }
   }
 
