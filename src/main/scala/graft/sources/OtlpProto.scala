@@ -35,6 +35,17 @@ object OtlpProto {
 
   final case class QuantileValue(q: Double, value: Double)
 
+  /** Exemplar (metrics.proto Exemplar: 2 time, 3 as_double, 4 span_id,
+    * 5 trace_id, 6 as_int, 7 filtered_attributes) — the metric↔trace
+    * correlation rows /api/v1/query_exemplars serves.
+    */
+  final case class ExemplarValue(
+      ts_ns: Long,
+      value: Double,
+      span_id_hex: Option[String],
+      trace_id_hex: Option[String],
+      attrs: Map[String, String])
+
   /** One LogRecord (logs/v1/logs.proto):
     *   ExportLogsServiceRequest: 1 resource_logs
     *   ResourceLogs: 1 resource, 2 scope_logs
@@ -98,7 +109,8 @@ object OtlpProto {
       exp_zerocount: Option[Long],
       exp_positive_offset: Option[Int],
       exp_positive_counts: Option[Seq[Long]],
-      summary_quantiles: Option[Seq[QuantileValue]])
+      summary_quantiles: Option[Seq[QuantileValue]],
+      exemplars: Option[Seq[ExemplarValue]] = None)
 
   final case class SpanEvent(name: String, ts_ns: Long)
   final case class SpanLink(trace_id: Long, span_id: Long)
@@ -583,7 +595,31 @@ object OtlpProto {
     var posOffset = Option.empty[Int]
     val posCounts = Seq.newBuilder[Long]
     val quantiles = Seq.newBuilder[QuantileValue]
+    val exemplars = Seq.newBuilder[ExemplarValue]
     val attrs = Seq.newBuilder[Reader]
+    // Exemplar: 2 time, 3 as_double, 4 span_id, 5 trace_id, 6 as_int,
+    // 7 filtered_attributes — attached at kind-specific field numbers
+    // (NumberDataPoint 5, HistogramDataPoint 8, ExpHistogram 11)
+    def parseExemplar(er: Reader): ExemplarValue = {
+      var ts = 0L
+      var v = 0.0
+      var spanId = Option.empty[String]
+      var traceId = Option.empty[String]
+      val eAttrs = Seq.newBuilder[Reader]
+      while (er.hasMore) {
+        val (ef, ewt) = er.tag()
+        ef match {
+          case 2 => ts = er.fixed64()
+          case 3 => v = java.lang.Double.longBitsToDouble(er.fixed64())
+          case 4 => spanId = Some(hex(er.lenBytes()))
+          case 5 => traceId = Some(hex(er.lenBytes()))
+          case 6 => v = er.fixed64().toDouble // as_int
+          case 7 if ewt == 2 => eAttrs += er.sub()
+          case _ => er.skip(ewt)
+        }
+      }
+      ExemplarValue(ts, v, spanId, traceId, attrMap(eAttrs.result()))
+    }
     // field meanings diverge by kind: NumberDataPoint's 4/6 are the
     // value; Histogram/Summary's 4/5 are count/sum; ExpHist adds 6/7/8.
     // attributes: ExpHist 1, Histogram 9, Number/Summary 7
@@ -602,8 +638,14 @@ object OtlpProto {
           if (kind == 5 || kind == 7)
             num = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
           else count = Some(r.fixed64())
+        case 5 if (kind == 5 || kind == 7) && wt == 2 =>
+          exemplars += parseExemplar(r.sub()) // NumberDataPoint.exemplars
         case 5 if kind != 5 && kind != 7 =>
           sum = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case 8 if kind == 9 && wt == 2 =>
+          exemplars += parseExemplar(r.sub()) // HistogramDataPoint.exemplars
+        case 11 if kind == 10 && wt == 2 =>
+          exemplars += parseExemplar(r.sub()) // ExpHistogramDataPoint.exemplars
         case 6 =>
           if (kind == 5 || kind == 7) num = Some(r.fixed64().toDouble) // as_int
           else if (kind == 9) fixed64s(r, wt, counts) // bucket_counts
@@ -654,7 +696,11 @@ object OtlpProto {
       exp_zerocount = zero,
       exp_positive_offset = posOffset,
       exp_positive_counts = if (posOut.nonEmpty) Some(posOut) else None,
-      summary_quantiles = if (qsOut.nonEmpty) Some(qsOut) else None)
+      summary_quantiles = if (qsOut.nonEmpty) Some(qsOut) else None,
+      exemplars = {
+        val es = exemplars.result()
+        if (es.nonEmpty) Some(es) else None
+      })
   }
 
 }

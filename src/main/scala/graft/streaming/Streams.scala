@@ -282,6 +282,38 @@ object Streams {
       .select(col("timestamp"), col("name"), col("attrs"),
         col("gauge"), col("hist_count"), col("hist_sum"))
 
+  /** Decoded OTLP exemplars → the /api/v1/query_exemplars frame
+    * (ts_us, name, labels, exemplar_labels, value): one row per
+    * exemplar, series labels from the data point's attrs, the
+    * trace/span link carried inside exemplar_labels (reference stores
+    * them alongside the point, chstorage exemplar columns).
+    */
+  def exemplarsFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.OtlpProto.decodeMetrics))
+      .toDF()
+      .filter(col("exemplars").isNotNull)
+      // series labels stay a MAP here (selector matching needs
+      // element_at), unlike the hashed canonical string the point
+      // inserter uses
+      .select(col("name"),
+        map_concat(col("resource_attrs"), col("attrs")).as("labels"),
+        explode(col("exemplars")).as("e"))
+      .select(
+        expr("e.ts_ns div 1000").as("ts_us"),
+        col("name"), col("labels"),
+        map_concat(
+          coalesce(col("e.attrs"), map().cast("map<string,string>")),
+          map_filter(
+            map(lit("trace_id"), col("e.trace_id_hex"),
+              lit("span_id"), col("e.span_id_hex")),
+            (_, v) => v.isNotNull)).as("exemplar_labels"),
+        col("e.value").as("value"))
+  }
+
   /** OTLP exp-hist/summary ingest → the [[decomposeExpHist]] input
     * shape.
     */

@@ -175,10 +175,15 @@ class OtlpProtoSpec extends SparkTestBase {
   }
 
   private def metricsPayload: Array[Byte] = {
-    // gauge: one double point
+    // gauge: one double point + an exemplar linking to a trace
     val gaugePoint = new W().fix64(2, 1L).fix64(3, 1704103200000000000L)
     dbl(gaugePoint, 4, 0.75)
     gaugePoint.msg(7, kv("core", intVal(0)))
+    val gaugeEx = new W().fix64(2, 1704103200000000050L)
+    dbl(gaugeEx, 3, 0.9)
+    gaugeEx.bytes(4, sid8(0xabL)).bytes(5, tid16(0xbeefL))
+      .msg(7, kv("req", strVal("r-1")))
+    gaugePoint.msg(5, gaugeEx)
     val gauge = new W().str(1, "cpu_usage").str(3, "1")
       .msg(5, new W().msg(1, gaugePoint))
     // monotonic cumulative sum: one as_int point
@@ -194,6 +199,12 @@ class OtlpProtoSpec extends SparkTestBase {
     histPoint.out.write(packedFix64(6, Seq(1L, 4L, 5L)).out.toByteArray)
     histPoint.out.write(packedDoubles(7, Seq(0.1, 1.0)).out.toByteArray)
     histPoint.msg(9, kv("route", strVal("/api")))
+    // histogram exemplar uses as_int (field 6)
+    val histEx = new W().fix64(2, 1704103200000000060L)
+    histEx.tag(6, 1)
+    var hx = 7L
+    var hi = 0; while (hi < 8) { histEx.out.write(((hx >>> (8 * hi)) & 0xff).toInt); hi += 1 }
+    histPoint.msg(8, histEx)
     val hist = new W().str(1, "latency").msg(9, new W().msg(1, histPoint).vint(2, 2))
     // exponential histogram: scale -2 (zigzag), offset 3, counts varint
     val pos = new W().vint(1, 6 /* zigzag(3) */)
@@ -248,6 +259,17 @@ class OtlpProtoSpec extends SparkTestBase {
     assert(q.hist_count.contains(100L) && q.hist_sum.contains(123.0))
     assert(q.summary_quantiles.contains(Seq(
       OtlpProto.QuantileValue(0.5, 1.5), OtlpProto.QuantileValue(0.99, 9.9))))
+
+    // exemplars: gauge's as_double + trace/span link + filtered attrs;
+    // histogram's as_int form
+    val gex = g.exemplars.get
+    assert(gex == Seq(OtlpProto.ExemplarValue(1704103200000000050L, 0.9,
+      Some("00000000000000ab"), Some("0000000000000000000000000000beef"),
+      Map("req" -> "r-1"))))
+    val hex = h.exemplars.get
+    assert(hex == Seq(OtlpProto.ExemplarValue(1704103200000000060L, 7.0,
+      None, None, Map.empty)))
+    assert(s.exemplars.isEmpty && e.exemplars.isEmpty && q.exemplars.isEmpty)
   }
 
   // ---- prompb remote-write ----
@@ -308,5 +330,25 @@ class OtlpProtoSpec extends SparkTestBase {
       (10, -1, 5.0),          // zero-count
       (11, 3, 2.0), (11, 4, 7.0), // positive buckets at offset 3
       (20, 50, 1.5), (20, 99, 9.9))) // summary quantiles
+  }
+
+  test("exemplarsFromOtlp feeds the query_exemplars frame") {
+    import spark.implicits._
+    val frames = Seq(metricsPayload).toDF("payload")
+    val rows = Streams.exemplarsFromOtlp(frames)
+      .select("ts_us", "name", "labels", "exemplar_labels", "value")
+      .orderBy("name").collect()
+    assert(rows.length == 2)
+    val g = rows(0)
+    assert(g.getLong(0) == 1704103200000000L && g.getString(1) == "cpu_usage")
+    assert(g.getMap[String, String](2).toMap ==
+      Map("service.name" -> "api", "core" -> "0"))
+    assert(g.getMap[String, String](3).toMap == Map("req" -> "r-1",
+      "span_id" -> "00000000000000ab",
+      "trace_id" -> "0000000000000000000000000000beef"))
+    assert(g.getDouble(4) == 0.9)
+    val h = rows(1)
+    assert(h.getString(1) == "latency" && h.getDouble(4) == 7.0)
+    assert(h.getMap[String, String](3).isEmpty)
   }
 }
