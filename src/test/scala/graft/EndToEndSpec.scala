@@ -1,0 +1,166 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.HttpApi
+import graft.sources.Layout
+import graft.streaming.Streams
+
+/** The whole chain, one test per signal: OTLP wire bytes → distributed
+  * decode → Layout storage (the deployment write path) → read back →
+  * query front-end → HTTP envelope. Every stage is covered on its own
+  * elsewhere; this spec proves they COMPOSE — schema drift between
+  * decoder, sink, and planner fails here even when each unit spec
+  * stays green.
+  */
+class EndToEndSpec extends SparkTestBase {
+
+  // minimal protobuf writer (mirrors OtlpProtoSpec's)
+  private class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v: Long): W = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): W = { tag(field, 2); varint(b.length); out.write(b); this }
+    def str(field: Int, s: String): W = bytes(field, s.getBytes(UTF_8))
+    def msg(field: Int, m: W): W = bytes(field, m.out.toByteArray)
+    def vint(field: Int, v: Long): W = { tag(field, 0); varint(v) }
+    def fix64(field: Int, v: Long): W = {
+      tag(field, 1)
+      var i = 0; while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+  }
+  private def kv(k: String, v: String): W =
+    new W().str(1, k).msg(2, new W().str(1, v))
+  private def tid16(low: Long): Array[Byte] = {
+    val b = new Array[Byte](16)
+    var i = 0; while (i < 8) { b(15 - i) = ((low >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+  private def sid8(v: Long): Array[Byte] = tid16(v).drop(8)
+
+  private val T0 = 1704103200000000000L // 2024-01-01T10:00Z
+
+  test("traces: wire -> decode -> layout -> TraceQL -> /api/search") {
+    import spark.implicits._
+    def span(tid: Long, sid: Long, parent: Option[Long], name: String,
+        durNs: Long, status: Int): W = {
+      val w = new W().bytes(1, tid16(tid)).bytes(2, sid8(sid))
+      parent.foreach(p => w.bytes(4, sid8(p)))
+      w.str(5, name).vint(6, 2)
+        .fix64(7, T0).fix64(8, T0 + durNs)
+        .msg(9, kv("env", "prod"))
+        .msg(15, new W().vint(3, status))
+    }
+    val scopeSpans = new W().msg(1, new W().str(1, "lib"))
+      .msg(2, span(0xAAL, 1, None, "root-a", 500000L, 0))
+      .msg(2, span(0xAAL, 2, Some(1), "child-a", 100000L, 2))
+      .msg(2, span(0xBBL, 1, None, "root-b", 900000L, 0))
+    val payload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, scopeSpans)).out.toByteArray
+
+    val dir = Files.createTempDirectory("grafte2espans").toString
+    Layout.writeSpans(
+      Streams.spansFromOtlp(Seq(payload).toDF("payload")), dir)
+    val stored = spark.read.parquet(dir)
+
+    // parent_path materialized at write: the child's ancestry is stored
+    val paths = stored.filter(col("span_id") === 2 && col("trace_id") === 0xAAL)
+      .select("parent_path").collect()
+    assert(paths.length == 1 && paths(0).getSeq[Long](0) == Seq(1L))
+
+    // TraceQL over the stored layout: status=error spans
+    val err = graft.traceql.TraceQL.matchSpans("{ status = error }", stored)
+      .select("trace_id", "span_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(err.toSeq == Seq((0xAAL, 2L)))
+
+    // HTTP search over the same frame
+    val api = new HttpApi(spark.emptyDataFrame, spark.emptyDataFrame, stored)
+    val port = api.start()
+    try {
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:$port/api/search?q=" +
+          java.net.URLEncoder.encode("""{ name = "root-b" }""", "UTF-8"))
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode == 200)
+      assert(body.contains("\"rootTraceName\":\"root-b\"") &&
+        !body.contains("root-a"))
+    } finally api.stop()
+  }
+
+  test("logs: wire -> decode -> enrich -> layout -> LogQL") {
+    import spark.implicits._
+    // LogRecord: 1 ts, 2 severity_number, 5 body(AnyValue), 6 attrs
+    def logRec(tsNs: Long, body: String, sev: Int): W =
+      new W().fix64(1, tsNs).vint(2, sev.toLong)
+        .msg(5, new W().str(1, body))
+        .msg(6, kv("app", "web"))
+    val scopeLogs = new W().msg(1, new W().str(1, "logger"))
+      .msg(2, logRec(T0, """{"level":"error","msg":"boom"}""", 17))
+      .msg(2, logRec(T0 + 1000000L, "status=ok took=2ms", 9))
+    val payload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, scopeLogs)).out.toByteArray
+
+    val dir = Files.createTempDirectory("grafte2elogs").toString
+    Layout.writeLogs(
+      Streams.enrichLogs(Streams.logsFromOtlp(Seq(payload).toDF("payload"))),
+      dir)
+    val stored = spark.read.parquet(dir)
+      .withColumn("labels",
+        map(lit("app"), element_at(col("attrs"), "app")))
+      .select(col("ts_ns"), col("body"), col("labels"))
+
+    // LogQL pipeline over the stored rows: json stage + label filter
+    val out = graft.logql.Planner.query(
+      """{app="web"} | json | level = "error"""", stored)
+      .select("body").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("""{"level":"error","msg":"boom"}"""))
+
+    // metric query: count_over_time per day
+    val n = graft.logql.Planner.query("""count_over_time({app="web"}[1d])""",
+      stored).select("value").collect().map(_.getDouble(0))
+    assert(n.toSeq == Seq(2.0))
+  }
+
+  test("metrics: wire -> decode -> layout -> PromQL range") {
+    import spark.implicits._
+    def gaugeAt(tsNs: Long, v: Double): W = {
+      val p = new W().fix64(2, T0).fix64(3, tsNs)
+      p.tag(4, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0; while (i < 8) { p.out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      p.msg(7, kv("host", "h1"))
+    }
+    val metric = new W().str(1, "cpu")
+      .msg(5, new W().msg(1, gaugeAt(T0, 1.0)).msg(1, gaugeAt(T0 + 60_000_000_000L, 5.0)))
+    val payload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "meter")).msg(2, metric)))
+      .out.toByteArray
+
+    val points = Streams.pointsFromOtlp(Seq(payload).toDF("payload"))
+      .filter(col("gauge").isNotNull)
+      .select(expr("unix_micros(timestamp)").as("ts_us"),
+        col("name"), col("gauge").as("value"),
+        map(lit("host"), lit("h1")).as("labels"))
+    val dir = Files.createTempDirectory("grafte2epts").toString
+    Layout.writePoints(points.withColumn("ts_us", col("ts_us")), dir)
+    val stored = spark.read.parquet(dir)
+      .select("ts_us", "name", "labels", "value")
+
+    val got = graft.promql.PromQL.range("""max_over_time(cpu[1h])""", stored)
+      .select("value").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(5.0))
+  }
+}
