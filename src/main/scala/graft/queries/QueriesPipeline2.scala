@@ -376,6 +376,68 @@ object QueriesPipeline2 extends QueryPack {
       .orderBy("lang")
   }
 
+  /** CURATION COMPOSITION — the full selection funnel a training-data
+    * pipeline runs, as ONE query: quality gate → exact-dedup keep-list
+    * (md5 digest, keep min doc_id) → deterministic hash sampling →
+    * per-language funnel stats + surviving token count. Every stage is
+    * the same operator the standalone queries verify; this entry
+    * proves they compose — and the whole funnel stays one scan + one
+    * digest-keyed semi-join + one aggregation (no stage materializes a
+    * candidate set).
+    */
+  val curationE2e: Q = q(
+    "pipe_curation_funnel",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    n_chars * 0.01 + len(string_split(text, ' ')) * 0.1
+      |      - ((length(text) - length(replace(text, ' the ', ''))) / 5) * 0.5 AS score
+      |  FROM documents),
+      |quality AS (SELECT * FROM scored WHERE score > 6.0),
+      |keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+      |deduped AS (
+      |  SELECT q.* FROM quality q JOIN keepers k ON k.doc_id = q.doc_id),
+      |sampled AS (
+      |  SELECT * FROM deduped
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100
+      |    < (CASE WHEN lang = 'en' THEN 60 ELSE 90 END))
+      |SELECT d.lang,
+      |  (SELECT COUNT(*) FROM scored s WHERE s.lang = d.lang) AS n_total,
+      |  COUNT(*) AS n_quality,
+      |  CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN s.doc_id IS NOT NULL
+      |    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_out
+      |FROM deduped d LEFT JOIN sampled s ON s.doc_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  ) { td =>
+    val stop = (length(col("text")) - length(regexp_replace(col("text"),
+      java.util.regex.Pattern.quote(" the "), ""))) / 5
+    val score = col("n_chars") * 0.01 +
+      size(split(col("text"), " ", -1)) * 0.1 - stop * 0.5
+    val scored = td.documents.withColumn("score", score)
+    val quality = scored.filter(col("score") > 6.0)
+    val keepers = quality.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    val rate = when(col("lang") === "en", 60).otherwise(90)
+    val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    deduped
+      .withColumn("__keep", bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_quality"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("__keep"), size(split(col("text"), " ", -1)).cast("long"))
+          .otherwise(0L)).as("tokens_out"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("n_total"), col("n_quality"),
+        col("n_sampled"), col("tokens_out"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprinting (winnowing-lite): min-md5 over 2-shingles
     * per doc; per-source dedup accounting (docs vs distinct prints).
     */
@@ -444,6 +506,7 @@ object QueriesPipeline2 extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     minhashLsh, simhash, ngramJaccard, lshJaccardVerify, dedupClusters,
-    embeddingNeardup, langid, qualityScore, fingerprint, mediaFeatures
+    embeddingNeardup, langid, qualityScore, curationE2e, fingerprint,
+    mediaFeatures
   )
 }

@@ -100,4 +100,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("stratified sampling is one scan, one aggregation, no join") {
+    val p = planOf("pipe_sample_stratified")
+    // formatted output lists each node once in the tree and once in the
+    // details, so count the numbered detail entries
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"expected single scan:\n$p")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+  }
+
+  test("curation funnel: digest semi-join + broadcast totals, no cartesian") {
+    val p = planOf("pipe_curation_funnel")
+    assert(p.contains("LeftSemi"), s"dedup keep-list must semi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quantized dot product is one projection after an equi-join") {
+    val p = planOf("pipe_embed_quantize")
+    assert(!p.contains("CartesianProduct"))
+    // higher-order functions (aggregate/zip_with) run interpreted —
+    // outside whole-stage codegen by Spark design — but the whole fold
+    // must still be ONE narrow Project over the join, not a UDF or an
+    // extra shuffle
+    val f = finalPlanOf("pipe_embed_quantize")
+    val line = f.linesIterator.find(l => l.contains("aggregate(zip_with") &&
+      l.contains("Project"))
+    assert(line.isDefined, s"quantized-dot projection missing in:\n$f")
+    assert(!f.contains("BatchEvalPython") && !f.contains("ScalaUDF"))
+  }
 }
