@@ -521,6 +521,54 @@ object QueriesGrammar extends QueryPack {
          |    AND c.attr_value = k.attr_value
          |ORDER BY c.attr, c.attr_value, c.meta_type, c.bucket_ns""".stripMargin))
 
+  /** compare() 4-arg form: the selection additionally requires
+    * start_ns ∈ [start, end) — the time-split investigation shape
+    * (spans matching the filter AND inside the incident window vs
+    * everything else). Window = calendar 1994.
+    */
+  val metricsCompareWindow: Q = {
+    val s = 757382400000000000L // 1994-01-01T00:00Z in ns
+    val e = 788918400000000000L // 1995-01-01T00:00Z
+    Q(
+      "traceql_metrics_compare_window",
+      (spark: SparkSession, dir: String) =>
+        TraceQL.planMetrics(s"""{ } | compare({ status = error }, 2, $s, $e)""",
+            spansView(Testdata(spark, dir)), stepNs = 86400000000000L)
+          .select(col("bucket_ns"), col("meta_type"), col("attr"),
+            col("attr_value"), col("n")),
+      Some(
+        s"""WITH sp AS (
+           |  SELECT CASE WHEN l_returnflag = 'R'
+           |      AND epoch_ns(l_shipdate) >= $s AND epoch_ns(l_shipdate) < $e
+           |    THEN 'selection' ELSE 'baseline' END AS meta_type,
+           |    $bucketNs AS bucket_ns,
+           |    l_returnflag AS returnflag, l_linestatus AS linestatus,
+           |    CAST(l_quantity AS VARCHAR) AS quantity
+           |  FROM lineitem),
+           |exploded AS (
+           |  SELECT meta_type, bucket_ns, 'returnflag' AS attr, returnflag AS attr_value FROM sp
+           |  UNION ALL
+           |  SELECT meta_type, bucket_ns, 'linestatus', linestatus FROM sp
+           |  UNION ALL
+           |  SELECT meta_type, bucket_ns, 'quantity', quantity FROM sp),
+           |counts AS (
+           |  SELECT meta_type, attr, attr_value, bucket_ns,
+           |    CAST(COUNT(*) AS DOUBLE) AS n
+           |  FROM exploded GROUP BY 1, 2, 3, 4),
+           |keep AS (
+           |  SELECT meta_type, attr, attr_value FROM (
+           |    SELECT meta_type, attr, attr_value,
+           |      row_number() OVER (PARTITION BY meta_type, attr
+           |        ORDER BY SUM(n) DESC, attr_value) AS rk
+           |    FROM counts GROUP BY meta_type, attr, attr_value)
+           |  WHERE rk <= 2)
+           |SELECT c.bucket_ns, c.meta_type, c.attr, c.attr_value, c.n
+           |FROM counts c JOIN keep k
+           |  ON c.meta_type = k.meta_type AND c.attr = k.attr
+           |    AND c.attr_value = k.attr_value
+           |ORDER BY c.attr, c.attr_value, c.meta_type, c.bucket_ns""".stripMargin))
+  }
+
   /** Distinct span/resource attribute maps sharing the key `team` with
     * DIFFERENT values — the discriminator for strict resource.x vs
     * unscoped coalesce (chstorage/attributes.go:251-266).
@@ -579,6 +627,6 @@ object QueriesGrammar extends QueryPack {
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
     scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
     metricsE2e, metricsMin, metricsAvg, metricsSum, metricsQuantile,
-    metricsTopk, metricsCompare, resourceScopeE2e, tagFilteredE2e,
-    tagsScopedE2e)
+    metricsTopk, metricsCompare, metricsCompareWindow, resourceScopeE2e,
+    tagFilteredE2e, tagsScopedE2e)
 }
