@@ -110,6 +110,21 @@ object Layout {
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .parquet(path)
 
+  /** exemplars: daily partitions, ORDER BY (name, ts) — small next to
+    * the points table (a few exemplars per series per scrape), read by
+    * the query_exemplars endpoint's selector + time window.
+    */
+  def writeExemplars(exemplars: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    exemplars
+      .withColumn("date",
+        date_format(timestamp_micros(col("ts_us")), "yyyyMMdd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("name"), col("ts_us"))
+      .write.mode(mode)
+      .partitionBy("date")
+      .parquet(path)
+
   /** Compaction — the MergeTree background-merge analogue (the
     * reference gets this from ClickHouse for free; a parquet layout
     * has to run it as a maintenance job). Streaming ingest appends one

@@ -380,4 +380,17 @@ object Streams {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Exemplar inserter: the [[exemplarsFromOtlp]] frame appended into
+    * the daily exemplar layout (fourth sink, same foreachBatch shape).
+    */
+  def exemplarsSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Layout.writeExemplars(batch, path, mode = "append")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

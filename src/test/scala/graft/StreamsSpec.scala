@@ -139,6 +139,27 @@ class StreamsSpec extends SparkTestBase {
     assert(back.select("date").distinct().collect().map(_.get(0).toString).toSeq == Seq("20240101"))
   }
 
+  test("exemplarsSink appends the daily exemplar layout; endpoint frame reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-esink").toString
+    val input = MemoryStream[(Long, String, Map[String, String], Map[String, String], Double)](spark)
+    val exemplars = input.toDF()
+      .toDF("ts_us", "name", "labels", "exemplar_labels", "value")
+    val day1 = 1704103200000000L
+    input.addData(
+      (day1, "latency", Map("svc" -> "api"), Map("trace_id" -> "cafe"), 0.5),
+      (day1 + 60000000L, "latency", Map("svc" -> "web"), Map("trace_id" -> "beef"), 1.5))
+    val query = Streams.exemplarsSink(exemplars, s"$dir/ex", s"$dir/ckpt")
+    query.processAllAvailable()
+    query.stop()
+    val back = spark.read.parquet(s"$dir/ex")
+    assert(back.count() == 2)
+    // the stored frame serves the endpoint encoder directly
+    val json = graft.api.ApiEncoders.promExemplars(
+      back.filter(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("labels"), "svc") === "api"))
+    assert(json.contains("\"cafe\"") && !json.contains("beef"))
+  }
+
   test("spansSink appends the bloom-filtered daily span layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssink").toString
     val input = MemoryStream[(Long, Int, String, Long, Long)](spark)
