@@ -49,6 +49,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // the JDK server's default (null) executor runs handlers on the
+    // dispatch thread, serializing ALL requests; Spark jobs launched
+    // from handlers are thread-safe, so hand requests to a pool
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.createContext("/loki/api/v1/query_range", handler(lokiQueryRange))
     server.createContext("/loki/api/v1/query", handler(lokiInstant))
     server.createContext("/loki/api/v1/labels", handler(lokiLabels))

@@ -302,6 +302,22 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent requests are served in parallel, all successfully") {
+    withApi { port =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val urls = Seq(
+        s"http://127.0.0.1:$port/loki/api/v1/labels",
+        s"http://127.0.0.1:$port/api/v1/labels",
+        s"http://127.0.0.1:$port/api/search/tags",
+        s"http://127.0.0.1:$port/pyroscope/labels")
+      val codes = Await.result(
+        Future.sequence(urls.map(u => Future(get(u)._1))), 60.seconds)
+      assert(codes.forall(_ == 200), s"codes: $codes")
+    }
+  }
+
   test("tempo trace-by-id returns the span batch; bad query returns 400") {
     withApi { port =>
       val (code, body) = get(s"http://127.0.0.1:$port/api/traces/7")
