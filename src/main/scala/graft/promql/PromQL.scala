@@ -73,6 +73,7 @@ object PromQL {
     "sort", "sort_desc", "timestamp", "absent", "label_replace", "label_join",
     "scalar", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "deg", "rad",
+    "sort_by_label", "sort_by_label_desc",
     "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
     "days_in_month", "month", "year")
 
@@ -1059,6 +1060,14 @@ object PromQL {
         case "clamp_max" => in.withColumn("value", least(col("value"), num(0)))
         case "sort"      => in.orderBy(col("bucket_us"), col("value"))
         case "sort_desc" => in.orderBy(col("bucket_us"), col("value").desc)
+        case "sort_by_label" | "sort_by_label_desc" =>
+          // experimental upstream (funcSortByLabel): order series by the
+          // given label values, ties broken by the next label
+          val keys = strs.map(l => element_at(col("labels"), l))
+          val ordered =
+            if (fn == "sort_by_label") keys.map(_.asc_nulls_first)
+            else keys.map(_.desc_nulls_last)
+          in.orderBy(col("bucket_us") +: ordered: _*)
         case "timestamp" =>
           // derived vectors carry the evaluation timestamp (Prometheus
           // enh.Ts); our step label is the bucket time

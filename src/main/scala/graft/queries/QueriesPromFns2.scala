@@ -200,7 +200,27 @@ object QueriesPromFns2 extends QueryPack {
            |FROM per GROUP BY svc ORDER BY svc""".stripMargin))
   }
 
+  /** sort_by_label: series ordered by label values (experimental
+    * upstream, funcSortByLabel) — the query's own ordering IS the
+    * result contract, so no outer orderBy.
+    */
+  val sortByLabel: Q = Q(
+    "promql_e2e_sort_by_label",
+    (s: SparkSession, dir: String) =>
+      PromQL.range(
+          """sort_by_label(sum by (svc, et) (count_over_time(ev[1d])), "et", "svc")""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value")),
+    Some(
+      s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |  CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+         |  CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY bucket_us, et, svc""".stripMargin))
+
   override def queries: Seq[Q] =
     Seq(trig, scalarDyn, groupAgg, neBool, madOverTime, holtWinters,
-      instantSubquery)
+      instantSubquery, sortByLabel)
 }

@@ -94,6 +94,8 @@ class PromQLComplianceSpec extends AnyFunSuite {
       "demo_memory_usage_bytes != bool 1.2345",
       "vector(pi())",
       "mad_over_time(demo_memory_usage_bytes[1m])",
+      """sort_by_label(demo_memory_usage_bytes, "instance")""",
+      """sort_by_label_desc(demo_memory_usage_bytes, "instance", "job")""",
       "holt_winters(demo_disk_usage_bytes[1m], 0.5, 0.3)",
       "double_exponential_smoothing(demo_disk_usage_bytes[1m], 0.5, 0.3)"
     ) ++
