@@ -60,6 +60,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     server.createContext("/loki/api/v1/label/", handler(lokiLabelValues))
     server.createContext("/loki/api/v1/series", handler(lokiSeries))
     server.createContext("/loki/api/v1/index/volume", handler(lokiVolume))
+    server.createContext("/loki/api/v1/index/volume_range", handler(lokiVolumeRange))
     server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
     server.createContext("/loki/api/v1/detected_fields", handler(lokiDetectedFields))
     server.createContext("/loki/api/v1/detected_field/", handler(lokiDetectedFieldValues))
@@ -187,6 +188,21 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     ApiEncoders.lokiVector(
       graft.logql.Discovery.volume(src, p.getOrElse("query", "{}"), targets),
       evalSec)
+  }
+
+  /** Volume timeline (drilldown): per-step counts per targetLabels
+    * group as a Loki matrix (lokihandler.go:447-551 QueryVolumeRange).
+    */
+  private def lokiVolumeRange(ex: HttpExchange): String = {
+    val p = params(ex)
+    val src = windowed(logs, p, "ts_ns", 1L)
+    val targets = p.get("targetLabels").filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val stepNs = p.get("step").filter(_.nonEmpty)
+      .map(s => (s.toDouble * 1e9).toLong).getOrElse(3600000000000L)
+    ApiEncoders.lokiMatrix(
+      graft.logql.Discovery.volumeRange(src, p.getOrElse("query", "{}"),
+        stepNs, targets))
   }
 
   private def lokiDetectedLabels(ex: HttpExchange): String = {

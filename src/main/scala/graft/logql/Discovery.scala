@@ -110,4 +110,35 @@ object Discovery {
       .orderBy("__k")
       .select("labels", "value")
   }
+
+  /** volume_range: [[volume]] bucketed on a step grid — one count
+    * series per targetLabels group, the Grafana drilldown timeline
+    * (reference lokihandler.go:447-551 QueryVolumeRange). Same single
+    * aggregation with the bucket in the key.
+    */
+  def volumeRange(logs: DataFrame, selector: String, stepNs: Long,
+      targetLabels: Seq[String] = Nil): DataFrame = {
+    val lq = Parser.parse(selector) match {
+      case Ast.LogExpr(l) if l.stages.isEmpty => l
+      case _ => throw new IllegalArgumentException(
+        "volume requires a selector-only query")
+    }
+    val agg =
+      (if (targetLabels.nonEmpty) targetLabels else lq.matchers.map(_.label))
+        .distinct.sorted
+    val resolve = (k: String) => element_at(col("labels"), k)
+    val filtered = lq.matchers.map(m => Planner.matcherCol(m, resolve))
+      .reduceOption(_ && _).fold(logs)(logs.filter)
+    val aggArr = array(agg.map(lit): _*)
+    filtered
+      .withColumn("__sub",
+        map_filter(col("labels"), (k, _) => array_contains(aggArr, k)))
+      .withColumn("bucket_ns", col("ts_ns") - col("ts_ns") % lit(stepNs))
+      .groupBy(col("bucket_ns"),
+        VectorMatching.streamKey(col("__sub")).as("__k"))
+      .agg(first(col("__sub")).as("labels"),
+        count(lit(1)).cast("double").as("value"))
+      .orderBy("bucket_ns", "__k")
+      .select("bucket_ns", "labels", "value")
+  }
 }

@@ -194,6 +194,21 @@ class HttpApiSpec extends SparkTestBase {
       val (c4, fv) = get(
         s"http://127.0.0.1:$port/loki/api/v1/detected_field/app/values")
       assert(c4 == 200 && fv == """{"values":["api","web"],"limit":2}""")
+
+      // volume_range: per-step matrix (all api rows share the 86400
+      // bucket at 1h steps)
+      val (c5, vr) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/index/volume_range?query=${enc("""{app="api"}""")}&step=3600""")
+      assert(c5 == 200)
+      assert(vr == """{"status":"success","data":{"resultType":"matrix",""" +
+        """"result":[{"metric":{"app":"api"},"values":[[86400,"2.0"]]}]}}""")
+
+      // both apps, per-group series
+      val (c6, vr2) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/index/volume_range?query=${enc("""{app=~".+"}""")}&step=3600""")
+      assert(c6 == 200)
+      assert(vr2.contains(""""metric":{"app":"api"},"values":[[86400,"2.0"]]"""))
+      assert(vr2.contains(""""metric":{"app":"web"},"values":[[86400,"1.0"]]"""))
     }
   }
 
