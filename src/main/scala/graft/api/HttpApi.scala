@@ -61,6 +61,13 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     server.createContext("/loki/api/v1/series", handler(lokiSeries))
     server.createContext("/loki/api/v1/index/volume", handler(lokiVolume))
     server.createContext("/loki/api/v1/index/volume_range", handler(lokiVolumeRange))
+    // reference-faithful static responses (lokihandler.go:220-237:
+    // IndexStats serves empty stats, DrilldownLimits advertises the
+    // volume capability)
+    server.createContext("/loki/api/v1/index/stats",
+      handler(_ => """{"streams":0,"chunks":0,"entries":0,"bytes":0}"""))
+    server.createContext("/loki/api/v1/drilldown/limits",
+      handler(_ => """{"limits":{"volume_enabled":true},"version":"v3.6.0"}"""))
     server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
     server.createContext("/loki/api/v1/detected_fields", handler(lokiDetectedFields))
     server.createContext("/loki/api/v1/detected_field/", handler(lokiDetectedFieldValues))

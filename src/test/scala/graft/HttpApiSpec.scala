@@ -209,6 +209,12 @@ class HttpApiSpec extends SparkTestBase {
       assert(c6 == 200)
       assert(vr2.contains(""""metric":{"app":"api"},"values":[[86400,"2.0"]]"""))
       assert(vr2.contains(""""metric":{"app":"web"},"values":[[86400,"1.0"]]"""))
+
+      // reference-faithful static endpoints
+      val (c7, stats) = get(s"http://127.0.0.1:$port/loki/api/v1/index/stats")
+      assert(c7 == 200 && stats == """{"streams":0,"chunks":0,"entries":0,"bytes":0}""")
+      val (c8, lim) = get(s"http://127.0.0.1:$port/loki/api/v1/drilldown/limits")
+      assert(c8 == 200 && lim.contains(""""volume_enabled":true"""))
     }
   }
 
