@@ -87,6 +87,19 @@ object Discovery {
     * (lokihandler.go:495-551). Output (labels, value), one row per
     * group.
     */
+  /** Label sub-map used as the volume grouping key. An EMPTY
+    * aggregation set (the HTTP default query `{}` with no
+    * targetLabels) is guarded explicitly — everything groups into one
+    * empty-label series — instead of relying on how a zero-column
+    * `array()` coerces inside array_contains.
+    */
+  private def aggSubMap(agg: Seq[String]): Column =
+    if (agg.isEmpty) map().cast("map<string,string>")
+    else {
+      val aggArr = array(agg.map(lit): _*)
+      map_filter(col("labels"), (k, _) => array_contains(aggArr, k))
+    }
+
   def volume(logs: DataFrame, selector: String,
       targetLabels: Seq[String] = Nil): DataFrame = {
     val lq = Parser.parse(selector) match {
@@ -100,10 +113,8 @@ object Discovery {
     val resolve = (k: String) => element_at(col("labels"), k)
     val filtered = lq.matchers.map(m => Planner.matcherCol(m, resolve))
       .reduceOption(_ && _).fold(logs)(logs.filter)
-    val aggArr = array(agg.map(lit): _*)
     filtered
-      .withColumn("__sub",
-        map_filter(col("labels"), (k, _) => array_contains(aggArr, k)))
+      .withColumn("__sub", aggSubMap(agg))
       .groupBy(VectorMatching.streamKey(col("__sub")).as("__k"))
       .agg(first(col("__sub")).as("labels"),
         count(lit(1)).cast("double").as("value"))
@@ -129,10 +140,8 @@ object Discovery {
     val resolve = (k: String) => element_at(col("labels"), k)
     val filtered = lq.matchers.map(m => Planner.matcherCol(m, resolve))
       .reduceOption(_ && _).fold(logs)(logs.filter)
-    val aggArr = array(agg.map(lit): _*)
     filtered
-      .withColumn("__sub",
-        map_filter(col("labels"), (k, _) => array_contains(aggArr, k)))
+      .withColumn("__sub", aggSubMap(agg))
       .withColumn("bucket_ns", col("ts_ns") - col("ts_ns") % lit(stepNs))
       .groupBy(col("bucket_ns"),
         VectorMatching.streamKey(col("__sub")).as("__k"))

@@ -23,38 +23,99 @@ import org.apache.spark.sql.functions._
   */
 object Flame {
 
-  /** `name{k="v",k2="v2"}` — the ProfileQL selector subset the render
-    * endpoint accepts (reference profileql/parser.go:10-230; full
-    * matcher ops are exercised through the query pack).
+  /** One selector matcher: label, operator (= != =~ !~), value. */
+  private[graft] final case class Matcher(label: String, op: String, value: String)
+
+  /** `name{k="v",k2!="x",k3=~"a|b"}` — the ProfileQL selector the
+    * render endpoint accepts (reference profileql/parser.go:10-230).
+    * A real tokenizer: quoted values may contain commas and escaped
+    * quotes; all four matcher operators are recognized, and anything
+    * else is rejected explicitly rather than misparsed as equality on
+    * a mangled label name.
     */
-  private[graft] def parseSelector(q: String): (String, Seq[(String, String)]) = {
+  private[graft] def parseSelector(q: String): (String, Seq[Matcher]) = {
     val brace = q.indexOf('{')
     if (brace < 0) return (q.trim, Nil)
     val name = q.substring(0, brace).trim
-    val body = q.substring(brace + 1, q.lastIndexOf('}')).trim
-    if (body.isEmpty) return (name, Nil)
-    val ms = body.split(',').toSeq.map { m =>
-      val Array(k, v) = m.split("=", 2)
-      (k.trim, v.trim.stripPrefix("\"").stripSuffix("\""))
+    val close = q.lastIndexOf('}')
+    require(close > brace, s"unterminated selector body in: $q")
+    val body = q.substring(brace + 1, close)
+    var i = 0
+    def skipWs(): Unit = while (i < body.length && body(i).isWhitespace) i += 1
+    val ms = mutable.ArrayBuffer.empty[Matcher]
+    skipWs()
+    while (i < body.length) {
+      val ls = i
+      while (i < body.length && (body(i).isLetterOrDigit || body(i) == '_' ||
+        body(i) == '.')) i += 1
+      val label = body.substring(ls, i)
+      require(label.nonEmpty, s"expected label name at offset $i in: {$body}")
+      skipWs()
+      val op =
+        if (body.startsWith("=~", i)) { i += 2; "=~" }
+        else if (body.startsWith("!=", i)) { i += 2; "!=" }
+        else if (body.startsWith("!~", i)) { i += 2; "!~" }
+        else if (i < body.length && body(i) == '=') { i += 1; "=" }
+        else throw new IllegalArgumentException(
+          s"expected matcher operator (= != =~ !~) after '$label' in: {$body}")
+      skipWs()
+      require(i < body.length && body(i) == '"',
+        s"expected quoted value after '$label$op' in: {$body}")
+      i += 1
+      val sb = new StringBuilder
+      while (i < body.length && body(i) != '"') {
+        if (body(i) == '\\' && i + 1 < body.length) {
+          i += 1
+          sb += (body(i) match {
+            case 'n' => '\n'; case 't' => '\t'; case c => c
+          })
+        } else sb += body(i)
+        i += 1
+      }
+      require(i < body.length, s"unterminated quoted value in: {$body}")
+      i += 1 // closing quote
+      ms += Matcher(label, op, sb.result())
+      skipWs()
+      if (i < body.length) {
+        require(body(i) == ',', s"expected ',' between matchers in: {$body}")
+        i += 1; skipWs()
+      }
     }
-    (name, ms)
+    (name, ms.toSeq)
   }
 
-  /** Matching samples merged per distinct stack (the distributed part). */
+  /** Matching samples merged per distinct stack (the distributed
+    * part), truncated distributed-side: only the `maxStacks` heaviest
+    * stacks reach the driver; the remainder's total comes back as ONE
+    * aggregate so the rendered tree still sums to the true total. A
+    * pathological corpus (unbounded distinct stacks) can therefore
+    * never balloon the driver.
+    */
   private def mergedStacks(profiles: DataFrame, query: String,
-      fromUs: Option[Long], untilUs: Option[Long]): Seq[(Seq[String], Long)] = {
+      fromUs: Option[Long], untilUs: Option[Long],
+      maxStacks: Int): (Seq[(Seq[String], Long)], Long) = {
     val (name, matchers) = parseSelector(query)
     var df = profiles
     if (name.nonEmpty) df = df.filter(col("name") === name)
-    matchers.foreach { case (k, v) =>
-      df = df.filter(element_at(col("labels"), k) === v)
+    matchers.foreach { m =>
+      val v = element_at(col("labels"), m.label)
+      df = df.filter(m.op match {
+        case "="  => v === m.value
+        case "!=" => !(v <=> m.value) // absent label also matches !=
+        case "=~" => v.rlike("^(?:" + m.value + ")$")
+        case "!~" => !coalesce(v.rlike("^(?:" + m.value + ")$"), lit(false))
+      })
     }
     fromUs.foreach(t => df = df.filter(col("ts_us") >= t))
     untilUs.foreach(t => df = df.filter(col("ts_us") <= t))
-    df.groupBy(col("stack")).agg(sum(col("value")).as("total"))
-      .collect()
-      .map(r => (r.getSeq[String](0), r.getLong(1)))
-      .toSeq
+    val agg = df.groupBy(col("stack")).agg(sum(col("value")).as("total"))
+      .persist()
+    try {
+      val top = agg.orderBy(col("total").desc).limit(maxStacks).collect()
+        .map(r => (r.getSeq[String](0), r.getLong(1))).toSeq
+      val grand = agg.agg(coalesce(sum(col("total")), lit(0L))).head().getLong(0)
+      (top, grand - top.map(_._2).sum)
+    } finally { agg.unpersist(): Unit }
   }
 
   private final class Node(val name: String) {
@@ -63,11 +124,18 @@ object Flame {
     val children = mutable.SortedMap.empty[String, Node]
   }
 
-  /** Flamebearer JSON for `query` over the profiles frame. */
+  /** Flamebearer JSON for `query` over the profiles frame.
+    * `maxStacks` bounds what the distributed merge ships to the
+    * driver; the folded remainder renders as a root-level "other"
+    * frame so numTicks stays the true total.
+    */
   def flamebearer(profiles: DataFrame, query: String,
       fromUs: Option[Long] = None, untilUs: Option[Long] = None,
-      maxNodes: Int = 0): String = {
-    val stacks = mergedStacks(profiles, query, fromUs, untilUs)
+      maxNodes: Int = 0, maxStacks: Int = 1 << 16): String = {
+    val (top, dropped) =
+      mergedStacks(profiles, query, fromUs, untilUs, maxStacks)
+    val stacks =
+      if (dropped > 0) top :+ (Seq("other") -> dropped) else top
     val root = new Node("total")
     stacks.foreach { case (frames, v) =>
       root.total += v

@@ -459,6 +459,28 @@ object PromQL {
       case _ => None
     }
 
+  /** Max history (µs) any leaf of `e` may need BEFORE its own
+    * evaluation timestamp: range+offset for range fns, recursively
+    * range+offset+inner history for nested subqueries, the 5m instant
+    * lookback for bare selectors. `None` = unbounded — the tree holds
+    * an `@`-pinned leaf whose absolute timestamp can sit anywhere, so
+    * a relative pre-filter would truncate its data.
+    */
+  private def lookbackBoundUs(e: Expr): Option[Long] = e match {
+    case RangeFn(_, _, r, o, _)     => Some(r / 1000 + o / 1000)
+    case RangeSub(_, i, r, _, o, _) =>
+      lookbackBoundUs(i).map(r / 1000 + o / 1000 + _)
+    case Instant(_)                 => Some(300000000L)
+    case Agg(_, _, _, _, _, i)      => lookbackBoundUs(i)
+    case Bin(_, l, r, _, _) =>
+      for (a <- lookbackBoundUs(l); b <- lookbackBoundUs(r))
+        yield math.max(a, b)
+    case FnCall(_, i, _, _)         => lookbackBoundUs(i)
+    case HistQuantile(_, i)         => lookbackBoundUs(i)
+    case At(_, _)                   => None // pinned: absolute, unbounded
+    case ScalarLit(_) | TimeFn | VectorLit(_) => Some(0L)
+  }
+
   private def collectRanges(e: Expr): Seq[Long] = e match {
     case RangeFn(_, _, r, _, _)    => Seq(r / 1000)
     case RangeSub(_, _, _, _, _, _) =>
@@ -516,12 +538,16 @@ object PromQL {
       // difference between a window read and a full-table pass.
       val rangeUs = rangeNs / 1000
       val end = evalTsUs - offsetNs / 1000
-      val innerLookbackUs =
-        (try collectRanges(inner) catch { case _: Throwable => Nil })
-          .maxOption.getOrElse(300000000L)
-      val pre = points
-        .filter(col("ts_us") > lit(end - rangeUs - innerLookbackUs) &&
-          col("ts_us") <= lit(end))
+      // Pre-filter the source to (end-range-innerHistory, end]. The
+      // bound is exact for nested subqueries and offsets; an @-pinned
+      // leaf makes it unbounded — keep the full source rather than
+      // silently truncating its absolute window.
+      val pre = lookbackBoundUs(inner) match {
+        case Some(innerLookbackUs) => points
+          .filter(col("ts_us") > lit(end - rangeUs - innerLookbackUs) &&
+            col("ts_us") <= lit(end))
+        case None => points // @ may pin before OR after end — no bound holds
+      }
       val v = overTimeAgg(fn, param).getOrElse(
         throw new IllegalArgumentException(s"$fn over a subquery is unsupported"))
       planRange(inner, pre, Some(stepNs / 1000))

@@ -154,8 +154,20 @@ object Layout {
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
     }
-    deleteRec(dir)
-    require(tmp.renameTo(dir), s"compaction swap failed for $dir")
+    // Crash-safe swap order: move the LIVE dir aside first, then move
+    // the compacted tmp into place, and only then destroy the old
+    // data. Each rename is verified before the previous state is
+    // touched — a crash or rename failure at any point leaves either
+    // the old or the new partition fully present, never neither.
+    val old = new java.io.File(root, s".old.date=$date")
+    if (old.exists()) deleteRec(old) // leftover from a prior crash
+    require(dir.renameTo(old), s"compaction: cannot move live $dir aside")
+    if (!tmp.renameTo(dir)) {
+      // roll back: restore the live partition before failing
+      require(old.renameTo(dir), s"compaction rollback failed for $dir")
+      throw new IllegalStateException(s"compaction swap failed for $dir")
+    }
+    deleteRec(old)
     n
   }
 

@@ -288,6 +288,16 @@ object Streams {
     * trace/span link carried inside exemplar_labels (reference stores
     * them alongside the point, chstorage exemplar columns).
     */
+  /** map_concat with right-side precedence that cannot throw on
+    * duplicate keys: valid OTLP may carry the same key in both
+    * resource and point attrs (or a filtered_attribute named
+    * trace_id), and Spark's default mapKeyDedupPolicy=EXCEPTION would
+    * fail the whole ingest micro-batch on the collision.
+    */
+  private def mergeRightWins(left: Column, right: Column): Column =
+    map_concat(
+      map_filter(left, (k, _) => !map_contains_key(right, k)), right)
+
   def exemplarsFromOtlp(frames: DataFrame,
       payloadCol: String = "payload"): DataFrame = {
     val ss = frames.sparkSession
@@ -298,14 +308,15 @@ object Streams {
       .filter(col("exemplars").isNotNull)
       // series labels stay a MAP here (selector matching needs
       // element_at), unlike the hashed canonical string the point
-      // inserter uses
+      // inserter uses. Point attrs shadow resource attrs on key
+      // collision (more-specific wins).
       .select(col("name"),
-        map_concat(col("resource_attrs"), col("attrs")).as("labels"),
+        mergeRightWins(col("resource_attrs"), col("attrs")).as("labels"),
         explode(col("exemplars")).as("e"))
       .select(
         expr("e.ts_ns div 1000").as("ts_us"),
         col("name"), col("labels"),
-        map_concat(
+        mergeRightWins(
           coalesce(col("e.attrs"), map().cast("map<string,string>")),
           map_filter(
             map(lit("trace_id"), col("e.trace_id_hex"),

@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Label-map rewrites (label_replace dst overwrite, OTLP
+      // resource/point attr merges) legitimately produce duplicate map
+      // keys; the default EXCEPTION policy would fail the whole query
+      // or ingest batch. LAST_WIN matches PromQL/LogQL label-overwrite
+      // semantics (the rewritten value replaces the old one).
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
