@@ -114,7 +114,24 @@ object ApiEncoders {
     * (hex ids, ns strings) — the /api/traces/{id} shape.
     */
   def tempoTrace(spans: DataFrame, traceId: Long): String = {
-    val rows = spans.filter(col("trace_id") === traceId)
+    val rows = traceSpanRows(spans, traceId)
+    s"""{"batches":[{"scopeSpans":[{"spans":[${rows.mkString(",")}]}]}]}"""
+  }
+
+  /** TraceByIDv2 (/api/v2/traces/{id}): the tempopb TraceByIDResponse
+    * wrapper — {"trace":{"resourceSpans":…}} — and None when the
+    * trace has no spans (the v2 handler 404s, reference
+    * tempohandler.go:660-663).
+    */
+  def tempoTraceV2(spans: DataFrame, traceId: Long): Option[String] = {
+    val rows = traceSpanRows(spans, traceId)
+    if (rows.isEmpty) None
+    else Some(s"""{"trace":{"resourceSpans":[{"scopeSpans":[{"spans":[${
+      rows.mkString(",")}]}]}]}}""")
+  }
+
+  private def traceSpanRows(spans: DataFrame, traceId: Long): Array[String] =
+    spans.filter(col("trace_id") === traceId)
       .select(to_json(struct(
         format_string("%016x", col("trace_id")).as("traceId"),
         format_string("%016x", col("span_id")).as("spanId"),
@@ -123,8 +140,6 @@ object ApiEncoders {
         (col("start_ns") + col("duration_ns")).cast("string").as("endTimeUnixNano"))).as("j"))
       .orderBy("j")
       .collect().map(_.getString(0))
-    s"""{"batches":[{"scopeSpans":[{"spans":[${rows.mkString(",")}]}]}]}"""
-  }
 
   /** Label-name discovery: distinct map keys, sorted — bounded by
     * label-name cardinality, never sample volume (reference
@@ -205,6 +220,112 @@ object ApiEncoders {
       .orderBy("j")
     val rows = sets.collect().map(_.getString(0))
     s"""{"status":"success","data":[${rows.mkString(",")}]}"""
+  }
+
+  /** Labels array of the Tempo metrics series envelope
+    * (tempoapi Attributes: [{"key":k,"value":{"stringValue":v}}]).
+    */
+  private def tempoLabels(pairs: Seq[(Column, Column)]): Column =
+    if (pairs.isEmpty) lit("[]")
+    else to_json(array(pairs.map { case (k, v) =>
+      struct(k.as("key"),
+        struct(v.cast("string").as("stringValue")).as("value"))
+    }: _*))
+
+  /** Series key/labels for a TraceQL metrics result frame: compare()
+    * output carries (meta_type, attr, attr_value); a by()/histogram
+    * query carries by_value under `byKey`; a bare aggregate is one
+    * unlabeled series.
+    */
+  private def tempoSeriesCols(df: DataFrame,
+      byKey: Option[String]): (Seq[Column], Column) =
+    if (df.columns.contains("meta_type"))
+      (Seq(col("meta_type"), col("attr"), col("attr_value")),
+        tempoLabels(Seq(
+          lit("__meta_type") -> col("meta_type"),
+          col("attr") -> col("attr_value"))))
+    else byKey match {
+      case Some(k) =>
+        (Seq(col("by_value")), tempoLabels(Seq(lit(k) -> col("by_value"))))
+      case None => (Nil, tempoLabels(Nil))
+    }
+
+  /** Tempo /api/metrics/query_range envelope (tempoapi RangeMetrics:
+    * {"series":[{"labels":…,"samples":[{"timestamp_ms":…,"value":…}],
+    * "exemplars":[]}]}) from a [[graft.traceql.TraceQL.metricsRange]]
+    * frame. Grouping and sample assembly run distributed; one string
+    * per series reaches the driver.
+    */
+  def tempoRangeMetrics(df: DataFrame, byKey: Option[String]): String = {
+    val (keys, labels) = tempoSeriesCols(df, byKey)
+    val valueCol = if (df.columns.contains("n")) col("n") else col("value")
+    val sample = (p: Column) => concat(
+      lit("{\"timestamp_ms\":"), p.getField("t"),
+      lit(",\"value\":"), p.getField("v").cast("string"), lit("}"))
+    val grouped =
+      if (keys.isEmpty) df.groupBy(lit(1).as("__one"))
+      else df.groupBy(keys: _*)
+    val series = grouped
+      .agg(sort_array(collect_list(struct(
+        expr("bucket_ns div 1000000").as("t"), valueCol.as("v")))).as("pts"))
+      .select(concat(
+        lit("{\"labels\":"), labels,
+        lit(",\"samples\":["), concat_ws(",", transform(col("pts"), sample)),
+        lit("],\"exemplars\":[]}")).as("series_json"))
+      .orderBy("series_json")
+      .collect().map(_.getString(0))
+    s"""{"series":[${series.mkString(",")}]}"""
+  }
+
+  /** Tempo /api/metrics/query envelope (tempoapi InstantMetrics:
+    * {"series":[{"labels":…,"value":…}]}) — the caller evaluates with
+    * ONE step spanning the window, so each series has one sample.
+    */
+  def tempoInstantMetrics(df: DataFrame, byKey: Option[String]): String = {
+    val (keys, labels) = tempoSeriesCols(df, byKey)
+    val valueCol = if (df.columns.contains("n")) col("n") else col("value")
+    val grouped =
+      if (keys.isEmpty) df.groupBy(lit(1).as("__one"))
+      else df.groupBy(keys: _*)
+    val series = grouped
+      // one bucket per window by construction; sum is a no-op guard
+      .agg(sum(valueCol).as("v"))
+      .select(concat(
+        lit("{\"labels\":"), labels,
+        lit(",\"value\":"), col("v").cast("string"), lit("}"))
+        .as("series_json"))
+      .orderBy("series_json")
+      .collect().map(_.getString(0))
+    s"""{"series":[${series.mkString(",")}]}"""
+  }
+
+  /** Prom /api/v1/metadata envelope from a series-identity frame
+    * (name, unit, description): name → [{type, help, unit}], sorted,
+    * optional exact-name filter and limit (reference
+    * promhandler.go:463-496; type is always "counter" there too —
+    * chstorage querier_metrics_timeseries.go:376-381 TODO).
+    */
+  def promMetadata(series: DataFrame, metric: Option[String],
+      limit: Option[Int]): String = {
+    val hasMeta = series.columns.contains("unit")
+    val unit = if (hasMeta) coalesce(col("unit"), lit("")) else lit("")
+    val desc =
+      if (hasMeta) coalesce(col("description"), lit("")) else lit("")
+    val base = metric.filter(_.nonEmpty)
+      .fold(series)(m => series.filter(col("name") === m))
+    val agg = base.groupBy(col("name"))
+      .agg(first(unit, ignoreNulls = true).as("u"),
+        first(desc, ignoreNulls = true).as("d"))
+      .orderBy("name")
+    val capped = limit.filter(_ > 0).fold(agg)(agg.limit)
+    // bounded by metric-name cardinality, never sample volume
+    val entries = capped.collect().map { r =>
+      val (n, u, d) =
+        (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))
+      s"""${jsonString(n)}:[{"type":"counter","help":${jsonString(
+        d.getOrElse(""))},"unit":${jsonString(u.getOrElse(""))}}]"""
+    }
+    s"""{"status":"success","data":{${entries.mkString(",")}}}"""
   }
 
   private def envelope(resultType: String, series: DataFrame): String = {

@@ -21,10 +21,19 @@ import org.apache.spark.sql.functions._
   *   - /api/v1/query_range?query=&step=&start=&end=   (PromQL)
   *   - /api/v1/query?query=&time=                     (PromQL instant)
   *   - /api/v1/labels | /api/v1/label/{name}/values | /api/v1/series
+  *   - /api/v1/metadata?metric=&limit=                (metric metadata)
   *   - /api/search?q=&limit=&start=&end=              (TraceQL search)
   *   - /api/search/tags | /api/search/tag/{name}/values
   *   - /api/v2/search/tag/{name}/values?q=            (selector-filtered)
-  *   - /api/traces/{hexTraceId}
+  *   - /api/traces/{hexTraceId} | /api/v2/traces/{hexTraceId}
+  *   - /api/metrics/query_range?q=&step=              (TraceQL metrics)
+  *   - /api/metrics/query?q=                          (instant form)
+  *   - /api/status/buildinfo | /api/echo
+  *   - /loki/api/v1/patterns | /loki/api/v1/push      (faithful stubs)
+  *
+  * The Prom routes also accept POST with an
+  * application/x-www-form-urlencoded body carrying the same fields
+  * (reference PostQuery/PostQueryRange/PostLabels/PostSeries forms).
   *
   * Every handler threads `start`/`end` into the scan BEFORE planning
   * (reference tempohandler.go:126-180, lokihandler.go:365-407,
@@ -39,9 +48,18 @@ import org.apache.spark.sql.functions._
   */
 final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     profiles: Option[DataFrame] = None,
-    exemplars: Option[DataFrame] = None) {
+    exemplars: Option[DataFrame] = None,
+    series: Option[DataFrame] = None) {
 
   private var server: HttpServer = _
+
+  /** Handler-raised HTTP statuses beyond the blanket 400. */
+  private final class HttpStatus(val code: Int, msg: String)
+      extends RuntimeException(msg)
+  private def notFound(msg: String): Nothing =
+    throw new HttpStatus(404, msg)
+  private def notImplemented(msg: String): Nothing =
+    throw new HttpStatus(501, msg)
 
   /** Starts on `port` (0 = ephemeral); returns the bound port.
     * The JDK server picks the LONGEST matching context prefix, so the
@@ -79,7 +97,27 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     exemplars.foreach { _ =>
       server.createContext("/api/v1/query_exemplars", handler(promQueryExemplars))
     }
+    server.createContext("/api/v1/metadata", handler(promMetadataHandler))
     server.createContext("/api/search", handler(tempoSearchHandler))
+    // TraceQL metrics engine over HTTP — the reference serves
+    // ErrNotImplemented here (tempohandler.go:88-120); we serve the
+    // full engine (parity-plus), in the tempoapi envelope shapes
+    server.createContext("/api/metrics/query_range", handler(tempoMetricsRange))
+    server.createContext("/api/metrics/query", handler(tempoMetricsInstant))
+    // Grafana health/version probes (tempohandler.go:62-80)
+    server.createContext("/api/status/buildinfo", handler(_ =>
+      s"""{"version":"2.1.0","revision":"","branch":"","buildUser":"",""" +
+        s""""buildDate":"","goVersion":${jsonStr(
+          "java" + System.getProperty("java.version", ""))}}"""))
+    server.createContext("/api/echo", rawHandler(_ =>
+      (200, "text/plain; charset=utf-8", "echo")))
+    server.createContext("/api/v2/traces/", handler(tempoTraceByIdV2))
+    // reference-faithful stubs (lokihandler.go:599-616): Patterns
+    // serves an empty series set, Push is not implemented
+    server.createContext("/loki/api/v1/patterns",
+      handler(_ => """{"series":[]}"""))
+    server.createContext("/loki/api/v1/push",
+      handler(_ => notImplemented("push is not implemented")))
     server.createContext("/api/search/tags", handler(tempoTags))
     server.createContext("/api/v2/search/tags", handler(tempoTagsV2))
     server.createContext("/api/search/tag/", handler(tempoTagValues(_, v2 = false)))
@@ -378,6 +416,65 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     ApiEncoders.tempoTrace(spans, java.lang.Long.parseUnsignedLong(hex, 16))
   }
 
+  /** TraceByIDv2 (/api/v2/traces/{id}, reference tempohandler.go:
+    * 587-674): the {"trace":…} wrapper, start/end-windowed, 404 when
+    * the trace has no spans in range.
+    */
+  private def tempoTraceByIdV2(ex: HttpExchange): String = {
+    val path = ex.getRequestURI.getPath
+    val hex = path.substring(path.lastIndexOf('/') + 1)
+    val sp = windowed(spans, params(ex), "start_ns", 1L)
+    ApiEncoders.tempoTraceV2(sp, java.lang.Long.parseUnsignedLong(hex, 16))
+      .getOrElse(notFound("trace not found"))
+  }
+
+  /** /api/metrics/query_range — TraceQL metrics over HTTP. The
+    * reference parses the params then returns ErrNotImplemented
+    * (tempohandler.go:101-120); we run the engine. start/end bound the
+    * span scan BEFORE planning, like every other route.
+    */
+  private def tempoMetricsRange(ex: HttpExchange): String = {
+    val p = params(ex)
+    val stepNs = p.get("step").filter(_.nonEmpty)
+      .map(s => (s.toDouble * 1e9).toLong).getOrElse(60000000000L)
+    val sp = windowed(spans, p, "start_ns", 1L)
+    val (df, byKey) = graft.traceql.TraceQL.metricsRange(p("q"), sp, stepNs)
+    ApiEncoders.tempoRangeMetrics(df, byKey)
+  }
+
+  /** /api/metrics/query — the instant form: ONE step spanning
+    * [start, end), anchored at the window start, so each series
+    * reduces to a single value (reference tempohandler.go:82-100,
+    * ErrNotImplemented there).
+    */
+  private def tempoMetricsInstant(ex: HttpExchange): String = {
+    val p = params(ex)
+    def bound(k: String): Option[Long] =
+      p.get(k).filter(_.nonEmpty).map(toNs)
+    // a static store has no "now": absent bounds fall back to the
+    // table's extent (one bounded min/max aggregate, not a full pull)
+    lazy val extent = spans.agg(min(col("start_ns")), max(col("start_ns"))).head()
+    if ((bound("start").isEmpty || bound("end").isEmpty) && extent.isNullAt(0))
+      return """{"series":[]}"""
+    val startNs = bound("start").getOrElse(extent.getLong(0))
+    val endNs = bound("end").getOrElse(extent.getLong(1) + 1)
+    val sp = spans.filter(col("start_ns") >= startNs && col("start_ns") < endNs)
+    val (df, byKey) = graft.traceql.TraceQL.metricsRange(
+      p("q"), sp, endNs - startNs, originNs = startNs)
+    ApiEncoders.tempoInstantMetrics(df, byKey)
+  }
+
+  /** /api/v1/metadata (reference promhandler.go:460-496): metric name
+    * → [{type, help, unit}] from the series-identity frame when wired,
+    * else from distinct point names with empty unit/help.
+    */
+  private def promMetadataHandler(ex: HttpExchange): String = {
+    val p = params(ex)
+    val src = series.getOrElse(points.select(col("name")))
+    ApiEncoders.promMetadata(src, p.get("metric"),
+      p.get("limit").map(_.toInt))
+  }
+
   /** /api/v1/query_exemplars: series matching ANY selector of the
     * query, each with its ts-sorted exemplars in [start, end)
     * (reference promhandler.go:392-460).
@@ -437,8 +534,30 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     urlDec(path.substring(i + base.length, path.length - suffix.length))
   }
 
+  /** Query string plus, on POST with a form content type, the body
+    * params — the Prom POST variants (promhandler.go:267-376,619-646
+    * PostQuery/PostQueryRange/PostLabels/PostSeries…) accept the same
+    * fields via application/x-www-form-urlencoded. The body is read
+    * once per exchange and cached (streams are single-shot).
+    */
+  private def rawQuery(ex: HttpExchange): String = {
+    val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (ex.getRequestMethod != "POST" ||
+        !ct.startsWith("application/x-www-form-urlencoded")) qs
+    else {
+      val body = ex.getAttribute("graft.form") match {
+        case s: String => s
+        case _ =>
+          val b = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          ex.setAttribute("graft.form", b); b
+      }
+      if (qs.isEmpty) body else qs + "&" + body
+    }
+  }
+
   private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    rawQuery(ex)
       .split("&").iterator.filter(_.nonEmpty).map { kv =>
         val i = kv.indexOf('=')
         if (i < 0) urlDec(kv) -> ""
@@ -447,7 +566,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
 
   /** All values of a repeatable param (match[]=a&match[]=b). */
   private def multiParams(ex: HttpExchange, key: String): List[String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    rawQuery(ex)
       .split("&").iterator.filter(_.nonEmpty).flatMap { kv =>
         val i = kv.indexOf('=')
         if (i < 0) None
@@ -466,17 +585,27 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       case c => c.toString
     } + "\""
 
+  private def errJson(e: Throwable): String =
+    s"""{"status":"error","error":${jsonStr(
+      Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
+
   private def handler(f: HttpExchange => String): HttpHandler =
+    rawHandler { ex =>
+      try (200, "application/json", f(ex))
+      catch {
+        case e: HttpStatus  => (e.code, "application/json", errJson(e))
+        case e: Throwable   => (400, "application/json", errJson(e))
+      }
+    }
+
+  private def rawHandler(
+      f: HttpExchange => (Int, String, String)): HttpHandler =
     (ex: HttpExchange) => {
-      val (code, body) =
-        try (200, f(ex))
-        catch {
-          case e: Throwable =>
-            (400, s"""{"status":"error","error":${jsonStr(
-              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}""")
-        }
+      val (code, contentType, body) =
+        try f(ex)
+        catch { case e: Throwable => (400, "application/json", errJson(e)) }
       val bytes = body.getBytes("UTF-8")
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()

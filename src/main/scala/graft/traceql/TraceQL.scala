@@ -573,19 +573,45 @@ object TraceQL {
     case ScopedRef(_, n) => n
   }
 
+  /** The label key a `by(field)` series carries on the metrics HTTP
+    * surface — the ref as the user spelled it (`span.foo`, `.foo`,
+    * `duration`, `span:id`).
+    */
+  private def refLabel(r: FieldRef): String = r match {
+    case Intrinsic(n)            => n
+    case Attr(s, n) if s.isEmpty => s".$n"
+    case Attr(s, n)              => s"$s.$n"
+    case ScopedRef(s, n)         => s"$s:$n"
+  }
+
+  /** Step bucket anchored at `originNs` (0 = absolute alignment, the
+    * query-pack convention; the instant HTTP path anchors at the
+    * window start so the whole window is ONE bucket).
+    */
+  private def bucket(originNs: Long, stepNs: Long): Column =
+    col("start_ns") - ((col("start_ns") - lit(originNs)) % lit(stepNs))
+
   /** TraceQL METRICS query (`{cond} | rate() | by(field)` /
     * `| count_over_time() | by(field)` — Tempo's metrics endpoint,
     * left NotImplemented in the reference): matched spans bucket on
     * start_ns over `stepNs` and aggregate per optional by-field.
     * Output (bucket_ns, [by_value,] value).
     */
-  def planMetrics(q: String, spans0: DataFrame, stepNs: Long): DataFrame = {
+  def planMetrics(q: String, spans0: DataFrame, stepNs: Long): DataFrame =
+    metricsRange(q, spans0, stepNs)._1
+
+  /** [[planMetrics]] plus the series label key for the `by`/histogram
+    * dimension — what the HTTP envelope needs to label each series.
+    */
+  def metricsRange(q: String, spans0: DataFrame, stepNs: Long,
+      originNs: Long = 0L): (DataFrame, Option[String]) = {
     val spans = withResourceAttrs(spans0)
     val p = new P(q)
     val ss = parseSpanset(p)
     p.expect("|")
     val fn = p.ident()
-    if (fn == "compare") return planCompare(p, ss, spans, stepNs)
+    if (fn == "compare")
+      return (planCompare(p, ss, spans, stepNs, originNs), None)
     p.expect("(")
     // field-arg family: min/max/avg/sum/quantile/histogram_over_time(f)
     // (reference parses the same set, traceql/metrics_expr.go:23-145;
@@ -627,7 +653,7 @@ object TraceQL {
     if (!p.done) throw ParseError("trailing input", p.i)
 
     val matched0 = evalSpanset(ss, spans)
-      .withColumn("bucket_ns", col("start_ns") - col("start_ns") % lit(stepNs))
+      .withColumn("bucket_ns", bucket(originNs, stepNs))
     val fv = field.map(r => refCol(r).cast("double"))
     // histogram_over_time raises each value into its next power-of-2
     // bucket and counts per (step, le) — the extra `le` dimension rides
@@ -671,7 +697,10 @@ object TraceQL {
     val ordCols =
       if (grouped.columns.contains("by_value")) Seq("bucket_ns", "by_value")
       else Seq("bucket_ns")
-    ranked.orderBy(ordCols.map(col): _*)
+    val byKey =
+      if (fn == "histogram_over_time") Some("__bucket")
+      else by.map(refLabel)
+    (ranked.orderBy(ordCols.map(col): _*), byKey)
   }
 
   /** `{ spanset } | compare({ filter }[, topN[, startNs, endNs]])` —
@@ -691,7 +720,7 @@ object TraceQL {
     * sized ranking join — never an all-pairs or per-span driver walk.
     */
   private def planCompare(p: P, outer: SpansetExpr, spans0: DataFrame,
-      stepNs: Long): DataFrame = {
+      stepNs: Long, originNs: Long = 0L): DataFrame = {
     p.expect("(")
     val filter = parseFilterBlock(p) match {
       case SFilter(cond) => cond
@@ -739,7 +768,7 @@ object TraceQL {
         selBase && col("start_ns") >= startNs && col("start_ns") < endNs
       else selBase
     val tagged = matched
-      .withColumn("bucket_ns", col("start_ns") - col("start_ns") % lit(stepNs))
+      .withColumn("bucket_ns", bucket(originNs, stepNs))
       .withColumn("meta_type", when(sel, "selection").otherwise("baseline"))
     val exploded = tagged.select(col("bucket_ns"), col("meta_type"),
         explode(concat(map_entries(col("attrs")),

@@ -45,6 +45,20 @@ class HttpApiSpec extends SparkTestBase {
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
 
+  private def post(url: String, body: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val b = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, b)
+  }
+
   private def profilesDf = Seq(
     (1000000L, "cpu", Map("svc" -> "api"), Seq("main", "handler", "parse"), 3L),
     (2000000L, "cpu", Map("svc" -> "api"), Seq("main", "handler", "parse"), 2L),
@@ -59,9 +73,14 @@ class HttpApiSpec extends SparkTestBase {
     (1000000L, "latency", Map("svc" -> "web"), Map("trace_id" -> "f00d"), 1.5)
   ).toDF("ts_us", "name", "labels", "exemplar_labels", "value")
 
+  private def seriesDf = Seq(
+    ("cpu", "s", "cpu usage"),
+    ("mem", "bytes", "resident memory")
+  ).toDF("name", "unit", "description")
+
   private def withApi(f: Int => Unit): Unit = {
     val api = new HttpApi(logsDf, pointsDf, spansDf, Some(profilesDf),
-      Some(exemplarsDf))
+      Some(exemplarsDf), Some(seriesDf))
     val port = api.start()
     try f(port) finally api.stop()
   }
@@ -336,6 +355,112 @@ class HttpApiSpec extends SparkTestBase {
       val codes = Await.result(
         Future.sequence(urls.map(u => Future(get(u)._1))), 60.seconds)
       assert(codes.forall(_ == 200), s"codes: $codes")
+    }
+  }
+
+  test("tempo metrics query_range: rate with by(), start/end bound the scan") {
+    withApi { port =>
+      // all three spans land in one 60s bucket; rate = n / 60
+      val (c1, body) = get(
+        s"""http://127.0.0.1:$port/api/metrics/query_range?q=${enc("""{ } | rate() | by(span.service.name)""")}""")
+      assert(c1 == 200, s"body: $body")
+      assert(body.contains(
+        """{"labels":[{"key":"span.service.name","value":{"stringValue":"api"}}],""" +
+          """"samples":[{"timestamp_ms":0,"value":"""))
+      // api has 2 spans, web 1: 2/60 vs 1/60
+      assert(body.contains("0.03333333333333333") && body.contains("0.016666666666666666"))
+
+      // end=2µs (float seconds → 2000 ns) excludes the web span at 2000
+      val (c2, bounded) = get(
+        s"""http://127.0.0.1:$port/api/metrics/query_range?q=${enc("""{ } | rate() | by(span.service.name)""")}&start=0&end=0.000002""")
+      assert(c2 == 200)
+      assert(bounded.contains("api") && !bounded.contains("web"))
+    }
+  }
+
+  test("tempo metrics query_range: compare() series carry __meta_type") {
+    withApi { port =>
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/api/metrics/query_range?q=${enc("""{ } | compare({name="child"})""")}""")
+      assert(code == 200, s"body: $body")
+      assert(body.contains(
+        """{"key":"__meta_type","value":{"stringValue":"selection"}},""" +
+          """{"key":"service.name","value":{"stringValue":"api"}}"""))
+      assert(body.contains(""""stringValue":"baseline""""))
+      assert(body.contains(""""stringValue":"web""""))
+    }
+  }
+
+  test("tempo metrics instant query reduces the window to one value") {
+    withApi { port =>
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/api/metrics/query?q=${enc("""{ } | count_over_time()""")}""")
+      assert(code == 200, s"body: $body")
+      assert(body == """{"series":[{"labels":[],"value":3.0}]}""")
+
+      // bounded: only the two spans under 2000 ns
+      val (c2, b2) = get(
+        s"""http://127.0.0.1:$port/api/metrics/query?q=${enc("""{ } | count_over_time()""")}&start=0&end=0.000002""")
+      assert(c2 == 200 && b2 == """{"series":[{"labels":[],"value":2.0}]}""")
+    }
+  }
+
+  test("prom metadata serves name -> type/help/unit with filter and limit") {
+    withApi { port =>
+      val (c1, all) = get(s"http://127.0.0.1:$port/api/v1/metadata")
+      assert(c1 == 200)
+      assert(all == """{"status":"success","data":{""" +
+        """"cpu":[{"type":"counter","help":"cpu usage","unit":"s"}],""" +
+        """"mem":[{"type":"counter","help":"resident memory","unit":"bytes"}]}}""")
+
+      val (c2, one) = get(s"http://127.0.0.1:$port/api/v1/metadata?metric=mem")
+      assert(c2 == 200 && !one.contains("cpu usage") && one.contains("resident memory"))
+
+      val (c3, lim) = get(s"http://127.0.0.1:$port/api/v1/metadata?limit=1")
+      assert(c3 == 200 && lim.contains("cpu") && !lim.contains("mem"))
+    }
+  }
+
+  test("prom POST form variants carry the same fields as GET") {
+    withApi { port =>
+      val (c1, body) = post(s"http://127.0.0.1:$port/api/v1/query",
+        s"query=${enc("""sum(count_over_time(cpu[1m]))""")}&time=61")
+      assert(c1 == 200, s"body: $body")
+      assert(body.contains(""""resultType":"vector""""))
+
+      val (c2, series) = post(s"http://127.0.0.1:$port/api/v1/series",
+        s"match[]=${enc("""cpu{host="a"}""")}")
+      assert(c2 == 200)
+      assert(series.contains(""""host":"a"""") && !series.contains(""""host":"b""""))
+    }
+  }
+
+  test("tempo v2 trace-by-id wraps the trace and 404s on a miss") {
+    withApi { port =>
+      val (c1, body) = get(s"http://127.0.0.1:$port/api/v2/traces/7")
+      assert(c1 == 200)
+      assert(body.startsWith("""{"trace":{"resourceSpans":["""))
+      assert(body.contains(""""spanId":"0000000000000002""""))
+
+      val (c2, _) = get(s"http://127.0.0.1:$port/api/v2/traces/ff")
+      assert(c2 == 404)
+    }
+  }
+
+  test("buildinfo, echo, and loki parity stubs match the reference shapes") {
+    withApi { port =>
+      val (c1, bi) = get(s"http://127.0.0.1:$port/api/status/buildinfo")
+      assert(c1 == 200)
+      assert(bi.contains(""""version":"2.1.0"""") && bi.contains(""""goVersion""""))
+
+      val (c2, echo) = get(s"http://127.0.0.1:$port/api/echo")
+      assert(c2 == 200 && echo == "echo")
+
+      val (c3, pat) = get(s"http://127.0.0.1:$port/loki/api/v1/patterns")
+      assert(c3 == 200 && pat == """{"series":[]}""")
+
+      val (c4, _) = post(s"http://127.0.0.1:$port/loki/api/v1/push", "{}")
+      assert(c4 == 501)
     }
   }
 
