@@ -25,7 +25,10 @@ object PromQL {
   final case class Selector(name: String, matchers: Seq[Matcher])
 
   sealed trait Expr
-  final case class Instant(sel: Selector) extends Expr
+  /** Bare vector selector, with an optional `offset` (ns; negative =
+    * future, upstream promql parser offset modifier).
+    */
+  final case class Instant(sel: Selector, offsetNs: Long = 0L) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeNs: Long,
       offsetNs: Long = 0L, param: Seq[Double] = Nil) extends Expr
   /** Subquery form: fn(expr[range:step]) — the inner expr evaluates on
@@ -220,7 +223,8 @@ object PromQL {
         case e            => Bin("*", ScalarLit(-1), e)
       }
     } else if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
-    else if (p.peekCh == '{') Instant(parseSelector(p)) // name-less {...}
+    else if (p.peekCh == '{') // name-less {...}
+      Instant(parseSelector(p), parseSelOffset(p))
     else if (p.peekIdent.nonEmpty) {
       val name = p.peekIdent
       if (name.equalsIgnoreCase("Inf")) { p.ident(); ScalarLit(Double.PositiveInfinity) }
@@ -300,8 +304,8 @@ object PromQL {
           throw ParseError(
             s"$name takes $wantParams scalar parameter(s), got ${allParams.size}", p.i)
         val rf = (inner, subStep) match {
-          case (Instant(sel), None) =>
-            RangeFn(name, sel, r, off, allParams)
+          case (Instant(sel, innerOff), None) =>
+            RangeFn(name, sel, r, off + innerOff, allParams)
           case (sub, Some(st)) =>
             RangeSub(name, sub, r, st, off, allParams)
           case (_, None) =>
@@ -315,8 +319,19 @@ object PromQL {
         var by = Seq.empty[String]
         var without = Seq.empty[String]
         def grouping(): Unit = {
-          if (p.peekIdent == "by") { p.ident(); p.expect("("); by = identList(p); p.expect(")") }
-          else if (p.peekIdent == "without") { p.ident(); p.expect("("); without = identList(p); p.expect(")") }
+          // `by()` with an empty list == no grouping (one all-in
+          // group); `without()` with an empty list KEEPS every label —
+          // encoded as dropping a label no series carries, so the
+          // planner's plain-agg branch (drop all) is not taken.
+          if (p.peekIdent == "by") {
+            p.ident(); p.expect("(")
+            by = if (p.accept(")")) Nil else { val l = identList(p); p.expect(")"); l }
+          } else if (p.peekIdent == "without") {
+            p.ident(); p.expect("(")
+            without =
+              if (p.accept(")")) Seq("__drop_nothing__")
+              else { val l = identList(p); p.expect(")"); l }
+          }
         }
         grouping()
         p.expect("(")
@@ -331,10 +346,25 @@ object PromQL {
         grouping()
         Agg(name, by, without, k, param, inner)
       } else {
-        val sel = Instant(parseSelector(p))
+        val sel = Instant(parseSelector(p), parseSelOffset(p))
         if (p.accept("@")) At(sel, (p.number() * 1e6).toLong) else sel
       }
     } else throw ParseError("expected expression", p.i)
+  }
+
+  /** Optional `offset [-]<dur>` after a bare selector (upstream
+    * allows negative offsets behind a feature flag; the compliance
+    * corpus exercises both signs).
+    */
+  private def parseSelOffset(p: P): Long = {
+    p.ws()
+    if (p.peekIdent != "offset") 0L
+    else {
+      p.ident(); p.ws()
+      val neg = p.accept("-")
+      val d = p.duration()
+      if (neg) -d else d
+    }
   }
 
   private def identList(p: P): Seq[String] = {
@@ -371,7 +401,7 @@ object PromQL {
     * promhandler.go:392-460).
     */
   private[graft] def extractSelectors(e: Expr): Seq[Selector] = e match {
-    case Instant(s)                  => Seq(s)
+    case Instant(s, _)               => Seq(s)
     case RangeFn(_, s, _, _, _)      => Seq(s)
     case RangeSub(_, i, _, _, _, _)  => extractSelectors(i)
     case Agg(_, _, _, _, _, i)       => extractSelectors(i)
@@ -421,7 +451,8 @@ object PromQL {
   def instant(q: String, points: DataFrame, evalTsUs: Long,
       lookbackUs: Long = 300000000L): DataFrame = {
     parse(q) match {
-      case Instant(sel) =>
+      case Instant(sel, offsetNs) =>
+        val t = evalTsUs - offsetNs / 1000
         val w = Window.partitionBy(streamKey).orderBy(col("ts_us").desc)
         // Prometheus stale markers are skipped at scan time (reference
         // querier_metrics_rate.go:25,444 filters the stale-NaN bit
@@ -430,7 +461,7 @@ object PromQL {
         // superset)
         points.filter(selCol(sel))
           .filter(!isnan(col("value")))
-          .filter(col("ts_us") <= evalTsUs && col("ts_us") > evalTsUs - lookbackUs)
+          .filter(col("ts_us") <= t && col("ts_us") > t - lookbackUs)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(col("labels"), col("value"), col("ts_us"))
@@ -470,7 +501,9 @@ object PromQL {
     case RangeFn(_, _, r, o, _)     => Some(r / 1000 + o / 1000)
     case RangeSub(_, i, r, _, o, _) =>
       lookbackBoundUs(i).map(r / 1000 + o / 1000 + _)
-    case Instant(_)                 => Some(300000000L)
+    case Instant(_, o) =>
+      if (o < 0) None // future offset: needs data past the window end
+      else Some(300000000L + o / 1000)
     case Agg(_, _, _, _, _, i)      => lookbackBoundUs(i)
     case Bin(_, l, r, _, _) =>
       for (a <- lookbackBoundUs(l); b <- lookbackBoundUs(r))
@@ -491,7 +524,7 @@ object PromQL {
     case FnCall(_, i, _, _)        => collectRanges(i)
     case HistQuantile(_, i)        => collectRanges(i)
     case At(_, _)                  => Nil // pinned: grid-independent
-    case Instant(_) | ScalarLit(_) | TimeFn | VectorLit(_) => Nil
+    case Instant(_, _) | ScalarLit(_) | TimeFn | VectorLit(_) => Nil
   }
 
   /** Instant evaluation of a FULL metric expression at `evalTsUs`
@@ -509,8 +542,10 @@ object PromQL {
     */
   def instant(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
     foldScalars(parse(q)) match {
-      case Instant(sel)        => lookback(sel, points, evalTsUs)
-      case At(Instant(sel), t) => lookback(sel, points, t)
+      case Instant(sel, off) =>
+        lookback(sel, points, evalTsUs - off / 1000)
+          .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+      case At(Instant(sel, off), t) => lookback(sel, points, t - off / 1000)
         .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
       case e => instantOf(e, points, evalTsUs)
     }
@@ -558,7 +593,82 @@ object PromQL {
         .groupBy(col("__stream"))
         .agg(v.as("value"), first(col("labels")).as("labels"))
         .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
-    case _ => instantShared(e, points, evalTsUs)
+    case _ =>
+      // The single-shift path (one scan, one window alignment) covers
+      // expressions whose every leaf is a range fn with one shared
+      // range. Anything else — bare selectors, time()/vector() grids,
+      // pinned sub-expressions, mixed ranges — evaluates leaf-by-leaf.
+      val sharedRange =
+        try { val rs = collectRanges(e).distinct; rs.size == 1 }
+        catch { case _: IllegalArgumentException => false }
+      if (sharedRange && !containsVectorLeaf(e))
+        instantShared(e, points, evalTsUs)
+      else
+        evalInstant(e, points, evalTsUs)
+          .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+  }
+
+  /** Leaves the shared-range shift cannot represent: bare selectors,
+    * the time()/vector() grids, and pinned bare selectors.
+    */
+  private def containsVectorLeaf(e: Expr): Boolean = e match {
+    case Instant(_, _) | TimeFn | VectorLit(_) => true
+    case At(i, _)                   => containsVectorLeaf(i)
+    case RangeFn(_, _, _, _, _)     => false
+    case RangeSub(_, _, _, _, _, _) => false // its inner runs on the range path
+    case Agg(_, _, _, _, _, i)      => containsVectorLeaf(i)
+    case Bin(_, l, r, _, _) => containsVectorLeaf(l) || containsVectorLeaf(r)
+    case FnCall(_, i, _, _)         => containsVectorLeaf(i)
+    case HistQuantile(_, i)         => containsVectorLeaf(i)
+    case ScalarLit(_)               => false
+  }
+
+  /** Instant evaluation of an ARBITRARY vector expression at `tUs`:
+    * each leaf evaluates independently — bare selectors via the
+    * 5m-lookback latest-sample rule, range fns and subqueries via the
+    * shifted tumbling window — and every structural node (agg, binop,
+    * function, histogram_quantile) reuses the range machinery
+    * ([[planWith]]) over the resulting single-bucket frames, exactly
+    * how the reference's instant endpoint evaluates full expressions
+    * (promhandler.go:309-374). Output: (bucket_us = tUs, labels,
+    * value).
+    */
+  private def evalInstant(e: Expr, points: DataFrame, tUs: Long): DataFrame = {
+    def one(value: Column): DataFrame =
+      points.sparkSession.range(1).select(
+        lit(tUs).as("bucket_us"),
+        map().cast("map<string,string>").as("labels"),
+        value.as("value"))
+    e match {
+      case Instant(sel, off) =>
+        lookback(sel, points, tUs - off / 1000)
+          .select(lit(tUs).as("bucket_us"), col("labels"), col("value"))
+      case At(inner, t2) => // pinned: evaluate at t2, surface at t
+        evalInstant(inner, points, t2).withColumn("bucket_us", lit(tUs))
+      case FnCall("absent", Instant(sel, off), _, _) =>
+        // 1 at t iff no live sample matches in the lookback window
+        val t = tUs - off / 1000
+        val present = points.filter(selCol(sel))
+          .filter(!isnan(col("value")))
+          .filter(col("ts_us") <= t && col("ts_us") > t - 300000000L)
+          .select(lit(tUs).as("bucket_us")).limit(1)
+        points.sparkSession.range(1).select(lit(tUs).as("bucket_us"))
+          .join(present, Seq("bucket_us"), "left_anti")
+          .select(col("bucket_us"),
+            map().cast("map<string,string>").as("labels"),
+            lit(1.0).as("value"))
+      case rf: RangeFn =>
+        instantShared(rf, points, tUs)
+          .select(col("ts_us").as("bucket_us"), col("labels"), col("value"))
+      case rs: RangeSub =>
+        instantOf(rs, points, tUs)
+          .select(col("ts_us").as("bucket_us"), col("labels"), col("value"))
+      case ScalarLit(v) => one(lit(v))
+      case TimeFn       => one(lit(tUs.toDouble / 1e6))
+      case VectorLit(v) => one(lit(v))
+      case other =>
+        planWith(other, points, None, inner => evalInstant(inner, points, tUs))
+    }
   }
 
   private def instantShared(e: Expr, points: DataFrame, evalTsUs: Long): DataFrame = {
@@ -613,6 +723,19 @@ object PromQL {
             case "+" => x + y; case "-" => x - y; case "*" => x * y
             case "/" => x / y; case "%" => x % y; case "^" => math.pow(x, y)
           })
+        // scalar-scalar comparison is always `bool` semantics upstream
+        // (a filtering comparison between two scalars is a parse error
+        // there; we fold to the 0/1 value either way)
+        case (ScalarLit(x), ScalarLit(y))
+            if Set(">", "<", ">=", "<=", "==", "!=")(op) =>
+          ScalarLit(op match {
+            case ">"  => if (x > y) 1.0 else 0.0
+            case "<"  => if (x < y) 1.0 else 0.0
+            case ">=" => if (x >= y) 1.0 else 0.0
+            case "<=" => if (x <= y) 1.0 else 0.0
+            case "==" => if (x == y) 1.0 else 0.0
+            case "!=" => if (x != y) 1.0 else 0.0
+          })
         case (fl, fr) => Bin(op, fl, fr, m, b)
       }
     case Agg(o, by, wo, k, p, i)  => Agg(o, by, wo, k, p, foldScalars(i))
@@ -628,7 +751,17 @@ object PromQL {
     planRange(foldScalars(parse(q)), points, stepUs)
 
   private def planRange(e: Expr, points: DataFrame,
-      stepUs: Option[Long] = None): DataFrame = e match {
+      stepUs: Option[Long] = None): DataFrame =
+    planWith(e, points, stepUs, inner => planRange(inner, points, stepUs))
+
+  /** The plan builder, with the structural recursion (agg / binop /
+    * function / histogram_quantile nodes) routed through `rec` — the
+    * range path recurses into itself, the instant path ([[evalInstant]])
+    * substitutes lookback evaluation at the leaves and reuses every
+    * structural case unchanged.
+    */
+  private def planWith(e: Expr, points: DataFrame,
+      stepUs: Option[Long], rec: Expr => DataFrame): DataFrame = e match {
     case RangeFn("absent_over_time", sel, rangeNs, offsetNs, _) =>
       // grid over the table extent anti-joined with present buckets —
       // same shape as the LogQL absent path (logqlmetric/aggregator.go)
@@ -748,10 +881,14 @@ object PromQL {
           // short decimal, so every Σ below accumulates EXACTLY in
           // decimal on both engines regardless of order — the slope is
           // one double division at the end (Det playbook, Q.scala).
-          // Divergence: the time axis truncates to whole seconds.
+          // Divergence: the time axis truncates to whole seconds. The
+          // +1µs rounds the instant path's (t-r, t] shift (which moves
+          // every stamp 1µs left) back onto the true second — on the
+          // unshifted range path it only affects stamps sitting exactly
+          // 1µs before a second boundary (mirrored in the oracle SQL).
           val live = base.filter(!isnan(col("value")))
           val dec = "decimal(38,6)"
-          val t = floor((col("ts_us") - winStart).cast("double") / 1e6)
+          val t = floor((col("ts_us") - winStart + lit(1L)).cast("double") / 1e6)
             .cast("long").cast(dec)
           val v = col("value").cast(dec)
           val st = live
@@ -889,11 +1026,12 @@ object PromQL {
           planRange(RangeFn(fn, sel, rangeNs, offsetNs, param), shifted, None)
             .filter(col("bucket_us") === target)
             .select(col("labels"), col("value"))
-        case Instant(sel) =>
+        case Instant(sel, offsetNs) =>
+          val t = tUs - offsetNs / 1000
           val w = Window.partitionBy(streamKey).orderBy(col("ts_us").desc)
           points.filter(selCol(sel))
             .filter(!isnan(col("value")))
-            .filter(col("ts_us") <= tUs && col("ts_us") > tUs - 300000000L)
+            .filter(col("ts_us") <= t && col("ts_us") > t - 300000000L)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1)
             .select(col("labels"), col("value"))
@@ -909,27 +1047,35 @@ object PromQL {
         .select(col("bucket_us"), col("labels"), col("value"))
 
     case Agg(op, by, without, k, param, inner) =>
-      val in = planRange(inner, points, stepUs)
-      val labelsOut =
+      val in = rec(inner)
+      val grouped =
         if (by.nonEmpty) {
           val byArr = array(by.map(lit): _*)
           map_filter(col("labels"), (key, _) => array_contains(byArr, key))
         } else if (without.nonEmpty) {
           val woArr = array(without.map(lit): _*)
           map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
-        } else if (Set("topk", "bottomk").contains(op)) col("labels")
-        else map().cast("map<string,string>") // typed: downstream map ops need string keys
-      val g = in.withColumn("labels", labelsOut)
-        .withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
+        } else map().cast("map<string,string>") // typed: downstream map ops need string keys
       op match {
         case "topk" | "bottomk" =>
+          // ranked WITHIN each by/without group, but the surviving
+          // series keep their FULL label sets (upstream aggregation.go
+          // topk/bottomk semantics)
+          val g = in
+            .withColumn("__grp",
+              graft.logql.VectorMatching.streamKey(grouped))
+            .withColumn("__stream", streamKey)
           val ord = if (op == "topk") Seq(col("value").desc, col("__stream"))
           else Seq(col("value").asc, col("__stream"))
-          val w = Window.partitionBy(col("bucket_us")).orderBy(ord: _*)
+          val w = Window.partitionBy(col("bucket_us"), col("__grp"))
+            .orderBy(ord: _*)
           g.withColumn("__rk", row_number().over(w))
             .filter(col("__rk") <= k.getOrElse(1))
             .select(col("bucket_us"), col("labels"), col("value"))
         case _ =>
+          val g = in.withColumn("labels", grouped)
+            .withColumn("__stream",
+              graft.logql.VectorMatching.streamKey(col("labels")))
           val v: Column = op match {
             case "sum"   => sum(col("value"))
             case "avg"   => avg(col("value"))
@@ -947,37 +1093,44 @@ object PromQL {
       }
 
     case Bin(op, ScalarLit(v), rhs, _, b) =>
-      scalarBin(op, lit(v), planRange(rhs, points, stepUs), b, scalarLeft = true)
+      scalarBin(op, lit(v), rec(rhs), b, scalarLeft = true)
     case Bin(op, lhs, ScalarLit(v), _, b) =>
-      scalarBin(op, lit(v), planRange(lhs, points, stepUs), b, scalarLeft = false)
+      scalarBin(op, lit(v), rec(lhs), b, scalarLeft = false)
+    // time() is a SCALAR upstream: in a binop it applies per-step to
+    // every series of the vector side (the step time in seconds is a
+    // column of the vector frame itself — no join needed)
+    case Bin(op, TimeFn, rhs, _, b) if rhs != TimeFn =>
+      scalarBin(op, col("bucket_us").cast("double") / 1e6, rec(rhs), b,
+        scalarLeft = true)
+    case Bin(op, lhs, TimeFn, _, b) =>
+      scalarBin(op, col("bucket_us").cast("double") / 1e6, rec(lhs), b,
+        scalarLeft = false)
     // scalar(x) in a binop: a per-step dynamic scalar — broadcast the
     // one-row-per-step frame onto the vector side's grid (upstream
     // scalar-vector evaluation); steps where the inner is empty are NaN
     case Bin(op, sc @ FnCall("scalar", _, _, _), rhs, _, b) =>
-      val sdf = broadcast(planRange(sc, points, stepUs)
+      val sdf = broadcast(rec(sc)
         .select(col("bucket_us"), col("value").as("__sv")))
-      val joined = planRange(rhs, points, stepUs)
+      val joined = rec(rhs)
         .join(sdf, Seq("bucket_us"), "left")
         .withColumn("__sv", coalesce(col("__sv"), lit(Double.NaN)))
       scalarBin(op, col("__sv"), joined, b, scalarLeft = true)
     case Bin(op, lhs, sc @ FnCall("scalar", _, _, _), _, b) =>
-      val sdf = broadcast(planRange(sc, points, stepUs)
+      val sdf = broadcast(rec(sc)
         .select(col("bucket_us"), col("value").as("__sv")))
-      val joined = planRange(lhs, points, stepUs)
+      val joined = rec(lhs)
         .join(sdf, Seq("bucket_us"), "left")
         .withColumn("__sv", coalesce(col("__sv"), lit(Double.NaN)))
       scalarBin(op, col("__sv"), joined, b, scalarLeft = false)
     case Bin(op, lhs, rhs, Some(m), _) =>
-      graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
-        planRange(rhs, points, stepUs), m, "bucket_us")
+      graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs), m, "bucket_us")
     case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None, _) =>
       // full-label-set matching (reference vendored engine set binops)
-      graft.logql.VectorMatching.bin(op, planRange(lhs, points, stepUs),
-        planRange(rhs, points, stepUs),
+      graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs),
         graft.logql.Ast.VectorMatch(on = false, Nil, None, Nil), "bucket_us")
     case Bin(op, lhs, rhs, None, boolMod) =>
-      val l = planRange(lhs, points, stepUs).withColumn("__stream", streamKey)
-      val r = planRange(rhs, points, stepUs).withColumn("__stream", streamKey)
+      val l = rec(lhs).withColumn("__stream", streamKey)
+      val r = rec(rhs).withColumn("__stream", streamKey)
         .withColumnRenamed("value", "__rv").drop("labels")
       val joined = l.join(r, Seq("bucket_us", "__stream"))
       val v = op match {
@@ -1024,18 +1177,18 @@ object PromQL {
         .agg(v.as("value"), first(col("labels")).as("labels"))
         .select(col("bucket_us"), col("labels"), col("value"))
 
-    case FnCall("absent", Instant(sel), _, _) =>
+    case FnCall("absent", Instant(sel, off), _, _) =>
       // absent(v) on the step grid: a 1-valued empty-label sample at
       // every step where the selector matches nothing within the step
       // bucket — delegated to the absent_over_time machinery
       val gridNs = stepUs.getOrElse(300000000L) * 1000L
-      planRange(RangeFn("absent_over_time", sel, gridNs, 0L, Nil), points, stepUs)
+      planRange(RangeFn("absent_over_time", sel, gridNs, off, Nil), points, stepUs)
 
     case FnCall("count_values", inner, _, strs) =>
       // count_values("label", v): occurrences of each distinct value,
       // the value itself becoming the only output label
       val lbl = strs.head
-      planRange(inner, points, stepUs)
+      rec(inner)
         .groupBy(col("bucket_us"), col("value").as("__cv"))
         .agg(count(lit(1)).cast("double").as("__n"))
         .select(col("bucket_us"),
@@ -1043,17 +1196,25 @@ object PromQL {
           col("__n").as("value"))
 
     case FnCall(fn, inner, nums, strs) =>
-      val in = planRange(inner, points, stepUs)
+      val in = rec(inner)
       def num(i: Int): Column = lit(nums(i))
+      // IEEE log semantics over Spark's null-returning log family
+      def promLogOf(l: Column): Column =
+        when(col("value") > 0, l)
+          .when(col("value") === 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN))
       fn match {
         case "abs"   => in.withColumn("value", abs(col("value")))
         case "ceil"  => in.withColumn("value", ceil(col("value")).cast("double"))
         case "floor" => in.withColumn("value", floor(col("value")).cast("double"))
-        case "sqrt"  => in.withColumn("value", sqrt(col("value")))
+        // Spark's sqrt/log return NULL out of domain; Prometheus (IEEE
+        // math.Log/Sqrt) gives NaN, and log of 0 gives -Inf
+        case "sqrt"  =>
+          in.withColumn("value", coalesce(sqrt(col("value")), lit(Double.NaN)))
         case "exp"   => in.withColumn("value", exp(col("value")))
-        case "ln"    => in.withColumn("value", log(col("value")))
-        case "log2"  => in.withColumn("value", log2(col("value")))
-        case "log10" => in.withColumn("value", log10(col("value")))
+        case "ln"    => in.withColumn("value", promLogOf(log(col("value"))))
+        case "log2"  => in.withColumn("value", promLogOf(log2(col("value"))))
+        case "log10" => in.withColumn("value", promLogOf(log10(col("value"))))
         case "sgn"   => in.withColumn("value", signum(col("value")))
         case "sin"   => in.withColumn("value", sin(col("value")))
         case "cos"   => in.withColumn("value", cos(col("value")))
@@ -1126,7 +1287,7 @@ object PromQL {
       // interpolate linearly inside it; the +Inf bucket clamps to the
       // highest finite le. One window over the bucket axis — tiny
       // partitions (#buckets), already co-partitioned by the upstream agg.
-      val in = planRange(inner, points, stepUs)
+      val in = rec(inner)
       val leStr = element_at(col("labels"), "le")
       val df = in
         .withColumn("__g", to_json(array_sort(map_entries(
@@ -1169,7 +1330,35 @@ object PromQL {
           map().cast("map<string,string>").as("labels"),
           lit(v).as("value"))
 
-    case Instant(_) | ScalarLit(_) =>
+    case Instant(sel, offsetNs) =>
+      // Range query over a bare vector — the most common Grafana shape
+      // (reference promhandler.go range path; upstream per-step
+      // lookback): at every step, the newest live sample in
+      // (step-5m, step]. Spark-first: fan each sample out to the steps
+      // it can serve (bounded by lookback/step), then keep the newest
+      // per (series, step) — one explode + one aggregation, no
+      // per-step rescan.
+      val gridUs = stepUs.getOrElse(300000000L)
+      val lookUs = 300000000L
+      val src =
+        if (offsetNs == 0) points
+        else points.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
+      val nSteps = lookUs / gridUs + 1
+      src.filter(selCol(sel))
+        .filter(!isnan(col("value")))
+        .withColumn("__first_step",
+          expr(s"((ts_us + ${gridUs - 1}) div $gridUs) * $gridUs"))
+        .withColumn("bucket_us", explode(filter(
+          sequence(col("__first_step"),
+            col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
+          s => s < col("ts_us") + lit(lookUs))))
+        .withColumn("__stream", streamKey)
+        .groupBy(col("__stream"), col("bucket_us"))
+        .agg(max_by(col("value"), col("ts_us")).as("value"),
+          first(col("labels")).as("labels"))
+        .select(col("bucket_us"), col("labels"), col("value"))
+
+    case ScalarLit(_) =>
       throw new IllegalArgumentException("range query needs a range function")
   }
 

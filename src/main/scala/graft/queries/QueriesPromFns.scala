@@ -279,7 +279,7 @@ object QueriesPromFns extends QueryPack {
   private val regBase =
     s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
        |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
-       |    (epoch_us(ts) - (epoch_us(ts) - epoch_us(ts) % $DayUs)) // 1000000 AS t,
+       |    (epoch_us(ts) - (epoch_us(ts) - epoch_us(ts) % $DayUs) + 1) // 1000000 AS t,
        |    CAST(value AS DECIMAL(18,4)) AS v
        |  FROM events""".stripMargin
 

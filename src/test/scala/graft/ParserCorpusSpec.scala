@@ -211,7 +211,7 @@ class ParserCorpusSpec extends SparkTestBase {
     promqlAccept.foreach { q =>
       try {
         PromQL.parse(q) match {
-          case PromQL.Instant(_) => PromQL.instant(q, points, evalTsUs = 10L).schema
+          case PromQL.Instant(_, _) => PromQL.instant(q, points, evalTsUs = 10L).schema
           case _                 => PromQL.range(q, points).schema
         }
       } catch { case e: Throwable => fail(s"'$q' failed: ${e.getMessage}") }
