@@ -664,11 +664,19 @@ object Planner {
 
   def query(logql: String, logs: DataFrame,
       stepNs: Option[Long] = None,
-      logLimit: Option[Int] = Some(DefaultLogLimit)): DataFrame =
+      logLimit: Option[Int] = Some(DefaultLogLimit)): DataFrame = {
+    val trimmed = logql.trim
+    // `@explain <query>`: the pushdown-decision stream instead of
+    // results (reference lexer.go:80-84 + engine_explain_query.go)
+    if (trimmed.startsWith(Explain.Prefix))
+      return Explain.frame(
+        Parser.parse(trimmed.stripPrefix(Explain.Prefix).trim),
+        logs.sparkSession)
     Parser.parse(logql) match {
       case Ast.LogExpr(q)       => planLog(q, logs, logLimit)
       case Ast.MetricExprTop(m) => planMetric(foldScalars(m), logs, stepNs)
     }
+  }
 
   private def ranges(m: MetricExpr): Seq[Long] = m match {
     case RangeAgg(_, _, r, _, _, _, _) => Seq(r)

@@ -37,7 +37,7 @@ object Printer {
     (sel +: q.stages.map(printStage)).mkString(" ")
   }
 
-  private def printStage(s: Stage): String = s match {
+  private[logql] def printStage(s: Stage): String = s match {
     case LineFilter(op, needles) =>
       s"${lineFilterOp(op)} ${needles.map(quote).mkString(" or ")}"
     case LineFilterIp(pats, neg) =>
@@ -81,7 +81,7 @@ object Printer {
     case (l, None)                         => l
   }
 
-  private def printPred(p: LabelPredicate): String = p match {
+  private[logql] def printPred(p: LabelPredicate): String = p match {
     case PredAnd(l, r) => s"${printPred(l)} and ${printPred(r)}"
     case PredOr(l, r)  => s"${printPred(l)} or ${printPred(r)}"
     case PredCmp(label, op, value) =>
