@@ -285,6 +285,27 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
 
   // ---------- Prometheus handlers ----------
 
+  /** Series-resolution cache over the metadata endpoints (reference
+    * internal/metricscache + querier_metrics_timeseries.go:43-147):
+    * key = xxh3 of route + sorted match[] selectors + window; repeated
+    * dashboard refreshes serve the encoded envelope without
+    * re-running the scan, and concurrent identical lookups coalesce
+    * into one Spark job. The backing frames are static per API
+    * instance, so window-keyed entries never go stale.
+    */
+  private val seriesCache = new graft.util.SeriesCache[String]()
+
+  private def cachedResolution(ex: HttpExchange, route: String)
+      (body: => String): String = {
+    val p = params(ex)
+    val triples = ("route", route, "") +:
+      multiParams(ex, "match[]").sorted.map(("match", "", _))
+    val key = seriesCache.keyOf(triples,
+      p.get("start").filter(_.nonEmpty).map(toNs).getOrElse(Long.MinValue),
+      p.get("end").filter(_.nonEmpty).map(toNs).getOrElse(Long.MaxValue))
+    seriesCache.get(key)(body)
+  }
+
   private def promQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepUs = p.get("step").map(s => (s.toDouble * 1e6).toLong)
@@ -302,20 +323,26 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   }
 
   private def promLabels(ex: HttpExchange): String =
-    ApiEncoders.labelNames(windowed(points, params(ex), "ts_us", 1000L),
-      Some("__name__"))
+    cachedResolution(ex, "prom/labels") {
+      ApiEncoders.labelNames(windowed(points, params(ex), "ts_us", 1000L),
+        Some("__name__"))
+    }
 
   private def promLabelValues(ex: HttpExchange): String = {
     val name = pathSegment(ex, "/label/", "/values")
-    val src = promMatched(ex)
-    val value =
-      if (name == "__name__") col("name") else element_at(col("labels"), name)
-    ApiEncoders.labelValues(src, value)
+    cachedResolution(ex, s"prom/label/$name/values") {
+      val src = promMatched(ex)
+      val value =
+        if (name == "__name__") col("name") else element_at(col("labels"), name)
+      ApiEncoders.labelValues(src, value)
+    }
   }
 
   private def promSeries(ex: HttpExchange): String =
-    ApiEncoders.seriesSet(promMatched(ex),
-      map_concat(map(lit("__name__"), col("name")), col("labels")))
+    cachedResolution(ex, "prom/series") {
+      ApiEncoders.seriesSet(promMatched(ex),
+        map_concat(map(lit("__name__"), col("name")), col("labels")))
+    }
 
   /** Windowed points, optionally narrowed by match[] selectors. */
   private def promMatched(ex: HttpExchange): DataFrame = {
