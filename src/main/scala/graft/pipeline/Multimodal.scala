@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * contract): media items are opaque `binary` payloads plus typed
   * metadata; decode / feature-extraction runs batched per partition.
   *
-  * The real decoders (image/audio/video codecs) are NOT in this
-  * container, so [[StubDecoder]] is a clearly-marked deterministic fake;
-  * everything around it — the schema, the Dataset[MediaItem] encoder,
-  * the mapPartitions batch shape, the partitioning strategy — is the
-  * production plumbing and is tested (MultimodalSpec).
+  * Image payloads decode for REAL through [[ImageDecoder]] (BMP and
+  * binary PNM, header+pixels, [[Codecs]]). Audio/video codecs are NOT
+  * in this container, so those kinds use [[StubDecoder]], a
+  * clearly-marked deterministic fake; everything around the seam —
+  * the schema, the Dataset[MediaItem] encoder, the mapPartitions
+  * batch shape, the partitioning strategy — is the production
+  * plumbing and is tested (MultimodalSpec).
   *
   * Scale notes: featurize runs mapPartitions so a real decoder amortizes
   * model/codec init once per partition (the per-batch pattern a Python
@@ -71,6 +73,26 @@ object Multimodal {
       }
       (width, height, frames)
     }
+  }
+
+  /** REAL image decode behind the seam: BMP and binary PNM payloads
+    * decode header+pixels ([[Codecs]]); audio/video kinds remain on
+    * the stub arithmetic (their codecs are not in this container).
+    * Unknown image bytes fail loudly — a production corpus must not
+    * silently produce fake dimensions.
+    */
+  object ImageDecoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+      kind match {
+        case "image" =>
+          val img =
+            if (Codecs.isBmp(payload)) Codecs.decodeBmp(payload)
+            else if (Codecs.isPnm(payload)) Codecs.decodePnm(payload)
+            else throw new IllegalArgumentException(
+              s"unknown image payload (${payload.length} bytes): not BMP/PNM")
+          (img.width, img.height, 1)
+        case other => StubDecoder.decode(other, payload)
+      }
   }
 
   /** Batched feature extraction: one decoder instance per partition,

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Multimodal
-import graft.pipeline.Multimodal.{MediaItem, StubDecoder}
+import graft.pipeline.{Codecs, Multimodal}
+import graft.pipeline.Multimodal.{ImageDecoder, MediaItem, StubDecoder}
 
 /** Plumbing tests for the multimodal pipeline: encoder round-trip,
   * partition-batched featurize, determinism, schema.
@@ -31,6 +31,58 @@ class MultimodalSpec extends SparkTestBase {
     // running twice yields identical results (stub is pure)
     val again = Multimodal.featurize(items, StubDecoder).collect().sortBy(_.media_id)
     assert(out.toSeq == again.toSeq)
+  }
+
+  test("BMP codec: real header+pixel decode, padded rows, round-trip") {
+    // 3x2 image with distinct per-pixel colors; 3*3=9-byte rows pad to 12
+    val src = Codecs.Image(3, 2, Array(
+      0xFF0000, 0x00FF00, 0x0000FF,
+      0x102030, 0x405060, 0x708090))
+    val bytes = Codecs.encodeBmp(src)
+    assert(bytes.length == 54 + 12 * 2) // row stride padded to 4B
+    val img = Codecs.decodeBmp(bytes)
+    assert(img.width == 3 && img.height == 2)
+    assert(img.pixels.toSeq == src.pixels.toSeq) // bottom-up storage undone
+    assert(math.abs(img.meanLuma - src.meanLuma) < 1e-12)
+    // corrupt/truncated data fails loudly
+    intercept[IllegalArgumentException](Codecs.decodeBmp(bytes.take(40)))
+    intercept[IllegalArgumentException](
+      Codecs.decodeBmp("JUNKJUNKJUNK".getBytes("US-ASCII")))
+  }
+
+  test("PNM codec: P6 RGB and P5 gray with comments decode") {
+    val p6 = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
+        0, 0, 255.toByte, 10, 20, 30)
+    val rgb = Codecs.decodePnm(p6)
+    assert(rgb.width == 2 && rgb.height == 2)
+    assert(rgb.pixels.toSeq ==
+      Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x0A141E))
+    val p5 = "P5\n3 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 127, 255.toByte)
+    val gray = Codecs.decodePnm(p5)
+    assert(gray.pixels.toSeq == Seq(0x000000, 0x7F7F7F, 0xFFFFFF))
+    intercept[IllegalArgumentException](
+      Codecs.decodePnm("P6\n2 2\n255\nxx".getBytes("US-ASCII")))
+  }
+
+  test("ImageDecoder drives real decode through the featurize seam") {
+    val bmp = Codecs.encodeBmp(Codecs.Image(5, 4, Array.fill(20)(0x336699)))
+    val ppm = "P6\n7 3\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](63)(1)
+    val real = Seq(
+      MediaItem(1L, "image", bmp, "a"),
+      MediaItem(2L, "image", ppm, "a"),
+      MediaItem(3L, "video", Array[Byte](33, 5), "b") // still stubbed
+    ).toDS()
+    val out = Multimodal.featurize(real.repartition(2), ImageDecoder)
+      .collect().sortBy(_.media_id)
+    assert((out(0).width, out(0).height, out(0).n_frames) == ((5, 4, 1)))
+    assert((out(1).width, out(1).height, out(1).n_frames) == ((7, 3, 1)))
+    assert(out(2).n_frames == 33 % 30 + 1)
+    // non-image bytes under kind=image must fail, not fake dimensions
+    val junk = Seq(MediaItem(9L, "image", Array[Byte](1, 2, 3), "x")).toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.featurize(junk, ImageDecoder).collect())
   }
 
   test("mediaFromDocuments produces 16-byte md5 payloads with cycling kinds") {
