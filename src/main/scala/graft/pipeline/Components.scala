@@ -26,7 +26,14 @@ object Components {
     * smallest node id reachable from `id`. Only nodes appearing in an
     * edge are returned (callers union isolated nodes back if needed).
     */
-  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges0, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds it
+    * took to converge — the scale probe's O(log n) check.
+    */
+  def connectedComponentsWithRounds(edges0: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     // canonical undirected form: small < large, self-loops dropped
     var edges = edges0
       .select(least(col("src"), col("dst")).as("src"),
@@ -51,9 +58,9 @@ object Components {
     // fixpoint: every edge is (node, componentMin); roots map to themselves
     val roots = edges.select(col("dst").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-    edges.select(col("src").as("id"), col("dst").as("component"))
+    (edges.select(col("src").as("id"), col("dst").as("component"))
       .unionAll(roots)
-      .distinct()
+      .distinct(), round)
   }
 
   /** Large-star: every node u links each STRICTLY LARGER neighbor to

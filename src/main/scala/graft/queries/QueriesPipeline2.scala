@@ -165,7 +165,7 @@ object QueriesPipeline2 extends QueryPack {
     * and clustering both consume it). The all-pairs space never
     * materializes; only band-bucket collisions join.
     */
-  private def bandCandidates(td: Testdata): DataFrame = {
+  private[graft] def bandCandidates(td: Testdata): DataFrame = {
     val sh = shingles3(td)
     // both bands in one aggregation pass: 4 minhash aggs, paired
     val mhAggs = (0 to 3).map(k =>
