@@ -144,6 +144,7 @@ object Registry {
     QueriesGrammar,
     QueriesPromFns,
     QueriesPromFns2,
+    QueriesPromInstant,
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPushdown
