@@ -84,7 +84,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // volume capability)
     server.createContext("/loki/api/v1/index/stats",
       handler(_ => """{"streams":0,"chunks":0,"entries":0,"bytes":0}"""))
-    server.createContext("/loki/api/v1/drilldown/limits",
+    server.createContext("/loki/api/v1/drilldown-limits",
       handler(_ => """{"limits":{"volume_enabled":true},"version":"v3.6.0"}"""))
     server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
     server.createContext("/loki/api/v1/detected_fields", handler(lokiDetectedFields))
@@ -98,6 +98,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       server.createContext("/api/v1/query_exemplars", handler(promQueryExemplars))
     }
     server.createContext("/api/v1/metadata", handler(promMetadataHandler))
+    // reference-faithful stub (promhandler.go:494-497 GetRules →
+    // ErrNotImplemented)
+    server.createContext("/api/v1/rules",
+      handler(_ => notImplemented("rules are not implemented")))
     server.createContext("/api/search", handler(tempoSearchHandler))
     // TraceQL metrics engine over HTTP — the reference serves
     // ErrNotImplemented here (tempohandler.go:88-120); we serve the
@@ -181,6 +185,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   private def lokiInstant(ex: HttpExchange): String = {
     val p = params(ex)
     val q = p("query")
+    // `@explain` serves the decision stream on the instant endpoint
+    // too (the reference explains through both Query and QueryRange)
+    if (q.trim.startsWith(graft.logql.Explain.Prefix))
+      return ApiEncoders.lokiStreams(graft.logql.Planner.query(q, logs))
     val tNs = p.get("time").filter(_.nonEmpty).map(toNs)
       .getOrElse(logs.agg(max(col("ts_ns"))).head().getLong(0))
     graft.logql.Parser.parse(q) match {
