@@ -34,6 +34,12 @@ object Parser {
     while (i < n) {
       val c = input.charAt(i)
       if (c.isWhitespace) i += 1
+      else if (c == '#') {
+        // trailing comment: ignored to end-of-line (reference
+        // lexer.go comment handling; quoted '#' is consumed by the
+        // string branch before this one can see it)
+        while (i < n && input.charAt(i) != '\n') i += 1
+      }
       else if (c == '"' || c == '`') {
         val quote = c
         val sb = new StringBuilder
@@ -100,6 +106,7 @@ object Parser {
   final class P(toks: Vector[Tok]) {
     private var pos = 0
     def peek: Tok = toks(pos)
+    def peekAhead(k: Int): Tok = toks(math.min(pos + k, toks.length - 1))
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def expectOp(s: String): Unit = next() match {
       case TOp(`s`, _) => ()
@@ -314,8 +321,11 @@ object Parser {
     case TIdent(label, _) => // label filter starting with a label name
       LabelFilterStage(parsePredicateRest(p, label))
     case TOp("(", _) =>
-      val pred = parsePredicateParen(p)
-      LabelFilterStage(pred)
+      // stage-leading paren group: `| (a, b) or c` — close the group,
+      // then keep chaining connectives at this level
+      val inner = parsePredicateParen(p)
+      p.expectOp(")")
+      LabelFilterStage(parsePredTail(p, inner))
     case t => throw ParseError("unknown pipeline stage", t.pos)
   }
 
@@ -359,11 +369,30 @@ object Parser {
     var acc = first
     var more = true
     while (more) {
-      if (p.acceptIdent("and")) acc = PredAnd(acc, parseTerm(p))
+      // `,` and bare juxtaposition both chain as AND (upstream label
+      // filter grammar: `| a >= 1ms, b >= 1KB` ≡ `| a >= 1ms b >= 1KB`
+      // ≡ and), alongside the explicit and/or keywords
+      if (p.acceptIdent("and") || p.acceptOp(",")) acc = PredAnd(acc, parseTerm(p))
       else if (p.acceptIdent("or")) acc = PredOr(acc, parseTerm(p))
+      else if (juxtaposedTerm(p)) acc = PredAnd(acc, parseTerm(p))
       else more = false
     }
     acc
+  }
+
+  /** Whether the next tokens start another label-filter term with no
+    * connective: `(…` or `label <cmp>`. Anything else (the next `|`
+    * stage, a range `[`, EOF…) ends the chain.
+    */
+  private def juxtaposedTerm(p: P): Boolean = p.peek match {
+    case TOp("(", _) => true
+    case TIdent(l, _) if l != "and" && l != "or" =>
+      p.peekAhead(1) match {
+        case TOp(op, _) =>
+          Set("=", "==", "!=", ">", ">=", "<", "<=", "=~", "!~")(op)
+        case _ => false
+      }
+    case _ => false
   }
 
   private def parseTerm(p: P): LabelPredicate = p.next() match {

@@ -392,7 +392,26 @@ object PromQL {
         }
       }
     }
-    Selector(name, ms.result())
+    val sel = Selector(name, ms.result())
+    // upstream validation: a selector where EVERY matcher also matches
+    // the empty string selects the whole store ({__name__=~".*"} is
+    // the corpus's should_fail entry) — reject at parse like the
+    // vendored engine does
+    if (name.isEmpty && sel.matchers.forall(matchesEmpty))
+      throw ParseError(
+        "vector selector must contain at least one non-empty matcher", p.i)
+    sel
+  }
+
+  /** Whether a matcher accepts the empty string (absent label). */
+  private def matchesEmpty(m: Matcher): Boolean = m.op match {
+    case "="  => m.value.isEmpty
+    case "!=" => m.value.nonEmpty
+    case "=~" | "!~" =>
+      val matches =
+        try "".matches(s"^(?:${Kernels.re2ToJava(m.value)})$$")
+        catch { case _: Exception => false }
+      if (m.op == "=~") matches else !matches
   }
 
   // ---------- planner ----------

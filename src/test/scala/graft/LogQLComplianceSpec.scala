@@ -114,17 +114,19 @@ class LogQLComplianceSpec extends SparkTestBase {
       Seq("42", "1.234", ".123", "1.23e-3", "1 + 2 / 3", "2 * 3 % 2") ++
       // line_format built-in template variables
       Seq("""{job="varlogs"} | line_format "{{ __timestamp__ }}"""",
-        """{job="varlogs"} | line_format "{{ __line__ }}"""")
+        """{job="varlogs"} | line_format "{{ __line__ }}"""") ++
+      // round-6 additions: trailing comment, comma/juxtaposition
+      // label-filter chaining (upstream grammar; previously rejected)
+      Seq(
+        """{job="varlogs"} # anything that comes after will not be interpreted""",
+        """{job="varlogs"} | json | took >= 1ms, size >= 1KB""",
+        """{job="varlogs"} | json | took >= 1ms size >= 1KB""",
+        """{job="varlogs"} | json | (status > 1000, status < 0) or method != "HEAD"""")
 
-  /** Corpus queries the grammar intentionally rejects today. */
-  private val knownUnsupported: Seq[String] = Seq(
-    // trailing comment
-    """{job="varlogs"} # anything that comes after will not be interpreted""",
-    // comma / juxtaposition label-filter chaining
-    """{job="varlogs"} | json | took >= 1ms, size >= 1KB""",
-    """{job="varlogs"} | json | took >= 1ms size >= 1KB""",
-    """{job="varlogs"} | json | (status > 1000, status < 0) or method != "HEAD""""
-  )
+  /** Corpus queries the grammar intentionally rejects today (round 6:
+    * comments and comma/juxtaposition chaining landed, emptying it).
+    */
+  private val knownUnsupported: Seq[String] = Nil
 
   test("LogQL compliance corpus: every supported query parses") {
     val failures = supported.flatMap { q =>
@@ -226,7 +228,12 @@ class LogQLComplianceSpec extends SparkTestBase {
     """{job="varlogs"} | decolorize""" -> 8,
     """{job="varlogs"} | json | label_format status_code=status | status_code >= 400""" -> 4,
     """{job="varlogs"} | line_format "{{ __timestamp__ }}"""" -> 8,
-    """{job="varlogs"} | line_format "{{ __line__ }}"""" -> 8)
+    """{job="varlogs"} | line_format "{{ __line__ }}"""" -> 8,
+    // round-6 grammar additions, executed
+    """{job="varlogs"} # anything that comes after will not be interpreted""" -> 8,
+    """{job="varlogs"} | json | took >= 1ms, size >= 1KB""" -> 6,
+    """{job="varlogs"} | json | took >= 1ms size >= 1KB""" -> 6,
+    """{job="varlogs"} | json | (status > 1000, status < 0) or method != "HEAD"""" -> 4)
 
   test("executed ledger: log-query corpus row counts") {
     val failures = logQueryCounts.flatMap { case (q, expected) =>

@@ -136,7 +136,11 @@ class PromQLComplianceSpec extends SparkTestBase {
     // wrong arity on the parameterized range functions
     "holt_winters(demo_disk_usage_bytes[1m], 0.5)",
     "predict_linear(demo_disk_usage_bytes[1m])",
-    "quantile_over_time(demo_memory_usage_bytes[1m])"
+    "quantile_over_time(demo_memory_usage_bytes[1m])",
+    // the corpus's should_fail entry: every matcher accepts the empty
+    // string — upstream rejects the whole-store selector, so do we
+    """{__name__=~".*"}""",
+    """{job=~".*"}"""
   )
 
   test("compliance corpus: every supported query parses") {
