@@ -47,14 +47,15 @@ object ApiEncoders {
   /** Loki streams result for log queries: rows (ts_ns, body, labels) →
     * {"stream":{…},"values":[["<ns>","line"],…]} per stream.
     */
-  def lokiStreams(df: DataFrame): String = {
+  def lokiStreams(df: DataFrame, newestFirst: Boolean = false): String = {
     // ["<ns>","line"] is a homogeneous string pair → to_json escapes
     // the log line correctly
     val pair = (p: Column) =>
       to_json(array(p.getField("t").cast("string"), p.getField("line")))
     val series = df.groupBy(col("labels"))
       .agg(sort_array(collect_list(struct(
-        col("ts_ns").as("t"), col("body").as("line")))).as("pts"))
+        col("ts_ns").as("t"), col("body").as("line"))),
+        asc = !newestFirst).as("pts"))
       .select(concat(
         lit("{\"stream\":"), to_json(col("labels")),
         lit(",\"values\":["),

@@ -173,9 +173,17 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val p = params(ex)
     val stepNs = p.get("step").map(s => (s.toDouble * 1e9).toLong)
     val src = windowed(logs, p, "ts_ns", 1L)
-    val df = graft.logql.Planner.query(p("query"), src, stepNs = stepNs)
+    // log-query knobs (lokihandler.go QueryRange params): `limit` caps
+    // entries, `direction=backward` keeps the NEWEST limit entries —
+    // both reach the plan as TakeOrderedAndProject, so the cap rides
+    // the scan instead of trimming a full result
+    val limit = p.get("limit").flatMap(_.toIntOption)
+      .getOrElse(graft.logql.Planner.DefaultLogLimit)
+    val backward = p.get("direction").contains("backward")
+    val df = graft.logql.Planner.query(p("query"), src, stepNs = stepNs,
+      logLimit = Some(limit), newestFirst = backward)
     if (df.columns.contains("value")) ApiEncoders.lokiMatrix(df)
-    else ApiEncoders.lokiStreams(df)
+    else ApiEncoders.lokiStreams(df, newestFirst = backward)
   }
 
   /** Loki instant query (lokihandler.go Query): metric queries

@@ -357,11 +357,15 @@ object Planner {
     * every matching line. Pass None only for downstream aggregation.
     */
   def planLog(q: LogQuery, logs: DataFrame,
-      limit: Option[Int] = Some(DefaultLogLimit)): DataFrame = {
+      limit: Option[Int] = Some(DefaultLogLimit),
+      newestFirst: Boolean = false): DataFrame = {
     val ctx = evalLog(q, logs)
+    val ord =
+      if (newestFirst) Seq(col("ts_ns").desc, col("body").desc)
+      else Seq(col("ts_ns"), col("body"))
     val ordered = ctx.df
       .select(col("ts_ns"), col("body"), ctx.labelsCol.as("labels"))
-      .orderBy(col("ts_ns"), col("body"))
+      .orderBy(ord: _*)
     limit.fold(ordered)(ordered.limit)
   }
 
@@ -664,7 +668,8 @@ object Planner {
 
   def query(logql: String, logs: DataFrame,
       stepNs: Option[Long] = None,
-      logLimit: Option[Int] = Some(DefaultLogLimit)): DataFrame = {
+      logLimit: Option[Int] = Some(DefaultLogLimit),
+      newestFirst: Boolean = false): DataFrame = {
     val trimmed = logql.trim
     // `@explain <query>`: the pushdown-decision stream instead of
     // results (reference lexer.go:80-84 + engine_explain_query.go)
@@ -673,7 +678,7 @@ object Planner {
         Parser.parse(trimmed.stripPrefix(Explain.Prefix).trim),
         logs.sparkSession)
     Parser.parse(logql) match {
-      case Ast.LogExpr(q)       => planLog(q, logs, logLimit)
+      case Ast.LogExpr(q)       => planLog(q, logs, logLimit, newestFirst)
       case Ast.MetricExprTop(m) => planMetric(foldScalars(m), logs, stepNs)
     }
   }

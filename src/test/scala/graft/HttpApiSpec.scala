@@ -467,6 +467,27 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("loki query_range honors limit and direction=backward") {
+    withApi { port =>
+      // 3 log lines total; limit=1 forward keeps the OLDEST line
+      val (c1, fwd) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("{}")}&limit=1""")
+      assert(c1 == 200)
+      assert(fwd.contains("error: boom") && !fwd.contains("error: again"))
+
+      // backward keeps the NEWEST line, entries rendered newest-first
+      val (c2, bwd) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("{}")}&limit=1&direction=backward""")
+      assert(c2 == 200)
+      assert(bwd.contains("error: again") && !bwd.contains("error: boom"))
+
+      val (c3, bwd2) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("""{app="api"}""")}&direction=backward""")
+      assert(c3 == 200)
+      assert(bwd2.indexOf("\"ok\"") < bwd2.indexOf("error: boom")) // newest first
+    }
+  }
+
   test("@explain serves the decision stream over HTTP, both endpoints") {
     withApi { port =>
       for (path <- Seq("/loki/api/v1/query_range", "/loki/api/v1/query")) {
