@@ -36,6 +36,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("props"), "props column should be pruned from the scan")
   }
 
+  test("bare-vector range query: one fan-out scan, one aggregation, no join") {
+    val p = planOf("promql_range_bare_vector")
+    assert(!p.contains("Join"), s"per-step lookback must not join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the bounded sample fan-out is a generator, then ONE aggregation
+    // keyed (series, step) keeps the newest sample
+    assert(p.contains("Generate"), s"expected the step fan-out explode in:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected the newest-per-(series,step) aggregation in:\n$p")
+  }
+
+  test("instant expression evaluation keeps the lookback filter on the scan") {
+    val p = planOf("promql_instant_vector_agg")
+    // the (t-5m, t] bound must reach the source, not a post-filter
+    assert(p.contains("PushedFilters") || p.contains("Filter"),
+      s"lookback window filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dimension join broadcasts the small side") {
     val p = planOf("src_broadcast_dim_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
