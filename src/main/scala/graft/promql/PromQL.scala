@@ -1357,20 +1357,31 @@ object PromQL {
       // it can serve (bounded by lookback/step), then keep the newest
       // per (series, step) — one explode + one aggregation, no
       // per-step rescan.
-      val gridUs = stepUs.getOrElse(300000000L)
       val lookUs = 300000000L
       val src =
         if (offsetNs == 0) points
         else points.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
-      val nSteps = lookUs / gridUs + 1
-      src.filter(selCol(sel))
-        .filter(!isnan(col("value")))
-        .withColumn("__first_step",
-          expr(s"((ts_us + ${gridUs - 1}) div $gridUs) * $gridUs"))
-        .withColumn("bucket_us", explode(filter(
-          sequence(col("__first_step"),
-            col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
-          s => s < col("ts_us") + lit(lookUs))))
+      val live = src.filter(selCol(sel)).filter(!isnan(col("value")))
+      val bucketed = stepUs match {
+        case Some(gridUs) =>
+          val nSteps = lookUs / gridUs + 1
+          live
+            .withColumn("__first_step",
+              expr(s"((ts_us + ${gridUs - 1}) div $gridUs) * $gridUs"))
+            .withColumn("bucket_us", explode(filter(
+              sequence(col("__first_step"),
+                col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
+              s => s < col("ts_us") + lit(lookUs))))
+        case None =>
+          // No explicit step: tumbling floor buckets labeled by window
+          // START, the SAME convention the RangeFn stepUs=None path
+          // uses — a mixed expression like `foo / rate(foo[5m])` with
+          // no step must join values from the same period, not grids
+          // shifted by one window.
+          live.withColumn("bucket_us",
+            col("ts_us") - col("ts_us") % lit(lookUs))
+      }
+      bucketed
         .withColumn("__stream", streamKey)
         .groupBy(col("__stream"), col("bucket_us"))
         .agg(max_by(col("value"), col("ts_us")).as("value"),
