@@ -765,9 +765,39 @@ object PromQL {
     case other => other
   }
 
+  /** True when a range expression mixes bare vector-selector leaves
+    * with range-function nodes. With no explicit step those two would
+    * otherwise bucket on different conventions (per-step lookback on
+    * the ceiling grid vs floor-tumbling range windows), so a binop like
+    * `foo / rate(foo[5m])` would join misaligned grids — [[range]]
+    * threads the default 5m step into EVERY subexpression instead of
+    * relabeling either side's buckets.
+    */
+  private def mixesBareAndRange(e: Expr): Boolean = {
+    var bare = false
+    var ranged = false
+    def walk(x: Expr): Unit = x match {
+      case Instant(_, _)                 => bare = true
+      case RangeFn(_, _, _, _, _)        => ranged = true
+      case RangeSub(_, _, _, _, _, _)    => ranged = true
+      case Bin(_, l, r, _, _)            => walk(l); walk(r)
+      case Agg(_, _, _, _, _, i)         => walk(i)
+      case FnCall(_, i, _, _)            => walk(i)
+      case HistQuantile(_, i)            => walk(i)
+      case At(i, _)                      => walk(i)
+      case _                             => ()
+    }
+    walk(e)
+    bare && ranged
+  }
+
   def range(q: String, points: DataFrame,
-      stepUs: Option[Long] = None): DataFrame =
-    planRange(foldScalars(parse(q)), points, stepUs)
+      stepUs: Option[Long] = None): DataFrame = {
+    val e = foldScalars(parse(q))
+    val st =
+      if (stepUs.isEmpty && mixesBareAndRange(e)) Some(300000000L) else stepUs
+    planRange(e, points, st)
+  }
 
   private def planRange(e: Expr, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame =
@@ -1357,31 +1387,27 @@ object PromQL {
       // it can serve (bounded by lookback/step), then keep the newest
       // per (series, step) — one explode + one aggregation, no
       // per-step rescan.
+      // No explicit step: evaluate on the default 5m grid — same
+      // ceiling-aligned convention as the stepped path (a range query
+      // always evaluates at t = start + k*step; Prometheus rejects a
+      // missing step upstream, so the engine-internal default must not
+      // invent a different labeling). Mixed no-step expressions like
+      // `foo / rate(foo[5m])` are aligned by [[range]] threading an
+      // explicit default step into ALL subexpressions instead.
       val lookUs = 300000000L
+      val gridUs = stepUs.getOrElse(lookUs)
       val src =
         if (offsetNs == 0) points
         else points.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
-      val live = src.filter(selCol(sel)).filter(!isnan(col("value")))
-      val bucketed = stepUs match {
-        case Some(gridUs) =>
-          val nSteps = lookUs / gridUs + 1
-          live
-            .withColumn("__first_step",
-              expr(s"((ts_us + ${gridUs - 1}) div $gridUs) * $gridUs"))
-            .withColumn("bucket_us", explode(filter(
-              sequence(col("__first_step"),
-                col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
-              s => s < col("ts_us") + lit(lookUs))))
-        case None =>
-          // No explicit step: tumbling floor buckets labeled by window
-          // START, the SAME convention the RangeFn stepUs=None path
-          // uses — a mixed expression like `foo / rate(foo[5m])` with
-          // no step must join values from the same period, not grids
-          // shifted by one window.
-          live.withColumn("bucket_us",
-            col("ts_us") - col("ts_us") % lit(lookUs))
-      }
-      bucketed
+      val nSteps = lookUs / gridUs + 1
+      src.filter(selCol(sel))
+        .filter(!isnan(col("value")))
+        .withColumn("__first_step",
+          expr(s"((ts_us + ${gridUs - 1}) div $gridUs) * $gridUs"))
+        .withColumn("bucket_us", explode(filter(
+          sequence(col("__first_step"),
+            col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
+          s => s < col("ts_us") + lit(lookUs))))
         .withColumn("__stream", streamKey)
         .groupBy(col("__stream"), col("bucket_us"))
         .agg(max_by(col("value"), col("ts_us")).as("value"),
