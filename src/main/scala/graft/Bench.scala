@@ -55,7 +55,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The driver keeps only a 2000-char stdout tail; a 189-query map
+    // (~7 KB) can never fit, so the full per-query timing map also goes
+    // to a file, and the LAST stdout line is a compact summary (total /
+    // mean / median / heaviest queries + the file pointer) small enough
+    // to survive the tail window and parse as JSON.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val sorted = results.map(_._2).sorted
+    val mean = if (results.isEmpty) 0.0 else total / results.size
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    def r3(v: Double): String = f"$v%.3f"
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean":${r3(mean)},"median":${r3(median)},"queries":$top,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

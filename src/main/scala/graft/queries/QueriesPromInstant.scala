@@ -18,6 +18,10 @@ object QueriesPromInstant extends QueryPack {
   private val DayUs = 86400000000L
   private val GridUs = 300000000L // default 5m step/lookback
   private val TUs = 1705305600000000L // 2024-01-15T08:00Z, inside the corpus
+  // Eval time for the instant-agg entry: a 5m-aligned instant whose
+  // lookback window holds samples from all four svc groups at the gate
+  // SF (an empty window proves parsing, not evaluation).
+  private val TAggUs = 1705505100000000L // 2024-01-17T15:25Z
 
   /** Points with ONE sample per (series, ts): lookback picks the
     * newest sample per series, and a ts collision inside one series
@@ -73,7 +77,7 @@ object QueriesPromInstant extends QueryPack {
     "promql_instant_vector_agg",
     (s: SparkSession, dir: String) =>
       PromQL.instant("""sum by (svc) (ev)""",
-          dedupPointsView(Testdata(s, dir)), evalTsUs = TUs)
+          dedupPointsView(Testdata(s, dir)), evalTsUs = TAggUs)
         .select(col("ts_us"), element_at(col("labels"), "svc").as("svc"),
           round(col("value"), 6).as("value"))
         .orderBy("svc"),
@@ -81,8 +85,8 @@ object QueriesPromInstant extends QueryPack {
       s"""WITH p AS ($oracleDedup),
          |r AS (SELECT svc, et, v,
          |    row_number() OVER (PARTITION BY svc, et ORDER BY tu DESC) AS rn
-         |  FROM p WHERE tu <= $TUs AND tu > ${TUs - GridUs})
-         |SELECT $TUs AS ts_us, svc, round(SUM(v), 6) AS value
+         |  FROM p WHERE tu <= $TAggUs AND tu > ${TAggUs - GridUs})
+         |SELECT $TAggUs AS ts_us, svc, round(SUM(v), 6) AS value
          |FROM r WHERE rn = 1 GROUP BY svc ORDER BY svc""".stripMargin))
 
   /** Bare-selector offset: the lookback window shifts back wholesale
