@@ -20,10 +20,13 @@ object LabelFns {
     val srcVal = coalesce(try_element_at(col("labels"), lit(src)), lit(""))
     val anchored = s"^(?:${Kernels.re2ToJava(re)})$$"
     val newVal = regexp_replace(srcVal, anchored, repl)
+    // an empty expansion DROPS dst (Prometheus labels-builder rule)
+    val without = map_filter(col("labels"), (k, _) => k =!= dst)
     in.withColumn("labels",
-      when(srcVal.rlike(anchored), map_concat(
-        map_filter(col("labels"), (k, _) => k =!= dst),
-        map(lit(dst), newVal))).otherwise(col("labels")))
+      when(srcVal.rlike(anchored),
+        when(newVal === "", without)
+          .otherwise(map_concat(without, map(lit(dst), newVal))))
+        .otherwise(col("labels")))
   }
 
   /** label_join(v, dst, sep, src...): dst = src values joined by sep. */
@@ -32,9 +35,13 @@ object LabelFns {
     val sep = strs(1)
     val srcVals: Seq[Column] = strs.drop(2).map(s =>
       coalesce(try_element_at(col("labels"), lit(s)), lit("")))
-    in.withColumn("labels", map_concat(
-      map_filter(col("labels"), (k, _) => k =!= dst),
-      map(lit(dst), concat_ws(sep, srcVals: _*))))
+    val joined = concat_ws(sep, srcVals: _*)
+    // an empty joined value DROPS dst (same labels-builder rule as
+    // label_replace)
+    val without = map_filter(col("labels"), (k, _) => k =!= dst)
+    in.withColumn("labels",
+      when(joined === "", without)
+        .otherwise(map_concat(without, map(lit(dst), joined))))
   }
 
   def apply(fn: String, in: DataFrame, strs: Seq[String]): DataFrame = fn match {

@@ -40,12 +40,22 @@ object VectorMatching {
 
   private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
 
-  private def arith(op: String, l: Column, r: Column): Column = op match {
+  /** IEEE-754 binary arithmetic (upstream PromQL is Go float math):
+    * x/0 is ±Inf (NaN at 0/0), x%0 is NaN — Spark's ANSI operators
+    * would error out instead, so zero divisors take a guarded branch.
+    */
+  private[graft] def arith(op: String, l: Column, r: Column): Column = op match {
     case "+" => l + r
     case "-" => l - r
     case "*" => l * r
-    case "/" => l / r
-    case "%" => l % r
+    case "/" =>
+      when(r === 0.0,
+        when(l > 0, lit(Double.PositiveInfinity))
+          .when(l < 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(l / r)
+    case "%" =>
+      when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
     case "^" => pow(l, r)
     case "atan2" => atan2(l, r)
     case ">" => l > r
@@ -60,7 +70,7 @@ object VectorMatching {
     * (bucketCol, labels, value), and so does the result.
     */
   def bin(op: String, l: DataFrame, r: DataFrame, m: VectorMatch,
-      bucketCol: String): DataFrame = op match {
+      bucketCol: String, boolMod: Boolean = false): DataFrame = op match {
     case "and" =>
       l.withColumn("__mk", matchKey(col("labels"), m))
         .join(r.select(col(bucketCol),
@@ -90,7 +100,7 @@ object VectorMatching {
           val rk = r.select(col(bucketCol),
             matchKey(col("labels"), m).as("__mk"), col("value").as("__rv"))
           val j = lk.join(rk, Seq(bucketCol, "__mk"))
-          finish(op, j, col("value"), col("__rv"), bucketCol)
+          finish(op, j, col("value"), col("__rv"), bucketCol, boolMod)
         case Some(side) =>
           // many-to-one: the many side keeps its labels (+ include
           // labels copied from the one side); the one side broadcasts
@@ -108,14 +118,18 @@ object VectorMatching {
           val (lv, rv) =
             if (side == "left") (col("value"), col("__ov"))
             else (col("__ov"), col("value"))
-          finish(op, j, lv, rv, bucketCol)
+          finish(op, j, lv, rv, bucketCol, boolMod)
       }
   }
 
   private def finish(op: String, j: DataFrame, lv: Column, rv: Column,
-      bucketCol: String): DataFrame = {
+      bucketCol: String, boolMod: Boolean = false): DataFrame = {
     val v = arith(op, lv, rv)
-    if (cmpOps(op))
+    if (cmpOps(op) && boolMod)
+      // `bool` keeps every matched pair, the value collapsing to 0/1
+      j.select(col(bucketCol), col("labels"),
+        when(v, 1.0).otherwise(0.0).as("value"))
+    else if (cmpOps(op))
       j.filter(v).select(col(bucketCol), col("labels"), lv.as("value"))
     else
       j.select(col(bucketCol), col("labels"), v.as("value"))

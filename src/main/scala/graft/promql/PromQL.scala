@@ -107,6 +107,14 @@ object PromQL {
     }
     def number(): Double = {
       ws()
+      // signed numeric parameters (quantile(-0.5, …) is a valid, if
+      // out-of-range, upstream argument)
+      val neg = i < input.length && input.charAt(i) == '-'
+      if (neg || (i < input.length && input.charAt(i) == '+')) i += 1
+      val raw = numberUnsigned()
+      if (neg) -raw else raw
+    }
+    def numberUnsigned(): Double = {
       val start = i
       // hex literals (0x3d) and exponents (1.23e-3), like Prometheus
       if (input.startsWith("0x", i) || input.startsWith("0X", i)) {
@@ -492,6 +500,15 @@ object PromQL {
     * subquery range path and the instant-over-subquery path (the full
     * RangeFn machinery has extra rate/regression cases on top).
     */
+  /** Aggregate percentile with upstream out-of-range semantics:
+    * φ < 0 → -Inf, φ > 1 → +Inf (Prometheus warns and yields the
+    * infinity; Spark's percentile would reject the argument).
+    */
+  private def promPercentile(vc: Column, phi: Double): Column =
+    if (phi < 0) first(lit(Double.NegativeInfinity))
+    else if (phi > 1) first(lit(Double.PositiveInfinity))
+    else percentile(vc, lit(phi))
+
   private def overTimeAgg(fn: String, param: Seq[Double]): Option[Column] =
     fn match {
       case "count_over_time" => Some(count(lit(1)).cast("double"))
@@ -505,7 +522,7 @@ object PromQL {
       case "stdvar_over_time" => Some(var_pop(col("value")))
       case "present_over_time" => Some(first(lit(1.0)))
       case "quantile_over_time" =>
-        Some(percentile(col("value"), lit(param.headOption.getOrElse(0.5))))
+        Some(promPercentile(col("value"), param.headOption.getOrElse(0.5)))
       case _ => None
     }
 
@@ -578,7 +595,8 @@ object PromQL {
       .filter(col("ts_us") <= tUs && col("ts_us") > tUs - 300000000L)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(lit(tUs).as("ts_us"), col("labels"), col("value"))
+      .select(lit(tUs).as("ts_us"), col("labels"), col("value"),
+        col("ts_us").as("__sample_ts_us"))
   }
 
   private def instantOf(e: Expr, points: DataFrame, evalTsUs: Long): DataFrame = e match {
@@ -662,6 +680,13 @@ object PromQL {
       case Instant(sel, off) =>
         lookback(sel, points, tUs - off / 1000)
           .select(lit(tUs).as("bucket_us"), col("labels"), col("value"))
+      case FnCall("timestamp", Instant(sel, off), _, _) =>
+        // timestamp(selector): the lookback sample's OWN timestamp in
+        // seconds (upstream funcTimestamp); derived vectors carry the
+        // eval time instead (generic FnCall case)
+        lookback(sel, points, tUs - off / 1000)
+          .select(lit(tUs).as("bucket_us"), col("labels"),
+            (col("__sample_ts_us").cast("double") / 1e6).as("value"))
       case At(inner, t2) => // pinned: evaluate at t2, surface at t
         evalInstant(inner, points, t2).withColumn("bucket_us", lit(tUs))
       case FnCall("absent", Instant(sel, off), _, _) =>
@@ -1043,7 +1068,7 @@ object PromQL {
             case "stdvar_over_time" => var_pop(col("value"))
             case "present_over_time" => first(lit(1.0))
             case "quantile_over_time" =>
-              percentile(col("value"), lit(param.headOption.getOrElse(0.5)))
+              promPercentile(col("value"), param.headOption.getOrElse(0.5))
           }
           base.groupBy(col("__stream"), col("bucket_us"))
             .agg(v.as("value"), first(col("labels")).as("labels"))
@@ -1134,7 +1159,7 @@ object PromQL {
             case "stddev" => stddev_pop(col("value"))
             case "stdvar" => var_pop(col("value"))
             case "group" => max(lit(1.0)) // upstream: 1 per group
-            case "quantile" => percentile(col("value"), lit(param.getOrElse(0.5)))
+            case "quantile" => promPercentile(col("value"), param.getOrElse(0.5))
           }
           g.groupBy(col("bucket_us"), col("__stream"))
             .agg(v.as("value"), first(col("labels")).as("labels"))
@@ -1171,8 +1196,8 @@ object PromQL {
         .join(sdf, Seq("bucket_us"), "left")
         .withColumn("__sv", coalesce(col("__sv"), lit(Double.NaN)))
       scalarBin(op, col("__sv"), joined, b, scalarLeft = false)
-    case Bin(op, lhs, rhs, Some(m), _) =>
-      graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs), m, "bucket_us")
+    case Bin(op, lhs, rhs, Some(m), b) =>
+      graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs), m, "bucket_us", b)
     case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None, _) =>
       // full-label-set matching (reference vendored engine set binops)
       graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs),
@@ -1183,13 +1208,10 @@ object PromQL {
         .withColumnRenamed("value", "__rv").drop("labels")
       val joined = l.join(r, Seq("bucket_us", "__stream"))
       val v = op match {
-        case "+" => col("value") + col("__rv")
-        case "-" => col("value") - col("__rv")
-        case "*" => col("value") * col("__rv")
-        case "/" => col("value") / col("__rv")
-        case "%" => col("value") % col("__rv")
-        case "^" => pow(col("value"), col("__rv"))
-        case "atan2" => atan2(col("value"), col("__rv"))
+        case "+" | "-" | "*" | "/" | "%" | "^" | "atan2" =>
+          // IEEE semantics (x/0 → ±Inf, x%0 → NaN), shared with the
+          // vector-matching path
+          graft.logql.VectorMatching.arith(op, col("value"), col("__rv"))
         case _   => null
       }
       if (v == null) {
@@ -1209,17 +1231,31 @@ object PromQL {
       } else joined.select(col("bucket_us"), col("labels"), v.as("value"))
 
     case RangeSub(fn, inner, rangeNs, stepNs, offsetNs, param) =>
-      // inner evaluates on ITS step grid (sliding fan-out); the outer
-      // over-time treats those step points as samples on a tumbling
-      // outer grid — the vendored engine's subquery shape
+      // inner evaluates on ITS step grid (absolute-aligned, the
+      // subquery resolution); those step points are the outer
+      // over-time's samples. With an explicit outer step the windows
+      // slide — (s-range, s] per step s, the same bounded fan-out as
+      // RangeFn; without one they tumble (the no-step convention the
+      // gate pins)
       val rangeUs = rangeNs / 1000
       val pts0 = planRange(inner, points, Some(stepNs / 1000))
         .withColumnRenamed("bucket_us", "ts_us")
       val pts = if (offsetNs == 0) pts0
         else pts0.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
-      val base = pts
-        .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
-        .withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
+      val base = (stepUs match {
+        case Some(st) =>
+          val nSteps = rangeUs / st + 1
+          pts
+            .withColumn("__first_step",
+              expr(s"((ts_us + ${st - 1}) div $st) * $st"))
+            .withColumn("bucket_us", explode(filter(
+              sequence(col("__first_step"),
+                col("__first_step") + lit((nSteps - 1) * st), lit(st)),
+              s => s < col("ts_us") + lit(rangeUs))))
+            .drop("__first_step")
+        case None =>
+          pts.withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
+      }).withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
       val v = overTimeAgg(fn, param).getOrElse(
         throw new IllegalArgumentException(s"$fn over a subquery is unsupported"))
       base.groupBy(col("__stream"), col("bucket_us"))
@@ -1237,12 +1273,45 @@ object PromQL {
       // count_values("label", v): occurrences of each distinct value,
       // the value itself becoming the only output label
       val lbl = strs.head
+      // the value label uses Go's shortest decimal formatting
+      // (strconv.FormatFloat 'f' -1): integral doubles print without
+      // the trailing ".0" Spark's cast would add
+      val formatted =
+        when(col("__cv") === floor(col("__cv")) &&
+            abs(col("__cv")) < 1e15 && !isnan(col("__cv")),
+          col("__cv").cast("long").cast("string"))
+          .otherwise(col("__cv").cast("string"))
       rec(inner)
         .groupBy(col("bucket_us"), col("value").as("__cv"))
         .agg(count(lit(1)).cast("double").as("__n"))
         .select(col("bucket_us"),
-          map(lit(lbl), col("__cv").cast("string")).as("labels"),
+          map(lit(lbl), formatted).as("labels"),
           col("__n").as("value"))
+
+    case FnCall("timestamp", Instant(sel, offsetNs), _, _) =>
+      // timestamp(selector): per step, the newest lookback sample's
+      // OWN timestamp in seconds (upstream funcTimestamp) — the same
+      // fan-out as the bare-selector case, valuing max(ts) instead of
+      // the newest value; offsets are unshifted back to the raw ts
+      val lookUs = 300000000L
+      val gridUs = stepUs.getOrElse(lookUs)
+      val src =
+        if (offsetNs == 0) points
+        else points.withColumn("ts_us", col("ts_us") + lit(offsetNs / 1000))
+      val nSteps = lookUs / gridUs + 1
+      src.filter(selCol(sel))
+        .filter(!isnan(col("value")))
+        .withColumn("__first_step",
+          expr(s"((ts_us + ${gridUs - 1}) div $gridUs) * $gridUs"))
+        .withColumn("bucket_us", explode(filter(
+          sequence(col("__first_step"),
+            col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
+          s => s < col("ts_us") + lit(lookUs))))
+        .withColumn("__stream", streamKey)
+        .groupBy(col("__stream"), col("bucket_us"))
+        .agg(((max(col("ts_us")) - lit(offsetNs / 1000)).cast("double") / 1e6)
+          .as("value"), first(col("labels")).as("labels"))
+        .select(col("bucket_us"), col("labels"), col("value"))
 
     case FnCall(fn, inner, nums, strs) =>
       val in = rec(inner)
@@ -1291,7 +1360,9 @@ object PromQL {
           in.withColumn("value",
             floor(col("value") / lit(n) + lit(0.5)) * lit(n))
         case "clamp" =>
-          in.withColumn("value", least(greatest(col("value"), num(0)), num(1)))
+          // upstream funcClamp: min > max yields NaN for every sample
+          if (nums(0) > nums(1)) in.withColumn("value", lit(Double.NaN))
+          else in.withColumn("value", least(greatest(col("value"), num(0)), num(1)))
         case "clamp_min" => in.withColumn("value", greatest(col("value"), num(0)))
         case "clamp_max" => in.withColumn("value", least(col("value"), num(0)))
         case "sort"      => in.orderBy(col("bucket_us"), col("value"))
@@ -1338,6 +1409,17 @@ object PromQL {
       // partitions (#buckets), already co-partitioned by the upstream agg.
       val in = rec(inner)
       val leStr = element_at(col("labels"), "le")
+      // upstream bucketQuantile: φ outside [0,1] yields the matching
+      // infinity for every bucket group (with a warning upstream)
+      if (phi < 0 || phi > 1) {
+        val inf = if (phi < 0) Double.NegativeInfinity else Double.PositiveInfinity
+        return in.filter(leStr.isNotNull)
+          .withColumn("labels", map_filter(col("labels"), (k, _) => k =!= "le"))
+          .withColumn("__g", to_json(array_sort(map_entries(col("labels")))))
+          .groupBy(col("bucket_us"), col("__g"))
+          .agg(first(col("labels")).as("labels"))
+          .select(col("bucket_us"), col("labels"), lit(inf).as("value"))
+      }
       val df = in
         .withColumn("__g", to_json(array_sort(map_entries(
           map_filter(col("labels"), (k, _) => k =!= "le")))))
@@ -1414,8 +1496,14 @@ object PromQL {
           first(col("labels")).as("labels"))
         .select(col("bucket_us"), col("labels"), col("value"))
 
-    case ScalarLit(_) =>
-      throw new IllegalArgumentException("range query needs a range function")
+    case ScalarLit(v) =>
+      // a bare scalar range query evaluates the constant at every step
+      // (upstream query_range over a scalar: one empty-label series) —
+      // same grid as time()/vector()
+      gridFrame(points, stepUs)
+        .select(col("bucket_us"),
+          map().cast("map<string,string>").as("labels"),
+          lit(v).as("value"))
   }
 
   /** The aligned step grid spanning the table extent. */
@@ -1472,15 +1560,7 @@ object PromQL {
         else
           df.filter(cond).select(col("bucket_us"), col("labels"), col("value"))
       case _ =>
-        val v = op match {
-          case "+" => l + r
-          case "-" => l - r
-          case "*" => l * r
-          case "/" => l / r
-          case "%" => l % r
-          case "^" => pow(l, r)
-          case "atan2" => atan2(l, r)
-        }
+        val v = graft.logql.VectorMatching.arith(op, l, r)
         df.select(col("bucket_us"), col("labels"), v.as("value"))
     }
   }

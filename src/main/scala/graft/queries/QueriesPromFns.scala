@@ -341,7 +341,11 @@ object QueriesPromFns extends QueryPack {
           element_at(col("labels"), "cnt").as("cnt"), col("value"))
         .orderBy("bucket_us", "cnt"),
     Some(
-      s"""SELECT bucket_us, CAST(n AS VARCHAR) AS cnt,
+      // the value label uses Go's shortest decimal formatting
+      // (integral doubles print without ".0")
+      s"""SELECT bucket_us,
+         |  CASE WHEN n = floor(n) THEN CAST(CAST(n AS BIGINT) AS VARCHAR)
+         |       ELSE CAST(n AS VARCHAR) END AS cnt,
          |  CAST(COUNT(*) AS DOUBLE) AS value
          |FROM (
          |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,

@@ -661,10 +661,14 @@ class PromQLComplianceSpec extends SparkTestBase {
       latest.view.mapValues(_ => Double.NaN).toMap)
     assertQ("demo_memory_usage_bytes / scalar(sum(demo_memory_usage_bytes))",
       latest.view.mapValues(_ / latest.values.sum).toMap)
-    // count_values: occurrences per distinct value
+    // count_values: occurrences per distinct value, the value label in
+    // Go's shortest decimal formatting ("8", not "8.0")
+    def fmtGo(v: Double): String =
+      if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
     assertQ("""count_values("value", demo_num_cpus)""",
       cpus.values.toSeq.groupBy(identity).map { case (v, vs) =>
-        Map("value" -> v.toString) -> vs.size.toDouble
+        Map("value" -> fmtGo(v)) -> vs.size.toDouble
       })
     // sort family: content-preserving
     assertQ("sort(demo_memory_usage_bytes)", latest)
