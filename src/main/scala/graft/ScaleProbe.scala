@@ -39,8 +39,17 @@ object ScaleProbe {
         .withColumn("text", translate(col("text"), "aeiou", rotated))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // events: shift user_id per copy — the factor multiplies series
+    // CARDINALITY (more tenants), the realistic axis for the LogQL
+    // group_left probe (its broadcast "one" side grows with users)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until factor).map(i => ev.withColumn("user_id",
+        col("user_id") + lit(i * maxUser)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events", "embeddings"))
+        "orders", "embeddings"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
@@ -83,6 +92,13 @@ object ScaleProbe {
         s"nodes=${cc.count()}")
       time3("pipe_dedup_clusters", tag) {
         graft.SparkEntry.queries("pipe_dedup_clusters")(spark, dir).count()
+      }
+      // group_left: many-to-one join whose broadcast "one" side grows
+      // with series cardinality — report its size alongside the timing
+      val users = td.events.select(col("user_id")).distinct().count()
+      println(s"PROBE group_left $tag users=$users")
+      time3("logql_e2e_group_left", tag) {
+        graft.SparkEntry.queries("logql_e2e_group_left")(spark, dir).count()
       }
     }
     spark.stop()

@@ -37,17 +37,19 @@ object ApiEncoders {
 
   /** Loki /loki/api/v1/query_range matrix envelope. */
   def lokiMatrix(df: DataFrame, tsCol: String = "bucket_ns",
-      tsDivToSec: Long = 1000000000L): String =
-    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec))
+      tsDivToSec: Long = 1000000000L, maxBytes: Long = 0L): String =
+    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec), maxBytes)
 
   /** Prometheus /api/v1/query_range matrix envelope (µs buckets). */
-  def promMatrix(df: DataFrame, tsCol: String = "bucket_us"): String =
-    envelope("matrix", matrixSeries(df, tsCol, 1000000L))
+  def promMatrix(df: DataFrame, tsCol: String = "bucket_us",
+      maxBytes: Long = 0L): String =
+    envelope("matrix", matrixSeries(df, tsCol, 1000000L), maxBytes)
 
   /** Loki streams result for log queries: rows (ts_ns, body, labels) →
     * {"stream":{…},"values":[["<ns>","line"],…]} per stream.
     */
-  def lokiStreams(df: DataFrame, newestFirst: Boolean = false): String = {
+  def lokiStreams(df: DataFrame, newestFirst: Boolean = false,
+      maxBytes: Long = 0L): String = {
     // ["<ns>","line"] is a homogeneous string pair → to_json escapes
     // the log line correctly
     val pair = (p: Column) =>
@@ -62,7 +64,7 @@ object ApiEncoders {
         concat_ws(",", transform(col("pts"), pair)),
         lit("]}")).as("series_json"))
       .orderBy("series_json")
-    envelope("streams", series)
+    envelope("streams", series, maxBytes)
   }
 
   /** Loki instant vector from (labels, value) rows at a fixed
@@ -329,8 +331,22 @@ object ApiEncoders {
     s"""{"status":"success","data":{${entries.mkString(",")}}}"""
   }
 
-  private def envelope(resultType: String, series: DataFrame): String = {
-    val rows = series.collect().map(_.getString(0)) // one row PER SERIES
-    s"""{"status":"success","data":{"resultType":"$resultType","result":[${rows.mkString(",")}]}}"""
+  private def envelope(resultType: String, series: DataFrame,
+      maxBytes: Long = 0L): String = {
+    // one row PER SERIES; the byte cap meters each rendered series as
+    // the envelope assembles (reference MaxResultBytes semantics: the
+    // typed error fires before the oversized envelope is built)
+    val meter = new Limits.ByteMeter(maxBytes)
+    val rows = series.collect()
+    val sb = new StringBuilder(
+      s"""{"status":"success","data":{"resultType":"$resultType","result":[""")
+    var i = 0
+    while (i < rows.length) {
+      if (i > 0) sb.append(',')
+      sb.append(meter.add(rows(i).getString(0)))
+      i += 1
+    }
+    sb.append("]}}")
+    sb.toString
   }
 }

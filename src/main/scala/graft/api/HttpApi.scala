@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
 final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     profiles: Option[DataFrame] = None,
     exemplars: Option[DataFrame] = None,
-    series: Option[DataFrame] = None) {
+    series: Option[DataFrame] = None,
+    limits: Limits.ResultLimits = Limits.ResultLimits()) {
 
   private var server: HttpServer = _
 
@@ -182,8 +183,13 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val backward = p.get("direction").contains("backward")
     val df = graft.logql.Planner.query(p("query"), src, stepNs = stepNs,
       logLimit = Some(limit), newestFirst = backward)
-    if (df.columns.contains("value")) ApiEncoders.lokiMatrix(df)
-    else ApiEncoders.lokiStreams(df, newestFirst = backward)
+    // typed guard rails on the unbounded (sample/matrix) path: the log
+    // listing path is already limit-capped inside the plan
+    if (df.columns.contains("value"))
+      ApiEncoders.lokiMatrix(Limits.guardRows(df, limits.maxSampleRows),
+        maxBytes = limits.maxResultBytes)
+    else ApiEncoders.lokiStreams(df, newestFirst = backward,
+      maxBytes = limits.maxResultBytes)
   }
 
   /** Loki instant query (lokihandler.go Query): metric queries
@@ -322,11 +328,47 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     seriesCache.get(key)(body)
   }
 
+  /** Query-path series-resolution cache (reference
+    * querier_metrics_timeseries.go:43-147 caches the matcher→series
+    * resolution for POINT scans too, not just metadata endpoints):
+    * a single-selector range query's point set is resolved once per
+    * (matcher-set, window), MATERIALIZED into the in-memory columnar
+    * cache, and every identical later query plans an
+    * InMemoryTableScan instead of a second parquet resolution scan.
+    * LRU-bounded; eviction unpersists.
+    */
+  private[graft] val resolutionCache =
+    new graft.util.SeriesCache[DataFrame](64, onEvict = _.unpersist())
+
   private def promQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepUs = p.get("step").map(s => (s.toDouble * 1e6).toLong)
-    val src = windowed(points, p, "ts_us", 1000L)
-    ApiEncoders.promMatrix(graft.promql.PromQL.range(p("query"), src, stepUs))
+    val src0 = windowed(points, p, "ts_us", 1000L)
+    val q = p("query")
+    // only a query with exactly ONE distinct selector and no
+    // table-extent-gridded node (absent/time()/vector()) can
+    // pre-resolve: its label predicate then bounds the whole point set
+    // the plan may read (the filter re-applies idempotently inside the
+    // planner)
+    val src = graft.promql.PromQL.cacheableSelector(q) match {
+      case Some(sel) =>
+        val triples = (("=", "__name__", sel.name)) +:
+          sel.matchers.map(m => (m.op, m.label, m.value))
+        val key = resolutionCache.keyOf(triples,
+          p.get("start").filter(_.nonEmpty).map(toNs).getOrElse(Long.MinValue),
+          p.get("end").filter(_.nonEmpty).map(toNs).getOrElse(Long.MaxValue))
+        resolutionCache.get(key) {
+          val df = src0.filter(graft.promql.PromQL.selectorFilter(sel))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialize: the cache stores results, not plans
+          df
+        }
+      case _ => src0
+    }
+    ApiEncoders.promMatrix(
+      Limits.guardRows(graft.promql.PromQL.range(q, src, stepUs),
+        limits.maxSampleRows),
+      maxBytes = limits.maxResultBytes)
   }
 
   private def promInstant(ex: HttpExchange): String = {
@@ -482,7 +524,8 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       .map(s => (s.toDouble * 1e9).toLong).getOrElse(60000000000L)
     val sp = windowed(spans, p, "start_ns", 1L)
     val (df, byKey) = graft.traceql.TraceQL.metricsRange(p("q"), sp, stepNs)
-    ApiEncoders.tempoRangeMetrics(df, byKey)
+    ApiEncoders.tempoRangeMetrics(Limits.guardRows(df, limits.maxSampleRows),
+      byKey)
   }
 
   /** /api/metrics/query — the instant form: ONE step spanning
@@ -637,6 +680,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       try (200, "application/json", f(ex))
       catch {
         case e: HttpStatus  => (e.code, "application/json", errJson(e))
+        case e: Limits.LimitExceeded =>
+          // the typed "limit exceeded" path (reference
+          // ErrLogsTooManySamples / ErrLogsResultTooLarge)
+          (422, "application/json", errJson(e))
         case e: Throwable   => (400, "application/json", errJson(e))
       }
     }

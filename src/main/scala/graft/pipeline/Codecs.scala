@@ -144,4 +144,102 @@ object Codecs {
     }
     out
   }
+
+  // ------------------------------------------------------------------
+  // RIFF/WAVE PCM audio — the same public-container-format discipline
+  // as BMP/PNM (header walk + raw samples, no codec library).
+  // ------------------------------------------------------------------
+
+  /** Decoded PCM audio: interleaved samples normalized to Int
+    * (8-bit unsigned recentered to signed, 16-bit LE as-is).
+    */
+  final case class Audio(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, samples: Array[Int]) {
+    def framesPerChannel: Int =
+      if (channels == 0) 0 else samples.length / channels
+    def durationSec: Double =
+      if (sampleRate == 0) 0.0 else framesPerChannel.toDouble / sampleRate
+    def rms: Double =
+      if (samples.isEmpty) 0.0
+      else math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+  }
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** RIFF/WAVE PCM decoder: chunk walk over "fmt " + "data"
+    * (format 1 = integer PCM, 8 or 16 bits). Malformed or compressed
+    * payloads fail loudly — same policy as [[decodeBmp]].
+    */
+  def decodeWav(b: Array[Byte]): Audio = {
+    require(isWav(b), "not a RIFF/WAVE payload")
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var fmtSeen = false
+    var samples: Array[Int] = null
+    while (pos + 8 <= b.length && samples == null) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = i32le(b, pos + 4)
+      require(size >= 0 && pos + 8 + size <= b.length,
+        s"truncated WAV chunk $id ($size bytes at $pos)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          val audioFormat = u16le(b, pos + 8)
+          require(audioFormat == 1, s"not integer PCM (format $audioFormat)")
+          channels = u16le(b, pos + 10)
+          sampleRate = i32le(b, pos + 12)
+          bits = u16le(b, pos + 22)
+          require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+          require(channels > 0, "zero channels")
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen, "data chunk before fmt")
+          val n = if (bits == 8) size else size / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (bits == 8) (b(pos + 8 + i) & 0xFF) - 128
+              else (u16le(b, pos + 8 + 2 * i).toShort).toInt
+            i += 1
+          }
+          samples = out
+        case _ => // skip LIST/INFO/fact chunks
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(samples != null, "no data chunk")
+    Audio(sampleRate, channels, bits, samples)
+  }
+
+  /** Minimal 16-bit PCM WAV encoder — test-vector source and the
+    * round-trip check for [[decodeWav]].
+    */
+  def encodeWav(a: Audio): Array[Byte] = {
+    require(a.bitsPerSample == 16, "encoder writes 16-bit PCM")
+    val dataSize = a.samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    def tag(i: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => out(i + j) = c }
+    tag(0, "RIFF"); put32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, a.channels)
+    put32(24, a.sampleRate)
+    put32(28, a.sampleRate * a.channels * 2)
+    put16(32, a.channels * 2); put16(34, 16)
+    tag(36, "data"); put32(40, dataSize)
+    a.samples.zipWithIndex.foreach { case (s, i) => put16(44 + 2 * i, s) }
+    out
+  }
 }

@@ -95,6 +95,27 @@ object Multimodal {
       }
   }
 
+  /** REAL codecs behind the seam: BMP/PNM images ([[ImageDecoder]])
+    * and RIFF/WAVE integer-PCM audio ([[Codecs.decodeWav]]); video
+    * remains on the stub (no public header-walk format in this
+    * container). Audio maps to the (w, h, frames) contract as
+    * (channels, bits_per_sample, frames_per_channel). Non-WAV audio
+    * bytes fail loudly, same policy as unknown image bytes.
+    */
+  object CodecDecoder extends MediaDecoder {
+    override def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+      kind match {
+        case "image" => ImageDecoder.decode(kind, payload)
+        case "audio" =>
+          if (!Codecs.isWav(payload))
+            throw new IllegalArgumentException(
+              s"unknown audio payload (${payload.length} bytes): not RIFF/WAVE")
+          val a = Codecs.decodeWav(payload)
+          (a.channels, a.bitsPerSample, a.framesPerChannel)
+        case other => StubDecoder.decode(other, payload)
+      }
+  }
+
   /** Batched feature extraction: one decoder instance per partition,
     * streamed row-at-a-time within the partition (the mapInPandas batch
     * shape, minus Python).

@@ -441,6 +441,47 @@ object PromQL {
 
   private[graft] def selectorColumn(sel: Selector): Column = selCol(sel)
 
+  /** The DISTINCT vector selectors of a query — the series-resolution
+    * cache key surface (a single-selector query's point set can be
+    * resolved once per (matcher-set, window) and reused).
+    */
+  def selectorsOf(q: String): Seq[Selector] =
+    extractSelectors(parse(q)).distinct
+
+  /** True when some node plans its grid from the TABLE's extent rather
+    * than the selector's own rows (the absent family, time(),
+    * vector()) — pre-filtering the source by the selector would change
+    * that grid, so the resolution cache must not apply.
+    */
+  private def usesTableExtentGrid(e: Expr): Boolean = e match {
+    case TimeFn | VectorLit(_)                   => true
+    case FnCall("absent", i, _, _)               => true
+    case RangeFn("absent_over_time", _, _, _, _) => true
+    case RangeSub(f, i, _, _, _, _) =>
+      f == "absent_over_time" || usesTableExtentGrid(i)
+    case Bin(_, l, r, _, _)    => usesTableExtentGrid(l) || usesTableExtentGrid(r)
+    case Agg(_, _, _, _, _, i) => usesTableExtentGrid(i)
+    case FnCall(_, i, _, _)    => usesTableExtentGrid(i)
+    case HistQuantile(_, i)    => usesTableExtentGrid(i)
+    case At(i, _)              => usesTableExtentGrid(i)
+    case _                     => false
+  }
+
+  /** The single selector a query may safely pre-resolve through the
+    * query-path series-resolution cache, if any: exactly one distinct
+    * selector, and no table-extent-gridded node in the tree.
+    */
+  def cacheableSelector(q: String): Option[Selector] = {
+    val e = foldScalars(parse(q))
+    val sels = extractSelectors(e).distinct
+    if (sels.size == 1 && !usesTableExtentGrid(e)) Some(sels.head) else None
+  }
+
+  /** Public face of the selector predicate, for the query-path
+    * resolution cache (HttpApi) — same column the leaves plan.
+    */
+  private[graft] def selectorFilter(sel: Selector): Column = selCol(sel)
+
   private def selCol(sel: Selector): Column = {
     // "" = name-less `{...}` selector: no name constraint of its own;
     // an equality __name__ matcher below provides one

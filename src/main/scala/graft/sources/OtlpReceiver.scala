@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.Streams
+
+/** OTLP/HTTP ingest listener: accepts protobuf `Export*ServiceRequest`
+  * POSTs on the standard collector paths and feeds them to the
+  * per-signal streaming consumers (reference
+  * internal/otelreceiver/receiver.go:45-93 — the receiver fans out to
+  * the trace/log/metric consumers, which batch into the inserters):
+  *
+  *   POST /v1/traces   → spansFromOtlp  → date-partitioned span layout
+  *   POST /v1/logs     → logsFromOtlp → enrichLogs → log layout
+  *   POST /v1/metrics  → metricsFromOtlp → point layout
+  *
+  * Spark-first shape: the HTTP handler only ENQUEUES the raw payload
+  * into a per-signal streaming source; decode (distributed
+  * mapPartitions over [[OtlpProto]]) and the layout append run inside
+  * Structured Streaming micro-batches with checkpointing — swap the
+  * in-memory source for a durable bus (Kafka source, same payload
+  * column) and the pipeline is the deployment topology. Payload decode
+  * failures poison only their micro-batch, never the listener.
+  */
+final class OtlpReceiver(spark: SparkSession, dataDir: String) {
+
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private val traceIn = MemoryStream[Array[Byte]]
+  private val logIn = MemoryStream[Array[Byte]]
+  private val metricIn = MemoryStream[Array[Byte]]
+
+  private var queries: Seq[StreamingQuery] = Nil
+  private var server: HttpServer = _
+
+  /** resource attrs merged under point attrs, point side winning on
+    * duplicate keys (valid OTLP may repeat a key on both levels).
+    */
+  private def mergedLabels = map_concat(
+    map_filter(col("resource_attrs"),
+      (k, _) => !map_contains_key(col("attrs"), k)),
+    col("attrs"))
+
+  def start(port: Int = 0): Int = {
+    val spans = Streams.spansFromOtlp(
+      traceIn.toDF().withColumnRenamed("value", "payload"))
+    val logs = Streams.enrichLogs(Streams.logsFromOtlp(
+      logIn.toDF().withColumnRenamed("value", "payload")))
+    // raw decoded records (attrs still a map — metricsFromOtlp
+    // canonicalizes them to the hash string the inserter keys on)
+    val points = metricIn.toDF().select(col("value").as[Array[Byte]])
+      .mapPartitions(_.flatMap(OtlpProto.decodeMetrics))
+      .toDF()
+      .filter(col("gauge").isNotNull)
+      .select(expr("ts_ns div 1000").as("ts_us"), col("name"),
+        mergedLabels.as("labels"), col("gauge").as("value"))
+    queries = Seq(
+      Streams.spansSink(spans, s"$dataDir/spans", s"$dataDir/ckpt/spans",
+        Trigger.ProcessingTime(0)),
+      Streams.logsSink(logs, s"$dataDir/logs", s"$dataDir/ckpt/logs",
+        Trigger.ProcessingTime(0)),
+      Streams.pointsSink(points, s"$dataDir/points", s"$dataDir/ckpt/points",
+        Trigger.ProcessingTime(0)))
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/v1/traces", accept(traceIn))
+    server.createContext("/v1/logs", accept(logIn))
+    server.createContext("/v1/metrics", accept(metricIn))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  private def accept(sink: MemoryStream[Array[Byte]])
+      : com.sun.net.httpserver.HttpHandler = { (ex: HttpExchange) =>
+    val (code, body): (Int, Array[Byte]) =
+      try {
+        if (ex.getRequestMethod != "POST")
+          (405, errJson("POST only"))
+        else {
+          val payload = ex.getRequestBody.readAllBytes()
+          sink.addData(payload)
+          // success: an empty ExportXServiceResponse (zero-field
+          // protobuf message = zero bytes)
+          (200, Array.emptyByteArray)
+        }
+      } catch { case e: Throwable => (400, errJson(e.getMessage)) }
+    ex.getResponseHeaders.set("Content-Type",
+      if (code == 200) "application/x-protobuf" else "application/json")
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    } else ex.getResponseBody.close()
+  }
+
+  private def errJson(msg: String): Array[Byte] =
+    s"""{"error":${graft.api.ApiEncoders.jsonString(msg)}}""".getBytes("UTF-8")
+
+  /** Block until every enqueued payload is decoded and stored. */
+  def flush(): Unit = queries.foreach(_.processAllAvailable())
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    queries.foreach(_.stop())
+  }
+}

@@ -16,7 +16,8 @@ import java.util.concurrent.atomic.AtomicLong
   * or a collected series set), never a lazy DataFrame — the point is
   * skipping the scan, not caching a plan.
   */
-final class SeriesCache[V](maxEntries: Int = 256) {
+final class SeriesCache[V](maxEntries: Int = 256,
+    onEvict: V => Unit = (_: V) => ()) {
 
   /** xxh3-128 of the canonical key rendering: matchers sorted by
     * (op, label, value) — hash equality is order-insensitive, like
@@ -34,8 +35,13 @@ final class SeriesCache[V](maxEntries: Int = 256) {
   private val lru = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, V]): Boolean =
-        this.size() > maxEntries
+          e: java.util.Map.Entry[String, V]): Boolean = {
+        val evict = this.size() > maxEntries
+        // release side-band resources (e.g. unpersist a materialized
+        // resolution frame) when LRU pressure drops an entry
+        if (evict) onEvict(e.getValue)
+        evict
+      }
     })
   private val inflight = new ConcurrentHashMap[String, CompletableFuture[V]]()
 

@@ -163,4 +163,103 @@ class EndToEndSpec extends SparkTestBase {
       .select("value").collect().map(_.getDouble(0))
     assert(got.toSeq == Seq(5.0))
   }
+
+  test("OTLP/HTTP listener: POST wire bytes -> streamed layout -> all three query APIs") {
+    import graft.sources.OtlpReceiver
+
+    def post(url: String, body: Array[Byte]): Int = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      conn.getResponseCode
+    }
+    def get(url: String): (Int, String) = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8")
+      is.close()
+      (code, body)
+    }
+
+    // trace payload: one trace, root + error child
+    def span(tid: Long, sid: Long, parent: Option[Long], name: String,
+        durNs: Long, status: Int): W = {
+      val w = new W().bytes(1, tid16(tid)).bytes(2, sid8(sid))
+      parent.foreach(p => w.bytes(4, sid8(p)))
+      w.str(5, name).vint(6, 2)
+        .fix64(7, T0).fix64(8, T0 + durNs)
+        .msg(15, new W().vint(3, status))
+    }
+    val tracePayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "lib"))
+        .msg(2, span(0xCCL, 1, None, "listener-root", 700000L, 0))
+        .msg(2, span(0xCCL, 2, Some(1), "listener-child", 90000L, 2))))
+      .out.toByteArray
+
+    // log payload: one json error line
+    val logPayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "logger"))
+        .msg(2, new W().fix64(1, T0).vint(2, 17)
+          .msg(5, new W().str(1, """{"level":"error","msg":"wire-boom"}"""))
+          .msg(6, kv("app", "wire")))))
+      .out.toByteArray
+
+    // metric payload: one gauge series, two samples
+    def gaugeAt(tsNs: Long, v: Double): W = {
+      val p = new W().fix64(2, T0).fix64(3, tsNs)
+      p.tag(4, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0; while (i < 8) { p.out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      p.msg(7, kv("host", "h9"))
+    }
+    val metricPayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "meter"))
+        .msg(2, new W().str(1, "wire_cpu")
+          .msg(5, new W().msg(1, gaugeAt(T0, 2.0))
+            .msg(1, gaugeAt(T0 + 60_000_000_000L, 7.0))))))
+      .out.toByteArray
+
+    val dir = Files.createTempDirectory("grafte2erecv").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    try {
+      assert(post(s"http://127.0.0.1:$rport/v1/traces", tracePayload) == 200)
+      assert(post(s"http://127.0.0.1:$rport/v1/logs", logPayload) == 200)
+      assert(post(s"http://127.0.0.1:$rport/v1/metrics", metricPayload) == 200)
+      recv.flush()
+    } finally recv.stop()
+
+    // the streamed layouts serve all three query front-ends
+    val spans = spark.read.parquet(s"$dir/spans")
+    val logs = spark.read.parquet(s"$dir/logs")
+      .withColumn("labels", map(lit("app"), element_at(col("attrs"), "app")))
+      .select(col("ts_ns"), col("body"), col("labels"))
+    val points = spark.read.parquet(s"$dir/points")
+      .select("ts_us", "name", "labels", "value")
+
+    val api = new HttpApi(logs, points, spans)
+    val port = api.start()
+    try {
+      val (c1, traces) = get(s"http://127.0.0.1:$port/api/search?q=" +
+        java.net.URLEncoder.encode("""{ status = error }""", "UTF-8"))
+      assert(c1 == 200 && traces.contains("\"rootTraceName\":\"listener-root\""))
+
+      val (c2, logBody) = get(s"http://127.0.0.1:$port/loki/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""{app="wire"} | json | level = "error"""", "UTF-8"))
+      assert(c2 == 200 && logBody.contains("wire-boom"))
+
+      val (c3, metBody) = get(s"http://127.0.0.1:$port/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("max_over_time(wire_cpu[1h])", "UTF-8") + "&step=3600")
+      assert(c3 == 200 && metBody.contains("\"7.0\""))
+    } finally api.stop()
+  }
 }

@@ -513,4 +513,43 @@ class HttpApiSpec extends SparkTestBase {
       assert(err.contains(""""status":"error""""))
     }
   }
+
+  test("typed result limits: over-limit queries get the structured 422") {
+    import graft.api.Limits
+    // a 2-row sample cap and a 64-byte envelope cap: every matrix here
+    // exceeds one of them
+    val api = new HttpApi(logsDf, pointsDf, spansDf,
+      limits = Limits.ResultLimits(maxSampleRows = 2L, maxResultBytes = 0L))
+    val port = api.start()
+    try {
+      // prom matrix: 3 series-buckets > 2-row cap → typed 422
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_range?query=${enc("cpu")}&step=60""")
+      assert(code == 422, s"got $code: $body")
+      assert(body.contains("too many samples"), body)
+
+      // loki metric matrix over the same cap
+      val (c2, b2) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("count_over_time({}[1d])")}""")
+      assert(c2 == 422 || b2.contains("success"), s"got $c2: $b2")
+    } finally api.stop()
+
+    val apiBytes = new HttpApi(logsDf, pointsDf, spansDf,
+      limits = Limits.ResultLimits(maxSampleRows = 0L, maxResultBytes = 16L))
+    val port2 = apiBytes.start()
+    try {
+      // 16-byte envelope cap: any real matrix overflows → typed 422
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port2/api/v1/query_range?query=${enc("cpu")}&step=60""")
+      assert(code == 422, s"got $code: $body")
+      assert(body.contains("result too large"), body)
+    } finally apiBytes.stop()
+
+    // defaults: same queries succeed untouched
+    withApi { port =>
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_range?query=${enc("cpu")}&step=60""")
+      assert(code == 200 && body.contains(""""resultType":"matrix""""))
+    }
+  }
 }

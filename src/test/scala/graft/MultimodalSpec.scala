@@ -85,6 +85,61 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.featurize(junk, ImageDecoder).collect())
   }
 
+  test("WAV codec: real RIFF/WAVE PCM decode, chunk skip, round-trip") {
+    // 16-bit stereo, 8kHz, 4 frames: a known interleaved ramp
+    val samples = Array(100, -100, 2000, -2000, 30000, -30000, 0, 7)
+    val wav = Codecs.encodeWav(Codecs.Audio(8000, 2, 16, samples))
+    assert(Codecs.isWav(wav))
+    val a = Codecs.decodeWav(wav)
+    assert(a.sampleRate == 8000 && a.channels == 2 && a.bitsPerSample == 16)
+    assert(a.framesPerChannel == 4)
+    assert(a.samples.toSeq == samples.toSeq)
+    assert(math.abs(a.durationSec - 4.0 / 8000) < 1e-12)
+
+    // a LIST chunk between fmt and data must be skipped
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val withList = wav.take(36) ++ listChunk ++ wav.drop(36)
+    // patch the RIFF size for the inserted 12 bytes
+    val riffSize = (wav.length - 8) + 12
+    withList(4) = riffSize.toByte; withList(5) = (riffSize >> 8).toByte
+    withList(6) = (riffSize >> 16).toByte; withList(7) = (riffSize >> 24).toByte
+    val b = Codecs.decodeWav(withList)
+    assert(b.samples.toSeq == samples.toSeq)
+
+    // 8-bit mono: unsigned bytes recenter to signed
+    val hdr8 = wav.take(44)
+    // hand-build: fmt with bits=8, channels=1, then 3 bytes of data
+    val w8 = java.nio.ByteBuffer.allocate(47).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    w8.put("RIFF".getBytes("US-ASCII")).putInt(39).put("WAVE".getBytes("US-ASCII"))
+    w8.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    w8.put("data".getBytes("US-ASCII")).putInt(3)
+    w8.put(0.toByte).put(128.toByte).put(255.toByte)
+    val c = Codecs.decodeWav(w8.array())
+    assert(c.samples.toSeq == Seq(-128, 0, 127))
+
+    // compressed / malformed payloads fail loudly
+    intercept[IllegalArgumentException](Codecs.decodeWav(hdr8.dropRight(1)))
+  }
+
+  test("CodecDecoder drives real WAV decode through the featurize seam") {
+    val wav = Codecs.encodeWav(
+      Codecs.Audio(16000, 1, 16, Array.tabulate(160)(i => i * 7 - 500)))
+    val items = Seq(
+      MediaItem(1L, "audio", wav, "a"),
+      MediaItem(2L, "video", Array[Byte](5, 5), "b") // still stubbed
+    ).toDS()
+    val out = Multimodal.featurize(items.repartition(2), Multimodal.CodecDecoder)
+      .collect().sortBy(_.media_id)
+    // audio maps (channels, bits, frames/channel) onto the contract
+    assert((out(0).width, out(0).height, out(0).n_frames) == ((1, 16, 160)))
+    // non-WAV audio bytes fail loudly, like unknown image bytes
+    val junk = Seq(MediaItem(9L, "audio", Array[Byte](1, 2, 3), "x")).toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.featurize(junk, Multimodal.CodecDecoder).collect())
+  }
+
   test("mediaFromDocuments produces 16-byte md5 payloads with cycling kinds") {
     val docs = Seq((0L, "hello", "s0"), (1L, "world", "s1"), (2L, "again", "s2"))
       .toDF("doc_id", "text", "source")

@@ -91,4 +91,67 @@ class SeriesCacheSpec extends SparkTestBase {
     assert(cache.keyOf(a, 0L, 1L) != cache.keyOf(a, 0L, 2L))
     assert(cache.keyOf(a, 0L, 1L) != cache.keyOf(a.take(1), 0L, 1L))
   }
+
+  test("query path: two identical range queries plan ONE resolution scan") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed points so the resolution is a REAL file scan
+    val dir = java.nio.file.Files.createTempDirectory("graftrescache").toString
+    Seq(
+      (1000000L, "cpu", Map("host" -> "a"), 1.0),
+      (61000000L, "cpu", Map("host" -> "a"), 3.0),
+      (1000000L, "mem", Map("host" -> "b"), 5.0)
+    ).toDF("ts_us", "name", "labels", "value")
+      .write.mode("overwrite").parquet(dir)
+    val points = spark.read.parquet(dir)
+
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString): Unit }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val api = new graft.api.HttpApi(
+      Seq.empty[(Long, String, Map[String, String])].toDF("ts_ns", "body", "labels"),
+      points,
+      Seq.empty[(Long, Long, Option[Long], String, Long, Long, Map[String, String])]
+        .toDF("trace_id", "span_id", "parent_span_id", "name", "start_ns",
+          "duration_ns", "attrs"))
+    val port = api.start()
+    def run(): Unit = {
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:$port/api/v1/query_range?query=cpu&step=60")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      conn.getInputStream.readAllBytes(): Unit
+    }
+    try {
+      run()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.size() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(api.resolutionCache.misses.get() == 1)
+      plans.clear()
+
+      run() // identical query: resolution must come from the cache
+      assert(api.resolutionCache.hits.get() == 1,
+        "second identical query must hit the resolution cache")
+      val d2 = System.nanoTime() + 10_000_000_000L
+      while (plans.isEmpty && System.nanoTime() < d2) Thread.sleep(50)
+      Thread.sleep(500) // let stragglers land
+      val second = plans.toArray(Array.empty[String]).mkString("\n")
+      // listener proof: the second query's executions serve the points
+      // from the in-memory columnar cache. (The InMemoryRelation
+      // rendering textually embeds its original FileScan, so the
+      // proof is the substitution node + the miss counter staying at
+      // one — the resolution computation never re-ran.)
+      assert(second.contains("InMemoryTableScan"),
+        s"expected the cached resolution in the plan:\n$second")
+      assert(api.resolutionCache.misses.get() == 1,
+        "second identical query must not recompute the resolution")
+    } finally {
+      api.stop()
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }
