@@ -1072,7 +1072,7 @@ def fmt_go(v):
 # ---------------------------------------------------------------------------
 
 VARIANTS = {
-    "range": ["15s", "1m", "5m"],   # bounded subset of the tester's 6
+    "range": ["1s", "15s", "1m", "5m", "15m", "1h"],  # the tester's full set
     "offset": ["1m", "5m", "10m"],
     "simpleAggrOp": ["sum", "avg", "max", "min", "count", "stddev", "stdvar"],
     "simpleTimeAggrOp": ["sum", "avg", "max", "min", "count", "stddev",
