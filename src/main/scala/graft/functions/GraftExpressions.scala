@@ -180,6 +180,36 @@ object exprs {
       copy(child = newChild)
   }
 
+  /** json_flatten(line) → map<string,string> of `| json` labels (nested
+    * keys '_'-joined, numbers/bools rendered, arrays/nulls skipped);
+    * null when the body is not one JSON object — the planner maps that
+    * to `__error__=JSONParserErr` (reference logqlengine json stage;
+    * from_json can't express the scalar coercion).
+    */
+  case class JsonFlatten(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"json_flatten needs string input, got $other")
+    }
+    override def dataType: DataType =
+      MapType(StringType, StringType, valueContainsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_json_flatten"
+    override protected def nullSafeEval(input: Any): Any =
+      JKernels.jsonFlatten(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("jm")
+        s"""org.apache.spark.sql.catalyst.util.MapData $tmp = graft.functions.JKernels.jsonFlatten($c);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): JsonFlatten =
+      copy(child = newChild)
+  }
+
   /** severity_text(17) → 'ERROR'; 24-level OTel mapping
     * (reference internal/chstorage/querier_logs_query.go:179-215).
     */
@@ -225,6 +255,7 @@ object GraftFunctions {
   def decolorize(c: Column): Column = col(Decolorize(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def xxh3_128(c: Column): Column = col(Xxh3_128(ex(c)))
+  def json_flatten(c: Column): Column = col(JsonFlatten(ex(c)))
   def severity_text(c: Column): Column = col(SeverityText(ex(c)))
   def deduce_severity(c: Column): Column = col(DeduceSeverity(ex(c)))
 
@@ -237,6 +268,7 @@ object GraftFunctions {
     "graft_decolorize" -> { args => Decolorize(args.head) },
     "graft_cosine_sim" -> { args => CosineSim(args(0), args(1)) },
     "graft_xxh3_128" -> { args => Xxh3_128(args.head) },
+    "graft_json_flatten" -> { args => JsonFlatten(args.head) },
     "graft_severity_text" -> { args => SeverityText(args.head) },
     "graft_deduce_severity" -> { args => DeduceSeverity(args.head) }
   )

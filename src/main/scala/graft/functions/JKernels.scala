@@ -61,6 +61,27 @@ object JKernels {
   def xxh3_128(s: UTF8String): Array[Byte] =
     if (s == null) null else xxh3_128(s.getBytes)
 
+  /** `| json` flatten → catalyst map<string,string>; null when the body
+    * is not one well-formed JSON object (the __error__ path).
+    */
+  def jsonFlatten(line: UTF8String): org.apache.spark.sql.catalyst.util.MapData =
+    if (line == null) null
+    else Kernels.jsonFlatten(line.toString) match {
+      case None => null
+      case Some(kvs) =>
+        val ks = new Array[Any](kvs.length)
+        val vs = new Array[Any](kvs.length)
+        var i = 0
+        kvs.foreach { case (k, v) =>
+          ks(i) = UTF8String.fromString(k)
+          vs(i) = UTF8String.fromString(v)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+    }
+
   /** cosine(a, b) in ONE fused pass (dot + both norms), widening each
     * element to double — the codegen replacement for the interpreted
     * aggregate(zip_with(...)) fold (≈µs/row/centroid, SCALE.md) that

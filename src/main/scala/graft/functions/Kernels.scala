@@ -341,4 +341,177 @@ object Kernels {
     val weight = rank - lower
     sorted(lower) * (1 - weight) + sorted(upper) * weight
   }
+
+  // ------------------------------------------------------------------
+  // `| json` flatten (Loki jsonParser semantics, reference
+  // logqlengine/parser.go json stage): scalars at any object depth
+  // become labels, nested keys joined with '_'; arrays and nulls add
+  // nothing; numeric values keep their minimal rendering (an integral
+  // float prints without the fraction, matching Go/jsoniter raw-token
+  // behavior on integer literals). from_json to map<string,string>
+  // can't express this — it nulls the whole object on the first
+  // non-string value — hence the hand-rolled kernel.
+  // ------------------------------------------------------------------
+
+  private final class JsonErr extends RuntimeException(null, null, false, false)
+
+  private final class JsonP(val s: String) {
+    val n: Int = s.length
+    var pos: Int = 0
+    def peek: Char = if (pos < n) s.charAt(pos) else ' '
+    def next(): Char = { if (pos >= n) throw new JsonErr; val c = s.charAt(pos); pos += 1; c }
+    def ws(): Unit = { while (pos < n && Character.isWhitespace(s.charAt(pos))) pos += 1 }
+    def expect(c: Char): Unit = if (next() != c) throw new JsonErr
+
+    def str(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder
+      var done = false
+      while (!done) {
+        val c = next()
+        if (c == '"') done = true
+        else if (c == '\\') next() match {
+          case '"'  => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/'  => sb.append('/')
+          case 'b'  => sb.append('\b')
+          case 'f'  => sb.append('\f')
+          case 'n'  => sb.append('\n')
+          case 'r'  => sb.append('\r')
+          case 't'  => sb.append('\t')
+          case 'u'  =>
+            if (pos + 4 > n) throw new JsonErr
+            val hex = s.substring(pos, pos + 4)
+            pos += 4
+            sb.append(Integer.parseInt(hex, 16).toChar)
+          case _ => throw new JsonErr
+        }
+        else sb.append(c)
+      }
+      sb.toString
+    }
+
+    /** Scan a number token and render it label-style. */
+    def num(): String = {
+      val start = pos
+      if (peek == '-') pos += 1
+      while (pos < n && {
+        val c = s.charAt(pos)
+        (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'
+      }) pos += 1
+      val tok = s.substring(start, pos)
+      if (tok.isEmpty) throw new JsonErr
+      if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) {
+        val d = try tok.toDouble catch { case _: NumberFormatException => throw new JsonErr }
+        if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else tok
+      } else {
+        if (!tok.matches("-?\\d+")) throw new JsonErr
+        tok
+      }
+    }
+  }
+
+  /** Loki label-name sanitization: invalid chars → '_' (upstream
+    * pkg/logql/log/util sanitizeLabelKey).
+    */
+  private def sanitizeKey(k: String): String = {
+    val cleaned = k.map(c =>
+      if (c == '_' || Character.isLetterOrDigit(c) && c < 128) c else '_')
+    if (cleaned.nonEmpty && cleaned.head.isDigit) "_" + cleaned else cleaned
+  }
+
+  /** Flatten a JSON object body into `| json` labels. None ⇔ the body
+    * is not one well-formed JSON object (caller maps that to
+    * `__error__=JSONParserErr`).
+    */
+  def jsonFlatten(line: String): Option[Seq[(String, String)]] = {
+    val p = new JsonP(line)
+    try {
+      p.ws()
+      if (p.peek != '{') return None
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      flattenObj(p, "", out)
+      p.ws()
+      if (p.pos < p.n) None else Some(out.toSeq)
+    } catch {
+      case _: JsonErr => None
+      case _: StringIndexOutOfBoundsException => None
+    }
+  }
+
+  private def flattenObj(p: JsonP, prefix: String,
+      out: scala.collection.mutable.LinkedHashMap[String, String]): Unit = {
+    p.expect('{')
+    p.ws()
+    if (p.peek == '}') { p.pos += 1; return }
+    var more = true
+    while (more) {
+      p.ws()
+      val key = prefix + sanitizeKey(p.str())
+      p.ws()
+      p.expect(':')
+      p.ws()
+      p.peek match {
+        case '"' => out(key) = p.str()
+        case '{' => flattenObj(p, key + "_", out)
+        case '[' => skipArray(p)
+        case 't' => literal(p, "true"); out(key) = "true"
+        case 'f' => literal(p, "false"); out(key) = "false"
+        case 'n' => literal(p, "null") // null adds nothing
+        case _   => out(key) = p.num()
+      }
+      p.ws()
+      p.next() match {
+        case ',' => ()
+        case '}' => more = false
+        case _   => throw new JsonErr
+      }
+    }
+  }
+
+  private def literal(p: JsonP, lit: String): Unit = {
+    if (p.pos + lit.length > p.n || !p.s.startsWith(lit, p.pos)) throw new JsonErr
+    p.pos += lit.length
+  }
+
+  /** Parse and discard any JSON value (array contents never label). */
+  private def skipValue(p: JsonP): Unit = {
+    p.ws()
+    p.peek match {
+      case '"' => p.str(); ()
+      case '{' =>
+        p.expect('{'); p.ws()
+        if (p.peek == '}') { p.pos += 1; return }
+        var more = true
+        while (more) {
+          p.ws(); p.str(); p.ws(); p.expect(':'); skipValue(p); p.ws()
+          p.next() match {
+            case ',' => ()
+            case '}' => more = false
+            case _   => throw new JsonErr
+          }
+        }
+      case '[' => skipArray(p)
+      case 't' => literal(p, "true")
+      case 'f' => literal(p, "false")
+      case 'n' => literal(p, "null")
+      case _   => p.num(); ()
+    }
+  }
+
+  private def skipArray(p: JsonP): Unit = {
+    p.expect('[')
+    p.ws()
+    if (p.peek == ']') { p.pos += 1; return }
+    var more = true
+    while (more) {
+      skipValue(p)
+      p.ws()
+      p.next() match {
+        case ',' => ()
+        case ']' => more = false
+        case _   => throw new JsonErr
+      }
+    }
+  }
 }

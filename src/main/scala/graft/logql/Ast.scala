@@ -115,7 +115,8 @@ object Ast {
       on: Boolean, labels: Seq[String],
       groupSide: Option[String], include: Seq[String])
   final case class BinOp(op: String, lhs: MetricExpr, rhs: MetricExpr,
-      matching: Option[VectorMatch] = None) extends MetricExpr
+      matching: Option[VectorMatch] = None,
+      boolMod: Boolean = false) extends MetricExpr
   /** label_replace / label_join over a metric expr (Loki supports the
     * Prometheus label functions; logqlengine label fns).
     */

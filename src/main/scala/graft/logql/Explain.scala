@@ -159,7 +159,7 @@ object Explain {
         (if (op == "sum") "sampling NOT offloaded: grouping not a plain by(...) over an ungrouped range aggregation"
         else s"sampling NOT offloaded: $op is not associative across per-stream regrouping")
     case RangeAgg(_, q, _, _, _, _, _) => pipelineLines(q)
-    case BinOp(_, l, r, _)    => metricLines(l) ++ metricLines(r)
+    case BinOp(_, l, r, _, _) => metricLines(l) ++ metricLines(r)
     case LabelFnExpr(_, i, _) => metricLines(i)
     case ScalarLit(_) | VectorLit(_) => Nil
   }
@@ -167,7 +167,7 @@ object Explain {
   private def collectInner(m: MetricExpr): Seq[String] = m match {
     case RangeAgg(_, q, _, _, _, _, _) => pipelineLines(q)
     case VectorAgg(_, _, _, _, i)      => collectInner(i)
-    case BinOp(_, l, r, _)    => collectInner(l) ++ collectInner(r)
+    case BinOp(_, l, r, _, _) => collectInner(l) ++ collectInner(r)
     case LabelFnExpr(_, i, _) => collectInner(i)
     case ScalarLit(_) | VectorLit(_) => Nil
   }

@@ -435,7 +435,7 @@ object Parser {
   /** Prometheus operator precedence (left-assoc except ^). */
   private val precOf = Map(
     "or" -> 1, "and" -> 2, "unless" -> 2,
-    ">" -> 3, "<" -> 3, ">=" -> 3, "<=" -> 3, "==" -> 3,
+    ">" -> 3, "<" -> 3, ">=" -> 3, "<=" -> 3, "==" -> 3, "!=" -> 3,
     "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
 
   def parseMetric(p: P): MetricExpr = parseBin(p, 1)
@@ -455,9 +455,15 @@ object Parser {
       opOpt match {
         case Some(op) if precOf(op) >= minPrec =>
           p.next()
+          // `bool` collapses a filtering comparison to 0/1 (upstream
+          // LogQL shares the PromQL modifier)
+          val b = p.peek match {
+            case TIdent("bool", _) => p.next(); true
+            case _ => false
+          }
           val m = parseMatching(p)
           val nextMin = if (op == "^") precOf(op) else precOf(op) + 1
-          lhs = BinOp(op, lhs, parseBin(p, nextMin), m)
+          lhs = BinOp(op, lhs, parseBin(p, nextMin), m, b)
         case _ => more = false
       }
     }

@@ -147,13 +147,20 @@ object Planner {
     case JsonStage =>
       // failed parses keep the row and label it __error__ — the
       // reference's error propagation (logqlengine/logqlerrors/,
-      // Loki's JSONParserErr convention); extraction still yields null
-      val parsed = from_json(col("body"), MapType(StringType, StringType))
+      // Loki's JSONParserErr convention); extraction still yields null.
+      // The flatten needs SCALAR COERCION (numeric/boolean JSON values
+      // become string labels) which neither from_json to
+      // map<string,string> (nulls the whole object on the first
+      // non-string value) nor get_json_object (literal paths only) can
+      // express — hence the codegen kernel.
+      val parsed = GraftFunctions.json_flatten(col("body"))
       val labelsOrError = coalesce(parsed,
         map(lit("__error__"), lit("JSONParserErr"),
           lit("__error_details__"), lit("could not parse JSON")))
       ctx.copy(
-        extractors = ((k: String) => Some(get_json_object(col("body"), s"$$.$k"))) :: ctx.extractors,
+        extractors = ((k: String) =>
+          Some(try_element_at(GraftFunctions.json_flatten(col("body")), lit(k))))
+          :: ctx.extractors,
         extraLabels = labelsOrError :: ctx.extraLabels)
 
     case JsonPathStage(paths) =>
@@ -224,8 +231,17 @@ object Planner {
     case PatternStage(pattern) =>
       val (regex, names) = Kernels.patternToRegex(pattern)
       val idx = names.zipWithIndex.toMap
-      ctx.copy(extractors = ((k: String) =>
-        idx.get(k).map(i => regexp_extract(col("body"), regex, i + 1))) :: ctx.extractors)
+      // captures join the stream identity (Loki: parser-extracted
+      // labels become stream labels); unmatched lines add nothing
+      val entries = names.flatMap(n =>
+        Seq(lit(n), regexp_extract(col("body"), regex, idx(n) + 1)))
+      val captured =
+        if (names.isEmpty) map().cast("map<string,string>")
+        else map_filter(map(entries: _*), (_, v) => v =!= "")
+      ctx.copy(
+        extractors = ((k: String) =>
+          idx.get(k).map(i => regexp_extract(col("body"), regex, i + 1))) :: ctx.extractors,
+        extraLabels = captured :: ctx.extraLabels)
 
     case RegexpStage(pattern) =>
       // full RE2→Java shim (incl. (?P<name>) → (?<name>)); names in order
@@ -233,8 +249,15 @@ object Planner {
       val names = "\\(\\?<([A-Za-z_][A-Za-z0-9_]*)>".r
         .findAllMatchIn(javaRe).map(_.group(1)).toList
       val idx = names.zipWithIndex.toMap
-      ctx.copy(extractors = ((k: String) =>
-        idx.get(k).map(i => regexp_extract(col("body"), javaRe, i + 1))) :: ctx.extractors)
+      val entries = names.flatMap(n =>
+        Seq(lit(n), regexp_extract(col("body"), javaRe, idx(n) + 1)))
+      val captured =
+        if (names.isEmpty) map().cast("map<string,string>")
+        else map_filter(map(entries: _*), (_, v) => v =!= "")
+      ctx.copy(
+        extractors = ((k: String) =>
+          idx.get(k).map(i => regexp_extract(col("body"), javaRe, i + 1))) :: ctx.extractors,
+        extraLabels = captured :: ctx.extraLabels)
 
     case LabelFilterStage(pred) =>
       ctx.copy(df = ctx.df.filter(predCol(pred, ctx.resolve)))
@@ -275,15 +298,37 @@ object Planner {
 
     case LabelFormatStage(renames) =>
       val snapshot = ctx // resolve sources against the pre-stage chain
-      ctx.copy(extractors = ((k: String) =>
-        renames.collectFirst { case (dst, src) if dst == k => snapshot.resolve(src) })
-        :: ctx.extractors)
+      // dst takes src's current value and src LEAVES the stream labels
+      // (Loki labels-builder rename, not a copy); empty/missing sources
+      // add nothing
+      val removeArr = array(renames.flatMap { case (d, sr) => Seq(d, sr) }
+        .distinct.map(lit): _*)
+      val entries = renames.flatMap { case (dst, src) =>
+        Seq(lit(dst), coalesce(snapshot.resolve(src), lit(""))) }
+      val renamed = map_concat(
+        map_filter(snapshot.labelsCol, (k, _) => !array_contains(removeArr, k)),
+        map_filter(map(entries: _*), (_, v) => v =!= ""))
+      ctx.copy(
+        extractors = ((k: String) =>
+          renames.collectFirst { case (dst, src) if dst == k => snapshot.resolve(src) })
+          :: ctx.extractors,
+        extraLabels = Nil,
+        df = ctx.df.withColumn("labels", renamed))
 
     case LineFormatStage(template) =>
       // Go-template subset compiled to Column exprs (Template.scala;
-      // reference logqlengine/template.go:33-110)
-      ctx.copy(df = ctx.df.withColumn("body",
-        Template.compile(template, templateResolve(ctx))))
+      // reference logqlengine/template.go:33-110). Pending extracted
+      // labels are expressions over col("body"), so they must be
+      // materialized into the labels column BEFORE body is replaced —
+      // otherwise a `json | line_format` chain re-parses the templated
+      // (non-JSON) line and every row grows a bogus __error__.
+      val compiled = Template.compile(template, templateResolve(ctx))
+      ctx.copy(
+        df = ctx.df
+          .withColumn("labels", ctx.labelsCol)
+          .withColumn("body", compiled),
+        extractors = Nil,
+        extraLabels = Nil)
 
     case LabelFormatTemplateStage(dst, tpl) =>
       val snapshot = ctx // resolve against the pre-stage chain
@@ -501,8 +546,12 @@ object Planner {
         case "quantile_over_time" =>
           // exact Prometheus linear interpolation (prom_math.go:120-147):
           // Spark's `percentile` is the same rank-interpolation, unlike
-          // the t-digest sketch of percentile_approx
-          percentile(unwrap(ctx), lit(param.getOrElse(0.5)))
+          // the t-digest sketch of percentile_approx; phi outside [0,1]
+          // yields the matching infinity (upstream warns + Inf)
+          val phi = param.getOrElse(0.5)
+          if (phi < 0) first(lit(Double.NegativeInfinity))
+          else if (phi > 1) first(lit(Double.PositiveInfinity))
+          else percentile(unwrap(ctx), lit(phi))
         case other => throw new IllegalArgumentException(s"range op $other")
       }
       base.groupBy(col("bucket_ns"), col("__stream"))
@@ -542,11 +591,23 @@ object Planner {
             .agg(agged.as("value"), first(col("labels")).as("labels"))
             .select(col("bucket_ns"), col("labels"), col("value"))
         case "topk" | "bottomk" =>
+          // ranked WITHIN the by()/without() group, FULL series labels
+          // kept (upstream vector_agg topk — the same semantics the
+          // PromQL side pins with promql_topk_grouped); ungrouped topk
+          // ranks globally
+          val gk =
+            if (by.nonEmpty || without.nonEmpty)
+              VectorMatching.streamKey(labelsOut)
+            else lit("")
+          val ranked = in
+            .withColumn("__gk", gk)
+            .withColumn("__stream", VectorMatching.streamKey(col("labels")))
           val ord = if (op == "topk")
             Seq(col("value").desc, col("__stream"))
           else Seq(col("value").asc, col("__stream"))
-          val w = Window.partitionBy(col("bucket_ns")).orderBy(ord: _*)
-          grouped
+          val w = Window.partitionBy(col("bucket_ns"), col("__gk"))
+            .orderBy(ord: _*)
+          ranked
             .withColumn("__rk", row_number().over(w))
             .filter(col("__rk") <= k.getOrElse(1))
             .select(col("bucket_ns"), col("labels"), col("value"))
@@ -557,12 +618,16 @@ object Planner {
         case other => throw new IllegalArgumentException(s"vector op $other")
       }
 
-    case BinOp(op, ScalarLit(v), rhs, _) => scalarBin(op, lit(v), planMetric(rhs, logs, stepNs), scalarLeft = true)
-    case BinOp(op, lhs, ScalarLit(v), _) => scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false)
-    case BinOp(op, lhs, rhs, Some(m)) =>
+    case BinOp(op, ScalarLit(v), rhs, _, b) =>
+      scalarBin(op, lit(v), planMetric(rhs, logs, stepNs), scalarLeft = true,
+        boolMod = b)
+    case BinOp(op, lhs, ScalarLit(v), _, b) =>
+      scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false,
+        boolMod = b)
+    case BinOp(op, lhs, rhs, Some(m), b) =>
       VectorMatching.bin(op, planMetric(lhs, logs, stepNs),
-        planMetric(rhs, logs, stepNs), m, "bucket_ns")
-    case BinOp(op, lhs, rhs, None) =>
+        planMetric(rhs, logs, stepNs), m, "bucket_ns", b)
+    case BinOp(op, lhs, rhs, None, boolMod) =>
       val l = planMetric(lhs, logs, stepNs)
         .withColumn("__stream", VectorMatching.streamKey(col("labels")))
       val r = planMetric(rhs, logs, stepNs)
@@ -586,7 +651,10 @@ object Planner {
           val joined = l.join(r, Seq("bucket_ns", "__stream"))
           val v = arith(op, col("value"), col("__rvalue"))
           op match {
-            case ">" | "<" | ">=" | "<=" | "==" =>
+            case ">" | "<" | ">=" | "<=" | "==" | "!=" if boolMod =>
+              joined.select(col("bucket_ns"), col("labels"),
+                when(v, 1.0).otherwise(0.0).as("value"))
+            case ">" | "<" | ">=" | "<=" | "==" | "!=" =>
               joined.filter(v).select(col("bucket_ns"), col("labels"), col("value"))
             case _ =>
               joined.select(col("bucket_ns"), col("labels"), v.as("value"))
@@ -620,30 +688,24 @@ object Planner {
     ctx.unwrapped.getOrElse(
       throw new IllegalArgumentException("operator requires | unwrap"))
 
-  private def scalarBin(op: String, s: Column, df: DataFrame, scalarLeft: Boolean): DataFrame = {
+  private def scalarBin(op: String, s: Column, df: DataFrame,
+      scalarLeft: Boolean, boolMod: Boolean = false): DataFrame = {
     val (l, r) = if (scalarLeft) (s, col("value")) else (col("value"), s)
     val v = arith(op, l, r)
     op match {
-      case ">" | "<" | ">=" | "<=" | "==" =>
+      case ">" | "<" | ">=" | "<=" | "==" | "!=" if boolMod =>
+        df.select(col("bucket_ns"), col("labels"),
+          when(v, 1.0).otherwise(0.0).as("value"))
+      case ">" | "<" | ">=" | "<=" | "==" | "!=" =>
         df.filter(v).select(col("bucket_ns"), col("labels"), col("value"))
       case _ =>
         df.select(col("bucket_ns"), col("labels"), v.as("value"))
     }
   }
 
-  private def arith(op: String, l: Column, r: Column): Column = op match {
-    case "+" => l + r
-    case "-" => l - r
-    case "*" => l * r
-    case "/" => l / r
-    case "%" => l % r
-    case "^" => pow(l, r)
-    case ">" => l > r
-    case "<" => l < r
-    case ">=" => l >= r
-    case "<=" => l <= r
-    case "==" => l === r
-  }
+  // shared IEEE arithmetic (x/0 -> ±Inf, x%0 -> NaN) + comparisons
+  private def arith(op: String, l: Column, r: Column): Column =
+    VectorMatching.arith(op, l, r)
 
   /** Parse + plan in one call. `stepNs` is the API-level step param
     * (Loki's `&step=`): metric queries evaluate on that sliding grid.
@@ -652,14 +714,14 @@ object Planner {
     * scalar exprs eagerly; the planners only see vector operands).
     */
   private def foldScalars(m: MetricExpr): MetricExpr = m match {
-    case BinOp(op, l, r, mm) =>
+    case BinOp(op, l, r, mm, bm) =>
       (foldScalars(l), foldScalars(r)) match {
         case (ScalarLit(a), ScalarLit(b)) if Set("+", "-", "*", "/", "%", "^")(op) =>
           ScalarLit(op match {
             case "+" => a + b; case "-" => a - b; case "*" => a * b
             case "/" => a / b; case "%" => a % b; case "^" => math.pow(a, b)
           })
-        case (fl, fr) => BinOp(op, fl, fr, mm)
+        case (fl, fr) => BinOp(op, fl, fr, mm, bm)
       }
     case VectorAgg(o, b, w, k, i) => VectorAgg(o, b, w, k, foldScalars(i))
     case LabelFnExpr(f, i, s)     => LabelFnExpr(f, foldScalars(i), s)
@@ -686,7 +748,7 @@ object Planner {
   private def ranges(m: MetricExpr): Seq[Long] = m match {
     case RangeAgg(_, _, r, _, _, _, _) => Seq(r)
     case VectorAgg(_, _, _, _, i) => ranges(i)
-    case BinOp(_, l, r, _)        => ranges(l) ++ ranges(r)
+    case BinOp(_, l, r, _, _)     => ranges(l) ++ ranges(r)
     case LabelFnExpr(_, i, _)     => ranges(i)
     case ScalarLit(_) | VectorLit(_) => Nil
   }

@@ -120,7 +120,7 @@ object Printer {
         else ""
       val kArg = k.map(v => s"$v, ").getOrElse("")
       s"$op$grouping($kArg${printMetric(inner)})"
-    case BinOp(op, l, r, m) =>
+    case BinOp(op, l, r, m, b) =>
       val mod = m.map { vm =>
         val kw = if (vm.on) "on" else "ignoring"
         val grp = vm.groupSide.map { s =>
@@ -135,7 +135,8 @@ object Printer {
         case _: BinOp => s"(${printMetric(e)})"
         case _        => printMetric(e)
       }
-      s"${side(l)} $op$mod ${side(r)}"
+      val boolKw = if (b) " bool" else ""
+      s"${side(l)} $op$boolKw$mod ${side(r)}"
     case LabelFnExpr(fn, inner, strs) =>
       s"$fn(${printMetric(inner)}, ${strs.map(quote).mkString(", ")})"
     case ScalarLit(v) =>
