@@ -429,8 +429,16 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       case None => sp.select(col("trace_id"))
     }
     val hasAttrs = spans.columns.contains("attrs")
-    val rootService =
-      if (hasAttrs) element_at(col("attrs"), "service.name") else lit(null)
+    val hasRes = spans.columns.contains("resource_attrs")
+    // service.name is a resource attribute in OTel; merged-map span
+    // frames fall back to span attrs (same rule as TraceQL rootService)
+    val rootService = (hasRes, hasAttrs) match {
+      case (true, true) => coalesce(element_at(col("resource_attrs"), "service.name"),
+        element_at(col("attrs"), "service.name"))
+      case (true, false)  => element_at(col("resource_attrs"), "service.name")
+      case (false, true)  => element_at(col("attrs"), "service.name")
+      case (false, false) => lit(null)
+    }
     val rollup = sp
       .join(matched.distinct(), Seq("trace_id"), "left_semi")
       .groupBy(col("trace_id"))

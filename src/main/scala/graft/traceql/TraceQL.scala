@@ -213,6 +213,13 @@ object TraceQL {
 
   private def parseRef(p: P): FieldRef = {
     p.ws()
+    if (p.peekCh == '.') { // leading-dot unscoped attr: `.http.method`
+      p.i += 1
+      val parts = Seq.newBuilder[String]
+      parts += p.ident()
+      while (p.accept(".")) parts += p.ident()
+      return Attr("", parts.result().mkString("."))
+    }
     val first = p.ident()
     if (p.accept(":")) ScopedRef(first, p.ident())
     else if (p.accept(".")) {
@@ -355,9 +362,12 @@ object TraceQL {
     spans
       .withColumn("__root_name",
         min(when(col("parent_span_id").isNull, col("name"))).over(w))
+      // service.name is a RESOURCE attribute in OTel; span frames
+      // modeled with one merged map fall back to span attrs
       .withColumn("__root_service",
         min(when(col("parent_span_id").isNull,
-          element_at(col("attrs"), "service.name"))).over(w))
+          coalesce(element_at(col("resource_attrs"), "service.name"),
+            element_at(col("attrs"), "service.name")))).over(w))
       .withColumn("__trace_duration_ns",
         max(col("start_ns") + col("duration_ns")).over(w) - min(col("start_ns")).over(w))
   }
@@ -497,9 +507,9 @@ object TraceQL {
     */
   def evalSpanset(e: SpansetExpr, spans: DataFrame): DataFrame = e match {
     case SFilter(cond) =>
-      val in0 = if (usesTraceIntrinsics(cond)) withTraceIntrinsics(spans) else spans
-      val in1 = if (usesParentScope(cond)) withParentColumns(in0) else in0
-      val in = withResourceAttrs(in1)
+      val in0 = withResourceAttrs(spans) // before trace intrinsics: __root_service reads it
+      val in1 = if (usesTraceIntrinsics(cond)) withTraceIntrinsics(in0) else in0
+      val in = if (usesParentScope(cond)) withParentColumns(in1) else in1
       in.filter(condCol(cond))
         .select(spans.columns.toIndexedSeq.map(col): _*) // shed helper columns
     case SStructural(op, lhs, rhs) =>
