@@ -217,6 +217,168 @@ object Codecs {
     Audio(sampleRate, channels, bits, samples)
   }
 
+  // ------------------------------------------------------------------
+  // RIFF/AVI uncompressed-DIB video — the same public-container-walk
+  // discipline as WAV/BMP: hdrl header walk for stream geometry, movi
+  // walk for frames, each frame a BI_RGB 24bpp bottom-up DIB decoded
+  // with the BMP row logic. No codec library; compressed streams fail
+  // loudly.
+  // ------------------------------------------------------------------
+
+  /** Decoded video: per-frame rasters plus the frame clock. */
+  final case class Video(width: Int, height: Int,
+      microSecPerFrame: Int, frames: Array[Image]) {
+    def nFrames: Int = frames.length
+    def durationSec: Double = nFrames.toDouble * microSecPerFrame / 1e6
+    def meanLuma: Double =
+      if (frames.isEmpty) 0.0 else frames.map(_.meanLuma).sum / frames.length
+  }
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Raw DIB pixel array (no file header): BI_RGB 24bpp, bottom-up
+    * rows padded to 4 bytes — the payload of an AVI '00db' chunk.
+    */
+  private def decodeDib(b: Array[Byte], off: Int, len: Int,
+      width: Int, height: Int): Image = {
+    val rowStride = (width * 3 + 3) / 4 * 4
+    require(len >= rowStride * height,
+      s"DIB frame truncated: need ${rowStride * height}, have $len")
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val base = off + (height - 1 - y) * rowStride
+      var x = 0
+      while (x < width) {
+        val i = base + x * 3
+        px(y * width + x) = ((b(i + 2) & 0xFF) << 16) |
+          ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, px)
+  }
+
+  /** RIFF/AVI decoder: LIST hdrl (avih frame clock + strl vids
+    * geometry, BI_RGB 24bpp only) then LIST movi ('00db'/'00dc'
+    * frame chunks, decoded as raw DIBs). Anything compressed,
+    * truncated, or missing fails loudly — same policy as
+    * [[decodeBmp]]/[[decodeWav]].
+    */
+  def decodeAvi(b: Array[Byte]): Video = {
+    require(isAvi(b), "not a RIFF/AVI payload")
+    var usPerFrame = 0
+    var width = 0
+    var height = 0
+    var bpp = 0
+    var compression = -1
+    var vidsSeen = false
+    val frames = Array.newBuilder[Image]
+
+    def walk(start: Int, end: Int, ctx: String): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val size = i32le(b, pos + 4)
+        require(size >= 0 && pos + 8 + size <= end,
+          s"truncated AVI chunk $id ($size bytes at $pos)")
+        if (id == "LIST") {
+          val sub = new String(b, pos + 8, 4, "US-ASCII")
+          walk(pos + 12, pos + 8 + size, sub)
+        } else (ctx, id) match {
+          case ("hdrl", "avih") =>
+            require(size >= 40, "avih chunk too short")
+            usPerFrame = i32le(b, pos + 8)
+            width = i32le(b, pos + 40)
+            height = i32le(b, pos + 44)
+          case ("strl", "strh") =>
+            val fcc = new String(b, pos + 8, 4, "US-ASCII")
+            if (fcc == "vids") vidsSeen = true
+          case ("strl", "strf") if vidsSeen && compression < 0 =>
+            require(size >= 40, "strf BITMAPINFOHEADER too short")
+            bpp = u16le(b, pos + 8 + 14)
+            compression = i32le(b, pos + 8 + 16)
+          case ("movi", frameId)
+              if frameId.endsWith("db") || frameId.endsWith("dc") =>
+            require(compression == 0,
+              s"not an uncompressed-DIB stream (biCompression $compression)")
+            require(bpp == 24, s"unsupported AVI frame bpp $bpp")
+            require(width > 0 && height > 0,
+              s"bad AVI dimensions ${width}x$height")
+            frames += decodeDib(b, pos + 8, size, width, height)
+          case _ => // skip idx1 / JUNK / INFO chunks
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, b.length, "AVI ")
+    require(vidsSeen, "no vids stream header")
+    val fs = frames.result()
+    require(fs.nonEmpty, "no frame chunks in movi list")
+    Video(width, height, usPerFrame, fs)
+  }
+
+  /** Minimal single-stream uncompressed AVI encoder — test-vector
+    * source and the round-trip check for [[decodeAvi]].
+    */
+  def encodeAvi(v: Video): Array[Byte] = {
+    require(v.frames.nonEmpty, "cannot encode zero frames")
+    val w = v.width
+    val h = v.height
+    val rowStride = (w * 3 + 3) / 4 * 4
+    val frameSize = rowStride * h
+    val moviSize = 4 + v.frames.length * (8 + frameSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = new Array[Byte](8 + riffSize)
+    var p = 0
+    def tag(s: String): Unit = {
+      s.getBytes("US-ASCII").foreach { c => out(p) = c; p += 1 }
+    }
+    def put32(x: Int): Unit = {
+      out(p) = x.toByte; out(p + 1) = (x >> 8).toByte
+      out(p + 2) = (x >> 16).toByte; out(p + 3) = (x >> 24).toByte
+      p += 4
+    }
+    def put16(x: Int): Unit = {
+      out(p) = x.toByte; out(p + 1) = (x >> 8).toByte; p += 2
+    }
+    tag("RIFF"); put32(riffSize); tag("AVI ")
+    tag("LIST"); put32(hdrlSize); tag("hdrl")
+    tag("avih"); put32(56)
+    put32(v.microSecPerFrame); put32(0); put32(0); put32(0)
+    put32(v.frames.length); put32(0); put32(1); put32(frameSize)
+    put32(w); put32(h); put32(0); put32(0); put32(0); put32(0)
+    tag("LIST"); put32(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); put32(56)
+    tag("vids"); tag("DIB "); put32(0); put16(0); put16(0); put32(0)
+    put32(1) // dwScale
+    put32(if (v.microSecPerFrame > 0) 1000000 / v.microSecPerFrame else 0)
+    put32(0); put32(v.frames.length); put32(frameSize); put32(-1)
+    put32(0); put16(0); put16(0); put16(w); put16(h)
+    tag("strf"); put32(40)
+    put32(40); put32(w); put32(h); put16(1); put16(24)
+    put32(0); put32(frameSize); put32(0); put32(0); put32(0); put32(0)
+    tag("LIST"); put32(moviSize); tag("movi")
+    v.frames.foreach { img =>
+      tag("00db"); put32(frameSize)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = img.pixels(y * w + x)
+        val base = p + (h - 1 - y) * rowStride + x * 3
+        out(base) = (c & 0xFF).toByte
+        out(base + 1) = ((c >> 8) & 0xFF).toByte
+        out(base + 2) = ((c >> 16) & 0xFF).toByte
+      }
+      p += frameSize
+    }
+    require(p == out.length, s"encoder layout drift: $p vs ${out.length}")
+    out
+  }
+
   /** Minimal 16-bit PCM WAV encoder — test-vector source and the
     * round-trip check for [[decodeWav]].
     */

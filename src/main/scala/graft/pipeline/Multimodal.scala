@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * contract): media items are opaque `binary` payloads plus typed
   * metadata; decode / feature-extraction runs batched per partition.
   *
-  * Image payloads decode for REAL through [[ImageDecoder]] (BMP and
-  * binary PNM, header+pixels, [[Codecs]]). Audio/video codecs are NOT
-  * in this container, so those kinds use [[StubDecoder]], a
-  * clearly-marked deterministic fake; everything around the seam —
-  * the schema, the Dataset[MediaItem] encoder, the mapPartitions
-  * batch shape, the partitioning strategy — is the production
-  * plumbing and is tested (MultimodalSpec).
+  * All three kinds decode for REAL through [[CodecDecoder]] (BMP/PNM
+  * images, RIFF/WAVE PCM audio, RIFF/AVI uncompressed-DIB video —
+  * header AND payload, [[Codecs]], no libraries). [[StubDecoder]]
+  * remains as the deterministic fake for synthetic corpora whose
+  * payloads are not real media (e.g. [[mediaFromDocuments]]);
+  * everything around the seam — the schema, the Dataset[MediaItem]
+  * encoder, the mapPartitions batch shape, the partitioning strategy
+  * — is the production plumbing and is tested (MultimodalSpec).
   *
   * Scale notes: featurize runs mapPartitions so a real decoder amortizes
   * model/codec init once per partition (the per-batch pattern a Python
@@ -95,12 +96,13 @@ object Multimodal {
       }
   }
 
-  /** REAL codecs behind the seam: BMP/PNM images ([[ImageDecoder]])
-    * and RIFF/WAVE integer-PCM audio ([[Codecs.decodeWav]]); video
-    * remains on the stub (no public header-walk format in this
-    * container). Audio maps to the (w, h, frames) contract as
-    * (channels, bits_per_sample, frames_per_channel). Non-WAV audio
-    * bytes fail loudly, same policy as unknown image bytes.
+  /** REAL codecs behind the seam for all three kinds: BMP/PNM images
+    * ([[ImageDecoder]]), RIFF/WAVE integer-PCM audio
+    * ([[Codecs.decodeWav]]), and RIFF/AVI uncompressed-DIB video
+    * ([[Codecs.decodeAvi]]). Audio maps to the (w, h, frames)
+    * contract as (channels, bits_per_sample, frames_per_channel);
+    * video as (width, height, n_frames). Unknown bytes fail loudly —
+    * a production corpus must not silently produce fake features.
     */
   object CodecDecoder extends MediaDecoder {
     override def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
@@ -112,6 +114,12 @@ object Multimodal {
               s"unknown audio payload (${payload.length} bytes): not RIFF/WAVE")
           val a = Codecs.decodeWav(payload)
           (a.channels, a.bitsPerSample, a.framesPerChannel)
+        case "video" =>
+          if (!Codecs.isAvi(payload))
+            throw new IllegalArgumentException(
+              s"unknown video payload (${payload.length} bytes): not RIFF/AVI")
+          val v = Codecs.decodeAvi(payload)
+          (v.width, v.height, v.nFrames)
         case other => StubDecoder.decode(other, payload)
       }
   }

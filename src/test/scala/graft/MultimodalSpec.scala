@@ -123,21 +123,52 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Codecs.decodeWav(hdr8.dropRight(1)))
   }
 
-  test("CodecDecoder drives real WAV decode through the featurize seam") {
+  test("AVI codec: real RIFF/AVI DIB decode, frame walk, round-trip") {
+    // 3 frames of 5x3 with distinct, known pixels
+    val frames = Array.tabulate(3) { f =>
+      Codecs.Image(5, 3, Array.tabulate(15)(i => (f << 16) | (i * 17)))
+    }
+    val avi = Codecs.encodeAvi(Codecs.Video(5, 3, 40000, frames)) // 25 fps
+    assert(Codecs.isAvi(avi) && !Codecs.isWav(avi))
+    val v = Codecs.decodeAvi(avi)
+    assert(v.width == 5 && v.height == 3 && v.nFrames == 3)
+    assert(v.microSecPerFrame == 40000)
+    assert(math.abs(v.durationSec - 0.12) < 1e-12)
+    (0 until 3).foreach { f =>
+      assert(v.frames(f).pixels.toSeq == frames(f).pixels.toSeq,
+        s"frame $f pixel drift")
+    }
+    // truncating the movi payload fails loudly
+    intercept[IllegalArgumentException](
+      Codecs.decodeAvi(avi.dropRight(4)))
+    // a WAV is RIFF but not AVI
+    val wav = Codecs.encodeWav(Codecs.Audio(8000, 1, 16, Array(1, 2)))
+    assert(!Codecs.isAvi(wav))
+    intercept[IllegalArgumentException](Codecs.decodeAvi(wav))
+  }
+
+  test("CodecDecoder drives real WAV+AVI decode through the featurize seam") {
     val wav = Codecs.encodeWav(
       Codecs.Audio(16000, 1, 16, Array.tabulate(160)(i => i * 7 - 500)))
+    val avi = Codecs.encodeAvi(Codecs.Video(8, 6, 33333,
+      Array.fill(4)(Codecs.Image(8, 6, Array.tabulate(48)(_ * 3)))))
     val items = Seq(
       MediaItem(1L, "audio", wav, "a"),
-      MediaItem(2L, "video", Array[Byte](5, 5), "b") // still stubbed
+      MediaItem(2L, "video", avi, "b")
     ).toDS()
     val out = Multimodal.featurize(items.repartition(2), Multimodal.CodecDecoder)
       .collect().sortBy(_.media_id)
     // audio maps (channels, bits, frames/channel) onto the contract
     assert((out(0).width, out(0).height, out(0).n_frames) == ((1, 16, 160)))
-    // non-WAV audio bytes fail loudly, like unknown image bytes
-    val junk = Seq(MediaItem(9L, "audio", Array[Byte](1, 2, 3), "x")).toDS()
+    // video maps (width, height, n_frames)
+    assert((out(1).width, out(1).height, out(1).n_frames) == ((8, 6, 4)))
+    // non-WAV audio / non-AVI video bytes fail loudly
+    val junkA = Seq(MediaItem(9L, "audio", Array[Byte](1, 2, 3), "x")).toDS()
     intercept[org.apache.spark.SparkException](
-      Multimodal.featurize(junk, Multimodal.CodecDecoder).collect())
+      Multimodal.featurize(junkA, Multimodal.CodecDecoder).collect())
+    val junkV = Seq(MediaItem(10L, "video", Array[Byte](4, 5, 6), "x")).toDS()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.featurize(junkV, Multimodal.CodecDecoder).collect())
   }
 
   test("mediaFromDocuments produces 16-byte md5 payloads with cycling kinds") {
