@@ -99,18 +99,91 @@ object ApiEncoders {
     * traceqlengine/engine.go:220-222) — a `{}` match-everything search
     * must never pull the whole store onto the driver.
     */
-  def tempoSearch(df: DataFrame, limit: Int = 20): String = {
-    val traces = df
-      .orderBy(col("start_ns").desc, col("trace_id"))
+  /** Attr map → Tempo KeyValue list `[{"key":k,"value":{"stringValue":v}}]`
+    * (reference tracestorage/schema_tempo.go:64-78 ConvertToTempoAttrs;
+    * our attr maps are string-typed). Sorted for deterministic output.
+    */
+  private def tempoKvList(m: Column): Column =
+    transform(sort_array(map_entries(m)), e =>
+      struct(e.getField("key").as("key"),
+        struct(e.getField("value").as("stringValue")).as("value")))
+
+  /** Tempo search response: per-trace metadata (root name/service,
+    * extent over ALL trace spans) plus spanSet/spanSets carrying the
+    * MATCHED spans, each echoing only query-referenced attributes
+    * (reference traceqlengine/engine.go:131-226, attrs.go). `allowed =
+    * None` (the tags-search path) echoes every attribute; results sort
+    * ascending by trace start like the reference's final SortFunc.
+    */
+  def tempoSearch(sp: DataFrame, matched: DataFrame,
+      allowed: Option[Set[String]], limit: Int = 20): String = {
+    val emptyMap = map().cast("map<string,string>")
+    val attrsCol =
+      if (sp.columns.contains("attrs")) col("attrs") else emptyMap
+    val resCol =
+      if (sp.columns.contains("resource_attrs")) col("resource_attrs")
+      else attrsCol
+    def filtered(c: Column): Column = allowed match {
+      case None                   => c
+      case Some(as) if as.isEmpty => emptyMap
+      case Some(as) =>
+        val arr = array(as.toSeq.sorted.map(lit): _*)
+        map_filter(c, (k, _) => array_contains(arr, k))
+    }
+
+    val spanStruct = struct(
+      format_string("%016x", col("span_id")).as("spanID"),
+      col("name").as("name"),
+      col("start_ns").cast("string").as("startTimeUnixNano"),
+      col("duration_ns").as("durationNanos"),
+      tempoKvList(filtered(attrsCol)).as("attributes"))
+    val matchedAgg = matched
+      .select(col("trace_id"), col("start_ns").as("__s"),
+        spanStruct.as("span"))
+      .groupBy("trace_id")
+      .agg(sort_array(collect_list(struct(col("__s"), col("span"))))
+        .as("sl"))
+      .select(col("trace_id"),
+        transform(col("sl"), x => x.getField("span")).as("spans"))
+
+    // trace metadata over EVERY span of a matched trace (the engine
+    // takes root + extent from the whole trace, engine.go:139-166)
+    val rootService = coalesce(element_at(resCol, "service.name"),
+      element_at(attrsCol, "service.name"))
+    val rollup = sp
+      .join(matchedAgg.select("trace_id"), Seq("trace_id"), "left_semi")
+      .groupBy(col("trace_id"))
+      .agg(
+        min(col("start_ns")).as("start_ns"),
+        (max(col("start_ns") + col("duration_ns")) - min(col("start_ns")))
+          .as("duration_ns"),
+        min(when(col("parent_span_id").isNull, col("name")))
+          .as("root_name"),
+        min(when(col("parent_span_id").isNull, rootService))
+          .as("root_service"),
+        first(when(col("parent_span_id").isNull, resCol),
+          ignoreNulls = true).as("root_attrs"))
+
+    // spanSet.attributes: the ROOT's resource attrs, query-filtered
+    // (engine.go:200-204); a rootless trace contributes none
+    val spanSetStruct = struct(
+      col("spans").as("spans"),
+      size(col("spans")).as("matched"),
+      tempoKvList(filtered(coalesce(col("root_attrs"), emptyMap)))
+        .as("attributes"))
+    val traces = rollup.join(matchedAgg, Seq("trace_id"))
+      .orderBy(col("start_ns"), col("trace_id"))
       .limit(limit)
       .select(to_json(struct(
         format_string("%016x", col("trace_id")).as("traceID"),
-        col("root_service").as("rootServiceName"),
-        col("root_name").as("rootTraceName"),
+        coalesce(col("root_service"), lit("")).as("rootServiceName"),
+        coalesce(col("root_name"), lit("")).as("rootTraceName"),
         col("start_ns").cast("string").as("startTimeUnixNano"),
-        (col("duration_ns") / lit(1000000.0)).as("durationMs"))).as("j"))
+        expr("duration_ns div 1000000").cast("int").as("durationMs"),
+        spanSetStruct.as("spanSet"),
+        array(spanSetStruct).as("spanSets"))).as("j"))
       .collect().map(_.getString(0))
-    s"""{"traces":[${traces.mkString(",")}]}"""
+    s"""{"traces":[${traces.mkString(",")}],"metrics":{}}"""
   }
 
   /** Tempo trace-by-id response: one trace's spans as a batch

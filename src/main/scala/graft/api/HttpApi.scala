@@ -423,32 +423,16 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val p = params(ex)
     val limit = p.get("limit").map(_.toInt).getOrElse(20)
     val sp = windowed(spans, p, "start_ns", 1L)
-    val matched = p.get("q").filter(_.nonEmpty) match {
-      case Some(q) =>
-        graft.traceql.TraceQL.matchSpans(q, sp).select(col("trace_id"))
-      case None => sp.select(col("trace_id"))
+    val q = p.get("q").filter(_.nonEmpty)
+    val matched = q match {
+      case Some(qq) => graft.traceql.TraceQL.matchSpans(qq, sp)
+      case None     => sp
     }
-    val hasAttrs = spans.columns.contains("attrs")
-    val hasRes = spans.columns.contains("resource_attrs")
-    // service.name is a resource attribute in OTel; merged-map span
-    // frames fall back to span attrs (same rule as TraceQL rootService)
-    val rootService = (hasRes, hasAttrs) match {
-      case (true, true) => coalesce(element_at(col("resource_attrs"), "service.name"),
-        element_at(col("attrs"), "service.name"))
-      case (true, false)  => element_at(col("resource_attrs"), "service.name")
-      case (false, true)  => element_at(col("attrs"), "service.name")
-      case (false, false) => lit(null)
-    }
-    val rollup = sp
-      .join(matched.distinct(), Seq("trace_id"), "left_semi")
-      .groupBy(col("trace_id"))
-      .agg(
-        min(col("start_ns")).as("start_ns"),
-        (max(col("start_ns") + col("duration_ns")) - min(col("start_ns")))
-          .as("duration_ns"),
-        min(when(col("parent_span_id").isNull, col("name"))).as("root_name"),
-        min(when(col("parent_span_id").isNull, rootService)).as("root_service"))
-    ApiEncoders.tempoSearch(rollup, limit)
+    // the TraceQL path echoes only query-referenced attributes on
+    // spanSet rows; the tags/match-all path echoes them all
+    // (reference traceqlengine/attrs.go, tempohandler/collector.go)
+    val allowed = q.map(graft.traceql.TraceQL.referencedAttrs)
+    ApiEncoders.tempoSearch(sp, matched, allowed, limit)
   }
 
   private def tempoTags(ex: HttpExchange): String = {

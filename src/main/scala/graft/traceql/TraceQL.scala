@@ -873,6 +873,35 @@ object TraceQL {
     evalSpanset(ss, spans)
   }
 
+  /** Attribute names referenced by the query's filter expressions.
+    * Tempo's search API echoes ONLY query-bound attributes on its
+    * spanSet rows — propagating the whole attr set per span blows up
+    * response size and breaks Grafana's search table (reference
+    * traceqlengine/attrs.go:9-21).
+    */
+  def referencedAttrs(q: String): Set[String] = {
+    val p = new P(q)
+    val ss = parseSpanset(p) // trailing pipeline stages don't add filter attrs here
+    val out = Set.newBuilder[String]
+    def walkR(r: FieldRef): Unit = r match {
+      case Attr(_, n) => out += n
+      case _          => ()
+    }
+    def walkF(e: FieldExpr): Unit = e match {
+      case FAnd(l, r)    => walkF(l); walkF(r)
+      case FOr(l, r)     => walkF(l); walkF(r)
+      case FNot(x)       => walkF(x)
+      case FCmp(r, _, _) => walkR(r)
+      case FRe(r, _, _)  => walkR(r)
+    }
+    def walkS(s: SpansetExpr): Unit = s match {
+      case SFilter(c)           => walkF(c)
+      case SStructural(_, l, r) => walkS(l); walkS(r)
+    }
+    walkS(ss)
+    out.result()
+  }
+
   def plan(q: String, spans0: DataFrame): DataFrame = {
     val ast = parse(q)
     val spans = withResourceAttrs(spans0)

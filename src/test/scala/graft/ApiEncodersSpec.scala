@@ -41,25 +41,47 @@ class ApiEncodersSpec extends SparkTestBase {
     assert(out.indexOf("\"5\"") < out.indexOf("\"10\"")) // ts order
   }
 
-  test("tempoSearch renders hex trace ids and durations") {
-    val df = Seq(
-      (255L, "root-op", "api", 1000L, 2000000L)
-    ).toDF("trace_id", "root_name", "root_service", "start_ns", "duration_ns")
-    val out = ApiEncoders.tempoSearch(df)
+  test("tempoSearch renders spanSets of matched spans with filtered attrs") {
+    // trace 255: root (parentless) + child; only the child matches
+    val sp = Seq(
+      (255L, 1L, Option.empty[Long], "root-op", 1000L, 2000000L,
+        Map("service.name" -> "api", "big.payload" -> "x")),
+      (255L, 2L, Option(1L), "child-op", 1500L, 500000L,
+        Map("http.method" -> "GET", "noise" -> "y"))
+    ).toDF("trace_id", "span_id", "parent_span_id", "name", "start_ns",
+      "duration_ns", "attrs")
+    val matched = sp.filter(col("name") === "child-op")
+    val out = ApiEncoders.tempoSearch(sp, matched,
+      allowed = Some(Set("http.method")), limit = 20)
     assert(out.contains(""""traceID":"00000000000000ff""""))
+    // metadata comes from the WHOLE trace: root name/service, int ms
     assert(out.contains(""""rootServiceName":"api""""))
-    assert(out.contains(""""durationMs":2.0"""))
+    assert(out.contains(""""rootTraceName":"root-op""""))
+    assert(out.contains(""""durationMs":2"""))
+    // spanSet carries only the matched span, hex id, ns strings
+    assert(out.contains(""""spanID":"0000000000000002""""))
+    assert(!out.contains(""""spanID":"0000000000000001""""))
+    assert(out.contains(""""matched":1"""))
+    assert(out.contains(""""spanSets":["""))
+    // only query-referenced attributes are echoed
+    assert(out.contains(
+      """{"key":"http.method","value":{"stringValue":"GET"}}"""))
+    assert(!out.contains("noise") && !out.contains("big.payload"))
+    assert(out.endsWith(""","metrics":{}}"""))
   }
 
-  test("tempoSearch caps results at the default limit, newest first") {
-    val df = (1L to 50L).map(i => (i, s"op-$i", "api", i * 1000L, 1000000L))
-      .toDF("trace_id", "root_name", "root_service", "start_ns", "duration_ns")
-    val out = ApiEncoders.tempoSearch(df)
+  test("tempoSearch caps results at the limit, ascending by start") {
+    val sp = (1L to 50L).map(i => (i, i, Option.empty[Long], s"op-$i",
+        i * 1000L, 1000000L, Map("service.name" -> "api")))
+      .toDF("trace_id", "span_id", "parent_span_id", "name", "start_ns",
+        "duration_ns", "attrs")
+    val out = ApiEncoders.tempoSearch(sp, sp, allowed = None)
     assert("\"traceID\"".r.findAllIn(out).length == 20)
-    // newest trace (50) present, oldest (1) dropped
-    assert(out.contains(""""traceID":"0000000000000032""""))
-    assert(!out.contains(""""traceID":"0000000000000001""""))
-    assert("\"traceID\"".r.findAllIn(ApiEncoders.tempoSearch(df, 5)).length == 5)
+    // ascending by start time (reference engine.go:220): earliest kept
+    assert(out.contains(""""traceID":"0000000000000001""""))
+    assert(!out.contains(""""traceID":"0000000000000032""""))
+    assert("\"traceID\"".r
+      .findAllIn(ApiEncoders.tempoSearch(sp, sp, None, 5)).length == 5)
   }
 
   test("promVector renders instant results") {

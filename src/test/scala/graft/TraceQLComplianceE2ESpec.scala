@@ -1,5 +1,7 @@
 package graft
 
+import java.net.{HttpURLConnection, URI, URLEncoder}
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
@@ -92,10 +94,44 @@ class TraceQLComplianceE2ESpec extends SparkTestBase {
     (a.isNaN && b.isNaN) || a == b ||
       math.abs(a - b) <= math.abs(b) * 1e-6 + 1e-9
 
+  private var port: Int = 0
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, body)
+  }
+
+  /** Span queries go over the wire: `/api/search` spanSets carry the
+    * matched spans per trace (the reference's envelope,
+    * traceqlengine/engine.go:194-213), so the corpus checks the HTTP
+    * surface end-to-end like the LogQL/PromQL corpora do.
+    */
   private def checkSpans(q: String, want: List[Any]): Option[String] = {
-    val got = TraceQL.matchSpans(q, spans)
-      .select("trace_id", "span_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val enc = URLEncoder.encode(q, "UTF-8")
+    val (code, body) =
+      get(s"http://127.0.0.1:$port/api/search?q=$enc&limit=500")
+    if (code != 200)
+      return Some(s"$q: engine error $code: ${body.take(160)}")
+    val parsed = TestJson.parse(body).asInstanceOf[Map[String, Any]]
+    val got = parsed("traces").asInstanceOf[List[Any]].flatMap { t =>
+      val m = t.asInstanceOf[Map[String, Any]]
+      val tid = java.lang.Long.parseUnsignedLong(
+        m("traceID").asInstanceOf[String], 16)
+      m("spanSets").asInstanceOf[List[Any]].headOption.toList.flatMap { ss =>
+        ss.asInstanceOf[Map[String, Any]]("spans")
+          .asInstanceOf[List[Any]].map { sp0 =>
+            val sm = sp0.asInstanceOf[Map[String, Any]]
+            (tid, java.lang.Long.parseUnsignedLong(
+              sm("spanID").asInstanceOf[String], 16))
+          }
+      }
+    }.toSet
     val exp = want.map { p =>
       val l = p.asInstanceOf[List[Any]]
       (l.head.asInstanceOf[Double].toLong, l(1).asInstanceOf[Double].toLong)
@@ -225,6 +261,18 @@ class TraceQLComplianceE2ESpec extends SparkTestBase {
   }
 
   test("TraceQL compliance corpus end-to-end vs independent goldens") {
+    import spark.implicits._
+    val api = new graft.api.HttpApi(
+      Seq.empty[(Long, String, Map[String, String])]
+        .toDF("ts_ns", "body", "labels"),
+      spark.emptyDataFrame, spans)
+    port = api.start()
+    try {
+      runCorpus()
+    } finally api.stop()
+  }
+
+  private def runCorpus(): Unit = {
     val failures = Seq.newBuilder[String]
     var nOk = 0
     golden.toSeq.sortBy(_._1).foreach { case (q, e) =>
