@@ -135,6 +135,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       server.createContext("/pyroscope/labels", handler(pyroLabels))
       server.createContext("/pyroscope/label-values", handler(pyroLabelValues))
       server.createContext("/pyroscope/apps", handler(pyroApps))
+      // ingestion rides the OTLP receiver; the push endpoint is a typed
+      // 501 like the reference (profilehandler.go:78-82)
+      server.createContext("/pyroscope/ingest", handler(_ =>
+        notImplemented("profile ingestion is handled by the OTLP receiver")))
     }
     server.start()
     server.getAddress.getPort
@@ -162,10 +166,23 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     */
   private def windowed(df: DataFrame, p: Map[String, String],
       tsCol: String, divisor: Long): DataFrame = {
-    val lo = p.get("start").filter(_.nonEmpty).map(toNs(_) / divisor)
-    val hi = p.get("end").filter(_.nonEmpty).map(toNs(_) / divisor)
-    val f1 = lo.fold(df)(v => df.filter(col(tsCol) >= v))
-    hi.fold(f1)(v => f1.filter(col(tsCol) < v))
+    // `since` computes a missing start as (end | now) - since — the
+    // Loki/Tempo relative-window param (reference tempohandler/
+    // params.go:35-80, lokihandler.go:74); an explicit start wins
+    val sinceNs = p.get("since").filter(_.nonEmpty).map { s =>
+      val sec = graft.functions.Kernels.parseDurationSeconds(s)
+        .getOrElse(throw new IllegalArgumentException(s"bad since '$s'"))
+      require(sec >= 0, s"since=$s could not be negative")
+      (sec * 1e9).toLong
+    }
+    val hiNs = p.get("end").filter(_.nonEmpty).map(toNs)
+    val loNs = p.get("start").filter(_.nonEmpty).map(toNs)
+      .orElse(sinceNs.map { d =>
+        val nowNs = System.currentTimeMillis() * 1000000L
+        math.min(hiNs.getOrElse(nowNs), nowNs) - d
+      })
+    val f1 = loNs.map(_ / divisor).fold(df)(v => df.filter(col(tsCol) >= v))
+    hiNs.map(_ / divisor).fold(f1)(v => f1.filter(col(tsCol) < v))
   }
 
   // ---------- Loki handlers ----------

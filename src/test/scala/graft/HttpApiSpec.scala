@@ -150,6 +150,20 @@ class HttpApiSpec extends SparkTestBase {
       val (c4, none) = get(
         s"http://127.0.0.1:$port/api/search?start=1000&end=2000")
       assert(c4 == 200 && !none.contains("traceID"))
+
+      // `since` derives a missing start as (end | now) - since
+      // (reference tempohandler/params.go:35-80): end=2s - 1h reaches
+      // below the fixture's ns-scale spans, so both traces stay
+      val (c5, rel) = get(
+        s"http://127.0.0.1:$port/api/search?end=2&since=1h")
+      assert(c5 == 200)
+      assert(rel.contains("0000000000000007") && rel.contains("0000000000000008"))
+      // without end, start = now - 1h, far above the fixture window
+      val (c6, recent) = get(s"http://127.0.0.1:$port/api/search?since=1h")
+      assert(c6 == 200 && !recent.contains("traceID"))
+      // malformed duration is a client error
+      val (c7, _) = get(s"http://127.0.0.1:$port/api/search?since=bogus")
+      assert(c7 == 400)
     }
   }
 
@@ -339,6 +353,10 @@ class HttpApiSpec extends SparkTestBase {
 
       val (c5, apps) = get(s"http://127.0.0.1:$port/pyroscope/apps")
       assert(c5 == 200 && apps == """[{"name":"alloc"},{"name":"cpu"}]""")
+      // push ingestion is a typed 501 like the reference
+      // (profilehandler.go:78-82 ErrNotImplemented)
+      val (c6, _) = get(s"http://127.0.0.1:$port/pyroscope/ingest")
+      assert(c6 == 501)
     }
   }
 
