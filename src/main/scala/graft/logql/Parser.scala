@@ -135,14 +135,14 @@ object Parser {
     "count_over_time", "rate", "bytes_over_time", "bytes_rate", "rate_counter",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "first_over_time", "last_over_time", "stdvar_over_time", "stddev_over_time",
-    "quantile_over_time", "absent_over_time")
+    "quantile_over_time", "approx_quantile_over_time", "absent_over_time")
   /** Range-agg ops that accept trailing by/without grouping (reference
     * metric_expr.go:48-60).
     */
   private val groupableRangeOps = Set(
     "avg_over_time", "min_over_time", "max_over_time", "first_over_time",
     "last_over_time", "stdvar_over_time", "stddev_over_time",
-    "quantile_over_time")
+    "quantile_over_time", "approx_quantile_over_time")
   private val vectorOps = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar",
     "topk", "bottomk", "sort", "sort_desc")
@@ -518,7 +518,7 @@ object Parser {
       LabelFnExpr(fn, inner, strs.result())
     case TIdent(name, _) if rangeOps(name) =>
       p.next(); p.expectOp("(")
-      val param = if (name == "quantile_over_time") {
+      val param = if (name.endsWith("quantile_over_time")) {
         val v = p.next() match {
           case TNum(x, _, _) => x
           case t             => throw ParseError("expected quantile", t.pos)

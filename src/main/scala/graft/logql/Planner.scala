@@ -552,6 +552,16 @@ object Planner {
           if (phi < 0) first(lit(Double.NegativeInfinity))
           else if (phi > 1) first(lit(Double.PositiveInfinity))
           else percentile(unwrap(ctx), lit(phi))
+        case "approx_quantile_over_time" =>
+          // parity-plus unbounded-window path: the mergeable GK sketch
+          // of percentile_approx holds constant space per series where
+          // the exact percentile buffers the whole window (see
+          // PromQL.promPercentileApprox)
+          val phi = param.getOrElse(0.5)
+          if (phi < 0) first(lit(Double.NegativeInfinity))
+          else if (phi > 1) first(lit(Double.PositiveInfinity))
+          else percentile_approx(unwrap(ctx), lit(phi),
+            lit(graft.promql.PromQL.ApproxQuantileAccuracy)).cast("double")
         case other => throw new IllegalArgumentException(s"range op $other")
       }
       base.groupBy(col("bucket_ns"), col("__stream"))

@@ -67,8 +67,8 @@ object PromQL {
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "last_over_time", "first_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "absent_over_time", "quantile_over_time", "mad_over_time",
-    "holt_winters", "double_exponential_smoothing")
+    "absent_over_time", "quantile_over_time", "approx_quantile_over_time",
+    "mad_over_time", "holt_winters", "double_exponential_smoothing")
   private val aggOps = Set("sum", "avg", "min", "max", "count", "group",
     "stddev", "stdvar", "quantile", "topk", "bottomk")
   private val mathFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
@@ -280,7 +280,7 @@ object PromQL {
         FnCall(name, inner, nums.result(), strs.result())
       } else if (rangeFns(name)) {
         p.ident(); p.expect("(")
-        val param = if (name == "quantile_over_time") {
+        val param = if (name.endsWith("quantile_over_time")) {
           val v = p.number(); p.expect(","); Seq(v)
         } else Nil
         val inner = parseExpr(p)
@@ -304,7 +304,8 @@ object PromQL {
         p.expect(")")
         val allParams = param ++ postParams.result()
         val wantParams = name match {
-          case "quantile_over_time" | "predict_linear"          => 1
+          case "quantile_over_time" | "approx_quantile_over_time"
+             | "predict_linear"                                 => 1
           case "holt_winters" | "double_exponential_smoothing"  => 2
           case _                                                => 0
         }
@@ -550,6 +551,27 @@ object PromQL {
     else if (phi > 1) first(lit(Double.PositiveInfinity))
     else percentile(vc, lit(phi))
 
+  /** Rank error bound 1/accuracy of the GK summaries behind
+    * `percentile_approx` — the mergeable, constant-space path
+    * [[promPercentileApprox]] takes for unbounded windows.
+    */
+  val ApproxQuantileAccuracy = 10000
+
+  /** `approx_quantile_over_time` (parity-plus; neither upstream
+    * PromQL nor the reference has it): same out-of-range semantics as
+    * [[promPercentile]], but the estimator is Spark's mergeable
+    * Greenwald-Khanna sketch (`percentile_approx`). Exact
+    * quantile_over_time buffers every window sample (PromQuantileAgg
+    * — fine for step-bounded windows, the Prometheus contract); this
+    * is the 100 TB path for unbounded/huge windows: constant space per
+    * series, map-side partial merge, rank error ≤ 1/10000.
+    */
+  private def promPercentileApprox(vc: Column, phi: Double): Column =
+    if (phi < 0) first(lit(Double.NegativeInfinity))
+    else if (phi > 1) first(lit(Double.PositiveInfinity))
+    else percentile_approx(vc, lit(phi), lit(ApproxQuantileAccuracy))
+      .cast("double")
+
   private def overTimeAgg(fn: String, param: Seq[Double]): Option[Column] =
     fn match {
       case "count_over_time" => Some(count(lit(1)).cast("double"))
@@ -564,6 +586,8 @@ object PromQL {
       case "present_over_time" => Some(first(lit(1.0)))
       case "quantile_over_time" =>
         Some(promPercentile(col("value"), param.headOption.getOrElse(0.5)))
+      case "approx_quantile_over_time" =>
+        Some(promPercentileApprox(col("value"), param.headOption.getOrElse(0.5)))
       case _ => None
     }
 
@@ -1110,6 +1134,8 @@ object PromQL {
             case "present_over_time" => first(lit(1.0))
             case "quantile_over_time" =>
               promPercentile(col("value"), param.headOption.getOrElse(0.5))
+            case "approx_quantile_over_time" =>
+              promPercentileApprox(col("value"), param.headOption.getOrElse(0.5))
           }
           base.groupBy(col("__stream"), col("bucket_us"))
             .agg(v.as("value"), first(col("labels")).as("labels"))

@@ -88,6 +88,26 @@ object QueriesRangeGroup extends QueryPack {
          |  event_type, quantile_cont(CAST(user_id AS DOUBLE), 0.5) AS value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_ns, event_type""".stripMargin))
 
+  /** `approx_quantile_over_time(0.5, …) by (event_type)` — the
+    * parity-plus mergeable-sketch quantile (constant space per series;
+    * the 100 TB path for unbounded windows). Below the GK head-buffer
+    * threshold the sketch retains every sample, so the answer is the
+    * exact discrete quantile and DuckDB's quantile_disc pins it.
+    */
+  val rangeAggApproxQuantile: Q = Q(
+    "logql_approx_quantile",
+    (s: SparkSession, dir: String) =>
+      Planner.query(
+          """approx_quantile_over_time(0.5, {} | unwrap user_id [1d]) by (event_type)""",
+          logsView(Testdata(s, dir)))
+        .select(col("bucket_ns"),
+          element_at(col("labels"), "event_type").as("event_type"), col("value"))
+        .orderBy("bucket_ns", "event_type"),
+    Some(
+      s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+         |  event_type, quantile_disc(CAST(user_id AS DOUBLE), 0.5) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_ns, event_type""".stripMargin))
+
   /** Log volume grouped by target label (Grafana drilldown; reference
     * lokihandler.go:495-551 — sum by (agg) count_over_time collapses
     * to one grouped count).
@@ -129,5 +149,6 @@ object QueriesRangeGroup extends QueryPack {
            |FROM events""".stripMargin))
 
   override def queries: Seq[Q] = Seq(rangeAggBy, rangeAggWithout,
-    rangeAggQuantileBy, volumeByTarget, detectedLabelsQ, detectedFieldsQ)
+    rangeAggQuantileBy, rangeAggApproxQuantile, volumeByTarget,
+    detectedLabelsQ, detectedFieldsQ)
 }

@@ -81,6 +81,26 @@ class LogQLSpec extends SparkTestBase {
     assert(wo.length == 3 && wo.forall(_.getAs[Double]("value") == 500.0))
   }
 
+  test("approx_quantile_over_time: discrete-sketch twin of the exact quantile") {
+    // web's hourly statuses are [200, 500]: the exact variant
+    // rank-interpolates to 350, the sketch answers with the actual
+    // sample at the discrete rank (200); api's ties land on 200 in both
+    val approx = run(
+      """approx_quantile_over_time(0.5, {env="prod"} | json | unwrap status [1h]) by (service)""")
+      .collect()
+    assert(approx.length == 6) // 3 hours × 2 services
+    assert(approx.forall(_.getAs[Double]("value") == 200.0))
+    val exact = run(
+      """quantile_over_time(0.5, {env="prod"} | json | unwrap status [1h]) by (service)""")
+      .collect()
+    assert(exact.count(_.getAs[Double]("value") == 350.0) == 3)
+    // out-of-range phi yields the matching infinity, like the exact op
+    val inf = run(
+      """approx_quantile_over_time(1.5, {env="prod"} | json | unwrap status [1h])""")
+      .collect()
+    assert(inf.nonEmpty && inf.forall(_.getAs[Double]("value").isPosInfinity))
+  }
+
   test("scalar literal queries: the literal at every grid step") {
     // "1 + 2 / 3" folds to one scalar, fanned over the 1h-extent grid
     val out = run("1 + 2 / 3").collect()

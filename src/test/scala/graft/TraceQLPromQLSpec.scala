@@ -211,4 +211,17 @@ class TraceQLPromQLSpec extends SparkTestBase {
     assert(out.length == 2) // one winner per bucket
     assert(out.forall(!_.isNullAt(1)))
   }
+
+  test("PromQL: approx_quantile_over_time is the discrete-sketch twin") {
+    // svc=a holds 0..9 in the single 10m window: the exact variant
+    // rank-interpolates (4.5); the mergeable-sketch variant answers
+    // with an actual sample at the discrete rank (4.0)
+    def one(q: String): Double =
+      PromQL.range(q, points).filter($"labels.svc" === "a")
+        .select($"value").as[Double].collect().head
+    assert(one("""quantile_over_time(0.5, reqs[10m])""") == 4.5)
+    assert(one("""approx_quantile_over_time(0.5, reqs[10m])""") == 4.0)
+    // out-of-range phi keeps the upstream warn-and-yield-infinity shape
+    assert(one("""approx_quantile_over_time(1.5, reqs[10m])""").isPosInfinity)
+  }
 }
