@@ -119,6 +119,29 @@ object Codecs {
     Image(width, height, px)
   }
 
+  /** Nearest-neighbor resize — pure integer pixel math, the
+    * deterministic no-library kernel for the pipeline's image-resize
+    * stage. Source coordinate = floor(dst * src / dstSize), the
+    * standard NN mapping (no smoothing, bit-exact across platforms).
+    */
+  def resize(img: Image, w: Int, h: Int): Image = {
+    require(w > 0 && h > 0, s"bad resize target ${w}x$h")
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      val srcRow = sy * img.width
+      val dstRow = y * w
+      var x = 0
+      while (x < w) {
+        out(dstRow + x) = img.pixels(srcRow + (x.toLong * img.width / w).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
   /** Minimal 24bpp bottom-up BMP encoder — the test vector source and
     * the round-trip check for [[decodeBmp]].
     */
@@ -238,6 +261,18 @@ object Codecs {
     b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Every k-th frame, starting at frame 0; the frame clock stretches
+    * by k so wall-clock duration is preserved — the pipeline's
+    * frame-sampling stage (training corpora rarely keep every frame).
+    */
+  def sampleFrames(v: Video, every: Int): Video = {
+    require(every >= 1, s"bad frame-sample stride $every")
+    val kept = Array.newBuilder[Image]
+    var i = 0
+    while (i < v.frames.length) { kept += v.frames(i); i += every }
+    Video(v.width, v.height, v.microSecPerFrame * every, kept.result())
+  }
 
   /** Raw DIB pixel array (no file header): BI_RGB 24bpp, bottom-up
     * rows padded to 4 bytes — the payload of an AVI '00db' chunk.

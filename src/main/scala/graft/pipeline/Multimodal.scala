@@ -139,6 +139,50 @@ object Multimodal {
     }
   }
 
+  /** Payload-rewriting image resize: decode → nearest-neighbor kernel
+    * ([[Codecs.resize]]) → re-encode as BMP, batched per partition
+    * like [[featurize]] (one codec init per partition, payloads stream
+    * row-at-a-time so executor memory holds one decoded raster, not a
+    * partition of them). Non-image kinds pass through untouched, so
+    * the op composes over a mixed media table. Unknown image bytes
+    * fail loudly, same policy as the decoders.
+    */
+  def resizeImages(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map {
+        case m if m.kind == "image" =>
+          val img =
+            if (Codecs.isBmp(m.payload)) Codecs.decodeBmp(m.payload)
+            else if (Codecs.isPnm(m.payload)) Codecs.decodePnm(m.payload)
+            else throw new IllegalArgumentException(
+              s"unknown image payload (${m.payload.length} bytes): not BMP/PNM")
+          m.copy(payload = Codecs.encodeBmp(Codecs.resize(img, w, h)))
+        case other => other
+      }
+    }
+  }
+
+  /** Payload-rewriting video frame-sampling: decode → every k-th frame
+    * ([[Codecs.sampleFrames]], frame clock stretched so duration is
+    * preserved) → re-encode as AVI. Same batch shape and pass-through
+    * policy as [[resizeImages]].
+    */
+  def sampleVideoFrames(items: Dataset[MediaItem], every: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map {
+        case m if m.kind == "video" =>
+          if (!Codecs.isAvi(m.payload))
+            throw new IllegalArgumentException(
+              s"unknown video payload (${m.payload.length} bytes): not RIFF/AVI")
+          m.copy(payload =
+            Codecs.encodeAvi(Codecs.sampleFrames(Codecs.decodeAvi(m.payload), every)))
+        case other => other
+      }
+    }
+  }
+
   /** Derive a deterministic media table from the documents corpus (the
     * container has no real binaries): payload = md5(text) bytes. Used by
     * tests and the oracle-backed query.

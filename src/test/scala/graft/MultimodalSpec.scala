@@ -171,6 +171,58 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.featurize(junkV, Multimodal.CodecDecoder).collect())
   }
 
+  test("resize kernel: nearest-neighbor mapping is exact") {
+    // 4x2 checker downsized to 2x1: NN picks floor(dst*src/dstSize),
+    // so (0,0)←(0,0) and (1,0)←(2,0)
+    val src = Codecs.Image(4, 2, Array(
+      0x111111, 0x222222, 0x333333, 0x444444,
+      0x555555, 0x666666, 0x777777, 0x888888))
+    val down = Codecs.resize(src, 2, 1)
+    assert(down.pixels.toSeq == Seq(0x111111, 0x333333))
+    // upscale duplicates source pixels, never interpolates
+    val up = Codecs.resize(Codecs.Image(2, 1, Array(0xAA0000, 0x00BB00)), 4, 2)
+    assert(up.pixels.toSeq == Seq(
+      0xAA0000, 0xAA0000, 0x00BB00, 0x00BB00,
+      0xAA0000, 0xAA0000, 0x00BB00, 0x00BB00))
+    intercept[IllegalArgumentException](Codecs.resize(src, 0, 4))
+  }
+
+  test("frame sampling keeps every k-th frame and stretches the clock") {
+    val frames = Array.tabulate(7)(f => Codecs.Image(2, 1, Array(f, f)))
+    val sampled = Codecs.sampleFrames(Codecs.Video(2, 1, 40000, frames), 3)
+    assert(sampled.nFrames == 3) // frames 0, 3, 6
+    assert(sampled.frames.map(_.pixels(0)).toSeq == Seq(0, 3, 6))
+    assert(sampled.microSecPerFrame == 120000)
+    // duration is preserved up to the dropped tail
+    assert(math.abs(sampled.durationSec - 0.36) < 1e-12)
+  }
+
+  test("resizeImages and sampleVideoFrames rewrite payloads through the seam") {
+    val bmp = Codecs.encodeBmp(
+      Codecs.Image(4, 4, Array.tabulate(16)(i => i * 0x050505)))
+    val avi = Codecs.encodeAvi(Codecs.Video(3, 2, 40000,
+      Array.tabulate(6)(f => Codecs.Image(3, 2, Array.fill(6)(f)))))
+    val wav = Codecs.encodeWav(Codecs.Audio(8000, 1, 16, Array(5, 6, 7)))
+    val items = Seq(
+      MediaItem(1L, "image", bmp, "s"),
+      MediaItem(2L, "video", avi, "s"),
+      MediaItem(3L, "audio", wav, "s")
+    ).toDS()
+    val out = Multimodal.sampleVideoFrames(
+        Multimodal.resizeImages(items.repartition(2), 2, 2), 2)
+      .collect().sortBy(_.media_id)
+    // image: re-encoded BMP at the target size, NN pixels
+    val img = Codecs.decodeBmp(out(0).payload)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == Seq(0x000000, 0x0A0A0A, 0x282828, 0x323232))
+    // video: frames 0,2,4 at a stretched clock
+    val v = Codecs.decodeAvi(out(1).payload)
+    assert(v.nFrames == 3 && v.microSecPerFrame == 80000)
+    assert(v.frames.map(_.pixels(0)).toSeq == Seq(0, 2, 4))
+    // audio passes through both ops untouched
+    assert(out(2).payload.toSeq == wav.toSeq)
+  }
+
   test("mediaFromDocuments produces 16-byte md5 payloads with cycling kinds") {
     val docs = Seq((0L, "hello", "s0"), (1L, "world", "s1"), (2L, "again", "s2"))
       .toDF("doc_id", "text", "source")
