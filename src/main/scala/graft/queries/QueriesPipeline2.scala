@@ -504,8 +504,60 @@ object QueriesPipeline2 extends QueryPack {
     )
   }
 
+  /** Payload-rewriting media transforms end-to-end: deterministic REAL
+    * BMP/AVI payloads built per document, resized (nearest-neighbor →
+    * 8x5) and frame-sampled (stride 2, ceil(n/2) frames survive), then
+    * re-decoded through the codec seam — the oracle pins the
+    * post-transform geometry from the construction arithmetic alone.
+    */
+  val mediaTransform: Q = Q(
+    "pipe_media_transform",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.pipeline.{Codecs, Multimodal}
+      val media = Testdata(s, dir).documents
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .map { case (id, src) =>
+          val payload =
+            if (id % 2 == 0) {
+              val w = 3 + (id % 5).toInt
+              val h = 2 + (id % 4).toInt
+              Codecs.encodeBmp(Codecs.Image(w, h,
+                Array.tabulate(w * h)(i => ((id * 31 + i) % 0xFFFFFF).toInt)))
+            } else {
+              val n = 1 + (id % 6).toInt
+              Codecs.encodeAvi(Codecs.Video(4, 2, 40000,
+                Array.tabulate(n)(f => Codecs.Image(4, 2,
+                  Array.tabulate(8)(i => ((id + f * 7 + i) % 0xFFFFFF).toInt)))))
+            }
+          Multimodal.MediaItem(id,
+            if (id % 2 == 0) "image" else "video", payload, src)
+        }
+      Multimodal.featurize(
+          Multimodal.sampleVideoFrames(
+            Multimodal.resizeImages(media, 8, 5), 2),
+          Multimodal.CodecDecoder)
+        .toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"),
+          sum(col("n_frames")).as("sum_frames"))
+        .orderBy("kind")
+    },
+    Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END) AS BIGINT) AS sum_width,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 2 END) AS BIGINT) AS sum_height,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1
+        |           ELSE CAST(CEIL((1 + doc_id % 6) / 2.0) AS BIGINT) END) AS BIGINT)
+        |    AS sum_frames
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   override def queries: Seq[Q] = Seq(
-    minhashLsh, simhash, ngramJaccard, lshJaccardVerify, dedupClusters,
+    minhashLsh, simhash, ngramJaccard, lshJaccardVerify, dedupClusters, mediaTransform,
     embeddingNeardup, langid, qualityScore, curationE2e, fingerprint,
     mediaFeatures
   )
