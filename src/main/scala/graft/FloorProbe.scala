@@ -54,7 +54,7 @@ object FloorProbe {
     probe("logql count_over_time") {
       graft.logql.Planner.query(
         """count_over_time({event_type=~".+"} [1d])""",
-        spark.read.parquet(s"$dir/events.parquet")
+        graft.sources.Testdata(spark, dir).events
           .select(col("ts").as("ts_ns"), col("props").as("body"),
             map(lit("event_type"), col("event_type")).as("labels")))
         .count()

@@ -58,7 +58,9 @@ object Fixtures {
     * cache below is keyed by (sfDir, name, version) and would otherwise
     * serve stale rows across builds.
     */
-  private val CacheVersion = "r5a"
+  // r8a: /root/testdata regenerated 2026-08-13 — derived span/shingle
+  // fixtures from the previous generation must not survive it.
+  private val CacheVersion = "r8a"
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -147,6 +149,7 @@ object Registry {
     QueriesPromInstant,
     QueriesPipeline,
     QueriesPipeline2,
+    QueriesPipeline3,
     QueriesPushdown
   )
 

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Training-data pipeline operators, part 3: benchmark decontamination,
+  * repetition-based quality filtering (Gopher-style), TF-IDF keyword
+  * extraction, and k-means topic assignment over embeddings.
+  *
+  * Scale notes (100 TB):
+  *   - decontamination joins the corpus against the BENCHMARK n-gram
+  *     set, which is tiny by construction (eval suites are MBs, the
+  *     corpus is TBs) — broadcast the benchmark side, so the corpus
+  *     scan never shuffles;
+  *   - repetition metrics are two map-side-combinable aggregations over
+  *     in-row-computed bigrams — one shuffle on doc_id, no joins;
+  *   - TF-IDF's document-frequency table is vocabulary-sized (≪ corpus)
+  *     — broadcast it back onto the term-frequency table; the only
+  *     corpus-sized shuffle is the (doc, term) count;
+  *   - k-means assignment broadcasts the centroid set (k rows) and
+  *     reduces with max_by — a partial-aggregable argmax, so the wide
+  *     cross product collapses map-side.
+  */
+object QueriesPipeline3 extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  /** Distinct 4-word grams per doc, with the doc's source tag.
+    * In-row shingling (one narrow codegen projection, no explode-then-
+    * window shuffle), then DISTINCT per (doc, gram).
+    */
+  private def grams4(td: Testdata): DataFrame =
+    td.documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+      )).as("gram"))
+      .distinct()
+
+  /** DuckDB 4-gram CTE body (1-based list slices; docs shorter than 4
+    * tokens produce an empty range and drop out, matching the Spark
+    * filter).
+    */
+  private val oracleGrams4 =
+    """SELECT DISTINCT doc_id, source, array_to_string(w[i:i+3], ' ') AS gram
+      |FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |  LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) t""".stripMargin
+
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * 4-word gram with the held-out eval set (here: source `src0` plays
+    * the benchmark). The standard pre-training hygiene pass — a doc
+    * that contains a benchmark n-gram verbatim leaks the benchmark.
+    *
+    * Output: every contaminated training doc with its distinct shared-
+    * gram count. The benchmark gram set is broadcast (eval suites are
+    * small by construction); the corpus side streams through the join
+    * with no shuffle.
+    */
+  val decontaminate: Q = q(
+    "pipe_decontaminate",
+    s"""WITH g AS ($oracleGrams4),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       |hits AS (
+       |  SELECT t.doc_id, t.source, COUNT(*) AS n_shared
+       |  FROM g t JOIN bench b ON t.gram = b.gram
+       |  WHERE t.source <> 'src0'
+       |  GROUP BY t.doc_id, t.source)
+       |SELECT doc_id, source, n_shared FROM hits
+       |ORDER BY n_shared DESC, doc_id""".stripMargin
+  ) { td =>
+    val g = grams4(td)
+    val bench = g.filter(col("source") === "src0").select(col("gram")).distinct()
+    g.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+  }
+
+  /** REPETITION quality filter (Gopher-style repetition signals over
+    * word bigrams): per doc, the share of the single most frequent
+    * bigram and the fraction of bigram occurrences that are repeats.
+    * Docs over either threshold are dropped (keep = false) — the
+    * classic "lorem lorem lorem" / boilerplate catch that length and
+    * stopword ratios miss.
+    *
+    * Det: both metrics are one IEEE division of exact integer counts,
+    * rounded to 6 on both sides; the keep comparison runs on the
+    * unrounded quotient of identical operands, so it cannot disagree
+    * across engines.
+    */
+  val repetitionFilter: Q = q(
+    "pipe_repetition_filter",
+    """WITH bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+      |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+      |m AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    MAX(c) AS top_c,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  ROUND(CAST(top_c AS DOUBLE) / n_bigrams, 6) AS top_share,
+      |  ROUND(CAST(dup_c AS DOUBLE) / n_bigrams, 6) AS dup_frac,
+      |  (CAST(top_c AS DOUBLE) / n_bigrams <= 0.05
+      |    AND CAST(dup_c AS DOUBLE) / n_bigrams <= 0.10) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { td =>
+    val bg = td.documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"
+      )).as("g"))
+    val cnt = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val topShare = col("top_c").cast("double") / col("n_bigrams")
+    val dupFrac = col("dup_c").cast("double") / col("n_bigrams")
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0)).as("dup_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(topShare, 6).as("top_share"),
+        round(dupFrac, 6).as("dup_frac"),
+        (topShare <= 0.05 && dupFrac <= 0.10).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per doc by
+    * tf × ln(N / df), ties broken by term. The vocabulary-sized df
+    * table is broadcast back onto the (doc, term) counts — the only
+    * corpus-sized shuffle is the tf aggregation itself.
+    *
+    * Det: tf, df, N are exact integers on both engines; the score is
+    * ln of one identical double quotient times an integer — same IEEE
+    * expression shape both sides — and rank order falls back to the
+    * term string on exact ties (df = N ⇒ score 0 exactly).
+    */
+  val tfidfTopterms: Q = q(
+    "pipe_tfidf_topterms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, ROUND(score, 6) AS score, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  ) { td =>
+    val toks = td.documents.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = td.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+        col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** K-MEANS topic assignment (the Lloyd assign step): each embedding
+    * goes to its max-cosine centroid; centroids here are the k = 8
+    * vectors with vec_id < 8 (a deterministic seed — in production the
+    * previous iteration's means). The centroid set is broadcast and the
+    * argmax reduces via max_by, which partial-aggregates map-side: the
+    * vec × centroid product never shuffles. The update step (means of
+    * assigned vectors) is a groupBy over exploded dimensions — same
+    * broadcast-assign shape each iteration.
+    *
+    * Det: the winning centroid is integral output; the cosine gap
+    * between best and second-best is ≥ 4e-4 on this corpus (measured),
+    * dwarfing any float summation-order noise, and exact ties fall to
+    * the lower centroid id on both engines.
+    */
+  val kmeansAssign: Q = q(
+    "pipe_kmeans_assign",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_dot_product(e.v, c.cv)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      |  FROM e CROSS JOIN c),
+      |best AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |  FROM sims)
+      |SELECT vec_id, cid AS cluster FROM best WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+  ) { td =>
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val e = td.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos",
+        dot("v", "cv") / (sqrt(dot("v", "v")) * sqrt(dot("cv", "cv"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  override def queries: Seq[Q] =
+    Seq(decontaminate, repetitionFilter, tfidfTopterms, kmeansAssign)
+}

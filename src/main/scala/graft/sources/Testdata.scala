@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
 
 /** Loaders for the driver's deterministic testdata (TESTDATA.md).
   *
@@ -15,8 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Testdata(spark: SparkSession, dir: String) {
   // Defensive: callers that did not build their session via GraftSession
-  // (e.g. a bare spark-shell) still need the ns-as-long read path.
+  // (e.g. a bare spark-shell) still need the ns-as-long read path and
+  // the UTC wall-clock the µs→ns normalization below relies on.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
 
   private def table(name: String): DataFrame =
     Testdata.cached(spark, s"$dir/$name.parquet")
@@ -28,7 +31,20 @@ final case class Testdata(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  /** `events` with `ts` ALWAYS an epoch-nanosecond Long, whatever unit
+    * the generator wrote. Older corpora store parquet TIMESTAMP(NANOS)
+    * (surfaced as Long via `nanosAsLong`); the current generator writes
+    * TIMESTAMP(MICROS), which Spark surfaces as a timestamp — normalize
+    * it back to the engine's ns representation (UTC session, exact
+    * µs×1000 integer math, no precision games).
+    */
+  def events: DataFrame = {
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
@@ -42,7 +58,10 @@ object Testdata {
   private def cached(spark: SparkSession, path: String): DataFrame =
     cache.computeIfAbsent((spark, path), { case (s, p) => materialized(s, p) })
 
-  private val TableCacheVersion = "r5b"
+  // r8a: the driver regenerated /root/testdata on 2026-08-13 (events.ts
+  // moved from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)); older cached
+  // rewrites hold the previous generation's rows.
+  private val TableCacheVersion = "r8a"
 
   /** Parquet splits are at ROW-GROUP granularity, and the driver's
     * testdata is one row group per table — a scan (and every parser
