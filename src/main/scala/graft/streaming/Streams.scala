@@ -102,6 +102,24 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("severity_text"), col("n"))
 
+  /** Streaming SESSIONIZATION: events collapse into per-user sessions
+    * that close after `gap` of event-time inactivity — the streaming
+    * twin of the batch `src_sessionize` operator (same gap semantics).
+    * Spark's native session_window keeps ONE open session per active
+    * key (merged as events arrive, state bounded by active users, not
+    * event volume) and append mode emits a session only once the
+    * watermark passes its close — so downstream sinks see each session
+    * exactly once, finalized.
+    */
+  def sessionize(events: DataFrame, gap: String = "12 hours"): DataFrame =
+    events
+      .withWatermark("timestamp", "1 hour")
+      .groupBy(session_window(col("timestamp"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Series-identity dedup — the ReplacingMergeTree / AggregatingMergeTree
     * analogue for metrics_timeseries: first sighting of each series hash
     * within the watermark wins (reference

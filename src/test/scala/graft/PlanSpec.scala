@@ -136,6 +136,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("as-of join is union + one window sort, never a range join") {
+    val p = planOf("src_asof_join")
+    // the probe×build range-join formulation would appear as a Join
+    // (worst case CartesianProduct); the union-window shape has neither
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), s"expected the running last_value window:\n$p")
+    // exactly one exchange moves data: the (user_id) partition for the
+    // window (the final orderBy adds a range exchange for presentation)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges (window + order), got $exchanges:\n$p")
+  }
+
+  test("sessionize stacks both windows and the session agg on one sort") {
+    val p = planOf("src_sessionize")
+    assert(!p.contains("Join"), s"sessionize must not join:\n$p")
+    // lag + running sum share the (user_id, ts) sort: one hash exchange
+    // (formatted output puts the partitioning on the Arguments line)
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"lag/cumsum windows must share ONE hash exchange, got $exchanges:\n$p")
+  }
+
   test("quantized dot product is one projection after an equi-join") {
     val p = planOf("pipe_embed_quantize")
     assert(!p.contains("CartesianProduct"))

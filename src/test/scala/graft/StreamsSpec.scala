@@ -48,6 +48,31 @@ class StreamsSpec extends SparkTestBase {
       (ts(0), "ERROR", 2L), (ts(0), "INFO", 1L), (ts(5), "ERROR", 1L)))
   }
 
+  test("sessionize: gap-separated events close into distinct sessions") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val events = input.toDF().toDF("timestamp", "user_id")
+    // user 7: two events 1 min apart (one session), then a third after
+    // a 3 h gap (second session); user 8: one event
+    def at(min: Long) = new Timestamp(min * 60000L)
+    input.addData((at(0), 7L), (at(1), 7L), (at(181), 7L), (at(2), 8L))
+    // watermark driver: a far-future event pushes the watermark past
+    // every session close so append mode finalizes them
+    input.addData((at(100000), 99L))
+    val query = Streams.sessionize(events, gap = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("sessions")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "session_start", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(rows.toSeq == Seq(
+      (7L, at(0), 2L), (7L, at(181), 1L), (8L, at(2), 1L)))
+  }
+
   test("seriesIdentity: dropDuplicatesWithinWatermark keeps first sighting") {
     val input = MemoryStream[(Array[Byte], String, Timestamp)](spark)
     val points = input.toDF().toDF("hash", "name", "timestamp")
