@@ -100,6 +100,16 @@ object ScaleProbe {
       time3("logql_e2e_group_left", tag) {
         graft.SparkEntry.queries("logql_e2e_group_left")(spark, dir).count()
       }
+      // decontamination: the broadcast benchmark-gram side grows with
+      // the EVAL set (here 1/20 of docs), the corpus side only scans —
+      // growth should track the doc count, never gram-pair products
+      time3("pipe_decontaminate", tag) {
+        graft.SparkEntry.queries("pipe_decontaminate")(spark, dir).count()
+      }
+      // as-of join: one (user, ts) window sort; growth tracks events
+      time3("src_asof_join", tag) {
+        graft.SparkEntry.queries("src_asof_join")(spark, dir).count()
+      }
     }
     spark.stop()
   }
