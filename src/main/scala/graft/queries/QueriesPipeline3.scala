@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Testdata
@@ -224,6 +225,50 @@ object QueriesPipeline3 extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** SEQUENCE PACKING (concat-and-chunk): documents are concatenated in
+    * deterministic (source, doc_id) order and sliced into fixed
+    * 256-token context windows; each doc learns which chunk it starts
+    * in, at what offset, and how many chunks it spans — the standard
+    * packing pass that turns a filtered corpus into training examples.
+    *
+    * Scale: the running token total is a PREFIX SUM, which does not
+    * distribute as one global window. The deployment shape is two-phase
+    * — per-shard prefix sums, then broadcast per-shard totals as
+    * offsets — and `source` plays the shard key here, so the window
+    * partitions by source and all sources pack in parallel. Every
+    * output column is exact integer arithmetic.
+    */
+  val packSequences: Q = q(
+    "pipe_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS prev_cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(prev_cum // 256 AS BIGINT) AS chunk_start,
+      |  CAST(prev_cum % 256 AS BIGINT) AS chunk_offset,
+      |  CAST((prev_cum + n_tokens - 1) // 256 - prev_cum // 256 + 1 AS BIGINT)
+      |    AS chunks_spanned
+      |FROM c ORDER BY source, doc_id""".stripMargin
+  ) { td =>
+    val Cap = 256L
+    val t = td.documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("prev_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"prev_cum div $Cap").as("chunk_start"),
+        (col("prev_cum") % Cap).as("chunk_offset"),
+        (expr(s"(prev_cum + n_tokens - 1) div $Cap")
+          - expr(s"prev_cum div $Cap") + lit(1L)).as("chunks_spanned"))
+      .orderBy("source", "doc_id")
+  }
+
   override def queries: Seq[Q] =
-    Seq(decontaminate, repetitionFilter, tfidfTopterms, kmeansAssign)
+    Seq(decontaminate, repetitionFilter, tfidfTopterms, kmeansAssign,
+      packSequences)
 }

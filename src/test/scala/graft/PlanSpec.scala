@@ -159,6 +159,14 @@ class PlanSpec extends SparkTestBase {
       s"lag/cumsum windows must share ONE hash exchange, got $exchanges:\n$p")
   }
 
+  test("sequence packing is one per-source prefix window, no join") {
+    val p = planOf("pipe_pack_sequences")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    val exchanges = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"prefix sum must ride ONE hash exchange, got $exchanges:\n$p")
+  }
+
   test("quantized dot product is one projection after an equi-join") {
     val p = planOf("pipe_embed_quantize")
     assert(!p.contains("CartesianProduct"))
