@@ -268,7 +268,73 @@ object QueriesPipeline3 extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** BM25 RETRIEVAL scoring: rank the corpus against a fixed query
+    * term set with the standard BM25 weight (k1 = 1.2, b = 0.75) —
+    * the retrieval scorer behind corpus search and hard-negative
+    * mining. df and the corpus stats are vocabulary-/scalar-sized and
+    * broadcast; the only corpus-sized shuffle is the (doc, term) tf
+    * aggregation (at 100 TB, tf materializes at ingest as an inverted
+    * index keyed by term).
+    *
+    * Det: the per-term score is IEEE math over identical integer
+    * operands with the same expression shape both sides; the per-doc
+    * total is a FIXED-ORDER sum (one pivoted addend per query term,
+    * never a float SUM whose accumulation order the engine picks),
+    * so both engines produce bit-identical doubles before round 6.
+    */
+  val bm25Retrieve: Q = {
+    val terms = Seq("spark", "query", "fast")
+    val oraclePivot = terms.map(t =>
+      s"COALESCE(MAX(CASE WHEN term = '$t' THEN s END), 0)").mkString(" + ")
+    q(
+      "pipe_bm25_retrieve",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |q AS (SELECT unnest(['spark', 'query', 'fast']) AS term),
+         |ts AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * n.n_docs / CAST(n.total_len AS DOUBLE))) AS s
+         |  FROM tf JOIN q USING (term)
+         |  JOIN (SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM tf JOIN q USING (term) GROUP BY tf.term) df ON df.term = tf.term
+         |  JOIN dl USING (doc_id) CROSS JOIN n),
+         |scored AS (SELECT doc_id, $oraclePivot AS score FROM ts GROUP BY doc_id)
+         |SELECT doc_id, ROUND(score, 6) AS score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    ) { td =>
+      val toks = td.documents.select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val n = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      val tfq = tf.filter(col("term").isin(terms: _*))
+      val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val ts = tfq
+        .join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .withColumn("s",
+          log((col("n_docs").cast("double") - col("df") + 0.5)
+              / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+              * col("n_docs") / col("total_len").cast("double"))))
+      val pivot = terms.map(t =>
+        coalesce(max(when(col("term") === t, col("s"))), lit(0))).reduce(_ + _)
+      ts.groupBy(col("doc_id"))
+        .agg(pivot.as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
   override def queries: Seq[Q] =
     Seq(decontaminate, repetitionFilter, tfidfTopterms, kmeansAssign,
-      packSequences)
+      packSequences, bm25Retrieve)
 }
