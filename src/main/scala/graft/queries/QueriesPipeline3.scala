@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -344,7 +344,100 @@ object QueriesPipeline3 extends QueryPack {
     }
   }
 
+  /** ANN RECALL measurement: recall@10 of the single-probe IVF index
+    * (same layout as `pipe_ann_ivf`: centroids = every 50th vector)
+    * against exact brute-force cosine top-10, over the first ten
+    * vectors as queries — the measurement that justifies index
+    * parameters (nlist/nprobe) before a pipeline trusts its ANN
+    * results. Query set and centroid set broadcast everywhere; the
+    * full-corpus work is one assignment pass plus one exact-scan pass,
+    * each a single shuffle-free projection before its per-query rank.
+    *
+    * Det: ranking uses round-6 cosine with vec_id tie-break on both
+    * engines; overlap counts and the /10 recall are exact arithmetic.
+    */
+  val annRecall: Q = q(
+    "pipe_ann_recall",
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |qs AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) DESC,
+      |        c.cid) AS rn
+      |    FROM embeddings e, cents c)
+      |  WHERE rn = 1),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+      |        e.vec_id) AS rn
+      |    FROM embeddings e, qs q)
+      |  WHERE rn <= 10),
+      |ivf AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+      |        e.vec_id) AS rn
+      |    FROM qs q
+      |    JOIN assigned aq ON aq.vec_id = q.qid
+      |    JOIN assigned a ON a.cid = aq.cid
+      |    JOIN embeddings e ON e.vec_id = a.vec_id)
+      |  WHERE rn <= 10)
+      |SELECT x.qid, CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+      |  COUNT(i.vec_id) / 10.0 AS recall
+      |FROM exact x LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+      |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  ) { td =>
+    def cos(x: Column, y: Column): Column =
+      round(graft.functions.GraftFunctions.cosine_sim(x, y), 6)
+    val emb = td.embeddings
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cos(col("embedding"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = emb.crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), cos(col("embedding"), col("qe")).as("sim"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    // probe exactly the query's list: broadcast the 10-row (qid, cid)
+    // map and semi-restrict the assigned corpus to matching lists
+    val qAssign = assigned.join(broadcast(qs.select(col("qid"))),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("cid").as("qcid"))
+    val ivf = emb
+      .join(assigned, "vec_id")
+      .join(broadcast(qAssign), col("cid") === col("qcid"))
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), cos(col("embedding"), col("qe")).as("sim"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 10)
+      .select(col("qid").as("ivf_qid"), col("vec_id").as("ivf_vec"))
+    exact
+      .join(ivf,
+        col("qid") === col("ivf_qid") && col("vec_id") === col("ivf_vec"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(col("ivf_vec")).as("n_overlap"),
+        (count(col("ivf_vec")) / 10.0).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   override def queries: Seq[Q] =
     Seq(decontaminate, repetitionFilter, tfidfTopterms, kmeansAssign,
-      packSequences, bm25Retrieve)
+      packSequences, bm25Retrieve, annRecall)
 }
