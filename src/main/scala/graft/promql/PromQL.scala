@@ -70,7 +70,8 @@ object PromQL {
     "absent_over_time", "quantile_over_time", "approx_quantile_over_time",
     "mad_over_time", "holt_winters", "double_exponential_smoothing")
   private val aggOps = Set("sum", "avg", "min", "max", "count", "group",
-    "stddev", "stdvar", "quantile", "topk", "bottomk")
+    "stddev", "stdvar", "quantile", "topk", "bottomk", "limitk",
+    "limit_ratio")
   private val mathFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
     "log2", "log10", "sgn", "round", "clamp", "clamp_min", "clamp_max",
     "sort", "sort_desc", "timestamp", "absent", "label_replace", "label_join",
@@ -345,9 +346,9 @@ object PromQL {
         grouping()
         p.expect("(")
         val (k, param) =
-          if (name == "topk" || name == "bottomk") {
+          if (name == "topk" || name == "bottomk" || name == "limitk") {
             val v = p.number(); p.expect(","); (Some(v.toInt), None)
-          } else if (name == "quantile") {
+          } else if (name == "quantile" || name == "limit_ratio") {
             val v = p.number(); p.expect(","); (None, Some(v))
           } else (None, None)
         val inner = parseExpr(p)
@@ -1213,6 +1214,38 @@ object PromQL {
           g.withColumn("__rk", row_number().over(w))
             .filter(col("__rk") <= k.getOrElse(1))
             .select(col("bucket_us"), col("labels"), col("value"))
+        case "limitk" | "limit_ratio" =>
+          // experimental upstream aggregators (promql/engine.go):
+          // limitk keeps k series per group, limit_ratio a deterministic
+          // hash-sampled share. Upstream's limitk pick order is
+          // unspecified and limit_ratio rides xxhash-of-labels; both
+          // are pinned here to a stable md5-of-stream-key order so
+          // results are reproducible and oracle-checkable. Surviving
+          // series keep their FULL label sets, like topk.
+          val g = in
+            .withColumn("__grp",
+              graft.logql.VectorMatching.streamKey(grouped))
+            .withColumn("__stream", streamKey)
+          val hashPpm =
+            conv(substring(md5(col("__stream")), 1, 8), 16, 10)
+              .cast("long") % 1000000L
+          if (op == "limitk") {
+            val w = Window.partitionBy(col("bucket_us"), col("__grp"))
+              .orderBy(hashPpm, col("__stream"))
+            g.withColumn("__rk", row_number().over(w))
+              .filter(col("__rk") <= k.getOrElse(1))
+              .select(col("bucket_us"), col("labels"), col("value"))
+          } else {
+            // sample = hash/1e6 ∈ [0,1); r ≥ 0 keeps sample < r, r < 0
+            // keeps the complement sample ≥ 1+r (upstream's two-sided
+            // convention, so limit_ratio(r) ∪ limit_ratio(r-1) = all)
+            val r = param.getOrElse(1.0)
+            val sample = hashPpm.cast("double") / 1000000.0
+            val keep =
+              if (r >= 0) sample < lit(r) else sample >= lit(1.0 + r)
+            g.filter(keep)
+              .select(col("bucket_us"), col("labels"), col("value"))
+          }
         case _ =>
           val g = in.withColumn("labels", grouped)
             .withColumn("__stream",

@@ -150,6 +150,7 @@ object Registry {
     QueriesPipeline,
     QueriesPipeline2,
     QueriesPipeline3,
+    QueriesPipeline4,
     QueriesTemporal,
     QueriesPushdown
   )

@@ -220,7 +220,62 @@ object QueriesPromFns2 extends QueryPack {
          |FROM events GROUP BY 1, 2, 3
          |ORDER BY bucket_us, et, svc""".stripMargin))
 
+  /** The sorted-entry stream-key JSON the engine hashes for
+    * limitk/limit_ratio, reconstructed for the (et, svc) fixture
+    * series so the oracle can replay the md5 sampling decision.
+    */
+  private val oracleSkey =
+    """'[{"key":"et","value":"' || et || '"},{"key":"svc","value":"' || svc || '"}]'"""
+
+  private val oracleSeriesHash =
+    s"""SELECT bucket_us, svc, et, value,
+       |  CAST('0x' || substr(md5($oracleSkey), 1, 8) AS BIGINT) % 1000000 AS hash_ppm
+       |FROM (
+       |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+       |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+       |    CAST(COUNT(*) AS DOUBLE) AS value
+       |  FROM events GROUP BY 1, 2, 3)""".stripMargin
+
+  /** limitk — the experimental upstream series-limiting aggregator,
+    * pinned to a deterministic md5-of-stream-key order (upstream's
+    * pick is unspecified); survivors keep full label sets.
+    */
+  val limitK: Q = Q(
+    "promql_e2e_limitk",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""limitk(3, sum by (svc, et) (count_over_time(ev[1d])))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""WITH h AS ($oracleSeriesHash),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_us
+         |    ORDER BY hash_ppm, $oracleSkey) AS rk FROM h)
+         |SELECT bucket_us, svc, et, value FROM r WHERE rk <= 3
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
+  /** limit_ratio — deterministic hash sampling of series; r ≥ 0 keeps
+    * sample < r so limit_ratio(r) ∪ limit_ratio(r−1) partitions the
+    * vector (upstream's two-sided convention).
+    */
+  val limitRatio: Q = Q(
+    "promql_e2e_limit_ratio",
+    (s: SparkSession, dir: String) =>
+      PromQL.range("""limit_ratio(0.4, sum by (svc, et) (count_over_time(ev[1d])))""",
+          pointsView(Testdata(s, dir)))
+        .select(col("bucket_us"),
+          element_at(col("labels"), "svc").as("svc"),
+          element_at(col("labels"), "et").as("et"), col("value"))
+        .orderBy("bucket_us", "svc", "et"),
+    Some(
+      s"""WITH h AS ($oracleSeriesHash)
+         |SELECT bucket_us, svc, et, value FROM h
+         |WHERE CAST(hash_ppm AS DOUBLE) / 1000000.0 < 0.4
+         |ORDER BY bucket_us, svc, et""".stripMargin))
+
   override def queries: Seq[Q] =
     Seq(trig, scalarDyn, groupAgg, neBool, madOverTime, holtWinters,
-      instantSubquery, sortByLabel)
+      instantSubquery, sortByLabel, limitK, limitRatio)
 }

@@ -163,6 +163,75 @@ object Streams {
       }
   }
 
+  final case class BandRow(bucket: String, doc_id: Long, event_time: java.sql.Timestamp)
+  final case class BandClaim(doc_id: Long, bucket: String, owner: Long)
+
+  /** Ingest-time STREAMING near-dup filter (MinHash LSH with
+    * first-claim bucket state): each document computes `bands` seeded
+    * minhashes over its 3-token shingles IN-ROW (one codegen
+    * projection, no shuffle before the stateful op), explodes to one
+    * (band, minhash) bucket row per band, and a per-bucket
+    * `flatMapGroupsWithState` records the first document to claim each
+    * bucket. Every row comes back as a [[BandClaim]] whose `owner` is
+    * that first claimant — a document is a near-duplicate iff ANY of
+    * its claims has `owner != doc_id` (the same any-band-collision
+    * rule as the batch `pipe_minhash_lsh` pass, decided at ingest).
+    *
+    * Verdict aggregation (`max(owner != doc_id) group by doc_id`)
+    * belongs in the sink's foreachBatch: a document's band rows are
+    * produced from one input row, so they land in one micro-batch and
+    * the per-batch group sees all of them.
+    *
+    * Scale: state is one fixed-size record per DISTINCT bucket (bounded
+    * by corpus novelty, not volume), keyed by the band bucket so it
+    * distributes; the event-time timeout evicts buckets `retention`
+    * past the watermark — at 100 TB/day this is the dedup-window knob,
+    * exactly like the batch job's lookback.
+    */
+  def nearDupBandClaims(docs: DataFrame, bands: Int = 4,
+      retentionMs: Long = 3600000L): Dataset[BandClaim] = {
+    import docs.sparkSession.implicits._
+    val sh =
+      "transform(sequence(0, size(__toks) - 3), i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))"
+    val bandCols = (0 until bands).map { k =>
+      concat(lit(s"$k:"), expr(s"array_min(transform($sh, s -> md5(concat('$k:', s))))"))
+        .as(s"__b$k")
+    }
+    docs
+      .withWatermark("event_time", "10 minutes")
+      .withColumn("__toks", split(col("text"), " ", -1))
+      .filter(size(col("__toks")) >= 3)
+      .select(col("doc_id") +: col("event_time") +: bandCols: _*)
+      .select(col("doc_id"), col("event_time"),
+        explode(array((0 until bands).map(k => col(s"__b$k")): _*)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("event_time"))
+      .as[BandRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Long, BandClaim](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case (bucket, rows, state) =>
+          val batch = rows.toSeq
+          if (batch.isEmpty) {
+            // timeout call: the bucket aged out of the dedup window
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic first claim inside a batch: earliest
+            // event time, ties to the lower doc id
+            val sorted = batch.sortBy(r => (r.event_time.getTime, r.doc_id))
+            val owner = state.getOption.getOrElse {
+              val o = sorted.head.doc_id
+              state.update(o)
+              o
+            }
+            state.setTimeoutTimestamp(
+              sorted.map(_.event_time.getTime).max + retentionMs)
+            sorted.iterator.map(r => BandClaim(r.doc_id, bucket, owner))
+          }
+      }
+  }
+
   /** Metric point decomposition: one OTLP-ish record carrying
     * gauge/sum/histogram fields → flattened point rows with a `mapping`
     * discriminator (reference inserter_metrics.go:200-620 histogram

@@ -73,6 +73,33 @@ class StreamsSpec extends SparkTestBase {
       (7L, at(0), 2L), (7L, at(181), 1L), (8L, at(2), 1L)))
   }
 
+  test("nearDupBandClaims: streaming MinHash dedup flags cross-batch near-dups") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "event_time")
+    // doc 1 arrives first and claims its buckets; doc 2 (identical
+    // text, later batch) collides on every band; doc 3 is novel
+    val query = Streams.nearDupBandClaims(docs)
+      .writeStream.format("memory").queryName("neardup_claims")
+      .outputMode("append").start()
+    input.addData((1L, "alpha beta gamma delta epsilon", ts(0)))
+    query.processAllAvailable()
+    input.addData(
+      (2L, "alpha beta gamma delta epsilon", ts(1)),
+      (3L, "one two three four five", ts(1)))
+    query.processAllAvailable()
+    query.stop()
+    // verdict aggregation = the foreachBatch shape: any foreign owner
+    val verdicts = spark.table("neardup_claims")
+      .groupBy("doc_id")
+      .agg(max(col("owner") =!= col("doc_id")).as("is_dup"),
+        count(lit(1)).as("n_bands"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(verdicts.toSeq == Seq(
+      (1L, false, 4L), (2L, true, 4L), (3L, false, 4L)))
+  }
+
   test("seriesIdentity: dropDuplicatesWithinWatermark keeps first sighting") {
     val input = MemoryStream[(Array[Byte], String, Timestamp)](spark)
     val points = input.toDF().toDF("hash", "name", "timestamp")
