@@ -151,6 +151,7 @@ object Registry {
     QueriesPipeline2,
     QueriesPipeline3,
     QueriesPipeline4,
+    QueriesPipeline5,
     QueriesTemporal,
     QueriesPushdown
   )

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Training-data pipeline operators, part 5: semantic dedup, corpus
+  * block/substring duplication analysis, RAG chunking, and IVF index
+  * diagnostics.
+  *
+  * Scale notes (100 TB):
+  *   - SemDeDup bounds the pair explosion the same way the paper does:
+  *     candidate pairs exist only WITHIN an embedding cluster, so the
+  *     self-join shuffles by cluster id and the per-cluster list is
+  *     capped by construction (cluster COUNT grows with the corpus,
+  *     cluster SIZE does not); nothing ever compares all pairs;
+  *   - block/substring duplication is one hash-keyed shuffle of
+  *     (block → location) rows — the exact-substring-dedup shape from
+  *     Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  *     Models Better") with sliding k-gram hashes standing in for the
+  *     suffix array, which does not distribute;
+  *   - chunking is a pure per-row explode (no shuffle at all): each
+  *     shard chunks its own documents and the output is written back
+  *     partition-local;
+  *   - IVF stats re-run the broadcast-centroid assignment pass; a real
+  *     deployment materializes the assignment at ingest and the stats
+  *     are a groupBy over the stored list id.
+  *
+  * Cross-engine determinism ([[Det]] playbook): duplicate counts,
+  * ppm ratios, chunk geometry are exact integers; cosine values are
+  * rounded to 6 decimals AND the semantic-dedup threshold (0.42) sits
+  * 1.7e-3 away from the nearest pair similarity on this corpus, three
+  * orders of magnitude above any summation-order ulp noise.
+  */
+object QueriesPipeline5 extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  /** SEMANTIC DEDUP (SemDeDup): embeddings are clustered (broadcast
+    * k = 8 seed centroids, max-cosine assignment — the
+    * `pipe_kmeans_assign` step), then ONLY within-cluster pairs are
+    * compared and pairs above the similarity threshold become dedup
+    * decisions (keep the lower vec_id). The clustering is exactly what
+    * makes semantic dedup tractable: the quadratic pair space shrinks
+    * to per-cluster blocks, and the self-join shuffles on cluster id.
+    */
+  val semDedup: Q = q(
+    "pipe_semdedup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_dot_product(e.v, c.cv)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      |  FROM e CROSS JOIN c),
+      |best AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM sims) WHERE rn = 1),
+      |ev AS (SELECT b.vec_id, b.cid, e.v FROM best b JOIN e USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.cid AS cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
+      |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      |SELECT cluster, keep_id, drop_id, sim FROM pairs
+      |WHERE sim >= 0.42
+      |ORDER BY cluster, keep_id, drop_id""".stripMargin
+  ) { td =>
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val e = td.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val best = e.crossJoin(broadcast(c))
+      .withColumn("cos",
+        dot("v", "cv") / (sqrt(dot("v", "v")) * sqrt(dot("cv", "cv"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    val ev = best.join(e, "vec_id")
+    val a = ev.select(col("cid"), col("vec_id").as("keep_id"), col("v").as("va"))
+    val b = ev.select(col("cid"), col("vec_id").as("drop_id"), col("v").as("vb"))
+    a.join(b, Seq("cid")) // shuffles by cluster id — the bounded pair space
+      .filter(col("keep_id") < col("drop_id"))
+      .select(col("cid").as("cluster"), col("keep_id"), col("drop_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.42)
+      .orderBy("cluster", "keep_id", "drop_id")
+  }
+
+  /** BLOCK-LEVEL DEDUP analysis (the paragraph-dedup pass of C4/CCNet
+    * preprocessing, token blocks standing in for paragraphs in this
+    * newline-free corpus): each document is cut into non-overlapping
+    * 16-token blocks, block occurrences are counted corpus-wide, and
+    * each document reports how much of it is duplicated elsewhere.
+    * One block-hash shuffle + one doc_id rollup.
+    */
+  val blockDedup: Q = q(
+    "pipe_block_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS blk
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS i) s),
+      |cnt AS (SELECT blk, COUNT(*) AS c FROM blocks GROUP BY blk)
+      |SELECT b.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+      |  CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM blocks b JOIN cnt USING (blk)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  ) { td =>
+    val blocks = td.documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast(ceil(size(t) / 16.0) as int) - 1)")).as("i"),
+        col("t"))
+      .select(col("doc_id"), expr("array_join(slice(t, i * 16 + 1, 16), ' ')").as("blk"))
+    val cnt = blocks.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+    blocks.join(cnt, "blk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        expr("(n_dup_blocks * 1000000) div n_blocks").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** EXACT SUBSTRING duplication (sliding 8-token grams shared by ≥2
+    * documents — the distributable approximation of suffix-array
+    * substring dedup): every duplicated gram is reported with its
+    * corpus spread. The gram → location map is the only shuffle; a
+    * 100 TB run hashes the gram instead of carrying the text.
+    */
+  val substringDup: Q = q(
+    "pipe_substring_dup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s)
+      |SELECT gram,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY gram""".stripMargin
+  ) { td =>
+    td.documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr("sequence(1, size(t) - 7)")).as("i"), col("t"))
+      .select(col("doc_id"), expr("array_join(slice(t, i, 8), ' ')").as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("gram")
+  }
+
+  /** RAG CHUNKING: overlapping 64-token windows at stride 48 (1/4
+    * overlap), each chunk tagged with its geometry and a content
+    * digest — the retrieval-corpus preparation step. Pure per-row
+    * explode: no shuffle, each shard chunks its own documents.
+    */
+  val chunkOverlap: Q = q(
+    "pipe_chunk_overlap",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, k, t[k * 48 + 1 : k * 48 + 64] AS c
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+      |    CAST((len(t) - 1) // 48 AS INT))) AS k) s)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  CAST(k * 48 + 1 AS BIGINT) AS start_tok,
+      |  CAST(len(c) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(c, ' ')) AS chunk_digest
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { td =>
+    td.documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast((size(t) - 1) div 48 as int))")).as("k"),
+        col("t"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("chunk_idx"),
+        (col("k") * 48L + 1L).as("start_tok"),
+        expr("slice(t, k * 48 + 1, 64)").as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("c")).cast("long").as("n_tok"),
+        md5(array_join(col("c"), " ")).as("chunk_digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** IVF INDEX DIAGNOSTICS: inverted-list balance for the
+    * `pipe_ann_ivf` layout (every 50th vector as coarse centroid).
+    * `balance_ppm` = list size relative to perfect balance × 1e6 —
+    * the number that tells you whether single-probe recall
+    * (`pipe_ann_recall`) is limited by a skewed quantizer. The
+    * assignment pass is broadcast-centroid; at ingest the list id is
+    * materialized and this becomes a groupBy over a stored column.
+    */
+  val ivfStats: Q = q(
+    "pipe_ivf_stats",
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS sim
+      |  FROM embeddings e, cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM sims) WHERE rn = 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM cents) AS k FROM assigned)
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(*) * 1000000 // tot.n AS BIGINT) AS share_ppm,
+      |  CAST(COUNT(*) * tot.k * 1000000 // tot.n AS BIGINT) AS balance_ppm
+      |FROM assigned, tot GROUP BY cid, tot.n, tot.k ORDER BY cid""".stripMargin
+  ) { td =>
+    def cos(x: Column, y: Column): Column =
+      round(graft.functions.GraftFunctions.cosine_sim(x, y), 6)
+    val emb = td.embeddings
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cos(col("embedding"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val tot = assigned.agg(count(lit(1)).as("n"))
+      .crossJoin(cents.agg(count(lit(1)).as("k")))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n").as("share_ppm"),
+        expr("(n_vecs * k * 1000000) div n").as("balance_ppm"))
+      .orderBy("cid")
+  }
+
+  override def queries: Seq[Q] =
+    Seq(semDedup, blockDedup, substringDup, chunkOverlap, ivfStats)
+}

@@ -167,6 +167,31 @@ class PlanSpec extends SparkTestBase {
       s"prefix sum must ride ONE hash exchange, got $exchanges:\n$p")
   }
 
+  test("RAG chunking is a pure per-row explode: no join, no hash shuffle") {
+    val p = planOf("pipe_chunk_overlap")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(p.contains("Generate"), "chunk fan-out should be a Generate (explode)")
+    // only the presentation orderBy may exchange (range partitioning);
+    // the chunk computation itself is shuffle-free
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"chunking must not hash-shuffle, got $hashEx:\n$p")
+  }
+
+  test("semantic dedup broadcasts centroids and never goes all-pairs") {
+    val p = planOf("pipe_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair space must be cluster-bounded, not cartesian:\n$p")
+    // the k=8 centroid table rides a broadcast; the pair self-join is an
+    // equi-join keyed on the cluster id
+    assert(p.contains("Broadcast"), s"centroid assignment must broadcast:\n$p")
+  }
+
+  test("substring duplication is one gram-keyed aggregation, no join") {
+    val p = planOf("pipe_substring_dup")
+    assert(!p.contains("Join"), s"gram rollup must not join:\n$p")
+    assert(p.contains("Generate"), "sliding grams should be a Generate (explode)")
+  }
+
   test("quantized dot product is one projection after an equi-join") {
     val p = planOf("pipe_embed_quantize")
     assert(!p.contains("CartesianProduct"))
