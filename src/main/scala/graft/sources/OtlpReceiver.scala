@@ -37,6 +37,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
   private val traceIn = MemoryStream[Array[Byte]]
   private val logIn = MemoryStream[Array[Byte]]
   private val metricIn = MemoryStream[Array[Byte]]
+  private val promIn = MemoryStream[Array[Byte]]
 
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
@@ -62,29 +63,49 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
       .filter(col("gauge").isNotNull)
       .select(expr("ts_ns div 1000").as("ts_us"), col("name"),
         mergedLabels.as("labels"), col("gauge").as("value"))
+    // Prometheus remote-write shares the point layout with OTLP
+    // metrics (reference /api/v1/write → inserter_metrics.go); the
+    // wire bodies are snappy-block-compressed, undone at the HTTP edge
+    val promPoints = Streams.pointsFromPrompb(
+      promIn.toDF().withColumnRenamed("value", "payload"))
     queries = Seq(
       Streams.spansSink(spans, s"$dataDir/spans", s"$dataDir/ckpt/spans",
         Trigger.ProcessingTime(0)),
       Streams.logsSink(logs, s"$dataDir/logs", s"$dataDir/ckpt/logs",
         Trigger.ProcessingTime(0)),
       Streams.pointsSink(points, s"$dataDir/points", s"$dataDir/ckpt/points",
-        Trigger.ProcessingTime(0)))
+        Trigger.ProcessingTime(0)),
+      Streams.pointsSink(promPoints, s"$dataDir/points",
+        s"$dataDir/ckpt/prompoints", Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))
     server.createContext("/v1/logs", accept(logIn))
     server.createContext("/v1/metrics", accept(metricIn))
+    server.createContext("/api/v1/write", accept(promIn, snappyBody = true))
     server.start()
     server.getAddress.getPort
   }
 
-  private def accept(sink: MemoryStream[Array[Byte]])
+  private def accept(sink: MemoryStream[Array[Byte]],
+      snappyBody: Boolean = false)
       : com.sun.net.httpserver.HttpHandler = { (ex: HttpExchange) =>
     val (code, body): (Int, Array[Byte]) =
       try {
         if (ex.getRequestMethod != "POST")
           (405, errJson("POST only"))
         else {
-          val payload = ex.getRequestBody.readAllBytes()
+          val raw = ex.getRequestBody.readAllBytes()
+          // remote-write bodies are snappy-block-compressed (the spec
+          // mandates it; `identity` is tolerated for local producers)
+          val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .getOrElse(if (snappyBody) "snappy" else "identity")
+          val payload = enc.toLowerCase match {
+            case "snappy"       => Snappy.decode(raw)
+            case "identity" | "" => raw
+            case other =>
+              throw new IllegalArgumentException(
+                s"unsupported Content-Encoding: $other")
+          }
           sink.addData(payload)
           // success: an empty ExportXServiceResponse (zero-field
           // protobuf message = zero bytes)

@@ -309,4 +309,79 @@ class EndToEndSpec extends SparkTestBase {
       assert(c3 == 200 && metBody.contains("\"7.0\""))
     } finally api.stop()
   }
+
+  test("remote-write: snappy wire frame -> /api/v1/write -> PromQL range") {
+    import graft.sources.{OtlpReceiver, Snappy}
+
+    def post(url: String, body: Array[Byte], encoding: Option[String]): Int = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      encoding.foreach(conn.setRequestProperty("Content-Encoding", _))
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      conn.getResponseCode
+    }
+    def get(url: String): (Int, String) = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8")
+      is.close()
+      (code, body)
+    }
+
+    // prompb WriteRequest: Sample.value is double field 1, ts ms field 2
+    def label(n: String, v: String): W = new W().str(1, n).str(2, v)
+    def sample(v: Double, tsMs: Long): W =
+      new W().fix64(1, java.lang.Double.doubleToLongBits(v)).vint(2, tsMs)
+    val t0ms = T0 / 1000000L
+    val frame1 = new W().msg(1, new W()
+      .msg(1, label("__name__", "rw_requests_total"))
+      .msg(1, label("job", "api")).msg(1, label("instance", "i1"))
+      .msg(2, sample(1.0, t0ms)).msg(2, sample(6.0, t0ms + 60000L)))
+      .out.toByteArray
+    val frame2 = new W().msg(1, new W()
+      .msg(1, label("__name__", "rw_requests_total"))
+      .msg(1, label("job", "api")).msg(1, label("instance", "i2"))
+      .msg(2, sample(3.0, t0ms)))
+      .out.toByteArray
+
+    val dir = Files.createTempDirectory("grafte2erw").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    try {
+      val url = s"http://127.0.0.1:$rport/api/v1/write"
+      // spec-compliant producer: snappy body + Content-Encoding header
+      assert(post(url, Snappy.encodeLiteral(frame1), Some("snappy")) == 200)
+      // headerless producer: remote-write bodies default to snappy
+      assert(post(url, Snappy.encodeLiteral(frame2), None) == 200)
+      // corrupt frame is rejected at the edge, not poisoned downstream
+      assert(post(url, Array[Byte](99, 1, 2), Some("snappy")) == 400)
+      recv.flush()
+    } finally recv.stop()
+
+    import spark.implicits._
+    val points = spark.read.parquet(s"$dir/points")
+      .select("ts_us", "name", "labels", "value")
+    // logs/spans are out of scope here: minimal valid frames
+    val logsDf = Seq((T0, "ok", Map("app" -> "x")))
+      .toDF("ts_ns", "body", "labels")
+    val spansDf = Seq((1L, 1L, None: Option[Long], "op", T0, 100L,
+      Map("service.name" -> "x")))
+      .toDF("trace_id", "span_id", "parent_span_id", "name", "start_ns",
+        "duration_ns", "attrs")
+    val api = new HttpApi(logsDf, points, spansDf)
+    val port = api.start()
+    try {
+      val (code, body) = get(s"http://127.0.0.1:$port/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("max_over_time(rw_requests_total[1h])", "UTF-8") +
+        "&step=3600")
+      assert(code == 200 && body.contains("\"6.0\"") && body.contains("\"3.0\""),
+        s"range over remote-written series:\n$body")
+    } finally api.stop()
+  }
 }
