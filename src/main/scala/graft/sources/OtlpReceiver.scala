@@ -66,8 +66,9 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
     // Prometheus remote-write shares the point layout with OTLP
     // metrics (reference /api/v1/write → inserter_metrics.go); the
     // wire bodies are snappy-block-compressed, undone at the HTTP edge
-    val promPoints = Streams.pointsFromPrompb(
-      promIn.toDF().withColumnRenamed("value", "payload"))
+    val promFrames = promIn.toDF().withColumnRenamed("value", "payload")
+    val promPoints = Streams.pointsFromPrompb(promFrames)
+    val promExemplars = Streams.exemplarsFromPrompb(promFrames)
     queries = Seq(
       Streams.spansSink(spans, s"$dataDir/spans", s"$dataDir/ckpt/spans",
         Trigger.ProcessingTime(0)),
@@ -76,7 +77,9 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
       Streams.pointsSink(points, s"$dataDir/points", s"$dataDir/ckpt/points",
         Trigger.ProcessingTime(0)),
       Streams.pointsSink(promPoints, s"$dataDir/points",
-        s"$dataDir/ckpt/prompoints", Trigger.ProcessingTime(0)))
+        s"$dataDir/ckpt/prompoints", Trigger.ProcessingTime(0)),
+      Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
+        s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))
     server.createContext("/v1/logs", accept(logIn))
@@ -101,6 +104,9 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
             .getOrElse(if (snappyBody) "snappy" else "identity")
           val payload = enc.toLowerCase match {
             case "snappy"       => Snappy.decode(raw)
+            case "gzip"         => // OTLP/HTTP's standard compression
+              new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(raw)).readAllBytes()
             case "identity" | "" => raw
             case other =>
               throw new IllegalArgumentException(

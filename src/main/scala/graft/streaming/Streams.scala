@@ -456,6 +456,21 @@ object Streams {
         col("name"), col("labels"), col("value"))
   }
 
+  /** Remote-write exemplars → the same /api/v1/query_exemplars frame
+    * as [[exemplarsFromOtlp]] (reference decodes them on the
+    * prometheusremotewrite path alongside samples).
+    */
+  def exemplarsFromPrompb(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.Prompb.decodeWriteRequestExemplars))
+      .toDF()
+      .select((col("ts_ms") * 1000L).as("ts_us"),
+        col("name"), col("labels"), col("exemplar_labels"), col("value"))
+  }
+
   /** Batched span inserter: foreachBatch into the bloom-filtered,
     * (name, start)-sorted daily span layout (inserter_traces.go).
     */

@@ -282,6 +282,22 @@ class EndToEndSpec extends SparkTestBase {
       assert(post(s"http://127.0.0.1:$rport/v1/traces", tracePayload) == 200)
       assert(post(s"http://127.0.0.1:$rport/v1/logs", logPayload) == 200)
       assert(post(s"http://127.0.0.1:$rport/v1/metrics", metricPayload) == 200)
+      // OTLP/HTTP's standard gzip content-encoding is transparent
+      // (idempotent here: the duplicate log row doesn't change the
+      // contains-assertions below)
+      val gzBody = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(logPayload); g.close(); bo.toByteArray
+      }
+      val gzConn = java.net.URI.create(s"http://127.0.0.1:$rport/v1/logs").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      gzConn.setRequestMethod("POST")
+      gzConn.setDoOutput(true)
+      gzConn.setRequestProperty("Content-Encoding", "gzip")
+      val gzOs = gzConn.getOutputStream
+      try gzOs.write(gzBody) finally gzOs.close()
+      assert(gzConn.getResponseCode == 200)
       recv.flush()
     } finally recv.stop()
 
@@ -339,10 +355,15 @@ class EndToEndSpec extends SparkTestBase {
     def sample(v: Double, tsMs: Long): W =
       new W().fix64(1, java.lang.Double.doubleToLongBits(v)).vint(2, tsMs)
     val t0ms = T0 / 1000000L
+    // exemplar: trace link labels + value/ts (prompb Exemplar 1/2/3)
+    val exemplar = new W()
+      .msg(1, label("trace_id", "abcd1234"))
+      .fix64(2, java.lang.Double.doubleToLongBits(5.5)).vint(3, t0ms + 30000L)
     val frame1 = new W().msg(1, new W()
       .msg(1, label("__name__", "rw_requests_total"))
       .msg(1, label("job", "api")).msg(1, label("instance", "i1"))
-      .msg(2, sample(1.0, t0ms)).msg(2, sample(6.0, t0ms + 60000L)))
+      .msg(2, sample(1.0, t0ms)).msg(2, sample(6.0, t0ms + 60000L))
+      .msg(3, exemplar))
       .out.toByteArray
     val frame2 = new W().msg(1, new W()
       .msg(1, label("__name__", "rw_requests_total"))
@@ -361,6 +382,8 @@ class EndToEndSpec extends SparkTestBase {
       assert(post(url, Snappy.encodeLiteral(frame2), None) == 200)
       // corrupt frame is rejected at the edge, not poisoned downstream
       assert(post(url, Array[Byte](99, 1, 2), Some("snappy")) == 400)
+      // unknown content-encoding is a 400, not a silent mis-decode
+      assert(post(url, frame2, Some("br")) == 400)
       recv.flush()
     } finally recv.stop()
 
@@ -374,7 +397,10 @@ class EndToEndSpec extends SparkTestBase {
       Map("service.name" -> "x")))
       .toDF("trace_id", "span_id", "parent_span_id", "name", "start_ns",
         "duration_ns", "attrs")
-    val api = new HttpApi(logsDf, points, spansDf)
+    val exemplarsDf = spark.read.parquet(s"$dir/exemplars")
+      .select("ts_us", "name", "labels", "exemplar_labels", "value")
+    val api = new HttpApi(logsDf, points, spansDf,
+      exemplars = Some(exemplarsDf))
     val port = api.start()
     try {
       val (code, body) = get(s"http://127.0.0.1:$port/api/v1/query_range?query=" +
@@ -382,6 +408,10 @@ class EndToEndSpec extends SparkTestBase {
         "&step=3600")
       assert(code == 200 && body.contains("\"6.0\"") && body.contains("\"3.0\""),
         s"range over remote-written series:\n$body")
+      val (ec, ebody) = get(s"http://127.0.0.1:$port/api/v1/query_exemplars?query=" +
+        java.net.URLEncoder.encode("rw_requests_total", "UTF-8"))
+      assert(ec == 200 && ebody.contains("abcd1234") && ebody.contains("5.5"),
+        s"exemplars from the remote-write path:\n$ebody")
     } finally api.stop()
   }
 }

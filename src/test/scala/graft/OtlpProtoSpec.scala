@@ -288,7 +288,20 @@ class OtlpProtoSpec extends SparkTestBase {
       .msg(1, label("__name__", "http_requests_total"))
       .msg(1, label("job", "api")).msg(1, label("instance", "i2"))
       .msg(2, sample(7.0, 1704103200000L))
+      .msg(3, dbl(new W().msg(1, label("trace_id", "cafe01"))
+        .msg(1, label("span_id", "beef02")), 2, 6.5).vint(3, 1704103230000L))
     new W().msg(1, ts1).msg(1, ts2).out.toByteArray
+  }
+
+  test("prompb exemplars decode with series identity and trace link") {
+    import graft.sources.Prompb
+    val exs = Prompb.decodeWriteRequestExemplars(writeRequestPayload)
+    assert(exs.size == 1)
+    val e = exs.head
+    assert(e.name == "http_requests_total")
+    assert(e.labels == Map("job" -> "api", "instance" -> "i2"))
+    assert(e.exemplar_labels == Map("trace_id" -> "cafe01", "span_id" -> "beef02"))
+    assert(e.ts_ms == 1704103230000L && e.value == 6.5)
   }
 
   test("prompb WriteRequest decodes and feeds the PromQL points schema") {
