@@ -49,10 +49,58 @@ object ScaleProbe {
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "embeddings"))
+        "orders"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
+  }
+
+  /** Embeddings scale separately (added for the SemDeDup probe; keyed
+    * by its own marker so existing corpora upgrade in place): vec_id
+    * shifts per copy and the vector ROTATES by the copy index —
+    * norms are preserved, cross-copy vectors decorrelate (random
+    * dims), near-dup structure within a copy survives.
+    */
+  private def scaleUpEmbeddings(spark: SparkSession, src: String,
+      out: String, factor: Int): Unit = {
+    val dir = new java.io.File(out)
+    if (new java.io.File(dir, "_EMB_SCALED").exists()) return
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      val r = i % 64
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    new java.io.FileOutputStream(new java.io.File(dir, "_EMB_SCALED")).close()
+  }
+
+  /** SemDeDup with k ∝ corpus (8 centroids per base-size stripe, so
+    * per-cluster size stays CONSTANT as data grows — the paper's
+    * deployment shape, vs the query's pinned k = 8 whose clusters
+    * grow with the corpus).
+    */
+  private def semDedupScaledK(spark: SparkSession, dir: String,
+      baseMax: Long): DataFrame = {
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    val e = graft.sources.Testdata(spark, dir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val c = e.filter(col("vec_id") % baseMax < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val best = e.crossJoin(broadcast(c))
+      .withColumn("cos", dot("v", "cv") / (sqrt(dot("v", "v")) * sqrt(dot("cv", "cv"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    val ev = best.join(e, "vec_id")
+    val a = ev.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"))
+    val b = ev.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"))
+    a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+      .select(col("cid"),
+        round(graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= 0.42)
   }
 
   private def time3(name: String, tag: String)(run: => Long): Unit =
@@ -71,6 +119,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     scaleUp(spark, src, out, factor)
+    scaleUpEmbeddings(spark, src, out, factor)
+    val baseMaxVec = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0) + 1
 
     for ((tag, dir) <- Seq("sf0.1" -> src, s"sf${factor}x" -> out)) {
       val td = graft.sources.Testdata(spark, dir)
@@ -109,6 +160,23 @@ object ScaleProbe {
       // as-of join: one (user, ts) window sort; growth tracks events
       time3("src_asof_join", tag) {
         graft.SparkEntry.queries("src_asof_join")(spark, dir).count()
+      }
+      // new text-pipeline ops: gram/block shuffles and the chunk
+      // explode are linear shapes — growth must track documents
+      for (q <- Seq("pipe_substring_dup", "pipe_block_dedup",
+          "pipe_chunk_overlap"))
+        time3(q, tag) {
+          graft.SparkEntry.queries(q)(spark, dir).count()
+        }
+      // SemDeDup both ways: the query's pinned k = 8 lets clusters
+      // grow with the corpus (pair space ~quadratic per cluster — the
+      // anti-pattern), vs k ∝ corpus where per-cluster size stays
+      // constant and growth stays near-linear
+      time3("pipe_semdedup_fixed_k", tag) {
+        graft.SparkEntry.queries("pipe_semdedup")(spark, dir).count()
+      }
+      time3("pipe_semdedup_scaled_k", tag) {
+        semDedupScaledK(spark, dir, baseMaxVec).count()
       }
     }
     spark.stop()
