@@ -1,0 +1,123 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.util.GraftSession
+
+/** Remote-write ingest throughput probe — the BASELINE.md anchor is
+  * ≈144k points/s sustained for the reference (vmagent →
+  * /api/v1/write → ClickHouse, dev/local/ch-bench). This measures the
+  * Spark side of the same path: prompb WriteRequest frames → (snappy
+  * undone at the edge) → distributed decode ([[graft.sources.Prompb]]
+  * via mapPartitions) → the (date, name, ts)-sorted point layout.
+  *
+  * Frames are GENERATED on executors (the producer cost is the load
+  * generator's, not the pipeline's) and the decode+write is timed as
+  * one job — the deployment shape, where ingest partitions across
+  * executors and the HTTP edge only enqueues.
+  *
+  *   sbt "runMain graft.IngestBench [frames] [series/frame] [samples/series]"
+  */
+object IngestBench {
+
+  // minimal protobuf writer (public prompb field numbers; mirrors the
+  // shape of the spec-side writers)
+  private final class PW {
+    val out = new ByteArrayOutputStream()
+    def varint(v: Long): PW = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): PW = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): PW = {
+      tag(field, 2); varint(b.length); out.write(b); this
+    }
+    def str(field: Int, s: String): PW = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int, m: PW): PW = bytes(field, m.out.toByteArray)
+    def vint(field: Int, v: Long): PW = { tag(field, 0); varint(v) }
+    def dbl(field: Int, v: Double): PW = {
+      tag(field, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+  }
+
+  /** One WriteRequest: `nSeries` series × `nSamples` samples each. */
+  def frame(frameId: Long, nSeries: Int, nSamples: Int): Array[Byte] = {
+    val t0Ms = 1704103200000L + frameId * nSamples * 15000L
+    val w = new PW()
+    var s = 0
+    while (s < nSeries) {
+      val ts = new PW()
+        .msg(1, new PW().str(1, "__name__").str(2, "bench_points_total"))
+        .msg(1, new PW().str(1, "instance").str(2, s"host-${frameId % 64}"))
+        .msg(1, new PW().str(1, "series").str(2, s"s$s"))
+      var i = 0
+      while (i < nSamples) {
+        ts.msg(2, new PW().dbl(1, (frameId + s + i).toDouble)
+          .vint(2, t0Ms + i * 15000L))
+        i += 1
+      }
+      w.msg(1, ts)
+      s += 1
+    }
+    w.out.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFrames = args.headOption.map(_.toInt).getOrElse(2000)
+    val nSeries = args.lift(1).map(_.toInt).getOrElse(50)
+    val nSamples = args.lift(2).map(_.toInt).getOrElse(20)
+    val totalPoints = nFrames.toLong * nSeries * nSamples
+    val spark = GraftSession
+      .configure(SparkSession.builder().master("local[32]"), 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // producer side (untimed): frames built on executors, snappy-framed
+    // like the wire, materialized so the timed runs measure ingest only
+    val wire = spark.range(0, nFrames.toLong, 1, 32)
+      .map(i => graft.sources.Snappy.encodeLiteral(frame(i, nSeries, nSamples)))
+      .persist()
+    val frameBytes = wire.map(_.length.toLong).reduce(_ + _)
+    println(s"PROBE ingest frames=$nFrames points=$totalPoints " +
+      f"wire=${frameBytes / 1e6}%.1f MB")
+
+    def time(tag: String)(run: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = run
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE ingest $tag ${dt}%.2f s ($n rows, ${n / dt}%.0f/s)")
+      dt
+    }
+
+    // edge + decode only (snappy undo, protobuf decode, no storage)
+    time("decode") {
+      wire.map(b => graft.sources.Prompb
+        .decodeWriteRequest(graft.sources.Snappy.decode(b)).size.toLong)
+        .reduce(_ + _)
+    }
+    // the full path: decode -> point rows -> sorted daily layout
+    val out = java.nio.file.Files.createTempDirectory("ingestbench").toString
+    var best = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      val dt = time("decode+layout") {
+        val decompressed = wire.map(graft.sources.Snappy.decode)
+        val points = graft.streaming.Streams.pointsFromPrompb(
+          decompressed.toDF("payload"))
+        graft.sources.Layout.writePoints(points, out)
+        totalPoints
+      }
+      best = math.min(best, dt)
+    }
+    println(f"""{"metric":"ingest_points_per_sec","value":${totalPoints / best}%.0f,"points":$totalPoints,"baseline":144300}""")
+    spark.stop()
+  }
+}
