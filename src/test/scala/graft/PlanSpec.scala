@@ -192,6 +192,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), "sliding grams should be a Generate (explode)")
   }
 
+  test("window funnel rides (user, ts) sorts and equi-joins, never a range join") {
+    val p = planOf("src_window_funnel")
+    assert(!p.contains("CartesianProduct"),
+      s"funnel must not plan a per-user cross product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the click hop must be an equi-join:\n$p")
+    assert(p.contains("Window"), s"expected min-over-following windows:\n$p")
+  }
+
+  test("retention is two aggregations, no join") {
+    val p = planOf("src_retention")
+    assert(!p.contains("Join"), s"retention must not join:\n$p")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"flag rollup must ride ONE hash exchange, got $hashEx:\n$p")
+  }
+
   test("quantized dot product is one projection after an equi-join") {
     val p = planOf("pipe_embed_quantize")
     assert(!p.contains("CartesianProduct"))
