@@ -382,8 +382,13 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
         }
       case _ => src0
     }
+    // @ start() / @ end() resolve to the request's range bounds
+    val atRange = for {
+      s <- p.get("start").filter(_.nonEmpty)
+      e <- p.get("end").filter(_.nonEmpty)
+    } yield ((s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong)
     ApiEncoders.promMatrix(
-      Limits.guardRows(graft.promql.PromQL.range(q, src, stepUs),
+      Limits.guardRows(graft.promql.PromQL.range(q, src, stepUs, atRange),
         limits.maxSampleRows),
       maxBytes = limits.maxResultBytes)
   }

@@ -58,9 +58,52 @@ object PromQL {
     */
   final case class At(inner: Expr, tsUs: Long) extends Expr
 
+  /** Parse-time placeholders for `@ start()` / `@ end()` (upstream
+    * preprocessor substitutes the query-range bounds the same way);
+    * resolved by [[resolveAt]] before planning.
+    */
+  private val AtStartSentinel = Long.MinValue + 1
+  private val AtEndSentinel = Long.MinValue + 2
+
+  /** Substitutes the `@ start()` / `@ end()` sentinels with the query
+    * range bounds (for an instant query both are the eval timestamp).
+    * A sentinel with no known bound is a query error, not a silent
+    * mis-evaluation.
+    */
+  private def resolveAt(e: Expr, startUs: Option[Long],
+      endUs: Option[Long]): Expr = {
+    def resolve(ts: Long): Long = ts match {
+      case AtStartSentinel => startUs.getOrElse(throw ParseError(
+        "@ start() requires an explicit query range", 0))
+      case AtEndSentinel => endUs.getOrElse(throw ParseError(
+        "@ end() requires an explicit query range", 0))
+      case t => t
+    }
+    def go(x: Expr): Expr = x match {
+      case At(i, ts)              => At(go(i), resolve(ts))
+      case FnCall(f, i, n, s)     => FnCall(f, go(i), n, s)
+      case Agg(op, b, w, k, p, i) => Agg(op, b, w, k, p, go(i))
+      case Bin(op, l, r, m, bm)   => Bin(op, go(l), go(r), m, bm)
+      case HistQuantile(phi, i)   => HistQuantile(phi, go(i))
+      case RangeSub(f, i, r, st, off, ps) => RangeSub(f, go(i), r, st, off, ps)
+      case leaf                   => leaf
+    }
+    go(e)
+  }
+
   // ---------- parser ----------
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg at $pos")
+
+  /** `@` operand: a unix timestamp, or the `start()` / `end()`
+    * preprocessor forms (upstream promql parser AT modifier).
+    */
+  private def atValue(p: P): Long =
+    if (p.peekIdent == "start") {
+      p.ident(); p.expect("("); p.expect(")"); AtStartSentinel
+    } else if (p.peekIdent == "end") {
+      p.ident(); p.expect("("); p.expect(")"); AtEndSentinel
+    } else (p.number() * 1e6).toLong
 
   private val rangeFns = Set("rate", "increase", "delta", "irate", "idelta",
     "resets", "changes", "deriv", "predict_linear",
@@ -295,7 +338,7 @@ object PromQL {
         var more = true
         while (more) {
           if (p.peekIdent == "offset") { p.ident(); off = p.duration() }
-          else if (p.accept("@")) atTs = Some((p.number() * 1e6).toLong)
+          else if (p.accept("@")) atTs = Some(atValue(p))
           else more = false
         }
         // trailing scalar params AFTER the selector: predict_linear's
@@ -357,7 +400,7 @@ object PromQL {
         Agg(name, by, without, k, param, inner)
       } else {
         val sel = Instant(parseSelector(p), parseSelOffset(p))
-        if (p.accept("@")) At(sel, (p.number() * 1e6).toLong) else sel
+        if (p.accept("@")) At(sel, atValue(p)) else sel
       }
     } else throw ParseError("expected expression", p.i)
   }
@@ -643,7 +686,7 @@ object PromQL {
     * through the shared-range window alignment of [[instantExpr]].
     */
   def instant(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
-    foldScalars(parse(q)) match {
+    foldScalars(resolveAt(parse(q), Some(evalTsUs), Some(evalTsUs))) match {
       case Instant(sel, off) =>
         lookback(sel, points, evalTsUs - off / 1000)
           .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
@@ -883,8 +926,10 @@ object PromQL {
   }
 
   def range(q: String, points: DataFrame,
-      stepUs: Option[Long] = None): DataFrame = {
-    val e = foldScalars(parse(q))
+      stepUs: Option[Long] = None,
+      atRange: Option[(Long, Long)] = None): DataFrame = {
+    val e = foldScalars(resolveAt(parse(q),
+      atRange.map(_._1), atRange.map(_._2)))
     val st =
       if (stepUs.isEmpty && mixesBareAndRange(e)) Some(300000000L) else stepUs
     planRange(e, points, st)

@@ -216,6 +216,47 @@ object QueriesPromFns extends QueryPack {
            |ORDER BY bucket_us, svc""".stripMargin))
   }
 
+  /** `@ start()` / `@ end()` preprocessor forms (upstream promql AT
+    * modifier): both resolve to the request's range bounds before
+    * planning, so the growth over the range — pinned-at-end minus
+    * pinned-at-start — is a constant vector repeated on the grid.
+    */
+  val atStartEnd: Q = {
+    val startUs = 1704844800000000L // 2024-01-10T00:00:00Z
+    val endUs = 1705708800000000L   // 2024-01-20T00:00:00Z
+    Q(
+      "promql_e2e_at_start_end",
+      (s: SparkSession, dir: String) =>
+        PromQL.range(
+            """sum by (svc) (count_over_time(ev[1d] @ end()))
+              | - sum by (svc) (count_over_time(ev[1d] @ start()))""".stripMargin
+              .replace("\n", " "),
+            pointsView(Testdata(s, dir)),
+            atRange = Some((startUs, endUs)))
+          .select(col("bucket_us"),
+            element_at(col("labels"), "svc").as("svc"), col("value"))
+          .orderBy("bucket_us", "svc"),
+      Some(
+        s"""WITH grid AS (
+           |  SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us
+           |  FROM events),
+           |pe AS (
+           |  SELECT CAST(user_id % 4 AS VARCHAR) AS svc,
+           |    CAST(COUNT(*) AS DOUBLE) AS value
+           |  FROM events
+           |  WHERE epoch_us(ts) > $endUs - $DayUs AND epoch_us(ts) <= $endUs
+           |  GROUP BY 1),
+           |ps AS (
+           |  SELECT CAST(user_id % 4 AS VARCHAR) AS svc,
+           |    CAST(COUNT(*) AS DOUBLE) AS value
+           |  FROM events
+           |  WHERE epoch_us(ts) > $startUs - $DayUs AND epoch_us(ts) <= $startUs
+           |  GROUP BY 1)
+           |SELECT bucket_us, pe.svc AS svc, pe.value - ps.value AS value
+           |FROM grid, pe JOIN ps ON pe.svc = ps.svc
+           |ORDER BY bucket_us, svc""".stripMargin))
+  }
+
   // ---- compliance-corpus sweep (dev/local/ch-compliance/
   // promql-test-queries.yml): resets/changes/idelta, deriv/
   // predict_linear, count_values, date functions over time(), absent(),
@@ -442,7 +483,7 @@ object QueriesPromFns extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery,
-      instantExprE2e, matrixE2e, absentE2e, atModifier,
+      instantExprE2e, matrixE2e, absentE2e, atModifier, atStartEnd,
       resetsE2e, changesE2e, ideltaE2e, derivE2e, predictE2e,
       countValuesE2e, dateFnE2e, absentFnE2e, timestampE2e, scalarExtrasE2e,
       vectorFnE2e)

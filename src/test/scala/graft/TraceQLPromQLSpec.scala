@@ -224,4 +224,22 @@ class TraceQLPromQLSpec extends SparkTestBase {
     // out-of-range phi keeps the upstream warn-and-yield-infinity shape
     assert(one("""approx_quantile_over_time(1.5, reqs[10m])""").isPosInfinity)
   }
+
+  test("PromQL: @ start() / @ end() resolve to the query range bounds") {
+    // pinned at end: newest a-sample <= 9*M is 9.0, repeated on the grid
+    val out = PromQL.range("""reqs{svc="a"} @ end()""", points,
+        atRange = Some((0L, 9 * M)))
+      .filter($"labels.svc" === "a")
+      .select($"value").distinct().as[Double].collect()
+    assert(out.toSeq == Seq(9.0))
+    // instant query: both forms pin to the eval timestamp
+    val inst = PromQL.instant("""reqs{svc="a"} @ start()""", points, 5 * M)
+      .select($"value").as[Double].collect()
+    assert(inst.toSeq == Seq(5.0))
+    // without a known range the sentinel is a query error, not a
+    // silent mis-evaluation
+    intercept[PromQL.ParseError] {
+      PromQL.range("""reqs @ start()""", points)
+    }
+  }
 }
