@@ -250,6 +250,100 @@ object QueriesPipeline5 extends QueryPack {
       .orderBy("cid")
   }
 
+  /** LM PERPLEXITY scoring (the CCNet-style quality signal a model
+    * filter uses): a bigram language model with add-one smoothing is
+    * trained on the corpus itself, and every document is scored by its
+    * cross-entropy under that model. The "model" — (w1, w2) → log
+    * conditional — is a vocabulary²-bounded table (pruned to top-M
+    * bigrams in production), BROADCAST back over the corpus, so the
+    * scoring pass is one broadcast join + one doc_id rollup; the
+    * corpus-side bigram explode never shuffles for the join.
+    *
+    * Det: counts are exact integers; each log term is the same IEEE
+    * expression shape on both engines, and the per-doc sum's
+    * accumulation-order noise (~1e-13) is absorbed by round-6 like the
+    * cosine family.
+    */
+  val lmPerplexity: Q = q(
+    "pipe_lm_perplexity",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |ucnt AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM ucnt),
+      |docbig AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+      |bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM docbig GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(ln((b.c12 + 1.0) / (u.c1 + v.v))) AS ll
+      |  FROM docbig d
+      |  JOIN bcnt b ON d.w1 = b.w1 AND d.w2 = b.w2
+      |  JOIN ucnt u ON d.w1 = u.w
+      |  CROSS JOIN vocab v
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  ROUND(-ll / n_bigrams, 6) AS cross_entropy,
+      |  ROUND(exp(-ll / n_bigrams), 6) AS perplexity
+      |FROM scored ORDER BY doc_id""".stripMargin
+  ) { td =>
+    val toks = td.documents
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    val docbig = toks
+      .select(col("doc_id"), explode(expr("sequence(1, size(t) - 1)")).as("i"),
+        col("t"))
+      .select(col("doc_id"), expr("element_at(t, i)").as("w1"),
+        expr("element_at(t, i + 1)").as("w2"))
+    val ucnt = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = ucnt.agg(count(lit(1)).as("v"))
+    val bcnt = docbig.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // the LM itself: vocabulary-bounded, broadcast over the corpus
+    val model = bcnt
+      .join(ucnt, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("logp"))
+    docbig
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("ll") / col("n_bigrams"), 6).as("cross_entropy"),
+        round(exp(-col("ll") / col("n_bigrams")), 6).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** MERGEABLE DISTINCT SKETCH (DataSketches HLL via
+    * `hll_sketch_agg`): per-source distinct-document estimates plus a
+    * `__total__` row whose sketch is the UNION of the per-source
+    * sketches — the associativity that makes distinct counting work at
+    * 100 TB (shards sketch locally, only KB-sized sketches move;
+    * `countDistinct` would shuffle every distinct value). Exact counts
+    * ride alongside so the error is measurable. No SQL oracle —
+    * DataSketches estimates aren't reproducible in DuckDB — so the
+    * gate is rows-only and SketchSpec pins the semantics (≤2 % error,
+    * union-of-parts == whole).
+    */
+  val distinctSketch: Q = Q(
+    "pipe_distinct_sketch",
+    (s: SparkSession, dir: String) => {
+      val docs = Testdata(s, dir).documents
+      val per = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("text")).as("sk"),
+          countDistinct(col("text")).as("exact"))
+      val perOut = per.select(col("source"), col("exact"),
+        hll_sketch_estimate(col("sk")).cast("long").as("estimate"))
+      val totalOut = per.agg(hll_union_agg(col("sk")).as("sk"))
+        .crossJoin(broadcast(docs.agg(countDistinct(col("text")).as("exact"))))
+        .select(lit("__total__").as("source"), col("exact"),
+          hll_sketch_estimate(col("sk")).cast("long").as("estimate"))
+      perOut.unionByName(totalOut).orderBy("source")
+    },
+    oracle = None)
+
   override def queries: Seq[Q] =
-    Seq(semDedup, blockDedup, substringDup, chunkOverlap, ivfStats)
+    Seq(semDedup, blockDedup, substringDup, chunkOverlap, ivfStats,
+      lmPerplexity, distinctSketch)
 }
