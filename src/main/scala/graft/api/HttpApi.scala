@@ -132,6 +132,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // mounted when a profiles frame is wired in
     profiles.foreach { _ =>
       server.createContext("/pyroscope/render", handler(pyroRender))
+      server.createContext("/pyroscope/render-diff", handler(pyroRenderDiff))
       server.createContext("/pyroscope/labels", handler(pyroLabels))
       server.createContext("/pyroscope/label-values", handler(pyroLabelValues))
       server.createContext("/pyroscope/apps", handler(pyroApps))
@@ -604,6 +605,22 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     graft.profileql.Flame.flamebearer(profiles.get, query,
       fromUs = sec("from"), untilUs = sec("until"),
       maxNodes = p.get("maxNodes").map(_.toInt).getOrElse(0))
+  }
+
+  /** /pyroscope/render-diff: baseline vs comparison selection as a
+    * "double"-format flamebearer (the reference declines diffs —
+    * profilehandler/querier.go:33; parity-plus).
+    */
+  private def pyroRenderDiff(ex: HttpExchange): String = {
+    val p = params(ex)
+    def req(k: String): String = p.getOrElse(k,
+      throw new IllegalArgumentException(s""""$k" is required"""))
+    def sec(k: String): Option[Long] =
+      p.get(k).filter(_.nonEmpty).map(s => s.toLong * 1000000L)
+    graft.profileql.Flame.flamebearerDiff(profiles.get,
+      req("leftQuery"), req("rightQuery"),
+      leftFromUs = sec("leftFrom"), leftUntilUs = sec("leftUntil"),
+      rightFromUs = sec("rightFrom"), rightUntilUs = sec("rightUntil"))
   }
 
   private def pyroLabels(ex: HttpExchange): String =

@@ -202,6 +202,86 @@ object Flame {
       s""""metadata":{"format":"single","spyName":"graft","sampleRate":100,"units":"samples"}}"""
   }
 
+  private final class DiffNode(val name: String) {
+    var lTotal = 0L; var lSelf = 0L
+    var rTotal = 0L; var rSelf = 0L
+    val children = mutable.SortedMap.empty[String, DiffNode]
+  }
+
+  /** Pyroscope "double"-format diff flamebearer: baseline (left) and
+    * comparison (right) selections merged into ONE tree, each level a
+    * run of [xLeftΔ, leftTotal, leftSelf, xRightΔ, rightTotal,
+    * rightSelf, nameIdx] septets with the two x offsets delta-encoded
+    * per side (public flamebearer diff format). The reference declines
+    * diffs outright (profilehandler/querier.go:33 "no representation
+    * … diffs") — parity-plus here; the distributed part is the same
+    * bounded per-stack merge as [[flamebearer]], run once per side.
+    */
+  def flamebearerDiff(profiles: DataFrame,
+      leftQuery: String, rightQuery: String,
+      leftFromUs: Option[Long] = None, leftUntilUs: Option[Long] = None,
+      rightFromUs: Option[Long] = None, rightUntilUs: Option[Long] = None,
+      maxStacks: Int = 1 << 16): String = {
+    def stacksOf(q: String, f: Option[Long], u: Option[Long]) = {
+      val (top, dropped) = mergedStacks(profiles, q, f, u, maxStacks)
+      if (dropped > 0) top :+ (Seq("other") -> dropped) else top
+    }
+    val root = new DiffNode("total")
+    def add(frames: Seq[String], v: Long, left: Boolean): Unit = {
+      if (left) root.lTotal += v else root.rTotal += v
+      var cur = root
+      frames.foreach { f =>
+        cur = cur.children.getOrElseUpdate(f, new DiffNode(f))
+        if (left) cur.lTotal += v else cur.rTotal += v
+      }
+      if (left) cur.lSelf += v else cur.rSelf += v
+    }
+    stacksOf(leftQuery, leftFromUs, leftUntilUs)
+      .foreach { case (fs, v) => add(fs, v, left = true) }
+    stacksOf(rightQuery, rightFromUs, rightUntilUs)
+      .foreach { case (fs, v) => add(fs, v, left = false) }
+
+    val names = mutable.ArrayBuffer.empty[String]
+    val nameIndex = mutable.HashMap.empty[String, Int]
+    def intern(n: String): Int = nameIndex.getOrElseUpdate(n, {
+      names += (if (names.isEmpty) "total" else n); names.size - 1
+    })
+    val levels = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Long]]
+    var maxSelf = 0L
+    def walk(n: DiffNode, level: Int, xL: Long, xR: Long): Unit = {
+      maxSelf = math.max(maxSelf, math.max(n.lSelf, n.rSelf))
+      val idx = intern(n.name)
+      if (level == levels.size) levels += mutable.ArrayBuffer.empty[Long]
+      levels(level) ++= Seq(xL, n.lTotal, n.lSelf, xR, n.rTotal, n.rSelf,
+        idx.toLong)
+      var cxL = xL + n.lSelf
+      var cxR = xR + n.rSelf
+      n.children.values.foreach { c =>
+        walk(c, level + 1, cxL, cxR)
+        cxL += c.lTotal; cxR += c.rTotal
+      }
+    }
+    walk(root, 0, 0L, 0L)
+    // delta-encode both x streams against the previous sibling's end
+    levels.foreach { l =>
+      var prevL = 0L
+      var prevR = 0L
+      var i = 0
+      while (i < l.size) {
+        val absL = l(i); val absR = l(i + 3)
+        l(i) = absL - prevL; l(i + 3) = absR - prevR
+        prevL = absL + l(i + 1); prevR = absR + l(i + 4)
+        i += 7
+      }
+    }
+    val namesJson = names.map(graft.api.ApiEncoders.jsonString).mkString(",")
+    val levelsJson = levels.map(_.mkString("[", ",", "]")).mkString(",")
+    s"""{"version":1,"flamebearer":{"names":[$namesJson],"levels":[$levelsJson],""" +
+      s""""numTicks":${root.lTotal + root.rTotal},"maxSelf":$maxSelf},""" +
+      s""""leftTicks":${root.lTotal},"rightTicks":${root.rTotal},""" +
+      s""""metadata":{"format":"double","spyName":"graft","sampleRate":100,"units":"samples"}}"""
+  }
+
   /** Distinct label names on matching profiles (Labels endpoint). */
   def labelNames(profiles: DataFrame): Seq[String] =
     profiles.select(explode(map_keys(col("labels"))).as("k"))

@@ -163,6 +163,64 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts_us: Long, event_time: java.sql.Timestamp)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelUpdate(user_id: Long, funnel_level: Int,
+      chain_start_us: Long)
+
+  /** Streaming WINDOW FUNNEL — the ingest-time twin of the batch
+    * `src_window_funnel` operator, anchored at each user's FIRST view
+    * (the streaming approximation: the batch pass re-anchors at every
+    * view and takes the max, which needs the full history; the
+    * first-chain level is what a live funnel dashboard tracks). State
+    * is one 3-timestamp record per active user, keyed by user so it
+    * distributes; a level row is emitted each time the user's chain
+    * deepens, and the event-time timeout retires users `retention`
+    * past the watermark.
+    */
+  def windowFunnel(events: DataFrame, windowUs: Long = 86400000000L,
+      retentionMs: Long = 3600000L): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_time"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          val batch = rows.toSeq
+          if (batch.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+            def level(x: FunnelState): Int =
+              if (x.t3 > 0) 3 else if (x.t2 > 0) 2 else if (x.t1 > 0) 1 else 0
+            val out = Seq.newBuilder[FunnelUpdate]
+            batch.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+              val before = level(s)
+              s = e.event_type match {
+                case "view" if s.t1 == 0 => s.copy(t1 = e.ts_us)
+                case "click" if s.t1 > 0 && s.t2 == 0 &&
+                  e.ts_us > s.t1 && e.ts_us <= s.t1 + windowUs =>
+                  s.copy(t2 = e.ts_us)
+                case "purchase" if s.t2 > 0 && s.t3 == 0 &&
+                  e.ts_us > s.t2 && e.ts_us <= s.t1 + windowUs =>
+                  s.copy(t3 = e.ts_us)
+                case _ => s
+              }
+              if (level(s) > before)
+                out += FunnelUpdate(user, level(s), s.t1)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              batch.map(_.event_time.getTime).max + retentionMs)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class BandRow(bucket: String, doc_id: Long, event_time: java.sql.Timestamp)
   final case class BandClaim(doc_id: Long, bucket: String, owner: Long)
 

@@ -48,6 +48,33 @@ class FlameSpec extends SparkTestBase {
     assert(numTicks(nre) == 4)
   }
 
+  test("diff flamebearer: double format, per-side totals and deltas") {
+    val fb = Flame.flamebearerDiff(profiles,
+      leftQuery = """cpu{svc="api"}""", rightQuery = """cpu{svc="web"}""")
+    val parsed = TestJson.parse(fb).asInstanceOf[Map[String, Any]]
+    assert(parsed("leftTicks").asInstanceOf[Double] == 7.0)  // 5 + 2
+    assert(parsed("rightTicks").asInstanceOf[Double] == 3.0)
+    val meta = parsed("metadata").asInstanceOf[Map[String, Any]]
+    assert(meta("format") == "double")
+    val flame = parsed("flamebearer").asInstanceOf[Map[String, Any]]
+    assert(flame("numTicks").asInstanceOf[Double] == 10.0)
+    val names = flame("names").asInstanceOf[List[Any]]
+    assert(names.head == "total" && names.contains("main"))
+    // every level is a run of 7-value septets: [xLΔ, lT, lS, xRΔ, rT, rS, name]
+    val levels = flame("levels").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toLong))
+    assert(levels.forall(_.size % 7 == 0))
+    // root septet carries both sides' totals
+    assert(levels.head == List(0L, 7L, 0L, 0L, 3L, 0L, 0L))
+    // the "main" frame exists on both sides; leaves a/c are left-only,
+    // b is right-only
+    val leaf = levels(2).grouped(7).toSeq
+    val byName = leaf.map(s => names(s(6).toInt).toString -> s).toMap
+    assert(byName("a")(1) == 5L && byName("a")(4) == 0L)
+    assert(byName("b")(1) == 0L && byName("b")(4) == 3L)
+    assert(byName("c")(1) == 2L && byName("c")(4) == 0L)
+  }
+
   test("stack cap truncates distributed-side but keeps the true total") {
     // cap below the 4 distinct stacks: only the heaviest 2 reach the
     // driver, the rest fold into a root-level "other" frame

@@ -357,6 +357,19 @@ class HttpApiSpec extends SparkTestBase {
       // (profilehandler.go:78-82 ErrNotImplemented)
       val (c6, _) = get(s"http://127.0.0.1:$port/pyroscope/ingest")
       assert(c6 == 501)
+
+      // diff render (reference declines diffs — querier.go:33): double
+      // format, per-side ticks for api-vs-web
+      val (c7, diff) = get(s"http://127.0.0.1:$port/pyroscope/render-diff" +
+        s"""?leftQuery=${enc("""cpu{svc="api"}""")}""" +
+        s"""&rightQuery=${enc("""cpu{svc="web"}""")}""")
+      assert(c7 == 200)
+      assert(diff.contains(""""format":"double""""))
+      assert(diff.contains(""""leftTicks":9""") &&
+        diff.contains(""""rightTicks":6"""))
+      // missing params are a typed 400, not a 500
+      val (c8, _) = get(s"http://127.0.0.1:$port/pyroscope/render-diff")
+      assert(c8 == 400)
     }
   }
 

@@ -73,6 +73,31 @@ class StreamsSpec extends SparkTestBase {
       (7L, at(0), 2L), (7L, at(181), 1L), (8L, at(2), 1L)))
   }
 
+  test("windowFunnel: chain deepens across micro-batches, strict order enforced") {
+    val input = MemoryStream[(Long, String, Long, Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "event_type", "ts_us", "event_time")
+    val query = Streams.windowFunnel(events, windowUs = 1000000L)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // user 1 completes the chain across two batches; user 2 purchases
+    // WITHOUT a click (level stays 1); user 3's click misses the window
+    input.addData(
+      (1L, "view", 100L, ts(0)), (1L, "click", 200L, ts(0)),
+      (2L, "view", 100L, ts(0)), (2L, "purchase", 300L, ts(0)),
+      (3L, "view", 100L, ts(0)))
+    query.processAllAvailable()
+    input.addData(
+      (1L, "purchase", 900L, ts(1)),
+      (3L, "click", 100L + 2000000L, ts(1)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("funnel")
+      .select("user_id", "funnel_level").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(rows == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1)),
+      s"got $rows")
+  }
+
   test("nearDupBandClaims: streaming MinHash dedup flags cross-batch near-dups") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "event_time")
