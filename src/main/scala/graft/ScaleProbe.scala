@@ -178,6 +178,15 @@ object ScaleProbe {
       time3("pipe_semdedup_scaled_k", tag) {
         semDedupScaledK(spark, dir, baseMaxVec).count()
       }
+      // round-8 late ops: the masking projection + template-keyed
+      // rollup (pattern mining), vocabulary-first pair counting (BPE),
+      // and broadcast-bounded band top-k (hard negatives) are all
+      // linear shapes — growth must track the corpus
+      for (q <- Seq("logql_pattern_mining", "pipe_bpe_pairs",
+          "pipe_hard_negatives"))
+        time3(q, tag) {
+          graft.SparkEntry.queries(q)(spark, dir).count()
+        }
     }
     spark.stop()
   }

@@ -80,11 +80,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     server.createContext("/loki/api/v1/series", handler(lokiSeries))
     server.createContext("/loki/api/v1/index/volume", handler(lokiVolume))
     server.createContext("/loki/api/v1/index/volume_range", handler(lokiVolumeRange))
-    // reference-faithful static responses (lokihandler.go:220-237:
-    // IndexStats serves empty stats, DrilldownLimits advertises the
-    // volume capability)
-    server.createContext("/loki/api/v1/index/stats",
-      handler(_ => """{"streams":0,"chunks":0,"entries":0,"bytes":0}"""))
+    // index stats: the reference serves empty stats
+    // (lokihandler.go:234-238); computed for real here (parity-plus)
+    server.createContext("/loki/api/v1/index/stats", handler(lokiIndexStats))
+    // reference-faithful static response (lokihandler.go:220-232:
+    // DrilldownLimits advertises the volume capability)
     server.createContext("/loki/api/v1/drilldown-limits",
       handler(_ => """{"limits":{"volume_enabled":true},"version":"v3.6.0"}"""))
     server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
@@ -117,10 +117,13 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     server.createContext("/api/echo", rawHandler(_ =>
       (200, "text/plain; charset=utf-8", "echo")))
     server.createContext("/api/v2/traces/", handler(tempoTraceByIdV2))
-    // reference-faithful stubs (lokihandler.go:599-616): Patterns
-    // serves an empty series set, Push is not implemented
-    server.createContext("/loki/api/v1/patterns",
-      handler(_ => """{"series":[]}"""))
+    // patterns: the reference stubs this to an empty series set
+    // (lokihandler.go:605-610); served for real here (parity-plus)
+    // by the PatternMine masking aggregation
+    server.createContext("/loki/api/v1/patterns", handler(lokiPatterns))
+    // the QUERY server declines push like the reference
+    // (lokihandler.go:611-616); the ingest listener (OtlpReceiver)
+    // accepts the same path for real — parity-plus lives there
     server.createContext("/loki/api/v1/push",
       handler(_ => notImplemented("push is not implemented")))
     server.createContext("/api/search/tags", handler(tempoTags))
@@ -311,6 +314,57 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val vals = graft.logql.Discovery.detectedFieldValues(src, field)
       .collect().map(r => jsonStr(r.getString(0)))
     s"""{"values":[${vals.mkString(",")}],"limit":${vals.length}}"""
+  }
+
+  /** Index statistics over the selector-matched window (Grafana uses
+    * this to size queries before running them). The reference serves
+    * zeros (lokihandler.go:234-238) — computed for real here
+    * (parity-plus): one aggregate pass; streams = distinct label sets,
+    * chunks = distinct (stream, day) — the daily-part proxy for the
+    * stored layout's chunk count.
+    */
+  private def lokiIndexStats(ex: HttpExchange): String = {
+    val src = lokiDiscoverySrc(ex)
+    val key = graft.logql.VectorMatching.streamKey(col("labels"))
+    val r = src
+      .select(key.as("__k"), expr("ts_ns div 86400000000000").as("__d"),
+        octet_length(col("body")).as("__b"))
+      .agg(countDistinct(col("__k")).as("streams"),
+        countDistinct(col("__k"), col("__d")).as("chunks"),
+        count(lit(1)).as("entries"),
+        coalesce(sum(col("__b")), lit(0L)).as("bytes"))
+      .head()
+    s"""{"streams":${r.getLong(0)},"chunks":${r.getLong(1)},""" +
+      s""""entries":${r.getLong(2)},"bytes":${r.getLong(3)}}"""
+  }
+
+  /** Detected log patterns (Loki patterns API; the reference serves an
+    * empty set, lokihandler.go:605-610 — parity-plus). Templates come
+    * from the PatternMine masking aggregation over the selector-matched
+    * window; series are capped at the top 100 patterns by volume so the
+    * envelope collect stays bounded whatever the corpus size.
+    */
+  private def lokiPatterns(ex: HttpExchange): String = {
+    val p = params(ex)
+    val src = lokiDiscoverySrc(ex)
+    val stepNs = p.get("step").filter(_.nonEmpty)
+      .map(s => (s.toDouble * 1e9).toLong).getOrElse(3600000000000L)
+    val series = graft.logql.PatternMine.mine(src, stepNs)
+      .groupBy(col("pattern"), col("level"))
+      .agg(sum(col("n")).as("total"),
+        sort_array(collect_list(struct(col("bucket_ns"), col("n"))))
+          .as("samples"))
+      .orderBy(col("total").desc, col("pattern"))
+      .limit(100)
+      .collect()
+      .map { r =>
+        val samples = r.getSeq[org.apache.spark.sql.Row](3)
+          .map(s => "[%.3f,%d".formatLocal(java.util.Locale.ROOT,
+            s.getLong(0) / 1e9, s.getLong(1)) + "]")
+        s"""{"pattern":${jsonStr(r.getString(0))},"level":${jsonStr(
+          r.getString(1))},"samples":[${samples.mkString(",")}]}"""
+      }
+    s"""{"series":[${series.mkString(",")}]}"""
   }
 
   /** Windowed + optionally selector-narrowed logs for the discovery

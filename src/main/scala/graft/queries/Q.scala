@@ -152,6 +152,7 @@ object Registry {
     QueriesPipeline3,
     QueriesPipeline4,
     QueriesPipeline5,
+    QueriesPipeline6,
     QueriesTemporal,
     QueriesPushdown
   )

@@ -220,8 +220,51 @@ object QueriesLogQLMore extends QueryPack {
       .orderBy("bucket_ns")
   }
 
+  /** Log PATTERN MINING — the `/loki/api/v1/patterns` surface the
+    * reference stubs empty (lokihandler.go:605-610; parity-plus).
+    * Bodies are synthesized from events with plain concat (identical
+    * on both engines), then masked and counted by
+    * [[graft.logql.PatternMine]]: variable tokens (numbers, hex ids,
+    * durations) collapse to `<_>` and each (pattern, level, day)
+    * bucket counts occurrences. One template-keyed shuffle; the
+    * masking is a codegen'd projection fused into the scan.
+    */
+  val patternMining: Q = {
+    val tmpl = graft.logql.PatternMine.oracleTemplate("body")
+    q(
+      "logql_pattern_mining",
+      s"""WITH lines AS (
+         |  SELECT epoch_ns(ts) - epoch_ns(ts) % $Step1dNs AS bucket_ns,
+         |    concat('level=', CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END,
+         |      ' user=', user_id, ' action=', event_type,
+         |      ' took=', CAST(floor(value * 100) AS BIGINT), 'ms',
+         |      ' trace=', md5(CAST(event_id AS VARCHAR))) AS body
+         |  FROM events)
+         |SELECT $tmpl AS pattern,
+         |  CASE WHEN regexp_matches(lower(body), '\\b(error|err|fatal|panic)\\b') THEN 'error'
+         |       WHEN regexp_matches(lower(body), '\\b(warn|warning)\\b') THEN 'warn'
+         |       WHEN regexp_matches(lower(body), '\\bdebug\\b') THEN 'debug'
+         |       WHEN regexp_matches(lower(body), '\\b(info|information)\\b') THEN 'info'
+         |       ELSE 'unknown' END AS level,
+         |  bucket_ns, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lines GROUP BY pattern, level, bucket_ns
+         |ORDER BY bucket_ns, pattern""".stripMargin
+    ) { td =>
+      val body = concat(
+        lit("level="),
+        when(col("event_type") === "error", "error").otherwise("info"),
+        lit(" user="), col("user_id"),
+        lit(" action="), col("event_type"),
+        lit(" took="), floor(col("value") * 100).cast("long"), lit("ms"),
+        lit(" trace="), md5(col("event_id").cast("string")))
+      val logs = td.events.select(col("ts").as("ts_ns"), body.as("body"))
+      graft.logql.PatternMine.mine(logs, Step1dNs)
+        .orderBy("bucket_ns", "pattern")
+    }
+  }
+
   override def queries: Seq[Q] = Seq(
     unpack, jsonPaths, lineFilterOr, firstLastOverTime,
-    rateCounter, sortDesc, offsetRange, vectorLiteral
+    rateCounter, sortDesc, offsetRange, vectorLiteral, patternMining
   )
 }

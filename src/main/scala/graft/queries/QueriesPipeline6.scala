@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Training-data pipeline operators, part 6: tokenizer-training pair
+  * counts (the BPE merge step), deterministic train/val/test splits,
+  * and hard-negative mining for contrastive embedding training.
+  *
+  * Scale notes (100 TB):
+  *   - BPE pair counting uses the classic word-frequency reduction:
+  *     identical words collapse to (word, count) FIRST, so the pair
+  *     explosion runs over the vocabulary (millions) instead of the
+  *     corpus (trillions of tokens). Two shuffles total — one
+  *     vocabulary rollup, one pair rollup — both map-side combined;
+  *     each BPE merge iteration repeats the second shuffle only.
+  *   - the split assignment is a pure hash projection (md5 of the
+  *     stable doc id), so membership is reproducible from the id alone
+  *     on any engine — no sampling state, no shuffle beyond the
+  *     audit's source rollup.
+  *   - hard negatives bound the pair space by the (tiny, broadcast)
+  *     query-set side, exactly like the cosine-top-k baseline: the
+  *     corpus is scanned once, the similarity band filter runs fused
+  *     in codegen before anything shuffles, and only band survivors
+  *     reach the per-query top-k rank.
+  */
+object QueriesPipeline6 extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  /** BPE MERGE STEP (tokenizer training, Sennrich et al. 2016): count
+    * adjacent symbol pairs across the corpus, weighted by word
+    * frequency — the argmax pair is the next merge rule. Iterating
+    * this op trains the tokenizer; one iteration is the oracle-gated
+    * unit. Top-20 pairs by count, (count, pair) total order.
+    */
+  val bpePairs: Q = q(
+    "pipe_bpe_pairs",
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS wn FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |pairs AS (
+      |  SELECT substring(w, CAST(i AS INT), 1) AS lsym,
+      |         substring(w, CAST(i AS INT) + 1, 1) AS rsym, wn
+      |  FROM (SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM words WHERE length(w) > 1))
+      |SELECT lsym, rsym, CAST(SUM(wn) AS BIGINT) AS n
+      |FROM pairs GROUP BY lsym, rsym
+      |ORDER BY n DESC, lsym, rsym LIMIT 20""".stripMargin
+  ) { td =>
+    val words = td.documents
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    words
+      .filter(length(col("w")) > 1)
+      .select(col("wn"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+      .agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("lsym"), col("rsym"))
+      .limit(20)
+  }
+
+  /** DETERMINISTIC DATASET SPLIT: train/val/test membership from a
+    * hash of the stable doc id (90/5/5) — reproducible anywhere,
+    * re-runnable incrementally (new docs hash into the same bands),
+    * and leakage-free by construction. The audit rolls up docs and
+    * chars per (source, split).
+    */
+  val datasetSplit: Q = q(
+    "pipe_dataset_split",
+    """SELECT source, split, CAST(COUNT(*) AS BIGINT) AS docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CASE WHEN h < 900000 THEN 'train'
+      |         WHEN h < 950000 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT source, n_chars,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |        % 1000000 AS h
+      |    FROM documents))
+      |GROUP BY source, split ORDER BY source, split""".stripMargin
+  ) { td =>
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    td.documents
+      .select(col("source"), col("n_chars"),
+        when(h < 900000L, "train").when(h < 950000L, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("source", "split")
+  }
+
+  /** HARD-NEGATIVE MINING (contrastive embedding training): for each
+    * query vector, the top-5 corpus vectors whose cosine lands in the
+    * "similar but not duplicate" band [0.25, 0.75] — the negatives
+    * that actually teach a retriever. Query set broadcasts; the band
+    * filter runs fused in the scan so only survivors reach the rank.
+    */
+  val hardNegatives: Q = q(
+    "pipe_hard_negatives",
+    """WITH qs AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 3),
+      |sims AS (
+      |  SELECT q.qid, e.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+      |  FROM embeddings e, qs q WHERE e.vec_id <> q.qid),
+      |band AS (SELECT * FROM sims WHERE sim BETWEEN 0.25 AND 0.75)
+      |SELECT qid, vec_id, sim FROM (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |  FROM band)
+      |WHERE rn <= 5 ORDER BY qid, sim DESC, vec_id""".stripMargin
+  ) { td =>
+    val emb = td.embeddings
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(
+          col("embedding"), col("qe")), 6).as("sim"))
+      .filter(col("sim") >= 0.25 && col("sim") <= 0.75)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
+
+  override def queries: Seq[Q] = Seq(bpePairs, datasetSplit, hardNegatives)
+}

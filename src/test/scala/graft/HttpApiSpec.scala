@@ -243,9 +243,14 @@ class HttpApiSpec extends SparkTestBase {
       assert(vr2.contains(""""metric":{"app":"api"},"values":[[86400,"2.0"]]"""))
       assert(vr2.contains(""""metric":{"app":"web"},"values":[[86400,"1.0"]]"""))
 
-      // reference-faithful static endpoints
+      // index stats computed for real (the reference serves zeros):
+      // 2 streams on one day, 3 entries, 25 body bytes
       val (c7, stats) = get(s"http://127.0.0.1:$port/loki/api/v1/index/stats")
-      assert(c7 == 200 && stats == """{"streams":0,"chunks":0,"entries":0,"bytes":0}""")
+      assert(c7 == 200 && stats == """{"streams":2,"chunks":2,"entries":3,"bytes":25}""")
+      // selector narrowing reaches the stats aggregate
+      val (c7b, stats2) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/index/stats?query=${enc("""{app="api"}""")}""")
+      assert(c7b == 200 && stats2 == """{"streams":1,"chunks":1,"entries":2,"bytes":13}""")
       val (c8, lim) = get(s"http://127.0.0.1:$port/loki/api/v1/drilldown-limits")
       assert(c8 == 200 && lim.contains(""""volume_enabled":true"""))
     }
@@ -487,15 +492,41 @@ class HttpApiSpec extends SparkTestBase {
       val (c2, echo) = get(s"http://127.0.0.1:$port/api/echo")
       assert(c2 == 200 && echo == "echo")
 
-      val (c3, pat) = get(s"http://127.0.0.1:$port/loki/api/v1/patterns")
-      assert(c3 == 200 && pat == """{"series":[]}""")
-
       val (c4, _) = post(s"http://127.0.0.1:$port/loki/api/v1/push", "{}")
       assert(c4 == 501)
 
       val (c5, _) = get(s"http://127.0.0.1:$port/api/v1/rules")
       assert(c5 == 501)
     }
+  }
+
+  test("loki patterns mines masked templates with levels and step samples") {
+    // the reference stubs this endpoint empty (lokihandler.go:605-610);
+    // we serve real templates from the PatternMine aggregation
+    val patLogs = Seq(
+      (DayNs + 1000L, "info: handled request id=123 in 45ms", Map("app" -> "api")),
+      (DayNs + 2000L, "info: handled request id=999 in 7ms", Map("app" -> "api")),
+      (DayNs + 3000L, "error connecting to 10.0.0.1:443", Map("app" -> "api")),
+      (DayNs + 4000L, "plain line", Map("app" -> "web"))
+    ).toDF("ts_ns", "body", "labels")
+    val api = new HttpApi(patLogs, pointsDf, spansDf)
+    val port = api.start()
+    try {
+      val (c, out) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/patterns?query=${enc("""{app="api"}""")}&step=60""")
+      assert(c == 200)
+      // numbers and durations masked; two identical templates fold to
+      // one series with count 2 in the shared 60s bucket
+      assert(out.contains(""""pattern":"info: handled request id=<_> in <_>""""))
+      assert(out.contains(""""level":"info""""))
+      // ip:port masked as one token; severity detected from the line
+      assert(out.contains(""""pattern":"error connecting to <_>""""))
+      assert(out.contains(""""level":"error""""))
+      // selector narrowed: the web stream's line is absent
+      assert(!out.contains("plain line"))
+      // count-2 sample rides the first day bucket
+      assert(out.contains(",2]"))
+    } finally api.stop()
   }
 
   test("loki query_range honors limit and direction=backward") {
