@@ -38,6 +38,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
   private val logIn = MemoryStream[Array[Byte]]
   private val metricIn = MemoryStream[Array[Byte]]
   private val promIn = MemoryStream[Array[Byte]]
+  private val lokiIn = MemoryStream[Array[Byte]]
 
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
@@ -69,6 +70,10 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
     val promFrames = promIn.toDF().withColumnRenamed("value", "payload")
     val promPoints = Streams.pointsFromPrompb(promFrames)
     val promExemplars = Streams.exemplarsFromPrompb(promFrames)
+    // Loki push JSON shares the log layout with OTLP logs (the
+    // reference declines this endpoint — lokihandler.go:611-616)
+    val lokiLogs = Streams.enrichLogs(Streams.logsFromLokiPush(
+      lokiIn.toDF().withColumnRenamed("value", "payload")))
     queries = Seq(
       Streams.spansSink(spans, s"$dataDir/spans", s"$dataDir/ckpt/spans",
         Trigger.ProcessingTime(0)),
@@ -79,12 +84,15 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
       Streams.pointsSink(promPoints, s"$dataDir/points",
         s"$dataDir/ckpt/prompoints", Trigger.ProcessingTime(0)),
       Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
-        s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)))
+        s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)),
+      Streams.logsSink(lokiLogs, s"$dataDir/logs",
+        s"$dataDir/ckpt/lokilogs", Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))
     server.createContext("/v1/logs", accept(logIn))
     server.createContext("/v1/metrics", accept(metricIn))
     server.createContext("/api/v1/write", accept(promIn, snappyBody = true))
+    server.createContext("/loki/api/v1/push", accept(lokiIn))
     server.start()
     server.getAddress.getPort
   }

@@ -102,6 +102,25 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("severity_text"), col("n"))
 
+  /** Streaming PATTERN MINING — the ingest-time half of the Loki
+    * patterns surface (the pattern ingester runs at ingest upstream;
+    * the reference stubs the endpoint, lokihandler.go:605-610). The
+    * same deterministic masking projection the batch
+    * [[graft.logql.PatternMine]] uses, as a watermarked windowed
+    * aggregation: state is (template-set × open windows) — bounded by
+    * the pattern vocabulary, not log volume — and update mode keeps
+    * per-window counts current while lines stream in.
+    */
+  def minePatterns(logs: DataFrame, step: String = "1 hour"): DataFrame =
+    logs
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(window(col("timestamp"), step),
+        graft.logql.PatternMine.template(col("body")).as("pattern"),
+        graft.logql.PatternMine.level(col("body")).as("level"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("pattern"), col("level"), col("n"))
+
   /** Streaming SESSIONIZATION: events collapse into per-user sessions
     * that close after `gap` of event-time inactivity — the streaming
     * twin of the batch `src_sessionize` operator (same gap semantics).
@@ -407,6 +426,43 @@ object Streams {
       .toDF()
       .withColumn("service_name",
         element_at(col("resource_attrs"), "service.name"))
+      .withColumn("timestamp", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Loki push JSON ingest (`POST /loki/api/v1/push`): promtail-shaped
+    * bodies — `{"streams":[{"stream":{labels},"values":[[ns-ts,line],
+    * …]}]}` — to rows the log layout stores. The reference returns
+    * NotImplemented here (lokihandler.go:611-616); accepting the
+    * format is parity-plus. Spark-first: the JSON parse runs
+    * DISTRIBUTED via `from_json` inside the micro-batch (no driver
+    * parser), one explode per stream and one per entry; a malformed
+    * body parses to null and drops, never poisoning the listener.
+    */
+  def logsFromLokiPush(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "streams ARRAY<STRUCT<stream: MAP<STRING,STRING>, " +
+        "values: ARRAY<ARRAY<STRING>>>>")
+    frames
+      .select(from_json(decode(col(payloadCol), "UTF-8"), schema).as("r"))
+      .select(explode(col("r.streams")).as("s"))
+      .select(col("s.stream").as("attrs"), explode(col("s.values")).as("v"))
+      .filter(size(col("v")) >= 2 && col("v")(0).cast("long").isNotNull)
+      .select(
+        col("v")(0).cast("long").as("ts_ns"),
+        col("v")(1).as("body"),
+        col("attrs"),
+        map().cast("map<string,string>").as("resource_attrs"),
+        coalesce(element_at(col("attrs"), "service_name"),
+          element_at(col("attrs"), "job")).as("service_name"),
+        // schema parity with the OTLP decode so both ingest paths
+        // append to ONE stored layout without drift
+        lit("").as("trace_id_hex"),
+        lit(null).cast("long").as("trace_id"),
+        lit(null).cast("long").as("span_id"),
+        lit(0).as("flags"),
+        lit("").as("scope_name"),
+        lit("").as("scope_version"))
       .withColumn("timestamp", timestamp_micros(expr("ts_ns div 1000")))
   }
 

@@ -326,6 +326,53 @@ class EndToEndSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("loki push: JSON streams -> /loki/api/v1/push -> layout -> LogQL") {
+    import graft.sources.OtlpReceiver
+    def post(url: String, body: String): Int = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(UTF_8)) finally os.close()
+      conn.getResponseCode
+    }
+
+    // promtail-shaped body: ns timestamps as strings, one stream per
+    // label set (the reference declines this endpoint; we ingest it)
+    val body =
+      s"""{"streams":[
+         |  {"stream":{"app":"push","job":"svc"},
+         |   "values":[["$T0","error: push-boom"],
+         |             ["${T0 + 1000000L}","status=ok"]]},
+         |  {"stream":{"app":"other","job":"svc"},
+         |   "values":[["${T0 + 2000000L}","fine"]]}
+         |]}""".stripMargin
+
+    val dir = Files.createTempDirectory("grafte2epush").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    try {
+      assert(post(s"http://127.0.0.1:$rport/loki/api/v1/push", body) == 200)
+      recv.flush()
+    } finally recv.stop()
+
+    val stored = spark.read.parquet(s"$dir/logs")
+    // severity deduced at ingest; service_name falls back to the job label
+    assert(stored.filter(col("body") === "error: push-boom")
+      .select("severity_text", "service_name").collect().map(r =>
+        (r.getString(0), r.getString(1))).toSeq == Seq(("ERROR", "svc")))
+
+    val logs = stored
+      .withColumn("labels", map(lit("app"), element_at(col("attrs"), "app")))
+      .select(col("ts_ns"), col("body"), col("labels"))
+    val out = graft.logql.Planner.query(
+      """{app="push"} |= "boom"""", logs)
+      .select("body").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("error: push-boom"))
+  }
+
   test("remote-write: snappy wire frame -> /api/v1/write -> PromQL range") {
     import graft.sources.{OtlpReceiver, Snappy}
 

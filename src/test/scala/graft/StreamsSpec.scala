@@ -48,6 +48,28 @@ class StreamsSpec extends SparkTestBase {
       (ts(0), "ERROR", 2L), (ts(0), "INFO", 1L), (ts(5), "ERROR", 1L)))
   }
 
+  test("minePatterns: masked templates accumulate across micro-batches") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val logs = input.toDF().toDF("timestamp", "body")
+    input.addData(
+      (ts(0), "info: handled id=12 in 4ms"),
+      (ts(1), "info: handled id=99 in 250ms"))
+    input.addData((ts(2), "error timeout from 10.2.3.4:443"))
+    val query = Streams.minePatterns(logs, step = "5 minutes")
+      .writeStream.format("memory").queryName("patterns")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("patterns")
+      .groupBy("window_start", "pattern", "level").agg(max("n").as("n"))
+      .orderBy("pattern")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("error timeout from <_>", "error", 1L),
+      ("info: handled id=<_> in <_>", "info", 2L)))
+  }
+
   test("sessionize: gap-separated events close into distinct sessions") {
     val input = MemoryStream[(Timestamp, Long)](spark)
     val events = input.toDF().toDF("timestamp", "user_id")
