@@ -222,4 +222,38 @@ class PlanSpec extends SparkTestBase {
     assert(line.isDefined, s"quantized-dot projection missing in:\n$f")
     assert(!f.contains("BatchEvalPython") && !f.contains("ScalaUDF"))
   }
+
+  test("pattern mining is one scan, one template-keyed rollup, no join") {
+    val p = planOf("logql_pattern_mining")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"expected single scan:\n$p")
+    assert(!p.contains("Join"), s"pattern mining must not join:\n$p")
+    // the masking regexp chain must fuse into codegen on the scan side
+    // (a UDF here would break whole-stage codegen over the corpus scan)
+    assert(!p.contains("ScalaUDF"))
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"template rollup must ride ONE hash exchange, got $hashEx:\n$p")
+  }
+
+  test("BPE pairs: vocabulary rollup before the pair explode, no join") {
+    val p = planOf("pipe_bpe_pairs")
+    assert(!p.contains("Join"), s"pair counting must not join:\n$p")
+    // two hash exchanges: word rollup, then pair rollup — the explode
+    // must sit BETWEEN them (over the vocabulary, not the corpus)
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2,
+      s"expected exactly word + pair exchanges, got $hashEx:\n$p")
+    assert(p.contains("Generate"), s"expected the pair explode:\n$p")
+  }
+
+  test("hard negatives broadcast the query set; band filter precedes the rank") {
+    val p = planOf("pipe_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x queries must never plan a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the join:\n$p")
+  }
 }
