@@ -117,6 +117,25 @@ object exprs {
       copy(child = newChild)
   }
 
+  /** nfc_normalize(s): Unicode canonical composition (NFC) — the text
+    * cleanup a multilingual training corpus needs before hashing or
+    * deduping (the same logical line differs byte-wise when one source
+    * emits decomposed sequences). Codegen'd with an isNormalized fast
+    * path, so already-clean text (the overwhelming case) costs one scan
+    * and no allocation.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc_normalize"
+    override protected def nullSafeEval(input: Any): Any =
+      JKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.JKernels.nfcNormalize($c)")
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   /** cosine_sim(a, b) over float/double arrays → double, computed in a
     * single fused pass (dot product + both norms) inside whole-stage
     * codegen — the hot kernel of the ANN operators, where the
@@ -253,6 +272,7 @@ object GraftFunctions {
   def ip_match(ip: Column, pattern: Column): Column = col(IpMatch(ex(ip), ex(pattern)))
   def logfmt_get(line: Column, key: Column): Column = col(LogfmtGet(ex(line), ex(key)))
   def decolorize(c: Column): Column = col(Decolorize(ex(c)))
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def xxh3_128(c: Column): Column = col(Xxh3_128(ex(c)))
   def json_flatten(c: Column): Column = col(JsonFlatten(ex(c)))
@@ -266,6 +286,7 @@ object GraftFunctions {
     "graft_ip_match" -> { args => IpMatch(args(0), args(1)) },
     "graft_logfmt_get" -> { args => LogfmtGet(args(0), args(1)) },
     "graft_decolorize" -> { args => Decolorize(args.head) },
+    "graft_nfc_normalize" -> { args => NfcNormalize(args.head) },
     "graft_cosine_sim" -> { args => CosineSim(args(0), args(1)) },
     "graft_xxh3_128" -> { args => Xxh3_128(args.head) },
     "graft_json_flatten" -> { args => JsonFlatten(args.head) },

@@ -29,6 +29,19 @@ object JKernels {
     if (line == null) null
     else UTF8String.fromString(Kernels.decolorize(line.toString))
 
+  /** Unicode NFC normalization (combining sequences compose to their
+    * canonical precomposed forms). The fast path skips the Normalizer
+    * when the JDK's quick-check says the string is already NFC — true
+    * for almost all real training text, so the common case is one scan.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def severityText(num: Int): UTF8String =
     UTF8String.fromString(Kernels.severityText(num))
 

@@ -140,5 +140,37 @@ object QueriesPipeline6 extends QueryPack {
       .orderBy(col("qid"), col("sim").desc, col("vec_id"))
   }
 
-  override def queries: Seq[Q] = Seq(bpePairs, datasetSplit, hardNegatives)
+  /** UNICODE NFC NORMALIZATION: canonical composition of combining
+    * sequences — the byte-level cleanup a multilingual corpus needs
+    * before any hash-keyed dedup (the same logical text differs
+    * byte-wise when a source emits decomposed forms, so digests and
+    * MinHash shingles silently miss duplicates). Runs as the native
+    * codegen expression [[graft.functions.GraftFunctions.nfc_normalize]]
+    * fused into the scan; DuckDB's nfc_normalize pins the semantics.
+    * The corpus is ASCII, so a decomposed suffix (" caf" + e +
+    * U+0301 combining acute) is appended on BOTH engines to make the
+    * normalization observable: NFC composes it to é, saving one byte.
+    */
+  val textNormalize: Q = q(
+    "pipe_text_normalize",
+    """SELECT doc_id,
+      |  md5(nfc_normalize(text || ' caf' || decode(from_hex('65CC81')))) AS digest,
+      |  CAST(strlen(text || ' caf' || decode(from_hex('65CC81')))
+      |    - strlen(nfc_normalize(text || ' caf' || decode(from_hex('65CC81')))) AS BIGINT)
+      |    AS bytes_saved
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+  ) { td =>
+    val deco = concat(col("text"), lit(" caf"),
+      decode(unhex(lit("65CC81")), "UTF-8"))
+    val normed = graft.functions.GraftFunctions.nfc_normalize(deco)
+    td.documents
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), md5(normed).as("digest"),
+        (octet_length(deco) - octet_length(normed)).cast("long")
+          .as("bytes_saved"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[Q] =
+    Seq(bpePairs, datasetSplit, hardNegatives, textNormalize)
 }

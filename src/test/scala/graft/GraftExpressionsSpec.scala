@@ -53,6 +53,19 @@ class GraftExpressionsSpec extends SparkTestBase {
       Seq("FATAL", "ERROR", "WARN", "UNKNOWN"))
   }
 
+  test("nfc_normalize composes combining sequences; clean text passes through") {
+    // "cafe" + combining acute (U+0301) composes to U+00E9; ASCII and
+    // already-composed text are untouched (the isNormalized fast path)
+    val df = Seq("café", "café", "plain ascii", null)
+      .toDF("s").select(nfc_normalize(col("s")).as("n"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("café"), Some("café"), Some("plain ascii"), None))
+    // SQL registration path
+    val viaSql = spark.sql(
+      "SELECT graft_nfc_normalize('é')").head().getString(0)
+    assert(viaSql == "é")
+  }
+
   test("cosine_sim matches the naive formula on float and double arrays") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),   // identical → 1
