@@ -114,6 +114,13 @@ object ScaleProbe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated probe-name substrings — at
+    // 100x the deliberately-quadratic SemDeDup fixed-k anti-pattern
+    // demo would dominate the run, so big-factor probes select the
+    // plans under study
+    val only = args.lift(3).map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    def want(n: String): Boolean = only.isEmpty || only.exists(n.contains)
     val spark = GraftSession
       .configure(SparkSession.builder().master("local[32]"), 32)
       .getOrCreate()
@@ -128,43 +135,51 @@ object ScaleProbe {
       // compare() explodes each matched span's 3-entry attr map: the
       // amplification is (span attrs)/span — measure it on the span
       // source (lineitem) rather than trusting the plan
-      val nSpans = td.lineitem.count()
-      println(s"PROBE compare $tag spans=$nSpans exploded=${nSpans * 3} " +
-        "amplification=3.0x (3 attrs/span)")
-      time3("traceql_metrics_compare", tag) {
-        graft.SparkEntry.queries("traceql_metrics_compare")(spark, dir).count()
+      if (want("traceql_metrics_compare")) {
+        val nSpans = td.lineitem.count()
+        println(s"PROBE compare $tag spans=$nSpans exploded=${nSpans * 3} " +
+          "amplification=3.0x (3 attrs/span)")
+        time3("traceql_metrics_compare", tag) {
+          graft.SparkEntry.queries("traceql_metrics_compare")(spark, dir).count()
+        }
       }
       // connected components: rounds must stay O(log n)
-      val edges = graft.queries.QueriesPipeline2.bandCandidates(td)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val (cc, rounds) =
-        graft.pipeline.Components.connectedComponentsWithRounds(edges)
-      println(s"PROBE cc $tag edges=${edges.count()} rounds=$rounds " +
-        s"nodes=${cc.count()}")
-      time3("pipe_dedup_clusters", tag) {
-        graft.SparkEntry.queries("pipe_dedup_clusters")(spark, dir).count()
+      if (want("pipe_dedup_clusters")) {
+        val edges = graft.queries.QueriesPipeline2.bandCandidates(td)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val (cc, rounds) =
+          graft.pipeline.Components.connectedComponentsWithRounds(edges)
+        println(s"PROBE cc $tag edges=${edges.count()} rounds=$rounds " +
+          s"nodes=${cc.count()}")
+        time3("pipe_dedup_clusters", tag) {
+          graft.SparkEntry.queries("pipe_dedup_clusters")(spark, dir).count()
+        }
       }
       // group_left: many-to-one join whose broadcast "one" side grows
       // with series cardinality — report its size alongside the timing
-      val users = td.events.select(col("user_id")).distinct().count()
-      println(s"PROBE group_left $tag users=$users")
-      time3("logql_e2e_group_left", tag) {
-        graft.SparkEntry.queries("logql_e2e_group_left")(spark, dir).count()
+      if (want("logql_e2e_group_left")) {
+        val users = td.events.select(col("user_id")).distinct().count()
+        println(s"PROBE group_left $tag users=$users")
+        time3("logql_e2e_group_left", tag) {
+          graft.SparkEntry.queries("logql_e2e_group_left")(spark, dir).count()
+        }
       }
       // decontamination: the broadcast benchmark-gram side grows with
       // the EVAL set (here 1/20 of docs), the corpus side only scans —
       // growth should track the doc count, never gram-pair products
-      time3("pipe_decontaminate", tag) {
-        graft.SparkEntry.queries("pipe_decontaminate")(spark, dir).count()
-      }
+      if (want("pipe_decontaminate"))
+        time3("pipe_decontaminate", tag) {
+          graft.SparkEntry.queries("pipe_decontaminate")(spark, dir).count()
+        }
       // as-of join: one (user, ts) window sort; growth tracks events
-      time3("src_asof_join", tag) {
-        graft.SparkEntry.queries("src_asof_join")(spark, dir).count()
-      }
+      if (want("src_asof_join"))
+        time3("src_asof_join", tag) {
+          graft.SparkEntry.queries("src_asof_join")(spark, dir).count()
+        }
       // new text-pipeline ops: gram/block shuffles and the chunk
       // explode are linear shapes — growth must track documents
       for (q <- Seq("pipe_substring_dup", "pipe_block_dedup",
-          "pipe_chunk_overlap"))
+          "pipe_chunk_overlap") if want(q))
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }
@@ -172,18 +187,20 @@ object ScaleProbe {
       // grow with the corpus (pair space ~quadratic per cluster — the
       // anti-pattern), vs k ∝ corpus where per-cluster size stays
       // constant and growth stays near-linear
-      time3("pipe_semdedup_fixed_k", tag) {
-        graft.SparkEntry.queries("pipe_semdedup")(spark, dir).count()
-      }
-      time3("pipe_semdedup_scaled_k", tag) {
-        semDedupScaledK(spark, dir, baseMaxVec).count()
-      }
+      if (want("pipe_semdedup_fixed_k"))
+        time3("pipe_semdedup_fixed_k", tag) {
+          graft.SparkEntry.queries("pipe_semdedup")(spark, dir).count()
+        }
+      if (want("pipe_semdedup_scaled_k"))
+        time3("pipe_semdedup_scaled_k", tag) {
+          semDedupScaledK(spark, dir, baseMaxVec).count()
+        }
       // round-8 late ops: the masking projection + template-keyed
       // rollup (pattern mining), vocabulary-first pair counting (BPE),
       // and broadcast-bounded band top-k (hard negatives) are all
       // linear shapes — growth must track the corpus
       for (q <- Seq("logql_pattern_mining", "pipe_bpe_pairs",
-          "pipe_hard_negatives"))
+          "pipe_hard_negatives") if want(q))
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }

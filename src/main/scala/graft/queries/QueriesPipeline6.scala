@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,71 @@ object QueriesPipeline6 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** IVF MULTI-PROBE ANN (nprobe = 3): the recall knob the recall@k
+    * measurement (`pipe_ann_recall`, 0.2–0.9 single-probe) motivates —
+    * the query probes its THREE nearest centroids' lists instead of
+    * one, trading 3× the probed fraction for the recall the
+    * single-probe variant leaves behind. The assignment pass is the
+    * same broadcast-centroid scan as `pipe_ann_ivf`; the probe-list
+    * filter is a 3-row broadcast semi-join, so the corpus still moves
+    * only through its stored inverted lists.
+    */
+  val annIvfMultiprobe: Q = q(
+    "pipe_ann_ivf_multiprobe",
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS sim
+      |  FROM embeddings e, cents c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM sims)
+      |  WHERE rn = 1),
+      |qcids AS (
+      |  SELECT cid FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rn
+      |    FROM sims WHERE vec_id = 0)
+      |  WHERE rn <= 3),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qe), 6) AS sim
+      |FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id, qv
+      |WHERE a.cid IN (SELECT cid FROM qcids)
+      |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin
+  ) { td =>
+    val emb = td.embeddings
+    def cos(x: Column, y: Column): Column =
+      round(graft.functions.GraftFunctions.cosine_sim(x, y), 6)
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        col("cid"), cos(col("embedding"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val qcids = emb.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cos(col("embedding"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("cid").as("qcid"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    assigned
+      .join(broadcast(qcids), col("cid") === col("qcid"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cos(col("embedding"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   override def queries: Seq[Q] =
-    Seq(bpePairs, datasetSplit, hardNegatives, textNormalize)
+    Seq(bpePairs, datasetSplit, hardNegatives, textNormalize,
+      annIvfMultiprobe)
 }
