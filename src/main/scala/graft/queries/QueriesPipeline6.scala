@@ -235,7 +235,26 @@ object QueriesPipeline6 extends QueryPack {
       .limit(5)
   }
 
+  /** BPE TRAINING (the full iterative loop `pipe_bpe_pairs` is one
+    * step of): 8 merge rules learned from the corpus — each iteration
+    * is one vocabulary-sized pair aggregation + a 1-row argmax + a
+    * narrow merge map ([[graft.pipeline.Bpe]]). No SQL oracle (an
+    * iterated argmax-and-rewrite is not one DuckDB query): the gate is
+    * rows-only and BpeSpec pins the semantics on the Sennrich corpus
+    * (merge order, counts, tie-break).
+    */
+  val bpeTrain: Q = Q(
+    "pipe_bpe_train",
+    (s: SparkSession, dir: String) => {
+      val merges = graft.pipeline.Bpe.train(Testdata(s, dir).documents, "text", 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
+        .toDF("rank", "lsym", "rsym", "n")
+    },
+    oracle = None)
+
   override def queries: Seq[Q] =
     Seq(bpePairs, datasetSplit, hardNegatives, textNormalize,
-      annIvfMultiprobe)
+      annIvfMultiprobe, bpeTrain)
 }
