@@ -47,10 +47,14 @@ object Bench {
             df.columns.toIndexedSeq.map(df.col): _*))).collect()
         ()
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // q.bench=false entries stay in the Verify gate but out of the
+    // timed loop (e.g. the iterative BPE trainer: K driver-coordinated
+    // jobs by design — its cost is K job floors, not engine speed)
+    val results = graft.queries.Registry.all.filter(_.bench)
+      .sortBy(_.name).map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -252,7 +252,11 @@ object QueriesPipeline6 extends QueryPack {
         .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
         .toDF("rank", "lsym", "rsym", "n")
     },
-    oracle = None)
+    oracle = None,
+    // 8 sequential (agg + argmax + map) iterations = 8 job floors by
+    // construction — a training loop, not a query; excluded from the
+    // headline timing set, still in the Verify gate
+    bench = false)
 
   override def queries: Seq[Q] =
     Seq(bpePairs, datasetSplit, hardNegatives, textNormalize,
