@@ -86,7 +86,14 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
       Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
         s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)),
       Streams.logsSink(lokiLogs, s"$dataDir/logs",
-        s"$dataDir/ckpt/lokilogs", Trigger.ProcessingTime(0)))
+        s"$dataDir/ckpt/lokilogs", Trigger.ProcessingTime(0)),
+      // the aggregate sidecar the *_over_time rollup pushdown reads —
+      // maintained at ingest, emitted once per finalized hour
+      Streams.rollupSink(
+        Streams.hourlyRollup(points.withColumn("timestamp",
+          timestamp_micros(col("ts_us")))),
+        s"$dataDir/rollup", s"$dataDir/ckpt/rollup",
+        Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))
     server.createContext("/v1/logs", accept(logIn))

@@ -121,6 +121,51 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("pattern"), col("level"), col("n"))
 
+  /** Ingest-time HOURLY ROLLUP maintenance — the streaming job the
+    * `*_over_time` rollup pushdown (`pushdown_overtime_rollup`,
+    * reference embedded-backend aggregate sidecar,
+    * docs/storage-integration.md:30-47) assumes exists. Lossless
+    * mergeable stats (count/sum/min/max) per (series, hour): any
+    * coarser window re-aggregates exactly from these rows, so instant
+    * queries over long ranges touch 24 rows/day/series instead of raw
+    * samples. Append mode + watermark means each hour emits EXACTLY
+    * once, when the watermark passes its close — the stored rollup is
+    * append-only parquet, no merge/upsert machinery at 100 TB.
+    */
+  def hourlyRollup(points: DataFrame): DataFrame =
+    points
+      .withWatermark("timestamp", "30 minutes")
+      .groupBy(window(col("timestamp"), "1 hour"), col("name"),
+        graft.logql.VectorMatching.streamKey(col("labels")).as("series_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .select(col("window.start").as("hour_start"), col("name"),
+        col("series_key"), col("n"), col("sum_v"), col("min_v"),
+        col("max_v"))
+
+  /** Rollup sink: finalized hour windows append to a date-partitioned
+    * parquet layout (same part-sizing discipline as the raw layouts).
+    */
+  def rollupSink(stream: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+          .repartition(col("date"))
+          .sortWithinPartitions(col("date"), col("name"), col("series_key"),
+            col("hour_start"))
+          .write.mode("append").partitionBy("date").parquet(path)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming SESSIONIZATION: events collapse into per-user sessions
     * that close after `gap` of event-time inactivity — the streaming
     * twin of the batch `src_sessionize` operator (same gap semantics).

@@ -48,6 +48,31 @@ class StreamsSpec extends SparkTestBase {
       (ts(0), "ERROR", 2L), (ts(0), "INFO", 1L), (ts(5), "ERROR", 1L)))
   }
 
+  test("hourlyRollup: a finalized hour emits exactly once, open hours stay held") {
+    val input = MemoryStream[(Timestamp, String, Map[String, String], Double)](spark)
+    val points = input.toDF().toDF("timestamp", "name", "labels", "value")
+    input.addData(
+      (ts(0), "cpu", Map("host" -> "a"), 1.0),
+      (ts(40), "cpu", Map("host" -> "a"), 5.0))
+    // an event 2h later pushes the watermark (30m lag) past hour 1's
+    // close, finalizing it; its own hour stays open
+    input.addData((Timestamp.valueOf("2024-01-01 12:10:00"), "cpu",
+      Map("host" -> "a"), 9.0))
+    val query = Streams.hourlyRollup(points)
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("rollup")
+      .select("hour_start", "name", "n", "sum_v", "min_v", "max_v")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // ONLY the closed 10:00 hour emitted — lossless mergeable stats
+    assert(rows.toSeq == Seq(
+      (ts(0), "cpu", 2L, 6.0, 1.0, 5.0)))
+  }
+
   test("minePatterns: masked templates accumulate across micro-batches") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val logs = input.toDF().toDF("timestamp", "body")
