@@ -103,4 +103,14 @@ object KernelsPropertySpec extends Properties("Kernels") {
           steps.forall(s => s >= ts && s < ts + range && s % step == 0) &&
           steps.forall(s => ts > s - range && ts <= s)
     }
+
+  property("pattern mask chain: no digit survives, for any printable input") =
+    Prop.forAll(Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)) { s =>
+      // same java.util.regex semantics Spark's regexp_replace codegen
+      // uses; the LAST mask alone ([0-9]+...) guarantees digit removal,
+      // whatever the earlier composite masks did to the string
+      val masked = graft.logql.PatternMine.Masks
+        .foldLeft(s)((x, m) => x.replaceAll(m, "<_>"))
+      !masked.exists(_.isDigit)
+    }
 }
