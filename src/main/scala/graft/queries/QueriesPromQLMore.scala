@@ -196,8 +196,77 @@ object QueriesPromQLMore extends QueryPack {
       .orderBy("path")
   }
 
+  /** ALERT-RULE STATE MACHINE — the reference serves `/api/v1/rules`
+    * as NotImplemented (promhandler.go:494-497); evaluating a rule is
+    * parity-plus. Prometheus semantics: a series is `pending` while
+    * its condition holds but for less than the `for` duration, and
+    * `firing` once the condition has held continuously for `for`
+    * (3 consecutive 6 h evaluations here); a step with no samples
+    * evaluates the condition FALSE, so the grid must be dense.
+    * Spark-first: densify via explode(sequence) × broadcast series,
+    * then ONE pass of frame-bounded window functions computes the run
+    * state — no per-step rescan, no driver loop.
+    */
+  val alertFiring: Q = {
+    val StepNs = 21600000000000L // 6h
+    q(
+      "promql_alert_firing",
+      s"""WITH counts AS (
+         |  SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % $StepNs AS b,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT unnest(generate_series(lo, hi, $StepNs)) AS b
+         |  FROM (SELECT min(b) AS lo, max(b) AS hi FROM counts)),
+         |series AS (SELECT DISTINCT event_type FROM counts),
+         |dense AS (
+         |  SELECT s.event_type, g.b, coalesce(c.n, 0) AS n
+         |  FROM series s CROSS JOIN grid g
+         |  LEFT JOIN counts c ON c.event_type = s.event_type AND c.b = g.b),
+         |st AS (
+         |  SELECT event_type, b, n,
+         |    CASE WHEN n > 18 THEN 1 ELSE 0 END AS active,
+         |    SUM(CASE WHEN n > 18 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY event_type ORDER BY b
+         |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS act3,
+         |    COUNT(*) OVER
+         |      (PARTITION BY event_type ORDER BY b
+         |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w
+         |  FROM dense)
+         |SELECT event_type, b AS bucket_ns, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN active = 1 AND act3 = 3 AND w = 3 THEN 'firing'
+         |       WHEN active = 1 THEN 'pending' ELSE 'inactive' END AS state
+         |FROM st ORDER BY event_type, bucket_ns""".stripMargin
+    ) { td =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = td.events
+        .withColumn("b", col("ts") - col("ts") % StepNs)
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      val grid = counts.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(StepNs))).as("b"))
+      val series = counts.select(col("event_type")).distinct()
+      val dense = grid.crossJoin(broadcast(series))
+        .join(counts, Seq("event_type", "b"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(-2, Window.currentRow)
+      val active = when(col("n") > 18, 1).otherwise(0)
+      dense
+        .withColumn("active", active)
+        .withColumn("act3", sum(col("active")).over(w))
+        .withColumn("w", count(lit(1)).over(w))
+        .select(col("event_type"), col("b").as("bucket_ns"), col("n"),
+          when(col("active") === 1 && col("act3") === 3 && col("w") === 3,
+            "firing")
+            .when(col("active") === 1, "pending")
+            .otherwise("inactive").as("state"))
+        .orderBy("event_type", "bucket_ns")
+    }
+  }
+
   override def queries: Seq[Q] = Seq(
     sumByRate, groupLeft, exemplars, expHistogramMerge,
-    profileSelector, flameTree, flameDiff
+    profileSelector, flameTree, flameDiff, alertFiring
   )
 }
