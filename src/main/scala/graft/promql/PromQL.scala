@@ -142,6 +142,23 @@ object PromQL {
       if (s.isEmpty) throw ParseError("expected identifier", i)
       i += s.length; s
     }
+    /** Metric-name token: like [[peekIdent]] but admits ':'
+      * (Prometheus metric grammar `[a-zA-Z_:][a-zA-Z0-9_:]*` — the
+      * colon namespace is reserved for recording rules). Label names
+      * keep the plain ident rule.
+      */
+    def peekMetricIdent: String = {
+      ws()
+      var j = i
+      while (j < input.length && (input.charAt(j).isLetterOrDigit ||
+        input.charAt(j) == '_' || input.charAt(j) == ':')) j += 1
+      input.substring(i, j)
+    }
+    def metricIdent(): String = {
+      val s = peekMetricIdent
+      if (s.isEmpty) throw ParseError("expected identifier", i)
+      i += s.length; s
+    }
     def str(): String = {
       expect("\"")
       val sb = new StringBuilder
@@ -277,7 +294,15 @@ object PromQL {
     } else if (p.peekCh.isDigit || p.peekCh == '.') ScalarLit(p.number())
     else if (p.peekCh == '{') // name-less {...}
       Instant(parseSelector(p), parseSelOffset(p))
-    else if (p.peekIdent.nonEmpty) {
+    else if (p.peekMetricIdent.contains(':')) {
+      // colon-bearing metric name ([a-zA-Z_:][a-zA-Z0-9_:]*) — the
+      // recording-rule namespace (`job:metric:rate5m`). Colons never
+      // appear in keywords/function names, so this is always a
+      // selector; checked FIRST or a keyword-prefixed name like
+      // `sum:x` would mis-dispatch into the aggregation branch.
+      val sel = Instant(parseSelector(p), parseSelOffset(p))
+      if (p.accept("@")) At(sel, atValue(p)) else sel
+    } else if (p.peekIdent.nonEmpty) {
       val name = p.peekIdent
       if (name.equalsIgnoreCase("Inf")) { p.ident(); ScalarLit(Double.PositiveInfinity) }
       else if (name.equalsIgnoreCase("NaN")) { p.ident(); ScalarLit(Double.NaN) }
@@ -430,7 +455,7 @@ object PromQL {
   private def parseSelector(p: P): Selector = {
     // name-less form `{__name__="m", ...}` — the metric name rides as a
     // matcher instead (resolved in selCol)
-    val name = { p.ws(); if (p.peekCh == '{') "" else p.ident() }
+    val name = { p.ws(); if (p.peekCh == '{') "" else p.metricIdent() }
     val ms = Seq.newBuilder[Matcher]
     if (p.accept("{")) {
       if (!p.accept("}")) {
