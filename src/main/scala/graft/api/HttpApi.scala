@@ -50,7 +50,8 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     profiles: Option[DataFrame] = None,
     exemplars: Option[DataFrame] = None,
     series: Option[DataFrame] = None,
-    limits: Limits.ResultLimits = Limits.ResultLimits()) {
+    limits: Limits.ResultLimits = Limits.ResultLimits(),
+    rules: Seq[graft.promql.Rules.RuleGroup] = Nil) {
 
   private var server: HttpServer = _
 
@@ -99,10 +100,14 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       server.createContext("/api/v1/query_exemplars", handler(promQueryExemplars))
     }
     server.createContext("/api/v1/metadata", handler(promMetadataHandler))
-    // reference-faithful stub (promhandler.go:494-497 GetRules →
-    // ErrNotImplemented)
-    server.createContext("/api/v1/rules",
-      handler(_ => notImplemented("rules are not implemented")))
+    // rules: faithful 501 when none are configured (promhandler.go:
+    // 494-497 GetRules → ErrNotImplemented); with configured groups,
+    // served for real — recording + alerting rules with live alert
+    // states from the Rules evaluator (parity-plus)
+    server.createContext("/api/v1/rules", handler { ex =>
+      if (rules.isEmpty) notImplemented("rules are not implemented")
+      else promRules(ex)
+    })
     server.createContext("/api/search", handler(tempoSearchHandler))
     // TraceQL metrics engine over HTTP — the reference serves
     // ErrNotImplemented here (tempohandler.go:88-120); we serve the
@@ -628,6 +633,47 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val src = series.getOrElse(points.select(col("name")))
     ApiEncoders.promMetadata(src, p.get("metric"),
       p.get("limit").map(_.toInt))
+  }
+
+  /** Configured rule groups with live evaluation (the reference 501s
+    * this endpoint): recording rules list their definition; alerting
+    * rules evaluate via [[graft.promql.Rules.alertStates]] and report
+    * the per-series state at the NEWEST grid evaluation, worst state
+    * first, active series capped at 100 per rule for the envelope.
+    */
+  private def promRules(ex: HttpExchange): String = {
+    val groups = rules.map { g =>
+      val rec = g.recording.map(r =>
+        s"""{"type":"recording","name":${jsonStr(r.record)},""" +
+          s""""query":${jsonStr(r.expr)},"health":"ok","labels":{}}""")
+      val al = g.alerting.map { a =>
+        val states = graft.promql.Rules.alertStates(points, a, g.intervalUs)
+        val newest = states.agg(max(col("bucket_us"))).head()
+        val current =
+          if (newest.isNullAt(0)) Array.empty[org.apache.spark.sql.Row]
+          else states
+            .filter(col("bucket_us") === newest.getLong(0) &&
+              col("state") =!= "inactive")
+            .limit(100).collect()
+        val worst =
+          if (current.exists(_.getString(2) == "firing")) "firing"
+          else if (current.nonEmpty) "pending" else "inactive"
+        val alerts = current.map { r =>
+          val lbls = r.getMap[String, String](1).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+            .mkString("{", ",", "}")
+          s"""{"labels":$lbls,"state":${jsonStr(r.getString(2))}}"""
+        }
+        s"""{"type":"alerting","name":${jsonStr(a.alert)},""" +
+          s""""query":${jsonStr(a.expr)},""" +
+          s""""duration":${a.forSteps * (g.intervalUs / 1000000)},""" +
+          s""""state":${jsonStr(worst)},"health":"ok",""" +
+          s""""alerts":[${alerts.mkString(",")}]}"""
+      }
+      s"""{"name":${jsonStr(g.name)},"interval":${g.intervalUs / 1000000},""" +
+        s""""rules":[${(rec ++ al).mkString(",")}]}"""
+    }
+    s"""{"status":"success","data":{"groups":[${groups.mkString(",")}]}}"""
   }
 
   /** /api/v1/query_exemplars: series matching ANY selector of the

@@ -58,4 +58,55 @@ object Rules {
   def recordGroup(points: DataFrame, rules: Seq[RecordingRule],
       stepUs: Option[Long] = None): DataFrame =
     rules.map(record(points, _, stepUs)).reduce(_ unionByName _)
+
+  final case class AlertingRule(
+      alert: String,
+      expr: String,
+      forSteps: Int)
+
+  /** A named rule group (one evaluation interval, Prometheus-style). */
+  final case class RuleGroup(
+      name: String,
+      intervalUs: Long,
+      recording: Seq[RecordingRule] = Nil,
+      alerting: Seq[AlertingRule] = Nil)
+
+  /** Per-series alert run states over the step grid (the semantics
+    * the `promql_alert_firing` oracle pins, generalized to ANY PromQL
+    * condition expression): a series is ACTIVE at an evaluation iff
+    * the expression returns it (Prometheus alert semantics — the expr
+    * IS the condition), `pending` while active for fewer than
+    * `forSteps` consecutive evaluations, `firing` from the
+    * `forSteps`-th on. Missing evaluations reset the run. One dense
+    * grid (explode × the result's own series set) + one frame-bounded
+    * window pass — no per-step rescan.
+    */
+  def alertStates(points: DataFrame, rule: AlertingRule,
+      stepUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = PromQL.range(rule.expr, points, Some(stepUs))
+      .select(col("bucket_us"), col("labels"),
+        graft.logql.VectorMatching.streamKey(col("labels")).as("__k"),
+        lit(1).as("active"))
+    val grid = res.agg(min(col("bucket_us")).as("lo"),
+        max(col("bucket_us")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(stepUs)))
+        .as("bucket_us"))
+    val series = res.select(col("__k"), col("labels"))
+      .dropDuplicates("__k")
+    val dense = grid.crossJoin(broadcast(series))
+      .join(res.select(col("bucket_us"), col("__k"), col("active")),
+        Seq("bucket_us", "__k"), "left")
+      .withColumn("active", coalesce(col("active"), lit(0)))
+    val w = Window.partitionBy(col("__k")).orderBy(col("bucket_us"))
+      .rowsBetween(-(rule.forSteps - 1), Window.currentRow)
+    dense
+      .withColumn("__run", sum(col("active")).over(w))
+      .withColumn("__w", count(lit(1)).over(w))
+      .select(col("bucket_us"), col("labels"),
+        when(col("active") === 1 && col("__run") === rule.forSteps &&
+            col("__w") === rule.forSteps, "firing")
+          .when(col("active") === 1, "pending")
+          .otherwise("inactive").as("state"))
+  }
 }

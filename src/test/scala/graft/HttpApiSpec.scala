@@ -500,6 +500,28 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("rules endpoint serves configured groups with live alert states") {
+    import graft.promql.Rules
+    // the un-configured server keeps the reference-faithful 501
+    // (covered in the parity-stubs test); configured groups serve
+    val groups = Seq(Rules.RuleGroup("g1", intervalUs = 60000000L,
+      recording = Seq(Rules.RecordingRule("host:cpu:sum", "sum by (host) (cpu)")),
+      alerting = Seq(Rules.AlertingRule("CpuActive", "cpu > 0", forSteps = 1))))
+    val api = new HttpApi(logsDf, pointsDf, spansDf, rules = groups)
+    val port = api.start()
+    try {
+      val (c, out) = get(s"http://127.0.0.1:$port/api/v1/rules")
+      assert(c == 200)
+      assert(out.contains(""""name":"g1"""") && out.contains(""""interval":60"""))
+      assert(out.contains(""""type":"recording"""") &&
+        out.contains(""""name":"host:cpu:sum""""))
+      // cpu > 0 with for=1 is firing wherever cpu reports
+      assert(out.contains(""""type":"alerting"""") &&
+        out.contains(""""state":"firing""""))
+      assert(out.contains(""""host":"a""""))
+    } finally api.stop()
+  }
+
   test("loki patterns mines masked templates with levels and step samples") {
     // the reference stubs this endpoint empty (lokihandler.go:605-610);
     // we serve real templates from the PatternMine aggregation

@@ -53,6 +53,22 @@ class RulesSpec extends SparkTestBase {
     assert(back == Map("api" -> 10.0, "web" -> 9.0))
   }
 
+  test("alertStates: pending until forSteps consecutive actives, then firing") {
+    // condition: http_requests_total > 5, evaluated hourly, for = 2
+    // api: 1, 7, 10  -> inactive-ish, pending@1h, firing@2h
+    // web: 2, 4, 9   -> pending only at 2h
+    val rule = Rules.AlertingRule("HighRequests",
+      "http_requests_total > 5", forSteps = 2)
+    val out = Rules.alertStates(pointsDf, rule, stepUs = H)
+      .collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1)("job"),
+        r.getString(2)))
+      .sortBy(t => (t._2, t._1))
+    assert(out.toSeq == Seq(
+      (1L * H, "api", "pending"), (2L * H, "api", "firing"),
+      (1L * H, "web", "inactive"), (2L * H, "web", "pending")))
+  }
+
   test("recordGroup unions independent rules over the shared scan") {
     val rules = Seq(
       RecordingRule("r:a", "sum by (job) (http_requests_total)"),
