@@ -82,30 +82,52 @@ object Rules {
     * window pass — no per-step rescan.
     */
   def alertStates(points: DataFrame, rule: AlertingRule,
-      stepUs: Long): DataFrame = {
+      stepUs: Long): DataFrame =
+    alertStatesFrom(
+      PromQL.range(rule.expr, points, Some(stepUs))
+        .select(col("bucket_us").as("__b"), col("labels")),
+      stepUs, rule.forSteps)
+      .withColumnRenamed("__b", "bucket_us")
+
+  /** LogQL twin (the Loki ruler shape): the condition is a LogQL
+    * metric expression evaluated through the real front-end; presence
+    * in the result = active, same run-state semantics.
+    */
+  def alertStatesLogQL(logs: DataFrame, expr: String, stepNs: Long,
+      forSteps: Int): DataFrame =
+    alertStatesFrom(
+      graft.logql.Planner.query(expr, logs, stepNs = Some(stepNs))
+        .select(col("bucket_ns").as("__b"), col("labels")),
+      stepNs, forSteps)
+      .withColumnRenamed("__b", "bucket_ns")
+
+  /** The engine-agnostic run-state core over a (bucket, labels)
+    * condition result: densify to the full grid per series, then one
+    * frame-bounded window pass.
+    */
+  private def alertStatesFrom(res0: DataFrame, stepUnits: Long,
+      forSteps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val res = PromQL.range(rule.expr, points, Some(stepUs))
-      .select(col("bucket_us"), col("labels"),
-        graft.logql.VectorMatching.streamKey(col("labels")).as("__k"),
-        lit(1).as("active"))
-    val grid = res.agg(min(col("bucket_us")).as("lo"),
-        max(col("bucket_us")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), lit(stepUs)))
-        .as("bucket_us"))
+    val res = res0.select(col("__b"), col("labels"),
+      graft.logql.VectorMatching.streamKey(col("labels")).as("__k"),
+      lit(1).as("active"))
+    val grid = res.agg(min(col("__b")).as("lo"), max(col("__b")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(stepUnits)))
+        .as("__b"))
     val series = res.select(col("__k"), col("labels"))
       .dropDuplicates("__k")
     val dense = grid.crossJoin(broadcast(series))
-      .join(res.select(col("bucket_us"), col("__k"), col("active")),
-        Seq("bucket_us", "__k"), "left")
+      .join(res.select(col("__b"), col("__k"), col("active")),
+        Seq("__b", "__k"), "left")
       .withColumn("active", coalesce(col("active"), lit(0)))
-    val w = Window.partitionBy(col("__k")).orderBy(col("bucket_us"))
-      .rowsBetween(-(rule.forSteps - 1), Window.currentRow)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(-(forSteps - 1), Window.currentRow)
     dense
       .withColumn("__run", sum(col("active")).over(w))
       .withColumn("__w", count(lit(1)).over(w))
-      .select(col("bucket_us"), col("labels"),
-        when(col("active") === 1 && col("__run") === rule.forSteps &&
-            col("__w") === rule.forSteps, "firing")
+      .select(col("__b"), col("labels"),
+        when(col("active") === 1 && col("__run") === forSteps &&
+            col("__w") === forSteps, "firing")
           .when(col("active") === 1, "pending")
           .otherwise("inactive").as("state"))
   }

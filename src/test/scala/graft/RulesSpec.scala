@@ -69,6 +69,24 @@ class RulesSpec extends SparkTestBase {
       (1L * H, "web", "inactive"), (2L * H, "web", "pending")))
   }
 
+  test("alertStatesLogQL: the Loki-ruler shape over a LogQL condition") {
+    val HNs = 3600000000000L
+    val MNs = 60000000000L
+    // ceil-aligned (t-1h, t] windows: 3 lines inside each of the first
+    // two hours — condition > 2 active at steps 1h and 2h; for = 2 →
+    // pending@1h, firing@2h
+    val logs = Seq(10 * MNs, 20 * MNs, 30 * MNs,
+      HNs + 10 * MNs, HNs + 20 * MNs, HNs + 30 * MNs)
+      .map(ts => (ts, "req ok", Map("app" -> "api")))
+      .toDF("ts_ns", "body", "labels")
+    val out = Rules.alertStatesLogQL(logs,
+      """count_over_time({app="api"}[1h]) > 2""", HNs, forSteps = 2)
+      .collect()
+      .map(r => (r.getLong(0) / HNs, r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "pending"), (2L, "firing")))
+  }
+
   test("recordGroup unions independent rules over the shared scan") {
     val rules = Seq(
       RecordingRule("r:a", "sum by (job) (http_requests_total)"),
