@@ -256,6 +256,10 @@ object OtlpProto {
   private def attrMap(rs: Seq[Reader]): Map[String, String] =
     rs.map(keyValue).toMap
 
+  /** Package seam for sibling decoders (profiles). */
+  private[sources] def attrMapOf(rs: Seq[Reader]): Map[String, String] =
+    attrMap(rs)
+
   /** Decodes one ExportTraceServiceRequest payload into span rows. */
   def decodeSpans(payload: Array[Byte]): Seq[OtlpSpan] = {
     val out = Seq.newBuilder[OtlpSpan]

@@ -39,6 +39,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
   private val metricIn = MemoryStream[Array[Byte]]
   private val promIn = MemoryStream[Array[Byte]]
   private val lokiIn = MemoryStream[Array[Byte]]
+  private val profileIn = MemoryStream[Array[Byte]]
 
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
@@ -93,6 +94,13 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
         Streams.hourlyRollup(points.withColumn("timestamp",
           timestamp_micros(col("ts_us")))),
         s"$dataDir/rollup", s"$dataDir/ckpt/rollup",
+        Trigger.ProcessingTime(0)),
+      // the fourth signal: pprof-shaped stack samples for the
+      // flame-tree engine (reference oteldbexporter.go:53-80)
+      Streams.profilesSink(
+        Streams.profilesFromOtlp(
+          profileIn.toDF().withColumnRenamed("value", "payload")),
+        s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
         Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))
@@ -100,6 +108,10 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
     server.createContext("/v1/metrics", accept(metricIn))
     server.createContext("/api/v1/write", accept(promIn, snappyBody = true))
     server.createContext("/loki/api/v1/push", accept(lokiIn))
+    // OTLP/HTTP profiles: the development-signal path plus the plain
+    // /v1/ alias local producers use
+    server.createContext("/v1development/profiles", accept(profileIn))
+    server.createContext("/v1/profiles", accept(profileIn))
     server.start()
     server.getAddress.getPort
   }

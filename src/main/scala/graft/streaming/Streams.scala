@@ -474,6 +474,41 @@ object Streams {
       .withColumn("timestamp", timestamp_micros(expr("ts_ns div 1000")))
   }
 
+  /** OTLP profiles ingest: raw ExportProfilesServiceRequest payloads →
+    * stack-sample rows for the flame-tree engine (the reference routes
+    * this signal to its embedded storage sink,
+    * oteldbexporter.go:53-80). Distributed decode via
+    * [[graft.sources.OtlpProfiles]], same seam as the other signals.
+    */
+  def profilesFromOtlp(frames: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    frames.select(col(payloadCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(graft.sources.OtlpProfiles.decodeProfiles))
+      .toDF()
+  }
+
+  /** Profiles sink: date-partitioned append, sorted by (name, ts) —
+    * the render path scans one series over a window.
+    */
+  def profilesSink(stream: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("date",
+            date_format(timestamp_micros(col("ts_us")), "yyyyMMdd"))
+          .repartition(col("date"))
+          .sortWithinPartitions(col("date"), col("name"), col("ts_us"))
+          .write.mode("append").partitionBy("date").parquet(path)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Loki push JSON ingest (`POST /loki/api/v1/push`): promtail-shaped
     * bodies — `{"streams":[{"stream":{labels},"values":[[ns-ts,line],
     * …]}]}` — to rows the log layout stores. The reference returns

@@ -326,6 +326,86 @@ class EndToEndSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("profiles: pprof wire -> /v1development/profiles -> layout -> render") {
+    import graft.sources.OtlpReceiver
+    def postBytes(url: String, body: Array[Byte]): Int = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      conn.getResponseCode
+    }
+    def get(url: String): (Int, String) = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val b = new String(is.readAllBytes(), "UTF-8")
+      is.close()
+      (code, b)
+    }
+
+    // string table: pprof index 0 is ""; functions/locations 1:1
+    val strs = Seq("", "cpu", "main", "handler", "parse", "svc", "api")
+    def vt(typeIdx: Int): W = new W().vint(1, typeIdx.toLong) // ValueType
+    def fn(id: Int, nameIdx: Int): W = new W().vint(1, id.toLong).vint(2, nameIdx.toLong)
+    def loc(id: Int, fnId: Int): W =
+      new W().vint(1, id.toLong).msg(4, new W().vint(1, fnId.toLong))
+    // samples: leaf-first location ids (pprof convention)
+    val sample1 = new W().vint(1, 3L).vint(1, 2L).vint(1, 1L).vint(2, 5L)
+      .msg(3, new W().vint(1, 5L).vint(2, 6L)) // svc=api sample label
+    val sample2 = new W().vint(1, 2L).vint(1, 1L).vint(2, 3L)
+      .msg(3, new W().vint(1, 5L).vint(2, 6L))
+    val profile = {
+      val w = new W()
+        .msg(1, vt(1))          // sample_type = cpu
+        .msg(2, sample1).msg(2, sample2)
+        .msg(4, loc(1, 1)).msg(4, loc(2, 2)).msg(4, loc(3, 3))
+        .msg(5, fn(1, 2)).msg(5, fn(2, 3)).msg(5, fn(3, 4))
+      strs.foreach(s => w.str(6, s))
+      w.vint(9, T0)             // time_nanos
+      w
+    }
+    val payload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(2, profile))).out.toByteArray
+
+    val dir = Files.createTempDirectory("grafte2eprof").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    try {
+      assert(postBytes(
+        s"http://127.0.0.1:$rport/v1development/profiles", payload) == 200)
+      recv.flush()
+    } finally recv.stop()
+
+    val stored = spark.read.parquet(s"$dir/profiles")
+    val rows = stored.orderBy(col("value").desc)
+      .select("name", "stack", "value").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getLong(2)))
+    // leaf-first wire stacks arrive root-first in the layout
+    assert(rows.toSeq == Seq(
+      ("cpu", Seq("main", "handler", "parse"), 5L),
+      ("cpu", Seq("main", "handler"), 3L)))
+
+    // flame render over the streamed layout
+    val profs = stored.select("ts_us", "name", "labels", "stack", "value")
+    val api = new HttpApi(spark.emptyDataFrame, spark.emptyDataFrame,
+      spark.emptyDataFrame, profiles = Some(profs))
+    val port = api.start()
+    try {
+      val (c, fb) = get(
+        s"""http://127.0.0.1:$port/pyroscope/render?query=${java.net.URLEncoder
+          .encode("""cpu{svc="api"}""", "UTF-8")}""")
+      assert(c == 200)
+      assert(fb.contains(""""names":["total","main","handler","parse"]"""))
+      assert(fb.contains(""""numTicks":8"""))
+    } finally api.stop()
+  }
+
   test("loki push: JSON streams -> /loki/api/v1/push -> layout -> LogQL") {
     import graft.sources.OtlpReceiver
     def post(url: String, body: String): Int = {
