@@ -40,6 +40,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
   private val promIn = MemoryStream[Array[Byte]]
   private val lokiIn = MemoryStream[Array[Byte]]
   private val profileIn = MemoryStream[Array[Byte]]
+  private val pyroIn = MemoryStream[(String, Long, Array[Byte])]
 
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
@@ -101,6 +102,14 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
         Streams.profilesFromOtlp(
           profileIn.toDF().withColumnRenamed("value", "payload")),
         s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
+        Trigger.ProcessingTime(0)),
+      // Pyroscope agent push (collapsed format) shares the profile
+      // layout — the reference declines this endpoint
+      // (profilehandler.go:78-82)
+      Streams.profilesSink(
+        Streams.profilesFromCollapsed(
+          pyroIn.toDF().toDF("app", "ts_us", "payload")),
+        s"$dataDir/profiles", s"$dataDir/ckpt/pyroprofiles",
         Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))
@@ -112,6 +121,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
     // /v1/ alias local producers use
     server.createContext("/v1development/profiles", accept(profileIn))
     server.createContext("/v1/profiles", accept(profileIn))
+    server.createContext("/pyroscope/ingest", acceptPyro())
     server.start()
     server.getAddress.getPort
   }
@@ -152,6 +162,41 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
       val os = ex.getResponseBody
       try os.write(body) finally os.close()
     } else ex.getResponseBody.close()
+  }
+
+  /** Pyroscope agent push: `?name=app{k=v}&from=<unix-sec>` with a
+    * collapsed-format body. Enqueues (app, ts_us, body); decode and
+    * the layout append run in the micro-batch like every other signal.
+    */
+  private def acceptPyro(): com.sun.net.httpserver.HttpHandler = {
+    (ex: HttpExchange) =>
+      val (code, body): (Int, Array[Byte]) =
+        try {
+          if (ex.getRequestMethod != "POST") (405, errJson("POST only"))
+          else {
+            val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            val params = q.split("&").iterator.filter(_.contains("="))
+              .map { kv =>
+                val i = kv.indexOf('=')
+                java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+                  java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+              }.toMap
+            val name = params.getOrElse("name",
+              throw new IllegalArgumentException("missing name"))
+            val fromSec = params.get("from").flatMap(_.toLongOption)
+              .getOrElse(throw new IllegalArgumentException(
+                "missing or bad from"))
+            pyroIn.addData((name, fromSec * 1000000L,
+              ex.getRequestBody.readAllBytes()))
+            (200, Array.emptyByteArray)
+          }
+        } catch { case e: Throwable => (400, errJson(e.getMessage)) }
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) {
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      } else ex.getResponseBody.close()
   }
 
   private def errJson(msg: String): Array[Byte] =

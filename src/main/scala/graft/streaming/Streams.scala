@@ -509,6 +509,37 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Pyroscope PUSH ingest (collapsed/folded format — the classic
+    * agent wire: one `root;child;leaf value` line per stack). The
+    * reference declines this endpoint (profilehandler.go:78-82);
+    * accepting it is parity-plus. Frames carry (app, ts_us, body):
+    * the app name parses Pyroscope-style `name{k=v,...}` into series
+    * name + labels; lines split distributed, stacks are already
+    * root-first.
+    */
+  def profilesFromCollapsed(frames: DataFrame): DataFrame = {
+    val appName = regexp_extract(col("app"), "^([^{]+)", 1)
+    val labelBlob = regexp_extract(col("app"), "\\{(.*)\\}", 1)
+    // struct() inside a HOF lambda names its fields col1/col2 —
+    // aliases don't survive, so address them positionally
+    val labels = map_from_entries(filter(
+      transform(split(labelBlob, ","),
+        kv => struct(
+          regexp_extract(kv, "^([^=]*)=", 1),
+          regexp_replace(regexp_extract(kv, "=(.*)$", 1), "\"", ""))),
+      kv => kv.getField("col1") =!= ""))
+    frames
+      .select(appName.as("name"), labels.as("labels"), col("ts_us"),
+        explode(split(decode(col("payload"), "UTF-8"), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("ts_us"), col("name"), col("labels"),
+        split(regexp_extract(col("line"), "^(.*) ([0-9]+)\\s*$", 1), ";")
+          .as("stack"),
+        regexp_extract(col("line"), " ([0-9]+)\\s*$", 1).cast("long")
+          .as("value"))
+      .filter(col("value").isNotNull && size(col("stack")) > 0)
+  }
+
   /** Loki push JSON ingest (`POST /loki/api/v1/push`): promtail-shaped
     * bodies — `{"streams":[{"stream":{labels},"values":[[ns-ts,line],
     * …]}]}` — to rows the log layout stores. The reference returns

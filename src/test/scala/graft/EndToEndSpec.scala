@@ -406,6 +406,43 @@ class EndToEndSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("pyroscope push: collapsed format -> /pyroscope/ingest -> layout") {
+    import graft.sources.OtlpReceiver
+    def post(url: String, body: String): Int = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(UTF_8)) finally os.close()
+      conn.getResponseCode
+    }
+    val dir = Files.createTempDirectory("grafte2epyro").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    try {
+      val name = java.net.URLEncoder.encode("""myapp.cpu{env="prod"}""", "UTF-8")
+      val code = post(
+        s"http://127.0.0.1:$rport/pyroscope/ingest?name=$name&from=1704103200",
+        "main;handler;parse 5\nmain;handler 3\n")
+      assert(code == 200)
+      // missing name is a typed 400 at the edge
+      assert(post(s"http://127.0.0.1:$rport/pyroscope/ingest?from=1", "x 1") == 400)
+      recv.flush()
+    } finally recv.stop()
+
+    val rows = spark.read.parquet(s"$dir/profiles")
+      .orderBy(col("value").desc)
+      .collect()
+      .map(r => (r.getAs[String]("name"),
+        r.getAs[scala.collection.Map[String, String]]("labels").get("env"),
+        r.getAs[scala.collection.Seq[String]]("stack").toSeq,
+        r.getAs[Long]("value")))
+    assert(rows.toSeq == Seq(
+      ("myapp.cpu", Some("prod"), Seq("main", "handler", "parse"), 5L),
+      ("myapp.cpu", Some("prod"), Seq("main", "handler"), 3L)))
+  }
+
   test("loki push: JSON streams -> /loki/api/v1/push -> layout -> LogQL") {
     import graft.sources.OtlpReceiver
     def post(url: String, body: String): Int = {
