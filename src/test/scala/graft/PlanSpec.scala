@@ -247,6 +247,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), s"expected the pair explode:\n$p")
   }
 
+  test("alert state machine: broadcast densify, one window pass, no sort-merge") {
+    val p = planOf("promql_alert_firing")
+    // grid × series densify must broadcast the tiny series side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"series set must broadcast into the grid:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here warrants a shuffle join:\n$p")
+    assert(p.contains("Window"), s"expected the run-state window:\n$p")
+  }
+
   test("hard negatives broadcast the query set; band filter precedes the rank") {
     val p = planOf("pipe_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
