@@ -551,10 +551,29 @@ object Streams {
     */
   def logsFromLokiPush(frames: DataFrame,
       payloadCol: String = "payload"): DataFrame = {
+    val ss = frames.sparkSession
+    import ss.implicits._
+    val payloads = frames.select(col(payloadCol)).as[Array[Byte]]
+    // JSON bodies start with '{'; anything else is promtail's DEFAULT
+    // encoding — snappy-block-compressed logproto.PushRequest (no
+    // Content-Encoding header on the wire, so the micro-batch undoes
+    // it; an uncompressed proto frame falls through the try)
+    val protoRows = payloads
+      .filter((b: Array[Byte]) => b.nonEmpty && b(0) != '{'.toByte)
+      .mapPartitions(_.flatMap { b =>
+        val raw =
+          try graft.sources.Snappy.decode(b)
+          catch { case _: Exception => b }
+        graft.sources.LokiPush.decodePush(raw)
+      })
+      .toDF()
+      .select(col("ts_ns"), col("body"), col("attrs"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "streams ARRAY<STRUCT<stream: MAP<STRING,STRING>, " +
         "values: ARRAY<ARRAY<STRING>>>>")
-    frames
+    val jsonRows = payloads
+      .filter((b: Array[Byte]) => b.nonEmpty && b(0) == '{'.toByte)
+      .toDF(payloadCol)
       .select(from_json(decode(col(payloadCol), "UTF-8"), schema).as("r"))
       .select(explode(col("r.streams")).as("s"))
       .select(col("s.stream").as("attrs"), explode(col("s.values")).as("v"))
@@ -562,6 +581,11 @@ object Streams {
       .select(
         col("v")(0).cast("long").as("ts_ns"),
         col("v")(1).as("body"),
+        col("attrs"))
+    jsonRows.unionByName(protoRows)
+      .select(
+        col("ts_ns"),
+        col("body"),
         col("attrs"),
         map().cast("map<string,string>").as("resource_attrs"),
         coalesce(element_at(col("attrs"), "service_name"),

@@ -467,11 +467,30 @@ class EndToEndSpec extends SparkTestBase {
          |   "values":[["${T0 + 2000000L}","fine"]]}
          |]}""".stripMargin
 
+    // promtail's DEFAULT encoding: snappy-compressed logproto
+    // PushRequest (labels string + Timestamp entries), no
+    // Content-Encoding header on the wire
+    val protoReq = new W().msg(1, new W()
+      .str(1, """{app="pushproto", job="svc"}""")
+      .msg(2, new W()
+        .msg(1, new W().vint(1, T0 / 1000000000L).vint(2, 500L))
+        .str(2, "proto line ok"))).out.toByteArray
+
     val dir = Files.createTempDirectory("grafte2epush").toString
     val recv = new OtlpReceiver(spark, dir)
     val rport = recv.start()
     try {
       assert(post(s"http://127.0.0.1:$rport/loki/api/v1/push", body) == 200)
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:$rport/loki/api/v1/push").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      val os = conn.getOutputStream
+      try os.write(graft.sources.Snappy.encodeLiteral(protoReq))
+      finally os.close()
+      assert(conn.getResponseCode == 200)
       recv.flush()
     } finally recv.stop()
 
@@ -480,6 +499,11 @@ class EndToEndSpec extends SparkTestBase {
     assert(stored.filter(col("body") === "error: push-boom")
       .select("severity_text", "service_name").collect().map(r =>
         (r.getString(0), r.getString(1))).toSeq == Seq(("ERROR", "svc")))
+    // the snappy-proto frame landed with its parsed labels + exact ts
+    assert(stored.filter(col("body") === "proto line ok")
+      .select(col("ts_ns"), element_at(col("attrs"), "app"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((T0 + 500L, "pushproto")))
 
     val logs = stored
       .withColumn("labels", map(lit("app"), element_at(col("attrs"), "app")))
