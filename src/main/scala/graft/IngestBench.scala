@@ -118,6 +118,44 @@ object IngestBench {
       best = math.min(best, dt)
     }
     println(f"""{"metric":"ingest_points_per_sec","value":${totalPoints / best}%.0f,"points":$totalPoints,"baseline":144300}""")
+
+    // Loki push (promtail-default snappy logproto) — same shape: frames
+    // generated on executors, decode + enrich + sorted layout timed
+    val linesPerStream = 50
+    val streamsPerFrame = 10
+    val totalLines = nFrames.toLong * streamsPerFrame * linesPerStream
+    def pushFrame(id: Long): Array[Byte] = {
+      val w = new PW()
+      var s = 0
+      while (s < streamsPerFrame) {
+        val st = new PW().str(1, s"""{app="bench", shard="${id % 64}", s="$s"}""")
+        var i = 0
+        while (i < linesPerStream) {
+          st.msg(2, new PW()
+            .msg(1, new PW().vint(1, 1704103200L + i).vint(2, id % 1000))
+            .str(2, s"level=info msg=bench line=$i frame=$id"))
+          i += 1
+        }
+        w.msg(1, st)
+        s += 1
+      }
+      graft.sources.Snappy.encodeLiteral(w.out.toByteArray)
+    }
+    val pushWire = spark.range(0, nFrames.toLong, 1, 32)
+      .map(i => pushFrame(i)).persist()
+    pushWire.count()
+    val logsOut = java.nio.file.Files.createTempDirectory("ingestbenchlogs").toString
+    var bestLogs = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      val dt = time("lokipush decode+layout") {
+        val logs = graft.streaming.Streams.enrichLogs(
+          graft.streaming.Streams.logsFromLokiPush(pushWire.toDF("payload")))
+        graft.sources.Layout.writeLogs(logs, logsOut)
+        totalLines
+      }
+      bestLogs = math.min(bestLogs, dt)
+    }
+    println(f"""{"metric":"ingest_lines_per_sec","value":${totalLines / bestLogs}%.0f,"lines":$totalLines}""")
     spark.stop()
   }
 }
