@@ -529,13 +529,21 @@ object Parser {
       val q = parseLogQuery(p)
       p.expectOp("[")
       val range = p.next() match {
-        case TDur(raw, _) => (Kernels.parseDurationSeconds(raw).get * 1e9).toLong
-        case t            => throw ParseError("expected range duration", t.pos)
+        // a TDur token may carry a BYTES-only literal (the lexer keeps
+        // both; context disambiguates) — a typed error, never a .get
+        case TDur(raw, pos) => Kernels.parseDurationSeconds(raw) match {
+          case Some(sec) => (sec * 1e9).toLong
+          case None => throw ParseError(s"expected range duration, got '$raw'", pos)
+        }
+        case t => throw ParseError("expected range duration", t.pos)
       }
       p.expectOp("]")
       val offset = if (p.acceptIdent("offset")) p.next() match {
-        case TDur(raw, _) => (Kernels.parseDurationSeconds(raw).get * 1e9).toLong
-        case t            => throw ParseError("expected offset duration", t.pos)
+        case TDur(raw, pos) => Kernels.parseDurationSeconds(raw) match {
+          case Some(sec) => (sec * 1e9).toLong
+          case None => throw ParseError(s"expected offset duration, got '$raw'", pos)
+        }
+        case t => throw ParseError("expected offset duration", t.pos)
       } else 0L
       p.expectOp(")")
       // trailing grouping: avg_over_time(...) by (method)

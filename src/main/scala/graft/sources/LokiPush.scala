@@ -26,7 +26,7 @@ object LokiPush {
   /** `{a="b", c="d\"e"}` → Map(a -> b, c -> d"e). Malformed input
     * raises — the micro-batch drops the frame, the listener survives.
     */
-  private[sources] def parseLabels(s: String): Map[String, String] = {
+  private[graft] def parseLabels(s: String): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1

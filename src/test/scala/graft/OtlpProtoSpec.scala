@@ -364,4 +364,17 @@ class OtlpProtoSpec extends SparkTestBase {
     assert(h.getString(1) == "latency" && h.getDouble(4) == 7.0)
     assert(h.getMap[String, String](3).isEmpty)
   }
+
+  test("LokiPush.parseLabels: exact-match selector form incl. escapes") {
+    import graft.sources.LokiPush.parseLabels
+    assert(parseLabels("""{app="api", job="svc"}""") ==
+      Map("app" -> "api", "job" -> "svc"))
+    assert(parseLabels("{}") == Map.empty)
+    // escaped quote and backslash inside a value
+    assert(parseLabels("""{msg="say \"hi\"", p="a\\b"}""") ==
+      Map("msg" -> "say \"hi\"", "p" -> "a\\b"))
+    // malformed input raises (the micro-batch drops the frame)
+    intercept[IllegalArgumentException](parseLabels("""app="x""""))
+    intercept[IllegalArgumentException](parseLabels("""{app=x}"""))
+  }
 }

@@ -83,6 +83,9 @@ class ParserCorpusSpec extends SparkTestBase {
     """{app="a"} | bogus_stage""",
     """count_over_time({app="a"})""",
     """rate({app="a"}[5parsecs])""",
+    // fuzz regression: a bytes-only literal in range position must be a
+    // typed ParseError, not a None.get
+    """rate({}|logfmt[5mi""",
     """topk(, sum by (a) (count_over_time({}[5m])))""",
     """{app="a"} trailing"""
   )
