@@ -74,6 +74,60 @@ class PlannerFuzzSpec extends SparkTestBase {
           s"${e.getClass.getName}: ${e.getMessage}")
     }
 
+  /** Execution stage: for inputs that PLAN, also run the job. Runtime
+    * user-input failures (an invalid regex reaching rlike, a bad
+    * capture group in label_replace) surface as Spark's typed
+    * SparkRuntimeException — acceptable; an engine NPE/MatchError
+    * inside a task is not and fails with the reproducing input.
+    */
+  private def execCleanly(lang: String, plan: String => org.apache.spark.sql.DataFrame)(q: String): Unit = {
+    val df =
+      try Some(plan(q))
+      catch { case _: Throwable => None } // plan-stage outcomes covered above
+    df.foreach { d =>
+      try { d.collect(); () }
+      catch {
+        // typed runtime input errors (e.g. a user regex reaching rlike)
+        case e: Throwable
+          if e.getClass.getSimpleName == "SparkRuntimeException" ||
+            (e.getMessage != null &&
+              (e.getMessage.contains("INVALID_PARAMETER_VALUE") ||
+                e.getMessage.contains("PatternSyntaxException"))) => ()
+        case e: Throwable =>
+          fail(s"$lang execution crashed on '$q' → " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("LogQL plans also EXECUTE cleanly on mutated inputs") {
+    val rnd = new Random(142)
+    val l = logs
+    (1 to 60).foreach { _ =>
+      execCleanly("LogQL", q => graft.logql.Planner.query(q, l))(
+        mutate(rnd, logqlSeeds))
+    }
+  }
+
+  test("PromQL plans also EXECUTE cleanly on mutated inputs") {
+    val rnd = new Random(143)
+    val p = points
+    (1 to 60).foreach { _ =>
+      execCleanly("PromQL",
+        q => graft.promql.PromQL.range(q, p, Some(60000000L)))(
+        mutate(rnd, promqlSeeds))
+    }
+  }
+
+  test("TraceQL plans also EXECUTE cleanly on mutated inputs") {
+    val rnd = new Random(144)
+    val s = spans
+    (1 to 60).foreach { _ =>
+      execCleanly("TraceQL", q => graft.traceql.TraceQL.matchSpans(q, s))(
+        mutate(rnd, traceqlSeeds))
+    }
+  }
+
   test("LogQL parse→plan fails cleanly on mutated inputs") {
     val rnd = new Random(42)
     val l = logs
