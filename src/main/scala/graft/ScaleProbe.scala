@@ -103,51 +103,18 @@ object ScaleProbe {
       .filter(col("sim") >= 0.42)
   }
 
-  /** SemDeDup with k ∝ corpus AND a two-level coarse quantizer — the
-    * deployment fix for the flat assignment's n × k wall: vectors (and
-    * centroids) first assign to ~√k SUPER-centroids (broadcast), then
-    * compare only against the centroids in their super-bucket, making
-    * assignment O(n·√k) instead of O(n·k). The super buckets
-    * co-partition the (vector, centroid) comparison as an equi-join on
-    * super id — no crossJoin against the full centroid set ever runs.
+  /** SemDeDup with k ∝ corpus through the FIRST-CLASS two-level
+    * quantizer ([[graft.pipeline.Ann.semDedupHier]] — the exact code
+    * path `pipe_semdedup_hier` ships), not a harness copy: the probe
+    * times the operator a 100 TB run would execute.
     */
   private def semDedupHierK(spark: SparkSession, dir: String,
       baseMax: Long): DataFrame = {
-    def dot(a: String, b: String) =
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     val e = graft.sources.Testdata(spark, dir).embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     val cents = e.filter(col("vec_id") % baseMax < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val k = cents.count()
-    val stride = math.max(1L, math.round(math.sqrt(k.toDouble)))
-    // ~√k super-centroids: every stride-th centroid by cid rank
-    val supers = cents
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cid"))))
-      .filter((col("rnk") - 1) % stride === 0)
-      .select(col("cid").as("sid"), col("cv").as("sv"))
-    def assignSuper(df: DataFrame, vecCol: String): DataFrame =
-      df.crossJoin(broadcast(supers))
-        .withColumn("scos", dot(vecCol, "sv") /
-          (sqrt(dot(vecCol, vecCol)) * sqrt(dot("sv", "sv"))))
-        .groupBy(df.columns.map(col): _*)
-        .agg(max_by(col("sid"), struct(col("scos"), -col("sid"))).as("sid"))
-    val centsS = assignSuper(cents, "cv")          // k × √k — tiny
-    val vecsS = assignSuper(e, "v")                // n × √k
-    // second level: only the centroids sharing the vector's super
-    // bucket — an equi-join on sid, n × (k/√k) comparisons total
-    val best = vecsS.join(centsS, Seq("sid"))
-      .withColumn("cos", dot("v", "cv") / (sqrt(dot("v", "v")) * sqrt(dot("cv", "cv"))))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
-    val ev = best.join(e, "vec_id")
-    val a = ev.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"))
-    val b = ev.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"))
-    a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
-      .select(col("cid"),
-        round(graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6).as("sim"))
-      .filter(col("sim") >= 0.42)
+    graft.pipeline.Ann.semDedupHier(e, cents, 0.42)
   }
 
   private def time3(name: String, tag: String)(run: => Long): Unit =

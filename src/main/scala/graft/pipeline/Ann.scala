@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level (hierarchical) coarse quantization — the production
+  * cluster-assignment path for SemDeDup and IVF list builds.
+  *
+  * The flat assignment (every vector × every centroid) is O(n·k); when
+  * k grows with the corpus (the SemDeDup/IVF deployment shape — per-
+  * cluster size held constant, so k ∝ n) that is super-linear and was
+  * the repo's one measured scale-killer (SCALE.md 100× table: ~190×
+  * wall for 100× data). The fix: centroids (and vectors) first assign
+  * to ~√k SUPER-centroids, then each vector compares only against the
+  * centroids sharing its super bucket — O(n·√k) comparisons.
+  *
+  * Spark shape: both levels are broadcast joins (supers are √k rows,
+  * the per-super centroid lists are k rows total), and the per-vector
+  * argmax is a `max_by` partial aggregation that collapses the
+  * candidate fan-out MAP-SIDE before any shuffle — the corpus is never
+  * shuffled at all; the only exchange is the final n-row group-by,
+  * pre-collapsed to one row per vector by the partial agg.
+  *
+  * Reference anchor: SemDeDup (Abbas et al. 2023) clusters with k ∝
+  * corpus and dedups within clusters; IVF coarse quantization is the
+  * same assignment problem (Johnson et al. 2017, billion-scale FAISS).
+  */
+object Ann {
+
+  /** Assignment cosines round to 6 decimals before the argmax on BOTH
+    * engines (Spark here, DuckDB in the oracle) so an accumulation-
+    * order ulp can never flip a cluster choice.
+    */
+  private def cos6(a: Column, b: Column): Column =
+    round(graft.functions.GraftFunctions.cosine_sim(a, b), 6)
+
+  /** Best reference for each row of `df` by max cosine (ties → lowest
+    * reference id). `refs` must be broadcast-sized with columns
+    * (rid, rv); the result keeps all of `df`'s columns plus the chosen
+    * reference id as `outCol`. The crossJoin is against a BROADCAST
+    * reference set and the group-by partial-aggregates map-side, so
+    * `df` itself never shuffles.
+    */
+  private def assignBest(df: DataFrame, idCol: String, vecCol: String,
+      refs: DataFrame, outCol: String): DataFrame = {
+    val carry = df.columns.filterNot(_ == idCol)
+    df.crossJoin(broadcast(refs))
+      .withColumn("g_c", cos6(col(vecCol), col("rv")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("rid"), struct(col("g_c"), -col("rid"))).as(outCol),
+        carry.map(c => first(col(c)).as(c)): _*)
+  }
+
+  /** Two-level coarse assignment: returns `vecs` plus a `cid` column
+    * naming each vector's centroid. `vecs` = (idCol, vecCol, ...);
+    * `cents` = (cid, cv). Centroid count k is read once (k rows — a
+    * centroid table is always driver-small even when k ∝ corpus /
+    * cluster-size-bounded); super-centroids are every ⌈√k⌉-th centroid
+    * by cid rank.
+    */
+  def hierAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val k = cents.count()
+    val stride = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    // the rank window is a single partition of k rows — centroid-table
+    // sized, never corpus-sized
+    val supers = cents
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cid"))))
+      .filter((col("rnk") - 1) % stride === 0)
+      .select(col("cid").as("rid"), col("cv").as("rv"))
+    // level 1: centroids and vectors each pick their super bucket
+    val centsS = assignBest(cents, "cid", "cv", supers, "sid")
+    val vecsS = assignBest(vecs, idCol, vecCol, supers, "sid")
+    // level 2: equi-join on the super id against the BROADCAST bucketed
+    // centroid list (k rows), then per-vector argmax — again collapsed
+    // map-side by the max_by partial aggregation
+    vecsS
+      .join(broadcast(centsS.select(col("sid"), col("cid").as("rid"),
+        col("cv").as("rv"))), Seq("sid"))
+      .withColumn("g_c", cos6(col(vecCol), col("rv")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("rid"), struct(col("g_c"), -col("rid"))).as("cid"),
+        vecs.columns.filterNot(_ == idCol).map(c => first(col(c)).as(c)): _*)
+  }
+
+  /** SemDeDup over a pre-assigned corpus: within-cluster pairs above
+    * the similarity threshold become dedup decisions (keep the lower
+    * vec_id). The self-join shuffles on cluster id only — the pair
+    * space is bounded per cluster, never all-pairs.
+    *
+    * `vecs` = (vec_id, v: array&lt;double&gt;); `cents` = (cid, cv).
+    */
+  def semDedupHier(vecs: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = hierAssign(vecs, "vec_id", "v", cents)
+    val a = assigned.select(col("cid"), col("vec_id").as("keep_id"),
+      col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("drop_id"),
+      col("v").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("keep_id") < col("drop_id"))
+      .select(col("cid").as("cluster"), col("keep_id"), col("drop_id"),
+        round(graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
@@ -9,20 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): the classic reduction makes this tractable —
   * the corpus collapses to (word, count) ONCE (vocabulary-sized, the
-  * only corpus-wide shuffle), and every merge iteration then runs over
-  * the vocabulary: one map-side-combined pair aggregation + a 1-row
-  * argmax to the driver + one narrow typed map applying the merge.
-  * The driver state is just the learned merge list (KBs). Iterations
-  * cache the symbolized vocabulary and re-cache every few merges so
-  * the lineage never deepens unboundedly.
+  * only corpus-wide shuffle); the merge loop then runs DRIVER-LOCAL
+  * over that table with incrementally-maintained pair counts, because
+  * per-merge work is vocabulary-bounded and a Spark job per merge
+  * would be pure scheduler floor (~0.2 s × 32k merges ≈ 2 h for KBs
+  * of state). Application back to the corpus ([[tokenCounts]]) is the
+  * distributed narrow map.
   */
 object Bpe {
 
   /** One learned merge: adjacent (left, right) → left+right. */
   final case class Merge(left: String, right: String, count: Long)
-
-  /** Symbolized vocabulary row (public: Encoder codegen instantiates it). */
-  final case class WordSyms(syms: Seq[String], wn: Long)
 
   /** Greedy left-to-right application of one merge to a symbol
     * sequence — upstream BPE semantics (consecutive overlaps consume
@@ -45,51 +42,88 @@ object Bpe {
     * (`textCol` whitespace-tokenized). Deterministic: ties on pair
     * count break lexicographically, so the rule list is reproducible
     * on any engine and partitioning.
+    *
+    * Scale split: the CORPUS pass (vocabulary rollup) is the only
+    * distributed work — one map-side-combined shuffle regardless of
+    * corpus size. The merge LOOP then runs driver-local over the
+    * collected (word, count) table: after the rollup the state is
+    * vocabulary-sized (MBs at web scale), and running each of a
+    * production run's ~32k merges as a Spark job would pay the ~0.2 s
+    * scheduler floor per merge (~2 h of pure scheduling) for work that
+    * touches kilobytes. Pair counts are maintained INCREMENTALLY (only
+    * words containing the merged pair are reindexed), so a merge costs
+    * O(affected words), not O(vocabulary).
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // the one corpus-wide pass: vocabulary with frequencies
     val vocab = docs
       .select(explode(split(col(textCol), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wn"))
-    var syms: Dataset[WordSyms] = vocab
-      .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("wn"))
-      .as[WordSyms]
-    syms.cache()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var it = 0
-    while (it < numMerges) {
-      // pair counts over the vocabulary (map-side combined), then the
-      // deterministic argmax: ONE row to the driver
-      val top = syms
-        // Spark's sequence(1, 0) counts DOWN — single-symbol words
-        // must not reach the pair explode at all
-        .filter(size(col("syms")) > 1)
-        .select(col("wn"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-            |  i -> struct(syms[i - 1] AS l, syms[i] AS r))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.l"), col("p.r"))
-        .agg(sum(col("wn")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) it = numMerges
-      else {
-        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += m
-        val prev = syms
-        // narrow typed map — no shuffle; re-cache to keep lineage flat
-        syms = prev.map(ws => ws.copy(syms = applyMerge(ws.syms, m.left, m.right)))
-        syms.cache()
-        syms.count() // materialize before unpersisting the parent
-        prev.unpersist()
-        it += 1
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainLocal(vocab.toSeq, numMerges)
+  }
+
+  /** Driver-local merge loop over a (word, count) vocabulary. Public
+    * within graft so the golden-pin harness can drive it with an
+    * explicit vocabulary. Result is independent of input order (counts
+    * aggregate into a map; the argmax scan breaks ties by (l, r)).
+    */
+  private[graft] def trainLocal(
+      vocab: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      vocab.map(_._1.split("").filter(_.nonEmpty)).toArray
+    val counts: Array[Long] = vocab.map(_._2).toArray
+    val pairN = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val n = pairN.getOrElse(p, 0L) + sign * counts(i)
+        if (n == 0L) pairN.remove(p) else pairN(p) = n
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+      if (sign < 0) {
+        var j2 = 0
+        while (j2 + 1 < s.length) {
+          val p = (s(j2), s(j2 + 1))
+          pairWords.get(p).foreach { ws =>
+            ws -= i; if (ws.isEmpty) pairWords.remove(p)
+          }
+          j2 += 1
+        }
       }
     }
-    syms.unpersist()
+    words.indices.foreach(addWord(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var it = 0
+    while (it < numMerges && pairN.nonEmpty) {
+      // deterministic argmax: highest count, ties break on (l, r) —
+      // the same ORDER BY n DESC, l, r the distributed loop ran
+      var best: ((String, String), Long) = null
+      for (e <- pairN) {
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 &&
+            (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+      }
+      val ((l, r), n) = best
+      merges += Merge(l, r, n)
+      // reindex ONLY the words that contain the merged pair
+      val affected = pairWords.getOrElse((l, r), mutable.Set.empty).toArray
+      java.util.Arrays.sort(affected)
+      for (i <- affected) {
+        addWord(i, -1L)
+        words(i) = applyMerge(words(i).toSeq, l, r).toArray
+        addWord(i, 1L)
+      }
+      it += 1
+    }
     merges.toSeq
   }
 

@@ -93,6 +93,58 @@ object QueriesPipeline5 extends QueryPack {
       .orderBy("cluster", "keep_id", "drop_id")
   }
 
+  /** SEMANTIC DEDUP, production path (two-level coarse quantizer —
+    * [[graft.pipeline.Ann.semDedupHier]]): vectors and centroids first
+    * assign to ~√k super-centroids, then each vector compares only
+    * against the centroids sharing its super bucket — O(n·√k)
+    * assignment instead of the flat O(n·k), which the 100× probe
+    * measured super-linear (~190× wall) when k ∝ corpus. The oracle
+    * replicates the exact two-level argmax (round-6 cosines, lowest-id
+    * tie-break) so this is hash-gated, not rows-only. `pipe_semdedup`
+    * above stays as the flat-assignment semantics pin.
+    */
+  val semDedupHier: Q = q(
+    "pipe_semdedup_hier",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |sup AS (
+      |  SELECT cid AS sid, cv AS sv FROM (
+      |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS rnk FROM c)
+      |  WHERE (rnk - 1) % 3 = 0),
+      |cs AS (
+      |  SELECT cid, sid, cv FROM (
+      |    SELECT c.cid, s.sid, c.cv,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC, s.sid) AS rn
+      |    FROM c CROSS JOIN sup s) WHERE rn = 1),
+      |vs AS (
+      |  SELECT vec_id, sid, v FROM (
+      |    SELECT e.vec_id, s.sid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC, s.sid) AS rn
+      |    FROM e CROSS JOIN sup s) WHERE rn = 1),
+      |best AS (
+      |  SELECT vec_id, cid, v FROM (
+      |    SELECT vs.vec_id, cs.cid, vs.v,
+      |      row_number() OVER (PARTITION BY vs.vec_id
+      |        ORDER BY round(list_cosine_similarity(vs.v, cs.cv), 6) DESC, cs.cid) AS rn
+      |    FROM vs JOIN cs ON vs.sid = cs.sid) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.cid AS cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
+      |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |  FROM best a JOIN best b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      |SELECT cluster, keep_id, drop_id, sim FROM pairs
+      |WHERE sim >= 0.42
+      |ORDER BY cluster, keep_id, drop_id""".stripMargin
+  ) { td =>
+    val e = td.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    graft.pipeline.Ann.semDedupHier(e, c, 0.42)
+      .orderBy("cluster", "keep_id", "drop_id")
+  }
+
   /** BLOCK-LEVEL DEDUP analysis (the paragraph-dedup pass of C4/CCNet
     * preprocessing, token blocks standing in for paragraphs in this
     * newline-free corpus): each document is cut into non-overlapping
@@ -250,6 +302,63 @@ object QueriesPipeline5 extends QueryPack {
       .orderBy("cid")
   }
 
+  /** IVF LIST BUILD, production path: the same two-level quantizer
+    * ([[graft.pipeline.Ann.hierAssign]]) building the inverted lists —
+    * list balance reported like `pipe_ivf_stats`, but the assignment is
+    * O(n·√k), the shape a 100 TB index build runs (centroids every 50th
+    * vector, so k ∝ corpus and flat assignment would be super-linear).
+    * Oracle replicates the two-level argmax exactly (k = 10 at the
+    * verify SF → stride ⌈√k⌉ = 3).
+    */
+  val ivfHierStats: Q = q(
+    "pipe_ivf_hier_stats",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+      |sup AS (
+      |  SELECT cid AS sid, cv AS sv FROM (
+      |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS rnk FROM c)
+      |  WHERE (rnk - 1) % 3 = 0),
+      |cs AS (
+      |  SELECT cid, sid, cv FROM (
+      |    SELECT c.cid, s.sid, c.cv,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC, s.sid) AS rn
+      |    FROM c CROSS JOIN sup s) WHERE rn = 1),
+      |vs AS (
+      |  SELECT vec_id, sid, v FROM (
+      |    SELECT e.vec_id, s.sid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC, s.sid) AS rn
+      |    FROM e CROSS JOIN sup s) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vs.vec_id, cs.cid,
+      |      row_number() OVER (PARTITION BY vs.vec_id
+      |        ORDER BY round(list_cosine_similarity(vs.v, cs.cv), 6) DESC, cs.cid) AS rn
+      |    FROM vs JOIN cs ON vs.sid = cs.sid) WHERE rn = 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS k FROM assigned)
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(*) * 1000000 // tot.n AS BIGINT) AS share_ppm,
+      |  CAST(COUNT(*) * tot.k * 1000000 // tot.n AS BIGINT) AS balance_ppm
+      |FROM assigned, tot GROUP BY cid, tot.n, tot.k ORDER BY cid""".stripMargin
+  ) { td =>
+    val e = td.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = graft.pipeline.Ann.hierAssign(e, "vec_id", "v", cents)
+      .select(col("vec_id"), col("cid"))
+    val tot = assigned.agg(count(lit(1)).as("n"))
+      .crossJoin(cents.agg(count(lit(1)).as("k")))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n").as("share_ppm"),
+        expr("(n_vecs * k * 1000000) div n").as("balance_ppm"))
+      .orderBy("cid")
+  }
+
   /** LM PERPLEXITY scoring (the CCNet-style quality signal a model
     * filter uses): a bigram language model with add-one smoothing is
     * trained on the corpus itself, and every document is scored by its
@@ -343,7 +452,57 @@ object QueriesPipeline5 extends QueryPack {
     },
     oracle = None)
 
+  /** DISTINCT-SKETCH TOLERANCE BAND — the cross-engine check for the
+    * sketch family: each engine runs its OWN HLL (DataSketches here,
+    * DuckDB's `approx_count_distinct` in the oracle) and asserts it
+    * lands within 5 % of the exact distinct count (with an absolute
+    * floor of 10 for the tiny per-source sets, where one missed value
+    * is already 4 %; the Spark sketch's own ≤2 % pin lives in
+    * SketchSpec); the exact counts and the band verdicts are what
+    * hash-compare. A sketch drift past the band flips the boolean and
+    * fails the gate, so `pipe_distinct_sketch` (rows-only, prints raw
+    * estimates) now has an oracle-gated twin. The `__total__` row bands
+    * the UNION of per-source sketches — the mergeability that matters
+    * at 100 TB.
+    */
+  val distinctSketchBand: Q = q(
+    "pipe_distinct_sketch_band",
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(COUNT(DISTINCT text) AS BIGINT) AS exact,
+      |    CAST(approx_count_distinct(text) AS BIGINT) AS est
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT '__total__' AS source,
+      |    CAST(COUNT(DISTINCT text) AS BIGINT) AS exact,
+      |    CAST(approx_count_distinct(text) AS BIGINT) AS est
+      |  FROM documents)
+      |SELECT source, exact,
+      |  CAST(abs(est - exact) <= greatest(0.05 * exact, 10) AS BOOLEAN)
+      |    AS sketch_in_band
+      |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+      |ORDER BY source""".stripMargin
+  ) { td =>
+    val docs = td.documents
+    val per = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("text")).as("sk"),
+        countDistinct(col("text")).as("exact"))
+    val perOut = per.select(col("source"), col("exact"),
+      hll_sketch_estimate(col("sk")).cast("long").as("est"))
+    val totalOut = per.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(docs.agg(countDistinct(col("text")).as("exact"))))
+      .select(lit("__total__").as("source"), col("exact"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est"))
+    perOut.unionByName(totalOut)
+      .select(col("source"), col("exact"),
+        (abs(col("est") - col("exact")) <=
+          greatest(lit(0.05) * col("exact"), lit(10)))
+          .as("sketch_in_band"))
+      .orderBy("source")
+  }
+
   override def queries: Seq[Q] =
-    Seq(semDedup, blockDedup, substringDup, chunkOverlap, ivfStats,
-      lmPerplexity, distinctSketch)
+    Seq(semDedup, semDedupHier, blockDedup, substringDup, chunkOverlap,
+      ivfStats, ivfHierStats, lmPerplexity, distinctSketch,
+      distinctSketchBand)
 }

@@ -36,6 +36,29 @@ class BpeSpec extends SparkTestBase {
       ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
   }
 
+  test("train matches the independent golden merge list on the sf0.01 corpus") {
+    // cross-engine pin for the rows-only pipe_bpe_train gate: 64 merges
+    // (order, symbols, counts) vs tools/gen_bpe_golden.py — a from-
+    // scratch python trainer sharing no code with Bpe.scala
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/bpe_golden.json"))
+    val golden = try TestJson.parse(src.mkString).asInstanceOf[Map[String, Any]]
+    finally src.close()
+    val sfDir = golden("sf_dir").asInstanceOf[String]
+    val n = golden("n_merges").asInstanceOf[Double].toInt
+    val expected = golden("merges").asInstanceOf[List[Any]].map { m =>
+      val o = m.asInstanceOf[Map[String, Any]]
+      (o("l").asInstanceOf[String], o("r").asInstanceOf[String],
+        o("n").asInstanceOf[Double].toLong)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Bpe.train(docs, "text", n).map(m => (m.left, m.right, m.count))
+    assert(got.size == expected.size)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"merge ${i + 1} drifted")
+    }
+  }
+
   test("tokenCounts applies the learned merges per document") {
     val docs = Seq((1L, "lowest newest"), (2L, "low")).toDF("doc_id", "text")
     val merges = Seq(Bpe.Merge("e", "s", 0), Bpe.Merge("es", "t", 0))
