@@ -106,8 +106,13 @@ object Rules {
     * frame-bounded window pass.
     */
   private def alertStatesFrom(res0: DataFrame, stepUnits: Long,
-      forSteps: Int): DataFrame = {
+      forSteps0: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Prometheus `for: 0` fires immediately — treat it as one step;
+    // anything negative is a config error (an inverted window frame
+    // would otherwise surface as an opaque Spark runtime failure)
+    require(forSteps0 >= 0, s"forSteps must be >= 0, got $forSteps0")
+    val forSteps = math.max(1, forSteps0)
     val res = res0.select(col("__b"), col("labels"),
       graft.logql.VectorMatching.streamKey(col("labels")).as("__k"),
       lit(1).as("active"))

@@ -125,6 +125,66 @@ object Layout {
       .partitionBy("date")
       .parquet(path)
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** EXACTLY-ONCE micro-batch commit for the append-mode foreachBatch
+    * sinks. `foreachBatch` is at-least-once: after a crash between the
+    * parquet append and the checkpoint commit, Structured Streaming
+    * replays the batch and a plain `mode("append")` would duplicate
+    * every row. This wraps the write in an idempotent commit protocol:
+    *
+    *   1. a `_committed_<batchId>` marker short-circuits a replay of a
+    *      fully committed batch;
+    *   2. the batch writes to a private `.staging_<batchId>` dir
+    *      (deleted first — a replay after a partial write starts clean);
+    *   3. staged files move into the live `date=` partitions under
+    *      batch-tagged names (`b<batchId>-…`), after deleting any
+    *      partial move of the SAME batch (crash between move and
+    *      marker);
+    *   4. the marker lands last.
+    *
+    * Every crash window therefore replays to the same final state —
+    * the analogue of the reference's ClickHouse insert dedup
+    * (replicated dedup window); Spark readers ignore the `_`/`.`
+    * prefixed bookkeeping files. One writer per layout dir (the
+    * receiver unions all streams of a signal into one sink), so batch
+    * ids never collide. At 100 TB the markers are one empty file per
+    * micro-batch, swept by compaction.
+    */
+  def commitBatch(root: String, batchId: Long)(write: String => Unit): Unit = {
+    val rootDir = new java.io.File(root)
+    rootDir.mkdirs()
+    val marker = new java.io.File(rootDir, s"_committed_$batchId")
+    if (marker.exists()) return
+    val staging = new java.io.File(rootDir, s".staging_$batchId")
+    deleteRecursively(staging)
+    write(staging.getPath)
+    val tag = s"b$batchId-"
+    // crash between a previous move and its marker: drop the partial move
+    Option(rootDir.listFiles()).foreach(_.foreach { d =>
+      if (d.isDirectory && d.getName.startsWith("date="))
+        Option(d.listFiles()).foreach(_.foreach { f =>
+          if (f.getName.startsWith(tag)) { f.delete(): Unit }
+        })
+    })
+    Option(staging.listFiles()).foreach(_.foreach { d =>
+      if (d.isDirectory && d.getName.startsWith("date=")) {
+        val target = new java.io.File(rootDir, d.getName)
+        target.mkdirs()
+        Option(d.listFiles()).foreach(_.foreach { f =>
+          if (f.getName.endsWith(".parquet"))
+            require(f.renameTo(new java.io.File(target, tag + f.getName)),
+              s"commitBatch: cannot move ${f.getPath}")
+        })
+      }
+    })
+    deleteRecursively(staging)
+    marker.createNewFile(): Unit
+  }
+
   /** Compaction — the MergeTree background-merge analogue (the
     * reference gets this from ClickHouse for free; a parquet layout
     * has to run it as a maintenance job). Streaming ingest appends one

@@ -2,26 +2,32 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Loki push PROTOBUF decoder — promtail's default wire encoding
-  * (snappy-compressed `logproto.PushRequest`; the JSON body our
-  * listener also accepts is the fallback encoding). Field numbers from
-  * the public logproto (grafana/loki pkg/push/push.proto):
+/** Loki push decoders — promtail's default wire encoding
+  * (snappy-compressed `logproto.PushRequest`) and the JSON fallback
+  * body. Field numbers from the public logproto (grafana/loki
+  * pkg/push/push.proto):
   *
   *   PushRequest: 1 streams (StreamAdapter)
   *   StreamAdapter: 1 labels (string, `{k="v",...}`), 2 entries
   *   EntryAdapter: 1 timestamp (google.protobuf.Timestamp:
-  *                   1 seconds, 2 nanos), 2 line
+  *                   1 seconds, 2 nanos), 2 line,
+  *                 3 structuredMetadata (LabelPairAdapter:
+  *                   1 name, 2 value) — per-entry labels promtail/
+  *                   alloy attach since Loki 2.9
   *
   * The labels string is the push contract's exact-match selector form;
   * a tiny dedicated parser lifts it to the label map (no regex ops —
-  * the matcher grammar here is fixed to `=`).
+  * the matcher grammar here is fixed to `=`). JSON bodies may carry a
+  * third per-entry element `[ts, line, {meta}]` — the same structured
+  * metadata in object form.
   */
 object LokiPush {
 
   final case class PushEntry(
       ts_ns: Long,
       body: String,
-      attrs: Map[String, String])
+      attrs: Map[String, String],
+      metadata: Map[String, String] = Map.empty)
 
   /** `{a="b", c="d\"e"}` → Map(a -> b, c -> d"e). Malformed input
     * raises — the micro-batch drops the frame, the listener survives.
@@ -64,6 +70,47 @@ object LokiPush {
     out.result()
   }
 
+  /** Decodes one Loki push JSON body:
+    * `{"streams":[{"stream":{labels},"values":[[ts, line, {meta}?], …]}]}`
+    * — the third per-entry element (structured metadata, Loki ≥2.9) is
+    * optional and must not break entries without it. Runs distributed
+    * inside the ingest micro-batch (mapPartitions); a malformed body
+    * decodes to zero rows rather than poisoning the listener (Jackson
+    * is on the Spark classpath — public dependency).
+    */
+  def decodePushJson(payload: Array[Byte]): Seq[PushEntry] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(payload)
+      val out = Seq.newBuilder[PushEntry]
+      def toMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+        val b = Map.newBuilder[String, String]
+        val it = n.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isValueNode) b += (e.getKey -> e.getValue.asText())
+        }
+        b.result()
+      }
+      val streams = root.path("streams").elements()
+      while (streams.hasNext) {
+        val s = streams.next()
+        val attrs = toMap(s.path("stream"))
+        val values = s.path("values").elements()
+        while (values.hasNext) {
+          val v = values.next()
+          if (v.isArray && v.size() >= 2) {
+            val ts = v.get(0).asText().toLongOption
+            val meta =
+              if (v.size() >= 3 && v.get(2).isObject) toMap(v.get(2))
+              else Map.empty[String, String]
+            ts.foreach(t => out += PushEntry(t, v.get(1).asText(), attrs, meta))
+          }
+        }
+      }
+      out.result()
+    } catch { case _: Exception => Seq.empty }
+
   /** Decodes one (already snappy-undone) PushRequest payload. */
   def decodePush(payload: Array[Byte]): Seq[PushEntry] = {
     val out = Seq.newBuilder[PushEntry]
@@ -73,7 +120,7 @@ object LokiPush {
       if (f == 1 && wt == 2) {
         val st = top.sub()
         var attrs = Map.empty[String, String]
-        val entries = Seq.newBuilder[(Long, String)]
+        val entries = Seq.newBuilder[(Long, String, Map[String, String])]
         while (st.hasMore) {
           val (sf, swt) = st.tag()
           (sf, swt) match {
@@ -83,6 +130,7 @@ object LokiPush {
               var sec = 0L
               var nanos = 0L
               var line = ""
+              val meta = Map.newBuilder[String, String]
               while (e.hasMore) {
                 val (ef, ewt) = e.tag()
                 (ef, ewt) match {
@@ -95,16 +143,27 @@ object LokiPush {
                       else t.skip(twt)
                     }
                   case (2, 2) => line = e.string()
-                  case _      => e.skip(ewt)
+                  case (3, 2) => // structuredMetadata LabelPairAdapter
+                    val lp = e.sub()
+                    var k = ""
+                    var v = ""
+                    while (lp.hasMore) {
+                      val (lf, lwt) = lp.tag()
+                      if (lf == 1 && lwt == 2) k = lp.string()
+                      else if (lf == 2 && lwt == 2) v = lp.string()
+                      else lp.skip(lwt)
+                    }
+                    if (k.nonEmpty) meta += (k -> v)
+                  case _ => e.skip(ewt)
                 }
               }
-              entries += ((sec * 1000000000L + nanos, line))
+              entries += ((sec * 1000000000L + nanos, line, meta.result()))
             case _ => st.skip(swt)
           }
         }
         val a = attrs
-        entries.result().foreach { case (ts, line) =>
-          out += PushEntry(ts, line, a)
+        entries.result().foreach { case (ts, line, meta) =>
+          out += PushEntry(ts, line, a, meta)
         }
       } else top.skip(wt)
     }

@@ -56,26 +56,40 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
   def start(port: Int = 0): Int = {
     val spans = Streams.spansFromOtlp(
       traceIn.toDF().withColumnRenamed("value", "payload"))
+    // ONE SINK PER LAYOUT DIRECTORY: streams that share a stored layout
+    // union BEFORE the sink. Two independent foreachBatch writers on one
+    // parquet dir would share the FileOutputCommitter's _temporary
+    // staging dir — one job's commit can delete the other's in-flight
+    // task files — and the exactly-once batch markers
+    // (Layout.commitBatch) assume one writer's batch-id sequence.
     val logs = Streams.enrichLogs(Streams.logsFromOtlp(
       logIn.toDF().withColumnRenamed("value", "payload")))
+      // Loki push shares the log layout with OTLP logs (the reference
+      // declines that endpoint — lokihandler.go:611-616)
+      .unionByName(Streams.enrichLogs(Streams.logsFromLokiPush(
+        lokiIn.toDF().withColumnRenamed("value", "payload"))))
     // raw decoded records (attrs still a map — metricsFromOtlp
-    // canonicalizes them to the hash string the inserter keys on)
+    // canonicalizes them to the hash string the inserter keys on);
+    // Prometheus remote-write shares the point layout (reference
+    // /api/v1/write → inserter_metrics.go) — wire bodies are
+    // snappy-block-compressed, undone at the HTTP edge
+    val promFrames = promIn.toDF().withColumnRenamed("value", "payload")
     val points = metricIn.toDF().select(col("value").as[Array[Byte]])
       .mapPartitions(_.flatMap(OtlpProto.decodeMetrics))
       .toDF()
       .filter(col("gauge").isNotNull)
       .select(expr("ts_ns div 1000").as("ts_us"), col("name"),
         mergedLabels.as("labels"), col("gauge").as("value"))
-    // Prometheus remote-write shares the point layout with OTLP
-    // metrics (reference /api/v1/write → inserter_metrics.go); the
-    // wire bodies are snappy-block-compressed, undone at the HTTP edge
-    val promFrames = promIn.toDF().withColumnRenamed("value", "payload")
-    val promPoints = Streams.pointsFromPrompb(promFrames)
+      .unionByName(Streams.pointsFromPrompb(promFrames))
     val promExemplars = Streams.exemplarsFromPrompb(promFrames)
-    // Loki push JSON shares the log layout with OTLP logs (the
-    // reference declines this endpoint — lokihandler.go:611-616)
-    val lokiLogs = Streams.enrichLogs(Streams.logsFromLokiPush(
-      lokiIn.toDF().withColumnRenamed("value", "payload")))
+    // the fourth signal: stack samples for the flame-tree engine
+    // (reference oteldbexporter.go:53-80); Pyroscope agent push
+    // (collapsed format) shares the profile layout — the reference
+    // declines that endpoint (profilehandler.go:78-82)
+    val profiles = Streams.profilesFromOtlp(
+        profileIn.toDF().withColumnRenamed("value", "payload"))
+      .unionByName(Streams.profilesFromCollapsed(
+        pyroIn.toDF().toDF("app", "ts_us", "payload")))
     queries = Seq(
       Streams.spansSink(spans, s"$dataDir/spans", s"$dataDir/ckpt/spans",
         Trigger.ProcessingTime(0)),
@@ -83,33 +97,18 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
         Trigger.ProcessingTime(0)),
       Streams.pointsSink(points, s"$dataDir/points", s"$dataDir/ckpt/points",
         Trigger.ProcessingTime(0)),
-      Streams.pointsSink(promPoints, s"$dataDir/points",
-        s"$dataDir/ckpt/prompoints", Trigger.ProcessingTime(0)),
       Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
         s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)),
-      Streams.logsSink(lokiLogs, s"$dataDir/logs",
-        s"$dataDir/ckpt/lokilogs", Trigger.ProcessingTime(0)),
       // the aggregate sidecar the *_over_time rollup pushdown reads —
-      // maintained at ingest, emitted once per finalized hour
+      // maintained at ingest (over BOTH metric ingest paths), emitted
+      // once per finalized hour
       Streams.rollupSink(
         Streams.hourlyRollup(points.withColumn("timestamp",
           timestamp_micros(col("ts_us")))),
         s"$dataDir/rollup", s"$dataDir/ckpt/rollup",
         Trigger.ProcessingTime(0)),
-      // the fourth signal: pprof-shaped stack samples for the
-      // flame-tree engine (reference oteldbexporter.go:53-80)
-      Streams.profilesSink(
-        Streams.profilesFromOtlp(
-          profileIn.toDF().withColumnRenamed("value", "payload")),
+      Streams.profilesSink(profiles,
         s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
-        Trigger.ProcessingTime(0)),
-      // Pyroscope agent push (collapsed format) shares the profile
-      // layout — the reference declines this endpoint
-      // (profilehandler.go:78-82)
-      Streams.profilesSink(
-        Streams.profilesFromCollapsed(
-          pyroIn.toDF().toDF("app", "ts_us", "payload")),
-        s"$dataDir/profiles", s"$dataDir/ckpt/pyroprofiles",
         Trigger.ProcessingTime(0)))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/traces", accept(traceIn))

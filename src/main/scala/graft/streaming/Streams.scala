@@ -155,13 +155,15 @@ object Streams {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
-          .repartition(col("date"))
-          .sortWithinPartitions(col("date"), col("name"), col("series_key"),
-            col("hour_start"))
-          .write.mode("append").partitionBy("date").parquet(path)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Layout.commitBatch(path, id) { staging =>
+          batch
+            .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+            .repartition(col("date"))
+            .sortWithinPartitions(col("date"), col("name"), col("series_key"),
+              col("hour_start"))
+            .write.mode("overwrite").partitionBy("date").parquet(staging)
+        }
       }
       .trigger(trigger)
       .start()
@@ -431,8 +433,9 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Layout.writeLogs(batch, path, mode = "append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Layout.commitBatch(path, id)(
+          graft.sources.Layout.writeLogs(batch, _, mode = "overwrite"))
       }
       .trigger(trigger)
       .start()
@@ -498,13 +501,15 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .withColumn("date",
-            date_format(timestamp_micros(col("ts_us")), "yyyyMMdd"))
-          .repartition(col("date"))
-          .sortWithinPartitions(col("date"), col("name"), col("ts_us"))
-          .write.mode("append").partitionBy("date").parquet(path)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Layout.commitBatch(path, id) { staging =>
+          batch
+            .withColumn("date",
+              date_format(timestamp_micros(col("ts_us")), "yyyyMMdd"))
+            .repartition(col("date"))
+            .sortWithinPartitions(col("date"), col("name"), col("ts_us"))
+            .write.mode("overwrite").partitionBy("date").parquet(staging)
+        }
       }
       .trigger(trigger)
       .start()
@@ -540,53 +545,44 @@ object Streams {
       .filter(col("value").isNotNull && size(col("stack")) > 0)
   }
 
-  /** Loki push JSON ingest (`POST /loki/api/v1/push`): promtail-shaped
-    * bodies — `{"streams":[{"stream":{labels},"values":[[ns-ts,line],
-    * …]}]}` — to rows the log layout stores. The reference returns
-    * NotImplemented here (lokihandler.go:611-616); accepting the
-    * format is parity-plus. Spark-first: the JSON parse runs
-    * DISTRIBUTED via `from_json` inside the micro-batch (no driver
-    * parser), one explode per stream and one per entry; a malformed
-    * body parses to null and drops, never poisoning the listener.
+  /** Loki push ingest (`POST /loki/api/v1/push`): promtail-shaped JSON
+    * bodies — `{"streams":[{"stream":{labels},"values":[[ns-ts,line,
+    * {meta}?],…]}]}` — and promtail's DEFAULT wire encoding
+    * (snappy-block-compressed logproto.PushRequest) to rows the log
+    * layout stores. The reference returns NotImplemented here
+    * (lokihandler.go:611-616); accepting the format is parity-plus.
+    * Both decodes run DISTRIBUTED in mapPartitions over
+    * [[graft.sources.LokiPush]] inside the micro-batch (the same seam
+    * as the OTLP decoders); a malformed body decodes to zero rows,
+    * never poisoning the listener. Per-entry STRUCTURED METADATA (the
+    * optional third JSON element / proto field 3, Loki ≥2.9) merges
+    * into the entry's label map metadata-wins — the pipeline then sees
+    * it as ordinary labels, which is how Loki exposes it to LogQL.
     */
   def logsFromLokiPush(frames: DataFrame,
       payloadCol: String = "payload"): DataFrame = {
     val ss = frames.sparkSession
     import ss.implicits._
-    val payloads = frames.select(col(payloadCol)).as[Array[Byte]]
-    // JSON bodies start with '{'; anything else is promtail's DEFAULT
-    // encoding — snappy-block-compressed logproto.PushRequest (no
-    // Content-Encoding header on the wire, so the micro-batch undoes
-    // it; an uncompressed proto frame falls through the try)
-    val protoRows = payloads
-      .filter((b: Array[Byte]) => b.nonEmpty && b(0) != '{'.toByte)
+    frames.select(col(payloadCol)).as[Array[Byte]]
       .mapPartitions(_.flatMap { b =>
-        val raw =
-          try graft.sources.Snappy.decode(b)
-          catch { case _: Exception => b }
-        graft.sources.LokiPush.decodePush(raw)
+        // JSON bodies start with '{'; anything else is the snappy
+        // logproto frame (no Content-Encoding header on the wire, so
+        // the micro-batch undoes it; an uncompressed proto frame falls
+        // through the try)
+        if (b.nonEmpty && b(0) == '{'.toByte)
+          graft.sources.LokiPush.decodePushJson(b)
+        else {
+          val raw =
+            try graft.sources.Snappy.decode(b)
+            catch { case _: Exception => b }
+          graft.sources.LokiPush.decodePush(raw)
+        }
       })
       .toDF()
-      .select(col("ts_ns"), col("body"), col("attrs"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "streams ARRAY<STRUCT<stream: MAP<STRING,STRING>, " +
-        "values: ARRAY<ARRAY<STRING>>>>")
-    val jsonRows = payloads
-      .filter((b: Array[Byte]) => b.nonEmpty && b(0) == '{'.toByte)
-      .toDF(payloadCol)
-      .select(from_json(decode(col(payloadCol), "UTF-8"), schema).as("r"))
-      .select(explode(col("r.streams")).as("s"))
-      .select(col("s.stream").as("attrs"), explode(col("s.values")).as("v"))
-      .filter(size(col("v")) >= 2 && col("v")(0).cast("long").isNotNull)
-      .select(
-        col("v")(0).cast("long").as("ts_ns"),
-        col("v")(1).as("body"),
-        col("attrs"))
-    jsonRows.unionByName(protoRows)
       .select(
         col("ts_ns"),
         col("body"),
-        col("attrs"),
+        mergeRightWins(col("attrs"), col("metadata")).as("attrs"),
         map().cast("map<string,string>").as("resource_attrs"),
         coalesce(element_at(col("attrs"), "service_name"),
           element_at(col("attrs"), "job")).as("service_name"),
@@ -730,8 +726,9 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Layout.writeSpans(batch, path, mode = "append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Layout.commitBatch(path, id)(
+          graft.sources.Layout.writeSpans(batch, _, mode = "overwrite"))
       }
       .trigger(trigger)
       .start()
@@ -746,8 +743,9 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Layout.writePoints(batch, path, mode = "append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Layout.commitBatch(path, id)(
+          graft.sources.Layout.writePoints(batch, _, mode = "overwrite"))
       }
       .trigger(trigger)
       .start()
@@ -762,8 +760,9 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Layout.writeExemplars(batch, path, mode = "append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Layout.commitBatch(path, id)(
+          graft.sources.Layout.writeExemplars(batch, _, mode = "overwrite"))
       }
       .trigger(trigger)
       .start()

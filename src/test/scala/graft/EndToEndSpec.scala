@@ -457,24 +457,28 @@ class EndToEndSpec extends SparkTestBase {
     }
 
     // promtail-shaped body: ns timestamps as strings, one stream per
-    // label set (the reference declines this endpoint; we ingest it)
+    // label set (the reference declines this endpoint; we ingest it);
+    // the error line carries per-entry STRUCTURED METADATA as the
+    // optional third element (Loki ≥2.9 push contract)
     val body =
       s"""{"streams":[
          |  {"stream":{"app":"push","job":"svc"},
-         |   "values":[["$T0","error: push-boom"],
+         |   "values":[["$T0","error: push-boom",{"trace_hint":"t-42","pod":"api-0"}],
          |             ["${T0 + 1000000L}","status=ok"]]},
          |  {"stream":{"app":"other","job":"svc"},
          |   "values":[["${T0 + 2000000L}","fine"]]}
          |]}""".stripMargin
 
     // promtail's DEFAULT encoding: snappy-compressed logproto
-    // PushRequest (labels string + Timestamp entries), no
-    // Content-Encoding header on the wire
+    // PushRequest (labels string + Timestamp entries + field-3
+    // structuredMetadata LabelPairAdapter), no Content-Encoding
+    // header on the wire
     val protoReq = new W().msg(1, new W()
       .str(1, """{app="pushproto", job="svc"}""")
       .msg(2, new W()
         .msg(1, new W().vint(1, T0 / 1000000000L).vint(2, 500L))
-        .str(2, "proto line ok"))).out.toByteArray
+        .str(2, "proto line ok")
+        .msg(3, new W().str(1, "pod").str(2, "api-7")))).out.toByteArray
 
     val dir = Files.createTempDirectory("grafte2epush").toString
     val recv = new OtlpReceiver(spark, dir)
@@ -499,19 +503,41 @@ class EndToEndSpec extends SparkTestBase {
     assert(stored.filter(col("body") === "error: push-boom")
       .select("severity_text", "service_name").collect().map(r =>
         (r.getString(0), r.getString(1))).toSeq == Seq(("ERROR", "svc")))
-    // the snappy-proto frame landed with its parsed labels + exact ts
+    // the snappy-proto frame landed with its parsed labels + exact ts,
+    // and its field-3 structured metadata surfaced as a label
     assert(stored.filter(col("body") === "proto line ok")
-      .select(col("ts_ns"), element_at(col("attrs"), "app"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
-      Seq((T0 + 500L, "pushproto")))
+      .select(col("ts_ns"), element_at(col("attrs"), "app"),
+        element_at(col("attrs"), "pod"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((T0 + 500L, "pushproto", "api-7")))
+    // JSON third-element metadata: entry-scoped (only the error line),
+    // stream labels intact on the entry WITHOUT metadata
+    assert(stored.filter(col("body") === "error: push-boom")
+      .select(element_at(col("attrs"), "trace_hint"),
+        element_at(col("attrs"), "pod"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("t-42", "api-0")))
+    assert(stored.filter(col("body") === "status=ok")
+      .select(element_at(col("attrs"), "pod"),
+        element_at(col("attrs"), "app"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1))).toSeq ==
+      Seq((None, "push")))
 
     val logs = stored
-      .withColumn("labels", map(lit("app"), element_at(col("attrs"), "app")))
+      .withColumn("labels", map_filter(
+        map(lit("app"), element_at(col("attrs"), "app"),
+          lit("pod"), element_at(col("attrs"), "pod")),
+        (_, v) => v.isNotNull))
       .select(col("ts_ns"), col("body"), col("labels"))
     val out = graft.logql.Planner.query(
       """{app="push"} |= "boom"""", logs)
       .select("body").collect().map(_.getString(0))
     assert(out.toSeq == Seq("error: push-boom"))
+    // structured metadata is queryable as an ordinary LogQL label
+    val byPod = graft.logql.Planner.query(
+      """{pod="api-7"}""", logs)
+      .select("body").collect().map(_.getString(0))
+    assert(byPod.toSeq == Seq("proto line ok"))
   }
 
   test("remote-write: snappy wire frame -> /api/v1/write -> PromQL range") {

@@ -69,6 +69,26 @@ class RulesSpec extends SparkTestBase {
       (1L * H, "web", "inactive"), (2L * H, "web", "pending")))
   }
 
+  test("alertStates: for=0 fires immediately, negative forSteps rejected") {
+    // Prometheus `for: 0` semantics — active at a step means firing at
+    // that step, no pending phase
+    val rule = Rules.AlertingRule("HighRequests",
+      "http_requests_total > 5", forSteps = 0)
+    val out = Rules.alertStates(pointsDf, rule, stepUs = H)
+      .collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1)("job"),
+        r.getString(2)))
+      .sortBy(t => (t._2, t._1))
+    assert(out.toSeq == Seq(
+      (1L * H, "api", "firing"), (2L * H, "api", "firing"),
+      (1L * H, "web", "inactive"), (2L * H, "web", "firing")))
+    val bad = Rules.AlertingRule("Bad", "http_requests_total > 5",
+      forSteps = -1)
+    intercept[IllegalArgumentException] {
+      Rules.alertStates(pointsDf, bad, stepUs = H).collect()
+    }
+  }
+
   test("alertStatesLogQL: the Loki-ruler shape over a LogQL condition") {
     val HNs = 3600000000000L
     val MNs = 60000000000L
