@@ -44,6 +44,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
 
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
+  private var grpc: GrpcIngest = _
 
   /** resource attrs merged under point attrs, point side winning on
     * duplicate keys (valid OTLP may repeat a key on both levels).
@@ -116,13 +117,36 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
     server.createContext("/v1/metrics", accept(metricIn))
     server.createContext("/api/v1/write", accept(promIn, snappyBody = true))
     server.createContext("/loki/api/v1/push", accept(lokiIn))
-    // OTLP/HTTP profiles: the development-signal path plus the plain
-    // /v1/ alias local producers use
+    // OTLP/HTTP profiles: the development-signal path (dictionary/
+    // stack-table payloads per the v1development proto revision —
+    // decode auto-detects and also accepts classic pprof-shaped
+    // requests) plus the plain /v1/ alias local producers use
     server.createContext("/v1development/profiles", accept(profileIn))
     server.createContext("/v1/profiles", accept(profileIn))
     server.createContext("/pyroscope/ingest", acceptPyro())
     server.start()
     server.getAddress.getPort
+  }
+
+  /** OTLP/gRPC transport (the collector-default export) for all four
+    * signals: the standard collector service methods route into the
+    * SAME MemoryStream sources as the HTTP listener, so decode and the
+    * layout appends are shared — only the framing differs
+    * (reference internal/otelreceiver/receiver.go:45-93 embeds the
+    * collector's gRPC receivers the same way). Call after [[start]];
+    * returns the bound gRPC port.
+    */
+  def startGrpc(port: Int = 0): Int = {
+    grpc = new GrpcIngest(Map(
+      "/opentelemetry.proto.collector.trace.v1.TraceService/Export" ->
+        (traceIn.addData(_)),
+      "/opentelemetry.proto.collector.logs.v1.LogsService/Export" ->
+        (logIn.addData(_)),
+      "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export" ->
+        (metricIn.addData(_)),
+      "/opentelemetry.proto.collector.profiles.v1development.ProfilesService/Export" ->
+        (profileIn.addData(_))))
+    grpc.start(port)
   }
 
   private def accept(sink: MemoryStream[Array[Byte]],
@@ -206,6 +230,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
 
   def stop(): Unit = {
     if (server != null) server.stop(0)
+    if (grpc != null) grpc.stop()
     queries.foreach(_.stop())
   }
 }

@@ -326,6 +326,168 @@ class EndToEndSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("OTLP/gRPC listener: collector-default transport -> streamed layout -> query APIs") {
+    import graft.sources.OtlpReceiver
+    import io.netty.bootstrap.Bootstrap
+    import io.netty.buffer.Unpooled
+    import io.netty.channel.{ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+    import io.netty.channel.nio.NioEventLoopGroup
+    import io.netty.channel.socket.SocketChannel
+    import io.netty.channel.socket.nio.NioSocketChannel
+    import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
+
+    /** Unary gRPC call over h2c prior knowledge: returns grpc-status. */
+    def grpcCall(port: Int, path: String, msg: Array[Byte],
+        gzip: Boolean = false): Int = {
+      val group = new NioEventLoopGroup(1)
+      try {
+        val bs = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+          .handler(new ChannelInitializer[SocketChannel] {
+            override def initChannel(ch: SocketChannel): Unit = {
+              ch.pipeline().addLast(
+                Http2FrameCodecBuilder.forClient().build(),
+                new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+              ()
+            }
+          })
+        val ch = bs.connect("127.0.0.1", port).sync().channel()
+        val status = new java.util.concurrent.LinkedBlockingQueue[Integer]()
+        val stream = new Http2StreamChannelBootstrap(ch)
+          .handler(new ChannelInboundHandlerAdapter {
+            override def channelRead(ctx: ChannelHandlerContext, m: AnyRef): Unit =
+              m match {
+                case h: Http2HeadersFrame =>
+                  Option(h.headers().get("grpc-status"))
+                    .foreach(s => status.put(s.toString.toInt))
+                case d: Http2DataFrame => d.release(); ()
+                case other => io.netty.util.ReferenceCountUtil.release(other); ()
+              }
+          })
+          .open().sync().getNow
+        val headers = new DefaultHttp2Headers()
+        headers.method("POST").scheme("http").path(path)
+          .authority(s"127.0.0.1:$port")
+        headers.set("content-type", "application/grpc")
+        headers.set("te", "trailers")
+        if (gzip) headers.set("grpc-encoding", "gzip")
+        stream.writeAndFlush(new DefaultHttp2HeadersFrame(headers, false))
+        val payload =
+          if (!gzip) msg
+          else {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            g.write(msg); g.close(); bo.toByteArray
+          }
+        val framed = java.nio.ByteBuffer.allocate(5 + payload.length)
+          .put(if (gzip) 1.toByte else 0.toByte)
+          .putInt(payload.length).put(payload).array()
+        stream.writeAndFlush(
+          new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(framed), true))
+        val st = status.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+        ch.close().sync()
+        assert(st != null, s"no grpc-status trailer for $path")
+        st.intValue()
+      } finally { group.shutdownGracefully(); () }
+    }
+
+    def span(tid: Long, sid: Long, parent: Option[Long], name: String,
+        durNs: Long, status: Int): W = {
+      val w = new W().bytes(1, tid16(tid)).bytes(2, sid8(sid))
+      parent.foreach(p => w.bytes(4, sid8(p)))
+      w.str(5, name).vint(6, 2)
+        .fix64(7, T0).fix64(8, T0 + durNs)
+        .msg(15, new W().vint(3, status))
+    }
+    val tracePayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "lib"))
+        .msg(2, span(0xDDL, 1, None, "grpc-root", 700000L, 0))
+        .msg(2, span(0xDDL, 2, Some(1), "grpc-child", 90000L, 2))))
+      .out.toByteArray
+    val logPayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "logger"))
+        .msg(2, new W().fix64(1, T0).vint(2, 17)
+          .msg(5, new W().str(1, """{"level":"error","msg":"grpc-boom"}"""))
+          .msg(6, kv("app", "grpc")))))
+      .out.toByteArray
+    def gaugeAt(tsNs: Long, v: Double): W = {
+      val p = new W().fix64(2, T0).fix64(3, tsNs)
+      p.tag(4, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0; while (i < 8) { p.out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      p.msg(7, kv("host", "h2"))
+    }
+    val metricPayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "meter"))
+        .msg(2, new W().str(1, "grpc_cpu")
+          .msg(5, new W().msg(1, gaugeAt(T0, 3.0))
+            .msg(1, gaugeAt(T0 + 60_000_000_000L, 8.0))))))
+      .out.toByteArray
+    // classic-pprof-shaped profile (one stack)
+    val strs = Seq("", "cpu", "main", "grpcwork")
+    val profile = {
+      val w = new W()
+        .msg(1, new W().vint(1, 1L))
+        .msg(2, new W().vint(1, 2L).vint(1, 1L).vint(2, 4L))
+        .msg(4, new W().vint(1, 1L).msg(4, new W().vint(1, 1L)))
+        .msg(4, new W().vint(1, 2L).msg(4, new W().vint(1, 2L)))
+        .msg(5, new W().vint(1, 1L).vint(2, 2L))
+        .msg(5, new W().vint(1, 2L).vint(2, 3L))
+      strs.foreach(s => w.str(6, s))
+      w.vint(9, T0)
+      w
+    }
+    val profilePayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(2, profile))).out.toByteArray
+
+    val dir = Files.createTempDirectory("grafte2egrpc").toString
+    val recv = new OtlpReceiver(spark, dir)
+    recv.start()
+    val gport = recv.startGrpc()
+    try {
+      val base = "/opentelemetry.proto.collector"
+      assert(grpcCall(gport, s"$base.trace.v1.TraceService/Export",
+        tracePayload) == 0)
+      // gRPC's standard per-message gzip coding is transparent
+      assert(grpcCall(gport, s"$base.logs.v1.LogsService/Export",
+        logPayload, gzip = true) == 0)
+      assert(grpcCall(gport, s"$base.metrics.v1.MetricsService/Export",
+        metricPayload) == 0)
+      assert(grpcCall(gport,
+        s"$base.profiles.v1development.ProfilesService/Export",
+        profilePayload) == 0)
+      // unknown method -> UNIMPLEMENTED (12); malformed frame -> 3
+      assert(grpcCall(gport, "/no.such.Service/Export", Array[Byte]()) == 12)
+      recv.flush()
+    } finally recv.stop()
+
+    // every signal landed in its layout and serves its query front-end
+    val spans = spark.read.parquet(s"$dir/spans")
+    val err = graft.traceql.TraceQL.matchSpans("{ status = error }", spans)
+      .select("name").collect().map(_.getString(0))
+    assert(err.toSeq == Seq("grpc-child"))
+    val logs = spark.read.parquet(s"$dir/logs")
+      .withColumn("labels", map(lit("app"), element_at(col("attrs"), "app")))
+      .select(col("ts_ns"), col("body"), col("labels"))
+    val logHits = graft.logql.Planner.query(
+      """{app="grpc"} | json | level = "error"""", logs)
+      .select("body").collect().map(_.getString(0))
+    assert(logHits.length == 1 && logHits(0).contains("grpc-boom"))
+    val points = spark.read.parquet(s"$dir/points")
+      .select("ts_us", "name", "labels", "value")
+    val met = graft.promql.PromQL.range("max_over_time(grpc_cpu[1h])",
+      points, Some(3600000000L))
+      .agg(max("value")).collect()(0).getDouble(0)
+    assert(met == 8.0)
+    val profs = spark.read.parquet(s"$dir/profiles")
+      .select("name", "stack", "value").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toSeq, r.getLong(2)))
+    assert(profs.toSeq == Seq(("cpu", Seq("main", "grpcwork"), 4L)))
+  }
+
   test("profiles: pprof wire -> /v1development/profiles -> layout -> render") {
     import graft.sources.OtlpReceiver
     def postBytes(url: String, body: Array[Byte]): Int = {

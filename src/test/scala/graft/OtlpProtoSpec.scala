@@ -365,6 +365,60 @@ class OtlpProtoSpec extends SparkTestBase {
     assert(h.getMap[String, String](3).isEmpty)
   }
 
+  test("OTLP profiles v1development: dictionary + stack_index decode") {
+    import graft.sources.OtlpProfiles
+    // packed repeated varint field
+    def packed(w: W, field: Int, vs: Seq[Long]): W = {
+      val inner = new W()
+      vs.foreach(inner.varint)
+      w.bytes(field, inner.out.toByteArray)
+    }
+    val T0 = 1704103200000000000L
+    // ProfilesDictionary: string/function/location/stack/attribute tables
+    val dict = new W()
+    // location_table (field 2): loc_i -> Line{function_index = i}
+    Seq(0L, 1L, 2L).foreach(i =>
+      dict.msg(2, new W().msg(3, new W().vint(1, i))))
+    // function_table (field 3): fn_i -> name_strindex
+    Seq(2L, 3L, 4L).foreach(n => dict.msg(3, new W().vint(1, n)))
+    // string_table (field 5)
+    Seq("", "cpu", "main", "handler", "parse", "region", "eu")
+      .foreach(dict.str(5, _))
+    // attribute_table (field 6): KeyValueAndUnit{key_strindex=5(region),
+    // value AnyValue{string "eu"}}
+    dict.msg(6, new W().vint(1, 5L).msg(2, new W().str(1, "eu")))
+    // stack_table (field 7): leaf-first location indices
+    dict.msg(7, packed(new W(), 1, Seq(2L, 1L, 0L))) // parse,handler,main
+    dict.msg(7, packed(new W(), 1, Seq(1L, 0L)))     // handler,main
+    // Profile: sample_type ValueType{type_strindex=1(cpu)}, samples,
+    // time_unix_nano (field 3); sample 1 references stack 0 + carries
+    // attribute_indices=[0], sample 2 references stack 1
+    val sample1 = packed(packed(new W().vint(1, 0L), 2, Seq(7L)), 3, Seq(0L))
+    val profileFull = new W()
+      .msg(1, new W().vint(1, 1L))
+      .msg(2, sample1)
+      .msg(2, packed(new W().vint(1, 1L), 2, Seq(3L)))
+      .vint(3, T0)
+    val payload = new W()
+      .msg(1, new W()
+        .msg(1, new W().msg(1, kv("service.name", strVal("api"))))
+        .msg(2, new W().msg(2, profileFull)))
+      .msg(2, dict)
+      .out.toByteArray
+    val rows = OtlpProfiles.decodeProfiles(payload).sortBy(-_.value)
+    assert(rows.map(r => (r.name, r.stack, r.value, r.ts_us)) == Seq(
+      ("cpu", Seq("main", "handler", "parse"), 7L, T0 / 1000L),
+      ("cpu", Seq("main", "handler"), 3L, T0 / 1000L)))
+    // resource attrs + dictionary attribute_table labels both land
+    assert(rows.head.labels == Map("service.name" -> "api", "region" -> "eu"))
+    assert(rows(1).labels == Map("service.name" -> "api"))
+    // a classic pprof-shaped request (no dictionary) still decodes via
+    // the fallback path — covered by the e2e profiles test; here just
+    // assert the v1dev path did NOT claim it
+    assert(OtlpProfiles.decodeProfiles(
+      new W().msg(1, new W()).out.toByteArray).isEmpty)
+  }
+
   test("LokiPush.parseLabels: exact-match selector form incl. escapes") {
     import graft.sources.LokiPush.parseLabels
     assert(parseLabels("""{app="api", job="svc"}""") ==
