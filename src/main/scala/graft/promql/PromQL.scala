@@ -703,14 +703,15 @@ object PromQL {
     * instant path. Requires one shared range across the expression.
     */
   def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
-    instantOf(foldScalars(parse(q)), points, evalTsUs)
+    instantOf(foldScalars(parse(q)), expandNativeHistograms(points), evalTsUs)
 
   /** Instant /api/v1/query dispatch: a bare vector selector evaluates
     * via the 5m-lookback latest-sample rule (reference
     * promhandler.go:328-374 instant path); anything with a range goes
     * through the shared-range window alignment of [[instantExpr]].
     */
-  def instant(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
+  def instant(q: String, points0: DataFrame, evalTsUs: Long): DataFrame = {
+    val points = expandNativeHistograms(points0)
     foldScalars(resolveAt(parse(q), Some(evalTsUs), Some(evalTsUs))) match {
       case Instant(sel, off) =>
         lookback(sel, points, evalTsUs - off / 1000)
@@ -719,6 +720,7 @@ object PromQL {
         .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
       case e => instantOf(e, points, evalTsUs)
     }
+  }
 
   /** Latest live sample per series in (t-5m, t]. */
   private def lookback(sel: Selector, points: DataFrame,
@@ -950,6 +952,58 @@ object PromQL {
     bare && ranged
   }
 
+  /** Query-time conversion of STORED native (exponential) histogram
+    * rows into classic cumulative `le` bucket series — the reference's
+    * approach of converting exp-histograms to a bucket layout at query
+    * time and serving `histogram_quantile` over it
+    * (querier_metrics_hist.go:17-270, convertBucketsLayout:88). The
+    * points frame may carry the inserter's decomposition columns
+    * ([[graft.streaming.Streams.decomposeExpHist]]): `mapping` 10 =
+    * zero-count row, 11 = positive exp bucket with `bucket_idx` and
+    * `scale`; other rows (and frames without the columns) pass through
+    * untouched. Each histogram sample becomes its cumulative le series
+    * (le_i = base^(idx+1) with base = 2^(2^-scale); the zero bucket
+    * becomes le = 0) plus a `+Inf` series, so the WHOLE classic
+    * pipeline — per-bucket `rate`, vector matching, and
+    * `histogram_quantile`'s bucket interpolation — works unchanged over
+    * native-histogram series. Applied automatically at the range /
+    * instant entry points. One window pass per histogram sample's
+    * bucket list (partitions = #buckets, already tiny); plain samples
+    * never shuffle.
+    */
+  def expandNativeHistograms(points: DataFrame): DataFrame = {
+    val cols = points.columns.toSet
+    if (!(cols("mapping") && cols("bucket_idx") && cols("scale"))) points
+    else {
+      val base = Seq("ts_us", "name", "labels", "value").map(col)
+      val plain = points
+        .filter(col("mapping").isNull || !col("mapping").isin(10, 11))
+        .select(base: _*)
+      val hist = points.filter(col("mapping").isin(10, 11))
+        .withColumn("__k", to_json(array_sort(map_entries(col("labels")))))
+      val w = Window.partitionBy(col("ts_us"), col("name"), col("__k"))
+        .orderBy(coalesce(col("bucket_idx"), lit(Int.MinValue)))
+      val wAll = Window.partitionBy(col("ts_us"), col("name"), col("__k"))
+      val le = when(col("mapping") === 10, lit(0.0))
+        .otherwise(pow(lit(2.0),
+          (col("bucket_idx") + 1) * pow(lit(2.0), -col("scale"))))
+      val cum = hist
+        .withColumn("__cum", sum(col("value")).over(w))
+        .withColumn("__tot", sum(col("value")).over(wAll))
+        .withColumn("__le", le)
+      val buckets = cum.select(col("ts_us"), col("name"),
+        map_concat(col("labels"),
+          map(lit("le"), col("__le").cast("string"))).as("labels"),
+        col("__cum").as("value"))
+      val inf = cum.groupBy(col("ts_us"), col("name"), col("__k"))
+        .agg(first(col("labels")).as("labels"), max(col("__tot")).as("value"))
+        .select(col("ts_us"), col("name"),
+          map_concat(col("labels"), map(lit("le"), lit("+Inf"))).as("labels"),
+          col("value"))
+      plain.unionByName(buckets).unionByName(inf)
+    }
+  }
+
   def range(q: String, points: DataFrame,
       stepUs: Option[Long] = None,
       atRange: Option[(Long, Long)] = None): DataFrame = {
@@ -957,7 +1011,7 @@ object PromQL {
       atRange.map(_._1), atRange.map(_._2)))
     val st =
       if (stepUs.isEmpty && mixesBareAndRange(e)) Some(300000000L) else stepUs
-    planRange(e, points, st)
+    planRange(e, expandNativeHistograms(points), st)
   }
 
   private def planRange(e: Expr, points: DataFrame,

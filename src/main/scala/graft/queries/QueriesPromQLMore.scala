@@ -265,8 +265,70 @@ object QueriesPromQLMore extends QueryPack {
     }
   }
 
+  /** NATIVE-HISTOGRAM `histogram_quantile` through the real PromQL
+    * front-end: events fold into scale-0 exponential-histogram SAMPLES
+    * (one per day × event_type, mapping-11 bucket rows with integer
+    * bucket_idx via bit length), and
+    * `histogram_quantile(0.9, sum_over_time(nh[1d]))` evaluates
+    * through [[graft.promql.PromQL.range]] — the expansion to
+    * cumulative `le` series happens inside the front-end
+    * ([[graft.promql.PromQL.expandNativeHistograms]]), mirroring the
+    * reference's query-time conversion
+    * (querier_metrics_hist.go:17-270). The oracle recomputes the
+    * full bucket→quantile math: per-day cumulative counts over sparse
+    * bucket indexes, rank 0.9·total, previous-PRESENT-bucket lower
+    * bound, linear interpolation.
+    */
+  val nativeHistQuantile: Q = q(
+    "promql_native_hist_quantile",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |    event_type AS type,
+      |    length(bin(CAST(FLOOR(value) AS BIGINT))) - 1 AS idx,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events WHERE value >= 1
+      |  GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT bucket_us, type, idx, n,
+      |    SUM(n) OVER (PARTITION BY bucket_us, type ORDER BY idx) AS cum,
+      |    SUM(n) OVER (PARTITION BY bucket_us, type) AS total
+      |  FROM b),
+      |t AS (
+      |  SELECT bucket_us, type, power(2.0, idx + 1) AS le, cum, total,
+      |    lag(power(2.0, idx + 1)) OVER (PARTITION BY bucket_us, type ORDER BY idx) AS prev_le,
+      |    lag(cum) OVER (PARTITION BY bucket_us, type ORDER BY idx) AS prev_cum
+      |  FROM c)
+      |SELECT bucket_us, type,
+      |  round(COALESCE(prev_le, 0.0)
+      |    + (le - COALESCE(prev_le, 0.0))
+      |      * (0.9 * total - COALESCE(prev_cum, 0.0))
+      |      / (cum - COALESCE(prev_cum, 0.0)), 6) AS value
+      |FROM t
+      |WHERE cum >= 0.9 * total
+      |  AND (prev_cum IS NULL OR prev_cum < 0.9 * total)
+      |ORDER BY bucket_us, type""".stripMargin
+  ) { td =>
+    val DayUs = 86400000000L
+    val pts = td.events
+      .filter(col("value") >= 1)
+      .select(expr("(ts div 1000)").as("ts_us0"), col("event_type"),
+        (length(bin(floor(col("value")).cast("long"))) - 1).as("bucket_idx"))
+      .withColumn("ts_us", col("ts_us0") - col("ts_us0") % DayUs)
+      .groupBy(col("ts_us"), col("event_type"), col("bucket_idx"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col("ts_us"), lit("nh").as("name"),
+        map(lit("type"), col("event_type")).as("labels"), col("value"),
+        lit(11).as("mapping"), col("bucket_idx").cast("int").as("bucket_idx"),
+        lit(0).as("scale"))
+    graft.promql.PromQL
+      .range("histogram_quantile(0.9, sum_over_time(nh[1d]))", pts)
+      .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("bucket_us", "type")
+  }
+
   override def queries: Seq[Q] = Seq(
     sumByRate, groupLeft, exemplars, expHistogramMerge,
-    profileSelector, flameTree, flameDiff, alertFiring
+    profileSelector, flameTree, flameDiff, alertFiring, nativeHistQuantile
   )
 }

@@ -676,6 +676,52 @@ class PromQLComplianceSpec extends SparkTestBase {
     assertQ("""sort_by_label(demo_memory_usage_bytes, "instance")""", latest)
   }
 
+  test("executed ledger: native-histogram histogram_quantile through the front-end") {
+    // exp-histogram samples typed straight through range(): the engine
+    // converts mapping-10/11 rows to cumulative le series at query time
+    // (the reference's querier_metrics_hist.go conversion) and the
+    // classic bucket interpolation runs unchanged.
+    import spark.implicits._
+    val T0 = 300000000L
+    // series a (scale 0, SPARSE layout + zero bucket): zero=1,
+    // idx1 (le 4] = 3, idx3 (le 16] = 6 → total 10, rank 9 falls in
+    // idx3: 4 + (16-4)·(9-4)/(10-4) = 14
+    // series b (scale 1, base √2): idx2 (le 2^1.5] = 5, idx4
+    // (le 2^2.5] = 5 → rank 9 in idx4:
+    // 2^1.5 + (2^2.5−2^1.5)·(9−5)/(10−5)
+    val rows = Seq(
+      (T0, "nh", Map("job" -> "a"), 1.0, 10, Option.empty[Int], 0),
+      (T0, "nh", Map("job" -> "a"), 3.0, 11, Some(1), 0),
+      (T0, "nh", Map("job" -> "a"), 6.0, 11, Some(3), 0),
+      (T0, "nh", Map("job" -> "b"), 5.0, 11, Some(2), 1),
+      (T0, "nh", Map("job" -> "b"), 5.0, 11, Some(4), 1))
+      .toDF("ts_us", "name", "labels", "value", "mapping", "bucket_idx", "scale")
+    val out = graft.promql.PromQL
+      .range("histogram_quantile(0.9, sum_over_time(nh[5m]))", rows)
+      .collect()
+      .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
+      .toMap
+    val b15 = math.pow(2.0, 1.5)
+    val b25 = math.pow(2.0, 2.5)
+    assert(math.abs(out("a") - 14.0) < 1e-9)
+    assert(math.abs(out("b") - (b15 + (b25 - b15) * 4.0 / 5.0)) < 1e-9)
+    // the instant endpoint takes the same typed path
+    val inst = graft.promql.PromQL.instantExpr(
+      "histogram_quantile(0.9, sum_over_time(nh[5m]))", rows, T0)
+      .collect()
+      .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
+      .toMap
+    assert(math.abs(inst("a") - 14.0) < 1e-9)
+    // plain (non-histogram) samples in the SAME frame are untouched
+    val mixed = rows.unionByName(Seq(
+      (T0, "plain", Map("job" -> "c"), 42.0, 0, Option.empty[Int], 0))
+      .toDF("ts_us", "name", "labels", "value", "mapping", "bucket_idx", "scale"))
+    val plain = graft.promql.PromQL
+      .range("sum_over_time(plain[5m])", mixed)
+      .collect().map(_.getDouble(2))
+    assert(plain.toSeq == Seq(42.0))
+  }
+
   test("executed ledger: subquery avg_over_time(rate(...)[2m:10s])") {
     // inner rate on the absolute-aligned 10s grid over (t-2m, t]; each
     // step's window is the sliding (s-1m, s]; outer avg over the steps
