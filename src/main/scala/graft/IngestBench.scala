@@ -48,7 +48,11 @@ object IngestBench {
     }
   }
 
-  /** One WriteRequest: `nSeries` series × `nSamples` samples each. */
+  /** One WriteRequest: `nSeries` series × `nSamples` samples each,
+    * plus one trace-linked exemplar per series (prompb TimeSeries
+    * field 3; the write path stores them through the exemplar layout
+    * alongside the points, like the reference's remote-write decode).
+    */
   def frame(frameId: Long, nSeries: Int, nSamples: Int): Array[Byte] = {
     val t0Ms = 1704103200000L + frameId * nSamples * 15000L
     val w = new PW()
@@ -64,6 +68,11 @@ object IngestBench {
           .vint(2, t0Ms + i * 15000L))
         i += 1
       }
+      // Exemplar: 1 labels (trace link), 2 value, 3 timestamp
+      ts.msg(3, new PW()
+        .msg(1, new PW().str(1, "trace_id").str(2, f"${frameId * 1000 + s}%032x"))
+        .dbl(2, (frameId + s).toDouble)
+        .vint(3, t0Ms))
       w.msg(1, ts)
       s += 1
     }
@@ -118,6 +127,24 @@ object IngestBench {
       best = math.min(best, dt)
     }
     println(f"""{"metric":"ingest_points_per_sec","value":${totalPoints / best}%.0f,"points":$totalPoints,"baseline":144300}""")
+
+    // exemplar storage on the same wire: decode the TimeSeries field-3
+    // exemplars and append the daily exemplar layout (one exemplar per
+    // series per frame in the generated load)
+    val totalExemplars = nFrames.toLong * nSeries
+    val exOut = java.nio.file.Files.createTempDirectory("ingestbenchex").toString
+    var bestEx = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      val dt = time("exemplars decode+layout") {
+        val decompressed = wire.map(graft.sources.Snappy.decode)
+        val ex = graft.streaming.Streams.exemplarsFromPrompb(
+          decompressed.toDF("payload"))
+        graft.sources.Layout.writeExemplars(ex, exOut)
+        totalExemplars
+      }
+      bestEx = math.min(bestEx, dt)
+    }
+    println(f"""{"metric":"ingest_exemplars_per_sec","value":${totalExemplars / bestEx}%.0f,"exemplars":$totalExemplars}""")
 
     // Loki push (promtail-default snappy logproto) — same shape: frames
     // generated on executors, decode + enrich + sorted layout timed

@@ -64,9 +64,11 @@ object Ann {
     val k = cents.count()
     val stride = math.max(1L, math.round(math.sqrt(k.toDouble)))
     // the rank window is a single partition of k rows — centroid-table
-    // sized, never corpus-sized
+    // sized, never corpus-sized (the constant partition key states that
+    // intent; it also keeps Spark's no-partition warning out of logs)
     val supers = cents
-      .withColumn("rnk", row_number().over(Window.orderBy(col("cid"))))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cid"))))
       .filter((col("rnk") - 1) % stride === 0)
       .select(col("cid").as("rid"), col("cv").as("rv"))
     // level 1: centroids and vectors each pick their super bucket

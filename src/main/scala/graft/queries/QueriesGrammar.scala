@@ -301,6 +301,40 @@ object QueriesGrammar extends QueryPack {
         map(lit("service.name"),
           concat(lit("svc-"), element_at(col("attrs"), "returnflag")))))
 
+  /** `select()` over the event:/link: ARRAY scopes: the distinct field
+    * values across each spanset surface as one sorted comma-joined
+    * column (event names, link span ids) next to the span count —
+    * array-scope projection, not a numeric sum (reference select()
+    * projects fields onto returned spans; the array scopes quantify
+    * like the event/link predicates).
+    */
+  val selectArraysE2e: Q = Q(
+    "traceql_e2e_select_arrays",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ } | select(event:name, link:spanID)""",
+          richSpansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans"),
+          col("event_name_vals"), col("link_spanID_vals")),
+    Some(
+      s"""WITH spans AS (
+         |  SELECT l_orderkey AS trace_id, l_linenumber AS span_id,
+         |    CASE WHEN l_linenumber > 1 THEN CAST(l_linenumber // 2 AS INT) END AS parent_span_id,
+         |    l_linestatus AS linestatus
+         |  FROM lineitem),
+         |ev AS (SELECT DISTINCT trace_id, 'ev-' || linestatus AS v FROM spans),
+         |evs AS (SELECT trace_id, string_agg(v, ',' ORDER BY v) AS vals
+         |        FROM ev GROUP BY trace_id),
+         |lk AS (SELECT DISTINCT trace_id, CAST(parent_span_id AS VARCHAR) AS v
+         |       FROM spans WHERE parent_span_id IS NOT NULL),
+         |lks AS (SELECT trace_id, string_agg(v, ',' ORDER BY v) AS vals
+         |        FROM lk GROUP BY trace_id),
+         |n AS (SELECT trace_id, COUNT(*) AS n_spans FROM spans GROUP BY trace_id)
+         |SELECT n.trace_id, n.n_spans,
+         |  COALESCE(evs.vals, '') AS event_name_vals,
+         |  COALESCE(lks.vals, '') AS link_spanID_vals
+         |FROM n LEFT JOIN evs USING (trace_id) LEFT JOIN lks USING (trace_id)
+         |ORDER BY n.trace_id""".stripMargin))
+
   /** statusMessage + span:parentID scoped intrinsics through the parser. */
   val scopedIntrinsicsE2e: Q = Q(
     "traceql_e2e_scoped_intrinsics",
@@ -625,7 +659,8 @@ object QueriesGrammar extends QueryPack {
   override def queries: Seq[Q] = Seq(
     patternFilter, unpackE2e, jsonPathsE2e, bySelectE2e, statusLiteralE2e,
     offsetE2e, boolE2e, quantileWithoutE2e, stddevE2e, histQuantileE2e,
-    scopedIntrinsicsE2e, eventLinkE2e, rootServiceE2e, re2E2e, parentScopeE2e,
+    scopedIntrinsicsE2e, selectArraysE2e, eventLinkE2e, rootServiceE2e,
+    re2E2e, parentScopeE2e,
     metricsE2e, metricsMin, metricsAvg, metricsSum, metricsQuantile,
     metricsTopk, metricsCompare, metricsCompareWindow, resourceScopeE2e,
     tagFilteredE2e, tagsScopedE2e)

@@ -333,24 +333,29 @@ object TraceQL {
     * arrays — ANY element matching satisfies the span
     * (evaluater.go event/link scopes).
     */
-  private def existsRef(scope: String, field: String,
-      test: Column => Column): Column = scope match {
-    case "event" =>
-      val f = field match {
-        case "name" => (e: Column) => e.getField("name")
-        case other =>
-          throw new IllegalArgumentException(s"unsupported event field '$other'")
-      }
-      exists(col("events"), e => test(f(e)))
-    case "link" =>
-      val f = field match {
-        case "traceID" => (e: Column) => e.getField("trace_id")
-        case "spanID"  => (e: Column) => e.getField("span_id")
-        case other =>
-          throw new IllegalArgumentException(s"unsupported link field '$other'")
-      }
-      exists(col("links"), e => test(f(e)))
+  /** Column + element accessor for the event:/link: array scopes —
+    * shared by the quantified predicates and select() projections.
+    */
+  private def arrayField(scope: String,
+      field: String): (String, Column => Column) = scope match {
+    case "event" => field match {
+      case "name" => ("events", (e: Column) => e.getField("name"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported event field '$other'")
+    }
+    case "link" => field match {
+      case "traceID" => ("links", (e: Column) => e.getField("trace_id"))
+      case "spanID"  => ("links", (e: Column) => e.getField("span_id"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported link field '$other'")
+    }
     case other => throw new IllegalArgumentException(s"no array scope '$other'")
+  }
+
+  private def existsRef(scope: String, field: String,
+      test: Column => Column): Column = {
+    val (arr, f) = arrayField(scope, field)
+    exists(col(arr), e => test(f(e)))
   }
 
   /** Trace-level intrinsics computed once per trace with a window over
@@ -914,10 +919,21 @@ object TraceQL {
           Seq("trace_id", "by_value"))
       case None => (matched0.groupBy(col("trace_id")), Seq("trace_id"))
     }
-    // select(f): decimal-exact sum projection per selected field
-    val selAggs = ast.selects.map(r =>
-      sum(refCol(r).cast("decimal(18,4)")).cast("double")
-        .as(s"${refName(r)}_sum"))
+    // select(f): decimal-exact sum projection per selected field;
+    // event:/link: refs are ARRAY-scoped — select() surfaces the
+    // distinct field values across the spanset as one sorted
+    // comma-joined string (deterministic, and the scalar shape the
+    // oracle can recompute), not a numeric sum
+    val selAggs = ast.selects.map {
+      case r @ ScopedRef(s @ ("event" | "link"), f) =>
+        val (arr, get) = arrayField(s, f)
+        concat_ws(",", array_sort(array_distinct(flatten(collect_list(
+          transform(col(arr), e => get(e).cast("string")))))))
+          .as(s"${s}_${refName(r)}_vals")
+      case r =>
+        sum(refCol(r).cast("decimal(18,4)")).cast("double")
+          .as(s"${refName(r)}_sum")
+    }
     val orderCols = groupCols.map(col)
     ast.scalar match {
       case None =>
