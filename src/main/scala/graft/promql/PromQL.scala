@@ -46,6 +46,9 @@ object PromQL {
       boolMod: Boolean = false) extends Expr
   /** histogram_quantile(φ, expr-with-le-buckets). */
   final case class HistQuantile(phi: Double, inner: Expr) extends Expr
+  /** histogram_count / histogram_fraction over le-bucket (or expanded
+    * native-histogram) series. */
+  final case class HistAgg(fn: String, nums: Seq[Double], inner: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
   /** `time()` — the evaluation timestamp as a value on the step grid. */
   case object TimeFn extends Expr
@@ -85,6 +88,7 @@ object PromQL {
       case Agg(op, b, w, k, p, i) => Agg(op, b, w, k, p, go(i))
       case Bin(op, l, r, m, bm)   => Bin(op, go(l), go(r), m, bm)
       case HistQuantile(phi, i)   => HistQuantile(phi, go(i))
+      case HistAgg(f, ns, i)      => HistAgg(f, ns, go(i))
       case RangeSub(f, i, r, st, off, ps) => RangeSub(f, go(i), r, st, off, ps)
       case leaf                   => leaf
     }
@@ -326,6 +330,18 @@ object PromQL {
         val inner = parseExpr(p)
         p.expect(")")
         HistQuantile(phi, inner)
+      } else if (name == "histogram_count") {
+        p.ident(); p.expect("(")
+        val inner = parseExpr(p)
+        p.expect(")")
+        HistAgg("histogram_count", Nil, inner)
+      } else if (name == "histogram_fraction") {
+        p.ident(); p.expect("(")
+        val lo = p.number(); p.expect(",")
+        val hi = p.number(); p.expect(",")
+        val inner = parseExpr(p)
+        p.expect(")")
+        HistAgg("histogram_fraction", Seq(lo, hi), inner)
       } else if (name == "count_values") {
         // count_values("label", v) — the label name is a string param
         p.ident(); p.expect("(")
@@ -505,6 +521,7 @@ object PromQL {
     case Bin(_, l, r, _, _)          => extractSelectors(l) ++ extractSelectors(r)
     case FnCall(_, i, _, _)          => extractSelectors(i)
     case HistQuantile(_, i)          => extractSelectors(i)
+    case HistAgg(_, _, i)            => extractSelectors(i)
     case At(i, _)                    => extractSelectors(i)
     case _                           => Nil
   }
@@ -533,6 +550,7 @@ object PromQL {
     case Agg(_, _, _, _, _, i) => usesTableExtentGrid(i)
     case FnCall(_, i, _, _)    => usesTableExtentGrid(i)
     case HistQuantile(_, i)    => usesTableExtentGrid(i)
+    case HistAgg(_, _, i)      => usesTableExtentGrid(i)
     case At(i, _)              => usesTableExtentGrid(i)
     case _                     => false
   }
@@ -680,6 +698,7 @@ object PromQL {
         yield math.max(a, b)
     case FnCall(_, i, _, _)         => lookbackBoundUs(i)
     case HistQuantile(_, i)         => lookbackBoundUs(i)
+    case HistAgg(_, _, i)           => lookbackBoundUs(i)
     case At(_, _)                   => None // pinned: absolute, unbounded
     case ScalarLit(_) | TimeFn | VectorLit(_) => Some(0L)
   }
@@ -693,6 +712,7 @@ object PromQL {
     case Bin(_, l, r, _, _)        => collectRanges(l) ++ collectRanges(r)
     case FnCall(_, i, _, _)        => collectRanges(i)
     case HistQuantile(_, i)        => collectRanges(i)
+    case HistAgg(_, _, i)          => collectRanges(i)
     case At(_, _)                  => Nil // pinned: grid-independent
     case Instant(_, _) | ScalarLit(_) | TimeFn | VectorLit(_) => Nil
   }
@@ -793,6 +813,7 @@ object PromQL {
     case Bin(_, l, r, _, _) => containsVectorLeaf(l) || containsVectorLeaf(r)
     case FnCall(_, i, _, _)         => containsVectorLeaf(i)
     case HistQuantile(_, i)         => containsVectorLeaf(i)
+    case HistAgg(_, _, i)           => containsVectorLeaf(i)
     case ScalarLit(_)               => false
   }
 
@@ -921,6 +942,7 @@ object PromQL {
     case Agg(o, by, wo, k, p, i)  => Agg(o, by, wo, k, p, foldScalars(i))
     case FnCall(f, i, n, s)       => FnCall(f, foldScalars(i), n, s)
     case HistQuantile(phi, i)     => HistQuantile(phi, foldScalars(i))
+    case HistAgg(f, ns, i)        => HistAgg(f, ns, foldScalars(i))
     case RangeSub(f, i, r, st, o, p) => RangeSub(f, foldScalars(i), r, st, o, p)
     case At(i, t)                 => At(foldScalars(i), t)
     case other => other
@@ -945,6 +967,7 @@ object PromQL {
       case Agg(_, _, _, _, _, i)         => walk(i)
       case FnCall(_, i, _, _)            => walk(i)
       case HistQuantile(_, i)            => walk(i)
+      case HistAgg(_, _, i)              => walk(i)
       case At(i, _)                      => walk(i)
       case _                             => ()
     }
@@ -1669,6 +1692,55 @@ object PromQL {
           map_filter(col("labels"), (k, _) => k =!= "le").as("labels"),
           when(col("__le") === Double.PositiveInfinity, col("__maxFinite"))
             .otherwise(interp).as("value"))
+
+    case HistAgg(fn, nums, inner) =>
+      // histogram_count / histogram_fraction over cumulative le bucket
+      // series (incl. native-histogram series expanded to them):
+      //   count    = the +Inf cumulative (max over the group — values
+      //              are cumulative in le);
+      //   fraction = (F(hi) − F(lo)) / total, F(x) the linearly
+      //              interpolated cumulative at x (same in-bucket
+      //              interpolation convention as histogram_quantile's
+      //              bucket math; observations above the highest
+      //              finite bound are not attributed to any finite x).
+      // One lag window over the bucket axis + one grouped max — tiny
+      // partitions (#buckets), co-partitioned with the upstream agg.
+      val in = rec(inner)
+      val leStr = element_at(col("labels"), "le")
+      val noLe = map_filter(col("labels"), (k, _) => k =!= "le")
+      val df = in.filter(leStr.isNotNull)
+        .withColumn("__g", to_json(array_sort(map_entries(noLe))))
+        .withColumn("__le",
+          when(leStr === "+Inf", lit(Double.PositiveInfinity))
+            .otherwise(leStr.cast("double")))
+      fn match {
+        case "histogram_count" =>
+          df.groupBy(col("bucket_us"), col("__g"))
+            .agg(first(noLe).as("labels"), max(col("value")).as("value"))
+            .select(col("bucket_us"), col("labels"), col("value"))
+        case "histogram_fraction" =>
+          val Seq(lo, hi) = nums
+          val w = Window.partitionBy(col("bucket_us"), col("__g"))
+            .orderBy(col("__le"))
+          val st = df
+            .withColumn("__lower", coalesce(lag(col("__le"), 1).over(w), lit(0.0)))
+            .withColumn("__prevC", coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+          // rowwise cumulative-at-x candidate; the group max IS F(x)
+          def fAt(x: Double): Column =
+            when(lit(x) >= col("__le"), col("value"))
+              .when(lit(x) > col("__lower"),
+                col("__prevC") + (col("value") - col("__prevC")) *
+                  (lit(x) - col("__lower")) / (col("__le") - col("__lower")))
+              .otherwise(lit(0.0))
+          st.groupBy(col("bucket_us"), col("__g"))
+            .agg(first(noLe).as("labels"),
+              max(fAt(hi)).as("__fhi"), max(fAt(lo)).as("__flo"),
+              max(col("value")).as("__total"))
+            .select(col("bucket_us"), col("labels"),
+              ((col("__fhi") - col("__flo")) / col("__total")).as("value"))
+        case other =>
+          throw new IllegalArgumentException(s"histogram function $other")
+      }
 
     case TimeFn =>
       // the step grid itself, carrying the step time in seconds as the

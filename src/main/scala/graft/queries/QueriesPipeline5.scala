@@ -359,6 +359,74 @@ object QueriesPipeline5 extends QueryPack {
       .orderBy("cid")
   }
 
+  /** IVF LIST STATS over the INGEST-MATERIALIZED assignment — the
+    * actual 100 TB deployment shape the other two IVF entries document
+    * in prose: the hierarchical assignment runs ONCE at ingest
+    * ([[Fixtures.materialized]] stores (vec_id, cid) like the span
+    * fixtures store parent_path), and the per-query work is ONE
+    * groupBy over the stored list-id column — no centroid broadcast,
+    * no assignment pass, no window. Same numbers as
+    * `pipe_ivf_hier_stats` (identical assignment), so the oracle SQL
+    * replays the two-level argmax; the difference under `.explain` is
+    * the plan: scan + single exchange.
+    */
+  val ivfStoredStats: Q = q(
+    "pipe_ivf_stored_stats",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+      |sup AS (
+      |  SELECT cid AS sid, cv AS sv FROM (
+      |    SELECT cid, cv, row_number() OVER (ORDER BY cid) AS rnk FROM c)
+      |  WHERE (rnk - 1) % 3 = 0),
+      |cs AS (
+      |  SELECT cid, sid, cv FROM (
+      |    SELECT c.cid, s.sid, c.cv,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC, s.sid) AS rn
+      |    FROM c CROSS JOIN sup s) WHERE rn = 1),
+      |vs AS (
+      |  SELECT vec_id, sid, v FROM (
+      |    SELECT e.vec_id, s.sid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC, s.sid) AS rn
+      |    FROM e CROSS JOIN sup s) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vs.vec_id, cs.cid,
+      |      row_number() OVER (PARTITION BY vs.vec_id
+      |        ORDER BY round(list_cosine_similarity(vs.v, cs.cv), 6) DESC, cs.cid) AS rn
+      |    FROM vs JOIN cs ON vs.sid = cs.sid) WHERE rn = 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS k FROM assigned)
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(*) * 1000000 // tot.n AS BIGINT) AS share_ppm,
+      |  CAST(COUNT(*) * tot.k * 1000000 // tot.n AS BIGINT) AS balance_ppm
+      |FROM assigned, tot GROUP BY cid, tot.n, tot.k ORDER BY cid""".stripMargin
+  ) { td =>
+    val spark = td.spark
+    val stored = Fixtures.materialized(spark, td.dir, "ivf_assignment",
+      "cid") {
+      val e = td.embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      graft.pipeline.Ann.hierAssign(e, "vec_id", "v", cents)
+        .select(col("vec_id"), col("cid"))
+    }
+    // query-time work: one groupBy over the stored list id + the tiny
+    // totals broadcast (k = the centroid count, from the same
+    // every-50th rule the ingest assignment used)
+    val tot = stored.agg(count(lit(1)).as("n"))
+      .crossJoin(td.embeddings.filter(col("vec_id") % 50 === 0)
+        .agg(count(lit(1)).as("k")))
+    stored.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n").as("share_ppm"),
+        expr("(n_vecs * k * 1000000) div n").as("balance_ppm"))
+      .orderBy("cid")
+  }
+
   /** LM PERPLEXITY scoring (the CCNet-style quality signal a model
     * filter uses): a bigram language model with add-one smoothing is
     * trained on the corpus itself, and every document is scored by its
@@ -503,6 +571,6 @@ object QueriesPipeline5 extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(semDedup, semDedupHier, blockDedup, substringDup, chunkOverlap,
-      ivfStats, ivfHierStats, lmPerplexity, distinctSketch,
+      ivfStats, ivfHierStats, ivfStoredStats, lmPerplexity, distinctSketch,
       distinctSketchBand)
 }

@@ -308,8 +308,20 @@ object QueriesPromQLMore extends QueryPack {
       |  AND (prev_cum IS NULL OR prev_cum < 0.9 * total)
       |ORDER BY bucket_us, type""".stripMargin
   ) { td =>
+    graft.promql.PromQL
+      .range("histogram_quantile(0.9, sum_over_time(nh[1d]))", nhDayPoints(td))
+      .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("bucket_us", "type")
+  }
+
+  /** Shared native-histogram fixture: one scale-0 exp-histogram SAMPLE
+    * per (day, event_type) — mapping-11 bucket rows with integer
+    * bucket_idx via bit length, timestamped at the day start.
+    */
+  private def nhDayPoints(td: Testdata): DataFrame = {
     val DayUs = 86400000000L
-    val pts = td.events
+    td.events
       .filter(col("value") >= 1)
       .select(expr("(ts div 1000)").as("ts_us0"), col("event_type"),
         (length(bin(floor(col("value")).cast("long"))) - 1).as("bucket_idx"))
@@ -320,15 +332,179 @@ object QueriesPromQLMore extends QueryPack {
         map(lit("type"), col("event_type")).as("labels"), col("value"),
         lit(11).as("mapping"), col("bucket_idx").cast("int").as("bucket_idx"),
         lit(0).as("scale"))
+  }
+
+  /** `histogram_count` over native-histogram series — the observation
+    * count is the +Inf cumulative of the expanded le series; the
+    * oracle is simply the per-(day, type) event count, which is the
+    * strongest possible cross-check of the whole expansion+count path.
+    */
+  val nativeHistCount: Q = q(
+    "promql_native_hist_count",
+    """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |  event_type AS type, CAST(COUNT(*) AS DOUBLE) AS value
+      |FROM events WHERE value >= 1
+      |GROUP BY 1, 2 ORDER BY bucket_us, type""".stripMargin
+  ) { td =>
     graft.promql.PromQL
-      .range("histogram_quantile(0.9, sum_over_time(nh[1d]))", pts)
+      .range("histogram_count(sum_over_time(nh[1d]))", nhDayPoints(td))
+      .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+        col("value"))
+      .orderBy("bucket_us", "type")
+  }
+
+  /** `histogram_fraction(3, 100, …)` over native-histogram series:
+    * linearly interpolated cumulative at both bounds (3 and 100 sit
+    * INSIDE buckets — the interpolation path is exercised, not just
+    * exact boundaries), fraction of the total. Oracle replays F(x) as
+    * a per-row candidate max over the cumulative bucket rows.
+    */
+  val nativeHistFraction: Q = q(
+    "promql_native_hist_fraction",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |    event_type AS type,
+      |    length(bin(CAST(FLOOR(value) AS BIGINT))) - 1 AS idx,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events WHERE value >= 1
+      |  GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT bucket_us, type, idx, n,
+      |    SUM(n) OVER (PARTITION BY bucket_us, type ORDER BY idx) AS cum,
+      |    SUM(n) OVER (PARTITION BY bucket_us, type) AS total
+      |  FROM b),
+      |t AS (
+      |  SELECT bucket_us, type, cum, total, power(2.0, idx + 1) AS le,
+      |    COALESCE(LAG(power(2.0, idx + 1)) OVER (
+      |      PARTITION BY bucket_us, type ORDER BY idx), 0.0) AS lower,
+      |    COALESCE(LAG(cum) OVER (
+      |      PARTITION BY bucket_us, type ORDER BY idx), 0.0) AS prev_c
+      |  FROM c),
+      |f AS (
+      |  SELECT bucket_us, type,
+      |    MAX(CASE WHEN 100.0 >= le THEN cum
+      |      WHEN 100.0 > lower THEN prev_c + (cum - prev_c) * (100.0 - lower) / (le - lower)
+      |      ELSE 0.0 END) AS fhi,
+      |    MAX(CASE WHEN 3.0 >= le THEN cum
+      |      WHEN 3.0 > lower THEN prev_c + (cum - prev_c) * (3.0 - lower) / (le - lower)
+      |      ELSE 0.0 END) AS flo,
+      |    MAX(total) AS total
+      |  FROM t GROUP BY 1, 2)
+      |SELECT bucket_us, type, round((fhi - flo) / total, 6) AS value
+      |FROM f ORDER BY bucket_us, type""".stripMargin
+  ) { td =>
+    graft.promql.PromQL
+      .range("histogram_fraction(3, 100, sum_over_time(nh[1d]))",
+        nhDayPoints(td))
       .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
         round(col("value"), 6).as("value"))
       .orderBy("bucket_us", "type")
   }
 
+  /** `histogram_quantile(0.9, rate(nh[1d]))` over native-histogram
+    * COUNTERS — the verdict-example query end-to-end: per-bucket
+    * cumulative counts sampled hourly (the OTLP cumulative-temporality
+    * wire shape, densified to the scrape grid), expanded to classic le
+    * counter series inside the front-end, Prometheus-extrapolated rate
+    * per le series, then bucket interpolation. The oracle replays the
+    * WHOLE chain: hourly dense grid, per-le cumulative counters,
+    * the extrapolation formula (shared SQL fragment from [[PromMath]],
+    * incl. the zero-crossing clamp — NOT distributive over le, so rate
+    * must run per le series exactly like the engine), and the
+    * previous-present-bucket interpolation.
+    */
+  val nativeHistRateQuantile: Q = {
+    val HourUs = 3600000000L
+    val DayUs2 = 86400000000L
+    q(
+      "promql_native_hist_rate_quantile",
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_type AS type,
+         |    length(bin(CAST(FLOOR(value) AS BIGINT))) - 1 AS idx
+         |  FROM events WHERE value >= 1),
+         |ext AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM e),
+         |grid AS (
+         |  SELECT unnest(generate_series(
+         |    ((lo + ${HourUs - 1}) // $HourUs) * $HourUs,
+         |    ((hi + ${DayUs2 - 1}) // $DayUs2) * $DayUs2,
+         |    $HourUs)) AS h
+         |  FROM ext),
+         |series AS (SELECT DISTINCT type, idx FROM e),
+         |cnth AS (
+         |  SELECT type, idx,
+         |    ((ts_us + ${HourUs - 1}) // $HourUs) * $HourUs AS h,
+         |    COUNT(*) AS n1
+         |  FROM e GROUP BY 1, 2, 3),
+         |cum AS (
+         |  SELECT g.h, s.type, s.idx,
+         |    SUM(COALESCE(c.n1, 0)) OVER (
+         |      PARTITION BY s.type, s.idx ORDER BY g.h) AS c
+         |  FROM grid g CROSS JOIN series s
+         |  LEFT JOIN cnth c ON c.type = s.type AND c.idx = s.idx AND c.h = g.h),
+         |lev AS (
+         |  SELECT h, type, idx,
+         |    CAST(SUM(c) OVER (PARTITION BY h, type ORDER BY idx) AS DOUBLE) AS lc
+         |  FROM cum),
+         |st AS (
+         |  SELECT ((h + ${DayUs2 - 1}) // $DayUs2) * $DayUs2 AS b, type, idx,
+         |    COUNT(*) AS n, MIN(h) AS first_ts_us, MAX(h) AS last_ts_us,
+         |    ARG_MIN(lc, h) AS first_v, ARG_MAX(lc, h) AS last_v
+         |  FROM lev GROUP BY 1, 2, 3),
+         |rate AS (
+         |  SELECT b, type, idx,
+         |    (last_v - first_v)
+         |      * ${PromMath.oracleExtrapolation(counterZeroClamp = true, "(last_v - first_v)")}
+         |      / 86400.0 AS r
+         |  FROM (SELECT *, b - $DayUs2 AS bucket_us FROM st) WHERE n >= 2),
+         |qq AS (
+         |  SELECT b, type, power(2.0, idx + 1) AS le, r,
+         |    MAX(r) OVER (PARTITION BY b, type) AS total,
+         |    LAG(power(2.0, idx + 1)) OVER (
+         |      PARTITION BY b, type ORDER BY idx) AS prev_le,
+         |    LAG(r) OVER (PARTITION BY b, type ORDER BY idx) AS prev_c
+         |  FROM rate)
+         |SELECT b AS bucket_us, type,
+         |  round(COALESCE(prev_le, 0.0)
+         |    + (le - COALESCE(prev_le, 0.0))
+         |      * (0.9 * total - COALESCE(prev_c, 0.0))
+         |      / (r - COALESCE(prev_c, 0.0)), 6) AS value
+         |FROM qq
+         |WHERE r >= 0.9 * total AND (prev_c IS NULL OR prev_c < 0.9 * total)
+         |ORDER BY bucket_us, type""".stripMargin
+    ) { td =>
+      import org.apache.spark.sql.expressions.Window
+      val e = td.events.filter(col("value") >= 1)
+        .select(expr("ts div 1000").as("ts_us"), col("event_type").as("type"),
+          (length(bin(floor(col("value")).cast("long"))) - 1).cast("int").as("idx"))
+      val ext = e.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+      val grid = ext.select(explode(sequence(
+        expr(s"((lo + ${HourUs - 1}) div $HourUs) * $HourUs"),
+        expr(s"((hi + ${DayUs2 - 1}) div $DayUs2) * $DayUs2"),
+        lit(HourUs))).as("h"))
+      val series = e.select(col("type"), col("idx")).distinct()
+      val cnth = e.groupBy(col("type"), col("idx"),
+          expr(s"((ts_us + ${HourUs - 1}) div $HourUs) * $HourUs").as("h"))
+        .agg(count(lit(1)).as("n1"))
+      val wCum = Window.partitionBy(col("type"), col("idx")).orderBy(col("h"))
+      val pts = grid.crossJoin(broadcast(series))
+        .join(cnth, Seq("type", "idx", "h"), "left")
+        .withColumn("c", sum(coalesce(col("n1"), lit(0L))).over(wCum))
+        .select(col("h").as("ts_us"), lit("nh").as("name"),
+          map(lit("type"), col("type")).as("labels"),
+          col("c").cast("double").as("value"),
+          lit(11).as("mapping"), col("idx").as("bucket_idx"),
+          lit(0).as("scale"))
+      graft.promql.PromQL
+        .range("histogram_quantile(0.9, rate(nh[1d]))", pts, Some(DayUs2))
+        .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+          round(col("value"), 6).as("value"))
+        .orderBy("bucket_us", "type")
+    }
+  }
+
   override def queries: Seq[Q] = Seq(
     sumByRate, groupLeft, exemplars, expHistogramMerge,
-    profileSelector, flameTree, flameDiff, alertFiring, nativeHistQuantile
+    profileSelector, flameTree, flameDiff, alertFiring, nativeHistQuantile,
+    nativeHistRateQuantile, nativeHistCount, nativeHistFraction
   )
 }

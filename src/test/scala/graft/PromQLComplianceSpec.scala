@@ -720,6 +720,32 @@ class PromQLComplianceSpec extends SparkTestBase {
       .range("sum_over_time(plain[5m])", mixed)
       .collect().map(_.getDouble(2))
     assert(plain.toSeq == Seq(42.0))
+    // histogram_count: the +Inf cumulative (= total observations)
+    val counts = graft.promql.PromQL
+      .range("histogram_count(sum_over_time(nh[5m]))", rows)
+      .collect()
+      .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
+      .toMap
+    assert(counts == Map("a" -> 10.0, "b" -> 10.0))
+    // histogram_fraction over series a (zero=1 @le0, 3 @le4, 6 @le16):
+    //   F(8)  = 4 + (10−4)·(8−4)/(16−4) = 6
+    //   F(2)  = 1 + (4−1)·(2−0)/(4−0)   = 2.5
+    //   fraction = (6 − 2.5) / 10
+    val frac = graft.promql.PromQL
+      .range("histogram_fraction(2, 8, sum_over_time(nh[5m]))", rows)
+      .collect()
+      .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
+      .toMap
+    assert(math.abs(frac("a") - 0.35) < 1e-9)
+    // (lo, hi] is half-open at the lower bound: fraction(0, huge) for
+    // series a EXCLUDES its zero-bucket mass (F(0) = 1 of 10); series b
+    // has no zero bucket, so its full-domain fraction is 1
+    val all = graft.promql.PromQL
+      .range("histogram_fraction(0, 1000000, sum_over_time(nh[5m]))", rows)
+      .collect()
+      .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
+      .toMap
+    assert(math.abs(all("a") - 0.9) < 1e-9 && all("b") == 1.0)
   }
 
   test("executed ledger: subquery avg_over_time(rate(...)[2m:10s])") {
