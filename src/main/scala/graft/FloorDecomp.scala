@@ -19,6 +19,7 @@ import graft.util.GraftSession
   * number.
   *
   *   sbt "runMain graft.FloorDecomp /root/testdata/sf0.1 [sampleStride]"
+  *   sbt "runMain graft.FloorDecomp <dir> 1 name1,name2"  # substrings
   */
 object FloorDecomp {
 
@@ -64,8 +65,15 @@ object FloorDecomp {
         try f(spark, dir).count() catch { case _: Throwable => () }
       }
     }
+    val nameFilter = args.lift(2).map(_.split(',').toSeq)
     val sample = graft.queries.Registry.all.filter(_.bench)
-      .sortBy(_.name).zipWithIndex.filter(_._2 % stride == 0).map(_._1)
+      .sortBy(_.name).zipWithIndex
+      .filter { case (q, i) =>
+        nameFilter match {
+          case Some(subs) => subs.exists(q.name.contains)
+          case None       => i % stride == 0
+        }
+      }.map(_._1)
     var wallSum = 0.0
     var computeSum = 0.0
     sample.foreach { q =>

@@ -330,11 +330,13 @@ object PromQL {
         val inner = parseExpr(p)
         p.expect(")")
         HistQuantile(phi, inner)
-      } else if (name == "histogram_count") {
+      } else if (name == "histogram_count" || name == "histogram_sum" ||
+          name == "histogram_avg" || name == "histogram_stddev" ||
+          name == "histogram_stdvar") {
         p.ident(); p.expect("(")
         val inner = parseExpr(p)
         p.expect(")")
-        HistAgg("histogram_count", Nil, inner)
+        HistAgg(name, Nil, inner)
       } else if (name == "histogram_fraction") {
         p.ident(); p.expect("(")
         val lo = p.number(); p.expect(",")
@@ -983,8 +985,8 @@ object PromQL {
     * points frame may carry the inserter's decomposition columns
     * ([[graft.streaming.Streams.decomposeExpHist]]): `mapping` 10 =
     * zero-count row, 11 = positive exp bucket with `bucket_idx` and
-    * `scale`; other rows (and frames without the columns) pass through
-    * untouched. Each histogram sample becomes its cumulative le series
+    * `scale`, 12 = the histogram's sum field; other rows (and frames
+    * without the columns) pass through untouched. Each histogram sample becomes its cumulative le series
     * (le_i = base^(idx+1) with base = 2^(2^-scale); the zero bucket
     * becomes le = 0) plus a `+Inf` series, so the WHOLE classic
     * pipeline — per-bucket `rate`, vector matching, and
@@ -1000,8 +1002,17 @@ object PromQL {
     else {
       val base = Seq("ts_us", "name", "labels", "value").map(col)
       val plain = points
-        .filter(col("mapping").isNull || !col("mapping").isin(10, 11))
+        .filter(col("mapping").isNull || !col("mapping").isin(10, 11, 12))
         .select(base: _*)
+      // the exp-histogram's sum field (mapping 12) becomes its own
+      // series tagged `__nh__ = sum`: it rides range aggregation /
+      // rate per-series like any sample, histogram_quantile/count
+      // ignore it (no le label), and histogram_sum/avg/stddev pick it
+      // up and drop the marker
+      val sumRows = points.filter(col("mapping") === 12)
+        .select(col("ts_us"), col("name"),
+          map_concat(col("labels"), map(lit("__nh__"), lit("sum"))).as("labels"),
+          col("value"))
       val hist = points.filter(col("mapping").isin(10, 11))
         .withColumn("__k", to_json(array_sort(map_entries(col("labels")))))
       val w = Window.partitionBy(col("ts_us"), col("name"), col("__k"))
@@ -1023,7 +1034,7 @@ object PromQL {
         .select(col("ts_us"), col("name"),
           map_concat(col("labels"), map(lit("le"), lit("+Inf"))).as("labels"),
           col("value"))
-      plain.unionByName(buckets).unionByName(inf)
+      plain.unionByName(buckets).unionByName(inf).unionByName(sumRows)
     }
   }
 
@@ -1667,7 +1678,9 @@ object PromQL {
           .agg(first(col("labels")).as("labels"))
           .select(col("bucket_us"), col("labels"), lit(inf).as("value"))
       }
-      val df = in
+      // non-bucket series (plain samples, the expanded native-histogram
+      // sum series) are ignored, as upstream bucketQuantile does
+      val df = in.filter(leStr.isNotNull)
         .withColumn("__g", to_json(array_sort(map_entries(
           map_filter(col("labels"), (k, _) => k =!= "le")))))
         .withColumn("__le", when(leStr === "+Inf", lit(Double.PositiveInfinity))
@@ -1694,30 +1707,84 @@ object PromQL {
             .otherwise(interp).as("value"))
 
     case HistAgg(fn, nums, inner) =>
-      // histogram_count / histogram_fraction over cumulative le bucket
-      // series (incl. native-histogram series expanded to them):
+      // histogram_* inspection functions over cumulative le bucket
+      // series (incl. native-histogram series expanded to them, plus
+      // the expanded sum series tagged `__nh__ = sum`):
       //   count    = the +Inf cumulative (max over the group — values
       //              are cumulative in le);
+      //   sum      = the native histogram's sum field (the tagged
+      //              series, marker dropped);
+      //   avg      = sum / count;
       //   fraction = (F(hi) − F(lo)) / total, F(x) the linearly
       //              interpolated cumulative at x (same in-bucket
       //              interpolation convention as histogram_quantile's
       //              bucket math; observations above the highest
-      //              finite bound are not attributed to any finite x).
-      // One lag window over the bucket axis + one grouped max — tiny
+      //              finite bound are not attributed to any finite x);
+      //   stddev/stdvar = Prometheus's bucket formula (functions.go
+      //              funcHistogramStdDev) on the decomposed layout:
+      //              each bucket's observations sit at the geometric
+      //              mean √(lower·upper) of its bounds (0 when the
+      //              bucket spans 0, the highest finite le for +Inf),
+      //              mean = sum/count; bounds are the adjacent-le
+      //              implied layout (exact for dense native layouts —
+      //              a sparse gap reads as one wide bucket, the same
+      //              convention histogram_quantile interpolates with).
+      // One lag window over the bucket axis + one grouped agg — tiny
       // partitions (#buckets), co-partitioned with the upstream agg.
       val in = rec(inner)
       val leStr = element_at(col("labels"), "le")
+      val fldStr = element_at(col("labels"), "__nh__")
       val noLe = map_filter(col("labels"), (k, _) => k =!= "le")
-      val df = in.filter(leStr.isNotNull)
-        .withColumn("__g", to_json(array_sort(map_entries(noLe))))
+      val noMark = map_filter(col("labels"),
+        (k, _) => k =!= "le" && k =!= "__nh__")
+      def gKey(m: Column): Column = to_json(array_sort(map_entries(m)))
+      lazy val df = in.filter(leStr.isNotNull)
+        .withColumn("__g", gKey(noLe))
         .withColumn("__le",
           when(leStr === "+Inf", lit(Double.PositiveInfinity))
             .otherwise(leStr.cast("double")))
+      lazy val sums = in.filter(fldStr === "sum")
+        .select(col("bucket_us"), gKey(noMark).as("__g"),
+          col("value").as("__sumv"))
       fn match {
         case "histogram_count" =>
           df.groupBy(col("bucket_us"), col("__g"))
             .agg(first(noLe).as("labels"), max(col("value")).as("value"))
             .select(col("bucket_us"), col("labels"), col("value"))
+        case "histogram_sum" =>
+          in.filter(fldStr === "sum")
+            .select(col("bucket_us"), noMark.as("labels"), col("value"))
+        case "histogram_avg" =>
+          df.groupBy(col("bucket_us"), col("__g"))
+            .agg(first(noLe).as("labels"), max(col("value")).as("__cnt"))
+            .join(sums, Seq("bucket_us", "__g"))
+            .select(col("bucket_us"), col("labels"),
+              (col("__sumv") / col("__cnt")).as("value"))
+        case "histogram_stddev" | "histogram_stdvar" =>
+          val w = Window.partitionBy(col("bucket_us"), col("__g"))
+            .orderBy(col("__le"))
+          val wAll = Window.partitionBy(col("bucket_us"), col("__g"))
+          val st = df
+            .withColumn("__lower", coalesce(lag(col("__le"), 1).over(w), lit(0.0)))
+            .withColumn("__prevC", coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+            .withColumn("__total", max(col("value")).over(wAll))
+            .withColumn("__maxFin", max(when(
+              col("__le") =!= Double.PositiveInfinity, col("__le"))).over(wAll))
+            .join(sums, Seq("bucket_us", "__g"))
+          val nB = col("value") - col("__prevC")
+          val valB = when(col("__le") === Double.PositiveInfinity, col("__maxFin"))
+            .when(col("__lower") <= 0.0, lit(0.0))
+            .otherwise(sqrt(col("__lower") * col("__le")))
+          val mean = col("__sumv") / col("__total")
+          // decimal accumulation: the per-bucket terms are IEEE-exact,
+          // the SUM order must not matter (Det playbook)
+          val term = (nB * pow(valB - mean, 2)).cast("decimal(38,12)")
+          val grouped = st.groupBy(col("bucket_us"), col("__g"))
+            .agg(first(noLe).as("labels"),
+              (sum(term).cast("double") / max(col("__total"))).as("__var"))
+          grouped.select(col("bucket_us"), col("labels"),
+            (if (fn == "histogram_stddev") sqrt(col("__var"))
+             else col("__var")).as("value"))
         case "histogram_fraction" =>
           val Seq(lo, hi) = nums
           val w = Window.partitionBy(col("bucket_us"), col("__g"))

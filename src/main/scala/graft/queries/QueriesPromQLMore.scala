@@ -317,21 +317,34 @@ object QueriesPromQLMore extends QueryPack {
 
   /** Shared native-histogram fixture: one scale-0 exp-histogram SAMPLE
     * per (day, event_type) — mapping-11 bucket rows with integer
-    * bucket_idx via bit length, timestamped at the day start.
+    * bucket_idx via bit length, plus the histogram's SUM field as a
+    * mapping-12 row (decimal-exact accumulation of the observed
+    * values, cast to double once — Det playbook), timestamped at the
+    * day start.
     */
   private def nhDayPoints(td: Testdata): DataFrame = {
     val DayUs = 86400000000L
-    td.events
+    val obs = td.events
       .filter(col("value") >= 1)
       .select(expr("(ts div 1000)").as("ts_us0"), col("event_type"),
+        col("value").as("obs"),
         (length(bin(floor(col("value")).cast("long"))) - 1).as("bucket_idx"))
       .withColumn("ts_us", col("ts_us0") - col("ts_us0") % DayUs)
+    val buckets = obs
       .groupBy(col("ts_us"), col("event_type"), col("bucket_idx"))
       .agg(count(lit(1)).cast("double").as("value"))
       .select(col("ts_us"), lit("nh").as("name"),
         map(lit("type"), col("event_type")).as("labels"), col("value"),
         lit(11).as("mapping"), col("bucket_idx").cast("int").as("bucket_idx"),
         lit(0).as("scale"))
+    val sums = obs
+      .groupBy(col("ts_us"), col("event_type"))
+      .agg(sum(col("obs").cast("decimal(38,9)")).cast("double").as("value"))
+      .select(col("ts_us"), lit("nh").as("name"),
+        map(lit("type"), col("event_type")).as("labels"), col("value"),
+        lit(12).as("mapping"), lit(null).cast("int").as("bucket_idx"),
+        lit(0).as("scale"))
+    buckets.unionByName(sums)
   }
 
   /** `histogram_count` over native-histogram series — the observation
@@ -396,6 +409,91 @@ object QueriesPromQLMore extends QueryPack {
     graft.promql.PromQL
       .range("histogram_fraction(3, 100, sum_over_time(nh[1d]))",
         nhDayPoints(td))
+      .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("bucket_us", "type")
+  }
+
+  /** `histogram_sum` — the native histogram's sum field, surfaced
+    * through expansion (mapping-12 row → `__nh__ = sum` series) and the
+    * range aggregation. Oracle = the decimal-exact sum of the raw
+    * observed values per (day, type): the whole sum-field path is
+    * cross-checked against first principles.
+    */
+  val nativeHistSum: Q = q(
+    "promql_native_hist_sum",
+    """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |  event_type AS type,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6) AS value
+      |FROM events WHERE value >= 1
+      |GROUP BY 1, 2 ORDER BY bucket_us, type""".stripMargin
+  ) { td =>
+    graft.promql.PromQL
+      .range("histogram_sum(sum_over_time(nh[1d]))", nhDayPoints(td))
+      .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("bucket_us", "type")
+  }
+
+  /** `histogram_avg` = sum field / observation count — one grouped max
+    * over the bucket rows joined with the sum series; a single IEEE
+    * division per group keeps both engines bit-identical.
+    */
+  val nativeHistAvg: Q = q(
+    "promql_native_hist_avg",
+    """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |  event_type AS type,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS value
+      |FROM events WHERE value >= 1
+      |GROUP BY 1, 2 ORDER BY bucket_us, type""".stripMargin
+  ) { td =>
+    graft.promql.PromQL
+      .range("histogram_avg(sum_over_time(nh[1d]))", nhDayPoints(td))
+      .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("bucket_us", "type")
+  }
+
+  /** `histogram_stddev` — Prometheus's funcHistogramStdDev bucket
+    * formula on the decomposed layout: observations of each bucket sit
+    * at the geometric mean √(lower·upper) of its bounds (0 when the
+    * bucket spans 0), mean = sum/count, variance accumulated in
+    * decimal so the bucket order cannot perturb the double sum. The
+    * oracle replays the identical formula per (day, type).
+    */
+  val nativeHistStddev: Q = q(
+    "promql_native_hist_stddev",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |    event_type AS type,
+      |    length(bin(CAST(FLOOR(value) AS BIGINT))) - 1 AS idx,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events WHERE value >= 1 GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |    event_type AS type,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sumv,
+      |    CAST(COUNT(*) AS DOUBLE) AS cnt
+      |  FROM events WHERE value >= 1 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT b.bucket_us, b.type, b.n,
+      |    power(2.0, idx + 1) AS le,
+      |    COALESCE(LAG(power(2.0, idx + 1)) OVER (
+      |      PARTITION BY b.bucket_us, b.type ORDER BY idx), 0.0) AS lower,
+      |    s.sumv / s.cnt AS mean, s.cnt AS cnt
+      |  FROM b JOIN s ON s.bucket_us = b.bucket_us AND s.type = b.type),
+      |v AS (
+      |  SELECT bucket_us, type,
+      |    CAST(SUM(CAST(n * power(
+      |      (CASE WHEN lower <= 0 THEN 0.0 ELSE sqrt(lower * le) END) - mean,
+      |      2) AS DECIMAL(38,12))) AS DOUBLE) / MAX(cnt) AS var
+      |  FROM t GROUP BY 1, 2)
+      |SELECT bucket_us, type, round(sqrt(var), 6) AS value
+      |FROM v ORDER BY bucket_us, type""".stripMargin
+  ) { td =>
+    graft.promql.PromQL
+      .range("histogram_stddev(sum_over_time(nh[1d]))", nhDayPoints(td))
       .select(col("bucket_us"), element_at(col("labels"), "type").as("type"),
         round(col("value"), 6).as("value"))
       .orderBy("bucket_us", "type")
@@ -505,6 +603,7 @@ object QueriesPromQLMore extends QueryPack {
   override def queries: Seq[Q] = Seq(
     sumByRate, groupLeft, exemplars, expHistogramMerge,
     profileSelector, flameTree, flameDiff, alertFiring, nativeHistQuantile,
-    nativeHistRateQuantile, nativeHistCount, nativeHistFraction
+    nativeHistRateQuantile, nativeHistCount, nativeHistFraction,
+    nativeHistSum, nativeHistAvg, nativeHistStddev
   )
 }

@@ -110,7 +110,10 @@ object OtlpProto {
       exp_positive_offset: Option[Int],
       exp_positive_counts: Option[Seq[Long]],
       summary_quantiles: Option[Seq[QuantileValue]],
-      exemplars: Option[Seq[ExemplarValue]] = None)
+      exemplars: Option[Seq[ExemplarValue]] = None,
+      // the exp-histogram's sum field (declared last so the positional
+      // 18-arg base constructor stays valid)
+      exp_sum: Option[Double] = None)
 
   final case class SpanEvent(name: String, ts_ns: Long)
   final case class SpanLink(trace_id: Long, span_id: Long)
@@ -700,6 +703,7 @@ object OtlpProto {
       exp_zerocount = zero,
       exp_positive_offset = posOffset,
       exp_positive_counts = if (posOut.nonEmpty) Some(posOut) else None,
+      exp_sum = if (kind == 10) sum else None,
       summary_quantiles = if (qsOut.nonEmpty) Some(qsOut) else None,
       exemplars = {
         val es = exemplars.result()

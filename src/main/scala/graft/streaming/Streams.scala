@@ -385,18 +385,28 @@ object Streams {
     * metrics_exp_histograms / summary points):
     *   - exp-hist: zero-count row (mapping 10) + one row per positive
     *     bucket (mapping 11) with bucket_idx = offset + position and
-    *     the scale carried alongside
+    *     the scale carried alongside + the sum field (mapping 12, when
+    *     the input carries `exp_sum`) — the reference stores count/sum/
+    *     min/max next to the bucket arrays (metrics_exp_histograms DDL)
     *   - summary: one row per (quantile, value) pair (mapping 20)
     * posexplode keeps the flattening distributed and codegen'd.
     */
-  def decomposeExpHist(records: DataFrame): DataFrame = {
+  def decomposeExpHist(records0: DataFrame): DataFrame = {
+    val records =
+      if (records0.columns.contains("exp_sum")) records0
+      else records0.withColumn("exp_sum", lit(null).cast("double"))
     val base = records.select(
       col("timestamp"), col("name"),
       GraftFunctions.xxh3_128(concat_ws("\u0000", col("name"), col("attrs")))
         .as("hash"),
       col("exp_scale"), col("exp_zerocount"),
       col("exp_positive_offset"), col("exp_positive_counts"),
-      col("summary_quantiles"))
+      col("summary_quantiles"), col("exp_sum"))
+    val hsums = base.filter(col("exp_sum").isNotNull)
+      .select(col("hash"), col("name"), col("timestamp"),
+        col("exp_sum").as("value"),
+        lit(12).as("mapping"), lit(null).cast("int").as("bucket_idx"),
+        col("exp_scale").as("scale"))
     val zeros = base.filter(col("exp_zerocount").isNotNull)
       .select(col("hash"), col("name"), col("timestamp"),
         col("exp_zerocount").cast("double").as("value"),
@@ -417,7 +427,7 @@ object Streams {
         col("qv.value").as("value"), lit(20).as("mapping"),
         (col("qv.q") * 100).cast("int").as("bucket_idx"),
         lit(null).cast("int").as("scale"))
-    zeros.unionAll(buckets).unionAll(summaries)
+    zeros.unionAll(buckets).unionAll(hsums).unionAll(summaries)
   }
 
   /** Batched log inserter: wires an unbounded log stream into the
@@ -669,7 +679,7 @@ object Streams {
       .filter(col("exp_scale").isNotNull || col("summary_quantiles").isNotNull)
       .select(col("timestamp"), col("name"), col("attrs"),
         col("exp_scale"), col("exp_zerocount"), col("exp_positive_offset"),
-        col("exp_positive_counts"), col("summary_quantiles"))
+        col("exp_positive_counts"), col("summary_quantiles"), col("exp_sum"))
 
   /** Full decoded metric frame (all five OTLP kinds flattened to one
     * row per data point, attrs rendered canonically).

@@ -213,6 +213,7 @@ class OtlpProtoSpec extends SparkTestBase {
     pos.bytes(2, counts.toByteArray)
     val expPoint = new W().msg(1, kv("svc", strVal("a")))
       .fix64(3, 1704103200000000000L).fix64(4, 9L)
+      .fix64(5, java.lang.Double.doubleToLongBits(33.25)) // sum field
     expPoint.vint(6, 3 /* zigzag(-2) */).fix64(7, 5L).msg(8, pos)
     val exp = new W().str(1, "lat_exp").msg(10, new W().msg(1, expPoint))
     // summary: quantiles
@@ -252,6 +253,7 @@ class OtlpProtoSpec extends SparkTestBase {
     assert(e.exp_scale.contains(-2) && e.exp_zerocount.contains(5L))
     assert(e.exp_positive_offset.contains(3))
     assert(e.exp_positive_counts.contains(Seq(2L, 7L)))
+    assert(e.exp_sum.contains(33.25))
     assert(e.hist_count.isEmpty) // count rides the exp-hist row only via field 4
     assert(e.attrs == Map("svc" -> "a"))
 
@@ -342,6 +344,7 @@ class OtlpProtoSpec extends SparkTestBase {
     assert(expFlat.toSeq == Seq(
       (10, -1, 5.0),          // zero-count
       (11, 3, 2.0), (11, 4, 7.0), // positive buckets at offset 3
+      (12, -1, 33.25),        // sum field
       (20, 50, 1.5), (20, 99, 9.9))) // summary quantiles
   }
 

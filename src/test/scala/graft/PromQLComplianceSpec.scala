@@ -746,6 +746,34 @@ class PromQLComplianceSpec extends SparkTestBase {
       .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
       .toMap
     assert(math.abs(all("a") - 0.9) < 1e-9 && all("b") == 1.0)
+    // sum field (mapping 12) rides along as a tagged series:
+    // histogram_sum/avg surface it, stddev/stdvar use mean = sum/count
+    // with the geometric-mean bucket formula (zero-spanning buckets at
+    // val 0, per funcHistogramStdDev)
+    val withSum = rows.unionByName(Seq(
+      (T0, "nh", Map("job" -> "a"), 50.0, 12, Option.empty[Int], 0),
+      (T0, "nh", Map("job" -> "b"), 40.0, 12, Option.empty[Int], 1))
+      .toDF("ts_us", "name", "labels", "value", "mapping", "bucket_idx", "scale"))
+    def evalMap(q: String): Map[String, Double] = graft.promql.PromQL
+      .range(q, withSum)
+      .collect()
+      .map(r => r.getMap[String, String](1)("job") -> r.getDouble(2))
+      .toMap
+    assert(evalMap("histogram_sum(sum_over_time(nh[5m]))") ==
+      Map("a" -> 50.0, "b" -> 40.0))
+    assert(evalMap("histogram_avg(sum_over_time(nh[5m]))") ==
+      Map("a" -> 5.0, "b" -> 4.0))
+    // a: n/val pairs (1,0) (3,0) (6,8), mean 5 →
+    //    var = (1·25 + 3·25 + 6·9)/10 = 15.4
+    // b: (5,0) (5,√(2^1.5·2^2.5)=4), mean 4 → var = 5·16/10 = 8
+    val sv = evalMap("histogram_stdvar(sum_over_time(nh[5m]))")
+    assert(math.abs(sv("a") - 15.4) < 1e-9 && math.abs(sv("b") - 8.0) < 1e-9)
+    val sd = evalMap("histogram_stddev(sum_over_time(nh[5m]))")
+    assert(math.abs(sd("a") - math.sqrt(15.4)) < 1e-9 &&
+      math.abs(sd("b") - math.sqrt(8.0)) < 1e-9)
+    // the sum series does not disturb the bucket math
+    val q2 = evalMap("histogram_quantile(0.9, sum_over_time(nh[5m]))")
+    assert(math.abs(q2("a") - 14.0) < 1e-9)
   }
 
   test("executed ledger: subquery avg_over_time(rate(...)[2m:10s])") {

@@ -209,14 +209,17 @@ class StreamsSpec extends SparkTestBase {
 
   test("decomposeExpHist flattens exp-hist buckets and summary quantiles") {
     val df = Seq(
-      // exp-hist record: scale 2, zerocount 5, buckets [3,0,7] at offset 4
+      // exp-hist record: scale 2, zerocount 5, buckets [3,0,7] at offset 4,
+      // sum field 12.5
       (ts(0), "lat", "a=1", Some(2), Some(9L), Some(4), Some(Seq(3L, 0L, 7L)),
-        None: Option[Seq[(Double, Double)]]),
+        None: Option[Seq[(Double, Double)]], Some(12.5)),
       // summary record: q50=1.5, q99=9.9
       (ts(1), "lat", "a=1", None: Option[Int], None: Option[Long],
-        None: Option[Int], None: Option[Seq[Long]], Some(Seq((0.5, 1.5), (0.99, 9.9))))
+        None: Option[Int], None: Option[Seq[Long]],
+        Some(Seq((0.5, 1.5), (0.99, 9.9))), None: Option[Double])
     ).toDF("timestamp", "name", "attrs", "exp_scale", "exp_zerocount",
-      "exp_positive_offset", "exp_positive_counts", "summary_quantiles")
+      "exp_positive_offset", "exp_positive_counts", "summary_quantiles",
+      "exp_sum")
       .withColumn("summary_quantiles",
         col("summary_quantiles").cast("array<struct<q:double,value:double>>"))
     val out = Streams.decomposeExpHist(df)
@@ -226,6 +229,7 @@ class StreamsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(
       (10, -1, 9.0),                       // zero-count row
       (11, 4, 3.0), (11, 5, 0.0), (11, 6, 7.0), // positive buckets at offset
+      (12, -1, 12.5),                      // sum-field row
       (20, 50, 1.5), (20, 99, 9.9)))       // summary quantiles
   }
 
