@@ -12,9 +12,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional 3rd arg: only run queries whose name contains it
-    // (iteration aid; the driver always calls with two args)
-    val only = args.drop(2).headOption
+    // optional 3rd arg: only run queries whose name contains one of
+    // the comma-separated substrings (iteration aid; the driver always
+    // calls with two args)
+    val only = args.drop(2).headOption.map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
@@ -22,7 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

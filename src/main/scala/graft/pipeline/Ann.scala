@@ -61,15 +61,19 @@ object Ann {
     */
   def hierAssign(vecs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
-    val k = cents.count()
-    val stride = math.max(1L, math.round(math.sqrt(k.toDouble)))
     // the rank window is a single partition of k rows — centroid-table
     // sized, never corpus-sized (the constant partition key states that
-    // intent; it also keeps Spark's no-partition warning out of logs)
+    // intent; it also keeps Spark's no-partition warning out of logs).
+    // k and the ⌈√k⌉ stride come from the same window pass (max rank),
+    // not a separate .count() job — one less driver round-trip per
+    // assignment.
+    val wK = Window.partitionBy(lit(0))
     val supers = cents
       .withColumn("rnk",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cid"))))
-      .filter((col("rnk") - 1) % stride === 0)
+        row_number().over(wK.orderBy(col("cid"))))
+      .withColumn("__stride",
+        greatest(lit(1L), round(sqrt(max(col("rnk")).over(wK))).cast("long")))
+      .filter((col("rnk") - 1) % col("__stride") === 0)
       .select(col("cid").as("rid"), col("cv").as("rv"))
     // level 1: centroids and vectors each pick their super bucket
     val centsS = assignBest(cents, "cid", "cv", supers, "sid")

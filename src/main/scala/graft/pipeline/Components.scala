@@ -75,6 +75,12 @@ object Components {
   /** Large-star: every node u links each STRICTLY LARGER neighbor to
     * the minimum of its neighborhood (incl. u). Long chains shortcut
     * toward the minimum without growing the edge count.
+    *
+    * No trailing distinct: every consumer (smallStar's oriented
+    * `dir ... .distinct()`, or the next largeStar's min-aggregate) is
+    * duplicate-insensitive, and the dup inflation is bounded by the
+    * input edge count — dropping the exchange here saves two shuffles
+    * per contraction iteration.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -84,7 +90,6 @@ object Components {
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star: orient edges large→small; every node links its
