@@ -115,7 +115,8 @@ object PromQL {
     "max_over_time", "last_over_time", "first_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
     "absent_over_time", "quantile_over_time", "approx_quantile_over_time",
-    "mad_over_time", "holt_winters", "double_exponential_smoothing")
+    "mad_over_time", "holt_winters", "double_exponential_smoothing",
+    "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time")
   private val aggOps = Set("sum", "avg", "min", "max", "count", "group",
     "stddev", "stdvar", "quantile", "topk", "bottomk", "limitk",
     "limit_ratio")
@@ -677,8 +678,27 @@ object PromQL {
         Some(promPercentile(col("value"), param.headOption.getOrElse(0.5)))
       case "approx_quantile_over_time" =>
         Some(promPercentileApprox(col("value"), param.headOption.getOrElse(0.5)))
+      case "ts_of_min_over_time" | "ts_of_max_over_time" |
+           "ts_of_last_over_time" => Some(tsOfAgg(fn))
       case _ => None
     }
+
+  /** `ts_of_{min,max,last}_over_time` (upstream experimental
+    * functions): the timestamp, in seconds, of the extreme/last sample
+    * in the range. Upstream updates on `>=`/`<=`, so among tied
+    * extremes the MOST RECENT sample's timestamp wins — encoded here
+    * as a lexicographic max_by over (value, ts) / (−value, ts).
+    */
+  private def tsOfAgg(fn: String): Column = {
+    val ts = fn match {
+      case "ts_of_last_over_time" => max(col("ts_us"))
+      case "ts_of_max_over_time" =>
+        max_by(col("ts_us"), struct(col("value"), col("ts_us")))
+      case "ts_of_min_over_time" =>
+        max_by(col("ts_us"), struct(-col("value"), col("ts_us")))
+    }
+    (ts / lit(1e6)).cast("double")
+  }
 
   /** Max history (µs) any leaf of `e` may need BEFORE its own
     * evaluation timestamp: range+offset for range fns, recursively
@@ -1295,6 +1315,8 @@ object PromQL {
               promPercentile(col("value"), param.headOption.getOrElse(0.5))
             case "approx_quantile_over_time" =>
               promPercentileApprox(col("value"), param.headOption.getOrElse(0.5))
+            case "ts_of_min_over_time" | "ts_of_max_over_time" |
+                 "ts_of_last_over_time" => tsOfAgg(fn)
           }
           base.groupBy(col("__stream"), col("bucket_us"))
             .agg(v.as("value"), first(col("labels")).as("labels"))

@@ -202,5 +202,73 @@ object QueriesPipeline4 extends QueryPack {
       .orderBy("vec_id")
   }
 
-  override def queries: Seq[Q] = Seq(domainMixture, qualityClassifier, pqAnn)
+  /** ADAPTIVE quality gate: keep documents above the global 20th
+    * PERCENTILE of the quality score — the "keep the top 80 %"
+    * curation rule, where the threshold is learned from the corpus
+    * itself rather than fixed (the [[QueriesPipeline2.qualityScore]]
+    * sibling uses a constant).
+    *
+    * Scale shape (100 TB): exact percentiles over a continuous column
+    * would need a global sort (or an unbounded value→count map, which
+    * is what Spark's exact `percentile` builds), so the operator
+    * quantizes the score to 2 decimals and computes the EXACT
+    * percentile of the quantized distribution from a histogram rollup:
+    * one groupBy over a BOUNDED key space (score range / 0.01 buckets
+    * — thousands of rows at any corpus size), one single-partition
+    * window over that tiny histogram for the cumulative rank, and the
+    * threshold broadcasts back for the keep/drop filter. Corpus scanned
+    * twice, shuffled never. Same discipline as the domain-mixture
+    * summary table; DuckDB replays the identical rank arithmetic (the
+    * discrete inverse-CDF: smallest quantized score whose cumulative
+    * count exceeds ⌊0.2·(n−1)⌋).
+    */
+  val qualityPercentileFilter: Q = q(
+    "pipe_quality_percentile",
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    round(n_chars * 0.01 + len(string_split(text, ' ')) * 0.1
+      |      - ((length(text) - length(replace(text, ' the ', ''))) / 5) * 0.5,
+      |      2) AS s
+      |  FROM documents),
+      |hist AS (SELECT s, COUNT(*) AS c FROM scored GROUP BY s),
+      |cum AS (
+      |  SELECT s, SUM(c) OVER (ORDER BY s) AS cum,
+      |    SUM(c) OVER () AS n FROM hist),
+      |thr AS (
+      |  SELECT MIN(s) AS threshold FROM cum
+      |  WHERE cum > CAST(FLOOR(0.2 * (n - 1)) AS BIGINT))
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_score,
+      |  MAX(t.threshold) AS threshold
+      |FROM scored, thr t WHERE s >= t.threshold
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { td =>
+    val stop = (length(col("text")) - length(regexp_replace(col("text"),
+      java.util.regex.Pattern.quote(" the "), ""))) / 5
+    val score = round(col("n_chars") * 0.01 +
+      size(split(col("text"), " ", -1)) * 0.1 - stop * 0.5, 2)
+    val scored = td.documents.select(col("doc_id"), col("lang"),
+      score.as("s"))
+    val hist = scored.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    // single-partition window over the BOUNDED histogram (the constant
+    // key states the intent: this is a thousands-row table, not data)
+    val w = Window.partitionBy(lit(0)).orderBy(col("s"))
+    val wAll = Window.partitionBy(lit(0))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") > floor(lit(0.2) * (col("n") - 1)).cast("long"))
+      .agg(min(col("s")).as("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("s") >= col("threshold"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("s").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_score"),
+        max(col("threshold")).as("threshold"))
+      .orderBy("lang")
+  }
+
+  override def queries: Seq[Q] =
+    Seq(domainMixture, qualityClassifier, pqAnn, qualityPercentileFilter)
 }

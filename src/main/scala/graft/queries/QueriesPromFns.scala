@@ -481,10 +481,52 @@ object QueriesPromFns extends QueryPack {
         |  7.0 + CAST(COUNT(*) AS DOUBLE) AS value
         |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin))
 
+  /** `ts_of_{min,max,last}_over_time` (upstream experimental): the
+    * second-precision timestamp of the extreme/last sample per range
+    * window. All three run through the parser; the oracle replays the
+    * tie rule (among tied extremes the MOST RECENT sample wins —
+    * upstream updates on `>=`/`<=`).
+    */
+  val tsOfE2e: Q = Q(
+    "promql_e2e_ts_of",
+    (s: SparkSession, dir: String) => {
+      val pv = pointsView(Testdata(s, dir))
+      def one(fn: String, as: String): DataFrame =
+        PromQL.range(s"$fn(ev[1d])", pv)
+          .select(col("bucket_us"),
+            element_at(col("labels"), "svc").as("svc"),
+            element_at(col("labels"), "et").as("et"),
+            round(col("value"), 6).as(as))
+      one("ts_of_max_over_time", "ts_max")
+        .join(one("ts_of_min_over_time", "ts_min"),
+          Seq("bucket_us", "svc", "et"))
+        .join(one("ts_of_last_over_time", "ts_last"),
+          Seq("bucket_us", "svc", "et"))
+        .orderBy("bucket_us", "svc", "et")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS bucket_us,
+         |    CAST(user_id % 4 AS VARCHAR) AS svc, event_type AS et,
+         |    epoch_us(ts) AS ts_us, value
+         |  FROM events),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY bucket_us, svc, et
+         |      ORDER BY value DESC, ts_us DESC) AS rx,
+         |    row_number() OVER (PARTITION BY bucket_us, svc, et
+         |      ORDER BY value ASC, ts_us DESC) AS rn
+         |  FROM e)
+         |SELECT bucket_us, svc, et,
+         |  round(MAX(CASE WHEN rx = 1 THEN ts_us END) / 1000000.0, 6) AS ts_max,
+         |  round(MAX(CASE WHEN rn = 1 THEN ts_us END) / 1000000.0, 6) AS ts_min,
+         |  round(MAX(ts_us) / 1000000.0, 6) AS ts_last
+         |FROM r GROUP BY 1, 2, 3 ORDER BY bucket_us, svc, et""".stripMargin))
+
   override def queries: Seq[Q] =
     Seq(mathFns, labelFns, overtimeExt, stddevOverTime, subquery,
       instantExprE2e, matrixE2e, absentE2e, atModifier, atStartEnd,
       resetsE2e, changesE2e, ideltaE2e, derivE2e, predictE2e,
       countValuesE2e, dateFnE2e, absentFnE2e, timestampE2e, scalarExtrasE2e,
-      vectorFnE2e)
+      vectorFnE2e, tsOfE2e)
 }

@@ -197,6 +197,23 @@ object Streams {
       .dropDuplicatesWithinWatermark("hash")
       .select(col("hash"), col("name"), col("timestamp").as("first_seen"))
 
+  /** Streaming EXACT-DEDUP — the ingest-time twin of the batch
+    * `pipe_dedup_exact` operator: documents are keyed by the digest of
+    * their text and only the FIRST sighting within the watermark
+    * horizon survives, so downstream training-data sinks never store a
+    * byte-identical duplicate twice. State is one digest per distinct
+    * document inside the horizon (bounded by the watermark, not the
+    * stream), keyed by digest so it distributes across executors; the
+    * batch LSH/CC passes own cross-horizon and NEAR-duplicate
+    * clustering, exactly as the batch/streaming split works for
+    * sessionize and the window funnel.
+    */
+  def docDedup(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("timestamp", horizon)
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicatesWithinWatermark("digest")
+
   final case class PointIn(series: String, ts_us: Long, value: Double)
   final case class SeriesState(series: String, ts_us: Long, value: Double, n_seen: Long)
 

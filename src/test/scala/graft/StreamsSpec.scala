@@ -187,6 +187,24 @@ class StreamsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq("cpu", "mem"))
   }
 
+  test("docDedup: streaming exact-dedup keeps first sighting across batches") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "timestamp")
+    val query = Streams.docDedup(docs)
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    input.addData((1L, "alpha beta", ts(0)), (2L, "alpha beta", ts(1)),
+      (3L, "gamma", ts(2)))
+    query.processAllAvailable()
+    // a later micro-batch re-sends a digest inside the horizon: dropped
+    input.addData((4L, "alpha beta", ts(3)), (5L, "delta", ts(4)))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("doc_dedup").select("doc_id").as[Long]
+      .collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
   test("lastValueState carries per-series state across micro-batches") {
     import graft.streaming.Streams.PointIn
     val input = MemoryStream[PointIn](spark)
