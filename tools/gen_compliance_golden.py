@@ -647,7 +647,9 @@ class Evaluator:
                   "min_over_time", "count_over_time", "stddev_over_time",
                   "stdvar_over_time", "last_over_time", "first_over_time",
                   "present_over_time", "absent_over_time",
-                  "quantile_over_time", "mad_over_time"):
+                  "quantile_over_time", "mad_over_time",
+                  "ts_of_min_over_time", "ts_of_max_over_time",
+                  "ts_of_last_over_time"):
             return self.range_fn(fn, args, t_us, off_us)
         raise PErr("fn " + fn)
 
@@ -666,6 +668,22 @@ class Evaluator:
         raise PErr("scalar arg expected")
 
     def range_fn(self, fn, args, t_us, off_us):
+        if fn in ("ts_of_min_over_time", "ts_of_max_over_time",
+                  "ts_of_last_over_time"):
+            # upstream experimental: timestamp (s) of the extreme/last
+            # sample; updates on >= / <= so the MOST RECENT tied
+            # extreme wins
+            wins, rng = self.windows_of(args[0], t_us, off_us)
+            out = []
+            for l, w in wins:
+                if fn == "ts_of_last_over_time":
+                    ts = max(t for t, _ in w)
+                elif fn == "ts_of_max_over_time":
+                    ts = max(w, key=lambda p: (p[1], p[0]))[0]
+                else:
+                    ts = max(w, key=lambda p: (-p[1], p[0]))[0]
+                out.append((l, ts / 1e6, t_us))
+            return out
         if fn == "quantile_over_time":
             phi = self.as_scalar(args[0], t_us, off_us)
             wins, rng = self.windows_of(args[1], t_us, off_us)
@@ -1214,6 +1232,10 @@ TEMPLATES = [
     ("absent(nonexistent_metric_name)", [], False),
     ("max_over_time((time() - max(demo_batch_last_success_timestamp_seconds) < 1000)[5m:10s] offset 5m)", [], False),
     ("avg_over_time(rate(demo_cpu_usage_seconds_total[1m])[2m:10s])", [], False),
+    ("ts_of_max_over_time(demo_memory_usage_bytes[{{.range}}])", ["range"], False),
+    ("ts_of_min_over_time(demo_memory_usage_bytes[{{.range}}])", ["range"], False),
+    ("ts_of_last_over_time(demo_memory_usage_bytes[{{.range}}])", ["range"], False),
+    ("sum(ts_of_max_over_time(demo_cpu_usage_seconds_total[5m]))", [], False),
 ]
 
 
