@@ -258,7 +258,47 @@ object QueriesPipeline6 extends QueryPack {
     // headline timing set, still in the Verify gate
     bench = false)
 
+  /** BPE ENCODING with a FIXED merge table — the deployment-realistic
+    * op: a tokenizer ships with the model and is APPLIED to every new
+    * corpus, not retrained per corpus. Application is
+    * [[graft.pipeline.Bpe.tokenCounts]]'s narrow map (merge rules are
+    * driver-broadcast plain state; no shuffle at all, any scale). The
+    * oracle replays greedy left-to-right merging exactly: a symbol
+    * sequence rendered as a `|`-delimited string makes each merge one
+    * non-overlapping left-to-right `replace('|l|r|' → '|lr|')` — the
+    * same greedy semantics BpeSpec pins on [[Bpe.applyMerge]].
+    */
+  val bpeEncode: Q = {
+    val rules = Seq(
+      "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "s" -> "c", "sc" -> "a", "sca" -> "n", "a" -> "g")
+    val chain = rules.foldLeft(
+      "'|' || array_to_string(string_split_regex(w, ''), '|') || '|'") {
+      case (acc, (l, r)) => s"replace($acc, '|$l|$r|', '|$l$r|')"
+    }
+    Q(
+      "pipe_bpe_encode",
+      (s: SparkSession, dir: String) =>
+        graft.pipeline.Bpe.tokenCounts(
+            Testdata(s, dir).documents, "text", "doc_id",
+            rules.map { case (l, r) => graft.pipeline.Bpe.Merge(l, r, 0L) })
+          .select(col("id").as("doc_id"),
+            col("bpe_tokens").cast("long").as("bpe_tokens"))
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH words AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |enc AS (
+           |  SELECT doc_id, $chain AS s
+           |  FROM words WHERE length(w) > 0)
+           |SELECT doc_id,
+           |  CAST(SUM((length(s) - length(replace(s, '|', ''))) - 1) AS BIGINT)
+           |    AS bpe_tokens
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   override def queries: Seq[Q] =
     Seq(bpePairs, datasetSplit, hardNegatives, textNormalize,
-      annIvfMultiprobe, bpeTrain)
+      annIvfMultiprobe, bpeTrain, bpeEncode)
 }
