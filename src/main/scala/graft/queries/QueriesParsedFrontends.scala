@@ -181,6 +181,61 @@ object QueriesParsedFrontends extends QueryPack {
             |    AND s.span_id <> r.span_id AND s.linestatus = 'F')
             |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
 
+  /** TraceQL: UNION child `&>` through the parser (Tempo's union
+    * structural family; the reference parses and rejects these,
+    * spanset_op.go:89-102) — BOTH participants survive: the children
+    * with a matching parent AND the parents with a matching child.
+    */
+  val traceqlUnionChild: Q = Q(
+    "traceql_e2e_union_child",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ returnflag = "R" } &> { quantity > 45 }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH spans AS ($oracleSpans),
+            |rs AS (
+            |  SELECT trace_id, span_id FROM spans c
+            |  WHERE quantity > 45 AND EXISTS (
+            |    SELECT 1 FROM spans p WHERE p.trace_id = c.trace_id
+            |      AND p.span_id = c.parent_span_id AND p.returnflag = 'R')),
+            |ls AS (
+            |  SELECT trace_id, span_id FROM spans p
+            |  WHERE returnflag = 'R' AND EXISTS (
+            |    SELECT 1 FROM spans c WHERE c.trace_id = p.trace_id
+            |      AND c.parent_span_id = p.span_id AND c.quantity > 45))
+            |SELECT trace_id, COUNT(*) AS n_spans FROM (
+            |  SELECT trace_id, span_id FROM rs
+            |  UNION SELECT trace_id, span_id FROM ls)
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
+  /** TraceQL: UNION sibling `&~` — spans on either side of the sibling
+    * relation survive (symmetric by construction; the dedup matters
+    * when a span matches both operands).
+    */
+  val traceqlUnionSibling: Q = Q(
+    "traceql_e2e_union_sibling",
+    (s: SparkSession, dir: String) =>
+      TraceQL.plan("""{ linestatus = "F" } &~ { returnflag = "R" }""",
+          spansView(Testdata(s, dir)))
+        .select(col("trace_id"), col("n_spans")),
+    Some(s"""WITH spans AS ($oracleSpans),
+            |rs AS (
+            |  SELECT trace_id, span_id FROM spans r
+            |  WHERE returnflag = 'R' AND EXISTS (
+            |    SELECT 1 FROM spans s WHERE s.trace_id = r.trace_id
+            |      AND s.parent_span_id = r.parent_span_id
+            |      AND s.span_id <> r.span_id AND s.linestatus = 'F')),
+            |ls AS (
+            |  SELECT trace_id, span_id FROM spans l
+            |  WHERE linestatus = 'F' AND EXISTS (
+            |    SELECT 1 FROM spans s WHERE s.trace_id = l.trace_id
+            |      AND s.parent_span_id = l.parent_span_id
+            |      AND s.span_id <> l.span_id AND s.returnflag = 'R'))
+            |SELECT trace_id, COUNT(*) AS n_spans FROM (
+            |  SELECT trace_id, span_id FROM rs
+            |  UNION SELECT trace_id, span_id FROM ls)
+            |GROUP BY trace_id ORDER BY trace_id""".stripMargin))
+
   /** PromQL: vector agg over count_over_time through the parser. */
   val promqlSumCount: Q = Q(
     "promql_e2e_sum_count",
@@ -248,6 +303,6 @@ object QueriesParsedFrontends extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     traceqlFilter, traceqlStructural, traceqlDescendant, traceqlSpansetAnd,
-    traceqlDescOf, traceqlNoSibling,
+    traceqlDescOf, traceqlNoSibling, traceqlUnionChild, traceqlUnionSibling,
     promqlSumCount, promqlIncrease, promqlInstant)
 }

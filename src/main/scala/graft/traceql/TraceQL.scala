@@ -108,9 +108,12 @@ object TraceQL {
     def done: Boolean = { ws(); i >= input.length }
   }
 
-  /** Longest-first so `!>>` wins over `!>` over `>`. */
+  /** Longest-first so `!>>` wins over `!>` over `>` (and `&>>` over
+    * `&>`; `&&` is distinct from every union form).
+    */
   private val structuralOps =
-    Seq("!>>", "!<<", ">>", "<<", "!>", "!<", "!~", ">", "~", "<", "&&", "||")
+    Seq("!>>", "!<<", "&>>", "&<<", ">>", "<<", "!>", "!<", "!~",
+      "&>", "&<", "&~", ">", "~", "<", "&&", "||")
 
   def parse(q: String): Query = {
     val p = new P(q)
@@ -560,6 +563,82 @@ object TraceQL {
             sameTrace && col("r.parent_span_id") === col("l.parent_span_id") &&
               col("r.span_id") =!= col("l.span_id"),
             if (op == "~") "left_semi" else "left_anti")
+        case "&>" | "&<" | "&>>" | "&<<" | "&~" =>
+          // UNION structural forms (Tempo's union operators; the
+          // reference parses and rejects them, spanset_op.go:89-102):
+          // BOTH participants of the relation survive — the rhs spans
+          // the plain operator returns PLUS the lhs spans standing on
+          // the other end. Each side is the same semi-join shape as the
+          // plain form (never a wide join); one span-identity dedup
+          // merges them.
+          val rl = r.select(spans.columns.toIndexedSeq.map(c =>
+            col(s"r.$c").as(c)): _*)
+          val ll = l.alias("l0")
+          def semi(left: DataFrame, right: DataFrame,
+              cond: Column): DataFrame =
+            left.join(right, cond, "left_semi")
+          val (rSide, lSide) = op match {
+            case "&>" => // children of l ∪ parents-of-r among l
+              (semi(r.alias("r"), ll.select(col("trace_id"), col("span_id")).alias("l"),
+                col("r.trace_id") === col("l.trace_id") &&
+                  col("r.parent_span_id") === col("l.span_id")),
+               semi(l.alias("la"), rl.select(col("trace_id"), col("parent_span_id")).alias("rb"),
+                 col("la.trace_id") === col("rb.trace_id") &&
+                   col("la.span_id") === col("rb.parent_span_id")))
+            case "&<" => // parents of l ∪ children-of-r among l
+              (semi(r.alias("r"), ll.select(col("trace_id"), col("parent_span_id")).alias("l"),
+                col("r.trace_id") === col("l.trace_id") &&
+                  col("r.span_id") === col("l.parent_span_id")),
+               semi(l.alias("la"), rl.select(col("trace_id"), col("span_id")).alias("rb"),
+                 col("la.trace_id") === col("rb.trace_id") &&
+                   col("la.parent_span_id") === col("rb.span_id")))
+            case "&>>" => // descendants of l ∪ ancestors-of-r among l
+              val lIds = l.select(col("trace_id"), col("span_id").as("anc"))
+              val descOfL = ancestorPairs(spans, dedup = false)
+                .join(lIds, Seq("trace_id", "anc"), "left_semi")
+                .select(col("trace_id"), col("span_id")).alias("d")
+              val rIds = rl.select(col("trace_id"), col("span_id"))
+              val ancOfR = ancestorPairs(spans, dedup = false)
+                .join(rIds, Seq("trace_id", "span_id"), "left_semi")
+                .select(col("trace_id"), col("anc")).alias("a")
+              (semi(r.alias("r"), descOfL,
+                col("r.trace_id") === col("d.trace_id") &&
+                  col("r.span_id") === col("d.span_id")),
+               semi(l.alias("la"), ancOfR,
+                 col("la.trace_id") === col("a.trace_id") &&
+                   col("la.span_id") === col("a.anc")))
+            case "&<<" => // ancestors of l ∪ descendants-of-r among l
+              val lIds = l.select(col("trace_id"), col("span_id"))
+              val ancOfL = ancestorPairs(spans, dedup = false)
+                .join(lIds, Seq("trace_id", "span_id"), "left_semi")
+                .select(col("trace_id"), col("anc")).alias("a")
+              val rIds = rl.select(col("trace_id"), col("span_id").as("anc"))
+              val descOfR = ancestorPairs(spans, dedup = false)
+                .join(rIds, Seq("trace_id", "anc"), "left_semi")
+                .select(col("trace_id"), col("span_id")).alias("d")
+              (semi(r.alias("r"), ancOfL,
+                col("r.trace_id") === col("a.trace_id") &&
+                  col("r.span_id") === col("a.anc")),
+               semi(l.alias("la"), descOfR,
+                 col("la.trace_id") === col("d.trace_id") &&
+                   col("la.span_id") === col("d.span_id")))
+            case "&~" => // symmetric: siblings on either side
+              val sibL = l.select(col("trace_id"), col("span_id"),
+                col("parent_span_id")).alias("l")
+              val sibR = rl.select(col("trace_id"), col("span_id"),
+                col("parent_span_id")).alias("rb")
+              (semi(r.alias("r"), sibL,
+                col("r.trace_id") === col("l.trace_id") &&
+                  col("r.parent_span_id") === col("l.parent_span_id") &&
+                  col("r.span_id") =!= col("l.span_id")),
+               semi(l.alias("la"), sibR,
+                 col("la.trace_id") === col("rb.trace_id") &&
+                   col("la.parent_span_id") === col("rb.parent_span_id") &&
+                   col("la.span_id") =!= col("rb.span_id")))
+          }
+          rSide.select(spans.columns.toIndexedSeq.map(col): _*)
+            .unionAll(lSide.select(spans.columns.toIndexedSeq.map(col): _*))
+            .dropDuplicates("trace_id", "span_id")
         case "&&" => // traces where BOTH sides matched keep the merged
           // spans of both sides, deduped by span identity (reference
           // spanset_op.go:41-47 mergeSpans). Single evaluation of each
