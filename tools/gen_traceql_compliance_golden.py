@@ -260,8 +260,8 @@ class Tok:
         return self.i >= len(self.q)
 
 
-STRUCT_OPS = ["!>>", "!<<", ">>", "<<", "!>", "!<", "!~", ">", "~", "<",
-              "&&", "||"]
+STRUCT_OPS = ["!>>", "!<<", "&>>", "&<<", ">>", "<<", "!>", "!<", "!~",
+              "&>", "&<", "&~", ">", "~", "<", "&&", "||"]
 
 
 def parse_ref(p):
@@ -548,34 +548,49 @@ def eval_spanset(e):
     for t, sid in L:
         l_by_trace[t].add(sid)
 
-    def child_of_l(k):  # r's parent is an l-match
-        s = KEYED[k]
-        p = s["parent_span_id"]
-        return p is not None and p in l_by_trace[k[0]]
+    def make_tests(ref):
+        def child_of(k):  # k's parent is a ref-match
+            s = KEYED[k]
+            p = s["parent_span_id"]
+            return p is not None and p in ref[k[0]]
 
-    def parent_of_l(k):  # r is the parent of an l-match
-        t, sid = k
-        return any(KEYED[(t, l)]["parent_span_id"] == sid
-                   for l in l_by_trace[t])
+        def parent_of(k):  # k is the parent of a ref-match
+            t, sid = k
+            return any(KEYED[(t, l)]["parent_span_id"] == sid
+                       for l in ref[t])
 
-    def desc_of_l(k):  # r descends from an l-match (full chain)
-        t, sid = k
-        return any(a in l_by_trace[t] for a in ancestors(t, sid))
+        def desc_of(k):  # k descends from a ref-match (full chain)
+            t, sid = k
+            return any(a in ref[t] for a in ancestors(t, sid))
 
-    def anc_of_l(k):  # r is an ancestor of an l-match
-        t, sid = k
-        return any(sid in ancestors(t, l) for l in l_by_trace[t])
+        def anc_of(k):  # k is an ancestor of a ref-match
+            t, sid = k
+            return any(sid in ancestors(t, l) for l in ref[t])
 
-    def sibling_of_l(k):  # shares a non-null parent with a DIFFERENT l
-        s = KEYED[k]
-        p = s["parent_span_id"]
-        if p is None:
-            return False
-        return any(l != k[1] and KEYED[(k[0], l)]["parent_span_id"] == p
-                   for l in l_by_trace[k[0]])
+        def sibling_of(k):  # shares a non-null parent with a DIFFERENT ref
+            s = KEYED[k]
+            p = s["parent_span_id"]
+            if p is None:
+                return False
+            return any(l != k[1] and KEYED[(k[0], l)]["parent_span_id"] == p
+                       for l in ref[k[0]])
 
-    tests = {">": child_of_l, "<": parent_of_l, ">>": desc_of_l,
-             "<<": anc_of_l, "~": sibling_of_l}
+        return {">": child_of, "<": parent_of, ">>": desc_of,
+                "<<": anc_of, "~": sibling_of}
+
+    tests = make_tests(l_by_trace)
+    if op.startswith("&") and op != "&&":
+        # union structural forms: BOTH participants survive — the
+        # r-matches the plain op keeps, plus the l-matches standing on
+        # the other end (the CONVERSE relation evaluated against R)
+        converse = {"&>": "<", "&<": ">", "&>>": "<<",
+                    "&<<": ">>", "&~": "~"}[op]
+        r_by_trace = defaultdict(set)
+        for t, sid in R:
+            r_by_trace[t].add(sid)
+        conv_tests = make_tests(r_by_trace)
+        return ({k for k in R if tests[op[1:]](k)} |
+                {k for k in L if conv_tests[converse](k)})
     if op in tests:
         return {k for k in R if tests[op](k)}
     return {k for k in R if not tests[op.lstrip("!")](k)}
@@ -945,6 +960,16 @@ CORPUS = [
     ("{ kind = producer } > { kind = consumer }", "spans"),
     ('{ name = "handle /api" } > { name = "decode" }', "spans"),
     ('{ name = "L0" } >> {} || { name = "L0" }', "spans"),
+    # --- union structural (Tempo union family; parity-plus) ---
+    ('{ name = "GET /checkout" } &> {}', "spans"),
+    ("{ kind = server } &> { status = error }", "spans"),
+    ('{ name = "L2" } &< {}', "spans"),
+    ('{ name = "L0" } &>> { name = "L5" }', "spans"),
+    ('{ name = "L5" } &<< {}', "spans"),
+    ('{ name = "worker.1" } &~ {}', "spans"),
+    ('{ name = "worker.1" } &~ { status = error }', "spans"),
+    ('{ resource.service.name = "gateway" } &>> { .db.system = "postgres" }',
+     "spans"),
     ('{ .db.system = "postgres" } && { .db.system = "mysql" }', "spans"),
     ("{ status = error } && { kind = server }", "spans"),
     ('{ name = "cron.cleanup" } || { name = "ingest" }', "spans"),
