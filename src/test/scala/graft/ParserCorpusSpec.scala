@@ -125,7 +125,12 @@ class ParserCorpusSpec extends SparkTestBase {
     """{ name = "op" } !< { svc = "x" }""",
     """{ name = "op" } !~ { svc = "x" }""",
     """{ parent.svc = "x" && parent:name = "op" }""",
-    """{ parent:duration > 1ms }"""
+    """{ parent:duration > 1ms }""",
+    """{ name = "op" } &> { svc = "x" }""",
+    """{ name = "op" } &< { svc = "x" }""",
+    """{ name = "op" } &>> { svc = "x" }""",
+    """{ name = "op" } &<< { svc = "x" }""",
+    """{ name = "op" } &~ { svc = "x" }"""
   )
 
   private val traceqlReject = Seq(
