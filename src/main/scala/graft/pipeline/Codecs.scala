@@ -169,6 +169,175 @@ object Codecs {
   }
 
   // ------------------------------------------------------------------
+  // PNG — truecolor 8-bit (color type 2), written from the public spec
+  // (RFC 2083 / W3C PNG): chunk walk, zlib IDAT via the JDK
+  // Inflater/Deflater, full scanline defiltering (None/Sub/Up/Average/
+  // Paeth). The dominant web-image container a crawl corpus actually
+  // carries.
+  // ------------------------------------------------------------------
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))
+
+  private def u32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  /** Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    * the linear estimate a + b − c, ties a > b > c.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG decode: signature + chunk walk (IHDR geometry, concatenated
+    * IDAT zlib stream), inflate, per-scanline filter inversion. Only
+    * the shape this corpus stores — 8-bit truecolor, no interlace — is
+    * accepted; anything else fails typed, never silently.
+    */
+  def decodePng(b: Array[Byte]): Image = {
+    require(isPng(b), "not a PNG: missing signature")
+    var i = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = u32be(b, i)
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      require(i + 12 + len <= b.length, s"PNG chunk $typ truncated")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"bad IHDR length $len")
+          w = u32be(b, i + 8); h = u32be(b, i + 12)
+          val depth = b(i + 16) & 0xFF; val color = b(i + 17) & 0xFF
+          val interlace = b(i + 20) & 0xFF
+          require(depth == 8 && color == 2,
+            s"unsupported PNG depth/color $depth/$color (8-bit truecolor only)")
+          require(interlace == 0, "interlaced PNG unsupported")
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _      => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      require(n > 0 || !inf.needsInput(), "PNG IDAT stream truncated")
+      off += n
+    }
+    inf.end()
+    require(off == raw.length,
+      s"PNG pixel data truncated: need ${raw.length}, inflated $off")
+    // defilter in place: recon(x) depends on the reconstructed row above
+    val recon = new Array[Int](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y * (stride + 1) + 1 + x) & 0xFF
+        val left = if (x >= 3) recon(y * stride + x - 3) else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) else 0
+        val ul = if (y > 0 && x >= 3) recon((y - 1) * stride + x - 3) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) / 2)
+          case 4 => cur + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(
+            s"bad PNG filter type $other at row $y")
+        }
+        recon(y * stride + x) = v & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val px = Array.tabulate(w * h) { p =>
+      val base = p * 3
+      (recon(base) << 16) | (recon(base + 1) << 8) | recon(base + 2)
+    }
+    Image(w, h, px)
+  }
+
+  /** PNG encoder (truecolor 8-bit): the test-vector source and the
+    * round-trip check for [[decodePng]]. Filter types CYCLE per row
+    * (y % 5) so every defilter path is exercised by construction.
+    */
+  def encodePng(img: Image): Array[Byte] = {
+    val stride = img.width * 3
+    val recon = new Array[Int](stride * img.height)
+    for (p <- 0 until img.width * img.height) {
+      val v = img.pixels(p)
+      recon(p * 3) = (v >> 16) & 0xFF
+      recon(p * 3 + 1) = (v >> 8) & 0xFF
+      recon(p * 3 + 2) = v & 0xFF
+    }
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    for (y <- 0 until img.height) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = recon(y * stride + x)
+        val left = if (x >= 3) recon(y * stride + x - 3) else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) else 0
+        val ul = if (y > 0 && x >= 3) recon((y - 1) * stride + x - 3) else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) / 2)
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (f & 0xFF).toByte
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def be(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = (v >>> 24).toByte; a(i + 1) = (v >>> 16).toByte
+      a(i + 2) = (v >>> 8).toByte; a(i + 3) = v.toByte
+    }
+    be32(ihdr, 0, img.width); be32(ihdr, 4, img.height)
+    ihdr(8) = 8; ihdr(9) = 2 // depth 8, truecolor
+    chunk("IHDR", ihdr)
+    chunk("IDAT", deflated)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // RIFF/WAVE PCM audio — the same public-container-format discipline
   // as BMP/PNM (header walk + raw samples, no codec library).
   // ------------------------------------------------------------------

@@ -556,9 +556,61 @@ object QueriesPipeline2 extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** PNG end-to-end through the REAL codec: per document a truecolor
+    * PNG is encoded (zlib IDAT, filter types cycling per row so every
+    * defilter path runs) and decoded back; the decoded geometry and an
+    * integer luma checksum roll up per source. The oracle recomputes
+    * both from the construction arithmetic alone — byte-exact pixel
+    * recovery through deflate + all five PNG filters is what the
+    * luma-sum hash actually certifies.
+    */
+  val mediaPng: Q = Q(
+    "pipe_media_png",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.pipeline.Codecs
+      Testdata(s, dir).documents
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          val w = (3 + id % 6).toInt
+          val h = (2 + id % 5).toInt
+          val img = Codecs.Image(w, h,
+            Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 0x1000000).toInt))
+          val dec = Codecs.decodePng(Codecs.encodePng(img))
+          val luma = dec.pixels.map { p =>
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+            (299L * r + 587L * g + 114L * b) / 1000L
+          }.sum
+          (src, dec.width.toLong, dec.height.toLong, luma)
+        })
+        .toDF("source", "w", "h", "luma")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_items"), sum(col("w")).as("sum_width"),
+          sum(col("h")).as("sum_height"), sum(col("luma")).as("sum_luma"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id, source, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, source, l FROM (
+        |    SELECT doc_id, source,
+        |      ((doc_id * 31 + unnest(generate_series(0, w * h - 1)) * 7)
+        |        % 16777216) AS p
+        |    FROM d)
+        |  , LATERAL (SELECT (299 * (p // 65536)
+        |      + 587 * ((p // 256) % 256) + 114 * (p % 256)) // 1000 AS l))
+        |SELECT d.source, COUNT(*) AS n_items,
+        |  CAST(SUM(w) AS BIGINT) AS sum_width,
+        |  CAST(SUM(h) AS BIGINT) AS sum_height,
+        |  (SELECT CAST(SUM(l) AS BIGINT) FROM lum WHERE lum.source = d.source)
+        |    AS sum_luma
+        |FROM d GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   override def queries: Seq[Q] = Seq(
     minhashLsh, simhash, ngramJaccard, lshJaccardVerify, dedupClusters, mediaTransform,
     embeddingNeardup, langid, qualityScore, curationE2e, fingerprint,
-    mediaFeatures
+    mediaFeatures, mediaPng
   )
 }

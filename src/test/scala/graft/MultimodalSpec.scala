@@ -50,6 +50,26 @@ class MultimodalSpec extends SparkTestBase {
       Codecs.decodeBmp("JUNKJUNKJUNK".getBytes("US-ASCII")))
   }
 
+  test("PNG codec: zlib IDAT + all five filter types round-trip") {
+    // 7 rows so the encoder's per-row filter cycle (y % 5) exercises
+    // None/Sub/Up/Average/Paeth AND repeats two of them
+    val w = 5; val h = 7
+    val src = Codecs.Image(w, h,
+      Array.tabulate(w * h)(i => (i * 0x01030B + 0xA0) & 0xFFFFFF))
+    val bytes = Codecs.encodePng(src)
+    assert(Codecs.isPng(bytes))
+    val img = Codecs.decodePng(bytes)
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.toSeq == src.pixels.toSeq)
+    // 1x1 edge (no left/up neighbors on any filter path)
+    val one = Codecs.Image(1, 1, Array(0x123456))
+    assert(Codecs.decodePng(Codecs.encodePng(one)).pixels.toSeq == Seq(0x123456))
+    // corrupt payloads fail loudly
+    intercept[IllegalArgumentException](Codecs.decodePng(bytes.take(20)))
+    intercept[IllegalArgumentException](
+      Codecs.decodePng("JUNKJUNKJUNK".getBytes("US-ASCII")))
+  }
+
   test("PNM codec: P6 RGB and P5 gray with comments decode") {
     val p6 = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++
       Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
