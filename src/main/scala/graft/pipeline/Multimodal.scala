@@ -89,8 +89,9 @@ object Multimodal {
           val img =
             if (Codecs.isBmp(payload)) Codecs.decodeBmp(payload)
             else if (Codecs.isPnm(payload)) Codecs.decodePnm(payload)
+            else if (Codecs.isPng(payload)) Codecs.decodePng(payload)
             else throw new IllegalArgumentException(
-              s"unknown image payload (${payload.length} bytes): not BMP/PNM")
+              s"unknown image payload (${payload.length} bytes): not BMP/PNM/PNG")
           (img.width, img.height, 1)
         case other => StubDecoder.decode(other, payload)
       }
@@ -155,8 +156,9 @@ object Multimodal {
           val img =
             if (Codecs.isBmp(m.payload)) Codecs.decodeBmp(m.payload)
             else if (Codecs.isPnm(m.payload)) Codecs.decodePnm(m.payload)
+            else if (Codecs.isPng(m.payload)) Codecs.decodePng(m.payload)
             else throw new IllegalArgumentException(
-              s"unknown image payload (${m.payload.length} bytes): not BMP/PNM")
+              s"unknown image payload (${m.payload.length} bytes): not BMP/PNM/PNG")
           m.copy(payload = Codecs.encodeBmp(Codecs.resize(img, w, h)))
         case other => other
       }

@@ -86,6 +86,17 @@ class MultimodalSpec extends SparkTestBase {
       Codecs.decodePnm("P6\n2 2\n255\nxx".getBytes("US-ASCII")))
   }
 
+  test("PNG payloads dispatch through ImageDecoder and resizeImages") {
+    val src = Codecs.Image(4, 3,
+      Array.tabulate(12)(i => (i * 0x050307) & 0xFFFFFF))
+    val png = Codecs.encodePng(src)
+    assert(Multimodal.ImageDecoder.decode("image", png) == ((4, 3, 1)))
+    val item = MediaItem(1L, "image", png, "s")
+    val resized = Multimodal.resizeImages(
+      Seq(item).toDS(), 2, 2).collect().head
+    assert(Codecs.decodeBmp(resized.payload).width == 2)
+  }
+
   test("ImageDecoder drives real decode through the featurize seam") {
     val bmp = Codecs.encodeBmp(Codecs.Image(5, 4, Array.fill(20)(0x336699)))
     val ppm = "P6\n7 3\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](63)(1)
