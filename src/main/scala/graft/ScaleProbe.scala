@@ -222,6 +222,14 @@ object ScaleProbe {
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }
+      // round-9 late ops: the bounded histogram-percentile rollup, the
+      // shuffle-free tokenizer application, and the per-partition PNG
+      // codec seam are all linear shapes — growth must track documents
+      for (q <- Seq("pipe_quality_percentile", "pipe_bpe_encode",
+          "pipe_media_png") if want(q))
+        time3(q, tag) {
+          graft.SparkEntry.queries(q)(spark, dir).count()
+        }
     }
     spark.stop()
   }
