@@ -209,6 +209,9 @@ object Codecs {
     while (!sawEnd && i + 8 <= b.length) {
       val len = u32be(b, i)
       val typ = new String(b, i + 4, 4, "US-ASCII")
+      // len is a u31 per the PNG spec; a crafted high-bit length would
+      // read negative here and corrupt the chunk walk.
+      require(len >= 0, s"PNG chunk $typ has invalid length")
       require(i + 12 + len <= b.length, s"PNG chunk $typ truncated")
       typ match {
         case "IHDR" =>
@@ -226,6 +229,11 @@ object Codecs {
       i += 12 + len
     }
     require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+    // Untrusted-input cap: (3w+1)*h must fit an Int allocation. 2^26
+    // pixels (~192 MiB decoded) is far beyond any corpus thumbnail and
+    // keeps one raster bounded per task.
+    require(w.toLong * h <= (1L << 26),
+      s"PNG dimensions ${w}x$h exceed decode cap (${1L << 26} pixels)")
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     val stride = w * 3
@@ -233,7 +241,12 @@ object Codecs {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      require(n > 0 || !inf.needsInput(), "PNG IDAT stream truncated")
+      // n==0 without finish means the stream stalled (truncated input,
+      // FDICT/preset-dictionary, or needsDictionary) — fail typed
+      // rather than spinning; this codec decodes untrusted payloads.
+      require(n > 0 || inf.finished(),
+        if (inf.needsDictionary()) "PNG IDAT requires a preset dictionary (unsupported)"
+        else "PNG IDAT stream stalled or truncated")
       off += n
     }
     inf.end()

@@ -263,19 +263,25 @@ object QueriesPipeline6 extends QueryPack {
     * corpus, not retrained per corpus. Application is
     * [[graft.pipeline.Bpe.tokenCounts]]'s narrow map (merge rules are
     * driver-broadcast plain state; no shuffle at all, any scale). The
-    * oracle replays greedy left-to-right merging exactly: a symbol
-    * sequence rendered as a `|`-delimited string makes each merge one
-    * non-overlapping left-to-right `replace('|l|r|' → '|lr|')` — the
-    * same greedy semantics BpeSpec pins on [[Bpe.applyMerge]].
+    * oracle replays greedy left-to-right merging EXACTLY via a
+    * recursive CTE that replaces the LEFTMOST `|l|r|` occurrence one at
+    * a time, advancing to the next rule only at fixpoint.
+    * Replace-first-to-fixpoint ≡ [[Bpe.applyMerge]]'s one-pass greedy
+    * scan: merging the leftmost pair can never create a NEW (l,r)
+    * adjacency earlier in the word (the merged symbol `lr` equals
+    * neither `l` nor `r`), so the next leftmost occurrence is the same
+    * one the single-pass scan visits next. A single non-overlapping
+    * `replace()` per rule — the previous oracle — diverges on
+    * back-to-back occurrences (`tata`: the shared delimiter is consumed
+    * and only one merge lands), which this replay handles correctly.
     */
   val bpeEncode: Q = {
     val rules = Seq(
       "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
       "s" -> "c", "sc" -> "a", "sca" -> "n", "a" -> "g")
-    val chain = rules.foldLeft(
-      "'|' || array_to_string(string_split_regex(w, ''), '|') || '|'") {
-      case (acc, (l, r)) => s"replace($acc, '|$l|$r|', '|$l$r|')"
-    }
+    val ruleRows = rules.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1}, '|$l|$r|', '|$l$r|')" }
+      .mkString(", ")
     Q(
       "pipe_bpe_encode",
       (s: SparkSession, dir: String) =>
@@ -286,16 +292,29 @@ object QueriesPipeline6 extends QueryPack {
             col("bpe_tokens").cast("long").as("bpe_tokens"))
           .orderBy("doc_id"),
       Some(
-        s"""WITH words AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-           |  FROM documents),
+        s"""WITH RECURSIVE rules(ri, pat, rep) AS (
+           |  VALUES $ruleRows),
+           |words AS (
+           |  SELECT doc_id,
+           |    '|' || array_to_string(string_split_regex(w, ''), '|') || '|' AS s
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  WHERE length(w) > 0),
            |enc AS (
-           |  SELECT doc_id, $chain AS s
-           |  FROM words WHERE length(w) > 0)
+           |  SELECT doc_id, s, 1 AS ri FROM words
+           |  UNION ALL
+           |  SELECT e.doc_id,
+           |    CASE WHEN instr(e.s, r.pat) > 0
+           |      THEN substr(e.s, 1, instr(e.s, r.pat) - 1) || r.rep
+           |           || substr(e.s, instr(e.s, r.pat) + length(r.pat))
+           |      ELSE e.s END AS s,
+           |    CASE WHEN instr(e.s, r.pat) > 0 THEN e.ri ELSE e.ri + 1 END AS ri
+           |  FROM enc e JOIN rules r ON r.ri = e.ri)
            |SELECT doc_id,
            |  CAST(SUM((length(s) - length(replace(s, '|', ''))) - 1) AS BIGINT)
            |    AS bpe_tokens
-           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |FROM enc WHERE ri = ${rules.size + 1}
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
   override def queries: Seq[Q] =

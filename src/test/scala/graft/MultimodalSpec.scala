@@ -70,6 +70,44 @@ class MultimodalSpec extends SparkTestBase {
       Codecs.decodePng("JUNKJUNKJUNK".getBytes("US-ASCII")))
   }
 
+  test("PNG codec: crafted/corrupt input fails typed, never hangs or overflows") {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def chunk(typ: String, body: Array[Byte], lenOverride: Option[Long] = None) =
+      u32(lenOverride.getOrElse(body.length.toLong)) ++
+        typ.getBytes("US-ASCII") ++ body ++ u32(0L) // CRC unchecked
+    def ihdr(w: Long, h: Long) =
+      chunk("IHDR", u32(w) ++ u32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    // negative (high-bit) chunk length → typed require, not a corrupt walk
+    val negLen = sig ++ chunk("IHDR", Array.fill[Byte](13)(0),
+      lenOverride = Some(0x80000001L))
+    val e1 = intercept[IllegalArgumentException](Codecs.decodePng(negLen))
+    assert(e1.getMessage.contains("invalid length"))
+    // huge w*h (Int-overflow territory) → decode cap, not NegativeArraySize
+    val huge = sig ++ ihdr(0x40000000L, 0x40000000L) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01)) ++ chunk("IEND", Array.empty)
+    val e2 = intercept[IllegalArgumentException](Codecs.decodePng(huge))
+    assert(e2.getMessage.contains("decode cap"))
+    // a zlib stream that STALLS (FDICT preset-dictionary flags) must
+    // fail typed instead of spinning the inflate loop forever
+    val src = Codecs.Image(2, 2, Array(1, 2, 3, 4))
+    val deflater = new java.util.zip.Deflater()
+    deflater.setDictionary(Array[Byte](1, 2, 3))
+    deflater.setInput(Array.fill[Byte](3 * 2 + 1)(0) ++ Array.fill[Byte](3 * 2 + 1)(0))
+    deflater.finish()
+    val dictStream = {
+      val buf = new Array[Byte](256)
+      val n = deflater.deflate(buf)
+      buf.take(n)
+    }
+    val fdict = sig ++ ihdr(2, 2) ++ chunk("IDAT", dictStream) ++
+      chunk("IEND", Array.empty)
+    val e3 = intercept[IllegalArgumentException](Codecs.decodePng(fdict))
+    assert(e3.getMessage.contains("dictionary") || e3.getMessage.contains("stalled"))
+  }
+
   test("PNM codec: P6 RGB and P5 gray with comments decode") {
     val p6 = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++
       Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
