@@ -744,8 +744,10 @@ object PromQL {
     * (t-range, t], via the same window-alignment shift as the LogQL
     * instant path. Requires one shared range across the expression.
     */
-  def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame =
-    instantOf(foldScalars(parse(q)), expandNativeHistograms(points), evalTsUs)
+  def instantExpr(q: String, points: DataFrame, evalTsUs: Long): DataFrame = {
+    val e = foldScalars(parse(q))
+    instantOf(e, maybeExpand(e, points), evalTsUs)
+  }
 
   /** Instant /api/v1/query dispatch: a bare vector selector evaluates
     * via the 5m-lookback latest-sample rule (reference
@@ -753,8 +755,9 @@ object PromQL {
     * through the shared-range window alignment of [[instantExpr]].
     */
   def instant(q: String, points0: DataFrame, evalTsUs: Long): DataFrame = {
-    val points = expandNativeHistograms(points0)
-    foldScalars(resolveAt(parse(q), Some(evalTsUs), Some(evalTsUs))) match {
+    val e0 = foldScalars(resolveAt(parse(q), Some(evalTsUs), Some(evalTsUs)))
+    val points = maybeExpand(e0, points0)
+    e0 match {
       case Instant(sel, off) =>
         lookback(sel, points, evalTsUs - off / 1000)
           .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
@@ -1016,6 +1019,67 @@ object PromQL {
     * bucket list (partitions = #buckets, already tiny); plain samples
     * never shuffle.
     */
+  /** Upper bound on the metric names a query's selectors can match,
+    * when EVERY leaf selector pins a name by equality (`name{...}` or
+    * `{__name__="name"}`). `None` = indeterminate — a name-less or
+    * regex-named selector could match any series, including native
+    * histograms.
+    */
+  private def selectorNames(e: Expr): Option[Set[String]] = {
+    def ofSel(sel: Selector): Option[Set[String]] =
+      if (sel.name.nonEmpty) Some(Set(sel.name))
+      else sel.matchers.collectFirst {
+        case Matcher("__name__", "=", v) => Set(v)
+      }
+    e match {
+      case Instant(sel, _)            => ofSel(sel)
+      case RangeFn(_, sel, _, _, _)   => ofSel(sel)
+      case RangeSub(_, i, _, _, _, _) => selectorNames(i)
+      case FnCall(_, i, _, _)         => selectorNames(i)
+      case Agg(_, _, _, _, _, i)      => selectorNames(i)
+      case HistQuantile(_, i)         => selectorNames(i)
+      case HistAgg(_, _, i)           => selectorNames(i)
+      case At(i, _)                   => selectorNames(i)
+      case Bin(_, l, r, _, _) =>
+        for (a <- selectorNames(l); b <- selectorNames(r)) yield a ++ b
+      case ScalarLit(_) | TimeFn | VectorLit(_) => Some(Set.empty)
+    }
+  }
+
+  /** Metric names with stored native-histogram rows, probed ONCE per
+    * points plan (keyed by the analyzed plan's semantic hash) with a
+    * 2-column pushed-down scan and cached for the session — the same
+    * role the reference's in-memory series metadata plays. Bounded by
+    * the histogram-metric name count (tiny).
+    */
+  private val expHistNamesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Set[String]]()
+
+  private def expHistNames(points: DataFrame): Set[String] =
+    expHistNamesCache.computeIfAbsent(
+      points.queryExecution.analyzed.semanticHash(),
+      _ => points.filter(col("mapping").isin(10, 11, 12))
+        .select("name").distinct().collect().map(_.getString(0)).toSet)
+
+  /** Expansion gate: convert stored native-histogram rows to classic
+    * `le` bucket series ONLY when the query can actually touch one —
+    * i.e. the frame carries the decomposition columns AND the query's
+    * selector-name upper bound intersects the stored histogram-metric
+    * set (or is indeterminate). A plain-metric query therefore plans
+    * exactly ONE scan of the points source instead of the 4-branch
+    * expansion union (PlanSpec pins this): the raw mapping-10/11/12
+    * rows it skips expanding can never pass its name-equality
+    * pushdown.
+    */
+  private def maybeExpand(e: Expr, points: DataFrame): DataFrame = {
+    val cols = points.columns.toSet
+    if (!(cols("mapping") && cols("bucket_idx") && cols("scale"))) points
+    else selectorNames(e) match {
+      case Some(names) if names.intersect(expHistNames(points)).isEmpty => points
+      case _ => expandNativeHistograms(points)
+    }
+  }
+
   def expandNativeHistograms(points: DataFrame): DataFrame = {
     val cols = points.columns.toSet
     if (!(cols("mapping") && cols("bucket_idx") && cols("scale"))) points
@@ -1065,7 +1129,7 @@ object PromQL {
       atRange.map(_._1), atRange.map(_._2)))
     val st =
       if (stepUs.isEmpty && mixesBareAndRange(e)) Some(300000000L) else stepUs
-    planRange(e, expandNativeHistograms(points), st)
+    planRange(e, maybeExpand(e, points), st)
   }
 
   private def planRange(e: Expr, points: DataFrame,

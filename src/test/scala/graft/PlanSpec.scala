@@ -265,4 +265,39 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"corpus must not shuffle for the join:\n$p")
   }
+
+  test("native-histogram expansion is gated: plain-metric query plans ONE scan") {
+    // a points frame carrying the exp-histogram decomposition columns,
+    // holding BOTH a plain metric (ev) and a native histogram (nh)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1000000L, 'ev', map('svc','1'), 1.0,
+        |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)),
+        |  (2000000L, 'ev', map('svc','1'), 3.0,
+        |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)),
+        |  (1000000L, 'nh', map('svc','1'), 5.0, 11, 3, 0),
+        |  (1000000L, 'nh', map('svc','1'), 9.5, 12, CAST(NULL AS INT), 0)
+        |AS t(ts_us, name, labels, value, mapping, bucket_idx, scale)"""
+        .stripMargin)
+    // a query whose selectors all pin PLAIN metric names must bypass
+    // the 4-branch bucket expansion: one source scan, no union
+    val plain = graft.promql.PromQL
+      .range("rate(ev[1h])", df).queryExecution.optimizedPlan.toString
+    assert(!plain.contains("Union"),
+      s"plain-metric query must not plan the expansion union:\n$plain")
+    assert("LocalRelation".r.findAllIn(plain).size <= 1,
+      s"plain-metric query must scan the source once:\n$plain")
+    // a query over the histogram metric still expands (>1 branch)
+    val hist = graft.promql.PromQL
+      .range("histogram_count(sum_over_time(nh[1d]))", df)
+      .queryExecution.optimizedPlan.toString
+    assert(hist.contains("Union"),
+      s"histogram query must plan the bucket expansion:\n$hist")
+    // an indeterminate (name-less) selector could match nh → must expand
+    val anon = graft.promql.PromQL
+      .range("""count_over_time({svc="1"}[1h])""", df)
+      .queryExecution.optimizedPlan.toString
+    assert(anon.contains("Union"),
+      s"name-less selector must expand conservatively:\n$anon")
+  }
 }
