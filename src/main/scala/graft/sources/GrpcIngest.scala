@@ -28,7 +28,16 @@ import io.netty.util.ReferenceCountUtil
   * same MemoryStream sources, so the two transports share one decode +
   * layout path).
   */
-final class GrpcIngest(routes: Map[String, Array[Byte] => Unit]) {
+/** `maxMessageBytes` (0 = unlimited) is the maxInboundMessageSize
+  * every production gRPC server enforces: it bounds BOTH the buffered
+  * request body per HTTP/2 stream and the per-message decompressed
+  * size, so a single malicious or misconfigured client cannot exhaust
+  * driver memory at the ingest edge. Violations answer grpc-status 8
+  * (RESOURCE_EXHAUSTED), as do [[Admission.ResourceExhausted]] sheds
+  * thrown by the per-path consumer.
+  */
+final class GrpcIngest(routes: Map[String, Array[Byte] => Unit],
+    maxMessageBytes: Long = 0L) {
 
   private var group: NioEventLoopGroup = _
   private var serverCh: Channel = _
@@ -66,6 +75,7 @@ final class GrpcIngest(routes: Map[String, Array[Byte] => Unit]) {
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private var path = ""
     private var encoding = "identity"
+    private var overBudget = false
     private val body = new java.io.ByteArrayOutputStream()
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
@@ -81,18 +91,30 @@ final class GrpcIngest(routes: Map[String, Array[Byte] => Unit]) {
           c.readBytes(arr)
           val end = d.isEndStream
           d.release()
-          body.write(arr)
+          // size cap while BUFFERING: an over-budget stream stops
+          // accumulating immediately (the rest of its frames are
+          // drained and dropped) and answers RESOURCE_EXHAUSTED
+          if (!overBudget) {
+            if (maxMessageBytes > 0 &&
+                body.size().toLong + arr.length > maxMessageBytes) {
+              overBudget = true
+              body.reset()
+            } else body.write(arr)
+          }
           if (end) respond(ctx)
         case other => ReferenceCountUtil.release(other); ()
       }
 
     private def respond(ctx: ChannelHandlerContext): Unit = {
       // gRPC status codes (public): 0 OK, 3 INVALID_ARGUMENT,
-      // 12 UNIMPLEMENTED
+      // 8 RESOURCE_EXHAUSTED, 12 UNIMPLEMENTED
       val (status, message) =
         try routes.get(path) match {
           case None => (12, s"unknown method $path")
           case Some(consume) =>
+            if (overBudget)
+              throw new Admission.ResourceExhausted(
+                s"message exceeds $maxMessageBytes byte limit")
             val bytes = body.toByteArray
             var i = 0
             while (i < bytes.length) {
@@ -102,14 +124,15 @@ final class GrpcIngest(routes: Map[String, Array[Byte] => Unit]) {
               val len = ((bytes(i + 1) & 0xff) << 24) |
                 ((bytes(i + 2) & 0xff) << 16) |
                 ((bytes(i + 3) & 0xff) << 8) | (bytes(i + 4) & 0xff)
-              if (i + 5 + len > bytes.length)
+              if (len < 0 || i + 5 + len > bytes.length)
                 throw new IllegalArgumentException("truncated gRPC message")
               val raw = java.util.Arrays.copyOfRange(bytes, i + 5, i + 5 + len)
               val payload =
                 if (!compressed) raw
                 else if (encoding == "gzip")
-                  new java.util.zip.GZIPInputStream(
-                    new java.io.ByteArrayInputStream(raw)).readAllBytes()
+                  // decompressed-size cap: a tiny frame can otherwise
+                  // inflate to GBs before the consumer sees it
+                  Admission.gunzipBounded(raw, maxMessageBytes)
                 else throw new IllegalArgumentException(
                   s"unsupported grpc-encoding: $encoding")
               consume(payload)
@@ -117,6 +140,8 @@ final class GrpcIngest(routes: Map[String, Array[Byte] => Unit]) {
             }
             (0, "")
         } catch {
+          case e: Admission.ResourceExhausted =>
+            (8, Option(e.getMessage).getOrElse("resource exhausted"))
           case e: Exception => (3, Option(e.getMessage).getOrElse("bad request"))
         }
       val headers = new DefaultHttp2Headers().status("200")

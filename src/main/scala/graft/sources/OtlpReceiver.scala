@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 import graft.streaming.Streams
 
@@ -28,8 +28,16 @@ import graft.streaming.Streams
   * in-memory source for a durable bus (Kafka source, same payload
   * column) and the pipeline is the deployment topology. Payload decode
   * failures poison only their micro-batch, never the listener.
+  *
+  * Admission control ([[Admission.LimitsConfig]], the reference's
+  * storage_policy.go:82-101 limits): over-budget requests are SHED
+  * losslessly at this edge — OTLP clients get a partial-success
+  * response naming every item rejected, remote-write/Loki/Pyroscope
+  * clients get 429 — and new-series cardinality past the soft budget
+  * routes to the per-metric overflow series in the point inserter.
   */
-final class OtlpReceiver(spark: SparkSession, dataDir: String) {
+final class OtlpReceiver(spark: SparkSession, dataDir: String,
+    limits: Admission.LimitsConfig = Admission.LimitsConfig()) {
 
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   import spark.implicits._
@@ -45,6 +53,30 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
   private var grpc: GrpcIngest = _
+  private var listener: StreamingQueryListener = _
+
+  // ---- admission state (one budget per receiver = per tenant) ----
+  val stats = new Admission.Stats
+  private val bucket = new Admission.TokenBucket(limits.ingestBytesPerSecond)
+  private val inFlightTotal = new java.util.concurrent.atomic.AtomicLong
+  private def tracker() =
+    new Admission.InFlightTracker(limits.maxInFlightBytes, inFlightTotal)
+  private val traceTrk = tracker(); private val logTrk = tracker()
+  private val metricTrk = tracker(); private val promTrk = tracker()
+  private val lokiTrk = tracker(); private val profileTrk = tracker()
+  private val pyroTrk = tracker()
+  val seriesBudget: Admission.SeriesBudget =
+    if (limits.maxSeries > 0 || limits.maxSeriesSoft > 0)
+      new Admission.SeriesBudget(limits.maxSeries, limits.maxSeriesSoft, stats)
+    else null
+  /** Unflushed enqueued bytes (the `maxInFlightBytes` ledger). */
+  def inFlightBytes: Long = inFlightTotal.get()
+
+  // primary sink per source: (queryName, sourceIndex) → tracker; each
+  // source's bytes release when ITS batch commits in that sink (promIn
+  // also feeds the exemplar sink and points feed the rollup sidecar,
+  // but one release point per payload keeps the ledger exact)
+  private var trackerByQuery: Map[(String, Int), Admission.InFlightTracker] = Map.empty
 
   /** resource attrs merged under point attrs, point side winning on
     * duplicate keys (valid OTLP may repeat a key on both levels).
@@ -91,13 +123,17 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
         profileIn.toDF().withColumnRenamed("value", "payload"))
       .unionByName(Streams.profilesFromCollapsed(
         pyroIn.toDF().toDF("app", "ts_us", "payload")))
+    val spansQ = Streams.spansSink(spans, s"$dataDir/spans",
+      s"$dataDir/ckpt/spans", Trigger.ProcessingTime(0))
+    val logsQ = Streams.logsSink(logs, s"$dataDir/logs",
+      s"$dataDir/ckpt/logs", Trigger.ProcessingTime(0))
+    val pointsQ = Streams.pointsSink(points, s"$dataDir/points",
+      s"$dataDir/ckpt/points", Trigger.ProcessingTime(0), seriesBudget)
+    val profilesQ = Streams.profilesSink(profiles,
+      s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
+      Trigger.ProcessingTime(0))
     queries = Seq(
-      Streams.spansSink(spans, s"$dataDir/spans", s"$dataDir/ckpt/spans",
-        Trigger.ProcessingTime(0)),
-      Streams.logsSink(logs, s"$dataDir/logs", s"$dataDir/ckpt/logs",
-        Trigger.ProcessingTime(0)),
-      Streams.pointsSink(points, s"$dataDir/points", s"$dataDir/ckpt/points",
-        Trigger.ProcessingTime(0)),
+      spansQ, logsQ, pointsQ,
       Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
         s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)),
       // the aggregate sidecar the *_over_time rollup pushdown reads —
@@ -108,21 +144,49 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
           timestamp_micros(col("ts_us")))),
         s"$dataDir/rollup", s"$dataDir/ckpt/rollup",
         Trigger.ProcessingTime(0)),
-      Streams.profilesSink(profiles,
-        s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
-        Trigger.ProcessingTime(0)))
+      profilesQ)
+    // in-flight release: a completed micro-batch's progress event
+    // carries each source's endOffset; every payload enqueued at or
+    // below it has been committed by the sink
+    trackerByQuery = Map(
+      (spansQ.id.toString, 0) -> traceTrk,
+      (logsQ.id.toString, 0) -> logTrk, (logsQ.id.toString, 1) -> lokiTrk,
+      (pointsQ.id.toString, 0) -> metricTrk, (pointsQ.id.toString, 1) -> promTrk,
+      (profilesQ.id.toString, 0) -> profileTrk, (profilesQ.id.toString, 1) -> pyroTrk)
+    listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.sources.zipWithIndex.foreach { case (s, i) =>
+          trackerByQuery.get((e.progress.id.toString, i)).foreach { t =>
+            Option(s.endOffset).flatMap(_.toLongOption)
+              .foreach(t.releaseUpTo)
+          }
+        }
+    }
+    spark.streams.addListener(listener)
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/v1/traces", accept(traceIn))
-    server.createContext("/v1/logs", accept(logIn))
-    server.createContext("/v1/metrics", accept(metricIn))
-    server.createContext("/api/v1/write", accept(promIn, snappyBody = true))
-    server.createContext("/loki/api/v1/push", accept(lokiIn))
+    server.createContext("/v1/traces", accept(traceIn, traceTrk,
+      p => OtlpProto.decodeSpans(p).size.toLong, Otlp))
+    server.createContext("/v1/logs", accept(logIn, logTrk,
+      p => OtlpProto.decodeLogs(p).size.toLong, Otlp))
+    server.createContext("/v1/metrics", accept(metricIn, metricTrk,
+      p => OtlpProto.decodeMetrics(p).size.toLong, Otlp))
+    server.createContext("/api/v1/write", accept(promIn, promTrk,
+      _ => 0L, RetryAfter, snappyBody = true))
+    server.createContext("/loki/api/v1/push", accept(lokiIn, lokiTrk,
+      _ => 0L, RetryAfter))
     // OTLP/HTTP profiles: the development-signal path (dictionary/
     // stack-table payloads per the v1development proto revision —
     // decode auto-detects and also accepts classic pprof-shaped
     // requests) plus the plain /v1/ alias local producers use
-    server.createContext("/v1development/profiles", accept(profileIn))
-    server.createContext("/v1/profiles", accept(profileIn))
+    server.createContext("/v1development/profiles", accept(profileIn,
+      profileTrk, p => OtlpProfiles.decodeProfiles(p).size.toLong, Otlp))
+    server.createContext("/v1/profiles", accept(profileIn, profileTrk,
+      p => OtlpProfiles.decodeProfiles(p).size.toLong, Otlp))
     server.createContext("/pyroscope/ingest", acceptPyro())
     server.start()
     server.getAddress.getPort
@@ -130,56 +194,106 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
 
   /** OTLP/gRPC transport (the collector-default export) for all four
     * signals: the standard collector service methods route into the
-    * SAME MemoryStream sources as the HTTP listener, so decode and the
-    * layout appends are shared — only the framing differs
-    * (reference internal/otelreceiver/receiver.go:45-93 embeds the
-    * collector's gRPC receivers the same way). Call after [[start]];
-    * returns the bound gRPC port.
+    * SAME MemoryStream sources as the HTTP listener, so decode, the
+    * layout appends AND the admission budget are shared — only the
+    * framing differs (reference internal/otelreceiver/receiver.go:
+    * 45-93 embeds the collector's gRPC receivers the same way). A shed
+    * surfaces as grpc-status 8 RESOURCE_EXHAUSTED. Call after
+    * [[start]]; returns the bound gRPC port.
     */
   def startGrpc(port: Int = 0): Int = {
+    def admit(trk: Admission.InFlightTracker,
+        sink: MemoryStream[Array[Byte]])(payload: Array[Byte]): Unit = {
+      if (!bucket.tryAcquire(payload.length.toLong)) {
+        stats.shedRequests.incrementAndGet()
+        throw new Admission.ResourceExhausted("ingest rate exceeded")
+      }
+      if (!trk.tryEnqueue(payload.length.toLong,
+          sink.addData(Seq(payload)).json.toLong)) {
+        stats.shedRequests.incrementAndGet()
+        throw new Admission.ResourceExhausted("in-flight byte budget exceeded")
+      }
+    }
     grpc = new GrpcIngest(Map(
       "/opentelemetry.proto.collector.trace.v1.TraceService/Export" ->
-        (traceIn.addData(_)),
+        admit(traceTrk, traceIn) _,
       "/opentelemetry.proto.collector.logs.v1.LogsService/Export" ->
-        (logIn.addData(_)),
+        admit(logTrk, logIn) _,
       "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export" ->
-        (metricIn.addData(_)),
+        admit(metricTrk, metricIn) _,
       "/opentelemetry.proto.collector.profiles.v1development.ProfilesService/Export" ->
-        (profileIn.addData(_))))
+        admit(profileTrk, profileIn) _),
+      maxMessageBytes = limits.maxBodyBytes)
     grpc.start(port)
   }
 
+  /** How a shed surfaces to this endpoint's clients: OTLP transports
+    * report partial success (every item rejected, RESOURCE_EXHAUSTED
+    * semantics); remote-write/Loki/Pyroscope push gets HTTP 429.
+    */
+  private sealed trait ShedMode
+  private case object Otlp extends ShedMode
+  private case object RetryAfter extends ShedMode
+
   private def accept(sink: MemoryStream[Array[Byte]],
+      trk: Admission.InFlightTracker,
+      countItems: Array[Byte] => Long,
+      shedMode: ShedMode,
       snappyBody: Boolean = false)
       : com.sun.net.httpserver.HttpHandler = { (ex: HttpExchange) =>
+    var contentType = "application/json"
     val (code, body): (Int, Array[Byte]) =
       try {
         if (ex.getRequestMethod != "POST")
           (405, errJson("POST only"))
         else {
           val raw = ex.getRequestBody.readAllBytes()
+          if (limits.maxBodyBytes > 0 && raw.length > limits.maxBodyBytes)
+            throw new Admission.ResourceExhausted(
+              s"request body ${raw.length} exceeds ${limits.maxBodyBytes} byte limit")
           // remote-write bodies are snappy-block-compressed (the spec
           // mandates it; `identity` is tolerated for local producers)
           val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
             .getOrElse(if (snappyBody) "snappy" else "identity")
           val payload = enc.toLowerCase match {
-            case "snappy"       => Snappy.decode(raw)
-            case "gzip"         => // OTLP/HTTP's standard compression
-              new java.util.zip.GZIPInputStream(
-                new java.io.ByteArrayInputStream(raw)).readAllBytes()
+            case "snappy" => Admission.snappyBounded(raw, limits.maxBodyBytes)
+            case "gzip"   => // OTLP/HTTP's standard compression
+              Admission.gunzipBounded(raw, limits.maxBodyBytes)
             case "identity" | "" => raw
             case other =>
               throw new IllegalArgumentException(
                 s"unsupported Content-Encoding: $other")
           }
-          sink.addData(payload)
-          // success: an empty ExportXServiceResponse (zero-field
-          // protobuf message = zero bytes)
-          (200, Array.emptyByteArray)
+          val n = payload.length.toLong
+          val admitted = bucket.tryAcquire(n) &&
+            trk.tryEnqueue(n, sink.addData(Seq(payload)).json.toLong)
+          if (admitted)
+            // success: an empty ExportXServiceResponse (zero-field
+            // protobuf message = zero bytes)
+            (200, Array.emptyByteArray)
+          else {
+            // LOSSLESS shed: nothing buffered, the client is told to
+            // retry — OTLP partial success naming every rejected item
+            // (storage_policy.go LimitsConfig contract) or 429
+            stats.shedRequests.incrementAndGet()
+            shedMode match {
+              case Otlp =>
+                contentType = "application/x-protobuf"
+                (200, Admission.partialSuccess(countItems(payload),
+                  "RESOURCE_EXHAUSTED: ingest budget exceeded, retry later"))
+              case RetryAfter =>
+                ex.getResponseHeaders.set("Retry-After", "1")
+                (429, errJson("ingest budget exceeded"))
+            }
+          }
         }
-      } catch { case e: Throwable => (400, errJson(e.getMessage)) }
+      } catch {
+        case e: Admission.ResourceExhausted => (413, errJson(e.getMessage))
+        case e: Throwable => (400, errJson(e.getMessage))
+      }
     ex.getResponseHeaders.set("Content-Type",
-      if (code == 200) "application/x-protobuf" else "application/json")
+      if (code == 200 && body.isEmpty) "application/x-protobuf"
+      else contentType)
     ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
     if (body.nonEmpty) {
       val os = ex.getResponseBody
@@ -209,11 +323,25 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
             val fromSec = params.get("from").flatMap(_.toLongOption)
               .getOrElse(throw new IllegalArgumentException(
                 "missing or bad from"))
-            pyroIn.addData((name, fromSec * 1000000L,
-              ex.getRequestBody.readAllBytes()))
-            (200, Array.emptyByteArray)
+            val raw = ex.getRequestBody.readAllBytes()
+            if (limits.maxBodyBytes > 0 && raw.length > limits.maxBodyBytes)
+              throw new Admission.ResourceExhausted(
+                s"request body ${raw.length} exceeds ${limits.maxBodyBytes} byte limit")
+            val admitted = bucket.tryAcquire(raw.length.toLong) &&
+              pyroTrk.tryEnqueue(raw.length.toLong,
+                pyroIn.addData(Seq((name, fromSec * 1000000L, raw)))
+                  .json.toLong)
+            if (admitted) (200, Array.emptyByteArray)
+            else {
+              stats.shedRequests.incrementAndGet()
+              ex.getResponseHeaders.set("Retry-After", "1")
+              (429, errJson("ingest budget exceeded"))
+            }
           }
-        } catch { case e: Throwable => (400, errJson(e.getMessage)) }
+        } catch {
+          case e: Admission.ResourceExhausted => (413, errJson(e.getMessage))
+          case e: Throwable => (400, errJson(e.getMessage))
+        }
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
       if (body.nonEmpty) {
@@ -232,5 +360,6 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String) {
     if (server != null) server.stop(0)
     if (grpc != null) grpc.stop()
     queries.foreach(_.stop())
+    if (listener != null) spark.streams.removeListener(listener)
   }
 }

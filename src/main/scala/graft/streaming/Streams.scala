@@ -762,17 +762,24 @@ object Streams {
 
   /** Batched metric-point inserter: same foreachBatch shape into the
     * (hash, ts)-sorted daily layout (inserter_metrics.go batching).
+    * An optional [[graft.sources.Admission.SeriesBudget]] enforces the
+    * active-series cardinality ceiling per micro-batch (new series
+    * past the soft budget → per-metric overflow series; past the hard
+    * ceiling → shed), the reference's LimitsConfig MaxSeries /
+    * MaxSeriesSoft semantics applied at the inserter seam.
     */
   def pointsSink(stream: DataFrame, path: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      budget: graft.sources.Admission.SeriesBudget = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val admitted = if (budget == null) batch else budget.admit(batch)
         graft.sources.Layout.commitBatch(path, id)(
-          graft.sources.Layout.writePoints(batch, _, mode = "overwrite"))
+          graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
       }
       .trigger(trigger)
       .start()
