@@ -258,6 +258,31 @@ object exprs {
     override protected def withNewChildInternal(newChild: Expression): DeduceSeverity =
       copy(child = newChild)
   }
+
+  /** truncate_mantissa(value, bits) — retain `bits` significant
+    * mantissa bits of a double, round-to-nearest (the age-tiered lossy
+    * precision policy, reference storage_policy.go:43-49). Applied at
+    * compaction, not per query; codegen keeps the partition rewrite in
+    * one whole-stage span.
+    */
+  case class TruncateMantissa(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == DoubleType && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"truncate_mantissa expects (double, int), got (${left.dataType}, ${right.dataType})")
+    override def prettyName: String = "graft_truncate_mantissa"
+    override protected def nullSafeEval(v: Any, bits: Any): Any =
+      JKernels.truncateMantissa(v.asInstanceOf[Double], bits.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (v, b) => s"graft.functions.JKernels.truncateMantissa($v, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TruncateMantissa =
+      copy(left = newLeft, right = newRight)
+  }
 }
 
 /** Column DSL + SQL registration for the native expressions. */
@@ -278,6 +303,8 @@ object GraftFunctions {
   def json_flatten(c: Column): Column = col(JsonFlatten(ex(c)))
   def severity_text(c: Column): Column = col(SeverityText(ex(c)))
   def deduce_severity(c: Column): Column = col(DeduceSeverity(ex(c)))
+  def truncate_mantissa(v: Column, bits: Column): Column =
+    col(TruncateMantissa(ex(v), ex(bits)))
 
   /** One (name, builder) per function, for injectFunction / registry. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -291,7 +318,8 @@ object GraftFunctions {
     "graft_xxh3_128" -> { args => Xxh3_128(args.head) },
     "graft_json_flatten" -> { args => JsonFlatten(args.head) },
     "graft_severity_text" -> { args => SeverityText(args.head) },
-    "graft_deduce_severity" -> { args => DeduceSeverity(args.head) }
+    "graft_deduce_severity" -> { args => DeduceSeverity(args.head) },
+    "graft_truncate_mantissa" -> { args => TruncateMantissa(args(0), args(1)) }
   )
 
   /** SparkSessionExtensions hook: builder.withExtensions(GraftFunctions.inject). */

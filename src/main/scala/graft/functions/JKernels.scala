@@ -129,4 +129,30 @@ object JKernels {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** Lossy float precision: retain `bits` significant mantissa bits
+    * (reference storage-policy PrecisionTierConfig, storage_policy.go:
+    * 43-49 — "Bits is the significant mantissa bits retained (1..63);
+    * 0 or >=64 => lossless"). Rounds to nearest: the carry may
+    * propagate into the exponent, which IS the correctly rounded IEEE
+    * value; a carry that would round past the largest finite double
+    * falls back to truncation instead of producing Inf. NaN/Inf pass
+    * through unchanged. Zeroed low mantissa bits make the column
+    * compress far better (parquet byte-stream-split / dictionary) at a
+    * bounded relative error of 2^-(bits+1).
+    */
+  def truncateMantissa(v: Double, bits: Int): Double = {
+    if (bits <= 0 || bits >= 52 ||
+        java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else {
+      val raw = java.lang.Double.doubleToRawLongBits(v)
+      val sign = raw & 0x8000000000000000L
+      val mag = raw & 0x7fffffffffffffffL
+      val drop = 52 - bits
+      val mask = (1L << drop) - 1L
+      var r = (mag + (1L << (drop - 1))) & ~mask
+      if (r >= 0x7ff0000000000000L) r = mag & ~mask
+      java.lang.Double.longBitsToDouble(sign | r)
+    }
+  }
 }

@@ -58,6 +58,59 @@ object QueriesPushdown extends QueryPack {
       .orderBy("event_type", "day_ns")
   }
 
+  /** Age-tiered downsample policy (reference storage_policy.go:52-61)
+    * pinned cross-engine: rows pick their tier by partition-date age
+    * from "now" (the newest day in the table) exactly as
+    * `Layout.compactPointsPartition` does per date partition — tier 1
+    * (older than 2 days) rewrites to one LAST representative per
+    * series per 1h bucket, tier 2 (older than 5 days) to a COUNT per
+    * 6h bucket; representatives carry the bucket-start timestamp.
+    * DuckDB replays the tier selection, the bucket alignment, and the
+    * deterministic (ts, value)-ordered LAST. Raw pass-through of the
+    * youngest days (tier 0) is pinned by LayoutSpec, not here, to keep
+    * the gate output at representative rows. Scale shape: each date
+    * partition compacts independently — one bounded groupBy per day,
+    * never a dataset-wide shuffle.
+    */
+  val downsampleTiers: Q = q(
+    "policy_downsample_tiers",
+    """WITH pts AS (
+      |  SELECT event_type AS name, epoch_ns(ts)//1000 AS ts_us, value FROM events
+      |), b AS (SELECT max(ts_us // 86400000000) AS nowd FROM pts),
+      |tiered AS (
+      |  SELECT name, ts_us, value,
+      |    CASE WHEN nowd - ts_us // 86400000000 >= 5 THEN 2
+      |         WHEN nowd - ts_us // 86400000000 >= 2 THEN 1 ELSE 0 END AS tier
+      |  FROM pts, b)
+      |SELECT name, tier, bucket_us AS ts_us, value FROM (
+      |  SELECT name, 1 AS tier, ts_us - ts_us % 3600000000 AS bucket_us,
+      |         (max({'t': ts_us, 'v': value})).v AS value
+      |  FROM tiered WHERE tier = 1 GROUP BY name, ts_us - ts_us % 3600000000
+      |  UNION ALL
+      |  SELECT name, 2, ts_us - ts_us % 21600000000,
+      |         CAST(count(*) AS DOUBLE)
+      |  FROM tiered WHERE tier = 2 GROUP BY name, ts_us - ts_us % 21600000000
+      |) ORDER BY name, tier, ts_us""".stripMargin
+  ) { td =>
+    import graft.sources.StoragePolicy
+    val DayUs = 86400000000L
+    val pts = td.events.select(
+      col("event_type").as("name"),
+      expr("ts div 1000").as("ts_us"),
+      col("value"))
+    val bounds = pts.agg(max(expr(s"ts_us div $DayUs")).as("nowd"))
+    val tiered = pts.crossJoin(broadcast(bounds))
+      .withColumn("age", col("nowd") - expr(s"ts_us div $DayUs"))
+      .withColumn("tier",
+        when(col("age") >= 5, 2).when(col("age") >= 2, 1).otherwise(0))
+      .select("name", "tier", "ts_us", "value")
+    val t1 = StoragePolicy.downsample(
+      tiered.filter(col("tier") === 1), 3600000000L, "last")
+    val t2 = StoragePolicy.downsample(
+      tiered.filter(col("tier") === 2), 21600000000L, "count")
+    t1.unionByName(t2).orderBy("name", "tier", "ts_us")
+  }
+
   /** `__error__` propagation: failed extractions KEEP the row and label
     * it (reference logqlengine/logqlerrors; optimizer safety analysis
     * querier_logs_optimizer.go:223-299). Malformed bodies are
@@ -169,5 +222,6 @@ object QueriesPushdown extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    overtimeRollup, errorPropagation, severityLowering, saltedAgg, labelScopeCoalesce)
+    overtimeRollup, downsampleTiers, errorPropagation, severityLowering,
+    saltedAgg, labelScopeCoalesce)
 }

@@ -199,18 +199,20 @@ object Layout {
     * merges.
     */
   def compactPartition(spark: SparkSession, root: String, date: String,
-      sortCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      sortCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
+      transform: DataFrame => DataFrame = identity,
+      writeOptions: Map[String, String] = Map.empty): Int = {
     val dir = new java.io.File(root, s"date=$date")
     require(dir.isDirectory, s"no partition at $dir")
     val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(dir.getPath)
+    val df = transform(spark.read.parquet(dir.getPath))
     val tmp = new java.io.File(root, s".compact.date=$date")
     val keys = sortCols.map(col)
     df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite").parquet(tmp.getPath)
+      .write.mode("overwrite").options(writeOptions).parquet(tmp.getPath)
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
     }
@@ -229,6 +231,28 @@ object Layout {
     }
     deleteRec(old)
     n
+  }
+
+  /** Policy-applying compaction of ONE metric-points date partition —
+    * the reference's age-tiered storage policy applied at merge
+    * (cmd/oteldb/storage_policy.go:21-68): partitions older than a
+    * downsample tier's threshold rewrite to one representative per
+    * (series, interval bucket); older-than-precision-tier values keep
+    * only the tier's mantissa bits; fully-cold partitions recompress
+    * with high-level Zstandard. The same crash-safe swap as plain
+    * compaction; query code reads the rewritten partition with no
+    * changes (schema is preserved). Run per partition off the write
+    * path — days age independently, so each day crosses each tier
+    * threshold exactly once and is rewritten at most once per tier.
+    */
+  def compactPointsPartition(spark: SparkSession, root: String,
+      date: String, nowDate: String, policy: StoragePolicy.Policy,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val age = StoragePolicy.ageDays(date, nowDate)
+    compactPartition(spark, root, date, Seq("name", "ts_us"),
+      targetFileBytes,
+      transform = StoragePolicy.pointsTransform(policy, age),
+      writeOptions = StoragePolicy.writeOptions(policy, age))
   }
 
   /** TTL expiry — the `TTL timestamp + INTERVAL n DAY` clause of the

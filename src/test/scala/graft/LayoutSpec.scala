@@ -75,6 +75,118 @@ class LayoutSpec extends SparkTestBase {
       == before.size)
   }
 
+  test("age-tiered downsample at compaction: old partitions roll up, recent stay raw, PromQL reads tiers transparently") {
+    import graft.sources.StoragePolicy
+    val root = Files.createTempDirectory("graftpolicy").toString
+    val HourUs = 3600000000L
+    // three days of two series (cpu{host=h1|h2}), 4 samples/hour
+    def dayUs(date: String) = java.time.LocalDate.parse(date,
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))
+      .toEpochDay * 86400000000L
+    val pts = (for {
+      date <- Seq("20240101", "20240113", "20240115")
+      host <- Seq("h1", "h2")
+      hour <- 0 until 24; i <- 0 until 4
+    } yield (dayUs(date) + hour * HourUs + i * 900000000L,
+      "cpu", Map("host" -> host), (hour * 4 + i).toDouble))
+      .toDF("ts_us", "name", "labels", "value")
+    Layout.writePoints(pts, root)
+    val policy = StoragePolicy.Policy(downsample = Seq(
+      StoragePolicy.DownsampleTier(1, HourUs, "last"),
+      StoragePolicy.DownsampleTier(7, 6 * HourUs, "avg")))
+    Seq("20240101", "20240113", "20240115").foreach { d =>
+      Layout.compactPointsPartition(spark, root, d, "20240115", policy): Unit
+    }
+    def day(date: String) = spark.read.parquet(s"$root/date=$date")
+    // age 0: raw (96 samples per host)
+    assert(day("20240115").count() == 192)
+    // age 2 → 1h/last tier: 24 buckets per host, bucket-start ts,
+    // value = last sample of the hour (hour*4 + 3)
+    val mid = day("20240113")
+      .select(element_at(col("labels"), "host"), col("ts_us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(mid.length == 48)
+    assert(mid.forall { case (_, ts, _) => ts % HourUs == 0 })
+    assert(mid.forall { case (_, ts, v) =>
+      v == ((ts % 86400000000L) / HourUs * 4 + 3).toDouble })
+    // age 14 → 6h/avg tier: 4 buckets per host
+    val old = day("20240101")
+      .select(col("ts_us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(old.length == 8)
+    // avg over hours [h0,h0+6) of values hour*4+i: mean = (h0+2.5)*4 + 1.5
+    assert(old.forall { case (ts, v) =>
+      val h0 = (ts % 86400000000L) / HourUs
+      ts % (6 * HourUs) == 0 && v == ((h0 + 2.5) * 4 + 1.5) })
+    // the query path reads the tiered layout with NO changes: a PromQL
+    // range over the downsampled day returns the representatives
+    val stored = spark.read.parquet(root).select("ts_us", "name", "labels", "value")
+    // window (17h, 23h] of the old day holds exactly the 18h-bucket
+    // representative regardless of boundary inclusivity: (18+2.5)*4+1.5
+    val evalTs = dayUs("20240101") + 23 * HourUs
+    val got = graft.promql.PromQL.instant("max_over_time(cpu[6h])", stored, evalTs)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(83.5, 83.5), s"expected the 6h-avg representatives, got $got")
+  }
+
+  test("precision tier truncates mantissa past the age threshold; cold partitions recompress") {
+    import graft.functions.JKernels
+    import graft.sources.StoragePolicy
+    // kernel edges: NaN/Inf/zero pass through, powers of 2 exact,
+    // round-to-nearest relative error <= 2^-(bits+1)
+    assert(JKernels.truncateMantissa(Double.NaN, 8).isNaN)
+    assert(JKernels.truncateMantissa(Double.PositiveInfinity, 8).isPosInfinity)
+    assert(JKernels.truncateMantissa(0.0, 8) == 0.0)
+    assert(JKernels.truncateMantissa(-4.0, 3) == -4.0)
+    assert(JKernels.truncateMantissa(Double.MaxValue, 2) <= Double.MaxValue)
+    for (bits <- Seq(4, 10, 20); v <- Seq(3.14159265358979, -123456.789, 1e-300, 7.0 / 3.0)) {
+      val t = JKernels.truncateMantissa(v, bits)
+      assert(math.abs(t - v) <= math.abs(v) * math.pow(2, -(bits + 1)) * 1.0000001,
+        s"bits=$bits v=$v t=$t")
+    }
+    val root = Files.createTempDirectory("graftprec").toString
+    // high-entropy values: hash-derived, deterministic
+    val pts = (0 until 20000).map { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"v$i")
+      (1704067200000000L + i * 1000000L, "gauge",
+        Map("host" -> s"h${i % 4}"), 100.0 + (h & 0xffffff).toDouble / 1e4)
+    }.toDF("ts_us", "name", "labels", "value")
+    Layout.writePoints(pts, root)
+    Layout.writePoints(pts.withColumn("ts_us", col("ts_us") + 14L * 86400000000L),
+      root, mode = "append")
+    val before = pts.select("value").collect().map(_.getDouble(0))
+    def partFiles(d: String) = new java.io.File(root, s"date=$d").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val sizeBefore = partFiles("20240101").map(_.length()).sum
+    val policy = StoragePolicy.Policy(
+      precision = Seq(StoragePolicy.PrecisionTier(7, 10)),
+      recompress = Some(StoragePolicy.Recompress(7, 19)))
+    Seq("20240101", "20240115").foreach { d =>
+      Layout.compactPointsPartition(spark, root, d, "20240115", policy): Unit
+    }
+    // old partition: bounded error, smaller files, zstd codec
+    val after = spark.read.parquet(s"$root/date=20240101")
+      .orderBy("ts_us").select("value").collect().map(_.getDouble(0))
+    assert(after.length == before.length)
+    before.sorted.zip(after.sorted).foreach { case (b, a) =>
+      assert(math.abs(a - b) <= math.abs(b) * math.pow(2, -11) * 1.0000001)
+    }
+    assert(after.sorted.toSeq != before.sorted.toSeq,
+      "10-bit mantissa must actually change high-entropy values")
+    val sizeAfter = partFiles("20240101").map(_.length()).sum
+    assert(sizeAfter < sizeBefore * 3 / 4,
+      s"precision+zstd should shrink storage: $sizeBefore -> $sizeAfter")
+    assert(partFiles("20240101").forall(_.getName.contains("zstd")),
+      "cold partition must recompress with zstd")
+    // recent partition: untouched values, hot-path codec
+    val recent = spark.read.parquet(s"$root/date=20240115")
+      .select("value").collect().map(_.getDouble(0))
+    assert(recent.sorted.toSeq == before.sorted.toSeq,
+      "recent partitions stay lossless")
+    assert(partFiles("20240115").forall(!_.getName.contains("zstd")),
+      "warm partitions keep the default codec")
+  }
+
   test("ttl drops whole partitions past the horizon") {
     val root = Files.createTempDirectory("graftttl").toString
     Seq("20240101", "20240107", "20240110").foreach { d =>
