@@ -53,6 +53,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
   private var grpc: GrpcIngest = _
+  private var admin: graft.api.AdminApi = _
   private var listener: StreamingQueryListener = _
 
   // ---- admission state (one budget per receiver = per tenant) ----
@@ -227,6 +228,37 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     grpc.start(port)
   }
 
+  /** Admin panel over THIS receiver's real wiring (reference
+    * cmd/oteldb/admin.go:14-53 builds the same options from the app):
+    * components = the HTTP/gRPC listeners plus every streaming sink
+    * (liveness check = query active and exception-free), layouts = the
+    * signal directories this receiver writes, admission = the shared
+    * budget counters. Call after [[start]]; returns the bound port.
+    */
+  def startAdmin(port: Int = 0): Int = {
+    val listenerComponents = Seq(
+      graft.api.AdminApi.Component("otlp-http",
+        addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),
+      graft.api.AdminApi.Component("otlp-grpc",
+        check = Some(() => require(grpc != null, "gRPC transport not started")))) ++
+      queries.zipWithIndex.map { case (qu, i) =>
+        graft.api.AdminApi.Component(s"sink-${Option(qu.name).getOrElse(i.toString)}",
+          check = Some(() => {
+            qu.exception.foreach(e => throw e)
+            require(qu.isActive, "query stopped")
+          }))
+      }
+    admin = new graft.api.AdminApi(spark,
+      signals = Seq("traces", "logs", "metrics", "profiles")
+        .map(s => graft.api.AdminApi.SignalInfo(s, "parquet-layout")),
+      components = listenerComponents,
+      layouts = Map(
+        "traces" -> s"$dataDir/spans", "logs" -> s"$dataDir/logs",
+        "metrics" -> s"$dataDir/points", "profiles" -> s"$dataDir/profiles"),
+      admission = Some(stats))
+    admin.start(port)
+  }
+
   /** How a shed surfaces to this endpoint's clients: OTLP transports
     * report partial success (every item rejected, RESOURCE_EXHAUSTED
     * semantics); remote-write/Loki/Pyroscope push gets HTTP 429.
@@ -359,6 +391,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   def stop(): Unit = {
     if (server != null) server.stop(0)
     if (grpc != null) grpc.stop()
+    if (admin != null) admin.stop()
     queries.foreach(_.stop())
     if (listener != null) spark.streams.removeListener(listener)
   }

@@ -1,0 +1,156 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.AdminApi
+import graft.sources.{Admission, Layout}
+
+/** Admin/health API (reference adminhandler.go:84-255): instance info,
+  * component health with degraded reporting, JVM runtime stats,
+  * layout-metadata storage stats, efficiency, and actions.
+  */
+class AdminApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, body)
+  }
+
+  private def post(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, body)
+  }
+
+  test("info and runtime report instance identity and JVM stats") {
+    val api = new AdminApi(spark,
+      signals = Seq(
+        AdminApi.SignalInfo("metrics", "parquet-layout", queryable = true,
+          bind = Some("127.0.0.1:9090")),
+        AdminApi.SignalInfo("logs", "parquet-layout")))
+    val port = api.start()
+    try {
+      val (c1, info) = get(s"http://127.0.0.1:$port/api/v1/info")
+      assert(c1 == 200)
+      assert(info.contains(s""""version":"${AdminApi.Version}""""))
+      assert(info.contains(""""signal":"metrics""""))
+      assert(info.contains(""""bind":"127.0.0.1:9090""""))
+      assert(info.contains(""""storage_enabled":false"""))
+      assert(info.contains(""""uptime_seconds""""))
+      assert(info.contains(s""""spark_version":"${spark.version}""""))
+      val (c2, rt) = get(s"http://127.0.0.1:$port/api/v1/runtime")
+      assert(c2 == 200)
+      for (f <- Seq("threads", "num_cpu", "parallelism", "heap_used_bytes",
+        "heap_max_bytes", "gc_count"))
+        assert(rt.contains(s""""$f":"""), s"missing $f in $rt")
+    } finally api.stop()
+  }
+
+  test("health: all checks pass = healthy; a failing check degrades with its error") {
+    val api = new AdminApi(spark, components = Seq(
+      AdminApi.Component("loki", Some("127.0.0.1:3100")),
+      AdminApi.Component("otelcol", check = Some(() => ())),
+      AdminApi.Component("flaky",
+        check = Some(() => throw new RuntimeException("conn refused")))))
+    val port = api.start()
+    try {
+      val (code, body) = get(s"http://127.0.0.1:$port/api/v1/health")
+      assert(code == 200, "a degraded instance still reports, never 500s")
+      assert(body.contains(""""status":"degraded""""))
+      assert(body.contains(
+        """{"name":"loki","addr":"127.0.0.1:3100","status":"healthy"}"""))
+      assert(body.contains("""{"name":"otelcol","status":"healthy"}"""))
+      assert(body.contains(
+        """{"name":"flaky","status":"unhealthy","error":"conn refused"}"""))
+    } finally api.stop()
+
+    val healthy = new AdminApi(spark,
+      components = Seq(AdminApi.Component("otelcol")))
+    val p2 = healthy.start()
+    try {
+      val (_, body) = get(s"http://127.0.0.1:$p2/api/v1/health")
+      assert(body.contains(""""status":"healthy""""))
+    } finally healthy.stop()
+  }
+
+  test("receiver-wired admin: live sinks report healthy, stopped sink degrades") {
+    import graft.sources.OtlpReceiver
+    val dir = Files.createTempDirectory("graftadminrecv").toString
+    val recv = new OtlpReceiver(spark, dir)
+    recv.start()
+    val aport = recv.startAdmin()
+    try {
+      // gRPC transport NOT started: its liveness check fails, the
+      // instance reports degraded, and every live component (HTTP
+      // listener, all streaming sinks) still shows healthy
+      val (c1, h1) = get(s"http://127.0.0.1:$aport/api/v1/health")
+      assert(c1 == 200)
+      assert(h1.contains(""""status":"degraded""""), h1)
+      assert(h1.contains(""""name":"otlp-grpc","status":"unhealthy""""), h1)
+      assert(h1.contains(""""name":"otlp-http","addr":"""), h1)
+      assert(h1.contains("sink-"), h1)
+      assert(!h1.contains(""""name":"sink-"""") ||
+        !h1.matches(""".*"name":"sink-[^"]*","status":"unhealthy".*"""),
+        s"live sinks must be healthy: $h1")
+      recv.startGrpc(): Unit
+      val (_, h2) = get(s"http://127.0.0.1:$aport/api/v1/health")
+      assert(h2.contains(""""status":"healthy""""), h2)
+      val (_, info) = get(s"http://127.0.0.1:$aport/api/v1/info")
+      assert(info.contains(""""storage_enabled":true"""))
+      assert(info.contains(""""signal":"profiles""""))
+    } finally recv.stop()
+  }
+
+  test("storage and efficiency walk layout metadata; actions run") {
+    val root = Files.createTempDirectory("graftadmin").toString
+    val pts = Seq(
+      (1704067200000000L, "cpu", Map("h" -> "a"), 1.0),
+      (1704067260000000L, "cpu", Map("h" -> "a"), 2.0),
+      (1704153600000000L, "cpu", Map("h" -> "b"), 3.0)
+    ).toDF("ts_us", "name", "labels", "value")
+    Layout.writePoints(pts, s"$root/points")
+    val adm = new Admission.Stats
+    adm.shedRequests.set(2); adm.activeSeries.set(5)
+    var maintained = 0
+    val api = new AdminApi(spark,
+      layouts = Map("metrics" -> s"$root/points"),
+      admission = Some(adm),
+      maintain = Some(() => { maintained += 1; "compacted 2 partitions" }))
+    val port = api.start()
+    try {
+      val (c1, st) = get(s"http://127.0.0.1:$port/api/v1/storage")
+      assert(c1 == 200)
+      assert(st.contains(""""storage_enabled":true"""))
+      assert(st.contains(""""signal":"metrics""""))
+      assert(st.contains(""""partitions":2"""))
+      assert(st.contains(""""min_date":"20240101""""))
+      assert(st.contains(""""max_date":"20240102""""))
+      assert(st.contains(""""rejected_rate":2"""))
+      assert(st.contains(""""active_series":5"""))
+      val (c2, eff) = get(s"http://127.0.0.1:$port/api/v1/storage/efficiency")
+      assert(c2 == 200)
+      assert(eff.contains(""""points":3""") && eff.contains(""""bytes_per_point""""))
+      val (c3, gc) = post(s"http://127.0.0.1:$port/api/v1/actions/gc")
+      assert(c3 == 200 && gc.contains(""""ok":true""") && gc.contains("freed_bytes"))
+      val (c4, mt) = post(s"http://127.0.0.1:$port/api/v1/actions/storage_maintain")
+      assert(c4 == 200 && mt.contains("compacted 2 partitions") && maintained == 1)
+      val (c5, bad) = post(s"http://127.0.0.1:$port/api/v1/actions/explode")
+      assert(c5 == 500 && bad.contains("unknown action"))
+    } finally api.stop()
+  }
+}
