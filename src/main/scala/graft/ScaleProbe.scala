@@ -159,8 +159,8 @@ object ScaleProbe {
       }
       // connected components: rounds must stay O(log n)
       if (want("pipe_dedup_clusters")) {
-        val edges = graft.queries.QueriesPipeline2.bandCandidates(td)
-          .select(col("a").as("src"), col("b").as("dst"))
+        // the operator's actual CC input: star-reduced band edges
+        val edges = graft.queries.QueriesPipeline2.bandStarEdges(td)
         val (cc, rounds) =
           graft.pipeline.Components.connectedComponentsWithRounds(edges)
         println(s"PROBE cc $tag edges=${edges.count()} rounds=$rounds " +

@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   * edge set contracts toward a star per component in O(log n) rounds
   * (2–4 in practice for dedup graphs, whose components are small).
   * This is the 100 TB shape: per-round cost is bounded by the edge
-  * list, nothing is ever collected to the driver, and no component is
-  * materialized in one task's memory (contrast label propagation,
-  * whose round count tracks component DIAMETER, or a driver-side
-  * union-find, which needs all edges on one machine).
+  * list and no component is materialized in one task's memory
+  * (contrast label propagation, whose round count tracks component
+  * DIAMETER, or an unconditional driver-side union-find, which needs
+  * all edges on one machine). Two adaptive short-cuts keep the local
+  * job floor off the common case without giving up that shape: a
+  * pure-star bypass answers complete star components with zero
+  * rounds, and a residual that the bypass leaves under an explicit
+  * ceiling (200k edges) finishes with one bounded collect + in-memory
+  * union-find instead of further fixpoint iterations.
   */
 object Components {
 
@@ -41,17 +46,72 @@ object Components {
     * extra application inside the final pair changes nothing.
     */
   def connectedComponentsWithRounds(edges0: DataFrame,
-      maxRounds: Int = 50): (DataFrame, Int) = {
+      maxRounds: Int = 50,
+      driverMaxEdges: Long = DriverResidualMaxEdges): (DataFrame, Int) = {
     // canonical undirected form: small < large, self-loops dropped
-    var edges = edges0
+    val canon = edges0
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    // Pure-star bypass: a small-side node s that never appears on the
+    // LARGE side of any edge, and ALL of whose neighbors have degree
+    // 1, owns a complete component {s} ∪ neighbors(s) with minimum s
+    // (canonical form keeps s below each neighbor) — its answer needs
+    // no contraction round. Dedup candidate graphs are dominated by
+    // such stars (isolated near-dup pairs, and single-bucket LSH
+    // collision groups when the caller feeds per-bucket min-stars),
+    // so most of the edge list never enters the loop; only structures
+    // bridged across buckets iterate. Cost: one degree rollup + two
+    // edge-list joins, all keyed by node id — no driver state, no
+    // all-pairs, holds at any scale.
+    val deg = canon
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val starSrc = canon
+      .join(deg.select(col("id").as("dst"), col("d").as("__dd")), "dst")
+      .groupBy("src").agg(max(col("__dd")).as("__m"))
+      .join(canon.select(col("dst").as("src")).distinct(), Seq("src"),
+        "left_anti")
+      .filter(col("__m") === 1)
+      .select(col("src"), lit(true).as("__star"))
+    val flagged = canon
+      .join(starSrc, Seq("src"), "left")
+      .withColumn("__iso", coalesce(col("__star"), lit(false)))
+      .select(col("src"), col("dst"), col("__iso"))
       .localCheckpoint(true)
+    val isolated = flagged.filter(col("__iso")).select("src", "dst")
+    // canonical form has src < dst, so a bypassed star's component id
+    // is its src; each dst has degree 1 (one row), src rows dedupe
+    val isoCc = isolated
+      .select(col("dst").as("id"), col("src").as("component"))
+      .unionAll(isolated
+        .select(col("src").as("id"), col("src").as("component"))
+        .distinct())
+    var edges = flagged.filter(!col("__iso")).select("src", "dst")
     var prev = checksum(edges)
     var round = 0
-    var converged = false
+    // Small-residual fast path: after the bypass, what's left is the
+    // cross-bucket bridging structure — typically a few hundred edges.
+    // The checksum already counted it for free; when it fits a single
+    // task's memory with room to spare, a driver-local union-find
+    // replaces 2+ contraction iterations (each a checkpoint job + a
+    // checksum job + their AQE stage jobs) with ONE collect. The
+    // distributed loop below remains the path for residuals above the
+    // bound — the same adaptive shape as AQE's runtime broadcast
+    // conversion, with an explicit ceiling instead of a guess.
+    if (prev._1 > 0 && prev._1 <= driverMaxEdges && longKeyed(edges)) {
+      val cc = driverUnionFind(edges.collect().map(r =>
+        (r.getLong(0), r.getLong(1))))
+      val spark = edges0.sparkSession
+      import spark.implicits._
+      val ccDf = cc.toSeq.toDF("id", "component")
+        .select(col("id").cast(edges.schema("src").dataType).as("id"),
+          col("component").cast(edges.schema("src").dataType)
+            .as("component"))
+      return (ccDf.unionAll(isoCc), round)
+    }
+    var converged = prev._1 == 0L // nothing beyond pure stars
     while (!converged && round < maxRounds) {
       // localCheckpoint truncates the per-iteration lineage growth (the
       // standard iterative-Spark discipline; on a cluster this would be
@@ -69,7 +129,8 @@ object Components {
       .select(col("id"), col("id").as("component"))
     (edges.select(col("src").as("id"), col("dst").as("component"))
       .unionAll(roots)
-      .distinct(), round)
+      .distinct()
+      .unionAll(isoCc), round)
   }
 
   /** Large-star: every node u links each STRICTLY LARGER neighbor to
@@ -110,6 +171,42 @@ object Components {
       .select(col("p.a").as("src"), col("p.b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  /** Residual ceiling for the driver-local finish: 200k edges is ~3 MB
+    * of packed longs — far under a task's memory, and orders of
+    * magnitude above any observed post-bypass residual (hundreds of
+    * edges at sf0.1). Above it the distributed loop runs as before.
+    */
+  private val DriverResidualMaxEdges = 200000L
+
+  private def longKeyed(e: DataFrame): Boolean =
+    e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+
+  /** Union-find with path compression over a collected residual; roots
+    * are component minima, matching the distributed loop's contract.
+    */
+  private def driverUnionFind(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN id so every root is its component's minimum
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
   }
 
   /** Order-independent fingerprint of the edge set (count + hash XOR —

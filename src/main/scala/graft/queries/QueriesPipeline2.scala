@@ -165,24 +165,50 @@ object QueriesPipeline2 extends QueryPack {
     * and clustering both consume it). The all-pairs space never
     * materializes; only band-bucket collisions join.
     */
-  private[graft] def bandCandidates(td: Testdata): DataFrame = {
+  /** (doc_id, band, sig) band-signature rows — the shared banding head
+    * of the LSH chain.
+    */
+  private def bandRows(td: Testdata): DataFrame = {
     val sh = shingles3(td)
     // both bands in one aggregation pass: 4 minhash aggs, paired
     val mhAggs = (0 to 3).map(k =>
       min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
     val wide = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = wide.select(col("doc_id"),
+    wide.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"),
           concat(col("mh0"), lit("|"), col("mh1")).as("sig")),
         struct(lit(1).as("band"),
           concat(col("mh2"), lit("|"), col("mh3")).as("sig")))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private[graft] def bandCandidates(td: Testdata): DataFrame = {
+    val bands = bandRows(td)
     bands.alias("ba")
       .join(bands.alias("bb"),
         col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Star-reduced LSH candidate edges: each doc in a collision bucket
+    * links to the bucket's MINIMUM doc — m−1 edges per m-doc bucket
+    * instead of the m(m−1)/2 clique [[bandCandidates]] emits, with
+    * identical connected components (every clique member reaches the
+    * bucket min). This is the edge set the CLUSTERING stage wants: the
+    * graph is a union of per-bucket stars, so single-bucket components
+    * take [[graft.pipeline.Components]]'s pure-star bypass and only
+    * docs shared across buckets pay contraction rounds. The verify
+    * stage keeps the full pair set (it scores every candidate pair).
+    */
+  private[graft] def bandStarEdges(td: Testdata): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("sig"))
+    bandRows(td)
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("src"), col("doc_id").as("dst"))
       .distinct()
   }
 
@@ -250,14 +276,18 @@ object QueriesPipeline2 extends QueryPack {
       .limit(50)
   }
 
-  /** Dedup CLUSTERING: LSH candidate pairs → connected components →
+  /** Dedup CLUSTERING: LSH candidates → connected components →
     * canonical keep/drop per doc ([[graft.pipeline.Components]],
     * alternating large-star/small-star). The missing last stage of the
     * dedup chain: pairs only say "a~b"; the drop decision needs the
-    * transitive closure (a~b, b~c ⇒ keep ONE of three). The oracle
-    * computes the same closure with a recursive CTE — tractable there
-    * because sf components are small; the Spark side is the O(log n)
-    * rounds formulation that holds at 100 TB.
+    * transitive closure (a~b, b~c ⇒ keep ONE of three). The CC input
+    * is the star-reduced edge set ([[bandStarEdges]]): same components
+    * as the full pair clique, linearly fewer edges, and single-bucket
+    * collision groups resolve in the pure-star bypass with zero
+    * contraction rounds. The oracle computes the closure over the FULL
+    * pair set with a recursive CTE — tractable there because sf
+    * components are small; the Spark side is the O(log n) rounds
+    * formulation that holds at 100 TB.
     */
   val dedupClusters: Q = q(
     "pipe_dedup_clusters",
@@ -277,8 +307,7 @@ object QueriesPipeline2 extends QueryPack {
        |ORDER BY cc.doc_id""".stripMargin
   ) { td =>
     val cc = graft.pipeline.Components.connectedComponents(
-      bandCandidates(td)
-        .select(col("a").as("src"), col("b").as("dst")))
+      bandStarEdges(td))
     // size via a window over the component partition: one shuffle, no
     // join, and no driver/broadcast bound on the number of clusters
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
