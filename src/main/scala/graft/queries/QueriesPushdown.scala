@@ -35,26 +35,53 @@ object QueriesPushdown extends QueryPack {
        |FROM events GROUP BY event_type, day_ns
        |ORDER BY event_type, day_ns""".stripMargin
   ) { td =>
-    // level 1: the hourly rollup a streaming job would maintain
-    val rollup = td.events
-      .withColumn("hour_ns", col("ts") - col("ts") % HourNs)
-      .groupBy(col("event_type"), col("hour_ns"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast(Det.DecT)).as("sum_dec"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"))
+    import graft.sources.RollupTiers
+    // level 1: the hourly stat tier the streaming sidecar maintains
+    // (same statAggs as Streams.hourlyRollup — one maintenance path)
+    val rollup = RollupTiers.rollup(
+      td.events.select(col("event_type"), col("ts"), col("value")),
+      Seq("event_type"), "ts", "value", HourNs)
     // level 2: the query touches only rollup rows (24 per day per series)
-    rollup
-      .withColumn("day_ns", col("hour_ns") - col("hour_ns") % (24 * HourNs))
-      .groupBy(col("event_type"), col("day_ns"))
-      .agg(
-        sum(col("n")).as("n"),
-        sum(col("sum_dec")).cast("double").as("sum_v"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
-      .select(col("event_type"), col("day_ns"), col("n"), col("sum_v"),
-        col("min_v"), col("max_v"))
+    RollupTiers.reRollup(rollup, Seq("event_type"), "ts", 24 * HourNs)
+      .select(col("event_type"), col("ts").as("day_ns"), col("n"),
+        col("sum_dec").cast("double").as("sum_v"), col("min_v"),
+        col("max_v"))
+      .orderBy("event_type", "day_ns")
+  }
+
+  /** Coarsest-sufficient-TIER selection for `*_over_time` pushdown:
+    * the maintained stat tiers are the hourly sidecar's rows and a
+    * 6-hourly tier chained FROM them (`RollupTiers.reRollup` — raw
+    * samples are scanned exactly once for the whole chain), and the
+    * day-window average reads the COARSEST tier that tiles the window
+    * ([[graft.sources.RollupTiers.select]] picks 6h over {1h, 6h}): 4
+    * stat rows per day per series instead of 24, instead of raw. The
+    * oracle replays the day average straight from raw events — the
+    * decimal-exact sum chain makes the two bit-equal; tier-selection
+    * RULES are pinned by RollupTiersSpec.
+    */
+  val rollupTierSelect: Q = q(
+    "pushdown_rollup_tier_select",
+    s"""SELECT event_type,
+       |  epoch_ns(ts) - epoch_ns(ts) % ${24 * HourNs} AS day_ns,
+       |  ${Det.oAvg("value")} AS value
+       |FROM events GROUP BY event_type, day_ns
+       |ORDER BY event_type, day_ns""".stripMargin
+  ) { td =>
+    import graft.sources.RollupTiers
+    val DayNs = 24 * HourNs
+    val hourly = RollupTiers.rollup(
+      td.events.select(col("event_type"), col("ts"), col("value")),
+      Seq("event_type"), "ts", "value", HourNs)
+    val tiers = Map(
+      HourNs -> hourly,
+      6 * HourNs -> RollupTiers.reRollup(hourly, Seq("event_type"), "ts",
+        6 * HourNs))
+    val picked = RollupTiers.select(tiers.keys.toSeq, DayNs, "avg")
+      .getOrElse(sys.error("day window must be servable from a tier"))
+    require(picked == 6 * HourNs, s"expected the 6h tier, got $picked")
+    RollupTiers.readAgg(tiers(picked), Seq("event_type"), "ts", DayNs, "avg")
+      .select(col("event_type"), col("ts").as("day_ns"), col("value"))
       .orderBy("event_type", "day_ns")
   }
 
@@ -222,6 +249,6 @@ object QueriesPushdown extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    overtimeRollup, downsampleTiers, errorPropagation, severityLowering,
-    saltedAgg, labelScopeCoalesce)
+    overtimeRollup, rollupTierSelect, downsampleTiers, errorPropagation,
+    severityLowering, saltedAgg, labelScopeCoalesce)
 }

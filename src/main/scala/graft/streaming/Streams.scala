@@ -132,18 +132,22 @@ object Streams {
     * once, when the watermark passes its close — the stored rollup is
     * append-only parquet, no merge/upsert machinery at 100 TB.
     */
-  def hourlyRollup(points: DataFrame): DataFrame =
+  def hourlyRollup(points: DataFrame): DataFrame = {
+    // the SAME mergeable stat columns the batch tier chain maintains
+    // (graft.sources.RollupTiers) — the stored hourly table is the
+    // base tier coarser tiers re-aggregate from, so the sum rides an
+    // exact decimal; sum_v stays for direct readers
+    val aggs = graft.sources.RollupTiers.statAggs(col("value"))
     points
       .withWatermark("timestamp", "30 minutes")
       .groupBy(window(col("timestamp"), "1 hour"), col("name"),
         graft.logql.VectorMatching.streamKey(col("labels")).as("series_key"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("sum_v"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("window.start").as("hour_start"), col("name"),
-        col("series_key"), col("n"), col("sum_v"), col("min_v"),
+        col("series_key"), col("n"), col("sum_dec"),
+        col("sum_dec").cast("double").as("sum_v"), col("min_v"),
         col("max_v"))
+  }
 
   /** Rollup sink: finalized hour windows append to a date-partitioned
     * parquet layout (same part-sizing discipline as the raw layouts).

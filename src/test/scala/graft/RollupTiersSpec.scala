@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.RollupTiers
+
+/** Tier selection rules + exactness of the chained stat rollup — the
+  * read-planning contract behind `pushdown_rollup_tier_select`.
+  */
+class RollupTiersSpec extends SparkTestBase {
+
+  private val H = 3600000000000L // 1h in ns
+  private val tiers = Seq(H, 6 * H)
+
+  test("select picks the coarsest tier that tiles the window") {
+    assert(RollupTiers.select(tiers, 24 * H, "avg").contains(6 * H))
+    assert(RollupTiers.select(tiers, 6 * H, "count").contains(6 * H))
+    assert(RollupTiers.select(tiers, 3 * H, "sum").contains(H))
+    assert(RollupTiers.select(tiers, 2 * H, "min").contains(H))
+  }
+
+  test("select falls back to raw when no tier tiles the window") {
+    // 90 minutes: neither 1h nor 6h divides it
+    assert(RollupTiers.select(tiers, H + H / 2, "avg").isEmpty)
+    // window smaller than the finest tier
+    assert(RollupTiers.select(tiers, H / 2, "count").isEmpty)
+  }
+
+  test("select refuses aggregations stat tiers cannot serve") {
+    assert(RollupTiers.select(tiers, 24 * H, "quantile").isEmpty)
+    assert(RollupTiers.select(tiers, 24 * H, "last").isEmpty)
+  }
+
+  test("raw -> 1h -> 6h -> window chain is exact vs direct aggregation") {
+    import spark.implicits._
+    // values with 2-decimal cents exercise the decimal sum path;
+    // timestamps straddle hour and 6h boundaries
+    val raw = Seq(
+      ("a", 0L, 1.25), ("a", H / 2, 2.50), ("a", H, 4.75),
+      ("a", 7 * H, 100.01), ("b", 0L, 9.99), ("b", 11 * H, 0.01))
+      .toDF("k", "ts", "value")
+    val hourly = RollupTiers.rollup(raw, Seq("k"), "ts", "value", H)
+    val sixly = RollupTiers.reRollup(hourly, Seq("k"), "ts", 6 * H)
+    val day = RollupTiers.readAgg(sixly, Seq("k"), "ts", 12 * H, "avg")
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = raw.groupBy("k")
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("v"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), 0L, r.getDouble(1)))
+    assert(day.toSeq == direct.toSeq)
+    // count/sum/min/max off the same tier
+    val stats = RollupTiers.readAgg(sixly, Seq("k"), "ts", 12 * H, "count")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(stats.toSeq == Seq(("a", 4.0), ("b", 2.0)))
+    val mx = RollupTiers.readAgg(sixly, Seq("k"), "ts", 12 * H, "max")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(mx.toSeq == Seq(("a", 100.01), ("b", 9.99)))
+  }
+}
