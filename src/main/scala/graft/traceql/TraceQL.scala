@@ -691,21 +691,23 @@ object TraceQL {
     * start_ns over `stepNs` and aggregate per optional by-field.
     * Output (bucket_ns, [by_value,] value).
     */
-  def planMetrics(q: String, spans0: DataFrame, stepNs: Long): DataFrame =
-    metricsRange(q, spans0, stepNs)._1
+  def planMetrics(q: String, spans0: DataFrame, stepNs: Long,
+      cube: Option[AttrCube] = None): DataFrame =
+    metricsRange(q, spans0, stepNs, cube = cube)._1
 
   /** [[planMetrics]] plus the series label key for the `by`/histogram
     * dimension — what the HTTP envelope needs to label each series.
     */
   def metricsRange(q: String, spans0: DataFrame, stepNs: Long,
-      originNs: Long = 0L): (DataFrame, Option[String]) = {
+      originNs: Long = 0L,
+      cube: Option[AttrCube] = None): (DataFrame, Option[String]) = {
     val spans = withResourceAttrs(spans0)
     val p = new P(q)
     val ss = parseSpanset(p)
     p.expect("|")
     val fn = p.ident()
     if (fn == "compare")
-      return (planCompare(p, ss, spans, stepNs, originNs), None)
+      return (planCompare(p, ss, spans, stepNs, originNs, cube), None)
     p.expect("(")
     // field-arg family: min/max/avg/sum/quantile/histogram_over_time(f)
     // (reference parses the same set, traceql/metrics_expr.go:23-145;
@@ -797,6 +799,100 @@ object TraceQL {
     (ranked.orderBy(ordCols.map(col): _*), byKey)
   }
 
+  /** Ingest-materialized attribute-count rollup backing [[planCompare]]
+    * (the reference parses compare() and returns NotImplemented,
+    * traceql/metrics_expr.go:59-96; Tempo evaluates it by exploding
+    * span attrs per query). The rollup pre-explodes span + resource
+    * attr entries ONCE at write time and counts them per (grain time
+    * bucket × low-cardinality span dims × attr × value), so the
+    * per-query plan is a selection-split groupBy over pre-aggregated
+    * counts — no map decode, no explode, no full span scan. `dims` are
+    * the intrinsic columns filters may reference (status_code, kind,
+    * name); a compare() whose filter/outer references anything else —
+    * or whose step/window is not grain-aligned — falls back to the
+    * exploded path, same results.
+    */
+  final case class AttrCube(df: DataFrame, grainNs: Long) {
+    /** Dimension columns = everything that isn't the rollup core. */
+    def dims: Set[String] =
+      df.columns.toSet -- Set("bucket_ns", "attr", "attr_value", "n")
+  }
+
+  /** Builds the [[AttrCube]] frame from a spans table: one narrow
+    * explode + one count shuffle, run once at ingest/compaction. Row
+    * count is bounded by (time buckets × dim combos × attr values) —
+    * dims must be low-cardinality intrinsics for the rollup to
+    * compress (the deployment discipline: status/kind/name, never ids).
+    */
+  def compareAttrCounts(spans0: DataFrame, dims: Seq[String],
+      grainNs: Long = 86400000000000L): DataFrame = {
+    val spans = withResourceAttrs(spans0)
+    val keyCols = "bucket_ns" +: dims :+ "attr" :+ "attr_value"
+    spans
+      .select((col("start_ns") - (col("start_ns") % lit(grainNs)))
+        .as("bucket_ns") +: dims.map(col) :+
+        explode(concat(map_entries(col("attrs")),
+          map_entries(col("resource_attrs")))).as("kv"): _*)
+      .select(col("bucket_ns") +: dims.map(col) :+
+        col("kv.key").as("attr") :+ col("kv.value").as("attr_value"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The condition [[parseFilterBlock]] emits for the empty block
+    * `{ }` — trivially true on any span with a duration, so the cube
+    * path may skip it entirely.
+    */
+  private def trivialTrue(e: SpansetExpr): Boolean = e match {
+    case SFilter(FCmp(Intrinsic("duration"), ">=", SDurNs(0))) => true
+    case _ => false
+  }
+
+  /** Column names a predicate reads, for the cube-coverage test —
+    * mirrors [[refCol]] for the simple scalar intrinsics; anything
+    * else (attr-map lookups, parent/trace/array scopes) maps to a
+    * sentinel that is never a cube dim, so those filters fall back to
+    * the exploded path correctly.
+    */
+  private def refNames(r: FieldRef): Set[String] = r match {
+    case Intrinsic("duration") | ScopedRef("span", "duration") =>
+      Set("duration_ns")
+    case Intrinsic("name") | ScopedRef("span", "name")     => Set("name")
+    case Intrinsic("status") | ScopedRef("span", "status") => Set("status_code")
+    case Intrinsic("kind") | ScopedRef("span", "kind")     => Set("kind")
+    case Intrinsic("statusMessage")                        => Set("status_message")
+    case _ => Set("__not_cube_coverable")
+  }
+
+  private def fieldRefs(e: FieldExpr): Set[String] = e match {
+    case FAnd(l, r)    => fieldRefs(l) ++ fieldRefs(r)
+    case FOr(l, r)     => fieldRefs(l) ++ fieldRefs(r)
+    case FNot(x)       => fieldRefs(x)
+    case FCmp(r, _, _) => refNames(r)
+    case FRe(r, _, _)  => refNames(r)
+  }
+
+  /** compare()'s shared tail: per-(group, attr) topN value ranking over
+    * the aggregated counts. Two windows beat a totals+semi-join here —
+    * that formulation recomputes the whole upstream subtree on both
+    * join sides (no exchange reuse across differently-keyed shuffles);
+    * dense_rank over (total desc, value) is a per-VALUE rank because
+    * same-value rows share the pair.
+    */
+  private def rankCompareTopN(counts: DataFrame, topN: Int): DataFrame = {
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("meta_type"), col("attr"), col("attr_value"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("meta_type"), col("attr"))
+      .orderBy(col("__total").desc, col("attr_value"))
+    counts
+      .withColumn("__total", sum(col("n")).over(wTot))
+      .withColumn("__rk", dense_rank().over(wRank))
+      .filter(col("__rk") <= topN)
+      .drop("__total", "__rk")
+      .orderBy("attr", "attr_value", "meta_type", "bucket_ns")
+  }
+
   /** `{ spanset } | compare({ filter }[, topN[, startNs, endNs]])` —
     * splits the matched spans into a selection (matching the filter,
     * optionally within [start, end) ns) and a baseline (the rest) and
@@ -809,12 +905,16 @@ object TraceQL {
     *
     * Output: (bucket_ns, meta_type, attr, attr_value, n).
     *
-    * Scale: one explode of the attr maps (narrow), one count shuffle
-    * keyed by (group, attr, value, bucket), and a value-cardinality-
-    * sized ranking join — never an all-pairs or per-span driver walk.
+    * Scale: with a maintained [[AttrCube]] the per-query plan is a
+    * selection-split groupBy over ingest-aggregated counts (the spans
+    * table is never scanned); otherwise one explode of the attr maps
+    * (narrow), one count shuffle keyed by (group, attr, value,
+    * bucket), and a value-cardinality-sized ranking window — never an
+    * all-pairs or per-span driver walk.
     */
   private def planCompare(p: P, outer: SpansetExpr, spans0: DataFrame,
-      stepNs: Long, originNs: Long = 0L): DataFrame = {
+      stepNs: Long, originNs: Long = 0L,
+      cube: Option[AttrCube] = None): DataFrame = {
     p.expect("(")
     val filter = parseFilterBlock(p) match {
       case SFilter(cond) => cond
@@ -852,6 +952,43 @@ object TraceQL {
         throw ParseError("compare() end timestamp must be greater than start timestamp", 0)
     }
 
+    // Rollup route: when the maintained attr-count cube covers the
+    // query — step/origin/window grain-aligned, outer + filter read
+    // only cube dims — the plan never touches the spans table at all.
+    val viaCube: Option[DataFrame] = cube.flatMap { c =>
+      val dims = c.dims
+      val aligned = stepNs % c.grainNs == 0 && originNs % c.grainNs == 0 &&
+        startNs % c.grainNs == 0 && endNs % c.grainNs == 0
+      val outerOk = trivialTrue(outer) || (outer match {
+        case SFilter(cond) => fieldRefs(cond).subsetOf(dims)
+        case _             => false
+      })
+      val selOk = fieldRefs(filter).subsetOf(dims)
+      if (!(aligned && outerOk && selOk)) None
+      else {
+        val base = outer match {
+          case SFilter(cond) if !trivialTrue(outer) => c.df.filter(condCol(cond))
+          case _                                    => c.df
+        }
+        // window membership tests the grain bucket: with [start, end)
+        // grain-aligned, span start ∈ [s, e) ⟺ its bucket ∈ [s, e)
+        val sel0 = condCol(filter)
+        val sel =
+          if (startNs != 0)
+            sel0 && col("bucket_ns") >= startNs && col("bucket_ns") < endNs
+          else sel0
+        val tagged0 = base.withColumn("meta_type",
+          when(sel, "selection").otherwise("baseline"))
+        val tagged =
+          if (stepNs == c.grainNs && originNs == 0L) tagged0
+          else tagged0.withColumn("bucket_ns",
+            col("bucket_ns") - ((col("bucket_ns") - lit(originNs)) % lit(stepNs)))
+        Some(tagged.groupBy("meta_type", "attr", "attr_value", "bucket_ns")
+          .agg(sum(col("n")).cast("double").as("n")))
+      }
+    }
+    if (viaCube.isDefined) return rankCompareTopN(viaCube.get, topN)
+
     val spans =
       if (spans0.columns.contains("attrs")) spans0
       else spans0.withColumn("attrs", map().cast("map<string,string>"))
@@ -872,22 +1009,7 @@ object TraceQL {
     val counts = exploded
       .groupBy("meta_type", "attr", "attr_value", "bucket_ns")
       .agg(count(lit(1)).cast("double").as("n"))
-    // topN ranking via two windows over the (small) aggregated counts —
-    // a totals+semi-join formulation would recompute the whole
-    // explode+agg subtree on both join sides (no exchange reuse across
-    // differently-keyed shuffles); dense_rank over (total desc, value)
-    // is a per-VALUE rank because same-value rows share the pair
-    val wTot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("meta_type"), col("attr"), col("attr_value"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("meta_type"), col("attr"))
-      .orderBy(col("__total").desc, col("attr_value"))
-    counts
-      .withColumn("__total", sum(col("n")).over(wTot))
-      .withColumn("__rk", dense_rank().over(wRank))
-      .filter(col("__rk") <= topN)
-      .drop("__total", "__rk")
-      .orderBy("attr", "attr_value", "meta_type", "bucket_ns")
+    rankCompareTopN(counts, topN)
   }
 
   /** Selector-filtered tag autocomplete (SearchTagValuesV2,

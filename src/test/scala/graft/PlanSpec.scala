@@ -300,4 +300,19 @@ class PlanSpec extends SparkTestBase {
     assert(anon.contains("Union"),
       s"name-less selector must expand conservatively:\n$anon")
   }
+
+  test("compare() scans the ingest-materialized attr-count rollup, not spans") {
+    val p = planOf("traceql_metrics_compare")
+    // the cube fixture path is the only scan; no explode (Generate) of
+    // the attrs maps and no lineitem/spans read in the per-query plan
+    assert(p.contains("grcube"),
+      s"compare() must read the materialized attr-count cube:\n$p")
+    assert(!p.contains("Generate"),
+      s"compare() must not explode attr maps per query:\n$p")
+    assert(!p.contains("lineitem") && !p.toLowerCase.contains("g_spans") &&
+      !p.contains("_gr_"), s"compare() must not scan the spans table:\n$p")
+    val pw = planOf("traceql_metrics_compare_window")
+    assert(pw.contains("grcube") && !pw.contains("Generate"),
+      s"windowed compare() must also ride the rollup:\n$pw")
+  }
 }

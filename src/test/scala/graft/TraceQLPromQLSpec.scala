@@ -142,6 +142,34 @@ class TraceQLPromQLSpec extends SparkTestBase {
       """{ } | compare({}, 10, 2000, 1000)""", spans, 1000000000L))
   }
 
+  test("TraceQL compare(): attr-count rollup path matches the exploded path") {
+    val grain = 1000000000L
+    val cube = TraceQL.AttrCube(
+      TraceQL.compareAttrCounts(spans, Seq("name", "kind", "status_code"),
+        grainNs = grain), grain)
+    def run(q: String, c: Option[TraceQL.AttrCube]): Set[(Long, String, String, String, Double)] =
+      TraceQL.planMetrics(q, spans, stepNs = grain, cube = c)
+        .select("bucket_ns", "meta_type", "attr", "attr_value", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getDouble(4))).toSet
+
+    // covered: intrinsic filter + empty outer → cube route, same rows
+    val q1 = """{ } | compare({ status = 2 })"""
+    assert(run(q1, Some(cube)) == run(q1, None))
+    // (PlanSpec pins that a PARQUET-backed cube plans no explode and
+    // never scans the spans table — here the cube is an inline local
+    // frame, so its own builder explode is visible in the plan)
+    // covered: outer restricted on a cube dim
+    val q2 = """{ name = "db-query" } | compare({ status = 2 }, 1)"""
+    assert(run(q2, Some(cube)) == run(q2, None))
+    // NOT covered (attr-map filter) → falls back, still correct
+    val q3 = """{ } | compare({ svc = "db" })"""
+    assert(run(q3, Some(cube)) == run(q3, None))
+    // NOT covered (window not grain-aligned) → falls back, still correct
+    val q4 = """{ } | compare({ status = 2 }, 10, 3, 4)"""
+    assert(run(q4, Some(cube)) == run(q4, None))
+  }
+
   private val M = 60L * 1000000L // 1 min in µs
 
   /** counter-ish series: two streams of the same metric. */
