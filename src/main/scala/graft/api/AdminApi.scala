@@ -36,6 +36,7 @@ final class AdminApi(
     components: Seq[AdminApi.Component] = Nil,
     layouts: Map[String, String] = Map.empty, // signal -> layout root
     admission: Option[Admission.Stats] = None,
+    safety: Option[graft.streaming.LogSafety.Metrics] = None,
     maintain: Option[() => String] = None,
     startTimeMs: Long = System.currentTimeMillis()) {
 
@@ -141,7 +142,15 @@ final class AdminApi(
         s""""overflowed":${a.overflowSeries.get()},""" +
         s""""active_series":${a.activeSeries.get()}}"""
     }.getOrElse("")
-    s"""{"storage_enabled":${layouts.nonEmpty},"signals":[$sigs]$adm}"""
+    // excess-log safety decision counters (the reference's odbsafety
+    // Metrics interface, odbsafety/handler.go:10-15, surfaced the way
+    // its processor publishes them, odbsafetyprocessor/metrics.go)
+    val saf = safety.map { s =>
+      val fields = s.snapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:$v" }.mkString(",")
+      s""","log_safety":{$fields}"""
+    }.getOrElse("")
+    s"""{"storage_enabled":${layouts.nonEmpty},"signals":[$sigs]$adm$saf}"""
   }
 
   /** Rows from parquet footers (spark.read metadata count), bytes from
@@ -166,7 +175,8 @@ final class AdminApi(
   }
 
   private def runAction(ex: HttpExchange): String = {
-    require(ex.getRequestMethod == "POST", "POST only")
+    if (ex.getRequestMethod != "POST")
+      throw new MethodNotAllowed(ex.getRequestMethod)
     val action = ex.getRequestURI.getPath.stripPrefix("/api/v1/actions/")
     def heap() = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed
@@ -190,11 +200,22 @@ final class AdminApi(
 
   private def q(s: String): String = ApiEncoders.jsonString(s)
 
+  /** Client errors map to client codes, never 500 (the reference's
+    * ogen router returns 405 on method mismatch and 400 on bad
+    * operands; only genuine handler failures are 500s).
+    */
+  private final class MethodNotAllowed(val method: String)
+    extends RuntimeException(s"method $method not allowed")
+
   private def handler(f: HttpExchange => String)
       : com.sun.net.httpserver.HttpHandler = { (ex: HttpExchange) =>
     val (code, body) =
       try (200, f(ex))
       catch {
+        case e: MethodNotAllowed =>
+          (405, s"""{"error_message":${q(e.getMessage)}}""")
+        case e: IllegalArgumentException =>
+          (400, s"""{"error_message":${q(Option(e.getMessage).getOrElse("bad request"))}}""")
         case e: Exception =>
           (500, s"""{"error_message":${q(Option(e.getMessage).getOrElse("error"))}}""")
       }

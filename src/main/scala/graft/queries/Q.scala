@@ -154,7 +154,8 @@ object Registry {
     QueriesPipeline5,
     QueriesPipeline6,
     QueriesTemporal,
-    QueriesPushdown
+    QueriesPushdown,
+    QueriesSafety
   )
 
   lazy val all: Seq[Q] = {

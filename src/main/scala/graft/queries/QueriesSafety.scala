@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+import graft.streaming.LogSafety
+
+/** Excess-log safety handling (reference internal/odbsafety/ +
+  * otelcolmod/odbsafetyprocessor/) over the events stream, oracle-
+  * replayed in DuckDB: the deterministic event-time decision rules are
+  * plain window functions, so the oracle runs the SAME rules.
+  *
+  * The events table is sparse in real time (~1 event / few minutes),
+  * so the log view compresses time to 10 ms spacing via event_id —
+  * ~100 records/s, enough to trip per-key per-second limits.
+  */
+object QueriesSafety extends QueryPack {
+
+  private def logsView(td: Testdata): DataFrame =
+    td.events.select(
+      (col("event_id") * 10000000L).as("ts_ns"),
+      col("props").as("body"),
+      map(
+        lit("et"), col("event_type"),
+        lit("uid"), col("user_id").cast("string")).as("attrs"))
+
+  private val oracleBase =
+    """SELECT event_id * 10000000 AS ts_ns, props AS body,
+      |    event_type AS et
+      |  FROM events""".stripMargin
+
+  /** soft=5/sample(first 3, then 1-in-4), hard=15/drop, keyed by
+    * event_type: the Metrics-interface decision counts
+    * (odbsafety/handler.go:10-15, sampler.go:13-22).
+    */
+  val safetySample: Q = Q(
+    "src_safety_sample",
+    (s: SparkSession, dir: String) =>
+      LogSafety.decisions(logsView(Testdata(s, dir)),
+          LogSafety.Config(
+            softMaxRatePerSecond = 5, hardMaxRatePerSecond = 15,
+            onExcess = "sample", hardOnExcess = "drop",
+            sampleFirst = 3, sampleThereafter = 4,
+            keyFields = Seq("et")))
+        .orderBy("decision"),
+    Some(
+      s"""WITH base AS ($oracleBase),
+         |pos AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY et, ts_ns // 1000000000
+         |      ORDER BY ts_ns, body) AS pos
+         |  FROM base),
+         |dec AS (
+         |  SELECT CASE
+         |    WHEN pos > 15 THEN 'dropped_rate_limit'
+         |    WHEN pos > 5 THEN CASE
+         |      WHEN (pos - 5) <= 3 OR (pos - 5) % 4 = 0
+         |      THEN 'sampled' ELSE 'dropped_sample' END
+         |    ELSE 'kept' END AS decision
+         |  FROM pos)
+         |SELECT decision, CAST(COUNT(*) AS BIGINT) AS n FROM dec
+         |WHERE decision <> 'kept'
+         |GROUP BY decision ORDER BY decision""".stripMargin))
+
+  /** soft=10/compact(threshold 3) keyed by event_type over 1-minute
+    * windows: the synthetic "N collapsed" records, each cloning its
+    * bucket's first record (odbsafety/handler.go:157-224,
+    * odbsafetyprocessor/excess.go:64-68).
+    */
+  val safetyCompact: Q = Q(
+    "src_safety_compact",
+    (s: SparkSession, dir: String) =>
+      LogSafety(logsView(Testdata(s, dir)),
+          LogSafety.Config(
+            softMaxRatePerSecond = 10, onExcess = "compact",
+            compactWindowNs = 60000000000L, compactThreshold = 3,
+            keyFields = Seq("et")))
+        .filter(map_contains_key(col("attrs"), LogSafety.CollapsedAttr))
+        .select(col("ts_ns"),
+          element_at(col("attrs"), "et").as("et"),
+          element_at(col("attrs"), LogSafety.CollapsedAttr)
+            .cast("long").as("collapsed"))
+        .orderBy("ts_ns", "et"),
+    Some(
+      s"""WITH base AS ($oracleBase),
+         |pos AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY et, ts_ns // 1000000000
+         |      ORDER BY ts_ns, body) AS pos
+         |  FROM base),
+         |cmp AS (
+         |  SELECT *, ts_ns - ts_ns % 60000000000 AS slot
+         |  FROM pos WHERE pos > 10),
+         |co AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY et, slot ORDER BY ts_ns, body) AS co
+         |  FROM cmp),
+         |drops AS (
+         |  SELECT et, slot, CAST(COUNT(*) AS BIGINT) AS collapsed
+         |  FROM co WHERE co >= 3 GROUP BY et, slot)
+         |SELECT f.ts_ns, f.et, d.collapsed
+         |FROM (SELECT et, slot, ts_ns FROM co WHERE co = 1) f
+         |JOIN drops d ON f.et = d.et AND f.slot = d.slot
+         |ORDER BY f.ts_ns, f.et""".stripMargin))
+
+  def queries: Seq[Q] = Seq(safetySample, safetyCompact)
+}

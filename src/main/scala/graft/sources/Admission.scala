@@ -114,11 +114,14 @@ object Admission {
     private val known = new java.util.HashSet[java.lang.Long]()
 
     /** name + canonically-rendered labels → 64-bit series key; the
-      * same column works on stored frames for [[rebuildFrom]].
+      * same column works on stored frames for [[rebuildFrom]]. The
+      * rendering is the repo's collision-free JSON idiom
+      * (VectorMatching.streamKey) — a plain `k=v` join is ambiguous
+      * when a label VALUE contains the separators ({a:"1,b=2"} vs
+      * {a:"1", b:"2"}) and would conflate distinct series here.
       */
-    private def seriesKey = xxhash64(col("name"), concat_ws(",",
-      transform(array_sort(map_entries(col("labels"))),
-        e => concat(e.getField("key"), lit("="), e.getField("value")))))
+    private def seriesKey = xxhash64(col("name"),
+      to_json(array_sort(map_entries(col("labels")))))
 
     private def overflowKey(name: String): Long =
       // synthetic per-metric overflow series identity (stable hash of
@@ -140,14 +143,18 @@ object Admission {
       if (maxSeries <= 0 && maxSeriesSoft <= 0) return batch
       val ss = batch.sparkSession
       val withKey = batch.withColumn("__skey", seriesKey)
-      // vocabulary-sized per batch: distinct series, not samples
-      val batchSeries = withKey.select(col("name"), col("__skey"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+      // vocabulary-sized per batch: distinct series, not samples; the
+      // per-series sample count rides the same aggregate (map-side
+      // combined) so shed totals need no second pass over the batch
+      val batchSeries = withKey.groupBy(col("name"), col("__skey"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      var shedSamples = 0L
       val decisions = synchronized {
         val hard = if (maxSeries > 0) maxSeries else Long.MaxValue
         val soft = if (maxSeriesSoft > 0) maxSeriesSoft else hard
-        batchSeries.flatMap { case (name, key) =>
+        batchSeries.flatMap { case (name, key, n) =>
           if (known.contains(key)) None
           else if (known.size < soft) { known.add(key); None } // admit
           else {
@@ -157,18 +164,15 @@ object Admission {
               known.add(ok)
               stats.overflowSeries.incrementAndGet()
               Some(key -> 1) // overflow
-            } else Some(key -> 2) // shed
+            } else { shedSamples += n; Some(key -> 2) } // shed
           }
         }.toMap
       }
       stats.activeSeries.set(known.size.toLong)
+      if (shedSamples > 0) stats.shedSamples.addAndGet(shedSamples): Unit
       if (decisions.isEmpty) return batch
       import ss.implicits._
       val decDf = decisions.toSeq.toDF("__skey", "__dec")
-      val shedKeys = decisions.collect { case (k, 2) => k }.toSeq
-      if (shedKeys.nonEmpty)
-        stats.shedSamples.addAndGet(
-          withKey.filter(col("__skey").isin(shedKeys: _*)).count()): Unit
       withKey
         .join(broadcast(decDf), Seq("__skey"), "left")
         .filter(col("__dec").isNull || col("__dec") =!= 2)

@@ -101,10 +101,11 @@ object StoragePolicy {
     // through first() — all rows in a group share identical content
     val (mapCols, plainCols) = idCols.partition(c =>
       df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-    def mapKey(c: String) = concat_ws(",",
-      transform(array_sort(map_entries(col(c))),
-        e => concat(e.getField("key"), lit("\u0000"), e.getField("value"))))
-      .as(s"__k_$c")
+    // collision-free rendering (VectorMatching.streamKey idiom): a
+    // separator-joined k/v string is ambiguous when values contain the
+    // separator, silently merging distinct series at downsample time
+    def mapKey(c: String) =
+      to_json(array_sort(map_entries(col(c)))).as(s"__k_$c")
     val bucket = (col(tsCol) - col(tsCol) % intervalUs).as(tsCol)
     val value = (agg match {
       case "last"  => max(struct(col(tsCol), col(valueCol)))

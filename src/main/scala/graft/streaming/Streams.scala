@@ -218,6 +218,170 @@ object Streams {
       .withColumn("digest", md5(col("text")))
       .dropDuplicatesWithinWatermark("digest")
 
+  final case class SafeRec(ts_ns: Long, body: String, attrs: Map[String, String])
+  final case class SafeIn(ts_ns: Long, body: String,
+      attrs: Map[String, String], ets: java.sql.Timestamp)
+  final case class GateBucket(key: String, count: Int, dropped: Int,
+      first: SafeRec)
+  final case class GateState(secCounts: Map[Long, Long],
+      buckets: Seq[GateBucket], truncCount: Int, truncFirst: Option[SafeRec])
+
+  /** Streaming EXCESS-LOG SAFETY GATE — [[LogSafety]]'s semantics as a
+    * stateful stream transform at the log-consumer seam (the
+    * reference's odbsafetyprocessor sits exactly here in its collector
+    * pipeline, otelcolmod/odbsafetyprocessor/processor.go:58-105).
+    * State is keyed by (rate key, compact-window slot): per-second
+    * counts (≤ window/1s entries), the compact buckets (≤ maxBuckets),
+    * and one truncation record — all bounded, all distributed by key.
+    * Surviving records emit with their batch; synthetic compact /
+    * truncation records emit when the event-time watermark closes the
+    * slot (the reference flushes per consumed batch; a watermark close
+    * is the streaming equivalent with late-data tolerance).
+    *
+    * Within a micro-batch records process in (ts, body) order and
+    * first-record captures use min-(ts, body), so batch boundaries
+    * don't change which record a synthetic clones; the per-second rate
+    * positions of LATE records are assigned on arrival (the wall-clock
+    * handler they model would have shed them anyway).
+    */
+  def safetyGate(raw: DataFrame, cfg: LogSafety.Config,
+      metrics: Option[LogSafety.Metrics] = None,
+      lateness: String = "10 seconds"): DataFrame = {
+    cfg.validate()
+    import raw.sparkSession.implicits._
+    val secNs = 1000000000L
+    val usesWindow =
+      Set(cfg.mode, cfg.hardMode).exists(m => m == "compact" || m == "truncate")
+    val slotNs = if (usesWindow) cfg.compactWindowNs else secNs
+    def fieldKey(r: SafeRec): String =
+      cfg.keyFields.map { f =>
+        val v = if (f == "body") r.body else r.attrs.getOrElse(f, "")
+        s"$f=$v\n"
+      }.mkString
+    def rateKeyOf(r: SafeRec): String =
+      if (cfg.keyFields.isEmpty) "" else fieldKey(r)
+    def compactKeyOf(r: SafeRec): String =
+      if (cfg.keyFields.isEmpty) r.body else fieldKey(r)
+    def redacted(r: SafeRec): SafeRec =
+      if (cfg.redactFields.isEmpty) r
+      else r.copy(attrs = r.attrs.map { case (k, v) =>
+        k -> (if (cfg.redactFields.contains(k)) LogSafety.Redacted else v)
+      })
+    def sampleKeep(o: Long): Boolean =
+      (cfg.sampleFirst > 0 && o <= cfg.sampleFirst) ||
+        (cfg.sampleThereafter > 0 && o % cfg.sampleThereafter == 0)
+    def synthetics(s: GateState): Iterator[SafeRec] = {
+      val compacts = s.buckets.filter(_.dropped > 0).map { b =>
+        b.first.copy(attrs =
+          b.first.attrs + (LogSafety.CollapsedAttr -> b.dropped.toString))
+      }
+      metrics.foreach(_.compacted.add(compacts.size.toLong))
+      val truncs = s.truncFirst.toSeq.filter(_ => s.truncCount > 0).map { f =>
+        val slot = f.ts_ns - java.lang.Math.floorMod(f.ts_ns, slotNs)
+        f.copy(body = LogSafety.TruncatedBody, attrs = f.attrs ++ Map(
+          LogSafety.TruncatedAttr -> s.truncCount.toString,
+          LogSafety.WindowStartAttr -> slot.toString,
+          LogSafety.WindowEndAttr -> (slot + slotNs).toString))
+      }
+      (compacts ++ truncs).iterator
+    }
+    raw
+      .select(col("ts_ns"), col("body"), col("attrs"),
+        timestamp_micros(expr("ts_ns div 1000")).as("ets"))
+      .withWatermark("ets", lateness)
+      .as[SafeIn]
+      .groupByKey { r =>
+        val rec = SafeRec(r.ts_ns, r.body, r.attrs)
+        (rateKeyOf(rec), r.ts_ns - java.lang.Math.floorMod(r.ts_ns, slotNs))
+      }
+      .flatMapGroupsWithState[GateState, SafeRec](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case ((_, slot), rows, state) =>
+          if (state.hasTimedOut) {
+            val out = synthetics(state.get)
+            state.remove()
+            out
+          } else {
+            var s = state.getOption.getOrElse(
+              GateState(Map.empty, Vector.empty, 0, None))
+            val out = Seq.newBuilder[SafeRec]
+            val tsOrd = Ordering.Tuple2[Long, String]
+            def minFirst(cur: Option[SafeRec], r: SafeRec): Option[SafeRec] =
+              cur match {
+                case Some(c) if tsOrd.lteq((c.ts_ns, c.body), (r.ts_ns, r.body)) => cur
+                case _ => Some(r)
+              }
+            def truncate(r: SafeRec): Unit = {
+              s = s.copy(truncCount = s.truncCount + 1,
+                truncFirst = minFirst(s.truncFirst, r))
+              metrics.foreach(_.droppedTruncate.add(1))
+            }
+            def sample(o: Long, r: SafeRec): Unit =
+              if (sampleKeep(o)) {
+                out += r; metrics.foreach(_.sampled.add(1))
+              } else metrics.foreach(_.droppedSample.add(1))
+            rows.toSeq.sortBy(r => (r.ts_ns, r.body)).foreach { in =>
+              val raw = SafeRec(in.ts_ns, in.body, in.attrs)
+              val isSafety = raw.attrs.contains(LogSafety.CollapsedAttr) ||
+                raw.attrs.contains(LogSafety.TruncatedAttr)
+              if (isSafety) out += raw
+              else {
+                val r = redacted(raw)
+                val sec = r.ts_ns / secNs
+                val pos = s.secCounts.getOrElse(sec, 0L) + 1
+                s = s.copy(secCounts = s.secCounts.updated(sec, pos))
+                val hard = cfg.hardMaxRatePerSecond
+                val soft = cfg.softMaxRatePerSecond
+                val (mode, thr) =
+                  if (hard > 0 && pos > hard) (cfg.hardMode, hard.toLong)
+                  else if (soft > 0 && pos > soft) (cfg.mode, soft.toLong)
+                  else ("consume", 0L)
+                val passthrough =
+                  r.attrs.get(LogSafety.PassthroughAttr).contains("true")
+                if (mode == "consume" || passthrough) out += r
+                else mode match {
+                  case "drop" =>
+                    metrics.foreach(_.droppedRateLimit.add(1))
+                  case "sample" => sample(pos - thr, r)
+                  case "truncate" => truncate(r)
+                  case "compact" =>
+                    val key = compactKeyOf(r)
+                    val idx = s.buckets.indexWhere(_.key == key)
+                    if (idx < 0 && s.buckets.size >= cfg.compactMaxBuckets)
+                      sample(pos - thr, r) // over-cap keys: sample rule
+                    else {
+                      val b = if (idx < 0) GateBucket(key, 0, 0, r)
+                      else s.buckets(idx)
+                      val co = b.count + 1
+                      var nb = b.copy(count = co,
+                        first = minFirst(Some(b.first), r).get)
+                      if (co < cfg.compactThreshold) out += r
+                      else if (cfg.truncateThreshold > 0 &&
+                        co > cfg.truncateThreshold) truncate(r)
+                      else {
+                        nb = nb.copy(dropped = nb.dropped + 1)
+                        metrics.foreach(_.collapsed.add(1))
+                      }
+                      s = s.copy(buckets =
+                        if (idx < 0) s.buckets :+ nb
+                        else s.buckets.updated(idx, nb))
+                    }
+                }
+              }
+            }
+            state.update(s)
+            // close the slot when the watermark passes its end (must
+            // stay ahead of the current watermark or Spark rejects it)
+            val slotEndMs = (slot + slotNs) / 1000000L
+            state.setTimeoutTimestamp(
+              math.max(slotEndMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   final case class PointIn(series: String, ts_us: Long, value: Double)
   final case class SeriesState(series: String, ts_us: Long, value: Double, n_seen: Long)
 

@@ -127,9 +127,12 @@ class AdminApiSpec extends SparkTestBase {
     val adm = new Admission.Stats
     adm.shedRequests.set(2); adm.activeSeries.set(5)
     var maintained = 0
+    val safety = new graft.streaming.LogSafety.Metrics(spark.sparkContext)
+    safety.droppedRateLimit.add(7); safety.collapsed.add(3)
     val api = new AdminApi(spark,
       layouts = Map("metrics" -> s"$root/points"),
       admission = Some(adm),
+      safety = Some(safety),
       maintain = Some(() => { maintained += 1; "compacted 2 partitions" }))
     val port = api.start()
     try {
@@ -142,6 +145,9 @@ class AdminApiSpec extends SparkTestBase {
       assert(st.contains(""""max_date":"20240102""""))
       assert(st.contains(""""rejected_rate":2"""))
       assert(st.contains(""""active_series":5"""))
+      assert(st.contains(""""log_safety":{"""), st)
+      assert(st.contains(""""dropped_rate_limit":7"""))
+      assert(st.contains(""""collapsed":3"""))
       val (c2, eff) = get(s"http://127.0.0.1:$port/api/v1/storage/efficiency")
       assert(c2 == 200)
       assert(eff.contains(""""points":3""") && eff.contains(""""bytes_per_point""""))
@@ -149,8 +155,12 @@ class AdminApiSpec extends SparkTestBase {
       assert(c3 == 200 && gc.contains(""""ok":true""") && gc.contains("freed_bytes"))
       val (c4, mt) = post(s"http://127.0.0.1:$port/api/v1/actions/storage_maintain")
       assert(c4 == 200 && mt.contains("compacted 2 partitions") && maintained == 1)
+      // client errors are client codes (reference router semantics):
+      // unknown action → 400, wrong method → 405, never 500
       val (c5, bad) = post(s"http://127.0.0.1:$port/api/v1/actions/explode")
-      assert(c5 == 500 && bad.contains("unknown action"))
+      assert(c5 == 400 && bad.contains("unknown action"))
+      val (c6, meth) = get(s"http://127.0.0.1:$port/api/v1/actions/gc")
+      assert(c6 == 405 && meth.contains("not allowed"))
     } finally api.stop()
   }
 }

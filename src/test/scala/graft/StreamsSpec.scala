@@ -145,6 +145,68 @@ class StreamsSpec extends SparkTestBase {
       s"got $rows")
   }
 
+  test("safetyGate: compact buckets accumulate across micro-batches, synthetic on window close") {
+    val S = 1000000000L
+    val input = MemoryStream[(Long, String, Map[String, String])](spark)
+    val logs = input.toDF().toDF("ts_ns", "body", "attrs")
+    val metrics = new graft.streaming.LogSafety.Metrics(spark.sparkContext)
+    val cfg = graft.streaming.LogSafety.Config(
+      softMaxRatePerSecond = 1, onExcess = "compact",
+      compactWindowNs = 10 * S, compactThreshold = 2, keyFields = Seq("svc"))
+    val query = Streams.safetyGate(logs, cfg, Some(metrics))
+      .writeStream.format("memory").queryName("safety_compact")
+      .outputMode("append").start()
+    val a = Map("svc" -> "a")
+    // batch 1, second 0: pos1 consume; pos2 co=1 kept; pos3 co=2 collapses
+    input.addData((100000000L, "m0", a), (200000000L, "m1", a), (300000000L, "m2", a))
+    query.processAllAvailable()
+    // batch 2, second 1 (same 10s slot): pos1 consume; pos2 co=3 collapses
+    input.addData((1100000000L, "m3", a), (1200000000L, "m4", a))
+    query.processAllAvailable()
+    // batch 3 advances the watermark past the slot → synthetic flushes,
+    // cloning the bucket's FIRST record (m1) with the dropped count
+    input.addData((40 * S, "later", a))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("safety_compact")
+      .collect().map(r => (r.getString(1),
+        r.getMap[String, String](2).get(
+          graft.streaming.LogSafety.CollapsedAttr))).toSet
+    assert(out == Set(("m0", None), ("m1", None), ("m3", None),
+      ("later", None), ("m1", Some("2"))), s"got $out")
+    assert(metrics.snapshot("collapsed") == 2L)
+    assert(metrics.snapshot("compacted") == 1L)
+  }
+
+  test("safetyGate: truncate emits one synthetic per closed window slot") {
+    val S = 1000000000L
+    val input = MemoryStream[(Long, String, Map[String, String])](spark)
+    val logs = input.toDF().toDF("ts_ns", "body", "attrs")
+    val cfg = graft.streaming.LogSafety.Config(
+      softMaxRatePerSecond = 1, onExcess = "truncate",
+      compactWindowNs = 10 * S)
+    val query = Streams.safetyGate(logs, cfg)
+      .writeStream.format("memory").queryName("safety_trunc")
+      .outputMode("append").start()
+    val m = Map.empty[String, String]
+    input.addData((100000000L, "t0", m), (200000000L, "t1", m), (300000000L, "t2", m))
+    query.processAllAvailable()
+    input.addData((40 * S, "later", m))
+    query.processAllAvailable()
+    query.stop()
+    val L = graft.streaming.LogSafety
+    val syn = spark.table("safety_trunc")
+      .where(s"body = '${L.TruncatedBody}'").collect()
+    assert(syn.length == 1)
+    val attrs = syn.head.getMap[String, String](2)
+    assert(attrs(L.TruncatedAttr) == "2")
+    assert(attrs(L.WindowStartAttr) == "0")
+    assert(attrs(L.WindowEndAttr) == (10 * S).toString)
+    // the synthetic clones the first truncated record's timestamp
+    assert(syn.head.getLong(0) == 200000000L)
+    assert(spark.table("safety_trunc").count() == 3) // t0, later, synthetic
+  }
+
   test("nearDupBandClaims: streaming MinHash dedup flags cross-batch near-dups") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "event_time")
