@@ -767,6 +767,89 @@ object PromQL {
     }
   }
 
+  // ---------- rollup-tier read path ----------
+
+  /** Maintained mergeable-stat tiers for the `*_over_time` pushdown —
+    * [[graft.sources.RollupTiers]] stats (count / decimal-exact sum /
+    * min / max) over the points layout, chained finest→coarsest so raw
+    * samples are scanned exactly once for the whole chain. Buckets are
+    * LEFT-OPEN and END-LABELED ((s, s+i] labeled s+i, the `ts_us - 1`
+    * shift): a Prometheus window (t−range, t] with aligned t then
+    * equals an exact union of tier buckets — no boundary-sample
+    * divergence against the raw path. Coarser intervals must be
+    * multiples of the finest.
+    *
+    * Output per tier: (name, __k, __end, n, sum_dec, min_v, max_v,
+    * labels) — the same stat schema the streaming hourly sidecar
+    * maintains; in deployment these frames are the STORED tier tables.
+    */
+  def statTierChain(points: DataFrame,
+      intervalsUs: Seq[Long]): Map[Long, DataFrame] = {
+    import graft.sources.RollupTiers
+    val sorted = intervalsUs.distinct.sorted
+    require(sorted.nonEmpty && sorted.head > 0, "tier intervals must be positive")
+    sorted.tail.foreach(i => require(i % sorted.head == 0,
+      s"tier $i must be a multiple of the finest ${sorted.head}"))
+    def bucket(c: Column, i: Long) = c - pmod(c, lit(i))
+    val base = points
+      .filter(!isnan(col("value"))) // stale markers never enter a tier
+      .select(col("name"), streamKey.as("__k"), col("labels"),
+        (col("ts_us") - 1).as("__t"), col("value"))
+    val aggs = RollupTiers.statAggs(col("value")) :+ first(col("labels")).as("labels")
+    var prev = base.groupBy(col("name"), col("__k"),
+      bucket(col("__t"), sorted.head).as("__t")).agg(aggs.head, aggs.tail: _*)
+    val out = scala.collection.mutable.Map(sorted.head -> prev)
+    for (i <- sorted.tail) {
+      val maggs = RollupTiers.mergeAggs :+ first(col("labels")).as("labels")
+      prev = prev.groupBy(col("name"), col("__k"),
+        bucket(col("__t"), i).as("__t")).agg(maggs.head, maggs.tail: _*)
+      out(i) = prev
+    }
+    out.toMap.map { case (i, df) =>
+      i -> df.withColumn("__end", col("__t") + i).drop("__t")
+    }
+  }
+
+  /** Instant query with a maintained tier set: a top-level
+    * `count/sum/min/max/avg_over_time(sel[range])` whose window a tier
+    * tiles exactly ([[graft.sources.RollupTiers.select]]) and whose
+    * aligned evaluation time lands on a bucket edge reads
+    * `range/interval` STAT ROWS per series off the coarsest such tier
+    * — never raw samples (4 rows for a day over the 6h tier). Anything
+    * else falls through to the ordinary [[instant]] evaluation on raw
+    * points, same results.
+    */
+  def instantWithTiers(q: String, points: DataFrame, evalTsUs: Long,
+      tiers: Map[Long, DataFrame]): DataFrame = {
+    import graft.sources.RollupTiers
+    foldScalars(parse(q)) match {
+      case RangeFn(fn, sel, rangeNs, offsetNs, Nil)
+          if tiers.nonEmpty && fn.endsWith("_over_time") =>
+        val agg = fn.dropRight("_over_time".length)
+        val rangeUs = rangeNs / 1000
+        val end = evalTsUs - offsetNs / 1000
+        RollupTiers.select(tiers.keys.toSeq, rangeUs, agg)
+          .filter(i => end % i == 0) match {
+          case Some(i) =>
+            val v = agg match {
+              case "count" => sum(col("n")).cast("double")
+              case "sum"   => sum(col("sum_dec")).cast("double")
+              case "min"   => min(col("min_v"))
+              case "max"   => max(col("max_v"))
+              case "avg"   => sum(col("sum_dec")).cast("double") / sum(col("n"))
+            }
+            tiers(i)
+              .filter(selCol(sel))
+              .filter(col("__end") > end - rangeUs && col("__end") <= end)
+              .groupBy(col("__k"))
+              .agg(v.as("value"), first(col("labels")).as("labels"))
+              .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+          case None => instant(q, points, evalTsUs)
+        }
+      case _ => instant(q, points, evalTsUs)
+    }
+  }
+
   /** Latest live sample per series in (t-5m, t]. */
   private def lookback(sel: Selector, points: DataFrame,
       tUs: Long): DataFrame = {
@@ -1046,20 +1129,37 @@ object PromQL {
     }
   }
 
-  /** Metric names with stored native-histogram rows, probed ONCE per
-    * points plan (keyed by the analyzed plan's semantic hash) with a
-    * 2-column pushed-down scan and cached for the session — the same
-    * role the reference's in-memory series metadata plays. Bounded by
-    * the histogram-metric name count (tiny).
+  /** Metric names with stored native-histogram rows, probed with a
+    * 2-column pushed-down scan and cached per points plan (semantic
+    * hash) — the same role the reference's in-memory series metadata
+    * plays. Entries expire after a short TTL so histogram metrics
+    * ingested AFTER the first probe of a long-lived frame still expand
+    * (a stale negative would silently return raw mapping rows), and
+    * the map is size-capped so per-read unique hashes can't grow it
+    * without bound; ingest seams flush it eagerly via
+    * [[invalidateExpHistNames]].
     */
   private val expHistNamesCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[Int, (Long, Set[String])]()
+  private val ExpHistTtlMs = 30000L
+  private val ExpHistCacheCap = 64
 
-  private def expHistNames(points: DataFrame): Set[String] =
-    expHistNamesCache.computeIfAbsent(
-      points.queryExecution.analyzed.semanticHash(),
-      _ => points.filter(col("mapping").isin(10, 11, 12))
-        .select("name").distinct().collect().map(_.getString(0)).toSet)
+  /** Ingest/compaction hook: drop all cached histogram-name probes. */
+  def invalidateExpHistNames(): Unit = expHistNamesCache.clear()
+
+  private def expHistNames(points: DataFrame): Set[String] = {
+    val key = points.queryExecution.analyzed.semanticHash()
+    val now = System.currentTimeMillis()
+    val cached = expHistNamesCache.get(key)
+    if (cached != null && now - cached._1 < ExpHistTtlMs) cached._2
+    else {
+      val names = points.filter(col("mapping").isin(10, 11, 12))
+        .select("name").distinct().collect().map(_.getString(0)).toSet
+      if (expHistNamesCache.size >= ExpHistCacheCap) expHistNamesCache.clear()
+      expHistNamesCache.put(key, (now, names))
+      names
+    }
+  }
 
   /** Expansion gate: convert stored native-histogram rows to classic
     * `le` bucket series ONLY when the query can actually touch one —

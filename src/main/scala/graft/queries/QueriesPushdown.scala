@@ -85,6 +85,53 @@ object QueriesPushdown extends QueryPack {
       .orderBy("event_type", "day_ns")
   }
 
+  /** The maintained stat-tier tables (1h + 6h, chained) the PromQL
+    * tier-read planner selects over — materialized once per sf dir,
+    * modeling the stored tier layout the streaming sidecar + batch
+    * chain maintain.
+    */
+  private def statTiers(td: Testdata): Map[Long, DataFrame] = {
+    val HourUs = 3600000000L
+    def pts = td.events.select(lit("ev").as("name"),
+      map(lit("et"), col("event_type")).as("labels"),
+      expr("ts div 1000").as("ts_us"), col("value"))
+    def chain = graft.promql.PromQL.statTierChain(pts, Seq(HourUs, 6 * HourUs))
+    Map(
+      HourUs -> Fixtures.materialized(td.spark, td.dir, "rt1h", "__end")(
+        chain(HourUs)),
+      6 * HourUs -> Fixtures.materialized(td.spark, td.dir, "rt6h", "__end")(
+        chain(6 * HourUs)))
+  }
+
+  /** The PromQL FRONT-END choosing a rollup tier: a 1-day
+    * `avg_over_time` instant evaluates over the stored 6h tier (4 stat
+    * rows per series) — `RollupTiers.select` inside
+    * `PromQL.instantWithTiers` picks it, PlanSpec pins that the plan
+    * scans ONLY that tier (no raw events, no 1h tier). The oracle
+    * replays the window average from raw events; left-open end-labeled
+    * tier buckets make the (t−1d, t] window exact, and the
+    * decimal-exact sum chain makes avg bit-equal.
+    */
+  val tierInstant: Q = q(
+    "pushdown_tier_instant",
+    s"""SELECT ${1704067200000000L + 2 * 86400000000L} AS ts_us,
+       |  event_type AS et, ${Det.oAvg("value")} AS value
+       |FROM events
+       |WHERE epoch_ns(ts)//1000 > ${1704067200000000L + 86400000000L}
+       |  AND epoch_ns(ts)//1000 <= ${1704067200000000L + 2 * 86400000000L}
+       |GROUP BY et ORDER BY et""".stripMargin
+  ) { td =>
+    val pts = td.events.select(lit("ev").as("name"),
+      map(lit("et"), col("event_type")).as("labels"),
+      expr("ts div 1000").as("ts_us"), col("value"))
+    val end = 1704067200000000L + 2 * 86400000000L // 2024-01-03T00:00Z µs
+    graft.promql.PromQL.instantWithTiers(
+        "avg_over_time(ev[1d])", pts, end, statTiers(td))
+      .select(col("ts_us"), element_at(col("labels"), "et").as("et"),
+        col("value"))
+      .orderBy("et")
+  }
+
   /** Age-tiered downsample policy (reference storage_policy.go:52-61)
     * pinned cross-engine: rows pick their tier by partition-date age
     * from "now" (the newest day in the table) exactly as
@@ -249,6 +296,6 @@ object QueriesPushdown extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    overtimeRollup, rollupTierSelect, downsampleTiers, errorPropagation,
-    severityLowering, saltedAgg, labelScopeCoalesce)
+    overtimeRollup, rollupTierSelect, tierInstant, downsampleTiers,
+    errorPropagation, severityLowering, saltedAgg, labelScopeCoalesce)
 }

@@ -63,6 +63,15 @@ object Admission {
         if (n <= tokens) { tokens -= n; true } else false
       }
     }
+    /** Return tokens consumed for a payload that was NOT admitted
+      * downstream (e.g. the in-flight ledger shed it) — otherwise a
+      * stalled sink also drains the rate budget and a retrying client
+      * is double-penalized.
+      */
+    def refund(n: Long): Unit = synchronized {
+      if (bytesPerSecond > 0)
+        tokens = math.min(bytesPerSecond.toDouble, tokens + n)
+    }
   }
 
   /** Unflushed-bytes ledger for ONE streaming source: `enqueue`

@@ -255,6 +255,37 @@ object Layout {
       writeOptions = StoragePolicy.writeOptions(policy, age))
   }
 
+  /** Policy-applying compaction of ONE logs date partition: the
+    * reference's storage policy recompresses/retains ALL signals but
+    * downsamples only metrics (cmd/oteldb/storage_policy.go:21-68) —
+    * so a cold log partition gets the high-level zstd rewrite and the
+    * ORDER-BY restore, nothing lossy. Bloom filters on trace_id are
+    * re-declared so the rewrite keeps the TraceByID lookup path.
+    */
+  def compactLogsPartition(spark: SparkSession, root: String,
+      date: String, nowDate: String, policy: StoragePolicy.Policy,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val age = StoragePolicy.ageDays(date, nowDate)
+    compactPartition(spark, root, date,
+      Seq("severity_number", "service_name", "ts_ns"), targetFileBytes,
+      writeOptions = StoragePolicy.writeOptions(policy, age) +
+        ("parquet.bloom.filter.enabled#trace_id" -> "true"))
+  }
+
+  /** Policy-applying compaction of ONE spans date partition — same
+    * recompress-only shape as [[compactLogsPartition]] (the stored
+    * `parent_path` ancestry column survives untouched).
+    */
+  def compactSpansPartition(spark: SparkSession, root: String,
+      date: String, nowDate: String, policy: StoragePolicy.Policy,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val age = StoragePolicy.ageDays(date, nowDate)
+    compactPartition(spark, root, date, Seq("name", "start_ns"),
+      targetFileBytes,
+      writeOptions = StoragePolicy.writeOptions(policy, age) +
+        ("parquet.bloom.filter.enabled#trace_id" -> "true"))
+  }
+
   /** TTL expiry — the `TTL timestamp + INTERVAL n DAY` clause of the
     * reference DDL (chstorage golden schema), expressed as partition
     * drops: a date partition strictly older than the horizon is

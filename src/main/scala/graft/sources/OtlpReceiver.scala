@@ -73,6 +73,36 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   /** Unflushed enqueued bytes (the `maxInFlightBytes` ledger). */
   def inFlightBytes: Long = inFlightTotal.get()
 
+  /** Reads an HTTP body through a bound: over-budget requests stop
+    * buffering at the limit+1 boundary instead of allocating the whole
+    * payload before rejection (the gRPC framing path already stops
+    * accumulating mid-stream; this is the HTTP twin).
+    */
+  private def readBounded(ex: HttpExchange): Array[Byte] = {
+    val in = ex.getRequestBody
+    if (limits.maxBodyBytes <= 0) in.readAllBytes()
+    else {
+      val cap = math.min(limits.maxBodyBytes, Int.MaxValue - 1L).toInt
+      val raw = in.readNBytes(cap + 1)
+      if (raw.length > cap)
+        throw new Admission.ResourceExhausted(
+          s"request body exceeds ${limits.maxBodyBytes} byte limit")
+      raw
+    }
+  }
+
+  /** Rate + in-flight admission for one payload; rate tokens consumed
+    * for a payload the ledger then sheds are refunded (nothing was
+    * buffered, the client will retry).
+    */
+  private def admitPayload(trk: Admission.InFlightTracker, n: Long)(
+      enqueue: => Long): Boolean =
+    bucket.tryAcquire(n) && {
+      val ok = trk.tryEnqueue(n, enqueue)
+      if (!ok) bucket.refund(n)
+      ok
+    }
+
   // primary sink per source: (queryName, sourceIndex) → tracker; each
   // source's bytes release when ITS batch commits in that sink (promIn
   // also feeds the exemplar sink and points feed the rollup sidecar,
@@ -88,6 +118,16 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     col("attrs"))
 
   def start(port: Int = 0): Int = {
+    // restart path: the active-series ceiling is driver state — rebuild
+    // it from the stored point layout BEFORE the inserter runs, or a
+    // bounce resets the budget and cardinality overshoots (the
+    // reference reloads its active-series map the same way)
+    if (seriesBudget != null) {
+      val pointsRoot = new java.io.File(s"$dataDir/points")
+      val hasData = Option(pointsRoot.listFiles())
+        .exists(_.exists(_.getName.startsWith("date=")))
+      if (hasData) seriesBudget.rebuildFrom(spark.read.parquet(pointsRoot.getPath))
+    }
     val spans = Streams.spansFromOtlp(
       traceIn.toDF().withColumnRenamed("value", "payload"))
     // ONE SINK PER LAYOUT DIRECTORY: streams that share a stored layout
@@ -211,6 +251,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       }
       if (!trk.tryEnqueue(payload.length.toLong,
           sink.addData(Seq(payload)).json.toLong)) {
+        bucket.refund(payload.length.toLong) // nothing was buffered
         stats.shedRequests.incrementAndGet()
         throw new Admission.ResourceExhausted("in-flight byte budget exceeded")
       }
@@ -279,10 +320,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         if (ex.getRequestMethod != "POST")
           (405, errJson("POST only"))
         else {
-          val raw = ex.getRequestBody.readAllBytes()
-          if (limits.maxBodyBytes > 0 && raw.length > limits.maxBodyBytes)
-            throw new Admission.ResourceExhausted(
-              s"request body ${raw.length} exceeds ${limits.maxBodyBytes} byte limit")
+          val raw = readBounded(ex)
           // remote-write bodies are snappy-block-compressed (the spec
           // mandates it; `identity` is tolerated for local producers)
           val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
@@ -297,8 +335,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
                 s"unsupported Content-Encoding: $other")
           }
           val n = payload.length.toLong
-          val admitted = bucket.tryAcquire(n) &&
-            trk.tryEnqueue(n, sink.addData(Seq(payload)).json.toLong)
+          val admitted =
+            admitPayload(trk, n)(sink.addData(Seq(payload)).json.toLong)
           if (admitted)
             // success: an empty ExportXServiceResponse (zero-field
             // protobuf message = zero bytes)
@@ -355,14 +393,10 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
             val fromSec = params.get("from").flatMap(_.toLongOption)
               .getOrElse(throw new IllegalArgumentException(
                 "missing or bad from"))
-            val raw = ex.getRequestBody.readAllBytes()
-            if (limits.maxBodyBytes > 0 && raw.length > limits.maxBodyBytes)
-              throw new Admission.ResourceExhausted(
-                s"request body ${raw.length} exceeds ${limits.maxBodyBytes} byte limit")
-            val admitted = bucket.tryAcquire(raw.length.toLong) &&
-              pyroTrk.tryEnqueue(raw.length.toLong,
-                pyroIn.addData(Seq((name, fromSec * 1000000L, raw)))
-                  .json.toLong)
+            val raw = readBounded(ex)
+            val admitted = admitPayload(pyroTrk, raw.length.toLong)(
+              pyroIn.addData(Seq((name, fromSec * 1000000L, raw)))
+                .json.toLong)
             if (admitted) (200, Array.emptyByteArray)
             else {
               stats.shedRequests.incrementAndGet()

@@ -948,6 +948,9 @@ object Streams {
         val admitted = if (budget == null) batch else budget.admit(batch)
         graft.sources.Layout.commitBatch(path, id)(
           graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
+        // new points may add native-histogram metrics: stale cached
+        // name probes would leave them unexpanded on long-lived frames
+        graft.promql.PromQL.invalidateExpHistNames()
       }
       .trigger(trigger)
       .start()

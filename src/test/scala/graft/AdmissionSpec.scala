@@ -174,6 +174,40 @@ class AdmissionSpec extends SparkTestBase {
     assert(budget.stats.activeSeries.get() == 3L)
   }
 
+  test("series budget rebuilds from the stored layout: replay re-derives identical decisions") {
+    import spark.implicits._
+    val mkLabels = (h: String) => Map("host" -> h)
+    val stored = Seq(
+      (1000000L, "cpu", mkLabels("h1"), 1.0),
+      (1000000L, "cpu", mkLabels("h2"), 2.0)).toDF("ts_us", "name", "labels", "value")
+    val replay = Seq(
+      (2000000L, "cpu", mkLabels("h1"), 3.0), // known after rebuild
+      (2000000L, "cpu", mkLabels("h3"), 4.0), // past soft → overflow
+      (2000000L, "mem", mkLabels("h9"), 5.0)) // past hard → shed
+      .toDF("ts_us", "name", "labels", "value")
+    def decisions(b: Admission.SeriesBudget): Seq[(Double, Boolean)] =
+      b.admit(replay)
+        .select(col("value"),
+          map_contains_key(col("labels"), "__series_overflow__").as("ovf"))
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    // original process: admits the stored series, then decides replay
+    val orig = new Admission.SeriesBudget(3, 2)
+    assert(orig.admit(stored).count() == 2)
+    val before = decisions(orig)
+    // restart: fresh budget, state rebuilt from what the layout holds
+    val restarted = new Admission.SeriesBudget(3, 2)
+    restarted.rebuildFrom(stored)
+    assert(restarted.stats.activeSeries.get() == 2L)
+    assert(decisions(restarted) == before)
+    assert(before == Seq((3.0, false), (4.0, true)))
+    assert(restarted.stats.shedSamples.get() == 1L)
+    // WITHOUT the rebuild the ceiling resets: h3 re-admits as a plain
+    // series and mem/h9 survives via a fresh overflow series — the
+    // cardinality overshoot the restart path must prevent
+    val amnesiac = new Admission.SeriesBudget(3, 2)
+    assert(decisions(amnesiac) == Seq((3.0, false), (4.0, false), (5.0, true)))
+  }
+
   test("HTTP edge: rate shed = OTLP partial success; oversized body = 413; remote-write = 429") {
     val payload = logPayload(0)
     val dir = Files.createTempDirectory("graftadm1").toString

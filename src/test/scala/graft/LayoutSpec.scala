@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Layout, Testdata}
+import graft.sources.{Layout, StoragePolicy, Testdata}
 import graft.streaming.Streams
 
 /** Storage-layout and ingest-parsing specs: partition pruning reaches
@@ -185,6 +185,67 @@ class LayoutSpec extends SparkTestBase {
       "recent partitions stay lossless")
     assert(partFiles("20240115").forall(!_.getName.contains("zstd")),
       "warm partitions keep the default codec")
+  }
+
+  test("cold log and span partitions recompress with zstd, lossless, blooms kept") {
+    val dir = Files.createTempDirectory("graftcoldlogs").toString
+    val td = Testdata(spark, "/root/testdata/sf0.001")
+    val logs = td.events.select(
+      col("ts").as("ts_ns"),
+      (col("user_id") % 5 * 4 + 1).cast("int").as("severity_number"),
+      concat(lit("svc-"), col("user_id") % 4).as("service_name"),
+      col("props").as("body"),
+      col("event_id").as("trace_id"))
+    Layout.writeLogs(logs, dir)
+    val policy = StoragePolicy.Policy(
+      recompress = Some(StoragePolicy.Recompress(afterDays = 7, level = 19)))
+    def part(d: String) = new java.io.File(dir, s"date=$d")
+    def size(d: String) = part(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val before = spark.read.parquet(part("20240101").getPath)
+      .select("ts_ns", "body").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    val sizeBefore = size("20240101")
+    // cold (14 days old): zstd rewrite, content identical
+    Layout.compactLogsPartition(spark, dir, "20240101", "20240115", policy)
+    val after = spark.read.parquet(part("20240101").getPath)
+      .select("ts_ns", "body").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    assert(after == before, "recompression must be lossless")
+    assert(size("20240101") < sizeBefore,
+      s"zstd-19 should shrink the cold partition: $sizeBefore -> ${size("20240101")}")
+    assert(part("20240101").listFiles().filter(_.getName.endsWith(".parquet"))
+      .forall(_.getName.contains("zstd")), "cold logs must carry the zstd codec")
+    // warm (2 days old): compaction runs but keeps the hot-path codec
+    Layout.compactLogsPartition(spark, dir, "20240114", "20240116", policy)
+    assert(part("20240114").listFiles().filter(_.getName.endsWith(".parquet"))
+      .forall(!_.getName.contains("zstd")), "warm logs keep the default codec")
+
+    // spans: same recompress seam, parent_path survives the rewrite
+    val sdir = Files.createTempDirectory("graftcoldspans").toString
+    val spans = td.lineitem
+      .filter(col("l_shipdate") >= "1995-01-02" && col("l_shipdate") < "1995-01-09")
+      .select(
+        col("l_orderkey").as("trace_id"),
+        col("l_linenumber").as("span_id"),
+        when(col("l_linenumber") > 1, floor(col("l_linenumber") / 2).cast("int"))
+          .as("parent_span_id"),
+        concat(lit("op-"), col("l_returnflag")).as("name"),
+        (unix_timestamp(col("l_shipdate")) * 1000000000L).as("start_ns"))
+    Layout.writeSpans(spans, sdir)
+    val sdate = new java.io.File(sdir).listFiles()
+      .map(_.getName).find(_.startsWith("date=")).get.stripPrefix("date=")
+    val pathsBefore = spark.read.parquet(s"$sdir/date=$sdate")
+      .select("trace_id", "span_id", "parent_path").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).sortBy(t => (t._1, t._2)).toSeq
+    Layout.compactSpansPartition(spark, sdir, sdate, "20240115", policy)
+    val sFiles = new java.io.File(sdir, s"date=$sdate").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sFiles.forall(_.getName.contains("zstd")), "cold spans must recompress")
+    val pathsAfter = spark.read.parquet(s"$sdir/date=$sdate")
+      .select("trace_id", "span_id", "parent_path").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(pathsAfter == pathsBefore, "parent_path must survive the rewrite")
   }
 
   test("ttl drops whole partitions past the horizon") {

@@ -301,6 +301,16 @@ class PlanSpec extends SparkTestBase {
       s"name-less selector must expand conservatively:\n$anon")
   }
 
+  test("tier-aware instant: a 1-day avg_over_time scans ONLY the stored 6h tier") {
+    val p = planOf("pushdown_tier_instant")
+    assert(p.contains("rt6h"),
+      s"instant must read the materialized 6h tier:\n$p")
+    assert(!p.contains("rt1h"),
+      s"coarsest-sufficient selection must skip the 1h tier:\n$p")
+    assert(!p.contains("events"),
+      s"tier-served instant must not scan raw samples:\n$p")
+  }
+
   test("compare() scans the ingest-materialized attr-count rollup, not spans") {
     val p = planOf("traceql_metrics_compare")
     // the cube fixture path is the only scan; no explode (Generate) of

@@ -58,4 +58,33 @@ class RollupTiersSpec extends SparkTestBase {
       .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(2)))
     assert(mx.toSeq == Seq(("a", 100.01), ("b", 9.99)))
   }
+
+  test("PromQL tier-read instant equals the raw path; window boundaries exact") {
+    import spark.implicits._
+    import graft.promql.PromQL
+    val HU = 3600000000L // 1h in µs
+    val t = 600L * HU // aligned to both tiers
+    val pts = Seq(
+      (t - 2 * HU, 10.0), // exactly at t-range: EXCLUDED from (t-2h, t]
+      (t - 2 * HU + 1, 2.0),
+      (t - HU + 5, 4.0),
+      (t, 6.0) // exactly at t: INCLUDED
+    ).map { case (ts, v) => ("m", Map("s" -> "1"), ts, v) }
+      .toDF("name", "labels", "ts_us", "value")
+    val tiers = PromQL.statTierChain(pts, Seq(HU, 6 * HU))
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.select("value").as[Double].collect().toSeq
+    val viaTier = vals(PromQL.instantWithTiers("avg_over_time(m[2h])", pts, t, tiers))
+    assert(viaTier == Seq(4.0)) // (2+4+6)/3: boundary semantics exact
+    assert(vals(PromQL.instant("avg_over_time(m[2h])", pts, t)) == viaTier)
+    // min/count ride the same stats
+    assert(vals(PromQL.instantWithTiers("min_over_time(m[2h])", pts, t, tiers)) == Seq(2.0))
+    assert(vals(PromQL.instantWithTiers("count_over_time(m[12h])", pts, t, tiers)) == Seq(4.0))
+    // a window no tier tiles (90m) falls back to raw, same answer
+    val fb = vals(PromQL.instantWithTiers("sum_over_time(m[90m])", pts, t, tiers))
+    assert(fb == vals(PromQL.instant("sum_over_time(m[90m])", pts, t)))
+    // unaligned eval time falls back rather than serving a shifted window
+    val off = vals(PromQL.instantWithTiers("sum_over_time(m[2h])", pts, t + 7, tiers))
+    assert(off == vals(PromQL.instant("sum_over_time(m[2h])", pts, t + 7)))
+  }
 }
