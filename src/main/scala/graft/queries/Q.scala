@@ -67,6 +67,13 @@ object Fixtures {
     f.delete(): Unit
   }
 
+  // Resolved-relation reuse (the Testdata.cached discipline): without
+  // it every query re-lists and re-infers the fixture parquet — a
+  // driver-side job or two per query, pure scheduling floor across a
+  // 240-query bench run. Keyed by session so restarts re-resolve.
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   /** Ingest-materialized span fixture: `build` runs ONCE per
     * (sfDir, name) — through [[graft.sources.Layout.withParentPath]],
     * the real ingest-time ancestry walk — and lands as parquet in the
@@ -121,7 +128,8 @@ object Fixtures {
         if (!tmp.renameTo(target)) deleteRec(tmp)
       }
     }
-    spark.read.parquet(target.getPath)
+    readCache.computeIfAbsent((spark, target.getPath),
+      { case (s, p) => s.read.parquet(p) })
   }
 }
 

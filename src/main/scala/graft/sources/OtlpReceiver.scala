@@ -37,7 +37,8 @@ import graft.streaming.Streams
   * routes to the per-metric overflow series in the point inserter.
   */
 final class OtlpReceiver(spark: SparkSession, dataDir: String,
-    limits: Admission.LimitsConfig = Admission.LimitsConfig()) {
+    limits: Admission.LimitsConfig = Admission.LimitsConfig(),
+    logSafety: Option[graft.streaming.LogSafety.Config] = None) {
 
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   import spark.implicits._
@@ -72,6 +73,12 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     else null
   /** Unflushed enqueued bytes (the `maxInFlightBytes` ledger). */
   def inFlightBytes: Long = inFlightTotal.get()
+
+  /** Excess-log safety decision counters (populated when a
+    * [[graft.streaming.LogSafety.Config]] is wired; the reference's
+    * odbsafety Metrics, surfaced by the admin storage view).
+    */
+  val safetyStats = new graft.streaming.LogSafety.Metrics(spark.sparkContext)
 
   /** Reads an HTTP body through a bound: over-budget requests stop
     * buffering at the limit+1 boundary instead of allocating the whole
@@ -136,12 +143,19 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     // staging dir — one job's commit can delete the other's in-flight
     // task files — and the exactly-once batch markers
     // (Layout.commitBatch) assume one writer's batch-id sequence.
-    val logs = Streams.enrichLogs(Streams.logsFromOtlp(
+    val logs0 = Streams.enrichLogs(Streams.logsFromOtlp(
       logIn.toDF().withColumnRenamed("value", "payload")))
       // Loki push shares the log layout with OTLP logs (the reference
       // declines that endpoint — lokihandler.go:611-616)
       .unionByName(Streams.enrichLogs(Streams.logsFromLokiPush(
         lokiIn.toDF().withColumnRenamed("value", "payload"))))
+    // excess-log safety sits between the consumers and the sink —
+    // where the reference registers its odbsafetyprocessor in the
+    // collector pipeline (internal/otelreceiver/receiver.go:62)
+    val logs = logSafety match {
+      case Some(cfg) => Streams.safetyGateKeep(logs0, cfg, Some(safetyStats))
+      case None      => logs0
+    }
     // raw decoded records (attrs still a map — metricsFromOtlp
     // canonicalizes them to the hash string the inserter keys on);
     // Prometheus remote-write shares the point layout (reference
@@ -296,7 +310,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       layouts = Map(
         "traces" -> s"$dataDir/spans", "logs" -> s"$dataDir/logs",
         "metrics" -> s"$dataDir/points", "profiles" -> s"$dataDir/profiles"),
-      admission = Some(stats))
+      admission = Some(stats),
+      safety = logSafety.map(_ => safetyStats))
     admin.start(port)
   }
 

@@ -382,6 +382,43 @@ object Streams {
       .toDF()
   }
 
+  /** Reserved attr key carrying non-core record columns through the
+    * safety gate (the reference's handler clones whole plog records;
+    * the gate's state record is (ts, body, attrs), so the remaining
+    * columns ride packed and are restored after).
+    */
+  private val SafetyRestKey = "__graft.rest"
+
+  /** [[safetyGate]] for frames with MORE than the core (ts_ns, body,
+    * attrs) columns: the extras pack into a reserved attr as JSON,
+    * ride the gate (synthetics clone them from their bucket's first
+    * record, like the reference's record.CopyTo), and unpack after —
+    * schema in, schema out.
+    */
+  def safetyGateKeep(logs: DataFrame, cfg: LogSafety.Config,
+      metrics: Option[LogSafety.Metrics] = None,
+      lateness: String = "10 seconds"): DataFrame = {
+    val core = Set("ts_ns", "body", "attrs")
+    val extras = logs.schema.filterNot(f => core(f.name))
+    if (extras.isEmpty) return safetyGate(logs, cfg, metrics, lateness)
+    require(!cfg.keyFields.contains(SafetyRestKey) &&
+      !cfg.redactFields.contains(SafetyRestKey),
+      s"$SafetyRestKey is reserved")
+    val packed = logs.select(col("ts_ns"), col("body"),
+      map_concat(col("attrs"), map(lit(SafetyRestKey),
+        to_json(struct(extras.map(f => col(f.name)): _*)))).as("attrs"))
+    val gated = safetyGate(packed, cfg, metrics, lateness)
+    gated
+      .withColumn("__rest", from_json(
+        element_at(col("attrs"), SafetyRestKey),
+        org.apache.spark.sql.types.StructType(extras)))
+      .withColumn("attrs", map_filter(col("attrs"),
+        (k, _) => k =!= SafetyRestKey))
+      .select(col("ts_ns") +: col("body") +: col("attrs") +:
+        extras.map(f => col(s"__rest.${f.name}").as(f.name)): _*)
+      .select(logs.columns.map(col).toIndexedSeq: _*) // original order
+  }
+
   final case class PointIn(series: String, ts_us: Long, value: Double)
   final case class SeriesState(series: String, ts_us: Long, value: Double, n_seen: Long)
 

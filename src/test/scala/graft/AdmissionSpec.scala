@@ -301,6 +301,39 @@ class AdmissionSpec extends SparkTestBase {
     assert(recv.stats.shedSamples.get() == 1L)
   }
 
+  test("excess-log safety gate wired in the receiver's log pipeline") {
+    val dir = Files.createTempDirectory("graftadm4").toString
+    val recv = new OtlpReceiver(spark, dir,
+      logSafety = Some(graft.streaming.LogSafety.Config(
+        softMaxRatePerSecond = 2, onExcess = "drop")))
+    val port = recv.start()
+    val aport = recv.startAdmin()
+    try {
+      // 6 records in one event-time second: the gate admits 2
+      (0 until 6).foreach { i =>
+        val (c, _) = post(s"http://127.0.0.1:$port/v1/logs", logPayload(i))
+        assert(c == 200)
+      }
+      recv.flush()
+      assert(recv.safetyStats.snapshot("dropped_rate_limit") == 4L)
+      // the admin storage view surfaces the decisions
+      val conn = java.net.URI.create(s"http://127.0.0.1:$aport/api/v1/storage")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      assert(body.contains(""""log_safety":{"""), body)
+      assert(body.contains(""""dropped_rate_limit":4"""), body)
+    } finally recv.stop()
+    val stored = spark.read.parquet(s"$dir/logs")
+    assert(stored.count() == 2)
+    // enriched extras (service_name from resource attrs) survive the
+    // gate's pack/unpack round-trip alongside the core columns
+    val r = stored.select(col("service_name"), col("body"),
+      element_at(col("attrs"), "app")).head()
+    assert(r.getString(0) == "api")
+    assert(r.getString(1).startsWith("admission line"))
+    assert(r.getString(2) == "adm")
+  }
+
   test("gRPC edge: oversized message and rate shed answer RESOURCE_EXHAUSTED (8)") {
     import io.netty.bootstrap.Bootstrap
     import io.netty.buffer.Unpooled
