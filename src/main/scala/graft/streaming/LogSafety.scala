@@ -261,7 +261,12 @@ object LogSafety {
     val rest = redact(logs.filter(!isSafety), cfg)
     if (cfg.softMaxRatePerSecond <= 0 && cfg.hardMaxRatePerSecond <= 0)
       return safety.unionByName(rest)
-    val decided = decide(rest, cfg)
+    // one micro-batch-sized materialization point: the kept rows and
+    // BOTH synthetic builders read the decision frame, and without it
+    // each branch re-runs the scan + rank windows (3× the stages for
+    // zero extra information — the reference's handler holds the batch
+    // in memory at exactly this point)
+    val decided = decide(rest, cfg).localCheckpoint(false)
     val kept = decided
       .filter(col("__decision").isin("kept", "sampled"))
       .drop(aux: _*)
@@ -277,7 +282,7 @@ object LogSafety {
   def decisions(logs: DataFrame, cfg: Config): DataFrame = {
     cfg.validate()
     val rest = logs.filter(!isSafety)
-    val decided = decide(redact(rest, cfg), cfg)
+    val decided = decide(redact(rest, cfg), cfg).localCheckpoint(false)
     val perRecord = decided.filter(col("__decision") =!= "kept")
       .groupBy(col("__decision").as("decision"))
       .agg(count(lit(1)).as("n"))
