@@ -54,6 +54,11 @@ final class AdminApi(
     server.createContext("/api/v1/storage/efficiency", handler(_ => efficiency()))
     server.createContext("/api/v1/storage", handler(_ => storage()))
     server.createContext("/api/v1/actions/", handler(runAction))
+    // debug pages — the reference ships these as autozpages (OTel SDK
+    // zpages mounted next to the admin surface); the JVM-true analogue
+    // is a thread dump and the engine's live job/query state
+    server.createContext("/debug/threadz", handler(_ => threadz()))
+    server.createContext("/debug/queryz", handler(_ => queryz()))
     server.start()
     server.getAddress.getPort
   }
@@ -172,6 +177,40 @@ final class AdminApi(
         s""""stored_bytes":$bytes,"bytes_per_point":$bpp}"""
     }.mkString(",")
     s"""{"storage_enabled":${layouts.nonEmpty},"signals":[$sigs]}"""
+  }
+
+  /** Thread dump, bounded to the top frames per thread. */
+  private def threadz(): String = {
+    val threads = Thread.getAllStackTraces
+    val items = new scala.collection.mutable.ArrayBuffer[String]
+    threads.forEach { (t, stack) =>
+      val frames = stack.take(6).map(f => q(f.toString)).mkString(",")
+      items += s"""{"name":${q(t.getName)},"state":${q(t.getState.toString)},""" +
+        s""""daemon":${t.isDaemon},"frames":[$frames]}"""
+    }
+    s"""{"thread_count":${threads.size},"threads":[${items.sortBy(identity).mkString(",")}]}"""
+  }
+
+  /** Live engine state: active Spark jobs/stages (status tracker) and
+    * active Structured Streaming queries — the "what is it doing right
+    * now" page an on-call opens first.
+    */
+  private def queryz(): String = {
+    val st = spark.sparkContext.statusTracker
+    val jobs = st.getActiveJobIds().toSeq.sorted.flatMap { id =>
+      st.getJobInfo(id).map { j =>
+        s"""{"job_id":$id,"status":${q(j.status().toString)},""" +
+          s""""stages":[${j.stageIds().mkString(",")}]}"""
+      }
+    }
+    val streams = spark.streams.active.toSeq.sortBy(_.name == null).map { s0 =>
+      s"""{"id":${q(s0.id.toString)}""" +
+        Option(s0.name).fold("")(n => s""","name":${q(n)}""") +
+        s""","is_active":${s0.isActive}}"""
+    }
+    s"""{"active_jobs":[${jobs.mkString(",")}],""" +
+      s""""active_streams":[${streams.mkString(",")}],""" +
+      s""""default_parallelism":${spark.sparkContext.defaultParallelism}}"""
   }
 
   private def runAction(ex: HttpExchange): String = {

@@ -161,6 +161,13 @@ class AdminApiSpec extends SparkTestBase {
       assert(c5 == 400 && bad.contains("unknown action"))
       val (c6, meth) = get(s"http://127.0.0.1:$port/api/v1/actions/gc")
       assert(c6 == 405 && meth.contains("not allowed"))
+      // debug pages (the reference's autozpages surface)
+      val (c7, tz) = get(s"http://127.0.0.1:$port/debug/threadz")
+      assert(c7 == 200 && tz.contains(""""thread_count":""") &&
+        tz.contains("graft-admin"), tz.take(200))
+      val (c8, qz) = get(s"http://127.0.0.1:$port/debug/queryz")
+      assert(c8 == 200 && qz.contains(""""active_jobs":""") &&
+        qz.contains(""""default_parallelism":"""), qz)
     } finally api.stop()
   }
 }
