@@ -178,6 +178,14 @@ object ScaleProbe {
           graft.SparkEntry.queries("logql_e2e_group_left")(spark, dir).count()
         }
       }
+      // excess-log safety: event replication multiplies the per-second
+      // flood rate (same seconds, factor× records each), so the shed
+      // fraction grows while keep counts stay fixed — the rank windows
+      // partition by (key, second) and must scale with partition mass
+      for (q <- Seq("src_safety_compact", "src_safety_sample") if want(q))
+        time3(q, tag) {
+          graft.SparkEntry.queries(q)(spark, dir).count()
+        }
       // decontamination: the broadcast benchmark-gram side grows with
       // the EVAL set (here 1/20 of docs), the corpus side only scans —
       // growth should track the doc count, never gram-pair products

@@ -239,10 +239,16 @@ object LogSafety {
       .withColumn("__rn", row_number().over(wSlot))
       .filter(col("__rn") === 1)
       .withColumn("body", lit(TruncatedBody))
-      .withColumn("attrs", map_concat(col("attrs"), map(
-        lit(TruncatedAttr), col("__n").cast("string"),
-        lit(WindowStartAttr), col("__slot").cast("string"),
-        lit(WindowEndAttr), (col("__slot") + cfg.compactWindowNs).cast("string"))))
+      // a record carrying ONLY window_start/_end attrs is not a safety
+      // record (no count key) and would collide in map_concat — the
+      // synthetic's values win, as in the reference's PutStr overwrite
+      .withColumn("attrs", map_concat(
+        map_filter(col("attrs"),
+          (k, _) => !k.isin(TruncatedAttr, WindowStartAttr, WindowEndAttr)),
+        map(
+          lit(TruncatedAttr), col("__n").cast("string"),
+          lit(WindowStartAttr), col("__slot").cast("string"),
+          lit(WindowEndAttr), (col("__slot") + cfg.compactWindowNs).cast("string"))))
       .drop("__n", "__rn").drop(aux: _*)
   }
 

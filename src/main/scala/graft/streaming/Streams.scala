@@ -404,9 +404,13 @@ object Streams {
     require(!cfg.keyFields.contains(SafetyRestKey) &&
       !cfg.redactFields.contains(SafetyRestKey),
       s"$SafetyRestKey is reserved")
+    // strip an incoming reserved key first: map_concat throws on
+    // duplicates, so a crafted record carrying it would poison the batch
     val packed = logs.select(col("ts_ns"), col("body"),
-      map_concat(col("attrs"), map(lit(SafetyRestKey),
-        to_json(struct(extras.map(f => col(f.name)): _*)))).as("attrs"))
+      map_concat(
+        map_filter(col("attrs"), (k, _) => k =!= SafetyRestKey),
+        map(lit(SafetyRestKey),
+          to_json(struct(extras.map(f => col(f.name)): _*)))).as("attrs"))
     val gated = safetyGate(packed, cfg, metrics, lateness)
     gated
       .withColumn("__rest", from_json(

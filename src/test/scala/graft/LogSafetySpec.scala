@@ -175,6 +175,23 @@ class LogSafetySpec extends SparkTestBase {
     assert(perSvc == Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
   }
 
+  test("crafted attrs don't poison synthetics: window-attr collisions overwrite") {
+    // records already carrying oteldb.window_start (but NO count key,
+    // so not safety records) route to truncate; the synthetic's values
+    // must win instead of map_concat throwing on the duplicate
+    val rows = Seq(
+      (0L, "a", Map(LogSafety.WindowStartAttr -> "bogus")),
+      (10000000L, "b", Map(LogSafety.WindowStartAttr -> "bogus")),
+      (20000000L, "c", Map(LogSafety.WindowStartAttr -> "bogus")))
+    val out = LogSafety(df(rows),
+      LogSafety.Config(softMaxRatePerSecond = 1, onExcess = "truncate",
+        compactWindowNs = 10 * S))
+    val syn = out.filter(map_contains_key(col("attrs"), LogSafety.TruncatedAttr))
+      .collect()
+    assert(syn.length == 1)
+    assert(syn.head.getMap[String, String](2)(LogSafety.WindowStartAttr) == "0")
+  }
+
   test("config validation mirrors the reference") {
     intercept[IllegalArgumentException](
       LogSafety.Config(softMaxRatePerSecond = -1).validate())
