@@ -29,6 +29,8 @@ final class QueryProxy(
 
   private var server: HttpServer = _
 
+  private final class BodyTooLarge(msg: String) extends RuntimeException(msg)
+
   final class RouteStats {
     val requests = new LongAdder
     val errors = new LongAdder
@@ -100,7 +102,8 @@ final class QueryProxy(
           .find { case (prefix, _) => path.startsWith(prefix) } match {
           case None =>
             (404, "application/json",
-              s"""{"error_message":"no route for ${route}"}""".getBytes("UTF-8"))
+              s"""{"error_message":${ApiEncoders.jsonString(
+                s"no route for $route")}}""".getBytes("UTF-8"))
           case Some((_, base)) =>
             try {
               val q = Option(ex.getRequestURI.getRawQuery)
@@ -114,16 +117,29 @@ final class QueryProxy(
               }
               if (ex.getRequestMethod == "POST" || ex.getRequestMethod == "PUT") {
                 conn.setDoOutput(true)
-                val in = ex.getRequestBody.readNBytes(maxBodyBytes)
+                // never forward a silently-truncated body: over-cap
+                // requests fail typed at the proxy edge
+                val in = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+                if (in.length > maxBodyBytes)
+                  throw new BodyTooLarge(s"request body exceeds $maxBodyBytes bytes")
                 val os = conn.getOutputStream
                 try os.write(in) finally os.close()
               }
               val c = conn.getResponseCode
               val is = if (c >= 400) conn.getErrorStream else conn.getInputStream
-              val b = Option(is).map(_.readNBytes(maxBodyBytes))
+              val b = Option(is).map(_.readNBytes(maxBodyBytes + 1))
                 .getOrElse(Array.emptyByteArray)
+              // a truncated upstream response with a 200 would hand the
+              // client corrupt JSON: surface it as a gateway error
+              if (b.length > maxBodyBytes)
+                throw new java.io.IOException(
+                  s"upstream response exceeds $maxBodyBytes bytes")
               (c, Option(conn.getContentType).getOrElse("application/json"), b)
             } catch {
+              case e: BodyTooLarge =>
+                (413, "application/json",
+                  s"""{"error_message":${ApiEncoders.jsonString(e.getMessage)}}"""
+                    .getBytes("UTF-8"))
               case e: Exception => // transport failure → 502, counted
                 (502, "application/json",
                   s"""{"error_message":${ApiEncoders.jsonString(

@@ -828,8 +828,13 @@ object PromQL {
         val agg = fn.dropRight("_over_time".length)
         val rangeUs = rangeNs / 1000
         val end = evalTsUs - offsetNs / 1000
-        RollupTiers.select(tiers.keys.toSeq, rangeUs, agg)
-          .filter(i => end % i == 0) match {
+        // coarsest tier satisfying BOTH window tiling AND eval-time
+        // alignment — checking alignment only on select()'s single
+        // answer would fall back to a raw scan when a FINER maintained
+        // tier serves the query exactly (e.g. 1d window at 02:00 over
+        // {1h, 6h}: 6h misaligns, 1h is exact)
+        RollupTiers.select(
+          tiers.keys.toSeq.filter(i => end % i == 0), rangeUs, agg) match {
           case Some(i) =>
             val v = agg match {
               case "count" => sum(col("n")).cast("double")

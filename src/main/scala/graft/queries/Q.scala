@@ -70,9 +70,14 @@ object Fixtures {
   // Resolved-relation reuse (the Testdata.cached discipline): without
   // it every query re-lists and re-infers the fixture parquet — a
   // driver-side job or two per query, pure scheduling floor across a
-  // 240-query bench run. Keyed by session so restarts re-resolve.
+  // 240-query bench run. Keyed by session so restarts re-resolve;
+  // stopped sessions' entries are swept on access so a long JVM
+  // running many sessions (the test runner) doesn't pin their plans.
   private val readCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
+
+  private def sweepStopped(): Unit =
+    readCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
 
   /** Ingest-materialized span fixture: `build` runs ONCE per
     * (sfDir, name) — through [[graft.sources.Layout.withParentPath]],
@@ -128,6 +133,7 @@ object Fixtures {
         if (!tmp.renameTo(target)) deleteRec(tmp)
       }
     }
+    sweepStopped()
     readCache.computeIfAbsent((spark, target.getPath),
       { case (s, p) => s.read.parquet(p) })
   }

@@ -135,6 +135,10 @@ object FlowIngest {
       "hubble.trace_observation_point" -> g("traceObservationPoint"),
       "hubble.drop_reason" -> g("dropReasonDesc"),
       "hubble.is_reply" -> g("isReply"),
+      // NB: source LABELS are deliberately not mapped — the reference
+      // receiver maps only destination labels (translator.go:57-83
+      // puts src workloads but no src labels); the schema still parses
+      // them for forward-compat
       "hubble.src.workload.names" ->
         jsonOrNull(g("source.workloads").getField("name")),
       "hubble.src.workload.kinds" ->

@@ -166,10 +166,15 @@ object LogSafety {
     // compact routing needs per-(key, slot) ordinals and the per-slot
     // key rank for the bucket cap — windows over the compact subset
     // only, merged back by marking everything else rank/co = null
+    // the bucket cap ranks BODY-keyed buckets within a rate scope
+    // (reference shape: global rate window + CompactKeyFields buckets);
+    // with keyFields set, rate key == compact key, so every scope holds
+    // one bucket and the cap cannot bind — matching the streaming gate,
+    // whose state is keyed by (rate key, slot)
     val wCo = Window.partitionBy(col("__ckey"), col("__slot"))
       .orderBy(ordered: _*)
     val wKeyFirst = Window.partitionBy(col("__ckey"), col("__slot"))
-    val wKeyRank = Window.partitionBy(col("__slot"))
+    val wKeyRank = Window.partitionBy(col("__rkey"), col("__slot"))
       .orderBy(col("__kfirst"), col("__ckey"))
     val compacts = base.filter(col("__mode") === "compact")
       .withColumn("__co", row_number().over(wCo))
@@ -231,11 +236,15 @@ object LogSafety {
   private def truncateSynthetics(decided: DataFrame, cfg: Config): DataFrame = {
     if (cfg.compactWindowNs <= 0)
       return decided.filter(lit(false)).drop(aux: _*)
+    // one synthetic per (rate key, slot) — keyed configs scope the
+    // truncation window like everything else (and like the streaming
+    // gate's state key); the global key makes this per-slot
     val truncs = decided.filter(col("__decision") === "dropped_truncate")
-    val wSlot = Window.partitionBy(col("__slot"))
+    val wSlot = Window.partitionBy(col("__rkey"), col("__slot"))
       .orderBy(col("ts_ns"), col("body"))
     truncs
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__slot"))))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col("__rkey"), col("__slot"))))
       .withColumn("__rn", row_number().over(wSlot))
       .filter(col("__rn") === 1)
       .withColumn("body", lit(TruncatedBody))
@@ -308,6 +317,7 @@ object LogSafety {
     val droppedRateLimit: LongAccumulator = sc.longAccumulator("graft.safety.dropped_rate_limit")
     val droppedSample: LongAccumulator = sc.longAccumulator("graft.safety.dropped_sample")
     val droppedTruncate: LongAccumulator = sc.longAccumulator("graft.safety.dropped_truncate")
+    val droppedLate: LongAccumulator = sc.longAccumulator("graft.safety.dropped_late")
     val sampled: LongAccumulator = sc.longAccumulator("graft.safety.sampled")
     val collapsed: LongAccumulator = sc.longAccumulator("graft.safety.collapsed")
     val compacted: LongAccumulator = sc.longAccumulator("graft.safety.compacted")
@@ -315,6 +325,7 @@ object LogSafety {
       "dropped_rate_limit" -> droppedRateLimit.value,
       "dropped_sample" -> droppedSample.value,
       "dropped_truncate" -> droppedTruncate.value,
+      "dropped_late" -> droppedLate.value,
       "sampled" -> sampled.value,
       "collapsed" -> collapsed.value,
       "compacted" -> compacted.value)

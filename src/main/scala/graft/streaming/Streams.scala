@@ -302,6 +302,16 @@ object Streams {
             val out = synthetics(state.get)
             state.remove()
             out
+          } else if (state.getOption.isEmpty &&
+            (slot + slotNs) / 1000000L <= state.getCurrentWatermarkMs()) {
+            // a record for a slot whose timeout already fired would
+            // otherwise RESURRECT empty state (Spark does not drop late
+            // rows before flatMapGroupsWithState): it would re-enter at
+            // rate position 1 and later emit a DUPLICATE synthetic for
+            // the slot. The watermark contract applies instead: records
+            // past their slot's close are dropped, counted.
+            metrics.foreach(_.droppedLate.add(rows.size.toLong))
+            Iterator.empty
           } else {
             var s = state.getOption.getOrElse(
               GateState(Map.empty, Vector.empty, 0, None))

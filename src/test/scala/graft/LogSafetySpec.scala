@@ -157,22 +157,47 @@ class LogSafetySpec extends SparkTestBase {
     assert(out.count() == 6) // 2+2 kept + 2 synthetics
   }
 
-  test("bucket cap: later keys fall back to the sample rule") {
-    // 3 keys flood; cap=2 admits svc a,b buckets; svc c excess records
-    // take the sampler (first=1 → keep only its first excess)
-    val rows = burst(0, 4, svc = "a") ++
-      burst(0, 4, svc = "b").map(t => t.copy(_1 = t._1 + 1000000L)) ++
-      burst(0, 4, svc = "c").map(t => t.copy(_1 = t._1 + 2000000L))
+  test("bucket cap: later body-keyed buckets fall back to the sample rule") {
+    // the cap binds in the reference's config space: GLOBAL rate key,
+    // buckets keyed by body (keyFields empty). Three repeated bodies
+    // interleave in one second; cap=2 admits the first two bodies'
+    // buckets, the third body's excess takes the sampler
+    val rows = (0 until 12).map(i =>
+      (i * 10000000L, "b" + (i % 3), Map.empty[String, String]))
     val out = LogSafety(df(rows),
       LogSafety.Config(softMaxRatePerSecond = 1, onExcess = "compact",
         compactWindowNs = 10 * S, compactThreshold = 10,
-        compactMaxBuckets = 2, sampleFirst = 1, sampleThereafter = 0,
-        keyFields = Seq("svc")))
-    val perSvc = out.filter(!map_contains_key(col("attrs"), LogSafety.CollapsedAttr))
-      .groupBy(element_at(col("attrs"), "svc")).count()
+        compactMaxBuckets = 2, sampleFirst = 1, sampleThereafter = 0))
+    val perBody = out.filter(!map_contains_key(col("attrs"), LogSafety.CollapsedAttr))
+      .groupBy("body").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // a, b: all 4 kept (threshold 10 never hit); c: pos-1 consume + 1 sampled
-    assert(perSvc == Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+    // pos1 = b0@0 consumes; buckets first-seen b1@10ms, b2@20ms fill the
+    // cap; b0's compact-routed records rank over-cap → sample rule with
+    // first=1 keeps none (their excess ordinals are 3, 6, 9)
+    assert(perBody == Map("b0" -> 1L, "b1" -> 4L, "b2" -> 4L))
+    // with a per-key config the cap cannot bind (one bucket per scope,
+    // matching the streaming gate's state key): everything under
+    // threshold survives
+    val keyed = LogSafety(df(burst(0, 4, svc = "a") ++
+        burst(0, 4, svc = "b").map(t => t.copy(_1 = t._1 + 1000000L))),
+      LogSafety.Config(softMaxRatePerSecond = 1, onExcess = "compact",
+        compactWindowNs = 10 * S, compactThreshold = 10,
+        compactMaxBuckets = 1, keyFields = Seq("svc")))
+    assert(keyed.count() == 8)
+  }
+
+  test("keyed truncate scopes windows per key: one synthetic each") {
+    val rows = burst(0, 3, svc = "a") ++
+      burst(0, 3, svc = "b").map(t => t.copy(_1 = t._1 + 1000000L))
+    val out = LogSafety(df(rows),
+      LogSafety.Config(softMaxRatePerSecond = 1, onExcess = "truncate",
+        compactWindowNs = 10 * S, keyFields = Seq("svc")))
+    val syn = out.filter(map_contains_key(col("attrs"), LogSafety.TruncatedAttr))
+      .collect().map(r => (r.getMap[String, String](2)("svc"),
+        r.getMap[String, String](2)(LogSafety.TruncatedAttr))).sorted.toSeq
+    // each key's window drops its OWN 2 excess records — counts are not
+    // merged across keys (matches the streaming gate's per-key state)
+    assert(syn == Seq(("a", "2"), ("b", "2")))
   }
 
   test("crafted attrs don't poison synthetics: window-attr collisions overwrite") {

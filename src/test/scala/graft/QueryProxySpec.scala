@@ -49,9 +49,13 @@ class QueryProxySpec extends SparkTestBase {
       val (c2, vals) =
         get(s"http://127.0.0.1:$port/api/v1/label/h/values")
       assert(c2 == 200 && vals.contains("\"a\""), vals)
-      // unknown route → 404 at the proxy, still counted
-      val (c3, _) = get(s"http://127.0.0.1:$port/nothing/here")
+      // unknown route → 404 at the proxy, still counted; a path with
+      // quotes must come back as VALID JSON (escaped, not injected)
+      val (c3, nf) = get(s"http://127.0.0.1:$port/nothing/here")
       assert(c3 == 404)
+      val (c3b, inj) = get(s"http://127.0.0.1:$port/no%22,%22x%22:%22y")
+      assert(c3b == 404 && inj.contains("\\\"") && !inj.contains("\"x\":\"y\""),
+        s"quotes must be escaped: $inj")
       val st = proxy.routeStats
       assert(st("/loki/api/v1/query_range")._1 == 1L)
       assert(st("/api/v1/label/{name}/values")._1 == 1L,

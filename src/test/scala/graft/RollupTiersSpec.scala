@@ -86,5 +86,13 @@ class RollupTiersSpec extends SparkTestBase {
     // unaligned eval time falls back rather than serving a shifted window
     val off = vals(PromQL.instantWithTiers("sum_over_time(m[2h])", pts, t + 7, tiers))
     assert(off == vals(PromQL.instant("sum_over_time(m[2h])", pts, t + 7)))
+    // an eval time aligned to a FINER tier only (t+2h ≡ 0 mod 1h but
+    // not mod 6h over a 12h window) serves from the 1h tier, not raw
+    // (avg keeps the decimal sum column visible in the tier plan)
+    val t2 = t + 2 * HU
+    val fineDf = PromQL.instantWithTiers("avg_over_time(m[12h])", pts, t2, tiers)
+    assert(fineDf.queryExecution.optimizedPlan.toString.contains("sum_dec"),
+      "finer aligned tier must serve instead of falling back to raw")
+    assert(vals(fineDf) == vals(PromQL.instant("avg_over_time(m[12h])", pts, t2)))
   }
 }

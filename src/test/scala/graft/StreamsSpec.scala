@@ -178,6 +178,40 @@ class StreamsSpec extends SparkTestBase {
     assert(metrics.snapshot("compacted") == 1L)
   }
 
+  test("safetyGate: late records for a closed slot drop instead of resurrecting state") {
+    val S = 1000000000L
+    val input = MemoryStream[(Long, String, Map[String, String])](spark)
+    val logs = input.toDF().toDF("ts_ns", "body", "attrs")
+    val metrics = new graft.streaming.LogSafety.Metrics(spark.sparkContext)
+    val cfg = graft.streaming.LogSafety.Config(
+      softMaxRatePerSecond = 1, onExcess = "compact",
+      compactWindowNs = 10 * S, compactThreshold = 2, keyFields = Seq("svc"))
+    val query = Streams.safetyGate(logs, cfg, Some(metrics))
+      .writeStream.format("memory").queryName("safety_late")
+      .outputMode("append").start()
+    val a = Map("svc" -> "a")
+    input.addData((100000000L, "m0", a), (200000000L, "m1", a), (300000000L, "m2", a))
+    query.processAllAvailable()
+    // advance the watermark far past slot 0 → its synthetic flushes
+    input.addData((60 * S, "later", a))
+    query.processAllAvailable()
+    // a LATE record for the closed slot must not re-open it (no second
+    // synthetic, no record admitted at a reset rate position)
+    input.addData((400000000L, "late!", a))
+    query.processAllAvailable()
+    input.addData((120 * S, "even-later", a))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("safety_late").collect().map(_.getString(1)).toSeq
+    // Spark's stateful-operator watermark filter drops the late row
+    // before the gate; the gate's own closed-slot guard (dropped_late)
+    // is the defense for rows that slip past it in the same batch the
+    // watermark advances. Either way the invariant holds:
+    assert(!out.contains("late!"), s"late record must drop, got $out")
+    assert(out.count(_ == "m1") == 2, // kept once + one synthetic clone
+      s"exactly one synthetic for the closed slot, got $out")
+  }
+
   test("safetyGate: truncate emits one synthetic per closed window slot") {
     val S = 1000000000L
     val input = MemoryStream[(Long, String, Map[String, String])](spark)
