@@ -104,5 +104,58 @@ object QueriesSafety extends QueryPack {
          |JOIN drops d ON f.et = d.et AND f.slot = d.slot
          |ORDER BY f.ts_ns, f.et""".stripMargin))
 
-  def queries: Seq[Q] = Seq(safetySample, safetyCompact)
+  /** ClickHouse span-log consumer (reference chreceiver +
+    * internal/chotel): include/exclude glob filter then per-trace
+    * same-name collapse over a span-log-shaped view of events —
+    * min-start/max-finish extents and per-key LAST-wins attribute
+    * merge (filter.go:89-116), replayed in DuckDB with arg-max
+    * structs. Det: integral µs math throughout; (finish, span_id)
+    * ties broken by the unique span_id on both sides.
+    */
+  val chSpanLogCollapse: Q = {
+    import graft.sources.ChSpanLog
+    Q(
+      "src_chspanlog_collapse",
+      (s: SparkSession, dir: String) => {
+        val sl = Testdata(s, dir).events.select(
+          col("user_id").as("trace_id"),
+          col("event_id").as("span_id"),
+          lit(0L).as("parent_span_id"),
+          col("event_type").as("operation_name"),
+          lit(1).as("kind"),
+          expr("ts div 1000").as("start_time_us"),
+          (expr("ts div 1000") +
+            round(col("value") * 1000, 0).cast("long")).as("finish_time_us"),
+          map(
+            lit("read_rows"), (col("user_id") % 100).cast("string"),
+            lit("host"), concat(lit("ch-"), (col("event_id") % 3).cast("string")))
+            .as("attribute"))
+        val filtered = ChSpanLog.filterSpans(sl,
+          ChSpanLog.FilterConfig(include = Seq("*e*"), exclude = Seq("v*"),
+            collapse = true))
+        ChSpanLog.collapseSpans(filtered)
+          .select(col("trace_id"), col("operation_name").as("name"),
+            col("start_time_us"), col("finish_time_us"),
+            element_at(col("attribute"), "read_rows").as("read_rows"),
+            element_at(col("attribute"), "host").as("host"))
+          .orderBy("trace_id", "name")
+      },
+      Some(
+        """WITH sl AS (
+          |  SELECT user_id AS trace_id, event_id AS span_id,
+          |    event_type AS name,
+          |    epoch_ns(ts)//1000 AS start_us,
+          |    epoch_ns(ts)//1000 + CAST(round(value*1000,0) AS BIGINT) AS finish_us,
+          |    CAST(user_id % 100 AS VARCHAR) AS read_rows,
+          |    'ch-' || CAST(event_id % 3 AS VARCHAR) AS host
+          |  FROM events),
+          |f AS (SELECT * FROM sl WHERE name LIKE '%e%' AND name NOT LIKE 'v%')
+          |SELECT trace_id, name, MIN(start_us) AS start_time_us,
+          |  MAX(finish_us) AS finish_time_us,
+          |  (max({'f': finish_us, 's': span_id, 'r': read_rows})).r AS read_rows,
+          |  (max({'f': finish_us, 's': span_id, 'h': host})).h AS host
+          |FROM f GROUP BY trace_id, name ORDER BY trace_id, name""".stripMargin))
+  }
+
+  def queries: Seq[Q] = Seq(safetySample, safetyCompact, chSpanLogCollapse)
 }
