@@ -212,6 +212,45 @@ class StreamsSpec extends SparkTestBase {
       s"exactly one synthetic for the closed slot, got $out")
   }
 
+  test("safetyGate output equals the batch transform on the same records") {
+    val S = 1000000000L
+    val cfg = graft.streaming.LogSafety.Config(
+      softMaxRatePerSecond = 1, onExcess = "compact",
+      compactWindowNs = 10 * S, compactThreshold = 2,
+      truncateThreshold = 3, keyFields = Seq("svc"))
+    // two keys flooding one second: consume, keep, collapse, escalate.
+    // (base offset keeps event times past epoch 0 — a row AT the
+    // initial watermark is dropped by Spark's stateful late-row filter)
+    val base = 100 * S
+    val rows = (0 until 5).flatMap { i =>
+      Seq((base + i * 10000000L, s"a$i", Map("svc" -> "a")),
+        (base + i * 10000000L + 1000000L, s"b$i", Map("svc" -> "b")))
+    }
+    def shape(df: org.apache.spark.sql.DataFrame): Set[(String, Option[String], Option[String])] =
+      df.collect().map { r =>
+        val m = r.getMap[String, String](2)
+        (r.getString(1), m.get(graft.streaming.LogSafety.CollapsedAttr),
+          m.get(graft.streaming.LogSafety.TruncatedAttr))
+      }.toSet
+    val batch = shape(graft.streaming.LogSafety(
+      rows.toDF("ts_ns", "body", "attrs"), cfg))
+
+    val input = MemoryStream[(Long, String, Map[String, String])](spark)
+    val query = Streams.safetyGate(
+      input.toDF().toDF("ts_ns", "body", "attrs"), cfg)
+      .writeStream.format("memory").queryName("safety_equiv")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    input.addData((base + 60 * S, "close", Map("svc" -> "z"))) // close the slot
+    query.processAllAvailable()
+    query.stop()
+    val streaming = shape(spark.table("safety_equiv")
+      .where("body <> 'close'"))
+    assert(streaming == batch,
+      s"streaming $streaming\nvs batch $batch")
+  }
+
   test("safetyGate: truncate emits one synthetic per closed window slot") {
     val S = 1000000000L
     val input = MemoryStream[(Long, String, Map[String, String])](spark)
