@@ -186,6 +186,12 @@ object ScaleProbe {
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }
+      // ch span-log collapse: two (trace, name)-keyed aggregations —
+      // output grows with trace cardinality (users), never raw events
+      if (want("src_chspanlog_collapse"))
+        time3("src_chspanlog_collapse", tag) {
+          graft.SparkEntry.queries("src_chspanlog_collapse")(spark, dir).count()
+        }
       // decontamination: the broadcast benchmark-gram side grows with
       // the EVAL set (here 1/20 of docs), the corpus side only scans —
       // growth should track the doc count, never gram-pair products
