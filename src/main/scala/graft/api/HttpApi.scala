@@ -51,7 +51,8 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     exemplars: Option[DataFrame] = None,
     series: Option[DataFrame] = None,
     limits: Limits.ResultLimits = Limits.ResultLimits(),
-    rules: Seq[graft.promql.Rules.RuleGroup] = Nil) {
+    rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
+    cube: Option[graft.traceql.TraceQL.AttrCube] = None) {
 
   private var server: HttpServer = _
 
@@ -592,12 +593,37 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     * (tempohandler.go:101-120); we run the engine. start/end bound the
     * span scan BEFORE planning, like every other route.
     */
+  /** The maintained attr-count cube, pre-filtered to the request
+    * window when that window is expressible on it: with [start, end)
+    * grain-aligned, bucket ∈ [s, e) ⟺ span start ∈ [s, e), so the
+    * cube filter is exactly the span window filter. Unaligned or
+    * `since`-relative windows (wall-clock-derived, never aligned)
+    * return None and the engine takes the explode path over the
+    * already-windowed spans — same results, slower plan.
+    */
+  private def cubeFor(p: Map[String, String])
+      : Option[graft.traceql.TraceQL.AttrCube] =
+    cube.flatMap { c =>
+      val lo = p.get("start").filter(_.nonEmpty).map(toNs)
+      val hi = p.get("end").filter(_.nonEmpty).map(toNs)
+      val sinceSet = p.get("since").exists(_.nonEmpty)
+      val aligned = !sinceSet &&
+        lo.forall(_ % c.grainNs == 0) && hi.forall(_ % c.grainNs == 0)
+      if (!aligned) None
+      else {
+        val f1 = lo.fold(c.df)(v => c.df.filter(col("bucket_ns") >= v))
+        val f2 = hi.fold(f1)(v => f1.filter(col("bucket_ns") < v))
+        Some(c.copy(df = f2))
+      }
+    }
+
   private def tempoMetricsRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepNs = p.get("step").filter(_.nonEmpty)
       .map(s => (s.toDouble * 1e9).toLong).getOrElse(60000000000L)
     val sp = windowed(spans, p, "start_ns", 1L)
-    val (df, byKey) = graft.traceql.TraceQL.metricsRange(p("q"), sp, stepNs)
+    val (df, byKey) = graft.traceql.TraceQL.metricsRange(p("q"), sp, stepNs,
+      cube = cubeFor(p))
     ApiEncoders.tempoRangeMetrics(Limits.guardRows(df, limits.maxSampleRows),
       byKey)
   }
@@ -619,8 +645,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val startNs = bound("start").getOrElse(extent.getLong(0))
     val endNs = bound("end").getOrElse(extent.getLong(1) + 1)
     val sp = spans.filter(col("start_ns") >= startNs && col("start_ns") < endNs)
+    // explicit grain-aligned bounds ride the cube like the range path;
+    // extent-derived bounds are unaligned so cubeFor falls through and
+    // planCompare's own origin/step alignment check rejects the rest
     val (df, byKey) = graft.traceql.TraceQL.metricsRange(
-      p("q"), sp, endNs - startNs, originNs = startNs)
+      p("q"), sp, endNs - startNs, originNs = startNs, cube = cubeFor(p))
     ApiEncoders.tempoInstantMetrics(df, byKey)
   }
 

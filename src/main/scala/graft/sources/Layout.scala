@@ -110,6 +110,26 @@ object Layout {
       .option("parquet.bloom.filter.enabled#trace_id", "true")
       .parquet(path)
 
+  /** compare() attr-count rollup sidecar: the per-batch PARTIAL counts
+    * [[graft.traceql.TraceQL.compareAttrCounts]] emits, date-partitioned
+    * on the grain bucket like every other layout. Counts are additive,
+    * so streaming appends partial rows and readers merge with a
+    * sum(n) groupBy (the AggregatingMergeTree discipline) — no upsert
+    * machinery at 100 TB, and compaction can pre-merge a day at will
+    * via [[compactPartition]] with a sum transform.
+    */
+  def writeAttrCube(cube: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    cube
+      .withColumn("date",
+        date_format(timestamp_micros(expr("bucket_ns div 1000")), "yyyyMMdd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("attr"), col("attr_value"),
+        col("bucket_ns"))
+      .write.mode(mode)
+      .partitionBy("date")
+      .parquet(path)
+
   /** exemplars: daily partitions, ORDER BY (name, ts) — small next to
     * the points table (a few exemplars per series per scrape), read by
     * the query_exemplars endpoint's selector + time window.

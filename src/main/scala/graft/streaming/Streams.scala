@@ -964,17 +964,40 @@ object Streams {
 
   /** Batched span inserter: foreachBatch into the bloom-filtered,
     * (name, start)-sorted daily span layout (inserter_traces.go).
+    * `parent_path` ancestry is materialized inside
+    * [[graft.sources.Layout.writeSpans]] per micro-batch.
+    *
+    * `cubePath` (optional) keeps the compare() attr-count rollup
+    * ([[graft.traceql.TraceQL.AttrCube]]) LIVE: each micro-batch also
+    * appends its partial (bucket × dims × attr × value) counts to the
+    * sidecar layout — same incremental-extend shape as the hourly
+    * point rollup, same exactly-once commit protocol (the two layouts
+    * commit independently; a crash between them replays to the same
+    * final state because each marker short-circuits its own layout).
+    * Counts are additive, so per-batch partials need no merge at write
+    * time — [[graft.traceql.TraceQL.attrCubeFrom]] readers sum them.
     */
   def spansSink(stream: DataFrame, path: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      cubePath: String = null,
+      cubeDims: Seq[String] = Seq("name", "kind", "status_code"))
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.Layout.commitBatch(path, id)(
-          graft.sources.Layout.writeSpans(batch, _, mode = "overwrite"))
+        // both layouts derive from the batch: cache once, not re-read
+        val b = if (cubePath == null) batch else batch.persist()
+        try {
+          graft.sources.Layout.commitBatch(path, id)(
+            graft.sources.Layout.writeSpans(b, _, mode = "overwrite"))
+          if (cubePath != null)
+            graft.sources.Layout.commitBatch(cubePath, id)(
+              graft.sources.Layout.writeAttrCube(
+                graft.traceql.TraceQL.compareAttrCounts(
+                  b, cubeDims.filter(b.columns.contains)), _))
+        } finally if (cubePath != null) { b.unpersist(); () }
       }
       .trigger(trigger)
       .start()

@@ -818,6 +818,20 @@ object TraceQL {
       df.columns.toSet -- Set("bucket_ns", "attr", "attr_value", "n")
   }
 
+  /** Opens a streamed [[AttrCube]] sidecar layout
+    * ([[graft.sources.Layout.writeAttrCube]] under
+    * [[graft.streaming.Streams.spansSink]]). The stored rows are
+    * per-micro-batch PARTIAL counts; they stay partial here — every
+    * cube consumer ([[planCompare]]'s selection-split groupBy,
+    * [[rankCompareTopN]]'s totals) re-aggregates with sum(n), so
+    * partials merge exactly without a read-time shuffle of their own.
+    * The `date` partition column is dropped so [[AttrCube.dims]] sees
+    * only real dimension columns (bucket_ns carries the same pruning).
+    */
+  def attrCubeFrom(spark: org.apache.spark.sql.SparkSession, path: String,
+      grainNs: Long = 86400000000000L): AttrCube =
+    AttrCube(spark.read.parquet(path).drop("date"), grainNs)
+
   /** Builds the [[AttrCube]] frame from a spans table: one narrow
     * explode + one count shuffle, run once at ingest/compaction. Row
     * count is bounded by (time buckets × dim combos × attr values) —
@@ -826,7 +840,10 @@ object TraceQL {
     */
   def compareAttrCounts(spans0: DataFrame, dims: Seq[String],
       grainNs: Long = 86400000000000L): DataFrame = {
-    val spans = withResourceAttrs(spans0)
+    val withA =
+      if (spans0.columns.contains("attrs")) spans0
+      else spans0.withColumn("attrs", map().cast("map<string,string>"))
+    val spans = withResourceAttrs(withA)
     val keyCols = "bucket_ns" +: dims :+ "attr" :+ "attr_value"
     spans
       .select((col("start_ns") - (col("start_ns") % lit(grainNs)))

@@ -427,6 +427,45 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("tempo metrics compare() picks up the maintained cube when the request is grain-aligned") {
+    // the cube carries one marker attr the spans table does NOT: a
+    // response containing it proves the handler scanned the cube, not
+    // the spans (and its absence proves the fallback scanned spans)
+    val markered = spansDf.unionByName(Seq(
+      (9L, 1L, None: Option[Long], "child", 3000L, 100L,
+        Map("cube_only" -> "yes"))).toDF(
+      "trace_id", "span_id", "parent_span_id", "name", "start_ns",
+      "duration_ns", "attrs"))
+    val cube = graft.traceql.TraceQL.AttrCube(
+      graft.traceql.TraceQL.compareAttrCounts(markered, Seq("name")),
+      86400000000000L)
+    val api = new HttpApi(logsDf, pointsDf, spansDf, cube = Some(cube))
+    val port = api.start()
+    try {
+      val q = enc("""{ } | compare({name="child"})""")
+      // day-aligned step, no window → the cube serves the answer
+      val (c1, viaCube) = get(
+        s"http://127.0.0.1:$port/api/metrics/query_range?q=$q&step=86400")
+      assert(c1 == 200 && viaCube.contains("cube_only"), s"body: $viaCube")
+      // day-aligned [start, end) stays on the cube
+      val (c2, windowedCube) = get(
+        s"http://127.0.0.1:$port/api/metrics/query_range?q=$q&step=86400&start=0&end=86400")
+      assert(c2 == 200 && windowedCube.contains("cube_only"))
+      // instant with aligned explicit bounds rides it too
+      val (c3, instant) = get(
+        s"http://127.0.0.1:$port/api/metrics/query?q=$q&start=0&end=86400")
+      assert(c3 == 200 && instant.contains("cube_only"))
+      // sub-grain step can't tile from day buckets → explode fallback
+      val (c4, fallback) = get(
+        s"http://127.0.0.1:$port/api/metrics/query_range?q=$q&step=60")
+      assert(c4 == 200 && !fallback.contains("cube_only"))
+      // unaligned window → fallback over the windowed spans
+      val (c5, unaligned) = get(
+        s"http://127.0.0.1:$port/api/metrics/query_range?q=$q&step=86400&start=0&end=0.000002")
+      assert(c5 == 200 && !unaligned.contains("cube_only"))
+    } finally api.stop()
+  }
+
   test("tempo metrics instant query reduces the window to one value") {
     withApi { port =>
       val (code, body) = get(

@@ -538,6 +538,76 @@ class StreamsSpec extends SparkTestBase {
     assert(leafPath.toSet == Set(1L, 2L))
   }
 
+  test("spansSink maintains the compare() attr cube exactly-once across restarts") {
+    // the r11 gap: the AttrCube existed only as a batch fixture model;
+    // here the STREAMING sink extends it per micro-batch, and replayed
+    // generations add nothing (same commitBatch protocol as the rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scube").toString
+    val spool = s"$dir/spool"
+    val day1 = 1704067200000000000L // grain-aligned (bucket_ns % DayNs == 0)
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "trace_id LONG, span_id LONG, name STRING, kind INT, " +
+        "status_code INT, start_ns LONG, duration_ns LONG, " +
+        "attrs MAP<STRING,STRING>")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(sch).parquet(spool)
+      val q = Streams.spansSink(stream, s"$dir/spans", s"$dir/ckpt",
+        Trigger.AvailableNow(), cubePath = s"$dir/cube")
+      q.awaitTermination()
+    }
+    def cubeCounts: Map[(Long, String, String, String), Long] =
+      spark.read.parquet(s"$dir/cube")
+        .groupBy("bucket_ns", "name", "attr", "attr_value")
+        .agg(sum(col("n")).as("n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3)), r.getLong(4))).toMap
+    Seq(
+      (1L, 1L, "op", 2, 0, day1, 100L, Map("env" -> "prod")),
+      (2L, 1L, "op", 2, 2, day1 + 5000L, 200L, Map("env" -> "dev")))
+      .toDF("trace_id", "span_id", "name", "kind", "status_code",
+        "start_ns", "duration_ns", "attrs")
+      .write.mode("append").parquet(spool)
+    run()
+    assert(cubeCounts == Map(
+      (day1, "op", "env", "prod") -> 1L, (day1, "op", "env", "dev") -> 1L))
+    // replayed generation: checkpoint short-circuits, cube unchanged
+    run()
+    assert(cubeCounts((day1, "op", "env", "prod")) == 1L)
+    // a second micro-batch EXTENDS the cube: partial counts for the
+    // same key land as a new row and merge at read time
+    Seq((3L, 1L, "op", 2, 0, day1 + 9000L, 50L, Map("env" -> "prod")))
+      .toDF("trace_id", "span_id", "name", "kind", "status_code",
+        "start_ns", "duration_ns", "attrs")
+      .write.mode("append").parquet(spool)
+    run()
+    assert(cubeCounts == Map(
+      (day1, "op", "env", "prod") -> 2L, (day1, "op", "env", "dev") -> 1L))
+
+    // the streamed layout serves compare() with NO span scan and no
+    // per-query explode — the same plan shape the fixture cube pins
+    val cube = graft.traceql.TraceQL.attrCubeFrom(spark, s"$dir/cube")
+    assert(cube.dims == Set("name", "kind", "status_code"))
+    val spansBack = spark.read.parquet(s"$dir/spans")
+    val viaCube = graft.traceql.TraceQL.planMetrics(
+      """{ } | compare({ status = error })""", spansBack,
+      86400000000000L, cube = Some(cube))
+    val plan = viaCube.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("cube") && !plan.contains("Generate") &&
+      !plan.contains(s"$dir/spans"),
+      s"streamed-cube compare() must scan only the cube:\n$plan")
+    val viaExplode = graft.traceql.TraceQL.planMetrics(
+      """{ } | compare({ status = error })""", spansBack, 86400000000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(3), r.getString(0), r.getString(1), r.getString(2))
+    assert(
+      viaCube.select("meta_type", "attr", "attr_value", "bucket_ns", "n")
+        .collect().map(r => key(r) -> r.getDouble(4)).toMap ==
+      viaExplode.select("meta_type", "attr", "attr_value", "bucket_ns", "n")
+        .collect().map(r => key(r) -> r.getDouble(4)).toMap)
+  }
+
   test("decomposePoints flattens histogram records into mapped sub-series") {
     val df = Seq(
       (ts(0), "latency", "a=1", Some(0.5), None: Option[Long], None: Option[Double]),
