@@ -101,21 +101,41 @@ object Bench {
         sc.clearJobGroup()
         q.name -> dt
       }
-    // Two passes; the HEADLINE is pass 2 — the steady state of a
-    // long-lived server session, which is the regime the reference's
-    // BASELINE.md numbers were recorded in (a resident service fielding
-    // repeated queries, not a fresh process paying per-query codegen +
-    // plan-compilation once each). Pass 1 is reported alongside (full
-    // per-query cold map in BENCH_FULL.json) so one-time codegen/plan
-    // regressions stay visible.
+    // One cold pass, then THREE steady passes; the HEADLINE per-query
+    // value is the median of the steady samples. A single steady pass
+    // proved single-sample-fragile (r11: a 1.61s ghost on a query whose
+    // compute was flat and whose code hadn't changed; a 15s pass-2
+    // collapse from end-of-suite GC pressure in a driver boot) — the
+    // median of three absorbs one bad sample per query, and the
+    // inter-pass hygiene (drop accumulated cached relations, one full
+    // GC) keeps late passes from paying the earlier passes' heap. The
+    // steady regime is still what BASELINE.md's numbers were recorded
+    // in: a resident service fielding repeated queries. Pass 1 and the
+    // raw steady passes all land in BENCH_FULL.json so one-time
+    // codegen/plan regressions and per-sample spread stay visible.
     val pass1 = pass("p1")
-    val results = pass("p2")
+    val steadyTags = Seq("p2", "p3", "p4")
+    val steady = steadyTags.map { tag =>
+      spark.catalog.clearCache()
+      System.gc()
+      pass(tag)
+    }
     // the listener bus is async: wait until the task count stops moving
     // before reading the attribution map (one drain total, not per query)
     var prev = -1L
     while (prev != taskN.get()) { prev = taskN.get(); Thread.sleep(200) }
-    val compute = results.map { case (k, _) =>
-      k -> Option(groupMs.get(s"p2:$k")).fold(0.0)(_.get() / 1000.0 / cpus)
+    def med3(a: Double, b: Double, c: Double): Double =
+      Seq(a, b, c).sorted.apply(1)
+    val names = pass1.map(_._1)
+    val byName = steady.map(_.toMap)
+    val results = names.map { k =>
+      k -> med3(byName(0)(k), byName(1)(k), byName(2)(k))
+    }
+    val compute = names.map { k =>
+      val samples = steadyTags.map { tag =>
+        Option(groupMs.get(s"$tag:$k")).fold(0.0)(_.get() / 1000.0 / cpus)
+      }
+      k -> med3(samples(0), samples(1), samples(2))
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -123,8 +143,11 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val p1total = pass1.map(_._2).sum
     val computeTotal = compute.map(_._2).sum
+    val rawSteady = steadyTags.zip(steady).map { case (tag, xs) =>
+      "\"" + tag + "\":" + jmap(xs)
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","regime":"steady-state (pass 2 of 2)","pass1_total":$p1total,"compute_total":$computeTotal,"queries":$qs,"compute":${jmap(compute)},"pass1_queries":${jmap(pass1)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","regime":"steady-state (median of 3 passes, cache/GC hygiene between)","pass1_total":$p1total,"compute_total":$computeTotal,"queries":$qs,"compute":${jmap(compute)},"pass1_queries":${jmap(pass1)},"steady_passes":$rawSteady,"sf":"$sfDir"}"""
     println(full)
     // The driver keeps only a 2000-char stdout tail; a 200+-query map
     // (~7 KB) can never fit, so the full per-query timing map also goes
@@ -142,7 +165,7 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","regime":"steady-state","n":${results.size},"mean":${r3(mean)},"median":${r3(median)},"pass1_total":${r3(p1total)},"compute_total":${r3(computeTotal)},"compute_mean":${r3(computeMean)},"compute_note":"per-query operator compute from task metrics (sum task time / $cpus cores); wall minus compute is the local job-scheduling floor; compute_mean is the column comparable to BASELINE.md's 0.112s/query anchor","queries":$top,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","regime":"steady-state (median of 3)","n":${results.size},"mean":${r3(mean)},"median":${r3(median)},"pass1_total":${r3(p1total)},"compute_total":${r3(computeTotal)},"compute_mean":${r3(computeMean)},"compute_note":"per-query operator compute from task metrics (sum task time / $cpus cores); wall minus compute is the local job-scheduling floor; compute_mean is the column comparable to BASELINE.md's 0.112s/query anchor","queries":$top,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
