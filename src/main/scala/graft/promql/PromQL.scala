@@ -855,6 +855,75 @@ object PromQL {
     }
   }
 
+  /** RANGE query with a maintained tier set — the read-volume case the
+    * instant-only sidecar scope (storagebackend/overtime.go:23-140)
+    * leaves on raw samples: a dashboard's
+    * `count/sum/min/max/avg_over_time(sel[range])` evaluated on a step
+    * grid. When a tier tiles the window AND the whole grid lands on
+    * bucket edges ((start − offset) and step both multiples of the
+    * interval), EVERY window (t−range, t] is an exact union of
+    * end-labeled tier buckets, so the full range query reads
+    * `range/interval` stat rows per series per step off the coarsest
+    * such tier and never scans raw points. The plan is the same
+    * bucket→grid fan-out as the raw sliding-window path, but over tier
+    * rows: each stat bucket explodes onto the grid points whose window
+    * contains it (≤ range/step + 1 of them), then one (t, series)
+    * merge — no per-window re-read, no raw scan. Anything unaligned
+    * falls through to the ordinary [[range]] evaluation, same results.
+    */
+  def rangeWithTiers(q: String, points: DataFrame, startUs: Long,
+      endUs: Long, stepUs: Long, tiers: Map[Long, DataFrame]): DataFrame = {
+    import graft.sources.RollupTiers
+    require(stepUs > 0, "step must be positive")
+    // the engine's range grid is absolute-aligned (multiples of step);
+    // emitting eval points as ts_us keeps the tier and raw paths
+    // column-compatible
+    def raw = range(q, points, Some(stepUs))
+      .withColumnRenamed("bucket_us", "ts_us")
+      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+    foldScalars(parse(q)) match {
+      case RangeFn(fn, sel, rangeNs, offsetNs, Nil)
+          if tiers.nonEmpty && startUs % stepUs == 0 &&
+            fn.endsWith("_over_time") && fn != "absent_over_time" =>
+        val agg = fn.dropRight("_over_time".length)
+        val rangeUs = rangeNs / 1000
+        val offsetUs = offsetNs / 1000
+        // shifted window ends e = t − offset must all be bucket edges
+        val aligned = tiers.keys.toSeq.filter(i =>
+          (startUs - offsetUs) % i == 0 && stepUs % i == 0)
+        RollupTiers.select(aligned, rangeUs, agg) match {
+          case Some(i) =>
+            val v = agg match {
+              case "count" => sum(col("n")).cast("double")
+              case "sum"   => sum(col("sum_dec")).cast("double")
+              case "min"   => min(col("min_v"))
+              case "max"   => max(col("max_v"))
+              case "avg"   => sum(col("sum_dec")).cast("double") / sum(col("n"))
+            }
+            // bucket __end serves grid points t ∈ [__end+off, __end+off+range)
+            val perBucket = rangeUs / stepUs + 1
+            tiers(i)
+              .filter(selCol(sel))
+              .filter(col("__end") > startUs - offsetUs - rangeUs &&
+                col("__end") <= endUs - offsetUs)
+              .withColumn("__first_t", greatest(lit(startUs),
+                lit(startUs) + expr(
+                  s"((__end + $offsetUs - $startUs + ${stepUs - 1}) div $stepUs) * $stepUs")))
+              .withColumn("ts_us", explode(filter(
+                sequence(col("__first_t"),
+                  col("__first_t") + lit((perBucket - 1) * stepUs),
+                  lit(stepUs)),
+                t => t < col("__end") + lit(offsetUs + rangeUs) &&
+                  t <= lit(endUs))))
+              .groupBy(col("ts_us"), col("__k"))
+              .agg(v.as("value"), first(col("labels")).as("labels"))
+              .select(col("ts_us"), col("labels"), col("value"))
+          case None => raw
+        }
+      case _ => raw
+    }
+  }
+
   /** Latest live sample per series in (t-5m, t]. */
   private def lookback(sel: Selector, points: DataFrame,
       tUs: Long): DataFrame = {

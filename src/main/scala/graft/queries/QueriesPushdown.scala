@@ -132,6 +132,45 @@ object QueriesPushdown extends QueryPack {
       .orderBy("et")
   }
 
+  /** The RANGE-query extension of the tier-read planner (r12): a
+    * 7-day dashboard grid of 1-day `avg_over_time` windows, step 6h —
+    * grid start and step are both 6h-multiples, so every window
+    * (t−1d, t] is an exact union of stored 6h buckets and the WHOLE
+    * range query reads 4 stat rows per series per step off the 6h
+    * tier, never raw events (PlanSpec pins the plan; the reference's
+    * sidecar is instant-only, storagebackend/overtime.go:23-140 — this
+    * is where dashboard read volume actually lives). The oracle
+    * replays every grid point's window average from raw events;
+    * left-open end-labeled buckets + the decimal-exact sum chain make
+    * all 29 × series values bit-equal.
+    */
+  val tierRange: Q = {
+    val DayUs = 86400000000L
+    val start = 1704067200000000L + 7 * DayUs // 2024-01-08T00:00Z µs
+    val end = start + 7 * DayUs
+    val step = 6 * 3600000000L
+    q(
+      "pushdown_tier_range",
+      s"""WITH grid AS (
+         |  SELECT unnest(generate_series($start, $end, $step)) AS ts_us),
+         |pts AS (SELECT event_type AS et, epoch_us(ts) AS tus, value FROM events)
+         |SELECT g.ts_us, p.et, ${Det.oAvg("p.value")} AS value
+         |FROM grid g JOIN pts p
+         |  ON p.tus > g.ts_us - $DayUs AND p.tus <= g.ts_us
+         |GROUP BY g.ts_us, p.et
+         |ORDER BY et, ts_us""".stripMargin
+    ) { td =>
+      val pts = td.events.select(lit("ev").as("name"),
+        map(lit("et"), col("event_type")).as("labels"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      graft.promql.PromQL.rangeWithTiers(
+          "avg_over_time(ev[1d])", pts, start, end, step, statTiers(td))
+        .select(col("ts_us"), element_at(col("labels"), "et").as("et"),
+          col("value"))
+        .orderBy("et", "ts_us")
+    }
+  }
+
   /** Age-tiered downsample policy (reference storage_policy.go:52-61)
     * pinned cross-engine: rows pick their tier by partition-date age
     * from "now" (the newest day in the table) exactly as
@@ -296,6 +335,6 @@ object QueriesPushdown extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    overtimeRollup, rollupTierSelect, tierInstant, downsampleTiers,
+    overtimeRollup, rollupTierSelect, tierInstant, tierRange, downsampleTiers,
     errorPropagation, severityLowering, saltedAgg, labelScopeCoalesce)
 }

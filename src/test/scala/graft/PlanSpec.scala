@@ -311,6 +311,16 @@ class PlanSpec extends SparkTestBase {
       s"tier-served instant must not scan raw samples:\n$p")
   }
 
+  test("tier-aware range: a 7-day grid of 1-day windows scans ONLY the stored 6h tier") {
+    val p = planOf("pushdown_tier_range")
+    assert(p.contains("rt6h"),
+      s"range grid must read the materialized 6h tier:\n$p")
+    assert(!p.contains("rt1h"),
+      s"coarsest-sufficient selection must skip the 1h tier:\n$p")
+    assert(!p.contains("events"),
+      s"tier-served range query must not scan raw samples:\n$p")
+  }
+
   test("compare() scans the ingest-materialized attr-count rollup, not spans") {
     val p = planOf("traceql_metrics_compare")
     // the cube fixture path is the only scan; no explode (Generate) of

@@ -95,4 +95,40 @@ class RollupTiersSpec extends SparkTestBase {
       "finer aligned tier must serve instead of falling back to raw")
     assert(vals(fineDf) == vals(PromQL.instant("avg_over_time(m[12h])", pts, t2)))
   }
+
+  test("PromQL tier-read RANGE grid equals the raw sliding path; misalignment falls back") {
+    import spark.implicits._
+    import graft.promql.PromQL
+    val HU = 3600000000L // 1h in µs
+    val t0 = 600L * HU
+    val pts = Seq(
+      (t0 - 2 * HU, 10.0), (t0 - 2 * HU + 1, 2.0), (t0 - HU + 5, 4.0),
+      (t0, 6.0), (t0 + HU + 1, 8.0), (t0 + 3 * HU, 12.0),
+      (t0 + 5 * HU + 2, 1.0)
+    ).map { case (ts, v) => ("m", Map("s" -> "1"), ts, v) }
+      .toDF("name", "labels", "ts_us", "value")
+    val tiers = PromQL.statTierChain(pts, Seq(HU, 6 * HU))
+    def grid(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.select("ts_us", "value").as[(Long, Double)].collect().toSeq.sorted
+    // 2h windows on a 1h-step grid over 6 hours: every edge is a 1h
+    // bucket edge, so the whole grid reads the 1h tier
+    val viaTier = PromQL.rangeWithTiers("sum_over_time(m[2h])", pts,
+      t0, t0 + 6 * HU, HU, tiers)
+    assert(viaTier.queryExecution.optimizedPlan.toString.contains("sum_dec"),
+      "aligned grid must read the stat tier")
+    val raw = PromQL.rangeWithTiers("sum_over_time(m[2h])", pts,
+      t0, t0 + 6 * HU, HU, Map.empty)
+    assert(grid(viaTier) == grid(raw), s"${grid(viaTier)} vs ${grid(raw)}")
+    assert(grid(viaTier).nonEmpty)
+    // a 6h window on a 6h step with 6h-aligned start rides the 6h tier
+    val coarse = PromQL.rangeWithTiers("avg_over_time(m[6h])", pts,
+      t0, t0 + 6 * HU, 6 * HU, tiers)
+    assert(grid(coarse) == grid(PromQL.rangeWithTiers("avg_over_time(m[6h])",
+      pts, t0, t0 + 6 * HU, 6 * HU, Map.empty)))
+    // a 90m step misaligns the grid edges: falls back to raw, same rows
+    val mis = PromQL.rangeWithTiers("sum_over_time(m[2h])", pts,
+      t0, t0 + 6 * HU, HU + HU / 2, tiers)
+    assert(!mis.queryExecution.optimizedPlan.toString.contains("sum_dec"),
+      "misaligned grid must not read the tier")
+  }
 }
