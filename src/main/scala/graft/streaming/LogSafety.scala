@@ -165,28 +165,46 @@ object LogSafety {
 
     // compact routing needs per-(key, slot) ordinals and the per-slot
     // key rank for the bucket cap — windows over the compact subset
-    // only, merged back by marking everything else rank/co = null
-    // the bucket cap ranks BODY-keyed buckets within a rate scope
-    // (reference shape: global rate window + CompactKeyFields buckets);
-    // with keyFields set, rate key == compact key, so every scope holds
-    // one bucket and the cap cannot bind — matching the streaming gate,
-    // whose state is keyed by (rate key, slot)
-    val wCo = Window.partitionBy(col("__ckey"), col("__slot"))
-      .orderBy(ordered: _*)
-    val wKeyFirst = Window.partitionBy(col("__ckey"), col("__slot"))
-    val wKeyRank = Window.partitionBy(col("__rkey"), col("__slot"))
-      .orderBy(col("__kfirst"), col("__ckey"))
-    val compacts = base.filter(col("__mode") === "compact")
-      .withColumn("__co", row_number().over(wCo))
-      .withColumn("__kfirst", min(col("ts_ns")).over(wKeyFirst))
-      .withColumn("__krank", dense_rank().over(wKeyRank))
-      .drop("__kfirst")
-    val others = base
+    // only, merged back by marking everything else rank/co = null.
+    // The whole subtree is SKIPPED statically when no configured mode
+    // can ever emit a compact decision (the sample/drop configs were
+    // paying its empty stages for nothing).
+    val canCompact = cfg.mode == "compact" || cfg.hardMode == "compact"
+    val nulled = base
       .withColumn("__co", lit(null).cast("int"))
+      .withColumn("__bn", lit(null).cast("long"))
       .withColumn("__krank", lit(null).cast("int"))
-      .filter(col("__mode") =!= "compact")
-
-    val all = others.unionByName(compacts)
+    val all = if (!canCompact) nulled else {
+      // the bucket cap ranks BODY-keyed buckets within a rate scope
+      // (reference shape: global rate window + CompactKeyFields
+      // buckets); with keyFields set, rate key == compact key, so
+      // every scope holds exactly one bucket — the cap cannot bind and
+      // the rank windows are skipped (krank ≡ 1), leaving ONE
+      // (key, slot) exchange for the compact subset — matching the
+      // streaming gate, whose state is keyed by (rate key, slot)
+      val bucket = Seq(
+        if (cfg.keyFields.isEmpty) col("__ckey") else col("__rkey"),
+        col("__slot"))
+      val wCo = Window.partitionBy(bucket: _*).orderBy(ordered: _*)
+      val wB = Window.partitionBy(bucket: _*)
+      val compacts0 = base.filter(col("__mode") === "compact")
+        .withColumn("__co", row_number().over(wCo))
+        // bucket size: collapsed ordinals are dense, so the synthetic
+        // builders derive their counts from this — no groupBy, no join
+        .withColumn("__bn", count(lit(1)).over(wB))
+      val compacts =
+        if (cfg.keyFields.nonEmpty) compacts0.withColumn("__krank", lit(1))
+        else {
+          val wKeyFirst = Window.partitionBy(col("__ckey"), col("__slot"))
+          val wKeyRank = Window.partitionBy(col("__rkey"), col("__slot"))
+            .orderBy(col("__kfirst"), col("__ckey"))
+          compacts0
+            .withColumn("__kfirst", min(col("ts_ns")).over(wKeyFirst))
+            .withColumn("__krank", dense_rank().over(wKeyRank))
+            .drop("__kfirst")
+        }
+      nulled.filter(col("__mode") =!= "compact").unionByName(compacts)
+    }
     val co = col("__co")
     val decision =
       when(col("__mode") === "consume", "kept")
@@ -211,19 +229,104 @@ object LogSafety {
     all.withColumn("__decision", decision)
   }
 
-  private def aux = Seq("__rkey", "__sec", "__pos", "__mode", "__o",
-    "__ckey", "__slot", "__co", "__krank", "__decision")
+  private def aux = Seq("__safety", "__rkey", "__sec", "__pos", "__mode",
+    "__o", "__ckey", "__slot", "__co", "__bn", "__krank", "__decision")
+
+  /** The KEYED fast path: one pipeline over ALL records (safety rows
+    * included), no subset/union splits. Ordinals that must count only
+    * a subset (rate position skips safety records; compact ordinals
+    * count compact-mode rows) become conditional running counts over
+    * the same two window partitions — scan once, exchange on
+    * (key, second), exchange on (key, slot), done. Only valid with
+    * keyFields set (rate key == compact key, so the bucket cap cannot
+    * bind and bucket ranking disappears); the global configuration
+    * keeps [[decide]]'s subset windows, whose body-keyed bucket rank
+    * has no conditional form.
+    */
+  private def decideFused(logs: DataFrame, cfg: Config): DataFrame = {
+    require(cfg.keyFields.nonEmpty, "fused path requires keyFields")
+    val ordered = Seq(col("ts_ns"), col("body"))
+    // ROWS frames: (ts, body) ties must get distinct ordinals like
+    // row_number, not shared peer values from the default RANGE frame
+    val wPos = Window.partitionBy(col("__rkey"), col("__sec"))
+      .orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCo = Window.partitionBy(col("__rkey"), col("__slot"))
+      .orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col("__rkey"), col("__slot"))
+    val soft = cfg.softMaxRatePerSecond
+    val hard = cfg.hardMaxRatePerSecond
+    val pos = col("__pos")
+    val passthrough = element_at(col("attrs"), PassthroughAttr) === "true"
+    val mode0 =
+      when(lit(hard > 0) && pos > hard, cfg.hardMode)
+        .when(lit(soft > 0) && pos > soft, cfg.mode)
+        .otherwise("consume")
+    val thr =
+      when(lit(hard > 0) && pos > hard, lit(hard)).otherwise(lit(soft))
+    val redacted =
+      if (cfg.redactFields.isEmpty) col("attrs")
+      else when(col("__safety"), col("attrs"))
+        .otherwise(transform_values(col("attrs"),
+          (k, v) => when(k.isin(cfg.redactFields: _*), lit(Redacted))
+            .otherwise(v)))
+    val compactRow = when(col("__mode") === "compact", 1L).otherwise(0L)
+    val base = logs
+      .withColumn("__safety", isSafety)
+      .withColumn("attrs", redacted)
+      .withColumn("__rkey", rateKey(cfg))
+      .withColumn("__sec", expr("ts_ns div 1000000000"))
+      // safety records bypass the rate count (processor.go:107-116)
+      .withColumn("__pos",
+        sum(when(!col("__safety"), 1L).otherwise(0L)).over(wPos))
+      .withColumn("__mode",
+        when(col("__safety") || passthrough, "consume").otherwise(mode0))
+      .withColumn("__o", pos - thr)
+      .withColumn("__ckey", compactKey(cfg))
+      .withColumn("__slot",
+        col("ts_ns") - pmod(col("ts_ns"), lit(cfg.compactWindowNs)))
+      .withColumn("__krank", lit(1))
+    val co = col("__co")
+    val decision =
+      when(col("__safety"), "kept")
+        .when(col("__mode") === "consume", "kept")
+        .when(col("__mode") === "drop", "dropped_rate_limit")
+        .when(col("__mode") === "sample",
+          when(sampleKeep(col("__o"), cfg), "sampled")
+            .otherwise("dropped_sample"))
+        .when(col("__mode") === "truncate",
+          if (cfg.compactWindowNs > 0) lit("dropped_truncate")
+          else lit("dropped_rate_limit"))
+        .otherwise(
+          when(co < cfg.compactThreshold, "kept")
+            .when(lit(cfg.truncateThreshold > 0) && co > cfg.truncateThreshold,
+              "dropped_truncate")
+            .otherwise("collapsed"))
+    base
+      .withColumn("__co", sum(compactRow).over(wCo))
+      .withColumn("__bn", sum(compactRow).over(wB))
+      .withColumn("__decision", decision)
+  }
 
   /** Synthetic "N collapsed" records: one per compact bucket that
     * dropped anything, cloning the bucket's FIRST record
-    * (handler.go:219-224, excess.go:64-68).
+    * (handler.go:219-224, excess.go:64-68). Collapsed ordinals are
+    * dense in [threshold, min(bn, truncateThreshold)] within a bucket,
+    * so the count derives from the bucket SIZE already windowed in at
+    * decision time — a pure filter+projection over the checkpointed
+    * decision frame, no re-aggregation, no join.
     */
   private def compactSynthetics(decided: DataFrame, cfg: Config): DataFrame = {
-    val drops = decided.filter(col("__decision") === "collapsed")
-      .groupBy(col("__ckey"), col("__slot"))
-      .agg(count(lit(1)).as("__n"))
-    decided.filter(col("__co") === 1)
-      .join(drops, Seq("__ckey", "__slot"))
+    val capped =
+      if (cfg.truncateThreshold > 0)
+        least(col("__bn"), lit(cfg.truncateThreshold.toLong))
+      else col("__bn")
+    decided
+      .filter(col("__mode") === "compact" && col("__co") === 1 &&
+        col("__krank") <= cfg.compactMaxBuckets)
+      .withColumn("__n", capped - (cfg.compactThreshold - 1))
+      .filter(col("__n") > 0)
       .withColumn("attrs", map_concat(col("attrs"),
         map(lit(CollapsedAttr), col("__n").cast("string"))))
       .drop("__n").drop(aux: _*)
@@ -234,7 +337,13 @@ object LogSafety {
     * window bounds attached (handler.go:199-211, excess.go:54-62).
     */
   private def truncateSynthetics(decided: DataFrame, cfg: Config): DataFrame = {
-    if (cfg.compactWindowNs <= 0)
+    // statically impossible truncation (no truncate mode, no compact
+    // escalation threshold) → a provably-empty arm the optimizer
+    // prunes from the union, instead of live window stages over an
+    // always-empty subset
+    val canTruncate = cfg.mode == "truncate" || cfg.hardMode == "truncate" ||
+      cfg.truncateThreshold > 0
+    if (cfg.compactWindowNs <= 0 || !canTruncate)
       return decided.filter(lit(false)).drop(aux: _*)
     // one synthetic per (rate key, slot) — keyed configs scope the
     // truncation window like everything else (and like the streaming
@@ -267,25 +376,38 @@ object LogSafety {
     * (key, second) rate ranking; compact/truncate add windows keyed by
     * (key, window slot) over the already-shed excess subset only.
     */
+  /** Decision frame for any config: the fused single-pipeline path
+    * when keyFields scope the windows, the subset/union path for the
+    * global configuration (whose body-keyed bucket rank has no
+    * conditional form). Safety records ride the fused frame with
+    * decision "kept"; on the global path they are split off by the
+    * caller.
+    */
+  private def decideAny(logs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.keyFields.nonEmpty) decideFused(logs, cfg)
+    else decide(redact(logs.filter(!isSafety), cfg), cfg)
+
   def apply(logs: DataFrame, cfg: Config): DataFrame = {
     cfg.validate()
     // processor.go:59-61: nothing configured → pass through untouched
     if (cfg.redactFields.isEmpty && cfg.softMaxRatePerSecond <= 0 &&
       cfg.hardMaxRatePerSecond <= 0) return logs
-    val safety = logs.filter(isSafety)
-    val rest = redact(logs.filter(!isSafety), cfg)
     if (cfg.softMaxRatePerSecond <= 0 && cfg.hardMaxRatePerSecond <= 0)
-      return safety.unionByName(rest)
+      return logs.filter(isSafety)
+        .unionByName(redact(logs.filter(!isSafety), cfg))
     // one micro-batch-sized materialization point: the kept rows and
     // BOTH synthetic builders read the decision frame, and without it
     // each branch re-runs the scan + rank windows (3× the stages for
     // zero extra information — the reference's handler holds the batch
     // in memory at exactly this point)
-    val decided = decide(rest, cfg).localCheckpoint(false)
+    val decided = decideAny(logs, cfg).localCheckpoint(false)
     val kept = decided
       .filter(col("__decision").isin("kept", "sampled"))
       .drop(aux: _*)
-    safety.unionByName(kept)
+    val base =
+      if (cfg.keyFields.nonEmpty) kept // safety rows already inside
+      else logs.filter(isSafety).unionByName(kept)
+    base
       .unionByName(compactSynthetics(decided, cfg))
       .unionByName(truncateSynthetics(decided, cfg))
   }
@@ -296,8 +418,7 @@ object LogSafety {
     */
   def decisions(logs: DataFrame, cfg: Config): DataFrame = {
     cfg.validate()
-    val rest = logs.filter(!isSafety)
-    val decided = decide(redact(rest, cfg), cfg).localCheckpoint(false)
+    val decided = decideAny(logs, cfg).localCheckpoint(false)
     val perRecord = decided.filter(col("__decision") =!= "kept")
       .groupBy(col("__decision").as("decision"))
       .agg(count(lit(1)).as("n"))
