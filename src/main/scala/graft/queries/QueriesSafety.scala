@@ -104,6 +104,44 @@ object QueriesSafety extends QueryPack {
          |JOIN drops d ON f.et = d.et AND f.slot = d.slot
          |ORDER BY f.ts_ns, f.et""".stripMargin))
 
+  /** Docker json-file envelope unwrap — the fifth ingest auto-format
+    * (reference internal/dockerlog/daemonlog.go:112-129: stream label
+    * + RFC3339Nano timestamp + raw line per entry; the json-file log
+    * driver stores the same triple as {"log","stream","time"}). The
+    * fixture wraps each event in the envelope exactly as the driver
+    * would write it; [[graft.streaming.Streams.unwrapDockerLogs]]
+    * recovers line / stream / epoch-ns time, and DuckDB replays the
+    * recovery from the raw columns — byte-equal lines, µs-exact
+    * timestamps. Scale: one scan-fused projection per record, no
+    * shuffle at all.
+    */
+  val dockerUnwrap: Q = Q(
+    "src_docker_log_unwrap",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      val wrapped = td.events.select(
+        col("event_id"),
+        lit(0L).as("ts_ns"),
+        concat(
+          lit("{\"log\":\"evt "), col("event_type"),
+          lit(" user "), col("user_id").cast("string"),
+          lit("\\n\",\"stream\":\""),
+          when(col("event_id") % 2 === 0, lit("stdout")).otherwise(lit("stderr")),
+          lit("\",\"time\":\""),
+          date_format(timestamp_micros(expr("ts div 1000")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          lit("\"}")).as("body"))
+      graft.streaming.Streams.unwrapDockerLogs(wrapped)
+        .select(col("event_id"), col("ts_ns"),
+          col("docker_stream").as("stream"), col("body").as("line"))
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, epoch_ns(ts)//1000*1000 AS ts_ns,
+        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+        |  'evt ' || event_type || ' user ' || user_id AS line
+        |FROM events ORDER BY event_id""".stripMargin))
+
   /** ClickHouse span-log consumer (reference chreceiver +
     * internal/chotel): include/exclude glob filter then per-trace
     * same-name collapse over a span-log-shaped view of events —
@@ -157,5 +195,6 @@ object QueriesSafety extends QueryPack {
           |FROM f GROUP BY trace_id, name ORDER BY trace_id, name""".stripMargin))
   }
 
-  def queries: Seq[Q] = Seq(safetySample, safetyCompact, chSpanLogCollapse)
+  def queries: Seq[Q] =
+    Seq(safetySample, safetyCompact, dockerUnwrap, chSpanLogCollapse)
 }

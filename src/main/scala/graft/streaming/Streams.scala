@@ -30,11 +30,57 @@ object Streams {
     */
   def enrichLogs(raw: DataFrame): DataFrame = {
     val sevNum = GraftFunctions.deduce_severity(col("body"))
-    raw
+    unwrapDockerLogs(raw)
       .withColumn("severity_number", sevNum)
       .withColumn("severity_text", GraftFunctions.severity_text(sevNum))
       .withColumn("service_name",
         coalesce(col("service_name"), lit("unknown_service")))
+  }
+
+  /** Docker json-file envelope detection + unwrap — the FIFTH ingest
+    * auto-format (reference internal/dockerlog/: the daemon-stream
+    * parser labels each entry with its stream type and timestamps it
+    * from the RFC3339Nano prefix, daemonlog.go:112-129; the json-file
+    * log driver persists the same triple per line as
+    * {"log","stream","time"}, which is what docker-compose logs look
+    * like on disk). Detection requires all three envelope keys with a
+    * stdout/stderr stream; on a match the unwrapped line (trailing
+    * newline stripped) REPLACES the body — so the four in-body formats
+    * and the severity deducer run on the real line — the stream lands
+    * in `docker_stream` (and the `attrs` map when the frame carries
+    * one), and the envelope time replaces `ts_ns` when that column
+    * exists (µs precision, the layouts' native grain; longer fractions
+    * truncate rather than fail the parse).
+    */
+  def unwrapDockerLogs(raw: DataFrame): DataFrame = {
+    val body = col("body")
+    val log = get_json_object(body, "$.log")
+    val stream = get_json_object(body, "$.stream")
+    val time = get_json_object(body, "$.time")
+    val isDocker = ltrim(body).startsWith("{") && log.isNotNull &&
+      stream.isin("stdout", "stderr") && time.isNotNull
+    val t6 = regexp_replace(time, "(\\.\\d{1,6})\\d*", "$1")
+    val tsNs = unix_micros(to_timestamp(t6)) * 1000
+    // flags first (all read the ORIGINAL body), body replacement last
+    val flagged = raw
+      .withColumn("docker_stream", when(isDocker, stream))
+      .withColumn("__dts", when(isDocker, tsNs))
+      .withColumn("body",
+        when(isDocker, regexp_replace(log, "\\n$", "")).otherwise(body))
+    val withTs =
+      if (raw.columns.contains("ts_ns"))
+        flagged.withColumn("ts_ns",
+          coalesce(col("__dts"), col("ts_ns")))
+      else flagged
+    val withAttrs =
+      if (raw.columns.contains("attrs"))
+        withTs.withColumn("attrs",
+          when(col("docker_stream").isNotNull, map_concat(
+            map_filter(col("attrs"), (k, _) => k =!= "stream"),
+            map(lit("stream"), col("docker_stream"))))
+            .otherwise(col("attrs")))
+      else withTs
+    withAttrs.drop("__dts")
   }
 
   /** Ingest-time log-format auto-detection: JSON bodies, zap
@@ -44,7 +90,11 @@ object Streams {
     * zap_development,deduce}.go; a declarative column expression
     * instead of a per-row parser chain).
     */
-  def detectLogFormat(raw: DataFrame): DataFrame = {
+  def detectLogFormat(raw0: DataFrame): DataFrame = {
+    // Docker envelopes unwrap FIRST so the in-body formats detect on
+    // the real line — a docker-wrapped klog line parses exactly like a
+    // bare one, tagged docker/klog
+    val raw = unwrapDockerLogs(raw0)
     val body = col("body")
     val trimmed = ltrim(body)
     val isJson = trimmed.startsWith("{") &&
@@ -83,7 +133,9 @@ object Streams {
       .when(isLogfmt, GraftFunctions.logfmt_get(body, lit("msg")))
       .otherwise(body)
     raw
-      .withColumn("detected_format", format)
+      .withColumn("detected_format",
+        when(col("docker_stream").isNotNull, concat(lit("docker/"), format))
+          .otherwise(format))
       .withColumn("detected_level",
         coalesce(sevText, GraftFunctions.severity_text(
           GraftFunctions.deduce_severity(body))))

@@ -28,6 +28,52 @@ class StreamsSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("service_name")).toSeq == Seq("api", "unknown_service"))
   }
 
+  test("docker json-file envelopes unwrap: wrapped bodies parse identically to bare ones") {
+    val klog = "E0101 10:00:00.000000 1 main.go:10] disk full"
+    val jsonLine = """{"level":"warn","msg":"slow request"}"""
+    def wrap(line: String, stream: String, time: String): String =
+      s"""{"log":"${line.replace("\"", "\\\"")}\\n","stream":"$stream","time":"$time"}"""
+    val df = Seq(
+      wrap(klog, "stderr", "2024-01-01T10:00:00.123456789Z"),
+      klog,
+      wrap(jsonLine, "stdout", "2024-01-01T10:00:01.5Z"),
+      jsonLine,
+      // json body with a "log" key but NO envelope time: not docker
+      """{"log":"x","stream":"stdout","msg":"plain json"}"""
+    ).toDF("body")
+    val out = Streams.detectLogFormat(df).select(
+      "detected_format", "detected_level", "msg", "docker_stream").collect()
+    // wrapped klog == bare klog, modulo the docker/ provenance tag
+    assert(out(0).getString(0) == "docker/klog" && out(1).getString(0) == "klog")
+    assert(out(0).getString(1) == out(1).getString(1)) // ERROR
+    assert(out(0).getString(2) == out(1).getString(2)) // "disk full"
+    assert(out(0).getString(3) == "stderr" && out(1).isNullAt(3))
+    // wrapped json == bare json
+    assert(out(2).getString(0) == "docker/json" && out(3).getString(0) == "json")
+    assert(out(2).getString(1) == "WARN" && out(2).getString(2) == "slow request")
+    assert(out(2).getString(3) == "stdout")
+    // log-keyed json without the time key stays a plain json body
+    assert(out(4).getString(0) == "json" && out(4).isNullAt(3))
+  }
+
+  test("docker envelope time replaces ts_ns at µs grain; attrs gain the stream label") {
+    val df = Seq(
+      (1L, """{"log":"error: boom\n","stream":"stderr","time":"2024-01-01T00:00:07.179575123Z"}""",
+        Map("app" -> "web", "stream" -> "stale")),
+      (2L, "error: bare", Map("app" -> "web"))
+    ).toDF("ts_ns", "body", "attrs")
+    val out = Streams.enrichLogs(df.withColumn("service_name", lit("svc")))
+      .orderBy("ts_ns").collect()
+    val docker = out.find(_.getAs[String]("body") == "error: boom").get
+    assert(docker.getAs[Long]("ts_ns") == 1704067207179575000L) // µs-truncated
+    assert(docker.getAs[Map[String, String]]("attrs") ==
+      Map("app" -> "web", "stream" -> "stderr")) // stale stream overwritten
+    assert(docker.getAs[String]("severity_text") == "ERROR") // from the UNWRAPPED body
+    val bare = out.find(_.getAs[String]("body") == "error: bare").get
+    assert(bare.getAs[Long]("ts_ns") == 2L)
+    assert(bare.getAs[Map[String, String]]("attrs") == Map("app" -> "web"))
+  }
+
   test("logSeverityCounts: windowed streaming aggregation with watermark") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val logs = input.toDF().toDF("timestamp", "severity_text")
