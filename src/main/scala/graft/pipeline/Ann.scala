@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Two-level (hierarchical) coarse quantization — the production
@@ -61,19 +60,17 @@ object Ann {
     */
   def hierAssign(vecs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
-    // the rank window is a single partition of k rows — centroid-table
-    // sized, never corpus-sized (the constant partition key states that
-    // intent; it also keeps Spark's no-partition warning out of logs).
-    // k and the ⌈√k⌉ stride come from the same window pass (max rank),
-    // not a separate .count() job — one less driver round-trip per
-    // assignment.
-    val wK = Window.partitionBy(lit(0))
-    val supers = cents
-      .withColumn("rnk",
-        row_number().over(wK.orderBy(col("cid"))))
-      .withColumn("__stride",
-        greatest(lit(1L), round(sqrt(max(col("rnk")).over(wK))).cast("long")))
-      .filter((col("rnk") - 1) % col("__stride") === 0)
+    // super selection is one 1-row aggregate over the k-row centroid
+    // table (centroid-table sized, never corpus-sized): the sorted cid
+    // array yields k and the ⌈√k⌉ stride in the same pass, and an
+    // indexed array filter picks every stride-th cid — no
+    // unpartitioned WindowExec, no separate .count() job
+    val sel = cents
+      .agg(sort_array(collect_list(col("cid"))).as("cids"))
+      .select(explode(expr(
+        "filter(cids, (c, i) -> i % greatest(1, " +
+          "CAST(round(sqrt(size(cids))) AS INT)) = 0)")).as("cid"))
+    val supers = cents.join(broadcast(sel), Seq("cid"))
       .select(col("cid").as("rid"), col("cv").as("rv"))
     // level 1: centroids and vectors each pick their super bucket
     val centsS = assignBest(cents, "cid", "cv", supers, "sid")

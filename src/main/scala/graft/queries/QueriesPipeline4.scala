@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Testdata
@@ -250,15 +249,25 @@ object QueriesPipeline4 extends QueryPack {
     val scored = td.documents.select(col("doc_id"), col("lang"),
       score.as("s"))
     val hist = scored.groupBy(col("s")).agg(count(lit(1)).as("c"))
-    // single-partition window over the BOUNDED histogram (the constant
-    // key states the intent: this is a thousands-row table, not data)
-    val w = Window.partitionBy(lit(0)).orderBy(col("s"))
-    val wAll = Window.partitionBy(lit(0))
+    // threshold via ONE 1-row aggregate: the histogram (bounded by the
+    // score vocabulary, never data-sized) packs into a sorted array and
+    // a linear fold finds the smallest score whose cumulative count
+    // clears the 20th-percentile rank — no unpartitioned WindowExec,
+    // same single-reduce boundedness
     val thr = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(wAll))
-      .filter(col("cum") > floor(lit(0.2) * (col("n") - 1)).cast("long"))
-      .agg(min(col("s")).as("threshold"))
+      .agg(sort_array(collect_list(struct(col("s"), col("c")))).as("h"))
+      .select(expr(
+        """aggregate(
+          |  h,
+          |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS DOUBLE) AS thr,
+          |         aggregate(h, CAST(0 AS BIGINT), (a, x) -> a + x.c) AS n),
+          |  (a, x) -> struct(
+          |    a.cum + x.c,
+          |    CASE WHEN a.thr IS NULL
+          |           AND a.cum + x.c > CAST(FLOOR(0.2 * (a.n - 1)) AS BIGINT)
+          |         THEN x.s ELSE a.thr END,
+          |    a.n),
+          |  a -> a.thr)""".stripMargin).as("threshold"))
     scored.crossJoin(broadcast(thr))
       .filter(col("s") >= col("threshold"))
       .groupBy(col("lang"))
