@@ -178,8 +178,12 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         profileIn.toDF().withColumnRenamed("value", "payload"))
       .unionByName(Streams.profilesFromCollapsed(
         pyroIn.toDF().toDF("app", "ts_us", "payload")))
+    // the compare() attr-count cube rides the same sink: each span
+    // micro-batch extends $dataDir/cube so the TraceQL metrics path
+    // can plan compare() without scanning spans
     val spansQ = Streams.spansSink(spans, s"$dataDir/spans",
-      s"$dataDir/ckpt/spans", Trigger.ProcessingTime(0))
+      s"$dataDir/ckpt/spans", Trigger.ProcessingTime(0),
+      cubePath = s"$dataDir/cube")
     val logsQ = Streams.logsSink(logs, s"$dataDir/logs",
       s"$dataDir/ckpt/logs", Trigger.ProcessingTime(0))
     val pointsQ = Streams.pointsSink(points, s"$dataDir/points",

@@ -309,7 +309,19 @@ class EndToEndSpec extends SparkTestBase {
     val points = spark.read.parquet(s"$dir/points")
       .select("ts_us", "name", "labels", "value")
 
-    val api = new HttpApi(logs, points, spans)
+    // the receiver also maintained the compare() attr-count cube; its
+    // merged counts replay exactly from the stored spans
+    val cube = graft.traceql.TraceQL.attrCubeFrom(spark, s"$dir/cube")
+    val fromCube = cube.df
+      .groupBy("bucket_ns", "name", "kind", "status_code", "attr", "attr_value")
+      .agg(sum("n").as("n")).collect()
+      .map(r => r.toSeq.init :+ r.getLong(r.length - 1)).toSet
+    val fromSpans = graft.traceql.TraceQL
+      .compareAttrCounts(spans, Seq("name", "kind", "status_code"))
+      .collect().map(_.toSeq).toSet
+    assert(fromCube == fromSpans && fromCube.nonEmpty)
+
+    val api = new HttpApi(logs, points, spans, cube = Some(cube))
     val port = api.start()
     try {
       val (c1, traces) = get(s"http://127.0.0.1:$port/api/search?q=" +
