@@ -244,6 +244,26 @@ object ScaleProbe {
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }
+      // round-12 ops: the tier-served range grid reads
+      // (buckets × series) stat rows — vocabulary×time shaped, so
+      // factor× raw events must leave the per-query scan FLAT once the
+      // tiers are built (run1 includes the one-time fixture build,
+      // which is the linear ingest-side maintenance job)
+      if (want("pushdown_tier_range"))
+        time3("pushdown_tier_range", tag) {
+          graft.SparkEntry.queries("pushdown_tier_range")(spark, dir).count()
+        }
+      // docker envelope unwrap: one scan-fused projection, linear —
+      // hash the outputs so the projection actually evaluates (a bare
+      // count() of a filter-free projection answers from parquet
+      // metadata and would time nothing)
+      if (want("src_docker_log_unwrap"))
+        time3("src_docker_log_unwrap", tag) {
+          val df = graft.SparkEntry.queries("src_docker_log_unwrap")(spark, dir)
+          df.agg(sum(hash(df.columns.toIndexedSeq.map(col): _*)))
+            .collect()
+          df.count()
+        }
     }
     spark.stop()
   }
