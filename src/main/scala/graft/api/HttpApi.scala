@@ -588,11 +588,6 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       .getOrElse(notFound("trace not found"))
   }
 
-  /** /api/metrics/query_range — TraceQL metrics over HTTP. The
-    * reference parses the params then returns ErrNotImplemented
-    * (tempohandler.go:101-120); we run the engine. start/end bound the
-    * span scan BEFORE planning, like every other route.
-    */
   /** The maintained attr-count cube, pre-filtered to the request
     * window when that window is expressible on it: with [start, end)
     * grain-aligned, bucket ∈ [s, e) ⟺ span start ∈ [s, e), so the
@@ -617,6 +612,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       }
     }
 
+  /** /api/metrics/query_range — TraceQL metrics over HTTP. The
+    * reference parses the params then returns ErrNotImplemented
+    * (tempohandler.go:101-120); we run the engine. start/end bound the
+    * span scan BEFORE planning, like every other route.
+    */
   private def tempoMetricsRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepNs = p.get("step").filter(_.nonEmpty)

@@ -836,13 +836,7 @@ object PromQL {
         RollupTiers.select(
           tiers.keys.toSeq.filter(i => end % i == 0), rangeUs, agg) match {
           case Some(i) =>
-            val v = agg match {
-              case "count" => sum(col("n")).cast("double")
-              case "sum"   => sum(col("sum_dec")).cast("double")
-              case "min"   => min(col("min_v"))
-              case "max"   => max(col("max_v"))
-              case "avg"   => sum(col("sum_dec")).cast("double") / sum(col("n"))
-            }
+            val v = RollupTiers.mergedValue(agg)
             tiers(i)
               .filter(selCol(sel))
               .filter(col("__end") > end - rangeUs && col("__end") <= end)
@@ -893,13 +887,7 @@ object PromQL {
           (startUs - offsetUs) % i == 0 && stepUs % i == 0)
         RollupTiers.select(aligned, rangeUs, agg) match {
           case Some(i) =>
-            val v = agg match {
-              case "count" => sum(col("n")).cast("double")
-              case "sum"   => sum(col("sum_dec")).cast("double")
-              case "min"   => min(col("min_v"))
-              case "max"   => max(col("max_v"))
-              case "avg"   => sum(col("sum_dec")).cast("double") / sum(col("n"))
-            }
+            val v = RollupTiers.mergedValue(agg)
             // bucket __end serves grid points t ∈ [__end+off, __end+off+range)
             val perBucket = rangeUs / stepUs + 1
             tiers(i)

@@ -83,6 +83,21 @@ object RollupTiers {
     else tiersNs.filter(t => t > 0 && t <= windowNs && windowNs % t == 0)
       .maxOption
 
+  /** The served `agg_over_time` value as an AGGREGATE over stat rows —
+    * the single home of the count/sum/min/max/avg → stat-column
+    * mapping for the PromQL tier readers (instant and range);
+    * [[readAgg]] applies the same mapping to already-merged rows.
+    * `avg` divides the exact decimal sums at the end; `sum` casts to
+    * double once (the Det playbook, bit-equal vs a DuckDB replay).
+    */
+  def mergedValue(agg: String): Column = agg match {
+    case "count" => sum(col("n")).cast("double")
+    case "sum"   => sum(col("sum_dec")).cast("double")
+    case "min"   => min(col("min_v"))
+    case "max"   => max(col("max_v"))
+    case "avg"   => sum(col("sum_dec")).cast("double") / sum(col("n"))
+  }
+
   /** Reads an `agg_over_time` answer off a stat tier: one row per
     * (keys, window bucket). `avg` divides the exact sums at the end;
     * `sum` casts to double once (the playbook).

@@ -133,6 +133,53 @@ object LogSafety {
     first || thereafter
   }
 
+  /** Regime selection over the rate ordinal `__pos` — hard first, then
+    * soft (processor.go:139-147). SHARED by [[decide]] and
+    * [[decideFused]] so the two batch paths cannot diverge.
+    */
+  private def regimeMode(cfg: Config): Column = {
+    val pos = col("__pos")
+    when(lit(cfg.hardMaxRatePerSecond > 0) && pos > cfg.hardMaxRatePerSecond,
+      cfg.hardMode)
+      .when(lit(cfg.softMaxRatePerSecond > 0) && pos > cfg.softMaxRatePerSecond,
+        cfg.mode)
+      .otherwise("consume")
+  }
+
+  /** The regime's rate threshold (for the 1-based excess ordinal). */
+  private def regimeThr(cfg: Config): Column =
+    when(lit(cfg.hardMaxRatePerSecond > 0) &&
+        col("__pos") > cfg.hardMaxRatePerSecond,
+      lit(cfg.hardMaxRatePerSecond))
+      .otherwise(lit(cfg.softMaxRatePerSecond))
+
+  /** The per-record decision chain over the routing columns — SHARED
+    * by both batch paths (the fused path prepends its safety-record
+    * arm; its constant `__krank` = 1 makes the cap arm a no-op there).
+    */
+  private def decisionExpr(cfg: Config): Column = {
+    val co = col("__co")
+    when(col("__mode") === "consume", "kept")
+      .when(col("__mode") === "drop", "dropped_rate_limit")
+      .when(col("__mode") === "sample",
+        when(sampleKeep(col("__o"), cfg), "sampled").otherwise("dropped_sample"))
+      .when(col("__mode") === "truncate",
+        if (cfg.compactWindowNs > 0) lit("dropped_truncate")
+        else lit("dropped_rate_limit")) // windowless truncate = drop (handler.go:136-139)
+      // compact (handler.go:157-196): over-cap keys take the sample
+      // rule on the rate-excess ordinal (the only per-record ordinal
+      // that needs no per-key state — the streaming gate matches);
+      // under-threshold records pass; past truncateThreshold
+      // escalate to the truncate window; the rest collapse
+      .otherwise(
+        when(col("__krank") > cfg.compactMaxBuckets,
+          when(sampleKeep(col("__o"), cfg), "sampled").otherwise("dropped_sample"))
+          .when(co < cfg.compactThreshold, "kept")
+          .when(lit(cfg.truncateThreshold > 0) && co > cfg.truncateThreshold,
+            "dropped_truncate")
+          .otherwise("collapsed"))
+  }
+
   /** Per-record decisions: the input records (minus synthetics-to-be)
     * tagged with `__decision` ∈ kept / sampled / dropped_rate_limit /
     * dropped_sample / dropped_truncate / collapsed, plus the routing
@@ -141,25 +188,16 @@ object LogSafety {
   private def decide(rest: DataFrame, cfg: Config): DataFrame = {
     val ordered = Seq(col("ts_ns"), col("body"))
     val wPos = Window.partitionBy(col("__rkey"), col("__sec")).orderBy(ordered: _*)
-    val soft = cfg.softMaxRatePerSecond
-    val hard = cfg.hardMaxRatePerSecond
-    val pos = col("__pos")
-    // regime: hard first, then soft (processor.go:139-147); passthrough
-    // records count toward the rate but are never shed (handler.go:107)
+    // passthrough records count toward the rate but are never shed
+    // (handler.go:107)
     val passthrough =
       element_at(col("attrs"), PassthroughAttr) === "true"
-    val mode0 =
-      when(lit(hard > 0) && pos > hard, cfg.hardMode)
-        .when(lit(soft > 0) && pos > soft, cfg.mode)
-        .otherwise("consume")
-    val thr =
-      when(lit(hard > 0) && pos > hard, lit(hard)).otherwise(lit(soft))
     val base = rest
       .withColumn("__rkey", rateKey(cfg))
       .withColumn("__sec", expr("ts_ns div 1000000000"))
       .withColumn("__pos", row_number().over(wPos))
-      .withColumn("__mode", when(passthrough, "consume").otherwise(mode0))
-      .withColumn("__o", pos - thr) // 1-based excess ordinal in its regime
+      .withColumn("__mode", when(passthrough, "consume").otherwise(regimeMode(cfg)))
+      .withColumn("__o", col("__pos") - regimeThr(cfg)) // 1-based excess ordinal
       .withColumn("__ckey", compactKey(cfg))
       .withColumn("__slot", col("ts_ns") - pmod(col("ts_ns"), lit(cfg.compactWindowNs)))
 
@@ -205,28 +243,7 @@ object LogSafety {
         }
       nulled.filter(col("__mode") =!= "compact").unionByName(compacts)
     }
-    val co = col("__co")
-    val decision =
-      when(col("__mode") === "consume", "kept")
-        .when(col("__mode") === "drop", "dropped_rate_limit")
-        .when(col("__mode") === "sample",
-          when(sampleKeep(col("__o"), cfg), "sampled").otherwise("dropped_sample"))
-        .when(col("__mode") === "truncate",
-          if (cfg.compactWindowNs > 0) lit("dropped_truncate")
-          else lit("dropped_rate_limit")) // windowless truncate = drop (handler.go:136-139)
-        // compact (handler.go:157-196): over-cap keys take the sample
-        // rule on the rate-excess ordinal (the only per-record ordinal
-        // that needs no per-key state — the streaming gate matches);
-        // under-threshold records pass; past truncateThreshold
-        // escalate to the truncate window; the rest collapse
-        .otherwise(
-          when(col("__krank") > cfg.compactMaxBuckets,
-            when(sampleKeep(col("__o"), cfg), "sampled").otherwise("dropped_sample"))
-            .when(co < cfg.compactThreshold, "kept")
-            .when(lit(cfg.truncateThreshold > 0) && co > cfg.truncateThreshold,
-              "dropped_truncate")
-            .otherwise("collapsed"))
-    all.withColumn("__decision", decision)
+    all.withColumn("__decision", decisionExpr(cfg))
   }
 
   private def aux = Seq("__safety", "__rkey", "__sec", "__pos", "__mode",
@@ -255,23 +272,13 @@ object LogSafety {
       .orderBy(ordered: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wB = Window.partitionBy(col("__rkey"), col("__slot"))
-    val soft = cfg.softMaxRatePerSecond
-    val hard = cfg.hardMaxRatePerSecond
-    val pos = col("__pos")
     val passthrough = element_at(col("attrs"), PassthroughAttr) === "true"
-    val mode0 =
-      when(lit(hard > 0) && pos > hard, cfg.hardMode)
-        .when(lit(soft > 0) && pos > soft, cfg.mode)
-        .otherwise("consume")
-    val thr =
-      when(lit(hard > 0) && pos > hard, lit(hard)).otherwise(lit(soft))
     val redacted =
       if (cfg.redactFields.isEmpty) col("attrs")
       else when(col("__safety"), col("attrs"))
         .otherwise(transform_values(col("attrs"),
           (k, v) => when(k.isin(cfg.redactFields: _*), lit(Redacted))
             .otherwise(v)))
-    val compactRow = when(col("__mode") === "compact", 1L).otherwise(0L)
     val base = logs
       .withColumn("__safety", isSafety)
       .withColumn("attrs", redacted)
@@ -281,32 +288,27 @@ object LogSafety {
       .withColumn("__pos",
         sum(when(!col("__safety"), 1L).otherwise(0L)).over(wPos))
       .withColumn("__mode",
-        when(col("__safety") || passthrough, "consume").otherwise(mode0))
-      .withColumn("__o", pos - thr)
+        when(col("__safety") || passthrough, "consume")
+          .otherwise(regimeMode(cfg)))
+      .withColumn("__o", col("__pos") - regimeThr(cfg))
       .withColumn("__ckey", compactKey(cfg))
       .withColumn("__slot",
         col("ts_ns") - pmod(col("ts_ns"), lit(cfg.compactWindowNs)))
+      // keyed scope ⇒ one bucket per scope; the cap never binds
       .withColumn("__krank", lit(1))
-    val co = col("__co")
-    val decision =
-      when(col("__safety"), "kept")
-        .when(col("__mode") === "consume", "kept")
-        .when(col("__mode") === "drop", "dropped_rate_limit")
-        .when(col("__mode") === "sample",
-          when(sampleKeep(col("__o"), cfg), "sampled")
-            .otherwise("dropped_sample"))
-        .when(col("__mode") === "truncate",
-          if (cfg.compactWindowNs > 0) lit("dropped_truncate")
-          else lit("dropped_rate_limit"))
-        .otherwise(
-          when(co < cfg.compactThreshold, "kept")
-            .when(lit(cfg.truncateThreshold > 0) && co > cfg.truncateThreshold,
-              "dropped_truncate")
-            .otherwise("collapsed"))
-    base
-      .withColumn("__co", sum(compactRow).over(wCo))
-      .withColumn("__bn", sum(compactRow).over(wB))
-      .withColumn("__decision", decision)
+    // the compact ordinal windows run only when a configured mode can
+    // emit compact decisions — same static skip as decide()'s subtree
+    val withCo =
+      if (cfg.mode == "compact" || cfg.hardMode == "compact") {
+        val compactRow = when(col("__mode") === "compact", 1L).otherwise(0L)
+        base
+          .withColumn("__co", sum(compactRow).over(wCo))
+          .withColumn("__bn", sum(compactRow).over(wB))
+      } else base
+        .withColumn("__co", lit(null).cast("long"))
+        .withColumn("__bn", lit(null).cast("long"))
+    withCo.withColumn("__decision",
+      when(col("__safety"), "kept").otherwise(decisionExpr(cfg)))
   }
 
   /** Synthetic "N collapsed" records: one per compact bucket that

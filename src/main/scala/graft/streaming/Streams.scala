@@ -30,7 +30,14 @@ object Streams {
     */
   def enrichLogs(raw: DataFrame): DataFrame = {
     val sevNum = GraftFunctions.deduce_severity(col("body"))
-    unwrapDockerLogs(raw)
+    val unwrapped = unwrapDockerLogs(raw)
+    // frames with an attrs map already carry the stream there — don't
+    // persist the same value twice (and don't drift the stored logs
+    // schema with a column old partitions lack)
+    val clean =
+      if (raw.columns.contains("attrs")) unwrapped.drop("docker_stream")
+      else unwrapped
+    clean
       .withColumn("severity_number", sevNum)
       .withColumn("severity_text", GraftFunctions.severity_text(sevNum))
       .withColumn("service_name",
