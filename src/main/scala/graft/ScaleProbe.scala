@@ -253,6 +253,13 @@ object ScaleProbe {
         time3("pushdown_tier_range", tag) {
           graft.SparkEntry.queries("pushdown_tier_range")(spark, dir).count()
         }
+      // packed-set Jaccard verify (r12 reshape): per-doc shingle SETS
+      // move as document-sized records through candidate-bounded
+      // joins — growth must track docs (build) + candidates (verify)
+      if (want("pipe_lsh_jaccard_verify"))
+        time3("pipe_lsh_jaccard_verify", tag) {
+          graft.SparkEntry.queries("pipe_lsh_jaccard_verify")(spark, dir).count()
+        }
       // docker envelope unwrap: one scan-fused projection, linear —
       // hash the outputs so the projection actually evaluates (a bare
       // count() of a filter-free projection answers from parquet

@@ -144,21 +144,38 @@ object QueriesPipeline2 extends QueryPack {
        |           JOIN sizes sb ON sb.doc_id = a + 1
        |ORDER BY jaccard DESC, a LIMIT 50""".stripMargin
   ) { td =>
-    val d = shingles3(td).distinct()
-    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = d.alias("a")
-    val b = d.alias("b")
-    val inter = a.join(b, col("b.doc_id") === col("a.doc_id") + 1 && col("b.sh") === col("a.sh"))
-      .groupBy(col("a.doc_id").as("a")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.alias("sa"), col("sa.doc_id") === col("a"))
-      .join(sizes.alias("sb"), col("sb.doc_id") === col("a") + 1)
+    // doc-level shingle SETS (one groupBy, dedup inside the agg) so
+    // the pair comparison joins 1 row per doc and intersects in-row —
+    // the (doc, shingle)-exploded self-join shuffled the whole shingle
+    // table twice for the same integers. Per-doc sets are bounded by
+    // doc length, so the array payload is a document-sized record,
+    // which is exactly what a 100 TB pair-verify stage wants to move.
+    val packs = shinglePacks(td)
+    packs.select(col("doc_id").as("a"), col("shs").as("sha"),
+        size(col("shs")).as("na"))
+      .join(packs.select((col("doc_id") - 1).as("a"), col("shs").as("shb"),
+        size(col("shs")).as("nb")), Seq("a"))
       .select(col("a"),
-        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 6)
+        size(array_intersect(col("sha"), col("shb"))).as("i"),
+        col("na"), col("nb"))
+      // empty intersections never surfaced from the exploded inner
+      // join; keep that contract (and the oracle's)
+      .filter(col("i") > 0)
+      .select(col("a"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"))
       .limit(50)
   }
+
+  /** (doc_id, shs: array) — each doc's DISTINCT 3-shingle set packed
+    * into one row (collect_set dedups inside the aggregation: one
+    * shuffle replaces the distinct + per-doc count pair). Shared by
+    * the Jaccard verify stages.
+    */
+  private def shinglePacks(td: Testdata): DataFrame =
+    shingles3(td).groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
 
   /** LSH band-collision candidate pairs (a < b): b=2 bands × r=2
     * minhashes per band — the shared head of the dedup chain (verify
@@ -258,19 +275,27 @@ object QueriesPipeline2 extends QueryPack {
        |JOIN sizes sb ON sb.doc_id = b
        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
   ) { td =>
-    val d = shingles3(td).distinct()
+    // the verify stage joins the CANDIDATE PAIRS (band-bounded, tiny)
+    // against doc-level shingle sets and intersects in-row — the
+    // exploded formulation shuffled the corpus's whole (doc, shingle)
+    // table on (b, sh) to count the same integers. The pair list is
+    // broadcast (ids only); the candidate-side payload join is left to
+    // AQE's runtime broadcast conversion — candidate×payload is small
+    // in the LSH regime but not BOUNDED, so it must not be force-hinted
+    // at 100 TB. Per-doc sets are document-sized — the record a pair
+    // verify wants to move.
+    val packs = shinglePacks(td)
     val cand = bandCandidates(td)
-    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(d.alias("da"), col("da.doc_id") === col("a"))
-      .join(d.alias("db"),
-        col("db.doc_id") === col("b") && col("db.sh") === col("da.sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.alias("sa"), col("sa.doc_id") === col("a"))
-      .join(sizes.alias("sb"), col("sb.doc_id") === col("b"))
+    packs.select(col("doc_id").as("a"), col("shs").as("sha"),
+        size(col("shs")).as("na"))
+      .join(broadcast(cand), Seq("a"))
+      .join(packs.select(col("doc_id").as("b"), col("shs").as("shb"),
+        size(col("shs")).as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 6)
+        size(array_intersect(col("sha"), col("shb"))).as("i"),
+        col("na"), col("nb"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(50)
