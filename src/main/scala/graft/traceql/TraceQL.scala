@@ -537,21 +537,50 @@ object TraceQL {
             if (op == "<") "left_semi" else "left_anti")
         case ">>" | "!>>" => // r does (not) descend from a matching l:
           // the real parent-chain closure restricted to l's matches
-          // (reference spanset_op.go:158-193 descendantSpans); every
-          // join here is semi/anti, so no distinct/dedup shuffles
-          val lIds = l.select(col("trace_id"), col("span_id").as("anc"))
-          val descOfL = ancestorPairs(spans, dedup = false)
-            .join(lIds, Seq("trace_id", "anc"), "left_semi")
-            .select(col("trace_id"), col("span_id")).alias("d")
-          r.join(descOfL,
-            col("r.trace_id") === col("d.trace_id") &&
-              col("r.span_id") === col("d.span_id"),
-            if (op == ">>") "left_semi" else "left_anti")
+          // (reference spanset_op.go:158-193 descendantSpans). With a
+          // stored parent_path the membership test is IN-ROW: r
+          // descends from an l-match ⟺ r.parent_path intersects the
+          // trace's l-id set — one match-sized groupBy + one trace-keyed
+          // join, no corpus-wide ancestor explode at all.
+          if (r.columns.contains("parent_path")) {
+            val lSet = l.groupBy(col("trace_id"))
+              .agg(collect_set(col("span_id")).as("__lids"))
+            val overlap = coalesce(
+              arrays_overlap(col("r.parent_path"), col("__lids")), lit(false))
+            if (op == ">>")
+              r.join(lSet, col("r.trace_id") === lSet("trace_id"))
+                .filter(overlap)
+                .select(spans.columns.toIndexedSeq.map(c => col(s"r.$c")): _*)
+            else
+              r.join(lSet, col("r.trace_id") === lSet("trace_id"), "left")
+                .filter(!overlap)
+                .select(spans.columns.toIndexedSeq.map(c => col(s"r.$c")): _*)
+          } else {
+            val lIds = l.select(col("trace_id"), col("span_id").as("anc"))
+            val descOfL = ancestorPairs(spans, dedup = false)
+              .join(lIds, Seq("trace_id", "anc"), "left_semi")
+              .select(col("trace_id"), col("span_id")).alias("d")
+            r.join(descOfL,
+              col("r.trace_id") === col("d.trace_id") &&
+                col("r.span_id") === col("d.span_id"),
+              if (op == ">>") "left_semi" else "left_anti")
+          }
         case "<<" | "!<<" => // r is (not) an ancestor of a matching l
-          val lIds = l.select(col("trace_id"), col("span_id"))
-          val ancOfL = ancestorPairs(spans, dedup = false)
-            .join(lIds, Seq("trace_id", "span_id"), "left_semi")
-            .select(col("trace_id"), col("anc")).alias("d")
+          // the ancestors OF the l-matches are the l rows' OWN stored
+          // parent_path — exploding the filtered l side directly skips
+          // the corpus-wide ancestor explode + semi-join the general
+          // ancestorPairs path would pay (the filter on l reaches the
+          // scan, so this explode is match-sized, not table-sized)
+          val ancOfL =
+            if (l.columns.contains("parent_path"))
+              l.select(col("trace_id"), explode(col("parent_path")).as("anc"))
+                .alias("d")
+            else {
+              val lIds = l.select(col("trace_id"), col("span_id"))
+              ancestorPairs(spans, dedup = false)
+                .join(lIds, Seq("trace_id", "span_id"), "left_semi")
+                .select(col("trace_id"), col("anc")).alias("d")
+            }
           r.join(ancOfL,
             col("r.trace_id") === col("d.trace_id") &&
               col("r.span_id") === col("d.anc"),
