@@ -1259,28 +1259,39 @@ object PromQL {
         .select(col("ts_us"), col("name"),
           map_concat(col("labels"), map(lit("__nh__"), lit("sum"))).as("labels"),
           col("value"))
+      // One (ts, series) aggregation packs the histogram's buckets into
+      // a sorted array; the le ladder, the cumulative counts, AND the
+      // +Inf row all derive IN-ROW from that array — replacing the
+      // per-timestamp window machinery (exchange + two sorts + two
+      // WindowExecs + a second aggregation for +Inf) with one hash
+      // aggregate and a projection-explode. The in-row prefix sums are
+      // O(buckets²) per sample, bounded by the exponential-histogram
+      // schema's bucket count — never data-sized.
       val hist = points.filter(col("mapping").isin(10, 11))
         .withColumn("__k", to_json(array_sort(map_entries(col("labels")))))
-      val w = Window.partitionBy(col("ts_us"), col("name"), col("__k"))
-        .orderBy(coalesce(col("bucket_idx"), lit(Int.MinValue)))
-      val wAll = Window.partitionBy(col("ts_us"), col("name"), col("__k"))
-      val le = when(col("mapping") === 10, lit(0.0))
-        .otherwise(pow(lit(2.0),
-          (col("bucket_idx") + 1) * pow(lit(2.0), -col("scale"))))
-      val cum = hist
-        .withColumn("__cum", sum(col("value")).over(w))
-        .withColumn("__tot", sum(col("value")).over(wAll))
-        .withColumn("__le", le)
-      val buckets = cum.select(col("ts_us"), col("name"),
-        map_concat(col("labels"),
-          map(lit("le"), col("__le").cast("string"))).as("labels"),
-        col("__cum").as("value"))
-      val inf = cum.groupBy(col("ts_us"), col("name"), col("__k"))
-        .agg(first(col("labels")).as("labels"), max(col("__tot")).as("value"))
+      val packed = hist
+        .groupBy(col("ts_us"), col("name"), col("__k"))
+        .agg(first(col("labels")).as("labels"),
+          sort_array(collect_list(struct(
+            coalesce(col("bucket_idx"), lit(Int.MinValue)).as("bi"),
+            col("mapping").as("m"), col("scale").as("s"),
+            col("value").as("v")))).as("bs"))
+      val expanded = packed.select(col("ts_us"), col("name"), col("labels"),
+        explode(expr(
+          """concat(
+            |  transform(bs, (x, i) -> struct(
+            |    CAST(CASE WHEN x.m = 10 THEN CAST(0.0 AS DOUBLE)
+            |         ELSE power(2.0, (x.bi + 1) * power(2.0, -x.s)) END
+            |      AS STRING) AS le,
+            |    aggregate(slice(bs, 1, i + 1), CAST(0.0 AS DOUBLE),
+            |      (a, y) -> a + y.v) AS cum)),
+            |  array(struct('+Inf' AS le,
+            |    aggregate(bs, CAST(0.0 AS DOUBLE), (a, y) -> a + y.v)
+            |      AS cum)))""".stripMargin)).as("b"))
         .select(col("ts_us"), col("name"),
-          map_concat(col("labels"), map(lit("le"), lit("+Inf"))).as("labels"),
-          col("value"))
-      plain.unionByName(buckets).unionByName(inf).unionByName(sumRows)
+          map_concat(col("labels"), map(lit("le"), col("b.le"))).as("labels"),
+          col("b.cum").as("value"))
+      plain.unionByName(expanded).unionByName(sumRows)
     }
   }
 
