@@ -104,6 +104,27 @@ class LogSafetySpec extends SparkTestBase {
       ("a", Map("secret" -> LogSafety.Redacted))))
   }
 
+  test("KEYED fused path: safety bypass, redaction, and rate counting match the global rules") {
+    // same shape as the global bypass test but keyed — exercises
+    // decideFused's conditional ordinals and in-pipeline safety arm
+    val rows = Seq(
+      (0L, "syn", Map(LogSafety.CollapsedAttr -> "5", "secret" -> "x", "svc" -> "a")),
+      (10000000L, "a", Map("secret" -> "x", "svc" -> "a")),
+      (20000000L, "b", Map("svc" -> "a")),
+      (30000000L, "other", Map("secret" -> "y", "svc" -> "b")))
+    val out = LogSafety(df(rows),
+      LogSafety.Config(softMaxRatePerSecond = 1, onExcess = "drop",
+        keyFields = Seq("svc"), redactFields = Seq("secret")))
+    val got = out.collect().map(r =>
+      (r.getString(1), r.getMap[String, String](2).toMap)).toSet
+    // syn bypasses the svc=a count AND redaction; a is pos 1 in svc=a
+    // (kept, redacted); b pos 2 dropped; svc=b's own budget keeps other
+    assert(got == Set(
+      ("syn", Map(LogSafety.CollapsedAttr -> "5", "secret" -> "x", "svc" -> "a")),
+      ("a", Map("secret" -> LogSafety.Redacted, "svc" -> "a")),
+      ("other", Map("secret" -> LogSafety.Redacted, "svc" -> "b"))))
+  }
+
   test("compact: threshold keeps the bucket head, drops collapse into one synthetic") {
     // soft=1: pos 2..6 route to compact, all same body-key? bodies
     // differ, so key by svc via keyFields

@@ -130,5 +130,18 @@ class RollupTiersSpec extends SparkTestBase {
       t0, t0 + 6 * HU, HU + HU / 2, tiers)
     assert(!mis.queryExecution.optimizedPlan.toString.contains("sum_dec"),
       "misaligned grid must not read the tier")
+    // offset: shifted window ends (t − offset) stay bucket edges when
+    // start − offset is aligned — the 1h-offset grid rides the tier
+    // and equals the raw path; count/min/max ride the same stat merge
+    for (q <- Seq("sum_over_time(m[2h] offset 1h)",
+        "count_over_time(m[2h])", "min_over_time(m[2h])",
+        "max_over_time(m[2h])")) {
+      val viaT = PromQL.rangeWithTiers(q, pts, t0, t0 + 6 * HU, HU, tiers)
+      assert(viaT.queryExecution.optimizedPlan.toString.contains("__end"),
+        s"$q must read the stat tier")
+      assert(grid(viaT) ==
+        grid(PromQL.rangeWithTiers(q, pts, t0, t0 + 6 * HU, HU, Map.empty)),
+        s"$q tier != raw")
+    }
   }
 }
