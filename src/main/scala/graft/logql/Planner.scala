@@ -635,8 +635,10 @@ object Planner {
       scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false,
         boolMod = b)
     case BinOp(op, lhs, rhs, Some(m), b) =>
-      VectorMatching.bin(op, planMetric(lhs, logs, stepNs),
-        planMetric(rhs, logs, stepNs), m, "bucket_ns", b)
+      val (pl, pr) = sharedRollup(lhs, rhs, logs, stepNs)
+        .getOrElse((planMetric(lhs, logs, stepNs),
+          planMetric(rhs, logs, stepNs)))
+      VectorMatching.bin(op, pl, pr, m, "bucket_ns", b)
     case BinOp(op, lhs, rhs, None, boolMod) =>
       val l = planMetric(lhs, logs, stepNs)
         .withColumn("__stream", VectorMatching.streamKey(col("labels")))
@@ -697,6 +699,56 @@ object Planner {
   private def unwrap(ctx: Ctx): Column =
     ctx.unwrapped.getOrElse(
       throw new IllegalArgumentException("operator requires | unwrap"))
+
+  /** Range ops whose values re-aggregate BIT-EXACTLY across a
+    * label-partition refinement: integral counts (exact in doubles up
+    * to 2^53, so addition order cannot move a ulp). `rate` divides
+    * per series BEFORE the re-sum ((a+b)/r ≠ a/r + b/r in FP) and
+    * `sum_over_time` sums arbitrary doubles (order-sensitive), so both
+    * stay on the two-scan plan; extrapolated/stat ops are not
+    * re-aggregable at all.
+    */
+  private val distributiveRange = Set("count_over_time", "bytes_over_time")
+
+  /** Shared-scan binop rollup (the aggregation-pushdown pattern a
+    * `sum by (a, b) (...) / on(b) group_left sum by (b) (...)` binop
+    * wants): when both operands are `sum by` over the SAME range
+    * selection and one side's grouping is a subset of the other's, the
+    * coarse side re-aggregates the fine side's SERIES (a
+    * series-cardinality rollup, with the shared scan+window reused via
+    * exchange reuse) instead of scanning and windowing the source a
+    * second time. Exact by distributivity: the fine grouping is a
+    * refinement of the coarse one, so sums of sums match the direct
+    * plan bit-for-bit (doubles add in at most a different order —
+    * counts are integral, so no ulp risk on the gated ops).
+    */
+  private def sharedRollup(lhs: MetricExpr, rhs: MetricExpr,
+      logs: DataFrame, stepNs: Option[Long])
+      : Option[(DataFrame, DataFrame)] = {
+    def reAgg(fine: DataFrame, keep: Seq[String]): DataFrame =
+      fine
+        .withColumn("labels",
+          map_filter(col("labels"), (k, _) => k.isin(keep: _*)))
+        .withColumn("__stream", VectorMatching.streamKey(col("labels")))
+        .groupBy(col("bucket_ns"), col("__stream"))
+        .agg(sum(col("value")).as("value"), first(col("labels")).as("labels"))
+        .select(col("bucket_ns"), col("labels"), col("value"))
+    (lhs, rhs) match {
+      case (VectorAgg("sum", byL, Nil, None, ra: RangeAgg),
+            VectorAgg("sum", byR, Nil, None, rb: RangeAgg))
+          if ra == rb && distributiveRange(ra.op) &&
+            ra.by.isEmpty && ra.without.isEmpty &&
+            byL.nonEmpty && byR.nonEmpty =>
+        if (byR.toSet.subsetOf(byL.toSet)) {
+          val fine = planMetric(lhs, logs, stepNs)
+          Some((fine, reAgg(fine, byR)))
+        } else if (byL.toSet.subsetOf(byR.toSet)) {
+          val fine = planMetric(rhs, logs, stepNs)
+          Some((reAgg(fine, byL), fine))
+        } else None
+      case _ => None
+    }
+  }
 
   private def scalarBin(op: String, s: Column, df: DataFrame,
       scalarLeft: Boolean, boolMod: Boolean = false): DataFrame = {

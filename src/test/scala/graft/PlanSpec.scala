@@ -321,6 +321,15 @@ class PlanSpec extends SparkTestBase {
       s"tier-served range query must not scan raw samples:\n$p")
   }
 
+  test("group_left binop: the one side re-aggregates the many side's shared subtree") {
+    val p = finalPlanOf("logql_e2e_group_left")
+    // the coarse operand is a series-cardinality rollup of the fine
+    // operand; the shared scan+window subtree deduplicates at runtime
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      s"shared fine-side subtree must be reused, not recomputed:\n$p")
+  }
+
   test("compare() scans the ingest-materialized attr-count rollup, not spans") {
     val p = planOf("traceql_metrics_compare")
     // the cube fixture path is the only scan; no explode (Generate) of
