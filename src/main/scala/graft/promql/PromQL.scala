@@ -1714,7 +1714,32 @@ object PromQL {
         .withColumn("__sv", coalesce(col("__sv"), lit(Double.NaN)))
       scalarBin(op, col("__sv"), joined, b, scalarLeft = false)
     case Bin(op, lhs, rhs, Some(m), b) =>
-      graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs), m, "bucket_us", b)
+      // shared-operand rollup: `X op_on(ls)_group_left sum by (ls)(X)`
+      // groups the SAME frame the bare operand already produced — plan
+      // X once and re-aggregate its output for the sum side (the exact
+      // column logic of the Agg("sum") case, applied to the shared
+      // frame, so values are bit-identical to the two-plan form while
+      // the operand's scan/fan-out subtree exists once in the plan)
+      def sumBy(in: DataFrame, by: Seq[String]): DataFrame = {
+        val byArr = array(by.map(lit): _*)
+        in.withColumn("labels",
+            map_filter(col("labels"), (key, _) => array_contains(byArr, key)))
+          .withColumn("__stream",
+            graft.logql.VectorMatching.streamKey(col("labels")))
+          .groupBy(col("bucket_us"), col("__stream"))
+          .agg(sum(col("value")).as("value"), first(col("labels")).as("labels"))
+          .select(col("bucket_us"), col("labels"), col("value"))
+      }
+      val (pl, pr) = (lhs, rhs) match {
+        case (_, Agg("sum", by, Seq(), None, None, inner))
+            if by.nonEmpty && inner == lhs =>
+          val l = rec(lhs); (l, sumBy(l, by))
+        case (Agg("sum", by, Seq(), None, None, inner), _)
+            if by.nonEmpty && inner == rhs =>
+          val r = rec(rhs); (sumBy(r, by), r)
+        case _ => (rec(lhs), rec(rhs))
+      }
+      graft.logql.VectorMatching.bin(op, pl, pr, m, "bucket_us", b)
     case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None, _) =>
       // full-label-set matching (reference vendored engine set binops)
       graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs),
