@@ -724,30 +724,24 @@ object Planner {
     */
   private def sharedRollup(lhs: MetricExpr, rhs: MetricExpr,
       logs: DataFrame, stepNs: Option[Long])
-      : Option[(DataFrame, DataFrame)] = {
-    def reAgg(fine: DataFrame, keep: Seq[String]): DataFrame =
-      fine
-        .withColumn("labels",
-          map_filter(col("labels"), (k, _) => k.isin(keep: _*)))
-        .withColumn("__stream", VectorMatching.streamKey(col("labels")))
-        .groupBy(col("bucket_ns"), col("__stream"))
-        .agg(sum(col("value")).as("value"), first(col("labels")).as("labels"))
-        .select(col("bucket_ns"), col("labels"), col("value"))
-    (lhs, rhs) match {
-      case (VectorAgg("sum", byL, Nil, None, ra: RangeAgg),
-            VectorAgg("sum", byR, Nil, None, rb: RangeAgg))
-          if ra == rb && distributiveRange(ra.op) &&
-            ra.by.isEmpty && ra.without.isEmpty &&
-            byL.nonEmpty && byR.nonEmpty =>
-        if (byR.toSet.subsetOf(byL.toSet)) {
-          val fine = planMetric(lhs, logs, stepNs)
-          Some((fine, reAgg(fine, byR)))
-        } else if (byL.toSet.subsetOf(byR.toSet)) {
-          val fine = planMetric(rhs, logs, stepNs)
-          Some((reAgg(fine, byL), fine))
-        } else None
-      case _ => None
-    }
+      : Option[(DataFrame, DataFrame)] = (lhs, rhs) match {
+    case (VectorAgg("sum", byL, Nil, None, ra: RangeAgg),
+          VectorAgg("sum", byR, Nil, None, rb: RangeAgg))
+        if ra == rb && distributiveRange(ra.op) &&
+          ra.by.isEmpty && ra.without.isEmpty &&
+          byL.nonEmpty && byR.nonEmpty =>
+      if (byL.toSet == byR.toSet) {
+        // identical operands: one plan serves both sides outright
+        val fine = planMetric(lhs, logs, stepNs)
+        Some((fine, fine))
+      } else if (byR.toSet.subsetOf(byL.toSet)) {
+        val fine = planMetric(lhs, logs, stepNs)
+        Some((fine, VectorMatching.sumBySeries(fine, byR, "bucket_ns")))
+      } else if (byL.toSet.subsetOf(byR.toSet)) {
+        val fine = planMetric(rhs, logs, stepNs)
+        Some((VectorMatching.sumBySeries(fine, byL, "bucket_ns"), fine))
+      } else None
+    case _ => None
   }
 
   private def scalarBin(op: String, s: Column, df: DataFrame,

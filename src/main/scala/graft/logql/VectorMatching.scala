@@ -29,6 +29,24 @@ object VectorMatching {
   def streamKey(labels: Column): Column =
     to_json(array_sort(map_entries(labels)))
 
+  /** `sum by (keep)` over an already-planned series frame — the ONE
+    * shared implementation behind the planners' shared-operand binop
+    * rollups (LogQL `sharedRollup`, PromQL's Bin sumBy). It mirrors
+    * the direct `sum by` aggregation cases exactly: labels reduce to
+    * the kept keys, the group key is the canonical [[streamKey]], and
+    * the sum runs once over the frame's rows — so a rollup derived
+    * through here is bit-identical to planning the aggregation
+    * directly over the same frame.
+    */
+  def sumBySeries(in: DataFrame, keep: Seq[String],
+      bucketCol: String): DataFrame =
+    in.withColumn("labels",
+        map_filter(col("labels"), (k, _) => k.isin(keep: _*)))
+      .withColumn("__stream", streamKey(col("labels")))
+      .groupBy(col(bucketCol), col("__stream"))
+      .agg(sum(col("value")).as("value"), first(col("labels")).as("labels"))
+      .select(col(bucketCol), col("labels"), col("value"))
+
   private def filteredLabels(labels: Column, m: VectorMatch): Column = {
     val arr = array(m.labels.map(lit): _*)
     if (m.on) map_filter(labels, (k, _) => array_contains(arr, k))

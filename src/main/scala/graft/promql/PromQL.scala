@@ -1269,24 +1269,30 @@ object PromQL {
       // schema's bucket count — never data-sized.
       val hist = points.filter(col("mapping").isin(10, 11))
         .withColumn("__k", to_json(array_sort(map_entries(col("labels")))))
+      // `bi` (coalesced) is the SORT key only; `bir` keeps the raw
+      // bucket_idx so a null on a mapping-11 row yields a null le like
+      // the window formulation did, instead of silently colliding with
+      // the zero bucket. Null values contribute 0 to the cumulative
+      // sums, matching window sum()'s null-skipping.
       val packed = hist
         .groupBy(col("ts_us"), col("name"), col("__k"))
         .agg(first(col("labels")).as("labels"),
           sort_array(collect_list(struct(
             coalesce(col("bucket_idx"), lit(Int.MinValue)).as("bi"),
             col("mapping").as("m"), col("scale").as("s"),
-            col("value").as("v")))).as("bs"))
+            col("value").as("v"), col("bucket_idx").as("bir")))).as("bs"))
       val expanded = packed.select(col("ts_us"), col("name"), col("labels"),
         explode(expr(
           """concat(
             |  transform(bs, (x, i) -> struct(
             |    CAST(CASE WHEN x.m = 10 THEN CAST(0.0 AS DOUBLE)
-            |         ELSE power(2.0, (x.bi + 1) * power(2.0, -x.s)) END
+            |         ELSE power(2.0, (x.bir + 1) * power(2.0, -x.s)) END
             |      AS STRING) AS le,
             |    aggregate(slice(bs, 1, i + 1), CAST(0.0 AS DOUBLE),
-            |      (a, y) -> a + y.v) AS cum)),
+            |      (a, y) -> a + coalesce(y.v, CAST(0.0 AS DOUBLE))) AS cum)),
             |  array(struct('+Inf' AS le,
-            |    aggregate(bs, CAST(0.0 AS DOUBLE), (a, y) -> a + y.v)
+            |    aggregate(bs, CAST(0.0 AS DOUBLE),
+            |      (a, y) -> a + coalesce(y.v, CAST(0.0 AS DOUBLE)))
             |      AS cum)))""".stripMargin)).as("b"))
         .select(col("ts_us"), col("name"),
           map_concat(col("labels"), map(lit("le"), col("b.le"))).as("labels"),
@@ -1716,27 +1722,20 @@ object PromQL {
     case Bin(op, lhs, rhs, Some(m), b) =>
       // shared-operand rollup: `X op_on(ls)_group_left sum by (ls)(X)`
       // groups the SAME frame the bare operand already produced — plan
-      // X once and re-aggregate its output for the sum side (the exact
-      // column logic of the Agg("sum") case, applied to the shared
-      // frame, so values are bit-identical to the two-plan form while
-      // the operand's scan/fan-out subtree exists once in the plan)
-      def sumBy(in: DataFrame, by: Seq[String]): DataFrame = {
-        val byArr = array(by.map(lit): _*)
-        in.withColumn("labels",
-            map_filter(col("labels"), (key, _) => array_contains(byArr, key)))
-          .withColumn("__stream",
-            graft.logql.VectorMatching.streamKey(col("labels")))
-          .groupBy(col("bucket_us"), col("__stream"))
-          .agg(sum(col("value")).as("value"), first(col("labels")).as("labels"))
-          .select(col("bucket_us"), col("labels"), col("value"))
-      }
+      // X once and re-aggregate its output for the sum side
+      // ([[graft.logql.VectorMatching.sumBySeries]], the one shared
+      // implementation of the sum-by column logic, so values are
+      // bit-identical to the two-plan form while the operand's
+      // scan/fan-out subtree exists once in the plan)
       val (pl, pr) = (lhs, rhs) match {
         case (_, Agg("sum", by, Seq(), None, None, inner))
             if by.nonEmpty && inner == lhs =>
-          val l = rec(lhs); (l, sumBy(l, by))
+          val l = rec(lhs)
+          (l, graft.logql.VectorMatching.sumBySeries(l, by, "bucket_us"))
         case (Agg("sum", by, Seq(), None, None, inner), _)
             if by.nonEmpty && inner == rhs =>
-          val r = rec(rhs); (sumBy(r, by), r)
+          val r = rec(rhs)
+          (graft.logql.VectorMatching.sumBySeries(r, by, "bucket_us"), r)
         case _ => (rec(lhs), rec(rhs))
       }
       graft.logql.VectorMatching.bin(op, pl, pr, m, "bucket_us", b)

@@ -278,22 +278,26 @@ object QueriesPipeline2 extends QueryPack {
     // the verify stage joins the CANDIDATE PAIRS (band-bounded, tiny)
     // against doc-level shingle sets and intersects in-row — the
     // exploded formulation shuffled the corpus's whole (doc, shingle)
-    // table on (b, sh) to count the same integers. The pair list is
-    // broadcast (ids only); the candidate-side payload join is left to
-    // AQE's runtime broadcast conversion — candidate×payload is small
-    // in the LSH regime but not BOUNDED, so it must not be force-hinted
-    // at 100 TB. Per-doc sets are document-sized — the record a pair
-    // verify wants to move.
+    // table on (b, sh) to count the same integers. NO broadcast hints:
+    // the candidate list grows with the corpus's duplicate rate, so
+    // both joins are left to AQE's runtime conversion — small-regime
+    // runs broadcast at runtime, a 100 TB candidate flood degrades to
+    // a shuffle instead of failing the driver. Per-doc sets are
+    // document-sized — the record a pair verify wants to move.
     val packs = shinglePacks(td)
     val cand = bandCandidates(td)
     packs.select(col("doc_id").as("a"), col("shs").as("sha"),
         size(col("shs")).as("na"))
-      .join(broadcast(cand), Seq("a"))
+      .join(cand, Seq("a"))
       .join(packs.select(col("doc_id").as("b"), col("shs").as("shb"),
         size(col("shs")).as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sha"), col("shb"))).as("i"),
         col("na"), col("nb"))
+      // a band collision implies a shared min-shingle today, but that
+      // is a property of the hash scheme, not of this stage — keep the
+      // oracle's inner-join no-empty-intersection contract explicit
+      .filter(col("i") > 0)
       .select(col("a"), col("b"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
           .as("jaccard"))

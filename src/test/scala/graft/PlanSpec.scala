@@ -322,12 +322,16 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("group_left binop: the one side re-aggregates the many side's shared subtree") {
-    val p = finalPlanOf("logql_e2e_group_left")
     // the coarse operand is a series-cardinality rollup of the fine
-    // operand; the shared scan+window subtree deduplicates at runtime
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
-      p.contains("TableCacheQueryStage"),
-      s"shared fine-side subtree must be reused, not recomputed:\n$p")
+    // operand; the shared scan+fan-out subtree deduplicates at runtime
+    // — pinned for BOTH planners (LogQL sharedRollup, PromQL's
+    // shared-operand Bin case)
+    for (q <- Seq("logql_e2e_group_left", "promql_e2e_group_left")) {
+      val p = finalPlanOf(q)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+        p.contains("TableCacheQueryStage"),
+        s"$q: shared fine-side subtree must be reused, not recomputed:\n$p")
+    }
   }
 
   test("compare() scans the ingest-materialized attr-count rollup, not spans") {
