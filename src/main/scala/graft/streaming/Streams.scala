@@ -30,14 +30,11 @@ object Streams {
     */
   def enrichLogs(raw: DataFrame): DataFrame = {
     val sevNum = GraftFunctions.deduce_severity(col("body"))
-    val unwrapped = unwrapDockerLogs(raw)
-    // frames with an attrs map already carry the stream there — don't
-    // persist the same value twice (and don't drift the stored logs
-    // schema with a column old partitions lack)
-    val clean =
-      if (raw.columns.contains("attrs")) unwrapped.drop("docker_stream")
-      else unwrapped
-    clean
+    // docker_stream drops UNCONDITIONALLY: frames with an attrs map
+    // already carry the stream there, and keeping the column on
+    // attrs-less frames would drift the stored logs schema vs old
+    // partitions (exactly the drift the attrs case avoids)
+    unwrapDockerLogs(raw).drop("docker_stream")
       .withColumn("severity_number", sevNum)
       .withColumn("severity_text", GraftFunctions.severity_text(sevNum))
       .withColumn("service_name",
@@ -66,11 +63,17 @@ object Streams {
     val env = from_json(body,
       org.apache.spark.sql.types.StructType.fromDDL(
         "log STRING, stream STRING, time STRING"))
+    val t6 = regexp_replace(col("__env.time"), "(\\.\\d{1,6})\\d*", "$1")
+    // try_: ANSI-mode to_timestamp THROWS on a malformed string, and a
+    // single crafted line must never fail the whole ingest micro-batch
+    val tsNs = unix_micros(try_to_timestamp(t6)) * 1000
+    // a malformed time fails the DETECTION, not just the timestamp: the
+    // daemon always writes a valid RFC3339Nano time, so an unparseable
+    // one means the line is application JSON that merely shares the key
+    // names — it falls through as raw text instead of landing at epoch 0
     val isDocker = ltrim(body).startsWith("{") && col("__env.log").isNotNull &&
       col("__env.stream").isin("stdout", "stderr") &&
-      col("__env.time").isNotNull
-    val t6 = regexp_replace(col("__env.time"), "(\\.\\d{1,6})\\d*", "$1")
-    val tsNs = unix_micros(to_timestamp(t6)) * 1000
+      tsNs.isNotNull
     // flags first (all read the ORIGINAL body), body replacement last
     val flagged = raw
       .withColumn("__env", env)
@@ -102,12 +105,27 @@ object Streams {
     * `when`-chain (reference internal/logparser/{json,logfmt,klog,
     * zap_development,deduce}.go; a declarative column expression
     * instead of a per-row parser chain).
+    *
+    * `unwrapDocker` controls the docker-envelope pre-pass. Detection is
+    * inherently ambiguous there: an application log line that is itself
+    * a valid {"log","stream","time"} JSON object is indistinguishable
+    * from a daemon envelope, and the unwrap REPLACES the body and
+    * rewrites `ts_ns` — a side effect beyond tagging. It defaults on
+    * because this helper sits on the ingest path (where json-file
+    * envelopes are the real wire shape); callers re-detecting bodies
+    * that were already unwrapped once, or classifying application logs
+    * that may legitimately carry those keys, pass false to keep
+    * detection side-effect-free.
     */
-  def detectLogFormat(raw0: DataFrame): DataFrame = {
+  def detectLogFormat(raw0: DataFrame,
+      unwrapDocker: Boolean = true): DataFrame = {
     // Docker envelopes unwrap FIRST so the in-body formats detect on
     // the real line — a docker-wrapped klog line parses exactly like a
     // bare one, tagged docker/klog
-    val raw = unwrapDockerLogs(raw0)
+    val raw =
+      if (unwrapDocker) unwrapDockerLogs(raw0)
+      else raw0.withColumn("docker_stream",
+        lit(null).cast("string"))
     val body = col("body")
     val trimmed = ltrim(body)
     val isJson = trimmed.startsWith("{") &&
@@ -1048,7 +1066,22 @@ object Streams {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       cubePath: String = null,
       cubeDims: Seq[String] = Seq("name", "kind", "status_code"))
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // dims resolve against the STREAM schema once, at sink setup — a
+    // per-batch filter would let a dim-less batch write partial rows
+    // under a different grouping, silently corrupting the read-time
+    // sum(n) merge. `kind`/`status_code` are optional span columns
+    // (fixture frames omit them), so absent ones narrow HERE, visibly
+    // and permanently for this sink, never per batch.
+    val dims =
+      if (cubePath == null) cubeDims
+      else {
+        val present = cubeDims.filter(stream.columns.contains)
+        require(present.nonEmpty,
+          s"spansSink: none of cube dims $cubeDims exist in the stream " +
+            s"schema ${stream.columns.toSeq}")
+        present
+      }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1060,12 +1093,12 @@ object Streams {
           if (cubePath != null)
             graft.sources.Layout.commitBatch(cubePath, id)(
               graft.sources.Layout.writeAttrCube(
-                graft.traceql.TraceQL.compareAttrCounts(
-                  b, cubeDims.filter(b.columns.contains)), _))
+                graft.traceql.TraceQL.compareAttrCounts(b, dims), _))
         } finally if (cubePath != null) { b.unpersist(); () }
       }
       .trigger(trigger)
       .start()
+  }
 
   /** Batched metric-point inserter: same foreachBatch shape into the
     * (hash, ts)-sorted daily layout (inserter_metrics.go batching).

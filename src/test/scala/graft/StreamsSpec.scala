@@ -39,7 +39,11 @@ class StreamsSpec extends SparkTestBase {
       wrap(jsonLine, "stdout", "2024-01-01T10:00:01.5Z"),
       jsonLine,
       // json body with a "log" key but NO envelope time: not docker
-      """{"log":"x","stream":"stdout","msg":"plain json"}"""
+      """{"log":"x","stream":"stdout","msg":"plain json"}""",
+      // all three envelope keys but an UNPARSEABLE time: application
+      // json sharing the key names, not a daemon envelope — must fall
+      // through untouched instead of landing at epoch 0 (advice r12)
+      """{"log":"y","stream":"stdout","time":"not-a-time"}"""
     ).toDF("body")
     val out = Streams.detectLogFormat(df).select(
       "detected_format", "detected_level", "msg", "docker_stream").collect()
@@ -54,6 +58,27 @@ class StreamsSpec extends SparkTestBase {
     assert(out(2).getString(3) == "stdout")
     // log-keyed json without the time key stays a plain json body
     assert(out(4).getString(0) == "json" && out(4).isNullAt(3))
+    // malformed time: detection fails, body survives as plain json
+    assert(out(5).getString(0) == "json" && out(5).isNullAt(3))
+  }
+
+  test("detectLogFormat with unwrapDocker=false never mutates body or ts_ns") {
+    val env =
+      """{"log":"E0101 10:00:00.000000 1 m.go:1] x\n","stream":"stderr","time":"2024-01-01T10:00:00Z"}"""
+    val df = Seq((42L, env)).toDF("ts_ns", "body")
+    val out = Streams.detectLogFormat(df, unwrapDocker = false).head()
+    assert(out.getAs[Long]("ts_ns") == 42L)
+    assert(out.getAs[String]("body") == env)
+    assert(out.getAs[String]("detected_format") == "json")
+  }
+
+  test("enrichLogs drops docker_stream on attrs-less frames too (no schema drift)") {
+    val df = Seq(
+      (1L, """{"log":"warn: w\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}""")
+    ).toDF("ts_ns", "body").withColumn("service_name", lit("svc"))
+    val out = Streams.enrichLogs(df)
+    assert(!out.columns.contains("docker_stream"))
+    assert(out.head().getAs[String]("body") == "warn: w")
   }
 
   test("docker envelope time replaces ts_ns at µs grain; attrs gain the stream label") {
