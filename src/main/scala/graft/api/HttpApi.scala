@@ -52,7 +52,8 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     series: Option[DataFrame] = None,
     limits: Limits.ResultLimits = Limits.ResultLimits(),
     rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
-    cube: Option[graft.traceql.TraceQL.AttrCube] = None) {
+    cube: Option[graft.traceql.TraceQL.AttrCube] = None,
+    tiers: Map[Long, DataFrame] = Map.empty) {
 
   private var server: HttpServer = _
 
@@ -173,9 +174,14 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
 
   /** start/end → pushed scan predicate on `tsCol` (ns/`divisor`),
     * half-open [start, end) like the reference's range handling.
+    * `loExtendNs` widens the LOWER bound by a query's needed history
+    * (range+offset+lookback) so a range function at the first grid
+    * point sees its full window; `unboundedLo` drops the lower bound
+    * entirely (an `@`-pinned leaf can reach anywhere).
     */
   private def windowed(df: DataFrame, p: Map[String, String],
-      tsCol: String, divisor: Long): DataFrame = {
+      tsCol: String, divisor: Long, loExtendNs: Long = 0L,
+      unboundedLo: Boolean = false): DataFrame = {
     // `since` computes a missing start as (end | now) - since — the
     // Loki/Tempo relative-window param (reference tempohandler/
     // params.go:35-80, lokihandler.go:74); an explicit start wins
@@ -191,7 +197,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
         val nowNs = System.currentTimeMillis() * 1000000L
         math.min(hiNs.getOrElse(nowNs), nowNs) - d
       })
-    val f1 = loNs.map(_ / divisor).fold(df)(v => df.filter(col(tsCol) >= v))
+    val f1 =
+      if (unboundedLo) df
+      else loNs.map(v => (v - loExtendNs) / divisor)
+        .fold(df)(v => df.filter(col(tsCol) >= v))
     hiNs.map(_ / divisor).fold(f1)(v => f1.filter(col(tsCol) < v))
   }
 
@@ -200,7 +209,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   private def lokiQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepNs = p.get("step").map(s => (s.toDouble * 1e9).toLong)
-    val src = windowed(logs, p, "ts_ns", 1L)
+    // metric queries read range+offset of history before the first
+    // grid point (windows are (t−range, t]): extend the scan's lower
+    // bound by it and clamp the output grid back to ≥ start below
+    val histNs = graft.logql.Planner.scanHistoryNs(p("query"))
+    val src = windowed(logs, p, "ts_ns", 1L, loExtendNs = histNs)
     // log-query knobs (lokihandler.go QueryRange params): `limit` caps
     // entries, `direction=backward` keeps the NEWEST limit entries —
     // both reach the plan as TakeOrderedAndProject, so the cap rides
@@ -212,9 +225,16 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       logLimit = Some(limit), newestFirst = backward)
     // typed guard rails on the unbounded (sample/matrix) path: the log
     // listing path is already limit-capped inside the plan
-    if (df.columns.contains("value"))
-      ApiEncoders.lokiMatrix(Limits.guardRows(df, limits.maxSampleRows),
+    if (df.columns.contains("value")) {
+      // grid points fanned out of the history slack fall before the
+      // requested window: clamp them (samples ≥ start always fan to
+      // grid points ≥ start, so this only cuts slack-born buckets)
+      val clamped = p.get("start").filter(_.nonEmpty).map(toNs)
+        .filter(_ => df.columns.contains("bucket_ns"))
+        .fold(df)(v => df.filter(col("bucket_ns") >= v))
+      ApiEncoders.lokiMatrix(Limits.guardRows(clamped, limits.maxSampleRows),
         maxBytes = limits.maxResultBytes)
+    }
     else ApiEncoders.lokiStreams(df, newestFirst = backward,
       maxBytes = limits.maxResultBytes)
   }
@@ -421,8 +441,36 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   private def promQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepUs = p.get("step").map(s => (s.toDouble * 1e6).toLong)
-    val src0 = windowed(points, p, "ts_us", 1000L)
     val q = p("query")
+    // the maintained rollup tiers serve a grain-aligned
+    // `*_over_time` dashboard grid without touching raw points (the
+    // whole reason the ingest listener maintains the sidecar); any
+    // unservable query/alignment falls through to the raw path below,
+    // same results
+    val tierPlan =
+      if (tiers.isEmpty) None
+      else for {
+        s <- p.get("start").filter(_.nonEmpty)
+        e <- p.get("end").filter(_.nonEmpty)
+        st <- stepUs
+        df <- graft.promql.PromQL.rangeTierPlan(q,
+          (s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong, st, tiers)
+      } yield df
+    tierPlan match {
+      case Some(df) =>
+        return ApiEncoders.promMatrix(
+          Limits.guardRows(df, limits.maxSampleRows), tsCol = "ts_us",
+          maxBytes = limits.maxResultBytes)
+      case None => // raw path below
+    }
+    // the scan's lower bound extends by the query's needed history
+    // (range+offset+lookback) — without the slack a range function at
+    // the FIRST grid points evaluates over truncated data; the output
+    // grid filters back to [start, end] below
+    val histUs = graft.promql.PromQL.scanHistoryUs(q)
+    val src0 = windowed(points, p, "ts_us", 1000L,
+      loExtendNs = histUs.getOrElse(0L) * 1000L,
+      unboundedLo = histUs.isEmpty)
     // only a query with exactly ONE distinct selector and no
     // table-extent-gridded node (absent/time()/vector()) can
     // pre-resolve: its label predicate then bounds the whole point set
@@ -430,7 +478,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // planner)
     val src = graft.promql.PromQL.cacheableSelector(q) match {
       case Some(sel) =>
-        val triples = (("=", "__name__", sel.name)) +:
+        // history is part of the key: two queries sharing a selector
+        // but needing different slack must not share a resolved frame
+        val triples = ("hist", histUs.fold("inf")(_.toString), "") +:
+          (("=", "__name__", sel.name)) +:
           sel.matchers.map(m => (m.op, m.label, m.value))
         val key = resolutionCache.keyOf(triples,
           p.get("start").filter(_.nonEmpty).map(toNs).getOrElse(Long.MinValue),
@@ -448,9 +499,13 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       s <- p.get("start").filter(_.nonEmpty)
       e <- p.get("end").filter(_.nonEmpty)
     } yield ((s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong)
+    val res = graft.promql.PromQL.range(q, src, stepUs, atRange)
+    val gLo = p.get("start").filter(_.nonEmpty).map(toNs(_) / 1000L)
+    val gHi = p.get("end").filter(_.nonEmpty).map(toNs(_) / 1000L)
+    val res1 = gLo.fold(res)(v => res.filter(col("bucket_us") >= v))
+    val res2 = gHi.fold(res1)(v => res1.filter(col("bucket_us") <= v))
     ApiEncoders.promMatrix(
-      Limits.guardRows(graft.promql.PromQL.range(q, src, stepUs, atRange),
-        limits.maxSampleRows),
+      Limits.guardRows(res2, limits.maxSampleRows),
       maxBytes = limits.maxResultBytes)
   }
 
@@ -460,7 +515,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // no "now"; reference promhandler defaults to time.Now())
     val tUs = p.get("time").filter(_.nonEmpty).map(toNs(_) / 1000L)
       .getOrElse(points.agg(max(col("ts_us"))).head().getLong(0))
-    ApiEncoders.promVector(graft.promql.PromQL.instant(p("query"), points, tUs))
+    // aligned `*_over_time` instants read the maintained rollup tiers;
+    // anything unservable falls back to the raw evaluation
+    val df = graft.promql.PromQL.instantTierPlan(p("query"), tUs, tiers)
+      .getOrElse(graft.promql.PromQL.instant(p("query"), points, tUs))
+    ApiEncoders.promVector(df)
   }
 
   private def promLabels(ex: HttpExchange): String =

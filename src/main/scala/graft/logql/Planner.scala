@@ -809,6 +809,27 @@ object Planner {
     case ScalarLit(_) | VectorLit(_) => Nil
   }
 
+  /** Max history (ns) any range selector of `q` needs before its own
+    * grid point — what a serving layer must EXTEND a `[start, end)`
+    * scan bound by, or a window at the leading grid edge evaluates
+    * over truncated data (Loki windows are (t−range, t]: the grid
+    * point AT `start` reads `range+offset` back). 0 for log queries.
+    */
+  def scanHistoryNs(logql: String): Long =
+    if (logql.trim.startsWith(Explain.Prefix)) 0L
+    else Parser.parse(logql) match {
+      case Ast.LogExpr(_)       => 0L
+      case Ast.MetricExprTop(m) => histNs(foldScalars(m))
+    }
+
+  private def histNs(m: MetricExpr): Long = m match {
+    case RangeAgg(_, _, r, o, _, _, _) => r + math.max(o, 0L)
+    case VectorAgg(_, _, _, _, i)      => histNs(i)
+    case BinOp(_, l, r, _, _)          => math.max(histNs(l), histNs(r))
+    case LabelFnExpr(_, i, _)          => histNs(i)
+    case ScalarLit(_) | VectorLit(_)   => 0L
+  }
+
   /** Series-endpoint selector: `{m...}` with no pipeline stages →
     * filtered logs (reference lokihandler.go:365-407 match[] handling).
     */

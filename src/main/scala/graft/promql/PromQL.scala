@@ -725,6 +725,16 @@ object PromQL {
     case ScalarLit(_) | TimeFn | VectorLit(_) => Some(0L)
   }
 
+  /** Max history (µs) `q` may need before its first grid point — what
+    * a serving layer must EXTEND a `[start, end)` scan bound by, or a
+    * range function at the leading grid edge evaluates over truncated
+    * data (Prometheus reads start−range back; reference promhandler
+    * threads the same slack into its storage window). None = a
+    * `@`-pinned leaf makes the need unbounded: drop the lower bound.
+    */
+  def scanHistoryUs(q: String): Option[Long] =
+    lookbackBoundUs(foldScalars(parse(q)))
+
   private def collectRanges(e: Expr): Seq[Long] = e match {
     case RangeFn(_, _, r, _, _)    => Seq(r / 1000)
     case RangeSub(_, _, _, _, _, _) =>
@@ -820,7 +830,18 @@ object PromQL {
     * points, same results.
     */
   def instantWithTiers(q: String, points: DataFrame, evalTsUs: Long,
-      tiers: Map[Long, DataFrame]): DataFrame = {
+      tiers: Map[Long, DataFrame]): DataFrame =
+    instantTierPlan(q, evalTsUs, tiers)
+      .getOrElse(instant(q, points, evalTsUs))
+
+  /** The tier-servable core of [[instantWithTiers]]: Some(plan) when a
+    * maintained tier answers the query exactly, None when the caller
+    * must take its own raw path — the served HTTP endpoint keeps its
+    * caching/window machinery on the fallback by consuming this
+    * directly instead of the wrapper.
+    */
+  def instantTierPlan(q: String, evalTsUs: Long,
+      tiers: Map[Long, DataFrame]): Option[DataFrame] = {
     import graft.sources.RollupTiers
     foldScalars(parse(q)) match {
       case RangeFn(fn, sel, rangeNs, offsetNs, Nil)
@@ -834,18 +855,16 @@ object PromQL {
         // tier serves the query exactly (e.g. 1d window at 02:00 over
         // {1h, 6h}: 6h misaligns, 1h is exact)
         RollupTiers.select(
-          tiers.keys.toSeq.filter(i => end % i == 0), rangeUs, agg) match {
-          case Some(i) =>
-            val v = RollupTiers.mergedValue(agg)
-            tiers(i)
-              .filter(selCol(sel))
-              .filter(col("__end") > end - rangeUs && col("__end") <= end)
-              .groupBy(col("__k"))
-              .agg(v.as("value"), first(col("labels")).as("labels"))
-              .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
-          case None => instant(q, points, evalTsUs)
+          tiers.keys.toSeq.filter(i => end % i == 0), rangeUs, agg).map { i =>
+          val v = RollupTiers.mergedValue(agg)
+          tiers(i)
+            .filter(selCol(sel))
+            .filter(col("__end") > end - rangeUs && col("__end") <= end)
+            .groupBy(col("__k"))
+            .agg(v.as("value"), first(col("labels")).as("labels"))
+            .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
         }
-      case _ => instant(q, points, evalTsUs)
+      case _ => None
     }
   }
 
@@ -866,15 +885,25 @@ object PromQL {
     * falls through to the ordinary [[range]] evaluation, same results.
     */
   def rangeWithTiers(q: String, points: DataFrame, startUs: Long,
-      endUs: Long, stepUs: Long, tiers: Map[Long, DataFrame]): DataFrame = {
+      endUs: Long, stepUs: Long, tiers: Map[Long, DataFrame]): DataFrame =
+    rangeTierPlan(q, startUs, endUs, stepUs, tiers).getOrElse {
+      // the engine's range grid is absolute-aligned (multiples of
+      // step); emitting eval points as ts_us keeps the tier and raw
+      // paths column-compatible
+      range(q, points, Some(stepUs))
+        .withColumnRenamed("bucket_us", "ts_us")
+        .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+    }
+
+  /** The tier-servable core of [[rangeWithTiers]] — Some(plan) iff the
+    * whole grid is answerable off a maintained tier (see the wrapper's
+    * alignment rules); the served /api/v1/query_range consumes this and
+    * keeps its own resolution-cached raw path as the fallback.
+    */
+  def rangeTierPlan(q: String, startUs: Long, endUs: Long, stepUs: Long,
+      tiers: Map[Long, DataFrame]): Option[DataFrame] = {
     import graft.sources.RollupTiers
     require(stepUs > 0, "step must be positive")
-    // the engine's range grid is absolute-aligned (multiples of step);
-    // emitting eval points as ts_us keeps the tier and raw paths
-    // column-compatible
-    def raw = range(q, points, Some(stepUs))
-      .withColumnRenamed("bucket_us", "ts_us")
-      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
     foldScalars(parse(q)) match {
       case RangeFn(fn, sel, rangeNs, offsetNs, Nil)
           if tiers.nonEmpty && startUs % stepUs == 0 &&
@@ -885,31 +914,83 @@ object PromQL {
         // shifted window ends e = t − offset must all be bucket edges
         val aligned = tiers.keys.toSeq.filter(i =>
           (startUs - offsetUs) % i == 0 && stepUs % i == 0)
-        RollupTiers.select(aligned, rangeUs, agg) match {
-          case Some(i) =>
-            val v = RollupTiers.mergedValue(agg)
-            // bucket __end serves grid points t ∈ [__end+off, __end+off+range)
-            val perBucket = rangeUs / stepUs + 1
-            tiers(i)
-              .filter(selCol(sel))
-              .filter(col("__end") > startUs - offsetUs - rangeUs &&
-                col("__end") <= endUs - offsetUs)
-              .withColumn("__first_t", greatest(lit(startUs),
-                lit(startUs) + expr(
-                  s"((__end + $offsetUs - $startUs + ${stepUs - 1}) div $stepUs) * $stepUs")))
-              .withColumn("ts_us", explode(filter(
-                sequence(col("__first_t"),
-                  col("__first_t") + lit((perBucket - 1) * stepUs),
-                  lit(stepUs)),
-                t => t < col("__end") + lit(offsetUs + rangeUs) &&
-                  t <= lit(endUs))))
-              .groupBy(col("ts_us"), col("__k"))
-              .agg(v.as("value"), first(col("labels")).as("labels"))
-              .select(col("ts_us"), col("labels"), col("value"))
-          case None => raw
+        RollupTiers.select(aligned, rangeUs, agg).map { i =>
+          val v = RollupTiers.mergedValue(agg)
+          // bucket __end serves grid points t ∈ [__end+off, __end+off+range)
+          val perBucket = rangeUs / stepUs + 1
+          tiers(i)
+            .filter(selCol(sel))
+            .filter(col("__end") > startUs - offsetUs - rangeUs &&
+              col("__end") <= endUs - offsetUs)
+            .withColumn("__first_t", greatest(lit(startUs),
+              lit(startUs) + expr(
+                s"((__end + $offsetUs - $startUs + ${stepUs - 1}) div $stepUs) * $stepUs")))
+            .withColumn("ts_us", explode(filter(
+              sequence(col("__first_t"),
+                col("__first_t") + lit((perBucket - 1) * stepUs),
+                lit(stepUs)),
+              t => t < col("__end") + lit(offsetUs + rangeUs) &&
+                t <= lit(endUs))))
+            .groupBy(col("ts_us"), col("__k"))
+            .agg(v.as("value"), first(col("labels")).as("labels"))
+            .select(col("ts_us"), col("labels"), col("value"))
         }
-      case _ => raw
+      case _ => None
     }
+  }
+
+  /** Opens the STREAMED hourly rollup sidecar
+    * ([[graft.streaming.Streams.hourlyStatPartials]] appended per
+    * micro-batch by `pointsSink(rollupPath=)` under `$dataDir/rollup`)
+    * as the tier map [[instantTierPlan]]/[[rangeTierPlan]] select over,
+    * re-rolling the requested coarser tiers from the stored hourly
+    * rows (never from raw points — the reRollup discipline). Row shape
+    * matches [[statTierChain]]: (name, __k, __end, n, sum_dec, min_v,
+    * max_v, labels) with left-open end-labeled buckets.
+    *
+    * Partial rows (an hour split across micro-batches) need no
+    * pre-merge: every read is an AGGREGATE over stat rows
+    * ([[graft.sources.RollupTiers.mergedValue]] sums n/sum_dec and
+    * min/maxes the extremes), so additive partials fold in exactly —
+    * the same read-time-merge discipline as the AttrCube.
+    *
+    * SOUNDNESS INVARIANT: wire here only a sidecar maintained by the
+    * SAME committed batches as the points layout (the pointsSink
+    * protocol) — then a tier answer can never miss a stored point. A
+    * layout maintained by a LAGGING job (e.g. a watermark-finalized
+    * aggregation) must NOT be wired: an aligned last-hour window would
+    * silently lose the unfinalized hour instead of falling back.
+    *
+    * Returns Map.empty when the layout doesn't exist yet (a receiver
+    * that has never committed a point batch) — every consumer then
+    * falls back to raw points.
+    */
+  def tiersFromLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, coarserUs: Seq[Long] = Seq(6 * 3600000000L))
+      : Map[Long, DataFrame] = {
+    val HourUs = 3600000000L
+    val hasData = Option(new java.io.File(path).listFiles())
+      .exists(_.exists(_.getName.startsWith("date=")))
+    if (!hasData) return Map.empty
+    val hourly = spark.read.parquet(path)
+      .select(col("name"), col("series_key").as("__k"), col("labels"),
+        (unix_micros(col("hour_start")) + HourUs).as("__end"),
+        col("n"), col("sum_dec"), col("min_v"), col("max_v"))
+    coarserUs.foreach(i => require(i > HourUs && i % HourUs == 0,
+      s"coarser tier $i must be a multiple of the hourly base"))
+    val out = scala.collection.mutable.Map(HourUs -> hourly)
+    val maggs = graft.sources.RollupTiers.mergeAggs :+
+      first(col("labels")).as("labels")
+    var prev = hourly
+    for (i <- coarserUs.distinct.sorted) {
+      // end-labeled re-bucket: fine end e folds into the coarse bucket
+      // ending at the next i-multiple ≥ e
+      prev = prev.groupBy(col("name"), col("__k"),
+        (col("__end") + pmod(lit(i) - pmod(col("__end"), lit(i)), lit(i)))
+          .as("__end")).agg(maggs.head, maggs.tail: _*)
+      out(i) = prev
+    }
+    out.toMap
   }
 
   /** Latest live sample per series in (t-5m, t]. */

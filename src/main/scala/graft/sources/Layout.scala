@@ -306,6 +306,50 @@ object Layout {
         ("parquet.bloom.filter.enabled#trace_id" -> "true"))
   }
 
+  /** Pre-merging compaction of ONE AttrCube date partition: streaming
+    * ingest appends one additive partial row-set per micro-batch
+    * (spansSink), so a cold day holds batches × vocabulary rows and
+    * compare()'s read-time sum(n) merge grows with BATCH COUNT, not
+    * vocabulary. Compacting groups the partials down to one row per
+    * (bucket × dims × attr × value) — counts are additive, so the
+    * merged row set is READ-EQUIVALENT to the partials by construction
+    * (the reader's own sum(n) is the same fold) — and restores the
+    * ORDER-BY layout. Same crash-safe swap, same per-partition
+    * independence as the raw layouts; run on COLD partitions only (the
+    * live writer appends batch-tagged files the swap would race).
+    */
+  def compactCubePartition(spark: SparkSession, root: String, date: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compactPartition(spark, root, date,
+      Seq("attr", "attr_value", "bucket_ns"), targetFileBytes,
+      transform = { df =>
+        val keys = df.columns.filterNot(_ == "n")
+        df.groupBy(keys.map(col).toIndexedSeq: _*)
+          .agg(sum(col("n")).as("n"))
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      })
+
+  /** Pre-merging compaction of ONE rollup-sidecar date partition —
+    * the same batches×vocabulary growth as the cube, merged with the
+    * tier stats' own lossless fold ([[RollupTiers.mergeAggs]]: counts
+    * and decimal-exact sums add, min/max combine), so a tier read off
+    * the compacted partition is bit-equal to one off the partials. One
+    * row per (series, hour) afterwards; labels are per-series constant
+    * so `first` is exact.
+    */
+  def compactRollupPartition(spark: SparkSession, root: String,
+      date: String, targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compactPartition(spark, root, date,
+      Seq("name", "series_key", "hour_start"), targetFileBytes,
+      transform = { df =>
+        val aggs = RollupTiers.mergeAggs ++ Seq(
+          first(col("labels")).as("labels"))
+        df.groupBy(col("hour_start"), col("name"), col("series_key"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("sum_v", col("sum_dec").cast("double"))
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      })
+
   /** TTL expiry — the `TTL timestamp + INTERVAL n DAY` clause of the
     * reference DDL (chstorage golden schema), expressed as partition
     * drops: a date partition strictly older than the horizon is

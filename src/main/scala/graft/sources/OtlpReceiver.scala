@@ -186,8 +186,13 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       cubePath = s"$dataDir/cube")
     val logsQ = Streams.logsSink(logs, s"$dataDir/logs",
       s"$dataDir/ckpt/logs", Trigger.ProcessingTime(0))
+    // the aggregate sidecar the *_over_time tier-read planner consults
+    // (PromQL.tiersFromLayout) rides the SAME sink as the raw points —
+    // per-batch additive partials, so tier coverage equals committed
+    // raw coverage with no finalization lag
     val pointsQ = Streams.pointsSink(points, s"$dataDir/points",
-      s"$dataDir/ckpt/points", Trigger.ProcessingTime(0), seriesBudget)
+      s"$dataDir/ckpt/points", Trigger.ProcessingTime(0), seriesBudget,
+      rollupPath = s"$dataDir/rollup")
     val profilesQ = Streams.profilesSink(profiles,
       s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
       Trigger.ProcessingTime(0))
@@ -195,14 +200,6 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       spansQ, logsQ, pointsQ,
       Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
         s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)),
-      // the aggregate sidecar the *_over_time rollup pushdown reads —
-      // maintained at ingest (over BOTH metric ingest paths), emitted
-      // once per finalized hour
-      Streams.rollupSink(
-        Streams.hourlyRollup(points.withColumn("timestamp",
-          timestamp_micros(col("ts_us")))),
-        s"$dataDir/rollup", s"$dataDir/ckpt/rollup",
-        Trigger.ProcessingTime(0)),
       profilesQ)
     // in-flight release: a completed micro-batch's progress event
     // carries each source's endOffset; every payload enqueued at or

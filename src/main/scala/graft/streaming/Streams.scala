@@ -204,56 +204,49 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("pattern"), col("level"), col("n"))
 
-  /** Ingest-time HOURLY ROLLUP maintenance — the streaming job the
-    * `*_over_time` rollup pushdown (`pushdown_overtime_rollup`,
-    * reference embedded-backend aggregate sidecar,
-    * docs/storage-integration.md:30-47) assumes exists. Lossless
-    * mergeable stats (count/sum/min/max) per (series, hour): any
-    * coarser window re-aggregates exactly from these rows, so instant
-    * queries over long ranges touch 24 rows/day/series instead of raw
-    * samples. Append mode + watermark means each hour emits EXACTLY
-    * once, when the watermark passes its close — the stored rollup is
-    * append-only parquet, no merge/upsert machinery at 100 TB.
+  /** Ingest-time HOURLY ROLLUP maintenance — the per-batch PARTIAL
+    * stats the `*_over_time` tier-read pushdown reads (reference
+    * embedded-backend aggregate sidecar,
+    * docs/storage-integration.md:30-47): one plain aggregation of a
+    * committed point micro-batch into lossless mergeable stats
+    * (count / decimal-exact sum / min / max) per (series, hour).
+    * [[pointsSink]] appends these rows next to each raw batch under
+    * the same exactly-once protocol — the AttrCube discipline — so
+    * the sidecar covers EXACTLY the points the store has committed:
+    * no watermark, no finalization lag, and therefore no "open hour"
+    * a tier-served dashboard could silently lose. Readers merge
+    * partials additively (the tier planners' own aggregate does it
+    * for free, [[graft.sources.RollupTiers.mergedValue]]); compaction
+    * pre-merges cold partitions down to vocabulary scale.
+    *
+    * Buckets are LEFT-OPEN and start-labeled — `hour_start = s`
+    * covers (s, s+1h] (the 1µs shift below; same convention as the
+    * batch [[graft.promql.PromQL.statTierChain]]) — because the
+    * READER is the PromQL tier planner and a Prometheus window
+    * (t−range, t] with aligned t is an exact union of left-open
+    * buckets; a boundary sample at exactly s+1h must count toward the
+    * window ending there, which a left-closed floor would misfile.
+    * The row carries the series label map (one `first` per partial)
+    * so tier answers render Prom envelopes without a join back to raw
+    * points.
     */
-  def hourlyRollup(points: DataFrame): DataFrame = {
+  def hourlyStatPartials(batch: DataFrame): DataFrame = {
+    val HourUs = 3600000000L
     // the SAME mergeable stat columns the batch tier chain maintains
-    // (graft.sources.RollupTiers) — the stored hourly table is the
-    // base tier coarser tiers re-aggregate from, so the sum rides an
-    // exact decimal; sum_v stays for direct readers
-    val aggs = graft.sources.RollupTiers.statAggs(col("value"))
-    points
-      .withWatermark("timestamp", "30 minutes")
-      .groupBy(window(col("timestamp"), "1 hour"), col("name"),
+    // (graft.sources.RollupTiers); sum_v stays for direct readers
+    val aggs = graft.sources.RollupTiers.statAggs(col("value")) :+
+      first(col("labels")).as("labels")
+    batch
+      .withColumn("__s",
+        expr(s"(ts_us - 1) - (ts_us - 1) % $HourUs"))
+      .groupBy(col("__s"), col("name"),
         graft.logql.VectorMatching.streamKey(col("labels")).as("series_key"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("window.start").as("hour_start"), col("name"),
+      .select(timestamp_micros(col("__s")).as("hour_start"), col("name"),
         col("series_key"), col("n"), col("sum_dec"),
         col("sum_dec").cast("double").as("sum_v"), col("min_v"),
-        col("max_v"))
+        col("max_v"), col("labels"))
   }
-
-  /** Rollup sink: finalized hour windows append to a date-partitioned
-    * parquet layout (same part-sizing discipline as the raw layouts).
-    */
-  def rollupSink(stream: DataFrame, path: String, checkpoint: String,
-      trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.Layout.commitBatch(path, id) { staging =>
-          batch
-            .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
-            .repartition(col("date"))
-            .sortWithinPartitions(col("date"), col("name"), col("series_key"),
-              col("hour_start"))
-            .write.mode("overwrite").partitionBy("date").parquet(staging)
-        }
-      }
-      .trigger(trigger)
-      .start()
 
   /** Streaming SESSIONIZATION: events collapse into per-user sessions
     * that close after `gap` of event-time inactivity — the streaming
@@ -1107,19 +1100,45 @@ object Streams {
     * past the soft budget → per-metric overflow series; past the hard
     * ceiling → shed), the reference's LimitsConfig MaxSeries /
     * MaxSeriesSoft semantics applied at the inserter seam.
+    *
+    * `rollupPath` (optional) keeps the hourly stat-tier sidecar LIVE:
+    * each micro-batch also appends its [[hourlyStatPartials]] to the
+    * rollup layout — the same incremental-extend shape as the span
+    * sink's AttrCube, the same exactly-once commit protocol (the two
+    * layouts commit independently; a crash between them replays to
+    * the same final state because each marker short-circuits its own
+    * layout). Because the sidecar is extended by the SAME committed
+    * batches as the raw layout — post-admission, so shed points never
+    * enter a tier — a tier-served answer can never miss a stored
+    * point; [[graft.promql.PromQL.tiersFromLayout]] relies on exactly
+    * that invariant.
     */
   def pointsSink(stream: DataFrame, path: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      budget: graft.sources.Admission.SeriesBudget = null)
+      budget: graft.sources.Admission.SeriesBudget = null,
+      rollupPath: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val admitted = if (budget == null) batch else budget.admit(batch)
-        graft.sources.Layout.commitBatch(path, id)(
-          graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
+        val admitted0 = if (budget == null) batch else budget.admit(batch)
+        // both layouts derive from the batch: cache once, not re-read
+        val admitted = if (rollupPath == null) admitted0 else admitted0.persist()
+        try {
+          graft.sources.Layout.commitBatch(path, id)(
+            graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
+          if (rollupPath != null)
+            graft.sources.Layout.commitBatch(rollupPath, id) { staging =>
+              hourlyStatPartials(admitted)
+                .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+                .repartition(col("date"))
+                .sortWithinPartitions(col("date"), col("name"),
+                  col("series_key"), col("hour_start"))
+                .write.mode("overwrite").partitionBy("date").parquet(staging)
+            }
+        } finally if (rollupPath != null) { admitted.unpersist(); () }
         // new points may add native-histogram metrics: stale cached
         // name probes would leave them unexpanded on long-lived frames
         graft.promql.PromQL.invalidateExpHistNames()

@@ -43,6 +43,64 @@ class LayoutSpec extends SparkTestBase {
     assert(sorted == sorted.sorted, "rows not sorted within partition")
   }
 
+  test("cube compaction pre-merges additive partials; reads are identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftcubecompact").toString
+    val day1 = 1704067200000000000L
+    val day2 = day1 + 86400000000000L
+    def partials(n: Long, bucket: Long) = Seq(
+      (bucket, "op", "env", "prod", n), (bucket, "op", "env", "dev", 1L))
+      .toDF("bucket_ns", "name", "attr", "attr_value", "n")
+    // three micro-batch partial row-sets land in day 1, one in day 2
+    Layout.writeAttrCube(partials(1L, day1), dir)
+    Layout.writeAttrCube(partials(2L, day1), dir, mode = "append")
+    Layout.writeAttrCube(partials(3L, day1), dir, mode = "append")
+    Layout.writeAttrCube(partials(7L, day2), dir, mode = "append")
+    def merged = spark.read.parquet(dir)
+      .groupBy("bucket_ns", "name", "attr", "attr_value")
+      .agg(sum(col("n")).as("n")).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)), r.getLong(4))).toMap
+    val before = merged
+    assert(before((day1, "op", "env", "prod")) == 6L)
+    val day2Files = new java.io.File(dir, "date=20240102").listFiles()
+      .map(_.getName).toSet
+    Layout.compactCubePartition(spark, dir, "20240101")
+    // reader results identical, partial rows collapsed to vocabulary
+    assert(merged == before)
+    assert(spark.read.parquet(s"$dir/date=20240101").count() == 2L)
+    // the untouched (warm) partition keeps its exact file set
+    assert(new java.io.File(dir, "date=20240102").listFiles()
+      .map(_.getName).toSet == day2Files)
+  }
+
+  test("rollup compaction pre-merges stat partials; tier reads are identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftrollupcompact").toString
+    val h10 = 1704103200000000L // 2024-01-01T10:00Z µs
+    def write(ts: Long, vs: Seq[Double], mode: String): Unit =
+      Streams.hourlyStatPartials(
+        vs.map(v => (ts, "cpu", Map("host" -> "a"), v))
+          .toDF("ts_us", "name", "labels", "value"))
+        .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+        .write.mode(mode).partitionBy("date").parquet(dir)
+    write(h10 + 60000000L, Seq(1.0, 5.0), "overwrite")
+    write(h10 + 120000000L, Seq(3.0), "append")
+    def answer = {
+      val tiers = graft.promql.PromQL.tiersFromLayout(spark, dir)
+      graft.promql.PromQL.instantTierPlan(
+        "avg_over_time(cpu[1h])", h10 + 3600000000L, tiers).get
+        .collect().map(r => (r.getLong(0),
+          r.getAs[Map[String, String]](1), r.getDouble(2))).toSeq
+    }
+    val before = answer
+    assert(before == Seq((h10 + 3600000000L, Map("host" -> "a"), 3.0)))
+    assert(spark.read.parquet(dir).count() == 2L) // two partial rows
+    Layout.compactRollupPartition(spark, dir, "20240101")
+    assert(answer == before, "tier read must be bit-equal post-compaction")
+    assert(spark.read.parquet(dir).count() == 1L) // vocabulary scale
+  }
+
   test("compaction merges micro-batch files and restores the sort") {
     val dir = Files.createTempDirectory("graftcompact").toString
     val td = Testdata(spark, "/root/testdata/sf0.001")

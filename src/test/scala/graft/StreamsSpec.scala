@@ -119,29 +119,70 @@ class StreamsSpec extends SparkTestBase {
       (ts(0), "ERROR", 2L), (ts(0), "INFO", 1L), (ts(5), "ERROR", 1L)))
   }
 
-  test("hourlyRollup: a finalized hour emits exactly once, open hours stay held") {
-    val input = MemoryStream[(Timestamp, String, Map[String, String], Double)](spark)
-    val points = input.toDF().toDF("timestamp", "name", "labels", "value")
-    input.addData(
-      (ts(0), "cpu", Map("host" -> "a"), 1.0),
-      (ts(40), "cpu", Map("host" -> "a"), 5.0))
-    // an event 2h later pushes the watermark (30m lag) past hour 1's
-    // close, finalizing it; its own hour stays open
-    input.addData((Timestamp.valueOf("2024-01-01 12:10:00"), "cpu",
-      Map("host" -> "a"), 9.0))
-    val query = Streams.hourlyRollup(points)
-      .writeStream.format("memory").queryName("rollup")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    query.processAllAvailable()
-    query.stop()
-    val rows = spark.table("rollup")
-      .select("hour_start", "name", "n", "sum_v", "min_v", "max_v")
-      .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
-    // ONLY the closed 10:00 hour emitted — lossless mergeable stats
-    assert(rows.toSeq == Seq(
-      (ts(0), "cpu", 2L, 6.0, 1.0, 5.0)))
+  test("pointsSink maintains the hourly stat-tier sidecar exactly-once across restarts") {
+    // the r12 gap one seam later: the rollup sidecar must cover
+    // EXACTLY the committed raw points (no finalization lag a
+    // tier-served dashboard could silently lose) — so it rides
+    // pointsSink as per-batch additive partials, the AttrCube
+    // discipline, and replayed generations add nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    val spool = s"$dir/spool"
+    val HourUs = 3600000000L
+    val h10 = 1704103200000000L // 2024-01-01T10:00Z µs, on the hour
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts_us LONG, name STRING, labels MAP<STRING,STRING>, value DOUBLE")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(sch).parquet(spool)
+      val q = Streams.pointsSink(stream, s"$dir/points", s"$dir/ckpt",
+        Trigger.AvailableNow(), rollupPath = s"$dir/rollup")
+      q.awaitTermination()
+    }
+    def merged: Map[(Long, String), (Long, Double, Double, Double)] =
+      spark.read.parquet(s"$dir/rollup")
+        .groupBy("hour_start", "name")
+        .agg(sum(col("n")).as("n"), sum(col("sum_dec")).as("s"),
+          min(col("min_v")).as("mn"), max(col("max_v")).as("mx"))
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime * 1000L, r.getString(1)),
+          (r.getLong(2), r.getDecimal(3).doubleValue(), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    // the 10:00:00.000000 BOUNDARY sample must land in the bucket
+    // ENDING at 10:00 (left-open (09:00, 10:00], labeled 09:00) — the
+    // PromQL window convention; 10:40 lands in (10:00, 11:00]
+    Seq((h10, "cpu", Map("host" -> "a"), 1.0),
+      (h10 + 40 * 60000000L, "cpu", Map("host" -> "a"), 5.0))
+      .toDF("ts_us", "name", "labels", "value")
+      .write.mode("append").parquet(spool)
+    run()
+    assert(merged == Map(
+      (h10 - HourUs, "cpu") -> (1L, 1.0, 1.0, 1.0),
+      (h10, "cpu") -> (1L, 5.0, 5.0, 5.0)))
+    // replayed generation: checkpoint short-circuits, sidecar unchanged
+    run()
+    assert(merged((h10, "cpu")) == (1L, 5.0, 5.0, 5.0))
+    // a second micro-batch EXTENDS the same hour: a new partial row
+    // that merges additively at read time
+    Seq((h10 + 50 * 60000000L, "cpu", Map("host" -> "a"), 3.0))
+      .toDF("ts_us", "name", "labels", "value")
+      .write.mode("append").parquet(spool)
+    run()
+    assert(merged((h10, "cpu")) == (2L, 8.0, 3.0, 5.0))
+    // the layout opens as the tier map the PromQL planners select
+    // over: end-labeled hourly buckets + a re-rolled 6h tier
+    val tiers = graft.promql.PromQL.tiersFromLayout(spark, s"$dir/rollup")
+    assert(tiers.keySet == Set(HourUs, 6 * HourUs))
+    val hourly = tiers(HourUs)
+      .groupBy("__end").agg(sum(col("n")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hourly == Map(h10 -> 1L, (h10 + HourUs) -> 2L))
+    val sixh = tiers(6 * HourUs)
+      .groupBy("__end").agg(sum(col("n")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // fine ends 10:00 and 11:00 both fold into the 6h bucket ending
+    // 12:00 (ends are ceil-aligned: (06:00, 12:00])
+    assert(sixh == Map((h10 + 2 * HourUs) -> 3L))
+    // a missing layout opens as empty (fallback-to-raw everywhere)
+    assert(graft.promql.PromQL.tiersFromLayout(spark, s"$dir/absent").isEmpty)
   }
 
   test("minePatterns: masked templates accumulate across micro-batches") {
