@@ -253,6 +253,15 @@ object ScaleProbe {
         time3("pushdown_tier_range", tag) {
           graft.SparkEntry.queries("pushdown_tier_range")(spark, dir).count()
         }
+      // round-13 op: the log-volume offload reads integral stat rows
+      // off the maintained sidecar — vocabulary×time shaped like the
+      // stat tiers, so factor× raw events must leave the per-query
+      // scan FLAT once the sidecar is built (run1 includes the
+      // one-time fixture build = the ingest-side maintenance job)
+      if (want("pushdown_logvol_range"))
+        time3("pushdown_logvol_range", tag) {
+          graft.SparkEntry.queries("pushdown_logvol_range")(spark, dir).count()
+        }
       // packed-set Jaccard verify (r12 reshape): per-doc shingle SETS
       // move as document-sized records through candidate-bounded
       // joins — growth must track docs (build) + candidates (verify)

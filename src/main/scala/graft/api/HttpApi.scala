@@ -53,7 +53,8 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     limits: Limits.ResultLimits = Limits.ResultLimits(),
     rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
     cube: Option[graft.traceql.TraceQL.AttrCube] = None,
-    tiers: Map[Long, DataFrame] = Map.empty) {
+    tiers: Map[Long, DataFrame] = Map.empty,
+    logTiers: Map[Long, DataFrame] = Map.empty) {
 
   private var server: HttpServer = _
 
@@ -209,6 +210,26 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   private def lokiQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepNs = p.get("step").map(s => (s.toDouble * 1e9).toLong)
+    // the maintained log-volume sidecar serves grain-aligned
+    // count/bytes/rate aggregations without scanning a single log line
+    // (the BucketedSampleQuery offload); anything unservable falls
+    // through to the raw path, same results
+    val volumePlan =
+      if (logTiers.isEmpty) None
+      else for {
+        s <- p.get("start").filter(_.nonEmpty)
+        e <- p.get("end").filter(_.nonEmpty)
+        st <- stepNs
+        df <- graft.logql.Planner.volumeTierPlan(p("query"),
+          toNs(s), toNs(e), st, logTiers)
+      } yield df
+    volumePlan match {
+      case Some(df) =>
+        return ApiEncoders.lokiMatrix(
+          Limits.guardRows(df, limits.maxSampleRows),
+          maxBytes = limits.maxResultBytes)
+      case None => // raw path below
+    }
     // metric queries read range+offset of history before the first
     // grid point (windows are (t−range, t]): extend the scan's lower
     // bound by it and clamp the output grid back to ≥ start below
@@ -259,10 +280,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
           .orderBy(col("ts_ns").desc).limit(limit)
         ApiEncoders.lokiStreams(df)
       case _ =>
-        ApiEncoders.lokiVector(
-          graft.logql.Planner.instant(q, logs, tNs)
-            .select(col("labels"), col("value")),
-          tNs / 1000000000L)
+        // aligned volume aggregations ride the maintained sidecar
+        val df = graft.logql.Planner.volumeInstantPlan(q, tNs, logTiers)
+          .getOrElse(graft.logql.Planner.instant(q, logs, tNs)
+            .select(col("labels"), col("value")))
+        ApiEncoders.lokiVector(df, tNs / 1000000000L)
     }
   }
 

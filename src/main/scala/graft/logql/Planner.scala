@@ -710,6 +710,174 @@ object Planner {
     */
   private val distributiveRange = Set("count_over_time", "bytes_over_time")
 
+  // ---------- log-volume rollup read path ----------
+
+  /** Opens the maintained log-volume sidecar
+    * ([[graft.streaming.Streams.logVolumePartials]] appended per
+    * micro-batch by `logsSink(volumePath=)`) as the tier map
+    * [[volumeTierPlan]]/[[volumeInstantPlan]] select over, re-rolling
+    * the requested coarser tiers from the stored hourly rows. Row
+    * shape: (__k, __end ns, labels, n, bytes) with left-open
+    * end-labeled buckets. Partials need no pre-merge (every read sums
+    * the integral stats); the same soundness invariant as
+    * [[graft.promql.PromQL.tiersFromLayout]] applies — wire only a
+    * sidecar maintained by the raw layout's own committed batches.
+    */
+  def volumeFromLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, coarserNs: Seq[Long] = Seq(6 * 3600000000000L))
+      : Map[Long, DataFrame] = {
+    val hasData = Option(new java.io.File(path).listFiles())
+      .exists(_.exists(_.getName.startsWith("date=")))
+    if (!hasData) return Map.empty
+    volumeTiersOf(spark.read.parquet(path), coarserNs)
+  }
+
+  /** [[volumeFromLayout]] over an already-open partials frame (the
+    * stored sidecar schema: hour_start, series_key, n, bytes, labels).
+    */
+  def volumeTiersOf(partials: DataFrame,
+      coarserNs: Seq[Long] = Seq(6 * 3600000000000L))
+      : Map[Long, DataFrame] = {
+    val HourNs = 3600000000000L
+    val hourly = partials
+      .select(col("series_key").as("__k"), col("labels"),
+        (unix_micros(col("hour_start")) * 1000L + HourNs).as("__end"),
+        col("n"), col("bytes"))
+    coarserNs.foreach(i => require(i > HourNs && i % HourNs == 0,
+      s"coarser tier $i must be a multiple of the hourly base"))
+    val out = scala.collection.mutable.Map(HourNs -> hourly)
+    var prev = hourly
+    for (i <- coarserNs.distinct.sorted) {
+      prev = prev.groupBy(col("__k"),
+        (col("__end") + pmod(lit(i) - pmod(col("__end"), lit(i)), lit(i)))
+          .as("__end"))
+        .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"),
+          first(col("labels")).as("labels"))
+      out(i) = prev
+    }
+    out.toMap
+  }
+
+  /** Query shapes the volume sidecar serves, with the peeled parts:
+    * a bare `count_over_time/bytes_over_time/rate/bytes_rate` over a
+    * stage-less selector, optionally under `sum by (...)` — the
+    * reference's BucketedSampleQuery criteria
+    * (querier_logs_optimizer.go:52-152: sum-only wrapper, no pipeline
+    * stages, grid-aligned). `sum by` is accepted only over the
+    * integral ops ([[distributiveRange]]): regrouping integral counts
+    * is bit-exact, while `sum by (rate)` divides per series BEFORE the
+    * re-sum and cannot be replayed from (sum n)/range.
+    */
+  private def volumeServable(q: String): Option[(Option[Seq[String]], RangeAgg)] = {
+    val servable = Set("count_over_time", "bytes_over_time", "rate", "bytes_rate")
+    val parsed =
+      try Parser.parse(q) catch { case _: Exception => return None }
+    val peeled = parsed match {
+      case Ast.MetricExprTop(VectorAgg("sum", by, Nil, None, r: RangeAgg))
+          if by.nonEmpty => Some((Some(by), r))
+      case Ast.MetricExprTop(r: RangeAgg) => Some((None, r))
+      case _ => None
+    }
+    peeled.filter { case (sumBy, ra) =>
+      servable(ra.op) && ra.query.stages.isEmpty &&
+        ra.by.isEmpty && ra.without.isEmpty &&
+        (sumBy.isEmpty || distributiveRange(ra.op))
+    }
+  }
+
+  /** The matcher predicate over a volume-tier row's stored label map —
+    * exactly the raw path's matcher expressions, so selector semantics
+    * (missing labels, regex anchoring) cannot diverge.
+    */
+  private def volumeMatcherFilter(ra: RangeAgg): Column =
+    ra.query.matchers.map(m => matcherCol(m, k => element_at(col("labels"), k)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  private def volumeValue(op: String, rangeNs: Long): Column = {
+    // the raw path's expressions over pre-summed integral stats:
+    // count(1)↦sum(n), sum(length(body))↦sum(bytes) — integral sums
+    // are bit-exact, and rate divides the SAME exact numerator by the
+    // same rangeSec double, so tier and raw answers are bit-equal
+    val rangeSec = rangeNs / 1e9
+    op match {
+      case "count_over_time" => sum(col("n")).cast("double")
+      case "rate"            => sum(col("n")).cast("double") / rangeSec
+      case "bytes_over_time" => sum(col("bytes")).cast("double")
+      case "bytes_rate"      => sum(col("bytes")).cast("double") / rangeSec
+    }
+  }
+
+  private def volumeGroupedLabels(sumBy: Option[Seq[String]]): Column =
+    sumBy match {
+      case Some(by) =>
+        val byArr = array(by.map(lit): _*)
+        map_filter(col("labels"), (key, _) => array_contains(byArr, key))
+      case None => col("labels")
+    }
+
+  /** Serves a grain-aligned LogQL volume aggregation RANGE query off
+    * the maintained sidecar — Some(plan) iff [[volumeServable]] and
+    * the whole grid tiles from a maintained tier (the same alignment
+    * rules as [[graft.promql.PromQL.rangeTierPlan]], in ns): raw logs
+    * are never scanned, the plan reads `range/interval` integral stat
+    * rows per stream per step. Output (bucket_ns, labels, value), the
+    * metric-query frame.
+    */
+  def volumeTierPlan(q: String, startNs: Long, endNs: Long, stepNs: Long,
+      tiers: Map[Long, DataFrame]): Option[DataFrame] = {
+    if (tiers.isEmpty || stepNs <= 0 || startNs % stepNs != 0) return None
+    volumeServable(q).flatMap { case (sumBy, ra) =>
+      val offsetNs = ra.offsetNs
+      val aligned = tiers.keys.toSeq.filter(i =>
+        (startNs - offsetNs) % i == 0 && stepNs % i == 0)
+      graft.sources.RollupTiers.select(aligned, ra.rangeNs, "count").map { i =>
+        val rangeNs = ra.rangeNs
+        val perBucket = rangeNs / stepNs + 1
+        tiers(i)
+          .filter(volumeMatcherFilter(ra))
+          .filter(col("__end") > startNs - offsetNs - rangeNs &&
+            col("__end") <= endNs - offsetNs)
+          .withColumn("__first_t", greatest(lit(startNs),
+            lit(startNs) + expr(
+              s"((__end + $offsetNs - $startNs + ${stepNs - 1}) div $stepNs) * $stepNs")))
+          .withColumn("bucket_ns", explode(filter(
+            sequence(col("__first_t"),
+              col("__first_t") + lit((perBucket - 1) * stepNs), lit(stepNs)),
+            t => t < col("__end") + lit(offsetNs + rangeNs) &&
+              t <= lit(endNs))))
+          .withColumn("__labels", volumeGroupedLabels(sumBy))
+          .groupBy(col("bucket_ns"),
+            VectorMatching.streamKey(col("__labels")).as("__s"))
+          .agg(volumeValue(ra.op, rangeNs).as("value"),
+            first(col("__labels")).as("labels"))
+          .select(col("bucket_ns"), col("labels"), col("value"))
+      }
+    }
+  }
+
+  /** The instant form: one window (t−offset−range, t−offset] answered
+    * off the coarsest tiling tier. Output (labels, value), the
+    * instant-vector frame.
+    */
+  def volumeInstantPlan(q: String, tNs: Long,
+      tiers: Map[Long, DataFrame]): Option[DataFrame] = {
+    if (tiers.isEmpty) return None
+    volumeServable(q).flatMap { case (sumBy, ra) =>
+      val end = tNs - ra.offsetNs
+      val aligned = tiers.keys.toSeq.filter(i => end % i == 0)
+      graft.sources.RollupTiers.select(aligned, ra.rangeNs, "count").map { i =>
+        tiers(i)
+          .filter(volumeMatcherFilter(ra))
+          .filter(col("__end") > end - ra.rangeNs && col("__end") <= end)
+          .withColumn("__labels", volumeGroupedLabels(sumBy))
+          .groupBy(VectorMatching.streamKey(col("__labels")).as("__s"))
+          .agg(volumeValue(ra.op, ra.rangeNs).as("value"),
+            first(col("__labels")).as("labels"))
+          .select(col("labels"), col("value"))
+      }
+    }
+  }
+
   /** Shared-scan binop rollup (the aggregation-pushdown pattern a
     * `sum by (a, b) (...) / on(b) group_left sum by (b) (...)` binop
     * wants): when both operands are `sum by` over the SAME range

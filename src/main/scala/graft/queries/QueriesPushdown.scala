@@ -171,6 +171,84 @@ object QueriesPushdown extends QueryPack {
     }
   }
 
+  /** The maintained LOG-VOLUME sidecar (hourly count/bytes partials per
+    * stream, [[graft.streaming.Streams.logVolumePartials]]) the LogQL
+    * aggregation offload reads — built as TWO partial row-sets per hour
+    * (modeling the streamed per-batch appends; readers must merge them
+    * additively), materialized once per sf dir.
+    */
+  private def volumeTiers(td: Testdata): Map[Long, DataFrame] = {
+    def logsFrame = td.events.select(
+      col("ts").as("ts_ns"), col("props").as("body"),
+      map(lit("et"), col("event_type")).as("labels"))
+    def partials = graft.streaming.Streams.logVolumePartials(
+        logsFrame.filter(col("ts_ns") % 2 === 0))
+      .unionByName(graft.streaming.Streams.logVolumePartials(
+        logsFrame.filter(col("ts_ns") % 2 =!= 0)))
+    graft.logql.Planner.volumeTiersOf(
+      Fixtures.materialized(td.spark, td.dir, "lv1h", "series_key")(partials))
+  }
+
+  /** The LogQL front-end serving `sum by (...) (count_over_time(sel[w]))`
+    * off the maintained log-volume sidecar — the reference's
+    * BucketedSampleQuery sum-only pushdown
+    * (chstorage/querier_logs_optimizer.go:52-152,
+    * querier_logs_query.go:364-540): a 7-day dashboard grid of 1-day
+    * windows, step 6h, reads 4 integral stat rows per stream per step
+    * off the re-rolled 6h tier and never scans a log line (PlanSpec
+    * pins the plan). The oracle replays every grid value from raw
+    * events; counts are integral, so the partial-merge + regroup chain
+    * is bit-equal by construction.
+    */
+  val logvolRange: Q = {
+    val DayNs = 86400000000000L
+    val start = 1704067200000000000L + 7 * DayNs
+    val end = start + 7 * DayNs
+    val step = 6 * HourNs
+    q(
+      "pushdown_logvol_range",
+      s"""WITH grid AS (
+         |  SELECT unnest(generate_series($start, $end, $step)) AS bucket_ns),
+         |lg AS (SELECT event_type AS et, epoch_ns(ts) AS tns FROM events
+         |       WHERE event_type IN ('click', 'view'))
+         |SELECT g.bucket_ns, l.et, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM grid g JOIN lg l
+         |  ON l.tns > g.bucket_ns - $DayNs AND l.tns <= g.bucket_ns
+         |GROUP BY g.bucket_ns, l.et
+         |ORDER BY et, bucket_ns""".stripMargin
+    ) { td =>
+      graft.logql.Planner.volumeTierPlan(
+          """sum by (et) (count_over_time({et=~"click|view"}[1d]))""",
+          start, end, step, volumeTiers(td))
+        .getOrElse(sys.error("grid must be servable from the volume sidecar"))
+        .select(col("bucket_ns"), element_at(col("labels"), "et").as("et"),
+          col("value"))
+        .orderBy("et", "bucket_ns")
+    }
+  }
+
+  /** The instant form over BYTES with the rate division: `bytes_rate`
+    * divides the integral byte sum by the window seconds AFTER the
+    * merge (the same double op as the raw path), so the sidecar answer
+    * replays bit-equal from raw bodies.
+    */
+  val logvolBytesRate: Q = {
+    val t = 1704067200000000000L + 2 * 86400000000000L
+    q(
+      "pushdown_logvol_bytes_rate",
+      s"""SELECT 'error' AS et,
+         |  CAST(SUM(LENGTH(props)) AS DOUBLE) / 86400.0 AS value
+         |FROM events WHERE event_type = 'error'
+         |  AND epoch_ns(ts) > ${t - 86400000000000L} AND epoch_ns(ts) <= $t
+         |""".stripMargin
+    ) { td =>
+      graft.logql.Planner.volumeInstantPlan(
+          """bytes_rate({et="error"}[1d])""", t, volumeTiers(td))
+        .getOrElse(sys.error("instant must be servable from the volume sidecar"))
+        .select(element_at(col("labels"), "et").as("et"), col("value"))
+    }
+  }
+
   /** Age-tiered downsample policy (reference storage_policy.go:52-61)
     * pinned cross-engine: rows pick their tier by partition-date age
     * from "now" (the newest day in the table) exactly as
@@ -335,6 +413,7 @@ object QueriesPushdown extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
-    overtimeRollup, rollupTierSelect, tierInstant, tierRange, downsampleTiers,
+    overtimeRollup, rollupTierSelect, tierInstant, tierRange,
+    logvolRange, logvolBytesRate, downsampleTiers,
     errorPropagation, severityLowering, saltedAgg, labelScopeCoalesce)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Testdata
@@ -195,6 +195,152 @@ object QueriesSafety extends QueryPack {
           |FROM f GROUP BY trace_id, name ORDER BY trace_id, name""".stripMargin))
   }
 
+  /** Hubble flow-receiver translation (reference otelcolmod/
+    * hubblereceiver/translator.go:14-180), DuckDB-replayed: the fixture
+    * renders each event as the protojson `GetFlowsResponse` the wire
+    * carries (to_json of the exact message shape — verdict, L3
+    * addresses, L4 TCP ports, a conditional L7 HTTP block), then
+    * [[graft.sources.FlowIngest.hubbleLogs]] decodes it; the oracle
+    * recomputes every typed attribute and the verdict→severity mapping
+    * straight from the raw columns. Scale: one scan-fused
+    * from_json + projection per record, no shuffle.
+    */
+  val flowTranslate: Q = Q(
+    "src_flow_translate",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      val verdict = when(col("event_id") % 4 === 0, "FORWARDED")
+        .when(col("event_id") % 4 === 1, "DROPPED")
+        .when(col("event_id") % 4 === 2, "ERROR")
+        .otherwise("AUDIT")
+      val http = when(col("event_id") % 3 === 0, struct(
+        struct(lit("GET").as("method"),
+          lit("/api").as("url"),
+          (lit(200L) + col("user_id") % 3).as("code"),
+          lit("HTTP/1.1").as("protocol")).as("http")))
+      val payload = to_json(struct(struct(
+        date_format(timestamp_micros(expr("ts div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+        verdict.as("verdict"),
+        lit("L3_L4").as("type"),
+        concat(lit("node-"), (col("user_id") % 5).cast("string")).as("nodeName"),
+        struct(
+          concat(lit("10.0."), (col("user_id") % 256).cast("string"),
+            lit(".1")).as("source"),
+          lit("10.1.0.2").as("destination"),
+          lit("IPv4").as("ipVersion")).as("IP"),
+        struct(struct(
+          (lit(30000L) + col("event_id") % 1000).as("sourcePort"),
+          (lit(1000L) + col("user_id") % 100).as("destinationPort"))
+          .as("TCP")).as("l4"),
+        http.as("l7"),
+        struct(
+          lit("ns-a").as("namespace"),
+          concat(lit("pod-"), (col("user_id") % 7).cast("string"))
+            .as("podName")).as("source")).as("flow")))
+      graft.sources.FlowIngest.hubbleLogs(
+          td.events.select(col("event_id"), payload.as("payload")))
+        .select(
+          expr("ts_ns div 1000").as("ts_us"),
+          col("severity_number").as("sev"),
+          col("severity_text").as("sev_text"),
+          element_at(col("attrs"), "hubble.verdict").as("verdict"),
+          element_at(col("attrs"), "network.source.address").as("src_ip"),
+          element_at(col("attrs"), "network.transport").as("transport"),
+          element_at(col("attrs"), "network.destination.port").as("dport"),
+          element_at(col("attrs"), "http.response.status_code").as("http_code"),
+          element_at(col("resource_attrs"), "k8s.pod.name").as("pod"),
+          col("body"))
+        .orderBy("ts_us", "src_ip", "dport")
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT epoch_ns(ts)//1000 AS ts_us,
+        |    CASE event_id % 4 WHEN 0 THEN 'FORWARDED' WHEN 1 THEN 'DROPPED'
+        |      WHEN 2 THEN 'ERROR' ELSE 'AUDIT' END AS verdict,
+        |    '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS src_ip,
+        |    CAST(1000 + user_id % 100 AS VARCHAR) AS dport,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN CAST(200 + user_id % 3 AS VARCHAR) END AS http_code,
+        |    'pod-' || CAST(user_id % 7 AS VARCHAR) AS pod
+        |  FROM events)
+        |SELECT ts_us,
+        |  CASE verdict WHEN 'DROPPED' THEN 13 WHEN 'ERROR' THEN 17
+        |    ELSE 9 END AS sev,
+        |  CASE verdict WHEN 'DROPPED' THEN 'WARN' WHEN 'ERROR' THEN 'ERROR'
+        |    ELSE 'INFO' END AS sev_text,
+        |  verdict, src_ip, 'tcp' AS transport, dport, http_code, pod,
+        |  'Hubble L3_L4 flow ' || verdict AS body
+        |FROM f ORDER BY ts_us, src_ip, dport""".stripMargin))
+
+  /** Tetragon process-event translation (reference otelcolmod/
+    * tetragonreceiver/translator.go:14-145): protojson `GetEventsResponse`
+    * fixtures alternate exec/exit variants; the decode must pick the
+    * populated variant, build the parent-prefixed process attribute
+    * tree, and map kprobe/tracepoint events to DEBUG — all replayed by
+    * DuckDB from the raw columns.
+    */
+  val processTranslate: Q = Q(
+    "src_flow_process",
+    (s: SparkSession, dir: String) => {
+      val td = Testdata(s, dir)
+      def proc(pid: Column, binary: Column) = struct(
+        pid.as("pid"), binary.as("binary"),
+        lit("-v").as("arguments"), (col("user_id") % 1000).as("uid"),
+        struct(
+          lit("ns-b").as("namespace"),
+          concat(lit("pod-"), (col("user_id") % 7).cast("string")).as("name"))
+          .as("pod"))
+      val p = proc(col("user_id"), concat(lit("/bin/"), col("event_type")))
+      val parent = proc(expr("user_id div 2"), lit("/sbin/init"))
+      val timeStr = date_format(timestamp_micros(expr("ts div 1000")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      val payload = to_json(struct(
+        when(col("event_id") % 3 === 0,
+          struct(p.as("process"), parent.as("parent"))).as("processExec"),
+        when(col("event_id") % 3 === 1,
+          struct(p.as("process"), parent.as("parent"))).as("processExit"),
+        when(col("event_id") % 3 === 2,
+          struct(p.as("process"), parent.as("parent"),
+            lit("tcp_connect").as("functionName"))).as("processKprobe"),
+        concat(lit("node-"), (col("user_id") % 5).cast("string"))
+          .as("nodeName"),
+        timeStr.as("time"),
+        lit("c1").as("clusterName")))
+      graft.sources.FlowIngest.tetragonLogs(
+          td.events.select(col("event_id"), col("user_id"),
+            payload.as("payload")))
+        .select(
+          expr("ts_ns div 1000").as("ts_us"),
+          col("severity_number").as("sev"),
+          element_at(col("attrs"), "event.name").as("event_name"),
+          element_at(col("attrs"), "process.pid").as("pid"),
+          element_at(col("attrs"), "process.executable.path").as("bin"),
+          element_at(col("attrs"), "tetragon.parent.process.pid")
+            .as("parent_pid"),
+          element_at(col("attrs"), "tetragon.kprobe.function_name")
+            .as("kprobe_fn"),
+          element_at(col("resource_attrs"), "k8s.namespace.name").as("ns"),
+          col("body"))
+        .orderBy("ts_us", "pid", "event_name")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT epoch_ns(ts)//1000 AS ts_us,
+        |    CASE event_id % 3 WHEN 0 THEN 'process_exec'
+        |      WHEN 1 THEN 'process_exit' ELSE 'process_kprobe' END AS event_name,
+        |    CAST(user_id AS VARCHAR) AS pid,
+        |    '/bin/' || event_type AS bin,
+        |    CAST(user_id // 2 AS VARCHAR) AS parent_pid,
+        |    CASE WHEN event_id % 3 = 2 THEN 'tcp_connect' END AS kprobe_fn
+        |  FROM events)
+        |SELECT ts_us,
+        |  CASE WHEN event_name = 'process_kprobe' THEN 5 ELSE 9 END AS sev,
+        |  event_name, pid, bin, parent_pid, kprobe_fn, 'ns-b' AS ns,
+        |  'Tetragon ' || replace(event_name, '_', ' ') || ' event' AS body
+        |FROM e ORDER BY ts_us, pid, event_name""".stripMargin))
+
   def queries: Seq[Q] =
-    Seq(safetySample, safetyCompact, dockerUnwrap, chSpanLogCollapse)
+    Seq(safetySample, safetyCompact, dockerUnwrap, chSpanLogCollapse,
+      flowTranslate, processTranslate)
 }

@@ -184,8 +184,11 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     val spansQ = Streams.spansSink(spans, s"$dataDir/spans",
       s"$dataDir/ckpt/spans", Trigger.ProcessingTime(0),
       cubePath = s"$dataDir/cube")
+    // the log-volume sidecar the LogQL aggregation offload reads
+    // (Planner.volumeFromLayout) rides the same sink, per-batch
     val logsQ = Streams.logsSink(logs, s"$dataDir/logs",
-      s"$dataDir/ckpt/logs", Trigger.ProcessingTime(0))
+      s"$dataDir/ckpt/logs", Trigger.ProcessingTime(0),
+      volumePath = s"$dataDir/logvolume")
     // the aggregate sidecar the *_over_time tier-read planner consults
     // (PromQL.tiersFromLayout) rides the SAME sink as the raw points —
     // per-batch additive partials, so tier coverage equals committed

@@ -248,6 +248,43 @@ object Streams {
         col("max_v"), col("labels"))
   }
 
+  /** Ingest-time LOG-VOLUME rollup partials — the maintained table the
+    * LogQL aggregation offload reads (the reference's BucketedSampleQuery
+    * sum-only pushdown, chstorage/querier_logs_optimizer.go:52-152 +
+    * querier_logs_query.go:364-540, re-expressed as a maintained
+    * sidecar): per committed micro-batch, one row of (line count, body
+    * bytes) per (stream labels, hour). Same discipline as the metric
+    * stat sidecar ([[hourlyStatPartials]]): additive partials under the
+    * raw batch's own exactly-once commit, so coverage equals committed
+    * raw coverage — no lag a served last-hour window could lose —
+    * and left-open (s, s+1h] buckets labeled s (LogQL windows are
+    * (t−range, t]).
+    *
+    * Only count and bytes are maintained: they are INTEGRAL, so any
+    * read-time re-aggregation (partials, coarser tiers, `sum by`
+    * regrouping, rate's divide-after-sum) is bit-exact — the same
+    * reasoning as the planner's `distributiveRange` gate. `bytes` is
+    * `sum(length(body))` to mirror the raw metric path's expression
+    * exactly. The stream identity is the frame's `labels` map; the
+    * stored ingest layout (no labels column) keys on its `attrs` map —
+    * the same map its LogQL serving view exposes as labels.
+    */
+  def logVolumePartials(batch: DataFrame): DataFrame = {
+    val HourNs = 3600000000000L
+    val labelsCol =
+      if (batch.columns.contains("labels")) col("labels") else col("attrs")
+    batch
+      .withColumn("__labels", labelsCol)
+      .withColumn("__s", expr(s"(ts_ns - 1) - (ts_ns - 1) % $HourNs"))
+      .groupBy(col("__s"),
+        graft.logql.VectorMatching.streamKey(col("__labels")).as("series_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("body")).cast("long")).as("bytes"),
+        first(col("__labels")).as("labels"))
+      .select(timestamp_micros(expr("__s div 1000")).as("hour_start"),
+        col("series_key"), col("n"), col("bytes"), col("labels"))
+  }
+
   /** Streaming SESSIONIZATION: events collapse into per-user sessions
     * that close after `gap` of event-time inactivity — the streaming
     * twin of the batch `src_sessionize` operator (same gap semantics).
@@ -748,16 +785,36 @@ object Streams {
     * exactly the reference's batched inserter shape
     * (inserter_logs.go batching → MergeTree part per insert).
     */
+  /** `volumePath` (optional) keeps the log-volume rollup sidecar LIVE:
+    * each micro-batch also appends its [[logVolumePartials]] under the
+    * same exactly-once protocol — the tier/cube discipline, so
+    * [[graft.logql.Planner.volumeFromLayout]] readers can serve
+    * grain-aligned count/bytes/rate aggregations with no raw log scan
+    * and no coverage gap.
+    */
   def logsSink(stream: DataFrame, path: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      volumePath: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.Layout.commitBatch(path, id)(
-          graft.sources.Layout.writeLogs(batch, _, mode = "overwrite"))
+        val b = if (volumePath == null) batch else batch.persist()
+        try {
+          graft.sources.Layout.commitBatch(path, id)(
+            graft.sources.Layout.writeLogs(b, _, mode = "overwrite"))
+          if (volumePath != null)
+            graft.sources.Layout.commitBatch(volumePath, id) { staging =>
+              logVolumePartials(b)
+                .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+                .repartition(col("date"))
+                .sortWithinPartitions(col("date"), col("series_key"),
+                  col("hour_start"))
+                .write.mode("overwrite").partitionBy("date").parquet(staging)
+            }
+        } finally if (volumePath != null) { b.unpersist(); () }
       }
       .trigger(trigger)
       .start()

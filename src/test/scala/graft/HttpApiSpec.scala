@@ -536,6 +536,46 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("loki query/query_range read the maintained volume sidecar when grain-aligned") {
+    val HourNs = 3600000000000L
+    // marker stream app=vol has NO raw log lines: any answer carrying
+    // it proves the volume sidecar served, its absence the fallback
+    val tierDf = Seq(
+      ("k1", 1 * HourNs, Map("app" -> "vol"), 5L, 100L),
+      ("k1", 2 * HourNs, Map("app" -> "vol"), 3L, 60L)
+    ).toDF("__k", "__end", "labels", "n", "bytes")
+    val api = new HttpApi(logsDf, pointsDf, spansDf,
+      logTiers = Map(HourNs -> tierDf))
+    val port = api.start()
+    try {
+      val q = enc("""count_over_time({app="vol"}[1h])""")
+      val (c1, rng) = get(s"http://127.0.0.1:$port/loki/api/v1/query_range" +
+        s"?query=$q&start=3600&end=7200&step=3600")
+      assert(c1 == 200 && rng.contains("\"app\":\"vol\"") &&
+        rng.contains("[3600,\"5.0\"]") && rng.contains("[7200,\"3.0\"]"),
+        s"body: $rng")
+      // sum by over bytes rides the sidecar too (integral regroup)
+      val qb = enc("""sum by (app) (bytes_over_time({app="vol"}[2h]))""")
+      val (c2, sb) = get(s"http://127.0.0.1:$port/loki/api/v1/query_range" +
+        s"?query=$qb&start=7200&end=7200&step=7200")
+      assert(c2 == 200 && sb.contains("[7200,\"160.0\"]"), s"body: $sb")
+      // sub-grain step: raw fallback; the marker stream has no lines
+      val (c3, fb) = get(s"http://127.0.0.1:$port/loki/api/v1/query_range" +
+        s"?query=$q&start=3600&end=7200&step=60")
+      assert(c3 == 200 && !fb.contains("vol"), s"body: $fb")
+      // a pipeline stage is never volume-servable: falls back
+      val qp = enc("""count_over_time({app="vol"} |= "x" [1h])""")
+      val (c4, pf) = get(s"http://127.0.0.1:$port/loki/api/v1/query_range" +
+        s"?query=$qp&start=3600&end=7200&step=3600")
+      assert(c4 == 200 && !pf.contains("vol"), s"body: $pf")
+      // the instant endpoint rides it too
+      val (c5, inst) = get(s"http://127.0.0.1:$port/loki/api/v1/query" +
+        s"?query=$q&time=3600")
+      assert(c5 == 200 && inst.contains("\"app\":\"vol\"") &&
+        inst.contains("\"5.0\""), s"body: $inst")
+    } finally api.stop()
+  }
+
   test("tempo metrics instant query reduces the window to one value") {
     withApi { port =>
       val (code, body) = get(

@@ -321,6 +321,17 @@ class PlanSpec extends SparkTestBase {
       s"tier-served range query must not scan raw samples:\n$p")
   }
 
+  test("log-volume offload: sum by(count_over_time) scans ONLY the volume sidecar") {
+    val p = planOf("pushdown_logvol_range")
+    assert(p.contains("lv1h"),
+      s"volume grid must read the materialized sidecar:\n$p")
+    assert(!p.contains("events"),
+      s"volume-served range query must not scan a log line:\n$p")
+    val pi = planOf("pushdown_logvol_bytes_rate")
+    assert(pi.contains("lv1h") && !pi.contains("events"),
+      s"volume-served instant must not scan a log line:\n$pi")
+  }
+
   test("group_left binop: the one side re-aggregates the many side's shared subtree") {
     // the coarse operand is a series-cardinality rollup of the fine
     // operand; the shared scan+fan-out subtree deduplicates at runtime

@@ -185,6 +185,53 @@ class StreamsSpec extends SparkTestBase {
     assert(graft.promql.PromQL.tiersFromLayout(spark, s"$dir/absent").isEmpty)
   }
 
+  test("logsSink maintains the log-volume sidecar exactly-once across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logvol").toString
+    val spool = s"$dir/spool"
+    val HourNs = 3600000000000L
+    val h10 = 1704103200000000000L // 2024-01-01T10:00Z ns, on the hour
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts_ns LONG, body STRING, attrs MAP<STRING,STRING>, " +
+        "severity_number INT, service_name STRING")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(sch).parquet(spool)
+      val q = Streams.logsSink(stream, s"$dir/logs", s"$dir/ckpt",
+        Trigger.AvailableNow(), volumePath = s"$dir/logvolume")
+      q.awaitTermination()
+    }
+    def merged: Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$dir/logvolume")
+        .groupBy("hour_start")
+        .agg(sum(col("n")).as("n"), sum(col("bytes")).as("b"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime * 1000000L,
+          (r.getLong(1), r.getLong(2)))).toMap
+    def rows(ts: Long*) = ts.map(t => (t, "abcde", Map("app" -> "w"), 9, "svc"))
+      .toDF("ts_ns", "body", "attrs", "severity_number", "service_name")
+    // the 10:00:00 BOUNDARY line counts toward the bucket ENDING at
+    // 10:00 (left-open, labeled 09:00); 10:40 toward the 11:00 end
+    rows(h10, h10 + 40L * 60 * 1000000000L)
+      .write.mode("append").parquet(spool)
+    run()
+    assert(merged == Map(
+      (h10 - HourNs) -> (1L, 5L), h10 -> (1L, 5L)))
+    run() // replayed generation: sidecar unchanged
+    assert(merged(h10) == (1L, 5L))
+    // a second batch EXTENDS the hour with an additive partial row
+    rows(h10 + 50L * 60 * 1000000000L).write.mode("append").parquet(spool)
+    run()
+    assert(merged(h10) == (2L, 10L))
+    // opens as the planner tier map; the instant plan merges partials
+    val tiers = graft.logql.Planner.volumeFromLayout(spark, s"$dir/logvolume")
+    assert(tiers.keySet == Set(HourNs, 6 * HourNs))
+    val inst = graft.logql.Planner.volumeInstantPlan(
+      """count_over_time({app="w"}[1h])""", h10 + HourNs, tiers).get
+      .collect().map(r => (r.getAs[Map[String, String]](0), r.getDouble(1)))
+    assert(inst.toSeq == Seq((Map("app" -> "w"), 2.0)))
+    // missing layout -> empty map -> consumers fall back to raw
+    assert(graft.logql.Planner.volumeFromLayout(spark, s"$dir/absent").isEmpty)
+  }
+
   test("minePatterns: masked templates accumulate across micro-batches") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val logs = input.toDF().toDF("timestamp", "body")
