@@ -173,19 +173,13 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       if (digits <= 10) v.toLong * 1000000000L else v.toLong
     }
 
-  /** start/end → pushed scan predicate on `tsCol` (ns/`divisor`),
-    * half-open [start, end) like the reference's range handling.
-    * `loExtendNs` widens the LOWER bound by a query's needed history
-    * (range+offset+lookback) so a range function at the first grid
-    * point sees its full window; `unboundedLo` drops the lower bound
-    * entirely (an `@`-pinned leaf can reach anywhere).
+  /** The request's [lo, hi) window in ns: explicit start/end params,
+    * with `since` computing a missing start as (end | now) − since —
+    * the Loki/Tempo relative-window param (reference tempohandler/
+    * params.go:35-80, lokihandler.go:74); an explicit start wins.
     */
-  private def windowed(df: DataFrame, p: Map[String, String],
-      tsCol: String, divisor: Long, loExtendNs: Long = 0L,
-      unboundedLo: Boolean = false): DataFrame = {
-    // `since` computes a missing start as (end | now) - since — the
-    // Loki/Tempo relative-window param (reference tempohandler/
-    // params.go:35-80, lokihandler.go:74); an explicit start wins
+  private def boundsNs(p: Map[String, String])
+      : (Option[Long], Option[Long]) = {
     val sinceNs = p.get("since").filter(_.nonEmpty).map { s =>
       val sec = graft.functions.Kernels.parseDurationSeconds(s)
         .getOrElse(throw new IllegalArgumentException(s"bad since '$s'"))
@@ -198,10 +192,33 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
         val nowNs = System.currentTimeMillis() * 1000000L
         math.min(hiNs.getOrElse(nowNs), nowNs) - d
       })
-    val f1 =
-      if (unboundedLo) df
-      else loNs.map(v => (v - loExtendNs) / divisor)
-        .fold(df)(v => df.filter(col(tsCol) >= v))
+    (loNs, hiNs)
+  }
+
+  /** start/end → pushed scan predicate on `tsCol` (ns/`divisor`),
+    * half-open [start, end) like the reference's range handling.
+    * `loExtendNs` widens the LOWER bound by a query's needed history
+    * (range+offset+lookback) so a range function at the first grid
+    * point sees its full window; `unbounded` drops BOTH bounds (an
+    * `@`-pinned or future-offset leaf can reach anywhere, before OR
+    * after the request window — the output grid filter still bounds
+    * what the client sees).
+    */
+  private def windowed(df: DataFrame, p: Map[String, String],
+      tsCol: String, divisor: Long, loExtendNs: Long = 0L,
+      unbounded: Boolean = false): DataFrame =
+    if (unbounded) df
+    else windowedAt(df, boundsNs(p), tsCol, divisor, loExtendNs)
+
+  /** [[windowed]] over PRE-COMPUTED bounds — callers that also need the
+    * bounds for output clamping must evaluate them ONCE (`since` is
+    * wall-clock-derived, so two evaluations yield two windows).
+    */
+  private def windowedAt(df: DataFrame, bnds: (Option[Long], Option[Long]),
+      tsCol: String, divisor: Long, loExtendNs: Long = 0L): DataFrame = {
+    val (loNs, hiNs) = bnds
+    val f1 = loNs.map(v => (v - loExtendNs) / divisor)
+      .fold(df)(v => df.filter(col(tsCol) >= v))
     hiNs.map(_ / divisor).fold(f1)(v => f1.filter(col(tsCol) < v))
   }
 
@@ -232,9 +249,12 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     }
     // metric queries read range+offset of history before the first
     // grid point (windows are (t−range, t]): extend the scan's lower
-    // bound by it and clamp the output grid back to ≥ start below
+    // bound by it and clamp the output grid back to ≥ start below.
+    // Bounds evaluate ONCE — the clamp must use the same window as the
+    // scan (a `since` window derives from the wall clock).
     val histNs = graft.logql.Planner.scanHistoryNs(p("query"))
-    val src = windowed(logs, p, "ts_ns", 1L, loExtendNs = histNs)
+    val bnds = boundsNs(p)
+    val src = windowedAt(logs, bnds, "ts_ns", 1L, loExtendNs = histNs)
     // log-query knobs (lokihandler.go QueryRange params): `limit` caps
     // entries, `direction=backward` keeps the NEWEST limit entries —
     // both reach the plan as TakeOrderedAndProject, so the cap rides
@@ -248,9 +268,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // listing path is already limit-capped inside the plan
     if (df.columns.contains("value")) {
       // grid points fanned out of the history slack fall before the
-      // requested window: clamp them (samples ≥ start always fan to
-      // grid points ≥ start, so this only cuts slack-born buckets)
-      val clamped = p.get("start").filter(_.nonEmpty).map(toNs)
+      // requested window: clamp them (samples ≥ the window's lower
+      // bound always fan to grid points ≥ it, so this only cuts
+      // slack-born buckets); a `since`-derived window clamps exactly
+      // like an explicit start, from the ONE bounds evaluation above
+      val clamped = bnds._1
         .filter(_ => df.columns.contains("bucket_ns"))
         .fold(df)(v => df.filter(col("bucket_ns") >= v))
       ApiEncoders.lokiMatrix(Limits.guardRows(clamped, limits.maxSampleRows),
@@ -271,8 +293,12 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // too (the reference explains through both Query and QueryRange)
     if (q.trim.startsWith(graft.logql.Explain.Prefix))
       return ApiEncoders.lokiStreams(graft.logql.Planner.query(q, logs))
-    val tNs = p.get("time").filter(_.nonEmpty).map(toNs)
-      .getOrElse(logs.agg(max(col("ts_ns"))).head().getLong(0))
+    val tNs = p.get("time").filter(_.nonEmpty).map(toNs).getOrElse {
+      val newest = logs.agg(max(col("ts_ns"))).head()
+      // an empty log store with no time param: empty result, not NPE
+      if (newest.isNullAt(0)) return """{"status":"success","data":{"resultType":"streams","result":[]}}"""
+      newest.getLong(0)
+    }
     graft.logql.Parser.parse(q) match {
       case graft.logql.Ast.LogExpr(_) =>
         val limit = p.get("limit").map(_.toInt).getOrElse(100)
@@ -492,7 +518,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val histUs = graft.promql.PromQL.scanHistoryUs(q)
     val src0 = windowed(points, p, "ts_us", 1000L,
       loExtendNs = histUs.getOrElse(0L) * 1000L,
-      unboundedLo = histUs.isEmpty)
+      unbounded = histUs.isEmpty)
     // only a query with exactly ONE distinct selector and no
     // table-extent-gridded node (absent/time()/vector()) can
     // pre-resolve: its label predicate then bounds the whole point set
@@ -534,9 +560,17 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   private def promInstant(ex: HttpExchange): String = {
     val p = params(ex)
     // default eval time: the store's newest sample (a static store has
-    // no "now"; reference promhandler defaults to time.Now())
+    // no "now"; reference promhandler defaults to time.Now()). A
+    // raw-less store (tier-only deployment) with no time param serves
+    // the empty vector instead of NPEing on the null max.
+    val newest = p.get("time").filter(_.nonEmpty) match {
+      case Some(_) => null
+      case None    => points.agg(max(col("ts_us"))).head()
+    }
+    if (newest != null && newest.isNullAt(0))
+      return """{"status":"success","data":{"resultType":"vector","result":[]}}"""
     val tUs = p.get("time").filter(_.nonEmpty).map(toNs(_) / 1000L)
-      .getOrElse(points.agg(max(col("ts_us"))).head().getLong(0))
+      .getOrElse(newest.getLong(0))
     // aligned `*_over_time` instants read the maintained rollup tiers;
     // anything unservable falls back to the raw evaluation
     val df = graft.promql.PromQL.instantTierPlan(p("query"), tUs, tiers)

@@ -743,11 +743,19 @@ object Planner {
       .select(col("series_key").as("__k"), col("labels"),
         (unix_micros(col("hour_start")) * 1000L + HourNs).as("__end"),
         col("n"), col("bytes"))
-    coarserNs.foreach(i => require(i > HourNs && i % HourNs == 0,
-      s"coarser tier $i must be a multiple of the hourly base"))
+    // each tier re-rolls from the PREVIOUS one: every interval must
+    // divide the next (the PromQL tier chain's rule — {4h, 6h} would
+    // ceil-align 4h ends into WRONG 6h buckets, silently)
+    val chain = coarserNs.distinct.sorted
+    chain.foldLeft(HourNs) { (prev, i) =>
+      require(i % prev == 0,
+        s"tier $i must be a multiple of the previous tier $prev " +
+          "(each re-rolls from the one before it)")
+      i
+    }
     val out = scala.collection.mutable.Map(HourNs -> hourly)
     var prev = hourly
-    for (i <- coarserNs.distinct.sorted) {
+    for (i <- chain) {
       prev = prev.groupBy(col("__k"),
         (col("__end") + pmod(lit(i) - pmod(col("__end"), lit(i)), lit(i)))
           .as("__end"))

@@ -381,7 +381,14 @@ object PromQL {
         var atTs: Option[Long] = None
         var more = true
         while (more) {
-          if (p.peekIdent == "offset") { p.ident(); off = p.duration() }
+          if (p.peekIdent == "offset") {
+            // negative (future) offsets parse like the bare-selector
+            // path (upstream's feature-flagged negative offset)
+            p.ident(); p.ws()
+            val neg = p.accept("-")
+            val d = p.duration()
+            off = if (neg) -d else d
+          }
           else if (p.accept("@")) atTs = Some(atValue(p))
           else more = false
         }
@@ -708,6 +715,10 @@ object PromQL {
     * a relative pre-filter would truncate its data.
     */
   private def lookbackBoundUs(e: Expr): Option[Long] = e match {
+    // future (negative) offsets need data PAST the window end, which a
+    // lower-bound-only slack cannot express: treat like @-pinned
+    case RangeFn(_, _, _, o, _) if o < 0     => None
+    case RangeSub(_, _, _, _, o, _) if o < 0 => None
     case RangeFn(_, _, r, o, _)     => Some(r / 1000 + o / 1000)
     case RangeSub(_, i, r, _, o, _) =>
       lookbackBoundUs(i).map(r / 1000 + o / 1000 + _)
@@ -976,13 +987,21 @@ object PromQL {
       .select(col("name"), col("series_key").as("__k"), col("labels"),
         (unix_micros(col("hour_start")) + HourUs).as("__end"),
         col("n"), col("sum_dec"), col("min_v"), col("max_v"))
-    coarserUs.foreach(i => require(i > HourUs && i % HourUs == 0,
-      s"coarser tier $i must be a multiple of the hourly base"))
+    // each tier re-rolls from the PREVIOUS one, so every interval must
+    // divide the next — a mere multiple-of-hour (e.g. {4h, 6h}) would
+    // ceil-align 4h bucket ends into WRONG 6h buckets, silently
+    val chain = coarserUs.distinct.sorted
+    chain.foldLeft(HourUs) { (prev, i) =>
+      require(i % prev == 0,
+        s"tier $i must be a multiple of the previous tier $prev " +
+          "(each re-rolls from the one before it)")
+      i
+    }
     val out = scala.collection.mutable.Map(HourUs -> hourly)
     val maggs = graft.sources.RollupTiers.mergeAggs :+
       first(col("labels")).as("labels")
     var prev = hourly
-    for (i <- coarserUs.distinct.sorted) {
+    for (i <- chain) {
       // end-labeled re-bucket: fine end e folds into the coarse bucket
       // ending at the next i-multiple ≥ e
       prev = prev.groupBy(col("name"), col("__k"),

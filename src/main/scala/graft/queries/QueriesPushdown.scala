@@ -37,7 +37,7 @@ object QueriesPushdown extends QueryPack {
   ) { td =>
     import graft.sources.RollupTiers
     // level 1: the hourly stat tier the streaming sidecar maintains
-    // (same statAggs as Streams.hourlyRollup — one maintenance path)
+    // (same statAggs as Streams.hourlyStatPartials — one maintenance path)
     val rollup = RollupTiers.rollup(
       td.events.select(col("event_type"), col("ts"), col("value")),
       Seq("event_type"), "ts", "value", HourNs)

@@ -205,6 +205,24 @@ object Layout {
     marker.createNewFile(): Unit
   }
 
+  /** Rows of ONE committed micro-batch, read back from its
+    * batch-tagged files ([[commitBatch]] names them `b<id>-…`). None
+    * when the batch committed zero rows (marker without files). Used
+    * by sidecar maintenance to replay a crash window from the STORED
+    * truth instead of a re-derived batch (see pointsSink).
+    */
+  def readBatch(spark: SparkSession, root: String,
+      batchId: Long): Option[DataFrame] = {
+    val files = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("date="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .filter(_.getName.startsWith(s"b$batchId-"))
+      .map(_.getPath)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.toIndexedSeq: _*))
+  }
+
   /** Compaction — the MergeTree background-merge analogue (the
     * reference gets this from ClickHouse for free; a parquet layout
     * has to run it as a maintenance job). Streaming ingest appends one

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable rollup-stat tiers — ONE maintenance path shared by the
-  * streaming hourly sidecar ([[graft.streaming.Streams.hourlyRollup]])
+  * streaming hourly sidecar
+  * ([[graft.streaming.Streams.hourlyStatPartials]], appended per
+  * micro-batch by `pointsSink(rollupPath=)`)
   * and coarser batch tiers chained at the compaction seam next to the
   * [[StoragePolicy]] downsample bands (reference embedded-backend
   * aggregate sidecar, docs/storage-integration.md:30-47; age-tier

@@ -801,6 +801,11 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // unlike pointsSink there is no replay-divergence guard here:
+        // the log batch derives deterministically from checkpointed
+        // offsets + state-store versions (no driver-state admission),
+        // so a crash-window replay reproduces the committed rows. Add
+        // the pointsSink readBatch guard if admission ever lands here.
         val b = if (volumePath == null) batch else batch.persist()
         try {
           graft.sources.Layout.commitBatch(path, id)(
@@ -1180,21 +1185,39 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // a crash BETWEEN the raw commit and the rollup commit replays
+        // here with rebuilt driver state — re-running admission can
+        // then admit a DIFFERENT row set than the one already stored
+        // (the rebuilt series ledger differs: overflowed series
+        // collapsed into one key), and the sidecar must cover exactly
+        // what the raw layout holds. Detect that window up front and
+        // derive the partials from the STORED batch rows instead.
+        val replayFromStore = rollupPath != null &&
+          new java.io.File(path, s"_committed_$id").exists() &&
+          !new java.io.File(rollupPath, s"_committed_$id").exists()
         val admitted0 = if (budget == null) batch else budget.admit(batch)
         // both layouts derive from the batch: cache once, not re-read
         val admitted = if (rollupPath == null) admitted0 else admitted0.persist()
         try {
           graft.sources.Layout.commitBatch(path, id)(
             graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
-          if (rollupPath != null)
+          if (rollupPath != null) {
+            val src =
+              if (replayFromStore)
+                graft.sources.Layout.readBatch(batch.sparkSession, path, id)
+                  .map(_.select(col("ts_us"), col("name"), col("labels"),
+                    col("value")))
+                  .getOrElse(admitted.limit(0))
+              else admitted
             graft.sources.Layout.commitBatch(rollupPath, id) { staging =>
-              hourlyStatPartials(admitted)
+              hourlyStatPartials(src)
                 .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
                 .repartition(col("date"))
                 .sortWithinPartitions(col("date"), col("name"),
                   col("series_key"), col("hour_start"))
                 .write.mode("overwrite").partitionBy("date").parquet(staging)
             }
+          }
         } finally if (rollupPath != null) { admitted.unpersist(); () }
         // new points may add native-histogram metrics: stale cached
         // name probes would leave them unexpanded on long-lived frames

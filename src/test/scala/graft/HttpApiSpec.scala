@@ -484,6 +484,14 @@ class HttpApiSpec extends SparkTestBase {
       // the slack must NOT widen the grid itself: no buckets < start
       assert(!prom.contains("[60,"), s"body: $prom")
       assert(!loki.contains(s"[${s - 60},"), s"body: $loki")
+      // a FUTURE (negative) offset needs data past `end` — the scan
+      // must go unbounded, not just lower-extended: grid t=0 evaluates
+      // (0, 120] and finds the 1s/61s cpu points
+      val (c3, neg) = get(s"http://127.0.0.1:$port/api/v1/query_range" +
+        s"?query=${enc("count_over_time(cpu[2m] offset -2m)")}" +
+        "&start=0&end=0&step=60")
+      assert(c3 == 200 && neg.contains("[0,\"2.0\"]") &&
+        neg.contains("[0,\"1.0\"]"), s"body: $neg")
     }
   }
 

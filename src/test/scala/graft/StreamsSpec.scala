@@ -185,6 +185,48 @@ class StreamsSpec extends SparkTestBase {
     assert(graft.promql.PromQL.tiersFromLayout(spark, s"$dir/absent").isEmpty)
   }
 
+  test("rollup sidecar crash-window replay derives from the STORED batch, not re-admission") {
+    // crash between the raw commit and the rollup commit, then a
+    // restart with rebuilt admission state that admits a DIFFERENT row
+    // set: the sidecar must still cover exactly what the raw layout
+    // holds (the tier soundness invariant), so the replay reads the
+    // committed batch files back instead of trusting re-admission
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val spool = s"$dir/spool"
+    val h10 = 1704103200000000L
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts_us LONG, name STRING, labels MAP<STRING,STRING>, value DOUBLE")
+    Seq((h10 + 600000000L, "cpu", Map("host" -> "a"), 1.0),
+      (h10 + 600000000L, "mem", Map("host" -> "a"), 2.0))
+      .toDF("ts_us", "name", "labels", "value")
+      .write.mode("append").parquet(spool)
+    def run(ckpt: String, budget: graft.sources.Admission.SeriesBudget): Unit = {
+      val stream = spark.readStream.schema(sch).parquet(spool)
+      Streams.pointsSink(stream, s"$dir/points", ckpt,
+        Trigger.AvailableNow(), budget = budget,
+        rollupPath = s"$dir/rollup").awaitTermination()
+    }
+    run(s"$dir/ckpt1", null) // both layouts commit batch 0, 2 series
+    def rollupSeries = spark.read.parquet(s"$dir/rollup")
+      .select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(rollupSeries == Set("cpu", "mem"))
+    // simulate the crash window: the raw marker stays, the rollup
+    // commit never happened
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(s"$dir/rollup"))
+    // restart from a FRESH checkpoint (batch 0 replays) with a rebuilt
+    // 1-series budget: re-admission would shed one of the two series
+    run(s"$dir/ckpt2", new graft.sources.Admission.SeriesBudget(1, 0))
+    // raw layout unchanged (marker short-circuit), and the replayed
+    // sidecar covers BOTH stored series — not the poisoned admission
+    assert(spark.read.parquet(s"$dir/points")
+      .select("name").distinct().count() == 2)
+    assert(rollupSeries == Set("cpu", "mem"),
+      "replayed sidecar must derive from the stored batch")
+  }
+
   test("logsSink maintains the log-volume sidecar exactly-once across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-logvol").toString
     val spool = s"$dir/spool"
