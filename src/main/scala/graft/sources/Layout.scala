@@ -368,6 +368,21 @@ object Layout {
           .select(df.columns.map(col).toIndexedSeq: _*)
       })
 
+  /** Pre-merging compaction of ONE log-volume-sidecar date partition —
+    * same shape as [[compactRollupPartition]] over the (stream, hour)
+    * integral count/bytes stats.
+    */
+  def compactLogVolumePartition(spark: SparkSession, root: String,
+      date: String, targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    compactPartition(spark, root, date,
+      Seq("series_key", "hour_start"), targetFileBytes,
+      transform = { df =>
+        df.groupBy(col("hour_start"), col("series_key"))
+          .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"),
+            first(col("labels")).as("labels"))
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      })
+
   /** TTL expiry — the `TTL timestamp + INTERVAL n DAY` clause of the
     * reference DDL (chstorage golden schema), expressed as partition
     * drops: a date partition strictly older than the horizon is

@@ -294,6 +294,42 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     * signal directories this receiver writes, admission = the shared
     * budget counters. Call after [[start]]; returns the bound port.
     */
+  /** The admin `storage_maintain` action: pre-merge every COLD date
+    * partition (strictly before `nowDate`) of the three derived
+    * sidecars this receiver appends per micro-batch — the AttrCube,
+    * the hourly stat rollup, and the log-volume rollup — back to
+    * vocabulary scale (their per-batch additive partials otherwise
+    * grow reads with batch count). Cold-only: the live sinks append
+    * batch-tagged files into CURRENT partitions, and the compaction
+    * swap must not race a concurrent move (late data into an old
+    * partition keeps the same documented exposure as the raw-layout
+    * policy compactions, which remain the deployment's scheduled job
+    * because they need the storage-policy config).
+    */
+  def maintainStorage(nowDate: String = java.time.LocalDate
+      .now(java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
+      : String = {
+    def coldDates(root: String): Seq[String] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("date="))
+        .map(_.getName.stripPrefix("date="))
+        .filter(_ < nowDate).sorted.toSeq
+    val work = Seq[(String, String, (String, String) => Int)](
+      ("cube", s"$dataDir/cube",
+        (r, d) => Layout.compactCubePartition(spark, r, d)),
+      ("rollup", s"$dataDir/rollup",
+        (r, d) => Layout.compactRollupPartition(spark, r, d)),
+      ("logvolume", s"$dataDir/logvolume",
+        (r, d) => Layout.compactLogVolumePartition(spark, r, d)))
+    val msgs = work.flatMap { case (name, root, compact) =>
+      val dates = coldDates(root)
+      dates.map(d => s"$name/date=$d -> ${compact(root, d)} file(s)")
+    }
+    if (msgs.isEmpty) "no cold sidecar partitions to compact"
+    else msgs.mkString("; ")
+  }
+
   def startAdmin(port: Int = 0): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
@@ -315,7 +351,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         "traces" -> s"$dataDir/spans", "logs" -> s"$dataDir/logs",
         "metrics" -> s"$dataDir/points", "profiles" -> s"$dataDir/profiles"),
       admission = Some(stats),
-      safety = logSafety.map(_ => safetyStats))
+      safety = logSafety.map(_ => safetyStats),
+      maintain = Some(() => maintainStorage()))
     admin.start(port)
   }
 

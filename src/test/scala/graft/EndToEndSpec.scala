@@ -803,6 +803,87 @@ class EndToEndSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("admin storage_maintain pre-merges the cold sidecar partials; answers unchanged") {
+    import graft.sources.{OtlpReceiver, Snappy}
+    def post(url: String, body: Array[Byte], ct: String,
+        enc: Option[String] = None): (Int, String) = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", ct)
+      enc.foreach(conn.setRequestProperty("Content-Encoding", _))
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val b = new String(Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+      Option(is).foreach(_.close())
+      (code, b)
+    }
+    def label(n: String, v: String): W = new W().str(1, n).str(2, v)
+    def sample(v: Double, tsMs: Long): W =
+      new W().fix64(1, java.lang.Double.doubleToLongBits(v)).vint(2, tsMs)
+    val t0ms = T0 / 1000000L // 2024-01-01T10:00Z — cold vs "now"
+    def rwFrame(v: Double, off: Long) = Snappy.encodeLiteral(
+      new W().msg(1, new W()
+        .msg(1, label("__name__", "mtn_m")).msg(1, label("job", "api"))
+        .msg(2, sample(v, t0ms + off))).out.toByteArray)
+    def lokiBody(line: String, offNs: Long) =
+      (s"""{"streams":[{"stream":{"app":"m"},"values":""" +
+        s"""[["${T0 + offNs}","$line"]]}]}""").getBytes("UTF-8")
+
+    val dir = Files.createTempDirectory("grafte2emaint").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    val aport = recv.startAdmin()
+    try {
+      // TWO ingest batches per signal -> two additive partial row-sets
+      // for the same hour in each sidecar
+      assert(post(s"http://127.0.0.1:$rport/api/v1/write", rwFrame(2.0, 600000L),
+        "application/x-protobuf", Some("snappy"))._1 == 200)
+      recv.flush()
+      assert(post(s"http://127.0.0.1:$rport/api/v1/write", rwFrame(4.0, 1200000L),
+        "application/x-protobuf", Some("snappy"))._1 == 200)
+      assert(post(s"http://127.0.0.1:$rport/loki/api/v1/push",
+        lokiBody("a line", 1000L), "application/json")._1 < 300)
+      recv.flush()
+      assert(post(s"http://127.0.0.1:$rport/loki/api/v1/push",
+        lokiBody("b line", 2000L), "application/json")._1 < 300)
+      recv.flush()
+
+      def rollupRows = spark.read.parquet(s"$dir/rollup").count()
+      def volRows = spark.read.parquet(s"$dir/logvolume").count()
+      def tierAnswer = {
+        val tiers = graft.promql.PromQL.tiersFromLayout(spark, s"$dir/rollup")
+        graft.promql.PromQL.instantTierPlan("avg_over_time(mtn_m[1h])",
+          T0 / 1000L + 3600000000L, tiers).get
+          .collect().map(r => (r.getAs[Map[String, String]](1), r.getDouble(2)))
+          .toSeq
+      }
+      assert(rollupRows == 2, s"expected two partial rows, got $rollupRows")
+      assert(volRows >= 2)
+      val before = tierAnswer
+      assert(before.map(_._2) == Seq(3.0))
+
+      val (mc, msg) = post(
+        s"http://127.0.0.1:$aport/api/v1/actions/storage_maintain",
+        Array.empty, "application/json")
+      assert(mc == 200 && msg.contains("rollup/date=") &&
+        msg.contains("logvolume/date="), s"body: $msg")
+      assert(rollupRows == 1, "partials must pre-merge to vocabulary scale")
+      assert(volRows == 1)
+      assert(tierAnswer == before, "tier answers must be identical post-merge")
+
+      // idempotent: a second run finds nothing structural to redo and
+      // answers stay put (it may rewrite, but content is stable)
+      val (mc2, _) = post(
+        s"http://127.0.0.1:$aport/api/v1/actions/storage_maintain",
+        Array.empty, "application/json")
+      assert(mc2 == 200 && tierAnswer == before)
+    } finally recv.stop()
+  }
+
   test("tier serving: ingested points -> rollup sidecar -> HTTP range with no raw scan") {
     import graft.sources.{OtlpReceiver, Snappy}
     def post(url: String, body: Array[Byte]): Int = {
