@@ -38,7 +38,9 @@ import graft.streaming.Streams
   */
 final class OtlpReceiver(spark: SparkSession, dataDir: String,
     limits: Admission.LimitsConfig = Admission.LimitsConfig(),
-    logSafety: Option[graft.streaming.LogSafety.Config] = None) {
+    logSafety: Option[graft.streaming.LogSafety.Config] = None,
+    storagePolicy: Option[StoragePolicy.Policy] = None,
+    retentionDays: Int = 0) {
 
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   import spark.implicits._
@@ -294,17 +296,29 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     * signal directories this receiver writes, admission = the shared
     * budget counters. Call after [[start]]; returns the bound port.
     */
-  /** The admin `storage_maintain` action: pre-merge every COLD date
-    * partition (strictly before `nowDate`) of the three derived
-    * sidecars this receiver appends per micro-batch — the AttrCube,
-    * the hourly stat rollup, and the log-volume rollup — back to
-    * vocabulary scale (their per-batch additive partials otherwise
-    * grow reads with batch count). Cold-only: the live sinks append
-    * batch-tagged files into CURRENT partitions, and the compaction
-    * swap must not race a concurrent move (late data into an old
-    * partition keeps the same documented exposure as the raw-layout
-    * policy compactions, which remain the deployment's scheduled job
-    * because they need the storage-policy config).
+  /** The admin `storage_maintain` action — the full background
+    * maintenance pass of the reference's storage policy
+    * (cmd/oteldb/storage_policy.go:21-68), in three steps:
+    *
+    *   1. RETENTION first (when `retentionDays` > 0): date partitions
+    *      strictly older than the horizon drop whole, raw layouts and
+    *      sidecars alike — no point compacting a day about to vanish;
+    *   2. sidecar pre-merge: every COLD date partition (strictly
+    *      before `nowDate`) of the three per-batch sidecars — the
+    *      AttrCube, the hourly stat rollup, the log-volume rollup —
+    *      collapses its additive partials back to vocabulary scale
+    *      (reads otherwise grow with batch count);
+    *   3. age-tiered policy compaction of the raw layouts (when a
+    *      `storagePolicy` is configured): downsample / precision /
+    *      recompress bands applied per cold day, AT MOST ONCE per band
+    *      crossing (a `_policy_<band>` marker in the rewritten
+    *      partition makes re-runs metadata-only until the day ages
+    *      into the next band).
+    *
+    * Cold-only throughout: the live sinks append batch-tagged files
+    * into CURRENT partitions and the compaction swap must not race a
+    * concurrent move; late data into an old partition keeps the same
+    * documented exposure as any MergeTree background merge.
     */
   def maintainStorage(nowDate: String = java.time.LocalDate
       .now(java.time.ZoneOffset.UTC).format(
@@ -315,6 +329,15 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         .filter(d => d.isDirectory && d.getName.startsWith("date="))
         .map(_.getName.stripPrefix("date="))
         .filter(_ < nowDate).sorted.toSeq
+    // retention FIRST: partitions strictly older than the horizon drop
+    // whole (the reference's TTL clause) — raw layouts AND sidecars
+    val ttlMsgs =
+      if (retentionDays <= 0) Nil
+      else Seq("points", "logs", "spans", "profiles", "exemplars",
+        "cube", "rollup", "logvolume").flatMap { name =>
+        Layout.enforceTtl(s"$dataDir/$name", retentionDays, nowDate)
+          .map(p => s"ttl dropped $name/$p")
+      }
     val work = Seq[(String, String, (String, String) => Int)](
       ("cube", s"$dataDir/cube",
         (r, d) => Layout.compactCubePartition(spark, r, d)),
@@ -322,11 +345,48 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         (r, d) => Layout.compactRollupPartition(spark, r, d)),
       ("logvolume", s"$dataDir/logvolume",
         (r, d) => Layout.compactLogVolumePartition(spark, r, d)))
-    val msgs = work.flatMap { case (name, root, compact) =>
-      val dates = coldDates(root)
-      dates.map(d => s"$name/date=$d -> ${compact(root, d)} file(s)")
+    val sidecarMsgs = work.flatMap { case (name, root, compact) =>
+      coldDates(root).map(d => s"$name/date=$d -> ${compact(root, d)} file(s)")
     }
-    if (msgs.isEmpty) "no cold sidecar partitions to compact"
+    // raw layouts: the reference's age-tiered storage policy applied at
+    // the merge seam (storage_policy.go:21-68) — each cold day rewrites
+    // AT MOST ONCE PER BAND CROSSING (days age monotonically, so a
+    // `_policy_<band>` marker in the rewritten partition records the
+    // band it was last compacted at; re-running maintenance is then
+    // metadata-only until the day crosses the next threshold)
+    val policyMsgs = storagePolicy.toSeq.flatMap { pol =>
+      def bandOf(age: Int): String = Seq(
+        StoragePolicy.pick(pol.downsample, age)(_.afterDays)
+          .map(_.afterDays).getOrElse(-1),
+        StoragePolicy.pick(pol.precision, age)(_.afterDays)
+          .map(_.afterDays).getOrElse(-1),
+        pol.recompress.filter(_.afterDays <= age)
+          .map(_.afterDays).getOrElse(-1)).mkString("_")
+      val raws = Seq[(String, String, (String, String) => Int)](
+        ("points", s"$dataDir/points", (r, d) =>
+          Layout.compactPointsPartition(spark, r, d, nowDate, pol)),
+        ("logs", s"$dataDir/logs", (r, d) =>
+          Layout.compactLogsPartition(spark, r, d, nowDate, pol)),
+        ("spans", s"$dataDir/spans", (r, d) =>
+          Layout.compactSpansPartition(spark, r, d, nowDate, pol)))
+      raws.flatMap { case (name, root, compact) =>
+        coldDates(root).flatMap { d =>
+          val band = bandOf(StoragePolicy.ageDays(d, nowDate))
+          val marker = new java.io.File(
+            new java.io.File(root, s"date=$d"), s"_policy_$band")
+          // "-1_-1_-1" = the day hasn't crossed ANY tier yet: nothing
+          // to apply, don't churn the partition
+          if (band == "-1_-1_-1" || marker.exists()) None
+          else {
+            val n = compact(root, d)
+            marker.createNewFile(): Unit
+            Some(s"$name/date=$d -> $n file(s) @band $band")
+          }
+        }
+      }
+    }
+    val msgs = ttlMsgs ++ sidecarMsgs ++ policyMsgs
+    if (msgs.isEmpty) "no cold partitions to maintain"
     else msgs.mkString("; ")
   }
 
