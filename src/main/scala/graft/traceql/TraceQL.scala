@@ -592,82 +592,104 @@ object TraceQL {
             sameTrace && col("r.parent_span_id") === col("l.parent_span_id") &&
               col("r.span_id") =!= col("l.span_id"),
             if (op == "~") "left_semi" else "left_anti")
-        case "&>" | "&<" | "&>>" | "&<<" | "&~" =>
-          // UNION structural forms (Tempo's union operators; the
-          // reference parses and rejects them, spanset_op.go:89-102):
-          // BOTH participants of the relation survive — the rhs spans
-          // the plain operator returns PLUS the lhs spans standing on
-          // the other end. Each side is the same semi-join shape as the
-          // plain form (never a wide join); one span-identity dedup
-          // merges them.
-          val rl = r.select(spans.columns.toIndexedSeq.map(c =>
-            col(s"r.$c").as(c)): _*)
-          val ll = l.alias("l0")
-          def semi(left: DataFrame, right: DataFrame,
-              cond: Column): DataFrame =
-            left.join(right, cond, "left_semi")
-          val (rSide, lSide) = op match {
-            case "&>" => // children of l ∪ parents-of-r among l
-              (semi(r.alias("r"), ll.select(col("trace_id"), col("span_id")).alias("l"),
-                col("r.trace_id") === col("l.trace_id") &&
-                  col("r.parent_span_id") === col("l.span_id")),
-               semi(l.alias("la"), rl.select(col("trace_id"), col("parent_span_id")).alias("rb"),
-                 col("la.trace_id") === col("rb.trace_id") &&
-                   col("la.span_id") === col("rb.parent_span_id")))
-            case "&<" => // parents of l ∪ children-of-r among l
-              (semi(r.alias("r"), ll.select(col("trace_id"), col("parent_span_id")).alias("l"),
-                col("r.trace_id") === col("l.trace_id") &&
-                  col("r.span_id") === col("l.parent_span_id")),
-               semi(l.alias("la"), rl.select(col("trace_id"), col("span_id")).alias("rb"),
-                 col("la.trace_id") === col("rb.trace_id") &&
-                   col("la.parent_span_id") === col("rb.span_id")))
-            case "&>>" => // descendants of l ∪ ancestors-of-r among l
-              val lIds = l.select(col("trace_id"), col("span_id").as("anc"))
-              val descOfL = ancestorPairs(spans, dedup = false)
-                .join(lIds, Seq("trace_id", "anc"), "left_semi")
-                .select(col("trace_id"), col("span_id")).alias("d")
-              val rIds = rl.select(col("trace_id"), col("span_id"))
-              val ancOfR = ancestorPairs(spans, dedup = false)
-                .join(rIds, Seq("trace_id", "span_id"), "left_semi")
-                .select(col("trace_id"), col("anc")).alias("a")
-              (semi(r.alias("r"), descOfL,
-                col("r.trace_id") === col("d.trace_id") &&
-                  col("r.span_id") === col("d.span_id")),
-               semi(l.alias("la"), ancOfR,
-                 col("la.trace_id") === col("a.trace_id") &&
-                   col("la.span_id") === col("a.anc")))
-            case "&<<" => // ancestors of l ∪ descendants-of-r among l
-              val lIds = l.select(col("trace_id"), col("span_id"))
-              val ancOfL = ancestorPairs(spans, dedup = false)
-                .join(lIds, Seq("trace_id", "span_id"), "left_semi")
-                .select(col("trace_id"), col("anc")).alias("a")
-              val rIds = rl.select(col("trace_id"), col("span_id").as("anc"))
-              val descOfR = ancestorPairs(spans, dedup = false)
-                .join(rIds, Seq("trace_id", "anc"), "left_semi")
-                .select(col("trace_id"), col("span_id")).alias("d")
-              (semi(r.alias("r"), ancOfL,
-                col("r.trace_id") === col("a.trace_id") &&
-                  col("r.span_id") === col("a.anc")),
-               semi(l.alias("la"), descOfR,
-                 col("la.trace_id") === col("d.trace_id") &&
-                   col("la.span_id") === col("d.span_id")))
-            case "&~" => // symmetric: siblings on either side
-              val sibL = l.select(col("trace_id"), col("span_id"),
-                col("parent_span_id")).alias("l")
-              val sibR = rl.select(col("trace_id"), col("span_id"),
-                col("parent_span_id")).alias("rb")
-              (semi(r.alias("r"), sibL,
-                col("r.trace_id") === col("l.trace_id") &&
-                  col("r.parent_span_id") === col("l.parent_span_id") &&
-                  col("r.span_id") =!= col("l.span_id")),
-               semi(l.alias("la"), sibR,
-                 col("la.trace_id") === col("rb.trace_id") &&
-                   col("la.parent_span_id") === col("rb.parent_span_id") &&
-                   col("la.span_id") =!= col("rb.span_id")))
-          }
+        case "&>" | "&<" =>
+          // UNION child/parent (Tempo's union operators; the reference
+          // parses and rejects them, spanset_op.go:89-102): BOTH
+          // participants of the relation survive. ONE inner pair-join
+          // instead of two semi-joins re-reading both operands — every
+          // (parent, child) relation row carries BOTH survivors, so the
+          // two ends project out of the same join. Linear by
+          // construction: a child has exactly ONE parent, so pairs are
+          // bounded by the child side, never a fan-out product.
+          val (parentSide, childSide) =
+            if (op == "&>") (l, evalSpanset(rhs, spans)) else (evalSpanset(rhs, spans), l)
+          val pairs = childSide.alias("c").join(parentSide.alias("p"),
+            col("c.trace_id") === col("p.trace_id") &&
+              col("c.parent_span_id") === col("p.span_id"))
+          pairs.select(spans.columns.toIndexedSeq.map(c => col(s"c.$c")): _*)
+            .unionAll(pairs.select(
+              spans.columns.toIndexedSeq.map(c => col(s"p.$c")): _*))
+            .dropDuplicates("trace_id", "span_id")
+        case "&~" =>
+          // UNION sibling: both sides of the relation survive, each
+          // side a SEMI-join (the plain `~` shape) — semi short-circuits
+          // without materializing sibling pairs, and a measured window
+          // variant (two sorts over the tagged union) ran 2× slower at
+          // sf0.1, so this stays the two-probe plan.
+          val rl = evalSpanset(rhs, spans)
+          val sibL = l.select(col("trace_id"), col("span_id"),
+            col("parent_span_id")).alias("l")
+          val sibR = rl.select(col("trace_id"), col("span_id"),
+            col("parent_span_id")).alias("rb")
+          val rSide = r.join(sibL,
+            col("r.trace_id") === col("l.trace_id") &&
+              col("r.parent_span_id") === col("l.parent_span_id") &&
+              col("r.span_id") =!= col("l.span_id"), "left_semi")
+          val lSide = l.alias("la").join(sibR,
+            col("la.trace_id") === col("rb.trace_id") &&
+              col("la.parent_span_id") === col("rb.parent_span_id") &&
+              col("la.span_id") =!= col("rb.span_id"), "left_semi")
           rSide.select(spans.columns.toIndexedSeq.map(col): _*)
             .unionAll(lSide.select(spans.columns.toIndexedSeq.map(col): _*))
             .dropDuplicates("trace_id", "span_id")
+        case "&>>" | "&<<" =>
+          // UNION descendant/ancestor. With a stored parent_path both
+          // directions read MATCH-SIZED inputs (the r12 `>>`/`<<`
+          // shapes): the descendant side tests in-row overlap against
+          // the other side's per-trace id set, the ancestor side
+          // explodes the FILTERED side's own path — the corpus-wide
+          // ancestorPairs explode is gone from both.
+          val rl = evalSpanset(rhs, spans)
+          def unionDedup(a: DataFrame, b: DataFrame): DataFrame =
+            a.unionAll(b).dropDuplicates("trace_id", "span_id")
+          if (spans.columns.contains("parent_path")) {
+            // (descOf, ancestorsOf): spans of `of` that descend from
+            // `anchor` matches, and `anchor` spans that are ancestors
+            // of an `of` match — both ends of one relation
+            def ends(anchor: DataFrame, of: DataFrame)
+                : (DataFrame, DataFrame) = {
+              val aSet = anchor.groupBy(col("trace_id"))
+                .agg(collect_set(col("span_id")).as("__aids"))
+              val desc = of.alias("o").join(aSet,
+                  col("o.trace_id") === aSet("trace_id"))
+                .filter(coalesce(
+                  arrays_overlap(col("o.parent_path"), col("__aids")),
+                  lit(false)))
+                .select(spans.columns.toIndexedSeq.map(c => col(s"o.$c")): _*)
+              val ancIds = of
+                .select(col("trace_id"), explode(col("parent_path")).as("anc"))
+              val anc = anchor.alias("a").join(ancIds.alias("i"),
+                  col("a.trace_id") === col("i.trace_id") &&
+                    col("a.span_id") === col("i.anc"), "left_semi")
+                .select(spans.columns.toIndexedSeq.map(c => col(s"a.$c")): _*)
+              (desc, anc)
+            }
+            if (op == "&>>") {
+              // descendants of l ∪ ancestors-of-r among l
+              val (desc, anc) = ends(anchor = l, of = rl)
+              unionDedup(desc, anc)
+            } else {
+              // ancestors of l ∪ descendants-of-r among l
+              val (desc, anc) = ends(anchor = rl, of = l)
+              unionDedup(anc, desc)
+            }
+          } else {
+            // no stored ancestry: the general closure, derived once
+            val closure = ancestorPairs(spans, dedup = false)
+            def semiOn(left: DataFrame, right: DataFrame,
+                keys: Seq[String]): DataFrame =
+              left.join(right, keys, "left_semi")
+            val (anchor, of) = if (op == "&>>") (l, rl) else (rl, l)
+            val aIds = anchor.select(col("trace_id"), col("span_id").as("anc"))
+            val descIds = closure.join(aIds, Seq("trace_id", "anc"), "left_semi")
+              .select(col("trace_id"), col("span_id"))
+            val desc = semiOn(of, descIds, Seq("trace_id", "span_id"))
+            val ofIds = of.select(col("trace_id"), col("span_id"))
+            val ancIds = closure.join(ofIds, Seq("trace_id", "span_id"), "left_semi")
+              .select(col("trace_id"), col("anc").as("span_id"))
+            val anc = semiOn(anchor, ancIds, Seq("trace_id", "span_id"))
+            unionDedup(desc, anc)
+          }
         case "&&" => // traces where BOTH sides matched keep the merged
           // spans of both sides, deduped by span identity (reference
           // spanset_op.go:41-47 mergeSpans). Single evaluation of each
