@@ -304,10 +304,12 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     *      strictly older than the horizon drop whole, raw layouts and
     *      sidecars alike — no point compacting a day about to vanish;
     *   2. sidecar pre-merge: every COLD date partition (strictly
-    *      before `nowDate`) of the three per-batch sidecars — the
-    *      AttrCube, the hourly stat rollup, the log-volume rollup —
-    *      collapses its additive partials back to vocabulary scale
-    *      (reads otherwise grow with batch count);
+    *      older than YESTERDAY — the quiesce margin below) of the
+    *      three per-batch sidecars — the AttrCube, the hourly stat
+    *      rollup, the log-volume rollup — collapses its additive
+    *      partials back to vocabulary scale (reads otherwise grow
+    *      with batch count); partitions with no batch-tagged files
+    *      (nothing appended since the last merge) skip for free;
     *   3. age-tiered policy compaction of the raw layouts (when a
     *      `storagePolicy` is configured): downsample / precision /
     *      recompress bands applied per cold day, AT MOST ONCE per band
@@ -324,11 +326,42 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       .now(java.time.ZoneOffset.UTC).format(
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
       : String = {
+    // QUIESCE MARGIN: cold = strictly older than YESTERDAY, not just
+    // before today — the live sinks keep committing into yesterday's
+    // partition around midnight (left-open hour buckets put an exactly-
+    // midnight event in yesterday's last hour, and commits lag arrival
+    // by seconds), and the compaction swap must never race a
+    // concurrent batch-file move (the moved file would die with the
+    // swapped-out directory while its marker survives — silent loss)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val coldCutoff = java.time.LocalDate.parse(nowDate, fmt)
+      .minusDays(1).format(fmt)
     def coldDates(root: String): Seq[String] =
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("date="))
         .map(_.getName.stripPrefix("date="))
-        .filter(_ < nowDate).sorted.toSeq
+        .filter(_ < coldCutoff).sorted.toSeq
+    // batch ids of the commitBatch-tagged files in one partition —
+    // compaction REWRITES these into untagged files, so it must only
+    // run when every tagged batch is fully SETTLED: its marker present
+    // in this layout AND in every dependent layout that might replay
+    // from the stored batch (pointsSink's readBatch crash-window guard
+    // reads the raw b<id>- files; merging them away while a rollup
+    // commit is pending would replay EMPTY sidecar partials)
+    def tagIds(root: String, date: String): Set[Long] =
+      Option(new java.io.File(root, s"date=$date").listFiles())
+        .getOrElse(Array.empty)
+        .flatMap { f =>
+          val n = f.getName
+          if (n.startsWith("b") && n.contains("-"))
+            n.substring(1, n.indexOf('-')).toLongOption
+          else None
+        }.toSet
+    def committed(root: String, id: Long): Boolean =
+      new java.io.File(root, s"_committed_$id").exists()
+    def settled(root: String, date: String, deps: Seq[String]): Boolean =
+      tagIds(root, date).forall(id =>
+        committed(root, id) && deps.forall(committed(_, id)))
     // retention FIRST: partitions strictly older than the horizon drop
     // whole (the reference's TTL clause) — raw layouts AND sidecars
     val ttlMsgs =
@@ -346,7 +379,14 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       ("logvolume", s"$dataDir/logvolume",
         (r, d) => Layout.compactLogVolumePartition(spark, r, d)))
     val sidecarMsgs = work.flatMap { case (name, root, compact) =>
-      coldDates(root).map(d => s"$name/date=$d -> ${compact(root, d)} file(s)")
+      coldDates(root)
+        // needs-merge short-circuit (free idempotence): compaction
+        // writes UNTAGGED files, so a partition holding no b<id>- tags
+        // has no partials to pre-merge — re-runs are metadata-only
+        // until a new batch appends a tagged file. Unsettled tags
+        // (marker missing = a crash window mid-replay) skip too.
+        .filter(d => tagIds(root, d).nonEmpty && settled(root, d, Nil))
+        .map(d => s"$name/date=$d -> ${compact(root, d)} file(s)")
     }
     // raw layouts: the reference's age-tiered storage policy applied at
     // the merge seam (storage_policy.go:21-68) — each cold day rewrites
@@ -362,21 +402,26 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
           .map(_.afterDays).getOrElse(-1),
         pol.recompress.filter(_.afterDays <= age)
           .map(_.afterDays).getOrElse(-1)).mkString("_")
-      val raws = Seq[(String, String, (String, String) => Int)](
-        ("points", s"$dataDir/points", (r, d) =>
+      // each raw layout's dependent sidecar: a raw batch must be
+      // committed THERE too before its tagged files may merge away
+      // (the sidecar replay guard reads them back)
+      val raws = Seq[(String, String, Seq[String], (String, String) => Int)](
+        ("points", s"$dataDir/points", Seq(s"$dataDir/rollup"), (r, d) =>
           Layout.compactPointsPartition(spark, r, d, nowDate, pol)),
-        ("logs", s"$dataDir/logs", (r, d) =>
+        ("logs", s"$dataDir/logs", Seq(s"$dataDir/logvolume"), (r, d) =>
           Layout.compactLogsPartition(spark, r, d, nowDate, pol)),
-        ("spans", s"$dataDir/spans", (r, d) =>
+        ("spans", s"$dataDir/spans", Seq(s"$dataDir/cube"), (r, d) =>
           Layout.compactSpansPartition(spark, r, d, nowDate, pol)))
-      raws.flatMap { case (name, root, compact) =>
+      raws.flatMap { case (name, root, deps, compact) =>
         coldDates(root).flatMap { d =>
           val band = bandOf(StoragePolicy.ageDays(d, nowDate))
           val marker = new java.io.File(
             new java.io.File(root, s"date=$d"), s"_policy_$band")
           // "-1_-1_-1" = the day hasn't crossed ANY tier yet: nothing
-          // to apply, don't churn the partition
-          if (band == "-1_-1_-1" || marker.exists()) None
+          // to apply, don't churn the partition; unsettled batch tags
+          // (a crash window mid-replay) postpone to the next run
+          if (band == "-1_-1_-1" || marker.exists() ||
+              !settled(root, d, deps)) None
           else {
             val n = compact(root, d)
             marker.createNewFile(): Unit

@@ -616,7 +616,11 @@ object TraceQL {
           // without materializing sibling pairs, and a measured window
           // variant (two sorts over the tagged union) ran 2× slower at
           // sf0.1, so this stays the two-probe plan.
-          val rl = evalSpanset(rhs, spans)
+          // rl derives from the ONE rhs plan (the planned-exactly-once
+          // invariant above) — a fresh evalSpanset would construct and
+          // run a structural rhs subtree twice
+          val rl = r.select(spans.columns.toIndexedSeq.map(c =>
+            col(s"r.$c").as(c)): _*)
           val sibL = l.select(col("trace_id"), col("span_id"),
             col("parent_span_id")).alias("l")
           val sibR = rl.select(col("trace_id"), col("span_id"),

@@ -923,6 +923,16 @@ class EndToEndSpec extends SparkTestBase {
       assert(post(s"http://127.0.0.1:$rport/api/v1/write", frame) == 200)
       recv.flush()
 
+      // a crash window mid-replay (raw committed, rollup marker
+      // missing) must POSTPONE the raw compaction: merging the tagged
+      // batch files away would make the sidecar replay read nothing
+      val rollupMarker = new java.io.File(s"$dir/rollup/_committed_0")
+      assert(rollupMarker.exists())
+      assert(rollupMarker.delete())
+      val mBlocked = recv.maintainStorage(nowDate = "20240103")
+      assert(!mBlocked.contains("points/date="), s"msg: $mBlocked")
+      assert(rollupMarker.createNewFile())
+
       // "now" = 2024-01-14: day 0 is 13 days old (downsample band AND
       // past the 10-day TTL? no — TTL horizon keeps days > now-10 =
       // 2024-01-04 .. so day 0 DROPS; use now=2024-01-03 first to see
