@@ -199,27 +199,35 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     * half-open [start, end) like the reference's range handling.
     * `loExtendNs` widens the LOWER bound by a query's needed history
     * (range+offset+lookback) so a range function at the first grid
-    * point sees its full window; `unbounded` drops BOTH bounds (an
-    * `@`-pinned or future-offset leaf can reach anywhere, before OR
-    * after the request window — the output grid filter still bounds
-    * what the client sees).
+    * point sees its full window; `hiInclusive` makes the UPPER bound
+    * end-inclusive — the engine's windows are (t−range, t], so the
+    * grid point AT `end` needs the sample landing exactly there, which
+    * the log-listing half-open cut would truncate (the trailing-edge
+    * twin of the history extension; also what keeps tier-served and
+    * raw answers bit-equal on boundary samples). `unbounded` drops
+    * BOTH bounds (an `@`-pinned or future-offset leaf can reach
+    * anywhere — the output grid filter still bounds what the client
+    * sees).
     */
   private def windowed(df: DataFrame, p: Map[String, String],
       tsCol: String, divisor: Long, loExtendNs: Long = 0L,
-      unbounded: Boolean = false): DataFrame =
+      unbounded: Boolean = false, hiInclusive: Boolean = false): DataFrame =
     if (unbounded) df
-    else windowedAt(df, boundsNs(p), tsCol, divisor, loExtendNs)
+    else windowedAt(df, boundsNs(p), tsCol, divisor, loExtendNs, hiInclusive)
 
   /** [[windowed]] over PRE-COMPUTED bounds — callers that also need the
     * bounds for output clamping must evaluate them ONCE (`since` is
     * wall-clock-derived, so two evaluations yield two windows).
     */
   private def windowedAt(df: DataFrame, bnds: (Option[Long], Option[Long]),
-      tsCol: String, divisor: Long, loExtendNs: Long = 0L): DataFrame = {
+      tsCol: String, divisor: Long, loExtendNs: Long = 0L,
+      hiInclusive: Boolean = false): DataFrame = {
     val (loNs, hiNs) = bnds
     val f1 = loNs.map(v => (v - loExtendNs) / divisor)
       .fold(df)(v => df.filter(col(tsCol) >= v))
-    hiNs.map(_ / divisor).fold(f1)(v => f1.filter(col(tsCol) < v))
+    hiNs.map(_ / divisor).fold(f1)(v =>
+      if (hiInclusive) f1.filter(col(tsCol) <= v)
+      else f1.filter(col(tsCol) < v))
   }
 
   // ---------- Loki handlers ----------
@@ -254,7 +262,10 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     // scan (a `since` window derives from the wall clock).
     val histNs = graft.logql.Planner.scanHistoryNs(p("query"))
     val bnds = boundsNs(p)
-    val src = windowedAt(logs, bnds, "ts_ns", 1L, loExtendNs = histNs)
+    // metric queries (histNs > 0) are end-INCLUSIVE like their windows
+    // (t−range, t]; the log-listing path keeps the Loki half-open cut
+    val src = windowedAt(logs, bnds, "ts_ns", 1L, loExtendNs = histNs,
+      hiInclusive = histNs > 0)
     // log-query knobs (lokihandler.go QueryRange params): `limit` caps
     // entries, `direction=backward` keeps the NEWEST limit entries —
     // both reach the plan as TakeOrderedAndProject, so the cap rides
@@ -518,7 +529,8 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val histUs = graft.promql.PromQL.scanHistoryUs(q)
     val src0 = windowed(points, p, "ts_us", 1000L,
       loExtendNs = histUs.getOrElse(0L) * 1000L,
-      unbounded = histUs.isEmpty)
+      unbounded = histUs.isEmpty,
+      hiInclusive = true) // (t−range, t] at t = end needs the end sample
     // only a query with exactly ONE distinct selector and no
     // table-extent-gridded node (absent/time()/vector()) can
     // pre-resolve: its label predicate then bounds the whole point set

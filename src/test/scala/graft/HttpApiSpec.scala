@@ -492,6 +492,12 @@ class HttpApiSpec extends SparkTestBase {
         "&start=0&end=0&step=60")
       assert(c3 == 200 && neg.contains("[0,\"2.0\"]") &&
         neg.contains("[0,\"1.0\"]"), s"body: $neg")
+      // the TRAILING edge: a sample landing exactly at `end` belongs
+      // to the window (end−range, end] — a half-open scan cut would
+      // lose host a's 61s sample from the last grid point
+      val (c4, tail) = get(s"http://127.0.0.1:$port/api/v1/query_range" +
+        s"?query=${enc("sum_over_time(cpu[1m])")}&start=0&end=61&step=61")
+      assert(c4 == 200 && tail.contains("[61,\"3.0\"]"), s"body: $tail")
     }
   }
 
