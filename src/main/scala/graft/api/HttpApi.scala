@@ -283,9 +283,16 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
       // bound always fan to grid points ≥ it, so this only cuts
       // slack-born buckets); a `since`-derived window clamps exactly
       // like an explicit start, from the ONE bounds evaluation above
-      val clamped = bnds._1
+      val gLo = bnds._1
         .filter(_ => df.columns.contains("bucket_ns"))
         .fold(df)(v => df.filter(col("bucket_ns") >= v))
+      // the end-INCLUSIVE scan lets samples at/near `end` fan out to
+      // grid points past it (up to end+range−step): clamp the upper
+      // grid edge too, mirroring the volume-tier path and the Prom
+      // range path — tier-served and raw grids must match in extent
+      val clamped = bnds._2
+        .filter(_ => gLo.columns.contains("bucket_ns"))
+        .fold(gLo)(v => gLo.filter(col("bucket_ns") <= v))
       ApiEncoders.lokiMatrix(Limits.guardRows(clamped, limits.maxSampleRows),
         maxBytes = limits.maxResultBytes)
     }
@@ -512,8 +519,11 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
         s <- p.get("start").filter(_.nonEmpty)
         e <- p.get("end").filter(_.nonEmpty)
         st <- stepUs
+        // one timestamp parse for both paths: toNs accepts sec/ms/ns
+        // formats — a seconds-only parse here would read a ns-formatted
+        // bound ~1e9× wrong instead of matching the raw path
         df <- graft.promql.PromQL.rangeTierPlan(q,
-          (s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong, st, tiers)
+          toNs(s) / 1000L, toNs(e) / 1000L, st, tiers)
       } yield df
     tierPlan match {
       case Some(df) =>
@@ -558,7 +568,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     val atRange = for {
       s <- p.get("start").filter(_.nonEmpty)
       e <- p.get("end").filter(_.nonEmpty)
-    } yield ((s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong)
+    } yield (toNs(s) / 1000L, toNs(e) / 1000L)
     val res = graft.promql.PromQL.range(q, src, stepUs, atRange)
     val gLo = p.get("start").filter(_.nonEmpty).map(toNs(_) / 1000L)
     val gHi = p.get("end").filter(_.nonEmpty).map(toNs(_) / 1000L)

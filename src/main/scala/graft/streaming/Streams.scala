@@ -30,11 +30,20 @@ object Streams {
     */
   def enrichLogs(raw: DataFrame): DataFrame = {
     val sevNum = GraftFunctions.deduce_severity(col("body"))
-    // docker_stream drops UNCONDITIONALLY: frames with an attrs map
-    // already carry the stream there, and keeping the column on
-    // attrs-less frames would drift the stored logs schema vs old
-    // partitions (exactly the drift the attrs case avoids)
-    unwrapDockerLogs(raw).drop("docker_stream")
+    val unwrapped = unwrapDockerLogs(raw)
+    // frames with an attrs map already carry the stream there (the
+    // unwrap folds it in); attrs-less frames normalize UP to the
+    // production schema — an attrs map holding just the stream — so
+    // the stdout/stderr provenance survives the docker_stream drop
+    // and the stored logs schema stays one shape (every production
+    // path, logsFromOtlp included, carries attrs already)
+    val withAttrs =
+      if (raw.columns.contains("attrs")) unwrapped
+      else unwrapped.withColumn("attrs",
+        when(col("docker_stream").isNotNull,
+          map(lit("stream"), col("docker_stream")))
+          .otherwise(map().cast("map<string,string>")))
+    withAttrs.drop("docker_stream")
       .withColumn("severity_number", sevNum)
       .withColumn("severity_text", GraftFunctions.severity_text(sevNum))
       .withColumn("service_name",
@@ -237,6 +246,10 @@ object Streams {
     val aggs = graft.sources.RollupTiers.statAggs(col("value")) :+
       first(col("labels")).as("labels")
     batch
+      // stale markers never enter a tier (same invariant as the batch
+      // statTierChain): a Prometheus stale NaN would over-count n,
+      // poison max/avg, and ANSI decimal casts of NaN throw
+      .filter(!isnan(col("value")))
       .withColumn("__s",
         expr(s"(ts_us - 1) - (ts_us - 1) % $HourUs"))
       .groupBy(col("__s"), col("name"),

@@ -167,6 +167,22 @@ class HttpApiSpec extends SparkTestBase {
     }
   }
 
+  test("loki metric range clamps the grid at BOTH edges (end-inclusive scan must not widen it)") {
+    withApi { port =>
+      // samples live at 86400.000001–.000003 s; a [5s] window makes
+      // each fan out to grid points up to sample+5s — without the
+      // upper clamp the end-inclusive scan would emit buckets
+      // 86402..86405 past the requested end=86401
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${enc("count_over_time({}[5s])")}&start=86400&end=86401&step=1""")
+      assert(code == 200)
+      assert(body.contains("[86401,")) // the one in-window grid point
+      assert(!body.contains("[86402,") && !body.contains("[86403,") &&
+        !body.contains("[86404,") && !body.contains("[86405,"),
+        s"grid points past end leaked: $body")
+    }
+  }
+
   test("loki metadata endpoints: labels, label values, series") {
     withApi { port =>
       val (c1, labels) = get(s"http://127.0.0.1:$port/loki/api/v1/labels")
@@ -537,6 +553,13 @@ class HttpApiSpec extends SparkTestBase {
       val (c4, urng) = get(s"http://127.0.0.1:$port/api/v1/query_range" +
         s"?query=$q1&start=3600&end=7200&step=60")
       assert(c4 == 200 && !urng.contains("host"), s"body: $urng")
+      // ns-formatted bounds (Loki-style epochs) parse through the SAME
+      // toNs as the raw path — the tier plan must serve the identical
+      // window, not read it 1e9× wrong
+      val (c3n, rngNs) = get(s"http://127.0.0.1:$port/api/v1/query_range" +
+        s"?query=$q1&start=3600000000000&end=7200000000000&step=3600")
+      assert(c3n == 200 && rngNs.contains("[3600,\"2.0\"]") &&
+        rngNs.contains("[7200,\"1.0\"]"), s"body: $rngNs")
       // tiers wired must not disturb raw-path query shapes (a bare
       // selector is never tier-servable); note an ALIGNED
       // tier-servable query over a raw-only series would be answered

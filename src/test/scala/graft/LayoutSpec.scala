@@ -101,6 +101,21 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 1L) // vocabulary scale
   }
 
+  test("stale NaN markers never enter the stat sidecar (statTierChain invariant)") {
+    import spark.implicits._
+    val h10 = 1704103200000000L // 2024-01-01T10:00Z µs
+    val out = Streams.hourlyStatPartials(
+      Seq((h10 + 60000000L, "cpu", Map("host" -> "a"), 2.0),
+        (h10 + 120000000L, "cpu", Map("host" -> "a"), Double.NaN),
+        (h10 + 180000000L, "cpu", Map("host" -> "a"), 4.0))
+        .toDF("ts_us", "name", "labels", "value")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 2L) // NaN row excluded, not counted
+    assert(r.getAs[Double]("max_v") == 4.0) // max not poisoned to NaN
+    assert(r.getAs[Double]("sum_v") == 6.0)
+  }
+
   test("compaction merges micro-batch files and restores the sort") {
     val dir = Files.createTempDirectory("graftcompact").toString
     val td = Testdata(spark, "/root/testdata/sf0.001")

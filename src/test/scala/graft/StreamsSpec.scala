@@ -72,13 +72,17 @@ class StreamsSpec extends SparkTestBase {
     assert(out.getAs[String]("detected_format") == "json")
   }
 
-  test("enrichLogs drops docker_stream on attrs-less frames too (no schema drift)") {
+  test("enrichLogs keeps docker stream provenance on attrs-less frames via a synthesized attrs map") {
     val df = Seq(
-      (1L, """{"log":"warn: w\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}""")
+      (1L, """{"log":"warn: w\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}"""),
+      (2L, "plain: no envelope")
     ).toDF("ts_ns", "body").withColumn("service_name", lit("svc"))
-    val out = Streams.enrichLogs(df)
-    assert(!out.columns.contains("docker_stream"))
-    assert(out.head().getAs[String]("body") == "warn: w")
+    val out = Streams.enrichLogs(df).orderBy("body").collect()
+    assert(!out.head.schema.fieldNames.contains("docker_stream"))
+    val plain = out.find(_.getAs[String]("body") == "plain: no envelope").get
+    assert(plain.getAs[Map[String, String]]("attrs") == Map.empty)
+    val docker = out.find(_.getAs[String]("body") == "warn: w").get
+    assert(docker.getAs[Map[String, String]]("attrs") == Map("stream" -> "stdout"))
   }
 
   test("docker envelope time replaces ts_ns at µs grain; attrs gain the stream label") {
