@@ -1,0 +1,313 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.api.{HttpApi, Limits}
+import graft.sources.{Admission, Layout, OtlpReceiver, StoragePolicy}
+
+/** Production composition root — the `cmd/oteldb` app shape
+  * (reference cmd/oteldb/app.go + storage_backend.go:34-127 +
+  * admin.go:41-43): ONE entry point that stands up ingest (OTLP
+  * HTTP + gRPC, remote-write, Loki push, Pyroscope), the query API
+  * for all four languages, and the admin/health server, all over the
+  * SAME `$dataDir` layouts — raw signals, the rollup/log-volume
+  * sidecars, the compare() attr cube, exemplars and profiles.
+  *
+  * Two freshness problems a naive composition hits, solved here:
+  *
+  *  1. `spark.read.parquet` snapshots the FILE LISTING when the
+  *     DataFrame is created — batches committed after the query API
+  *     starts would be invisible forever. [[Serve]] keeps a layout
+  *     GENERATION counter, bumped by a StreamingQueryListener on
+  *     every committed micro-batch that carried rows (batch commits
+  *     are the only writers) and after every maintenance pass (TTL
+  *     drops and compaction rewrite listings without a batch). The
+  *     [[HttpApi]] receives generation-memoized by-name suppliers:
+  *     a request under an unchanged generation reuses the already
+  *     opened frame (no relisting); the first request after a bump
+  *     re-opens the layout and sees the new files.
+  *  2. `HttpApi`'s series/resolution caches were built on the
+  *     premise "backing frames are static per API instance" — a live
+  *     layout violates that for late-arriving data into an
+  *     already-cached window. The API's `generation` hook keys every
+  *     cache entry on the layout generation, so a window cached
+  *     before a batch can never serve after it.
+  *
+  * Query-side serving views (the reference's read-side mapping,
+  * internal/chstorage/columns_logs.go:264-273 splices materialized
+  * columns back into the label map on read):
+  *   - logs: `labels` = resource attrs ⊕ log attrs ⊕ the
+  *     materialized `service_name` (attrs win key collisions;
+  *     strip-then-concat because `map_concat` throws on duplicates)
+  *   - points/spans/profiles/exemplars: stored layouts as-is
+  *   - tiers/logTiers/cube: re-derived from the sidecar layouts per
+  *     generation ([[graft.promql.PromQL.tiersFromLayout]],
+  *     [[graft.logql.Planner.volumeFromLayout]],
+  *     [[graft.traceql.TraceQL.attrCubeFrom]])
+  *
+  * An empty-at-startup layout serves a schema-correct EMPTY frame
+  * (queries return empty envelopes, not errors) and upgrades to the
+  * stored layout at the first committed batch — so Serve can start
+  * FIRST and ingest after, the deployment order a real user runs.
+  */
+final class Serve(val spark: SparkSession, cfg: Serve.Config) {
+
+  val receiver = new OtlpReceiver(spark, cfg.dataDir, cfg.limits,
+    cfg.logSafety, cfg.storagePolicy, cfg.retentionDays)
+
+  // ---- layout generation ----
+
+  private val gen = new AtomicLong(0L)
+
+  /** Current layout generation (monotone; bumps on committed batches
+    * and maintenance passes).
+    */
+  def generation: Long = gen.get
+
+  /** Force the next request to re-open every layout (used after
+    * out-of-band layout changes; harmless when nothing changed).
+    */
+  def refresh(): Unit = { gen.incrementAndGet(); () }
+
+  /** Generation-memoized layout accessor: re-opens (re-lists) only
+    * when the generation moved since the last open. A benign race —
+    * two concurrent first requests both open — publishes one of two
+    * equally valid frames.
+    */
+  private final class Live[T](open: () => T) {
+    @volatile private var state: (Long, T) = null
+    def get(): T = {
+      val g = gen.get
+      val s = state
+      if (s != null && s._1 == g) s._2
+      else { val v = open(); state = (g, v); v }
+    }
+  }
+
+  private def hasData(path: String): Boolean =
+    Option(new java.io.File(path).listFiles())
+      .exists(_.exists(_.getName.startsWith("date=")))
+
+  private def openOr(path: String, emptyDdl: String): DataFrame =
+    if (hasData(path)) spark.read.parquet(path)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+
+  // ---- serving views over the stored layouts ----
+
+  private def logsView: DataFrame = {
+    val stored = openOr(s"${cfg.dataDir}/logs",
+      "ts_ns BIGINT, body STRING, severity_number INT, " +
+        "severity_text STRING, service_name STRING, trace_id_hex STRING, " +
+        "attrs MAP<STRING,STRING>, resource_attrs MAP<STRING,STRING>")
+    val emptyMap = map().cast("map<string,string>")
+    val res = coalesce(col("resource_attrs"), emptyMap)
+    val at = coalesce(col("attrs"), emptyMap)
+    // attrs shadow resource attrs on key collision (the more specific
+    // scope wins); the materialized service_name splices in last —
+    // always present (enrichLogs coalesces to "unknown_service", the
+    // reference's logstorage.DefaultServiceName)
+    val base = map_concat(
+      map_filter(res, (k, _) => !map_contains_key(at, k)), at)
+    val labels = map_concat(
+      map_filter(base, (k, _) => k =!= "service_name"),
+      map(lit("service_name"),
+        coalesce(col("service_name"), lit("unknown_service"))))
+    stored.select(col("ts_ns"), col("body"), labels.as("labels"),
+      col("severity_number"), col("severity_text"), col("service_name"),
+      col("trace_id_hex"))
+  }
+
+  private def pointsView: DataFrame =
+    openOr(s"${cfg.dataDir}/points",
+      "ts_us BIGINT, name STRING, labels MAP<STRING,STRING>, value DOUBLE")
+      .select("ts_us", "name", "labels", "value")
+
+  private def spansView: DataFrame =
+    if (hasData(s"${cfg.dataDir}/spans"))
+      spark.read.parquet(s"${cfg.dataDir}/spans")
+    else {
+      // schema-correct empty spans, derived from the decode type so it
+      // cannot drift; withParentPath adds the stored ancestry column
+      import spark.implicits._
+      Layout.withParentPath(
+        spark.emptyDataset[graft.sources.OtlpProto.OtlpSpan].toDF())
+    }
+
+  private def profilesView: DataFrame =
+    if (hasData(s"${cfg.dataDir}/profiles"))
+      spark.read.parquet(s"${cfg.dataDir}/profiles")
+        .select("ts_us", "name", "labels", "stack", "value")
+    else {
+      import spark.implicits._
+      spark.emptyDataset[graft.sources.OtlpProfiles.OtlpProfileSample].toDF()
+    }
+
+  private def exemplarsView: DataFrame =
+    openOr(s"${cfg.dataDir}/exemplars",
+      "ts_us BIGINT, name STRING, labels MAP<STRING,STRING>, " +
+        "exemplar_labels MAP<STRING,STRING>, value DOUBLE")
+      .select("ts_us", "name", "labels", "exemplar_labels", "value")
+
+  private val liveLogs = new Live(() => logsView)
+  private val livePoints = new Live(() => pointsView)
+  private val liveSpans = new Live(() => spansView)
+  private val liveProfiles = new Live(() => profilesView)
+  private val liveExemplars = new Live(() => exemplarsView)
+  private val liveTiers = new Live(() =>
+    graft.promql.PromQL.tiersFromLayout(spark, s"${cfg.dataDir}/rollup"))
+  private val liveLogTiers = new Live(() =>
+    graft.logql.Planner.volumeFromLayout(spark, s"${cfg.dataDir}/logvolume"))
+  private val liveCube = new Live(() =>
+    if (hasData(s"${cfg.dataDir}/cube"))
+      Some(graft.traceql.TraceQL.attrCubeFrom(spark, s"${cfg.dataDir}/cube"))
+    else None)
+
+  /** The query front-end over the live layouts. Profiles/exemplars
+    * mount UNCONDITIONALLY (empty until their first batch) — a
+    * Some-at-start gate would permanently hide the endpoints of a deployment
+    * that starts before its first profile arrives.
+    */
+  val api = new HttpApi(
+    liveLogs.get(), livePoints.get(), liveSpans.get(),
+    Some(liveProfiles.get()), Some(liveExemplars.get()),
+    limits = cfg.resultLimits, rules = cfg.rules,
+    cube = liveCube.get(), tiers = liveTiers.get(),
+    logTiers = liveLogTiers.get(),
+    generation = () => gen.get,
+    refreshOnStale = () => refresh())
+
+  private var listener: StreamingQueryListener = _
+  @volatile private var stopped = false
+  private var maintThread: Thread = _
+
+  def start(ingestPort: Int = 0, grpcPort: Int = 0, queryPort: Int = 0,
+      adminPort: Int = 0): Serve.Ports = {
+    // commit-driven freshness: each sink's foreachBatch completion
+    // posts a progress event; a batch that carried rows changed a
+    // layout listing, so the next query re-opens. (Zero-row ticks of
+    // the ProcessingTime(0) trigger don't invalidate anything.)
+    listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) refresh()
+    }
+    spark.streams.addListener(listener)
+    val ip = receiver.start(ingestPort)
+    val gp = receiver.startGrpc(grpcPort)
+    // admin-triggered storage_maintain changes layouts without a batch
+    // commit (TTL drops partitions, compaction rewrites listings):
+    // invalidate through the same generation
+    val ap = receiver.startAdmin(adminPort, onMaintain = _ => refresh())
+    val qp = api.start(queryPort)
+    if (cfg.maintainEveryMs > 0) {
+      // the reference's TTL/merge machinery runs continuously
+      // (MergeTree TTL + background merges); the pass is idempotent
+      // and once-per-band, so a plain interval daemon is enough
+      maintThread = new Thread(() => {
+        while (!stopped) {
+          try {
+            Thread.sleep(cfg.maintainEveryMs)
+            if (!stopped) { receiver.maintainStorage(cfg.maintainDate()); refresh() }
+          } catch {
+            case _: InterruptedException => // stop() interrupts the sleep
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft.Serve] maintenance pass failed: $e")
+          }
+        }
+      }, "graft-maintain")
+      maintThread.setDaemon(true)
+      maintThread.start()
+    }
+    Serve.Ports(ip, gp, qp, ap)
+  }
+
+  /** Run one maintenance pass now (the scheduled/admin pass, callable
+    * for tests and ops); returns the pass summary.
+    */
+  def maintainNow(nowDate: String = cfg.maintainDate()): String = {
+    val s = receiver.maintainStorage(nowDate)
+    refresh()
+    s
+  }
+
+  /** Ingest barrier: waits until every enqueued payload is committed,
+    * then bumps the generation so the NEXT query is guaranteed to see
+    * the committed batches (the listener bump is asynchronous; this
+    * makes flush-then-query deterministic for tests and ops scripts).
+    */
+  def flush(): Unit = { receiver.flush(); refresh() }
+
+  def stop(): Unit = {
+    stopped = true
+    if (maintThread != null) maintThread.interrupt()
+    api.stop()
+    receiver.stop()
+    if (listener != null) spark.streams.removeListener(listener)
+  }
+}
+
+object Serve {
+  final case class Config(
+      dataDir: String,
+      limits: Admission.LimitsConfig = Admission.LimitsConfig(),
+      logSafety: Option[graft.streaming.LogSafety.Config] = None,
+      storagePolicy: Option[StoragePolicy.Policy] = None,
+      retentionDays: Int = 0,
+      resultLimits: Limits.ResultLimits = Limits.ResultLimits(),
+      rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
+      maintainEveryMs: Long = 0L,
+      maintainDate: () => String = () => java.time.LocalDate
+        .now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
+
+  final case class Ports(ingestHttp: Int, ingestGrpc: Int, query: Int,
+      admin: Int)
+
+  /** `runMain graft.Serve <dataDir> [flags]` — the one-binary
+    * deployment (reference cmd/oteldb/main.go). Default ports mirror
+    * the reference config defaults (config.go: OTLP 4317/4318, query
+    * 3200, admin 13133); the query server carries all four language
+    * endpoints on one port (their path spaces don't collide).
+    */
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: graft.Serve <dataDir> [--ingest-port N] [--grpc-port N] " +
+          "[--query-port N] [--admin-port N] [--retention-days N] " +
+          "[--maintain-every-min N]")
+      sys.exit(2)
+    }
+    val dataDir = args(0)
+    def flag(name: String, default: Int): Int = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) args(i + 1).toInt else default
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.util.GraftSession
+      .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val serve = new Serve(spark, Config(dataDir,
+      retentionDays = flag("--retention-days", 0),
+      maintainEveryMs = flag("--maintain-every-min", 0) * 60000L))
+    val ports = serve.start(
+      ingestPort = flag("--ingest-port", 4318),
+      grpcPort = flag("--grpc-port", 4317),
+      queryPort = flag("--query-port", 3200),
+      adminPort = flag("--admin-port", 13133))
+    println(s"graft.Serve up: ingest=${ports.ingestHttp} " +
+      s"grpc=${ports.ingestGrpc} query=${ports.query} admin=${ports.admin} " +
+      s"dataDir=$dataDir")
+    sys.addShutdownHook(serve.stop())
+    Thread.currentThread().join() // serve until killed
+  }
+}

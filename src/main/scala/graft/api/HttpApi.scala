@@ -46,15 +46,27 @@ import org.apache.spark.sql.functions._
   * (ApiEncoders collects bounded envelopes: per-series rows, capped
   * trace lists, distinct label/tag sets).
   */
-final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
-    profiles: Option[DataFrame] = None,
-    exemplars: Option[DataFrame] = None,
+/* BY-NAME backing frames: a static caller passes plain DataFrames
+ * (each reference re-evaluates to the same frame); a LIVE deployment
+ * (graft.Serve) passes generation-memoized suppliers so batches
+ * committed AFTER the API started become visible — a plain
+ * `spark.read.parquet` frame snapshots the file listing at creation
+ * and would hide them forever. `generation` feeds the result caches:
+ * entries are keyed on the layout generation, so a cached window can't
+ * serve answers that predate late-arriving data.
+ */
+final class HttpApi(logs: => DataFrame, points: => DataFrame,
+    spans: => DataFrame,
+    profiles: => Option[DataFrame] = None,
+    exemplars: => Option[DataFrame] = None,
     series: Option[DataFrame] = None,
     limits: Limits.ResultLimits = Limits.ResultLimits(),
     rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
-    cube: Option[graft.traceql.TraceQL.AttrCube] = None,
-    tiers: Map[Long, DataFrame] = Map.empty,
-    logTiers: Map[Long, DataFrame] = Map.empty) {
+    cube: => Option[graft.traceql.TraceQL.AttrCube] = None,
+    tiers: => Map[Long, DataFrame] = Map.empty,
+    logTiers: => Map[Long, DataFrame] = Map.empty,
+    generation: () => Long = () => 0L,
+    refreshOnStale: () => Unit = () => ()) {
 
   private var server: HttpServer = _
 
@@ -484,7 +496,12 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
   private def cachedResolution(ex: HttpExchange, route: String)
       (body: => String): String = {
     val p = params(ex)
+    // layout generation is part of the key: under a live deployment a
+    // committed batch bumps it, so a window cached before the batch
+    // never serves after it (the "static backing frames" premise this
+    // cache was built on, restored per generation)
     val triples = ("route", route, "") +:
+      ("gen", generation().toString, "") +:
       multiParams(ex, "match[]").sorted.map(("match", "", _))
     val key = seriesCache.keyOf(triples,
       p.get("start").filter(_.nonEmpty).map(toNs).getOrElse(Long.MinValue),
@@ -551,6 +568,7 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
         // history is part of the key: two queries sharing a selector
         // but needing different slack must not share a resolved frame
         val triples = ("hist", histUs.fold("inf")(_.toString), "") +:
+          ("gen", generation().toString, "") +: // live-layout freshness
           (("=", "__name__", sel.name)) +:
           sel.matchers.map(m => (m.op, m.label, m.value))
         val key = resolutionCache.keyOf(triples,
@@ -972,17 +990,44 @@ final class HttpApi(logs: DataFrame, points: DataFrame, spans: DataFrame,
     s"""{"status":"error","error":${jsonStr(
       Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
 
+  /** A read planned against a file listing that background compaction
+    * superseded mid-flight fails with Spark's stale-file read error
+    * (the merge deleted the listed input after the scan planned). The
+    * layout generation has already moved by then, so ONE re-plan reads
+    * the fresh listing — the parquet analogue of ClickHouse holding a
+    * refcount on in-use parts across a merge, paid as a bounded retry
+    * instead of reference counting.
+    */
+  private def staleListing(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("FAILED_READ_FILE") ||
+          t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
   private def handler(f: HttpExchange => String): HttpHandler =
     rawHandler { ex =>
-      try (200, "application/json", f(ex))
-      catch {
-        case e: HttpStatus  => (e.code, "application/json", errJson(e))
-        case e: Limits.LimitExceeded =>
-          // the typed "limit exceeded" path (reference
-          // ErrLogsTooManySamples / ErrLogsResultTooLarge)
-          (422, "application/json", errJson(e))
-        case e: Throwable   => (400, "application/json", errJson(e))
-      }
+      def attempt(retriesLeft: Int): (Int, String, String) =
+        try (200, "application/json", f(ex))
+        catch {
+          case e: HttpStatus  => (e.code, "application/json", errJson(e))
+          case e: Limits.LimitExceeded =>
+            // the typed "limit exceeded" path (reference
+            // ErrLogsTooManySamples / ErrLogsResultTooLarge)
+            (422, "application/json", errJson(e))
+          case e: Throwable if retriesLeft > 0 && staleListing(e) =>
+            // mid-pass staleness: the maintenance pass may still be
+            // running (its generation bump lands at pass end) — force
+            // the live deployment to re-open before the re-plan
+            refreshOnStale()
+            attempt(retriesLeft - 1)
+          case e: Throwable   => (400, "application/json", errJson(e))
+        }
+      attempt(1)
     }
 
   private def rawHandler(

@@ -150,6 +150,23 @@ object Layout {
     f.delete(): Unit
   }
 
+  /** Per-layout-root mutex serializing [[commitBatch]]'s move phase
+    * against [[compactPartition]]'s directory swap. Without it, a
+    * batch committing COLD-DATED rows (backfill) can interleave with a
+    * concurrent maintenance swap of the same partition and lose the
+    * batch's files silently (the swap destroys the superseded dir
+    * wholesale). The deployment contract is one writer JVM per layout
+    * (the receiver) with maintenance in the same driver (admin action
+    * or the Serve scheduler), so a JVM lock is the correct scope. Both
+    * critical sections are rename-only — the slow work (the batch's
+    * parquet write, the compaction merge job) stays outside.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(
+      new java.io.File(root).getAbsolutePath, _ => new Object)
+
   /** EXACTLY-ONCE micro-batch commit for the append-mode foreachBatch
     * sinks. `foreachBatch` is at-least-once: after a crash between the
     * parquet append and the checkpoint commit, Structured Streaming
@@ -183,24 +200,28 @@ object Layout {
     deleteRecursively(staging)
     write(staging.getPath)
     val tag = s"b$batchId-"
-    // crash between a previous move and its marker: drop the partial move
-    Option(rootDir.listFiles()).foreach(_.foreach { d =>
-      if (d.isDirectory && d.getName.startsWith("date="))
-        Option(d.listFiles()).foreach(_.foreach { f =>
-          if (f.getName.startsWith(tag)) { f.delete(): Unit }
-        })
-    })
-    Option(staging.listFiles()).foreach(_.foreach { d =>
-      if (d.isDirectory && d.getName.startsWith("date=")) {
-        val target = new java.io.File(rootDir, d.getName)
-        target.mkdirs()
-        Option(d.listFiles()).foreach(_.foreach { f =>
-          if (f.getName.endsWith(".parquet"))
-            require(f.renameTo(new java.io.File(target, tag + f.getName)),
-              s"commitBatch: cannot move ${f.getPath}")
-        })
-      }
-    })
+    // the move phase serializes against a concurrent compaction swap
+    // of the same layout (see lockFor) — renames only, microseconds
+    lockFor(root).synchronized {
+      // crash between a previous move and its marker: drop the partial move
+      Option(rootDir.listFiles()).foreach(_.foreach { d =>
+        if (d.isDirectory && d.getName.startsWith("date="))
+          Option(d.listFiles()).foreach(_.foreach { f =>
+            if (f.getName.startsWith(tag)) { f.delete(): Unit }
+          })
+      })
+      Option(staging.listFiles()).foreach(_.foreach { d =>
+        if (d.isDirectory && d.getName.startsWith("date=")) {
+          val target = new java.io.File(rootDir, d.getName)
+          target.mkdirs()
+          Option(d.listFiles()).foreach(_.foreach { f =>
+            if (f.getName.endsWith(".parquet"))
+              require(f.renameTo(new java.io.File(target, tag + f.getName)),
+                s"commitBatch: cannot move ${f.getPath}")
+          })
+        }
+      })
+    }
     deleteRecursively(staging)
     marker.createNewFile(): Unit
   }
@@ -242,10 +263,26 @@ object Layout {
       writeOptions: Map[String, String] = Map.empty): Int = {
     val dir = new java.io.File(root, s"date=$date")
     require(dir.isDirectory, s"no partition at $dir")
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // EXPLICIT input snapshot: the merge reads exactly these files, so
+    // the swap below can tell a concurrently committed batch file (not
+    // in the snapshot — carried over) from a superseded one (deleted)
+    val srcFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    if (srcFiles.isEmpty) return 0
+    val snapshot = srcFiles.map(_.getName).toSet
+    val bytes = srcFiles.map(_.length()).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = transform(spark.read.parquet(dir.getPath))
+    val src = spark.read.parquet(srcFiles.map(_.getPath).toIndexedSeq: _*)
+    val merged = transform(src)
+    // SCHEMA-PRESERVING by construction: a pre-merge transform can
+    // silently widen types (sum over decimal(28,4) yields decimal(38,4))
+    // and a widened compacted file would then clash with the next batch
+    // appended into the same partition (parquet readers refuse
+    // mixed-precision decimal across files). Cast every column back to
+    // the stored type — lossless here: merged stats stay within the
+    // sidecar's declared precision.
+    val df = merged.select(src.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val tmp = new java.io.File(root, s".compact.date=$date")
     val keys = sortCols.map(col)
     df.repartitionByRange(n, keys: _*)
@@ -259,15 +296,27 @@ object Layout {
     // data. Each rename is verified before the previous state is
     // touched — a crash or rename failure at any point leaves either
     // the old or the new partition fully present, never neither.
-    val old = new java.io.File(root, s".old.date=$date")
-    if (old.exists()) deleteRec(old) // leftover from a prior crash
-    require(dir.renameTo(old), s"compaction: cannot move live $dir aside")
-    if (!tmp.renameTo(dir)) {
-      // roll back: restore the live partition before failing
-      require(old.renameTo(dir), s"compaction rollback failed for $dir")
-      throw new IllegalStateException(s"compaction swap failed for $dir")
+    // The swap holds the layout lock (renames only): a concurrent
+    // commitBatch move can land fully before it (the batch's files are
+    // then in `old`, NOT in the merge snapshot — carried into the new
+    // partition below) or fully after (they land in the new dir), but
+    // never interleave into the superseded dir's destruction.
+    lockFor(root).synchronized {
+      val old = new java.io.File(root, s".old.date=$date")
+      if (old.exists()) deleteRec(old) // leftover from a prior crash
+      require(dir.renameTo(old), s"compaction: cannot move live $dir aside")
+      if (!tmp.renameTo(dir)) {
+        // roll back: restore the live partition before failing
+        require(old.renameTo(dir), s"compaction rollback failed for $dir")
+        throw new IllegalStateException(s"compaction swap failed for $dir")
+      }
+      Option(old.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.endsWith(".parquet") && !snapshot.contains(f.getName))
+          require(f.renameTo(new java.io.File(dir, f.getName)),
+            s"compaction: cannot carry late-committed ${f.getPath}")
+      })
+      deleteRec(old)
     }
-    deleteRec(old)
     n
   }
 

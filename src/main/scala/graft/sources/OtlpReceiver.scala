@@ -318,14 +318,19 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     *      into the next band).
     *
     * Cold-only throughout: the live sinks append batch-tagged files
-    * into CURRENT partitions and the compaction swap must not race a
-    * concurrent move; late data into an old partition keeps the same
-    * documented exposure as any MergeTree background merge.
+    * into CURRENT partitions; a backfill batch landing in a COLD
+    * partition mid-swap is covered by the layout lock + late-arrival
+    * carry-over inside [[Layout.compactPartition]]. The pass itself is
+    * `maintainLock`-serialized — the Serve scheduler and an
+    * admin-triggered run may overlap in time, and two concurrent
+    * compactions of one partition would double-carry each other's
+    * output as "late files".
     */
+  private val maintainLock = new Object
   def maintainStorage(nowDate: String = java.time.LocalDate
       .now(java.time.ZoneOffset.UTC).format(
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
-      : String = {
+      : String = maintainLock.synchronized {
     // QUIESCE MARGIN: cold = strictly older than YESTERDAY, not just
     // before today — the live sinks keep committing into yesterday's
     // partition around midnight (left-open hour buckets put an exactly-
@@ -435,7 +440,13 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     else msgs.mkString("; ")
   }
 
-  def startAdmin(port: Int = 0): Int = {
+  /** `onMaintain` fires after every admin-triggered storage_maintain
+    * pass with its summary — a live deployment (graft.Serve) hooks
+    * layout-generation invalidation here (TTL drops change query
+    * results; compaction rewrites file listings).
+    */
+  def startAdmin(port: Int = 0,
+      onMaintain: String => Unit = _ => ()): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
         addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),
@@ -457,7 +468,11 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         "metrics" -> s"$dataDir/points", "profiles" -> s"$dataDir/profiles"),
       admission = Some(stats),
       safety = logSafety.map(_ => safetyStats),
-      maintain = Some(() => maintainStorage()))
+      maintain = Some(() => {
+        val summary = maintainStorage()
+        onMaintain(summary)
+        summary
+      }))
     admin.start(port)
   }
 

@@ -1,0 +1,310 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.sources.Snappy
+
+/** The production composition root, driven the way a deployment runs
+  * it: [[Serve]] starts FIRST over an empty dataDir, signals arrive
+  * over the wire AFTER the query API is up, and the same API must see
+  * them — the live-layout freshness seam (a naive composition snapshots
+  * parquet file listings at startup and hides every later batch), the
+  * generation-keyed caches, the tier-served read path, admin-triggered
+  * and SCHEDULED maintenance.
+  */
+class ServeSpec extends SparkTestBase {
+
+  // minimal protobuf writer (mirrors EndToEndSpec's)
+  private class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v: Long): W = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): W = { tag(field, 2); varint(b.length); out.write(b); this }
+    def str(field: Int, s: String): W = bytes(field, s.getBytes(UTF_8))
+    def msg(field: Int, m: W): W = bytes(field, m.out.toByteArray)
+    def vint(field: Int, v: Long): W = { tag(field, 0); varint(v) }
+    def fix64(field: Int, v: Long): W = {
+      tag(field, 1)
+      var i = 0; while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+  }
+  private def kv(k: String, v: String): W =
+    new W().str(1, k).msg(2, new W().str(1, v))
+  private def tid16(low: Long): Array[Byte] = {
+    val b = new Array[Byte](16)
+    var i = 0; while (i < 8) { b(15 - i) = ((low >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+  private def sid8(v: Long): Array[Byte] = tid16(v).drop(8)
+
+  private val T0 = 1704103200000000000L // 2024-01-01T10:00Z ns
+
+  private def post(url: String, body: Array[Byte],
+      contentType: String = "application/x-protobuf",
+      encoding: Option[String] = None): Int = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", contentType)
+    encoding.foreach(conn.setRequestProperty("Content-Encoding", _))
+    val os = conn.getOutputStream
+    try os.write(body) finally os.close()
+    conn.getResponseCode
+  }
+
+  private def get(url: String): (Int, String) = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+    Option(is).foreach(_.close())
+    (code, body)
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  // ---- wire payloads (one per signal) ----
+
+  private def tracePayload: Array[Byte] = {
+    def span(tid: Long, sid: Long, parent: Option[Long], name: String,
+        durNs: Long, status: Int): W = {
+      val w = new W().bytes(1, tid16(tid)).bytes(2, sid8(sid))
+      parent.foreach(p => w.bytes(4, sid8(p)))
+      w.str(5, name).vint(6, 2)
+        .fix64(7, T0).fix64(8, T0 + durNs)
+        .msg(15, new W().vint(3, status))
+    }
+    new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "lib"))
+        .msg(2, span(0xD1L, 1, None, "serve-root", 700000L, 0))
+        .msg(2, span(0xD1L, 2, Some(1), "serve-child", 90000L, 2))))
+      .out.toByteArray
+  }
+
+  private def logPayload(line: String, app: String, offNs: Long): Array[Byte] =
+    new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "logger"))
+        .msg(2, new W().fix64(1, T0 + offNs).vint(2, 17)
+          .msg(5, new W().str(1, line))
+          .msg(6, kv("app", app)))))
+      .out.toByteArray
+
+  private def metricPayload(name: String, labelKey: String,
+      samples: Seq[(Long, Double)]): Array[Byte] = {
+    def gaugeAt(tsNs: Long, v: Double): W = {
+      val p = new W().fix64(2, T0).fix64(3, tsNs)
+      p.tag(4, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0; while (i < 8) { p.out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      p.msg(7, kv(labelKey, "h9"))
+    }
+    val g = new W()
+    samples.foreach { case (ts, v) => g.msg(1, gaugeAt(ts, v)) }
+    new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "meter"))
+        .msg(2, new W().str(1, name).msg(5, g))))
+      .out.toByteArray
+  }
+
+  private def rwFrame(metric: String, v: Double, tsMs: Long): Array[Byte] = {
+    def label(n: String, vv: String): W = new W().str(1, n).str(2, vv)
+    def sample(vv: Double, ms: Long): W =
+      new W().fix64(1, java.lang.Double.doubleToLongBits(vv)).vint(2, ms)
+    Snappy.encodeLiteral(new W().msg(1, new W()
+      .msg(1, label("__name__", metric)).msg(1, label("job", "api"))
+      .msg(2, sample(v, tsMs))).out.toByteArray)
+  }
+
+  test("Serve starts FIRST; wire ingest after start is served; caches follow the layout generation") {
+    val dir = Files.createTempDirectory("graftserve").toString
+    val serve = new Serve(spark, Serve.Config(dir))
+    val ports = serve.start()
+    val q = s"http://127.0.0.1:${ports.query}"
+    val in = s"http://127.0.0.1:${ports.ingestHttp}"
+    try {
+      // empty store: every language answers an empty envelope, not an
+      // error — the deployment-order case every test previously dodged
+      // by building the API after ingest
+      val (e1, b1) = get(s"$q/api/search")
+      assert(e1 == 200 && !b1.contains("traceID"), s"body: $b1")
+      val (e2, b2) = get(s"$q/loki/api/v1/query_range?query=${enc("""{app="wire"}""")}")
+      assert(e2 == 200 && b2.contains(""""result":[]"""), s"body: $b2")
+      val (e3, b3) = get(s"$q/api/v1/query?query=${enc("serve_cpu")}")
+      assert(e3 == 200 && b3.contains(""""result":[]"""), s"body: $b3")
+      // pyroscope endpoints MOUNT on the empty deployment (a
+      // Some-at-start gate would hide them until a restart)
+      val (e4, b4) = get(s"$q/pyroscope/apps")
+      assert(e4 == 200, s"body: $b4")
+
+      // all four signals arrive over the wire AFTER the API started
+      assert(post(s"$in/v1/traces", tracePayload) == 200)
+      assert(post(s"$in/v1/logs", logPayload(
+        """{"level":"error","msg":"serve-boom"}""", "wire", 0L)) == 200)
+      assert(post(s"$in/v1/metrics", metricPayload("serve_cpu", "host",
+        Seq((T0, 2.0), (T0 + 60000000000L, 7.0)))) == 200)
+      assert(post(s"$in/pyroscope/ingest?name=${enc("""srvapp{env="prod"}""")}" +
+        s"&from=${T0 / 1000000000L}",
+        "main;handler;parse 5\nmain;handler 3\n".getBytes(UTF_8),
+        "text/plain") == 200)
+      serve.flush()
+
+      // the SAME API instance serves all four languages
+      val (c1, traces) = get(s"$q/api/search?q=${enc("""{ name = "serve-child" }""")}")
+      assert(c1 == 200 && traces.contains("00000000000000d1"), s"body: $traces")
+      val (c2, logs) = get(s"$q/loki/api/v1/query_range?query=${enc("""{app="wire"}""")}")
+      assert(c2 == 200 && logs.contains("serve-boom"), s"body: $logs")
+      // the serving view splices the materialized service_name into
+      // the label map (columns_logs.go:264-273 read-side splice)
+      assert(logs.contains(""""service_name":"api""""), s"body: $logs")
+      val tSec = T0 / 1000000000L + 60
+      val (c3, mets) = get(s"$q/api/v1/query?query=${enc("serve_cpu")}&time=$tSec")
+      assert(c3 == 200 && mets.contains("\"7.0\""), s"body: $mets")
+      val (c4, flame) = get(s"$q/pyroscope/render?query=${enc("""srvapp{env="prod"}""")}")
+      assert(c4 == 200 && flame.contains("handler"), s"body: $flame")
+
+      // metadata window cached under the CURRENT generation...
+      val lblUrl = s"$q/api/v1/labels?start=0&end=2000000000"
+      val (l1, before) = get(lblUrl)
+      assert(l1 == 200 && before.contains("host") && !before.contains("zone"),
+        s"body: $before")
+      // ...MORE data lands in that same window (a new label key and a
+      // second log line) — the layout generation bumps, so both the
+      // backing frames AND the cached envelope must refresh
+      assert(post(s"$in/v1/metrics", metricPayload("serve_mem", "zone",
+        Seq((T0 + 30000000000L, 1.0)))) == 200)
+      assert(post(s"$in/v1/logs", logPayload(
+        """{"level":"error","msg":"serve-again"}""", "wire", 5000000000L)) == 200)
+      serve.flush()
+      val (l2, after) = get(lblUrl)
+      assert(l2 == 200 && after.contains("zone"),
+        s"stale cached labels served after a committed batch: $after")
+      val (c5, logs2) = get(s"$q/loki/api/v1/query_range?query=${enc("""{app="wire"}""")}")
+      assert(c5 == 200 && logs2.contains("serve-again") &&
+        logs2.contains("serve-boom"),
+        s"post-start batch invisible to the query API: $logs2")
+
+      // admin-triggered maintenance (T0 is cold relative to now):
+      // answers stay byte-identical, served through the same API
+      val (m1, metsBefore) = get(s"$q/api/v1/query?query=${enc("serve_cpu")}&time=$tSec")
+      val (mc, mbody) = post2(s"http://127.0.0.1:${ports.admin}/api/v1/actions/storage_maintain")
+      assert(mc == 200, s"body: $mbody")
+      val (m2, metsAfter) = get(s"$q/api/v1/query?query=${enc("serve_cpu")}&time=$tSec")
+      assert(m1 == 200 && m2 == 200 && metsBefore == metsAfter,
+        s"maintenance changed a served answer:\n$metsBefore\n$metsAfter")
+    } finally serve.stop()
+  }
+
+  private def post2(url: String): (Int, String) = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+    Option(is).foreach(_.close())
+    (code, body)
+  }
+
+  test("tier-served PromQL range through Serve with NO raw points anywhere (no-raw-scan proof)") {
+    val dir = Files.createTempDirectory("graftservetier").toString
+    val serve = new Serve(spark, Serve.Config(dir))
+    val ports = serve.start()
+    val t0ms = T0 / 1000000L
+    val sec11 = T0 / 1000000000L + 3600 // 11:00Z, hour-aligned
+    val params = s"query=${enc("avg_over_time(tiered_srv[1h])")}" +
+      s"&start=$sec11&end=$sec11&step=3600"
+    val expected =
+      try {
+        assert(post(s"http://127.0.0.1:${ports.ingestHttp}/api/v1/write",
+          rwFrame("tiered_srv", 2.0, t0ms + 600000L),
+          encoding = Some("snappy")) == 200)
+        assert(post(s"http://127.0.0.1:${ports.ingestHttp}/api/v1/write",
+          rwFrame("tiered_srv", 4.0, t0ms + 1200000L),
+          encoding = Some("snappy")) == 200)
+        serve.flush()
+        val (c, body) = get(s"http://127.0.0.1:${ports.query}/api/v1/query_range?$params")
+        assert(c == 200 && body.contains("\"3.0\"") &&
+          body.contains(""""job":"api""""), s"body: $body")
+        body
+      } finally serve.stop()
+
+    // a SECOND deployment over a dataDir holding ONLY the rollup
+    // sidecar — the raw points layout does not exist, so a correct
+    // answer can only have come from the maintained tiers
+    val dir2 = Files.createTempDirectory("graftservetier2").toString
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+    copyTree(java.nio.file.Paths.get(dir, "rollup"),
+      java.nio.file.Paths.get(dir2, "rollup"))
+    val serve2 = new Serve(spark, Serve.Config(dir2))
+    val ports2 = serve2.start()
+    try {
+      val (c, body) = get(s"http://127.0.0.1:${ports2.query}/api/v1/query_range?$params")
+      assert(c == 200 && body == expected,
+        s"tier-only deployment must serve the identical answer:\n$body\nvs\n$expected")
+      // unaligned step: tier plan declines, the raw fallback is EMPTY
+      // here — proves the aligned answer above rode the tiers
+      val (cf, fb) = get(s"http://127.0.0.1:${ports2.query}/api/v1/query_range" +
+        s"?query=${enc("avg_over_time(tiered_srv[1h])")}&start=$sec11&end=$sec11&step=100")
+      assert(cf == 200 && !fb.contains("3.0"), s"fallback body: $fb")
+    } finally serve2.stop()
+  }
+
+  test("scheduled maintenance pre-merges cold partials without any admin call") {
+    val dir = Files.createTempDirectory("graftservesched").toString
+    // the day after ingest's date, so T0's partition is cold; a short
+    // interval so the daemon ticks inside the test
+    val serve = new Serve(spark, Serve.Config(dir,
+      maintainEveryMs = 150L, maintainDate = () => "20240103"))
+    val ports = serve.start()
+    val t0ms = T0 / 1000000L
+    try {
+      assert(post(s"http://127.0.0.1:${ports.ingestHttp}/api/v1/write",
+        rwFrame("sched_m", 2.0, t0ms + 600000L), encoding = Some("snappy")) == 200)
+      serve.flush()
+      assert(post(s"http://127.0.0.1:${ports.ingestHttp}/api/v1/write",
+        rwFrame("sched_m", 4.0, t0ms + 1200000L), encoding = Some("snappy")) == 200)
+      serve.flush()
+      def rollupFiles: Int =
+        Option(new java.io.File(s"$dir/rollup/date=20240101").listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      assert(rollupFiles >= 2, "two batches should have appended two partial file sets")
+      val sec11 = T0 / 1000000000L + 3600
+      val qUrl = s"http://127.0.0.1:${ports.query}/api/v1/query_range" +
+        s"?query=${enc("avg_over_time(sched_m[1h])")}&start=$sec11&end=$sec11&step=3600"
+      val (cb, before) = get(qUrl)
+      assert(cb == 200 && before.contains("\"3.0\""), s"body: $before")
+      // wait for the daemon tick: cold partials pre-merge to ONE
+      // untagged file with NO admin call
+      val deadline = System.currentTimeMillis() + 30000
+      while (rollupFiles != 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rollupFiles == 1,
+        "the scheduled pass should have compacted the cold rollup partition")
+      // the tick bumped the generation, so the SAME request re-opens
+      // the compacted layout and answers byte-identically
+      val (ca, after) = get(qUrl)
+      assert(ca == 200 && after == before,
+        s"scheduled maintenance changed a served answer:\n$before\n$after")
+    } finally serve.stop()
+  }
+}
