@@ -58,4 +58,35 @@ class DockerLogsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(counts == Map("stdout" -> 2.0, "stderr" -> 2.0))
   }
+
+  test("config.v2.json resolves container names: name scoping, name labels, id fallback") {
+    val root = writeLayout()
+    // the daemon writes config.v2.json beside the log file; aaa111
+    // gets one (name "web", image "nginx:1.25"), bbb222 stays bare
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(root, "aaa111"), "config.v2.json").toPath,
+      ("""{"ID":"aaa111","Name":"/web",""" +
+        """"Config":{"Image":"nginx:1.25","Env":[]},"State":{}}""").getBytes("UTF-8"))
+    val rows = DockerLogs.read(spark, root).collect()
+      .map(r => r.getMap[String, String](2))
+    val web = rows.filter(_.get("container_id").contains("aaa111"))
+    assert(web.nonEmpty)
+    // the CLI's label set (dockerlog.go getLabels): container = NAME
+    assert(web.forall(_.get("container").contains("web")))
+    assert(web.forall(_.get("container_name").contains("web")))
+    assert(web.forall(_.get("container_image").contains("nginx:1.25")))
+    // unresolvable container: id fallback, no name/image labels
+    val bare = rows.filter(_.get("container_id").contains("bbb222"))
+    assert(bare.forall(_.get("container").contains("bbb222")))
+    assert(bare.forall(m => m.get("container_name").isEmpty &&
+      m.get("container_image").isEmpty))
+    // containers= matches the NAME like the CLI (id prefixes still work)
+    assert(DockerLogs.read(spark, root, Seq("web")).count() == 3)
+    assert(DockerLogs.read(spark, root, Seq("bbb")).count() == 1)
+    // and LogQL selects by the name label end-to-end
+    val errs = DockerLogs.query(spark, root,
+      """{container="web"} |= "error"""")
+      .select("body").collect().map(_.getString(0))
+    assert(errs.toSeq == Seq("error: db timeout"))
+  }
 }
