@@ -280,6 +280,72 @@ object ScaleProbe {
             .collect()
           df.count()
         }
+      // the maintenance pass ITSELF: a day that accumulated factor×
+      // per-batch sidecar partials (the "claim: reads stop growing
+      // with batch count" needs a measured maintenance cost next to
+      // it). Build `batches` exactly-once commits of vocabulary-sized
+      // rollup+cube partials into one cold partition, time the reader
+      // merge before, the compaction, and the reader after — compaction
+      // cost should grow ~linearly in batch-file count while the
+      // post-merge read returns to vocabulary scale.
+      if (want("maintenance_compaction")) {
+        val batches = if (dir == src) 10 else math.min(10 * factor, 300)
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-maintprobe").toString
+        val roll = s"$tmp/rollup"; val cube = s"$tmp/cube"
+        val h10 = 1704103200000000L // 2024-01-01T10:00Z µs (cold)
+        val day1ns = 1704103200000000000L
+        // vocabulary per batch: 200 metric series, 150 cube combos
+        val points = spark.range(600).select(
+          (lit(h10) + (col("id") % 3600) * 1000000L).as("ts_us"),
+          concat(lit("m"), col("id") % 200).as("name"),
+          map(lit("host"), concat(lit("h"), col("id") % 200)).as("labels"),
+          (col("id") % 97).cast("double").as("value"))
+        val cubeRows = spark.range(150).select(
+          lit(day1ns - day1ns % 86400000000000L).as("bucket_ns"),
+          concat(lit("op"), col("id") % 50).as("name"),
+          (col("id") % 5 + 1).cast("int").as("kind"),
+          (col("id") % 3).cast("int").as("status_code"),
+          lit("env").as("attr"), concat(lit("v"), col("id") % 2).as("attr_value"),
+          (col("id") % 7 + 1).as("n"))
+        val tIngest0 = System.nanoTime()
+        for (b <- 0 until batches) {
+          graft.sources.Layout.commitBatch(roll, b) { staging =>
+            graft.streaming.Streams.hourlyStatPartials(points)
+              .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+              .write.mode("overwrite").partitionBy("date").parquet(staging)
+          }
+          graft.sources.Layout.commitBatch(cube, b)(
+            graft.sources.Layout.writeAttrCube(cubeRows, _, mode = "overwrite"))
+        }
+        val ingestS = (System.nanoTime() - tIngest0) / 1e9
+        def files(root: String) =
+          Option(new java.io.File(root, "date=20240101").listFiles())
+            .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        def readMerge(root: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = spark.read.parquet(root)
+            .groupBy("name").agg(count(lit(1))).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (preR, _) = readMerge(roll)
+        val fPre = files(roll)
+        val t0 = System.nanoTime()
+        graft.sources.Layout.compactRollupPartition(spark, roll, "20240101")
+        val rollS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.sources.Layout.compactCubePartition(spark, cube, "20240101")
+        val cubeS = (System.nanoTime() - t1) / 1e9
+        val (postR, _) = readMerge(roll)
+        println(f"PROBE maintenance $tag batches=$batches " +
+          f"ingest=$ingestS%.1f s files_pre=$fPre files_post=${files(roll)} " +
+          f"compact_rollup=$rollS%.2f s compact_cube=$cubeS%.2f s " +
+          f"read_pre=$preR%.2f s read_post=$postR%.2f s")
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+        }
+        deleteRec(new java.io.File(tmp))
+      }
     }
     spark.stop()
   }

@@ -432,6 +432,44 @@ object Layout {
           .select(df.columns.map(col).toIndexedSeq: _*)
       })
 
+  /** Crash-recovery sweep for INTERRUPTED compactions. The swap order
+    * in [[compactPartition]] is crash-safe for data (every state keeps
+    * one complete copy) but a crash between "live dir moved aside" and
+    * "tmp moved in" leaves the partition ABSENT from the layout — the
+    * rows sit intact under `.old.date=X`, which nothing else ever
+    * restores (maintenance lists only `date=` dirs). Roll BACK to the
+    * pre-compaction state (the tmp may be half-written; compaction
+    * simply re-runs on a later pass) and sweep stale tmp dirs.
+    * Idempotent; [[graft.sources.OtlpReceiver.maintainStorage]] runs it
+    * at the top of every pass.
+    */
+  def recoverCompactionLeftovers(root: String): Seq[String] = {
+    val rootDir = new java.io.File(root)
+    val entries = Option(rootDir.listFiles()).getOrElse(Array.empty)
+    val msgs = Seq.newBuilder[String]
+    entries.filter(f => f.isDirectory && f.getName.startsWith(".old.date="))
+      .foreach { old =>
+        val live = new java.io.File(root, old.getName.stripPrefix(".old."))
+        lockFor(root).synchronized {
+          if (live.exists()) {
+            // the swap completed before the crash: stale aside copy
+            deleteRecursively(old)
+            msgs += s"swept stale ${old.getName}"
+          } else {
+            require(old.renameTo(live),
+              s"recovery: cannot restore ${old.getPath}")
+            msgs += s"restored ${live.getName} from interrupted compaction"
+          }
+        }
+      }
+    entries.filter(f => f.isDirectory && f.getName.startsWith(".compact.date="))
+      .foreach { tmp =>
+        deleteRecursively(tmp)
+        msgs += s"swept stale ${tmp.getName}"
+      }
+    msgs.result()
+  }
+
   /** TTL expiry — the `TTL timestamp + INTERVAL n DAY` clause of the
     * reference DDL (chstorage golden schema), expressed as partition
     * drops: a date partition strictly older than the horizon is

@@ -367,12 +367,20 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     def settled(root: String, date: String, deps: Seq[String]): Boolean =
       tagIds(root, date).forall(id =>
         committed(root, id) && deps.forall(committed(_, id)))
-    // retention FIRST: partitions strictly older than the horizon drop
+    val allRoots = Seq("points", "logs", "spans", "profiles", "exemplars",
+      "cube", "rollup", "logvolume")
+    // crash recovery FIRST: a pass interrupted mid-swap left a
+    // partition aside as `.old.date=X` — restore it before anything
+    // lists/compacts/drops partitions
+    val recoverMsgs = allRoots.flatMap { name =>
+      Layout.recoverCompactionLeftovers(s"$dataDir/$name")
+        .map(m => s"$name: $m")
+    }
+    // retention next: partitions strictly older than the horizon drop
     // whole (the reference's TTL clause) — raw layouts AND sidecars
     val ttlMsgs =
       if (retentionDays <= 0) Nil
-      else Seq("points", "logs", "spans", "profiles", "exemplars",
-        "cube", "rollup", "logvolume").flatMap { name =>
+      else allRoots.flatMap { name =>
         Layout.enforceTtl(s"$dataDir/$name", retentionDays, nowDate)
           .map(p => s"ttl dropped $name/$p")
       }
@@ -435,7 +443,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         }
       }
     }
-    val msgs = ttlMsgs ++ sidecarMsgs ++ policyMsgs
+    val msgs = recoverMsgs ++ ttlMsgs ++ sidecarMsgs ++ policyMsgs
     if (msgs.isEmpty) "no cold partitions to maintain"
     else msgs.mkString("; ")
   }

@@ -1198,46 +1198,57 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // a crash BETWEEN the raw commit and the rollup commit replays
-        // here with rebuilt driver state — re-running admission can
-        // then admit a DIFFERENT row set than the one already stored
-        // (the rebuilt series ledger differs: overflowed series
-        // collapsed into one key), and the sidecar must cover exactly
-        // what the raw layout holds. Detect that window up front and
-        // derive the partials from the STORED batch rows instead.
-        val replayFromStore = rollupPath != null &&
-          new java.io.File(path, s"_committed_$id").exists() &&
-          !new java.io.File(rollupPath, s"_committed_$id").exists()
-        val admitted0 = if (budget == null) batch else budget.admit(batch)
-        // both layouts derive from the batch: cache once, not re-read
-        val admitted = if (rollupPath == null) admitted0 else admitted0.persist()
-        try {
-          graft.sources.Layout.commitBatch(path, id)(
-            graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
-          if (rollupPath != null) {
-            val src =
-              if (replayFromStore)
-                graft.sources.Layout.readBatch(batch.sparkSession, path, id)
-                  .map(_.select(col("ts_us"), col("name"), col("labels"),
-                    col("value")))
-                  .getOrElse(admitted.limit(0))
-              else admitted
-            graft.sources.Layout.commitBatch(rollupPath, id) { staging =>
-              hourlyStatPartials(src)
-                .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
-                .repartition(col("date"))
-                .sortWithinPartitions(col("date"), col("name"),
-                  col("series_key"), col("hour_start"))
-                .write.mode("overwrite").partitionBy("date").parquet(staging)
-            }
-          }
-        } finally if (rollupPath != null) { admitted.unpersist(); () }
+        commitPointsBatch(batch, id, path, budget, rollupPath)
         // new points may add native-histogram metrics: stale cached
         // name probes would leave them unexpanded on long-lived frames
         graft.promql.PromQL.invalidateExpHistNames()
       }
       .trigger(trigger)
       .start()
+
+  /** The per-micro-batch commit sequence of [[pointsSink]], exposed so
+    * crash-window tests can drive the PRODUCTION protocol directly
+    * (the ScalaCheck property kills it between any two steps and
+    * asserts reader equality after the replay).
+    */
+  def commitPointsBatch(batch: DataFrame, id: Long, path: String,
+      budget: graft.sources.Admission.SeriesBudget = null,
+      rollupPath: String = null): Unit = {
+    // a crash BETWEEN the raw commit and the rollup commit replays
+    // here with rebuilt driver state — re-running admission can
+    // then admit a DIFFERENT row set than the one already stored
+    // (the rebuilt series ledger differs: overflowed series
+    // collapsed into one key), and the sidecar must cover exactly
+    // what the raw layout holds. Detect that window up front and
+    // derive the partials from the STORED batch rows instead.
+    val replayFromStore = rollupPath != null &&
+      new java.io.File(path, s"_committed_$id").exists() &&
+      !new java.io.File(rollupPath, s"_committed_$id").exists()
+    val admitted0 = if (budget == null) batch else budget.admit(batch)
+    // both layouts derive from the batch: cache once, not re-read
+    val admitted = if (rollupPath == null) admitted0 else admitted0.persist()
+    try {
+      graft.sources.Layout.commitBatch(path, id)(
+        graft.sources.Layout.writePoints(admitted, _, mode = "overwrite"))
+      if (rollupPath != null) {
+        val src =
+          if (replayFromStore)
+            graft.sources.Layout.readBatch(batch.sparkSession, path, id)
+              .map(_.select(col("ts_us"), col("name"), col("labels"),
+                col("value")))
+              .getOrElse(admitted.limit(0))
+          else admitted
+        graft.sources.Layout.commitBatch(rollupPath, id) { staging =>
+          hourlyStatPartials(src)
+            .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+            .repartition(col("date"))
+            .sortWithinPartitions(col("date"), col("name"),
+              col("series_key"), col("hour_start"))
+            .write.mode("overwrite").partitionBy("date").parquet(staging)
+        }
+      }
+    } finally if (rollupPath != null) { admitted.unpersist(); () }
+  }
 
   /** Exemplar inserter: the [[exemplarsFromOtlp]] frame appended into
     * the daily exemplar layout (fourth sink, same foreachBatch shape).
