@@ -341,10 +341,7 @@ object ScaleProbe {
           f"ingest=$ingestS%.1f s files_pre=$fPre files_post=${files(roll)} " +
           f"compact_rollup=$rollS%.2f s compact_cube=$cubeS%.2f s " +
           f"read_pre=$preR%.2f s read_post=$postR%.2f s")
-        def deleteRec(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
-        }
-        deleteRec(new java.io.File(tmp))
+        graft.sources.Layout.deleteRecursively(new java.io.File(tmp))
       }
     }
     spark.stop()

@@ -88,12 +88,18 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     }
   }
 
-  private def hasData(path: String): Boolean =
-    Option(new java.io.File(path).listFiles())
-      .exists(_.exists(_.getName.startsWith("date=")))
+  private def hasData(path: String): Boolean = Layout.hasDatePartitions(path)
+
+  /** Opens the layout with its eager file LISTING under the layout's
+    * root lock: a re-open racing a compaction swap would otherwise
+    * list the brief window where the swapped partition is absent and
+    * memoize a silently incomplete frame under the current generation.
+    */
+  private def openLocked(path: String): DataFrame =
+    Layout.withRootLock(path)(spark.read.parquet(path))
 
   private def openOr(path: String, emptyDdl: String): DataFrame =
-    if (hasData(path)) spark.read.parquet(path)
+    if (hasData(path)) openLocked(path)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
 
@@ -129,7 +135,7 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
 
   private def spansView: DataFrame =
     if (hasData(s"${cfg.dataDir}/spans"))
-      spark.read.parquet(s"${cfg.dataDir}/spans")
+      openLocked(s"${cfg.dataDir}/spans")
     else {
       // schema-correct empty spans, derived from the decode type so it
       // cannot drift; withParentPath adds the stored ancestry column
@@ -140,7 +146,7 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
 
   private def profilesView: DataFrame =
     if (hasData(s"${cfg.dataDir}/profiles"))
-      spark.read.parquet(s"${cfg.dataDir}/profiles")
+      openLocked(s"${cfg.dataDir}/profiles")
         .select("ts_us", "name", "labels", "stack", "value")
     else {
       import spark.implicits._
@@ -159,12 +165,15 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
   private val liveProfiles = new Live(() => profilesView)
   private val liveExemplars = new Live(() => exemplarsView)
   private val liveTiers = new Live(() =>
-    graft.promql.PromQL.tiersFromLayout(spark, s"${cfg.dataDir}/rollup"))
+    Layout.withRootLock(s"${cfg.dataDir}/rollup")(
+      graft.promql.PromQL.tiersFromLayout(spark, s"${cfg.dataDir}/rollup")))
   private val liveLogTiers = new Live(() =>
-    graft.logql.Planner.volumeFromLayout(spark, s"${cfg.dataDir}/logvolume"))
+    Layout.withRootLock(s"${cfg.dataDir}/logvolume")(
+      graft.logql.Planner.volumeFromLayout(spark, s"${cfg.dataDir}/logvolume")))
   private val liveCube = new Live(() =>
     if (hasData(s"${cfg.dataDir}/cube"))
-      Some(graft.traceql.TraceQL.attrCubeFrom(spark, s"${cfg.dataDir}/cube"))
+      Some(Layout.withRootLock(s"${cfg.dataDir}/cube")(
+        graft.traceql.TraceQL.attrCubeFrom(spark, s"${cfg.dataDir}/cube")))
     else None)
 
   /** The query front-end over the live layouts. Profiles/exemplars
@@ -206,7 +215,8 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     // admin-triggered storage_maintain changes layouts without a batch
     // commit (TTL drops partitions, compaction rewrites listings):
     // invalidate through the same generation
-    val ap = receiver.startAdmin(adminPort, onMaintain = _ => refresh())
+    val ap = receiver.startAdmin(adminPort, onMaintain = _ => refresh(),
+      maintainDate = cfg.maintainDate)
     val qp = api.start(queryPort)
     if (cfg.maintainEveryMs > 0) {
       // the reference's TTL/merge machinery runs continuously

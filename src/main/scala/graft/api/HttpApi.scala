@@ -1000,11 +1000,16 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     */
   private def staleListing(e: Throwable): Boolean = {
     var t = e
-    while (t != null) {
+    var hops = 0
+    // hop bound: a cause CYCLE of length ≥ 2 (possible via initCause
+    // in wrapping frameworks) would otherwise spin this walk forever
+    // on a handler thread
+    while (t != null && hops < 16) {
       val m = Option(t.getMessage).getOrElse("")
       if (m.contains("FAILED_READ_FILE") ||
           t.isInstanceOf[java.io.FileNotFoundException]) return true
       t = if (t.getCause eq t) null else t.getCause
+      hops += 1
     }
     false
   }

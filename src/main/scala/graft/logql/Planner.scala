@@ -726,9 +726,7 @@ object Planner {
   def volumeFromLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, coarserNs: Seq[Long] = Seq(6 * 3600000000000L))
       : Map[Long, DataFrame] = {
-    val hasData = Option(new java.io.File(path).listFiles())
-      .exists(_.exists(_.getName.startsWith("date=")))
-    if (!hasData) return Map.empty
+    if (!graft.sources.Layout.hasDatePartitions(path)) return Map.empty
     volumeTiersOf(spark.read.parquet(path), coarserNs)
   }
 

@@ -980,9 +980,7 @@ object PromQL {
       path: String, coarserUs: Seq[Long] = Seq(6 * 3600000000L))
       : Map[Long, DataFrame] = {
     val HourUs = 3600000000L
-    val hasData = Option(new java.io.File(path).listFiles())
-      .exists(_.exists(_.getName.startsWith("date=")))
-    if (!hasData) return Map.empty
+    if (!graft.sources.Layout.hasDatePartitions(path)) return Map.empty
     val hourly = spark.read.parquet(path)
       .select(col("name"), col("series_key").as("__k"), col("labels"),
         (unix_micros(col("hour_start")) + HourUs).as("__end"),

@@ -145,10 +145,28 @@ object Layout {
       .partitionBy("date")
       .parquet(path)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+
+  /** Whether a layout root holds any date partition — the shared
+    * "does this layout exist yet" probe (tier loaders, the Serve
+    * empty-frame fallbacks, and specs all need the same answer; five
+    * independent copies of layout-structure knowledge would drift).
+    */
+  def hasDatePartitions(root: String): Boolean =
+    Option(new java.io.File(root).listFiles())
+      .exists(_.exists(_.getName.startsWith("date=")))
+
+  /** Opens `body` (typically a `spark.read.parquet` whose eager file
+    * LISTING must not observe a mid-swap layout) under the same
+    * per-root mutex the compaction swap holds — without it, a reader
+    * listing the root between the swap's two renames sees the
+    * partition ABSENT and silently memoizes an incomplete frame.
+    */
+  def withRootLock[T](root: String)(body: => T): T =
+    lockFor(root).synchronized(body)
 
   /** Per-layout-root mutex serializing [[commitBatch]]'s move phase
     * against [[compactPartition]]'s directory swap. Without it, a
@@ -288,36 +306,75 @@ object Layout {
     df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").options(writeOptions).parquet(tmp.getPath)
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
-    }
+    // the merged-input MANIFEST travels with the compacted output
+    // (readers ignore the _-prefixed file): after the swap it tells
+    // the carry-over — and, after a crash mid-carry-over, the
+    // recovery sweep — which files in the superseded dir were merged
+    // inputs (safe to destroy) vs late-committed batches (must move
+    // into the new partition, or their data dies while their
+    // exactly-once marker survives)
+    java.nio.file.Files.write(
+      new java.io.File(tmp, SnapshotManifest).toPath,
+      snapshot.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Crash-safe swap order: move the LIVE dir aside first, then move
     // the compacted tmp into place, and only then destroy the old
     // data. Each rename is verified before the previous state is
     // touched — a crash or rename failure at any point leaves either
-    // the old or the new partition fully present, never neither.
+    // the old or the new partition fully present, never neither (the
+    // brief live-dir-absent window between the renames is rolled back
+    // by [[recoverCompactionLeftovers]]).
     // The swap holds the layout lock (renames only): a concurrent
     // commitBatch move can land fully before it (the batch's files are
     // then in `old`, NOT in the merge snapshot — carried into the new
-    // partition below) or fully after (they land in the new dir), but
-    // never interleave into the superseded dir's destruction.
+    // partition by settleAside) or fully after (they land in the new
+    // dir), but never interleave into the superseded dir's destruction.
     lockFor(root).synchronized {
       val old = new java.io.File(root, s".old.date=$date")
-      if (old.exists()) deleteRec(old) // leftover from a prior crash
+      // leftover from a prior crash: resolve it manifest-aware, never
+      // blind-delete (it may hold late-committed batches)
+      if (old.exists()) settleAside(root, old)
       require(dir.renameTo(old), s"compaction: cannot move live $dir aside")
       if (!tmp.renameTo(dir)) {
         // roll back: restore the live partition before failing
         require(old.renameTo(dir), s"compaction rollback failed for $dir")
         throw new IllegalStateException(s"compaction swap failed for $dir")
       }
-      Option(old.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.endsWith(".parquet") && !snapshot.contains(f.getName))
-          require(f.renameTo(new java.io.File(dir, f.getName)),
-            s"compaction: cannot carry late-committed ${f.getPath}")
-      })
-      deleteRec(old)
+      settleAside(root, old)
     }
     n
+  }
+
+  private val SnapshotManifest = "_merged_inputs"
+
+  /** Finishes a completed swap: carries every parquet file in the
+    * superseded `aside` dir that was NOT a merged input (per the live
+    * partition's [[SnapshotManifest]]) into the live partition, then
+    * destroys the aside copy and the manifest. Idempotent — a crash at
+    * any point replays here (via [[recoverCompactionLeftovers]]) to
+    * the same final state. Caller holds the root lock.
+    */
+  private def settleAside(root: String, aside: java.io.File): Unit = {
+    val live = new java.io.File(root, aside.getName.stripPrefix(".old."))
+    val manifestFile = new java.io.File(live, SnapshotManifest)
+    // no manifest next to a completed swap is unreachable under this
+    // protocol (the manifest is deleted only after the aside dir);
+    // treat it as "everything was merged" — the pre-manifest behavior
+    val merged: Set[String] =
+      if (manifestFile.isFile)
+        new String(java.nio.file.Files.readAllBytes(manifestFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSet
+      else Set.empty
+    Option(aside.listFiles()).foreach(_.foreach { f =>
+      val late = f.getName.endsWith(".parquet") &&
+        manifestFile.isFile && !merged.contains(f.getName)
+      if (late && !new java.io.File(live, f.getName).exists())
+        require(f.renameTo(new java.io.File(live, f.getName)),
+          s"compaction: cannot carry late-committed ${f.getPath}")
+    })
+    deleteRecursively(aside)
+    manifestFile.delete(): Unit
   }
 
   /** Policy-applying compaction of ONE metric-points date partition —
@@ -452,9 +509,13 @@ object Layout {
         val live = new java.io.File(root, old.getName.stripPrefix(".old."))
         lockFor(root).synchronized {
           if (live.exists()) {
-            // the swap completed before the crash: stale aside copy
-            deleteRecursively(old)
-            msgs += s"swept stale ${old.getName}"
+            // the swap completed before the crash, but the carry-over
+            // may not have: settle manifest-aware — late-committed
+            // batch files move into the live partition, merged inputs
+            // are destroyed (a blind delete here would silently lose a
+            // backfill batch whose exactly-once marker survives)
+            settleAside(root, old)
+            msgs += s"settled superseded ${old.getName}"
           } else {
             require(old.renameTo(live),
               s"recovery: cannot restore ${old.getPath}")
@@ -466,6 +527,17 @@ object Layout {
       .foreach { tmp =>
         deleteRecursively(tmp)
         msgs += s"swept stale ${tmp.getName}"
+      }
+    // a crash between the aside-dir destruction and the manifest delete
+    // leaves a manifest with nothing to settle: sweep it
+    entries.filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .foreach { d =>
+        val m = new java.io.File(d, SnapshotManifest)
+        if (m.isFile &&
+            !new java.io.File(root, s".old.${d.getName}").exists()) {
+          m.delete(): Unit
+          msgs += s"swept stale manifest in ${d.getName}"
+        }
       }
     msgs.result()
   }

@@ -451,10 +451,18 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   /** `onMaintain` fires after every admin-triggered storage_maintain
     * pass with its summary — a live deployment (graft.Serve) hooks
     * layout-generation invalidation here (TTL drops change query
-    * results; compaction rewrites file listings).
+    * results; compaction rewrites file listings). `maintainDate`
+    * supplies the pass's "now": every trigger (admin, scheduler,
+    * maintainNow) must agree on the clock — a deployment on a
+    * simulated/replay clock with retentionDays set would otherwise
+    * have one admin POST compute the TTL horizon from the REAL clock
+    * and drop partitions the configured clock considers live.
     */
   def startAdmin(port: Int = 0,
-      onMaintain: String => Unit = _ => ()): Int = {
+      onMaintain: String => Unit = _ => (),
+      maintainDate: () => String = () => java.time.LocalDate
+        .now(java.time.ZoneOffset.UTC).format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
         addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),
@@ -477,7 +485,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       admission = Some(stats),
       safety = logSafety.map(_ => safetyStats),
       maintain = Some(() => {
-        val summary = maintainStorage()
+        val summary = maintainStorage(maintainDate())
         onMaintain(summary)
         summary
       }))

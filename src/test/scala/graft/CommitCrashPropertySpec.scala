@@ -78,22 +78,14 @@ object CommitCrashPropertySpec extends Properties("CommitCrash") {
         java.lang.Double.doubleToLongBits(r.getDouble(6))))
       .toSet
 
-  private def hasDateDirs(path: String): Boolean =
-    Option(new java.io.File(path).listFiles())
-      .exists(_.exists(_.getName.startsWith("date=")))
-
   private def storedSidecar(roll: String) =
-    if (hasDateDirs(roll)) mergeStats(spark.read.parquet(roll))
+    if (graft.sources.Layout.hasDatePartitions(roll)) mergeStats(spark.read.parquet(roll))
     else Set.empty[(String, String, Long, Long, Double, Long, Long)]
 
   private def expectedSidecar(rows: List[(Long, String, Double)]) =
     if (rows.forall(_._3.isNaN))
       Set.empty[(String, String, Long, Long, Double, Long, Long)]
     else mergeStats(Streams.hourlyStatPartials(toDf(rows)))
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
-  }
 
   property("every crash window between raw commit, sidecar commit, and compaction replays to reader-equal state (poisoned replays included)") =
     Prop.forAll(genRows, Gen.choose(0, 6), Gen.oneOf(true, false)) {
@@ -160,7 +152,7 @@ object CommitCrashPropertySpec extends Properties("CommitCrash") {
         val rawOk = rawContents(raw) == expectedContents(expectedRaw)
         val sideOk = storedSidecar(roll) == expectedSidecar(expectedRaw)
         val ok = rawOk && sideOk
-        if (ok) deleteRec(new java.io.File(dir)) // keep /tmp bounded; failures stay for inspection
+        if (ok) graft.sources.Layout.deleteRecursively(new java.io.File(dir)) // keep /tmp bounded; failures stay for inspection
         (ok: Prop) :| s"crash=$crash poison=$poison rows=$rows " +
           s"rawOk=$rawOk sideOk=$sideOk dir=$dir"
     }

@@ -116,6 +116,49 @@ class LayoutSpec extends SparkTestBase {
     assert(r.getAs[Double]("sum_v") == 6.0)
   }
 
+  test("recovery after a crash between swap and carry-over keeps late-committed batches (manifest-aware settle)") {
+    import spark.implicits._
+    // hand-built post-swap pre-settle state: the live partition holds
+    // the compacted output plus the merged-input manifest; the
+    // superseded aside dir still holds BOTH the merged input (b0) and
+    // a late-committed batch (b1) the carry-over never reached. A
+    // blind sweep would destroy b1's rows while its exactly-once
+    // marker survives — silent loss.
+    val root = Files.createTempDirectory("graftsettle").toString
+    val h10 = 1704103200000000L
+    def partials(v: Double) = Streams.hourlyStatPartials(
+      Seq((h10 + 60000000L, "cpu", Map("host" -> "a"), v))
+        .toDF("ts_us", "name", "labels", "value"))
+    def onePartialFile(df: org.apache.spark.sql.DataFrame, dst: java.io.File): Unit = {
+      val tmp = Files.createTempDirectory("graftsettletmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      dst.getParentFile.mkdirs()
+      assert(f.renameTo(dst))
+    }
+    onePartialFile(partials(2.0), new java.io.File(root, "date=20240101/part-merged.parquet"))
+    java.nio.file.Files.write(
+      new java.io.File(root, "date=20240101/_merged_inputs").toPath,
+      "b0-in.parquet".getBytes("UTF-8"))
+    onePartialFile(partials(2.0), new java.io.File(root, ".old.date=20240101/b0-in.parquet"))
+    onePartialFile(partials(7.0), new java.io.File(root, ".old.date=20240101/b1-late.parquet"))
+    val msgs = Layout.recoverCompactionLeftovers(root)
+    assert(msgs.exists(_.contains("settled")), msgs.toString)
+    val names = new java.io.File(root, "date=20240101").listFiles()
+      .map(_.getName).toSet
+    assert(names == Set("part-merged.parquet", "b1-late.parquet"),
+      s"late batch must survive, merged input must not duplicate: $names")
+    assert(!new java.io.File(root, ".old.date=20240101").exists())
+    // reader equality: merged(2.0) + late(7.0), the b0 rows NOT doubled
+    val vals = spark.read.parquet(root).select("sum_v").collect()
+      .map(_.getDouble(0)).sorted.toSeq
+    assert(vals == Seq(2.0, 7.0))
+    // idempotent: a second sweep finds nothing to settle
+    assert(Layout.recoverCompactionLeftovers(root)
+      .forall(!_.contains("settled")))
+  }
+
   test("compaction merges micro-batch files and restores the sort") {
     val dir = Files.createTempDirectory("graftcompact").toString
     val td = Testdata(spark, "/root/testdata/sf0.001")
