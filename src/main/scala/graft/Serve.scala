@@ -282,6 +282,80 @@ object Serve {
   final case class Ports(ingestHttp: Int, ingestGrpc: Int, query: Int,
       admin: Int)
 
+  /** Flag parsing, separated for tests. Every knob the programmatic
+    * [[Config]] carries is reachable from the command line — the
+    * one-binary contract (the reference's `oteldb` reads the same
+    * knobs from its YAML/env config, cmd/oteldb/config.go):
+    *
+    *   admission  --ingest-bytes-per-second N --max-in-flight-bytes N
+    *              --max-series N --max-series-soft N --max-body-bytes N
+    *   policy     --downsample afterDays:intervalSec:agg[,...]
+    *              --precision afterDays:bits[,...]
+    *              --recompress afterDays[:zstdLevel]
+    *   safety     --safety softRate:hardRate[:mode[:hardMode]]
+    *   retention  --retention-days N
+    *   scheduler  --maintain-every-min N
+    */
+  def parseConfig(dataDir: String, args: Seq[String]): Config = {
+    def flagStr(name: String): Option[String] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    def flagL(name: String, default: Long): Long =
+      flagStr(name).map(_.toLong).getOrElse(default)
+    val downsample = flagStr("--downsample").toSeq
+      .flatMap(_.split(",")).map { spec =>
+        spec.split(":") match {
+          case Array(d, s)       => StoragePolicy.DownsampleTier(
+            d.toInt, s.toLong * 1000000L)
+          case Array(d, s, agg)  => StoragePolicy.DownsampleTier(
+            d.toInt, s.toLong * 1000000L, agg)
+          case _ => throw new IllegalArgumentException(
+            s"--downsample: want afterDays:intervalSec[:agg], got '$spec'")
+        }
+      }
+    val precision = flagStr("--precision").toSeq
+      .flatMap(_.split(",")).map { spec =>
+        spec.split(":") match {
+          case Array(d, b) => StoragePolicy.PrecisionTier(d.toInt, b.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"--precision: want afterDays:bits, got '$spec'")
+        }
+      }
+    val recompress = flagStr("--recompress").map(_.split(":") match {
+      case Array(d)    => StoragePolicy.Recompress(d.toInt)
+      case Array(d, l) => StoragePolicy.Recompress(d.toInt, l.toInt)
+      case _ => throw new IllegalArgumentException(
+        "--recompress: want afterDays[:zstdLevel]")
+    })
+    val policy =
+      if (downsample.isEmpty && precision.isEmpty && recompress.isEmpty) None
+      else Some(StoragePolicy.Policy(precision, downsample, recompress))
+    val safety = flagStr("--safety").map(_.split(":") match {
+      case Array(s, h) => graft.streaming.LogSafety.Config(
+        softMaxRatePerSecond = s.toInt, hardMaxRatePerSecond = h.toInt)
+      case Array(s, h, m) => graft.streaming.LogSafety.Config(
+        softMaxRatePerSecond = s.toInt, hardMaxRatePerSecond = h.toInt,
+        onExcess = m)
+      case Array(s, h, m, hm) => graft.streaming.LogSafety.Config(
+        softMaxRatePerSecond = s.toInt, hardMaxRatePerSecond = h.toInt,
+        onExcess = m, hardOnExcess = hm)
+      case _ => throw new IllegalArgumentException(
+        "--safety: want softRate:hardRate[:mode[:hardMode]]")
+    })
+    Config(dataDir,
+      limits = Admission.LimitsConfig(
+        ingestBytesPerSecond = flagL("--ingest-bytes-per-second", 0L),
+        maxInFlightBytes = flagL("--max-in-flight-bytes", 0L),
+        maxSeries = flagL("--max-series", 0L),
+        maxSeriesSoft = flagL("--max-series-soft", 0L),
+        maxBodyBytes = flagL("--max-body-bytes", 0L)),
+      logSafety = safety,
+      storagePolicy = policy,
+      retentionDays = flagL("--retention-days", 0L).toInt,
+      maintainEveryMs = flagL("--maintain-every-min", 0L) * 60000L)
+  }
+
   /** `runMain graft.Serve <dataDir> [flags]` — the one-binary
     * deployment (reference cmd/oteldb/main.go). Default ports mirror
     * the reference config defaults (config.go: OTLP 4317/4318, query
@@ -293,7 +367,11 @@ object Serve {
       System.err.println(
         "usage: graft.Serve <dataDir> [--ingest-port N] [--grpc-port N] " +
           "[--query-port N] [--admin-port N] [--retention-days N] " +
-          "[--maintain-every-min N]")
+          "[--maintain-every-min N] [--ingest-bytes-per-second N] " +
+          "[--max-in-flight-bytes N] [--max-series N] [--max-series-soft N] " +
+          "[--max-body-bytes N] [--downsample d:sec[:agg],...] " +
+          "[--precision d:bits,...] [--recompress d[:level]] " +
+          "[--safety soft:hard[:mode[:hardMode]]]")
       sys.exit(2)
     }
     val dataDir = args(0)
@@ -306,9 +384,7 @@ object Serve {
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val serve = new Serve(spark, Config(dataDir,
-      retentionDays = flag("--retention-days", 0),
-      maintainEveryMs = flag("--maintain-every-min", 0) * 60000L))
+    val serve = new Serve(spark, parseConfig(dataDir, args.toSeq))
     val ports = serve.start(
       ingestPort = flag("--ingest-port", 4318),
       grpcPort = flag("--grpc-port", 4317),

@@ -269,6 +269,39 @@ class ServeSpec extends SparkTestBase {
     } finally serve2.stop()
   }
 
+  test("parseConfig reaches every programmatic knob from the command line") {
+    val cfg = Serve.parseConfig("/data", Seq("/data",
+      "--ingest-bytes-per-second", "1048576", "--max-series", "1000",
+      "--max-series-soft", "800", "--max-body-bytes", "65536",
+      "--retention-days", "30", "--maintain-every-min", "60",
+      "--downsample", "7:60:last,30:3600:avg", "--precision", "7:30,30:20",
+      "--recompress", "60:19", "--safety", "100:1000:sample:drop"))
+    assert(cfg.limits.ingestBytesPerSecond == 1048576L)
+    assert(cfg.limits.maxSeries == 1000L && cfg.limits.maxSeriesSoft == 800L)
+    assert(cfg.limits.maxBodyBytes == 65536L)
+    assert(cfg.retentionDays == 30 && cfg.maintainEveryMs == 3600000L)
+    val pol = cfg.storagePolicy.get
+    assert(pol.downsample == Seq(
+      graft.sources.StoragePolicy.DownsampleTier(7, 60000000L, "last"),
+      graft.sources.StoragePolicy.DownsampleTier(30, 3600000000L, "avg")))
+    assert(pol.precision == Seq(
+      graft.sources.StoragePolicy.PrecisionTier(7, 30),
+      graft.sources.StoragePolicy.PrecisionTier(30, 20)))
+    assert(pol.recompress.contains(graft.sources.StoragePolicy.Recompress(60, 19)))
+    val saf = cfg.logSafety.get
+    assert(saf.softMaxRatePerSecond == 100 && saf.hardMaxRatePerSecond == 1000)
+    assert(saf.onExcess == "sample" && saf.hardOnExcess == "drop")
+    // a typo'd downsample agg is a STARTUP error (reference validates
+    // via signal.ParseAggregation), not a silently-ignored tier
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--downsample", "7:60:bogus"))
+    }
+    // bare invocation: everything defaults off
+    val bare = Serve.parseConfig("/data", Seq("/data"))
+    assert(bare.storagePolicy.isEmpty && bare.logSafety.isEmpty &&
+      bare.retentionDays == 0 && bare.maintainEveryMs == 0L)
+  }
+
   test("scheduled maintenance pre-merges cold partials without any admin call") {
     val dir = Files.createTempDirectory("graftservesched").toString
     // the day after ingest's date, so T0's partition is cold; a short
