@@ -614,10 +614,22 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   /** Block until every enqueued payload is decoded and stored. */
   def flush(): Unit = queries.foreach(_.processAllAvailable())
 
-  def stop(): Unit = {
+  /** Clean shutdown DRAINS by default: a payload the edge already
+    * ACKNOWLEDGED (HTTP 200 / gRPC OK) sits in the in-memory source
+    * until a micro-batch commits it — stopping the queries first would
+    * silently lose acknowledged data on every orderly restart (crash
+    * loss is a different, bounded contract: the in-flight ledger and
+    * partial-success signaling exist for it). Listeners stop FIRST so
+    * nothing new is accepted while the drain runs; per-query failures
+    * don't abort draining the remaining sinks. `drain = false` is the
+    * fast abandon for tests and emergency teardown.
+    */
+  def stop(drain: Boolean = true): Unit = {
     if (server != null) server.stop(0)
     if (grpc != null) grpc.stop()
     if (admin != null) admin.stop()
+    if (drain) queries.foreach(q =>
+      scala.util.Try(q.processAllAvailable()): Unit)
     queries.foreach(_.stop())
     if (listener != null) spark.streams.removeListener(listener)
   }

@@ -164,6 +164,37 @@ class EndToEndSpec extends SparkTestBase {
     assert(got.toSeq == Seq(5.0))
   }
 
+  test("clean shutdown drains acknowledged payloads (stop without flush loses nothing)") {
+    import graft.sources.OtlpReceiver
+    def post(url: String, body: Array[Byte]): Int = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      conn.getResponseCode
+    }
+    val logPayload = new W().msg(1, new W()
+      .msg(1, new W().msg(1, kv("service.name", "api")))
+      .msg(2, new W().msg(1, new W().str(1, "logger"))
+        .msg(2, new W().fix64(1, T0).vint(2, 9)
+          .msg(5, new W().str(1, "acked then stopped"))
+          .msg(6, kv("app", "drain")))))
+      .out.toByteArray
+    val dir = Files.createTempDirectory("grafte2edrain").toString
+    val recv = new OtlpReceiver(spark, dir)
+    val rport = recv.start()
+    assert(post(s"http://127.0.0.1:$rport/v1/logs", logPayload) == 200)
+    // stop IMMEDIATELY — the 200 was an acknowledgment, and an orderly
+    // restart must not lose acknowledged data; no flush() here
+    recv.stop()
+    val stored = spark.read.parquet(s"$dir/logs")
+    assert(stored.count() == 1L)
+    assert(stored.head().getAs[String]("body") == "acked then stopped")
+  }
+
   test("OTLP listener: concurrent producers lose no records") {
     import graft.sources.OtlpReceiver
 
