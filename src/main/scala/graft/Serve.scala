@@ -88,20 +88,21 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     }
   }
 
-  private def hasData(path: String): Boolean = Layout.hasDatePartitions(path)
-
-  /** Opens the layout with its eager file LISTING under the layout's
-    * root lock: a re-open racing a compaction swap would otherwise
-    * list the brief window where the swapped partition is absent and
-    * memoize a silently incomplete frame under the current generation.
+  /** Opens a layout CONSISTENTLY: both the existence probe and the
+    * eager listing run inside [[Layout.openConsistent]]'s swap-epoch
+    * double-check — a re-open racing a compaction swap (or a TTL drop)
+    * would otherwise observe the brief window where a partition is
+    * absent and memoize a silently incomplete (or empty) frame under
+    * the current generation. Lock-free: ingest commits never wait on a
+    * query re-open (the epoch retry re-lists only in the actual race).
     */
-  private def openLocked(path: String): DataFrame =
-    Layout.withRootLock(path)(spark.read.parquet(path))
-
   private def openOr(path: String, emptyDdl: String): DataFrame =
-    if (hasData(path)) openLocked(path)
-    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+    Layout.openConsistent(path) {
+      if (Layout.hasDatePartitions(path)) spark.read.parquet(path)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+    }
 
   // ---- serving views over the stored layouts ----
 
@@ -134,23 +135,27 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       .select("ts_us", "name", "labels", "value")
 
   private def spansView: DataFrame =
-    if (hasData(s"${cfg.dataDir}/spans"))
-      openLocked(s"${cfg.dataDir}/spans")
-    else {
-      // schema-correct empty spans, derived from the decode type so it
-      // cannot drift; withParentPath adds the stored ancestry column
-      import spark.implicits._
-      Layout.withParentPath(
-        spark.emptyDataset[graft.sources.OtlpProto.OtlpSpan].toDF())
+    Layout.openConsistent(s"${cfg.dataDir}/spans") {
+      if (Layout.hasDatePartitions(s"${cfg.dataDir}/spans"))
+        spark.read.parquet(s"${cfg.dataDir}/spans")
+      else {
+        // schema-correct empty spans, derived from the decode type so it
+        // cannot drift; withParentPath adds the stored ancestry column
+        import spark.implicits._
+        Layout.withParentPath(
+          spark.emptyDataset[graft.sources.OtlpProto.OtlpSpan].toDF())
+      }
     }
 
   private def profilesView: DataFrame =
-    if (hasData(s"${cfg.dataDir}/profiles"))
-      openLocked(s"${cfg.dataDir}/profiles")
-        .select("ts_us", "name", "labels", "stack", "value")
-    else {
-      import spark.implicits._
-      spark.emptyDataset[graft.sources.OtlpProfiles.OtlpProfileSample].toDF()
+    Layout.openConsistent(s"${cfg.dataDir}/profiles") {
+      if (Layout.hasDatePartitions(s"${cfg.dataDir}/profiles"))
+        spark.read.parquet(s"${cfg.dataDir}/profiles")
+          .select("ts_us", "name", "labels", "stack", "value")
+      else {
+        import spark.implicits._
+        spark.emptyDataset[graft.sources.OtlpProfiles.OtlpProfileSample].toDF()
+      }
     }
 
   private def exemplarsView: DataFrame =
@@ -165,16 +170,17 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
   private val liveProfiles = new Live(() => profilesView)
   private val liveExemplars = new Live(() => exemplarsView)
   private val liveTiers = new Live(() =>
-    Layout.withRootLock(s"${cfg.dataDir}/rollup")(
+    Layout.openConsistent(s"${cfg.dataDir}/rollup")(
       graft.promql.PromQL.tiersFromLayout(spark, s"${cfg.dataDir}/rollup")))
   private val liveLogTiers = new Live(() =>
-    Layout.withRootLock(s"${cfg.dataDir}/logvolume")(
+    Layout.openConsistent(s"${cfg.dataDir}/logvolume")(
       graft.logql.Planner.volumeFromLayout(spark, s"${cfg.dataDir}/logvolume")))
   private val liveCube = new Live(() =>
-    if (hasData(s"${cfg.dataDir}/cube"))
-      Some(Layout.withRootLock(s"${cfg.dataDir}/cube")(
-        graft.traceql.TraceQL.attrCubeFrom(spark, s"${cfg.dataDir}/cube")))
-    else None)
+    Layout.openConsistent(s"${cfg.dataDir}/cube") {
+      if (Layout.hasDatePartitions(s"${cfg.dataDir}/cube"))
+        Some(graft.traceql.TraceQL.attrCubeFrom(spark, s"${cfg.dataDir}/cube"))
+      else None
+    })
 
   /** The query front-end over the live layouts. Profiles/exemplars
     * mount UNCONDITIONALLY (empty until their first batch) — a
@@ -275,9 +281,7 @@ object Serve {
       resultLimits: Limits.ResultLimits = Limits.ResultLimits(),
       rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
       maintainEveryMs: Long = 0L,
-      maintainDate: () => String = () => java.time.LocalDate
-        .now(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
+      maintainDate: () => String = () => StoragePolicy.utcToday())
 
   final case class Ports(ingestHttp: Int, ingestGrpc: Int, query: Int,
       admin: Int)
@@ -296,10 +300,29 @@ object Serve {
     *   retention  --retention-days N
     *   scheduler  --maintain-every-min N
     */
+  private val KnownFlags = Set(
+    "--ingest-port", "--grpc-port", "--query-port", "--admin-port",
+    "--retention-days", "--maintain-every-min",
+    "--ingest-bytes-per-second", "--max-in-flight-bytes",
+    "--max-series", "--max-series-soft", "--max-body-bytes",
+    "--downsample", "--precision", "--recompress", "--safety")
+
   def parseConfig(dataDir: String, args: Seq[String]): Config = {
+    // strict flag validation — a typo'd flag name or a forgotten value
+    // is a STARTUP error (the same philosophy as the policy's agg
+    // validation): `--retention-day 30` silently defaulting retention
+    // OFF would fill disks before anyone noticed
+    var i = args.indexWhere(_.startsWith("--"))
+    while (i >= 0 && i < args.length) {
+      val f = args(i)
+      require(KnownFlags.contains(f), s"unknown flag '$f'")
+      require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+        s"flag '$f' is missing its value")
+      i = args.indexWhere(_.startsWith("--"), i + 2)
+    }
     def flagStr(name: String): Option[String] = {
-      val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+      val j = args.indexOf(name)
+      if (j >= 0 && j + 1 < args.length) Some(args(j + 1)) else None
     }
     def flagL(name: String, default: Long): Long =
       flagStr(name).map(_.toLong).getOrElse(default)
@@ -393,7 +416,15 @@ object Serve {
     println(s"graft.Serve up: ingest=${ports.ingestHttp} " +
       s"grpc=${ports.ingestGrpc} query=${ports.query} admin=${ports.admin} " +
       s"dataDir=$dataDir")
-    sys.addShutdownHook(serve.stop())
+    // SIGTERM ordering: a plain JVM shutdown hook RACES Spark's own
+    // shutdown hook — if Spark stops the context first, the drain in
+    // receiver.stop() can no longer run and acknowledged payloads die
+    // silently. Register through Hadoop's shutdown-hook manager (the
+    // one Spark's hooks also run under) at a priority ABOVE Spark's
+    // (Spark registers at 40), so the drain completes before the
+    // context goes away.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable { def run(): Unit = serve.stop() }, 100)
     Thread.currentThread().join() // serve until killed
   }
 }

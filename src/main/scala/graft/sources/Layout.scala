@@ -159,14 +159,42 @@ object Layout {
     Option(new java.io.File(root).listFiles())
       .exists(_.exists(_.getName.startsWith("date=")))
 
-  /** Opens `body` (typically a `spark.read.parquet` whose eager file
-    * LISTING must not observe a mid-swap layout) under the same
-    * per-root mutex the compaction swap holds — without it, a reader
-    * listing the root between the swap's two renames sees the
-    * partition ABSENT and silently memoizes an incomplete frame.
+  /** Swap epoch per layout root: bumped (under the root lock) by every
+    * mutation that can make a concurrent reader's file LISTING
+    * incomplete — the compaction swap, the aside-settle's late-file
+    * moves, and crash-recovery restores. Batch commits only ADD files,
+    * so they don't bump (a pre-commit listing is merely less fresh,
+    * not wrong).
     */
-  def withRootLock[T](root: String)(body: => T): T =
-    lockFor(root).synchronized(body)
+  private val swapEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+  private def epochOf(root: String) =
+    swapEpochs.computeIfAbsent(
+      new java.io.File(root).getAbsolutePath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+  def swapEpoch(root: String): Long = epochOf(root).get()
+
+  /** Opens a layout (typically `spark.read.parquet`, whose eager file
+    * LISTING must not observe a mid-swap layout where a partition is
+    * briefly ABSENT) with a lock-free swap-epoch double-check: if a
+    * swap ran during the open, re-open. Deliberately NOT a lock around
+    * the open — a large layout's listing takes seconds and would stall
+    * every ingest commit behind each query re-open; the epoch retry
+    * costs a second listing only in the actual race window. Bounded
+    * retries keep progress under a pathological swap storm (the
+    * caller's next generation bump heals any residual staleness).
+    */
+  def openConsistent[T](root: String)(open: => T): T = {
+    var attempts = 0
+    while (true) {
+      val e0 = swapEpoch(root)
+      val v = open
+      if (swapEpoch(root) == e0 || attempts >= 3) return v
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Per-layout-root mutex serializing [[commitBatch]]'s move phase
     * against [[compactPartition]]'s directory swap. Without it, a
@@ -338,9 +366,13 @@ object Layout {
       if (!tmp.renameTo(dir)) {
         // roll back: restore the live partition before failing
         require(old.renameTo(dir), s"compaction rollback failed for $dir")
+        epochOf(root).incrementAndGet()
         throw new IllegalStateException(s"compaction swap failed for $dir")
       }
       settleAside(root, old)
+      // readers double-checking via openConsistent re-list if their
+      // open overlapped this swap
+      epochOf(root).incrementAndGet()
     }
     n
   }
@@ -515,10 +547,12 @@ object Layout {
             // are destroyed (a blind delete here would silently lose a
             // backfill batch whose exactly-once marker survives)
             settleAside(root, old)
+            epochOf(root).incrementAndGet()
             msgs += s"settled superseded ${old.getName}"
           } else {
             require(old.renameTo(live),
               s"recovery: cannot restore ${old.getPath}")
+            epochOf(root).incrementAndGet()
             msgs += s"restored ${live.getName} from interrupted compaction"
           }
         }
@@ -553,14 +587,12 @@ object Layout {
     val horizon = java.time.LocalDate.parse(nowDate, fmt).minusDays(keepDays.toLong)
     val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("date="))
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
-    }
     dirs.toSeq.flatMap { d =>
       val date = d.getName.stripPrefix("date=")
       val parsed =
         try Some(java.time.LocalDate.parse(date, fmt)) catch { case _: Exception => None }
-      parsed.filter(_.isBefore(horizon)).map { _ => deleteRec(d); d.getName }
+      parsed.filter(_.isBefore(horizon)).map { _ =>
+        deleteRecursively(d); epochOf(root).incrementAndGet(); d.getName }
     }.sorted
   }
 }

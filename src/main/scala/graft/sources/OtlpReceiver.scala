@@ -327,9 +327,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     * output as "late files".
     */
   private val maintainLock = new Object
-  def maintainStorage(nowDate: String = java.time.LocalDate
-      .now(java.time.ZoneOffset.UTC).format(
-        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")))
+  def maintainStorage(nowDate: String = StoragePolicy.utcToday())
       : String = maintainLock.synchronized {
     // QUIESCE MARGIN: cold = strictly older than YESTERDAY, not just
     // before today — the live sinks keep committing into yesterday's
@@ -460,9 +458,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     */
   def startAdmin(port: Int = 0,
       onMaintain: String => Unit = _ => (),
-      maintainDate: () => String = () => java.time.LocalDate
-        .now(java.time.ZoneOffset.UTC).format(
-          java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))): Int = {
+      maintainDate: () => String = () => StoragePolicy.utcToday()): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
         addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),

@@ -75,6 +75,16 @@ object StoragePolicy {
   def pick[T](tiers: Seq[T], ageDays: Int)(after: T => Int): Option[T] =
     tiers.filter(t => after(t) <= ageDays).sortBy(after).lastOption
 
+  /** Today in UTC as `yyyyMMdd` — THE default clock for every
+    * maintenance trigger (maintainStorage, the admin action, the Serve
+    * scheduler). One definition: the triggers must agree on "now", or
+    * a deployment overriding one of them computes a different TTL
+    * horizon per trigger (the split-clock retention bug).
+    */
+  def utcToday(): String = java.time.LocalDate
+    .now(java.time.ZoneOffset.UTC)
+    .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))
+
   /** Whole days between a `yyyyMMdd` partition date and "now". */
   def ageDays(date: String, nowDate: String): Int = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")

@@ -300,6 +300,15 @@ class ServeSpec extends SparkTestBase {
     val bare = Serve.parseConfig("/data", Seq("/data"))
     assert(bare.storagePolicy.isEmpty && bare.logSafety.isEmpty &&
       bare.retentionDays == 0 && bare.maintainEveryMs == 0L)
+    // a typo'd FLAG NAME is a startup error too — `--retention-day 30`
+    // silently defaulting retention off would fill disks
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--retention-day", "30"))
+    }
+    // a flag missing its value is a startup error
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--retention-days"))
+    }
   }
 
   test("scheduled maintenance pre-merges cold partials without any admin call") {
