@@ -272,6 +272,28 @@ object Layout {
     marker.createNewFile(): Unit
   }
 
+  /** Batch ids with a `_committed_` marker in this layout root. */
+  def committedIds(root: String): Set[Long] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("_committed_"))
+          n.stripPrefix("_committed_").toLongOption
+        else None
+      }.toSet
+
+  /** 1 + the largest committed batch id across `roots` — the restart
+    * continuation point for a sink whose SOURCE cannot resume a
+    * checkpoint (the receiver's in-memory streams die with the
+    * process): a fresh checkpoint restarts foreachBatch ids at 0, and
+    * without the base the old `_committed_0` marker would
+    * short-circuit the first post-restart batch into silence. Max over
+    * the raw layout AND its sidecar — a crash window can leave them
+    * one id apart.
+    */
+  def nextBatchId(roots: Seq[String]): Long =
+    roots.flatMap(committedIds).maxOption.map(_ + 1L).getOrElse(0L)
+
   /** Rows of ONE committed micro-batch, read back from its
     * batch-tagged files ([[commitBatch]] names them `b<id>-…`). None
     * when the batch committed zero rows (marker without files). Used

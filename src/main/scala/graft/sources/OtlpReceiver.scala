@@ -127,6 +127,57 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     col("attrs"))
 
   def start(port: Int = 0): Int = {
+    // crash recovery FIRST, at startup — not deferred to the first
+    // maintenance pass: a restart after a crash mid-compaction-swap
+    // would otherwise serve (and replay against) a layout whose
+    // partition sits invisible under `.old.date=X` until maintenance
+    // happens to run (possibly never, if no interval is configured).
+    // The reference gets the same guarantee from ClickHouse's part
+    // recovery at table load. Idempotent, one listFiles per root.
+    Seq("points", "logs", "spans", "profiles", "exemplars",
+      "cube", "rollup", "logvolume").foreach { name =>
+      Layout.recoverCompactionLeftovers(s"$dataDir/$name")
+        .foreach(m => System.err.println(s"[graft] startup recovery $name: $m"))
+    }
+    // RESTART CONTINUATION over the stored layouts. The in-memory
+    // sources die with the process, so a stale checkpoint is
+    // unresumable (fresh streams would misalign against its offsets) —
+    // exactly-once across restarts lives in the LAYOUT MARKERS
+    // instead: (a) stale checkpoints clear (streaming safety-gate rate
+    // state resets with them — per-second counters, benign across a
+    // restart); (b) each sink continues the batch-id sequence past its
+    // layouts' largest marker (a fresh checkpoint restarts foreachBatch
+    // ids at 0, and the old `_committed_0` would silently swallow the
+    // first new batch); (c) a sidecar commit a prior crash left PENDING
+    // (raw marker present, sidecar marker absent — the id sequence
+    // moves past it, so the in-batch replay guard can never fire)
+    // settles NOW from the stored batch, the same derivation the
+    // in-run guard uses.
+    Layout.deleteRecursively(new java.io.File(s"$dataDir/ckpt"))
+    def settlePendingSidecar(raw: String, side: String)(
+        write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit =
+      (Layout.committedIds(raw) -- Layout.committedIds(side)).toSeq.sorted
+        .foreach { id =>
+          System.err.println(
+            s"[graft] startup recovery: settling pending sidecar " +
+              s"$side for batch $id")
+          Layout.commitBatch(side, id)(staging =>
+            Layout.readBatch(spark, raw, id)
+              .foreach(b => write(b, staging)))
+        }
+    settlePendingSidecar(s"$dataDir/points", s"$dataDir/rollup")((b, st) =>
+      Streams.writeRollupStaging(Streams.hourlyStatPartials(
+        b.select(col("ts_us"), col("name"), col("labels"), col("value"))), st))
+    settlePendingSidecar(s"$dataDir/logs", s"$dataDir/logvolume")((b, st) =>
+      Streams.writeVolumeStaging(Streams.logVolumePartials(b), st))
+    settlePendingSidecar(s"$dataDir/spans", s"$dataDir/cube")((b, st) =>
+      Layout.writeAttrCube(graft.traceql.TraceQL.compareAttrCounts(
+        b, Seq("name", "kind", "status_code").filter(b.columns.contains)), st))
+    val spansBase = Layout.nextBatchId(Seq(s"$dataDir/spans", s"$dataDir/cube"))
+    val logsBase = Layout.nextBatchId(Seq(s"$dataDir/logs", s"$dataDir/logvolume"))
+    val pointsBase = Layout.nextBatchId(Seq(s"$dataDir/points", s"$dataDir/rollup"))
+    val exemplarsBase = Layout.nextBatchId(Seq(s"$dataDir/exemplars"))
+    val profilesBase = Layout.nextBatchId(Seq(s"$dataDir/profiles"))
     // restart path: the active-series ceiling is driver state — rebuild
     // it from the stored point layout BEFORE the inserter runs, or a
     // bounce resets the budget and cardinality overshoots (the
@@ -185,26 +236,27 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     // can plan compare() without scanning spans
     val spansQ = Streams.spansSink(spans, s"$dataDir/spans",
       s"$dataDir/ckpt/spans", Trigger.ProcessingTime(0),
-      cubePath = s"$dataDir/cube")
+      cubePath = s"$dataDir/cube", idBase = spansBase)
     // the log-volume sidecar the LogQL aggregation offload reads
     // (Planner.volumeFromLayout) rides the same sink, per-batch
     val logsQ = Streams.logsSink(logs, s"$dataDir/logs",
       s"$dataDir/ckpt/logs", Trigger.ProcessingTime(0),
-      volumePath = s"$dataDir/logvolume")
+      volumePath = s"$dataDir/logvolume", idBase = logsBase)
     // the aggregate sidecar the *_over_time tier-read planner consults
     // (PromQL.tiersFromLayout) rides the SAME sink as the raw points —
     // per-batch additive partials, so tier coverage equals committed
     // raw coverage with no finalization lag
     val pointsQ = Streams.pointsSink(points, s"$dataDir/points",
       s"$dataDir/ckpt/points", Trigger.ProcessingTime(0), seriesBudget,
-      rollupPath = s"$dataDir/rollup")
+      rollupPath = s"$dataDir/rollup", idBase = pointsBase)
     val profilesQ = Streams.profilesSink(profiles,
       s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
-      Trigger.ProcessingTime(0))
+      Trigger.ProcessingTime(0), idBase = profilesBase)
     queries = Seq(
       spansQ, logsQ, pointsQ,
       Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
-        s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0)),
+        s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0),
+        idBase = exemplarsBase),
       profilesQ)
     // in-flight release: a completed micro-batch's progress event
     // carries each source's endOffset; every payload enqueued at or

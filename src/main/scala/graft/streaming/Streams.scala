@@ -809,11 +809,13 @@ object Streams {
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      volumePath: String = null)
+      volumePath: String = null,
+      idBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, id0: Long) =>
+        val id = idBase + id0
         // unlike pointsSink there is no replay-divergence guard here:
         // the log batch derives deterministically from checkpointed
         // offsets + state-store versions (no driver-state admission),
@@ -824,14 +826,8 @@ object Streams {
           graft.sources.Layout.commitBatch(path, id)(
             graft.sources.Layout.writeLogs(b, _, mode = "overwrite"))
           if (volumePath != null)
-            graft.sources.Layout.commitBatch(volumePath, id) { staging =>
-              logVolumePartials(b)
-                .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
-                .repartition(col("date"))
-                .sortWithinPartitions(col("date"), col("series_key"),
-                  col("hour_start"))
-                .write.mode("overwrite").partitionBy("date").parquet(staging)
-            }
+            graft.sources.Layout.commitBatch(volumePath, id)(
+              writeVolumeStaging(logVolumePartials(b), _))
         } finally if (volumePath != null) { b.unpersist(); () }
       }
       .trigger(trigger)
@@ -894,11 +890,13 @@ object Streams {
     */
   def profilesSink(stream: DataFrame, path: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      idBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, id0: Long) =>
+        val id = idBase + id0
         graft.sources.Layout.commitBatch(path, id) { staging =>
           batch
             .withColumn("date",
@@ -1133,7 +1131,8 @@ object Streams {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       cubePath: String = null,
-      cubeDims: Seq[String] = Seq("name", "kind", "status_code"))
+      cubeDims: Seq[String] = Seq("name", "kind", "status_code"),
+      idBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // dims resolve against the STREAM schema once, at sink setup — a
     // per-batch filter would let a dim-less batch write partial rows
@@ -1152,7 +1151,8 @@ object Streams {
       }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, id0: Long) =>
+        val id = idBase + id0
         // both layouts derive from the batch: cache once, not re-read
         val b = if (cubePath == null) batch else batch.persist()
         try {
@@ -1193,18 +1193,41 @@ object Streams {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       budget: graft.sources.Admission.SeriesBudget = null,
-      rollupPath: String = null)
+      rollupPath: String = null,
+      idBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitPointsBatch(batch, id, path, budget, rollupPath)
+        commitPointsBatch(batch, idBase + id, path, budget, rollupPath)
         // new points may add native-histogram metrics: stale cached
         // name probes would leave them unexpanded on long-lived frames
         graft.promql.PromQL.invalidateExpHistNames()
       }
       .trigger(trigger)
       .start()
+
+  /** Rollup-sidecar staging write shape (shared by the live sink and
+    * the restart-time settlement of a pending sidecar commit).
+    */
+  private[graft] def writeRollupStaging(partials: DataFrame,
+      staging: String): Unit =
+    partials
+      .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("name"),
+        col("series_key"), col("hour_start"))
+      .write.mode("overwrite").partitionBy("date").parquet(staging)
+
+  /** Log-volume-sidecar staging write shape (same sharing). */
+  private[graft] def writeVolumeStaging(partials: DataFrame,
+      staging: String): Unit =
+    partials
+      .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("series_key"),
+        col("hour_start"))
+      .write.mode("overwrite").partitionBy("date").parquet(staging)
 
   /** The per-micro-batch commit sequence of [[pointsSink]], exposed so
     * crash-window tests can drive the PRODUCTION protocol directly
@@ -1238,14 +1261,8 @@ object Streams {
                 col("value")))
               .getOrElse(admitted.limit(0))
           else admitted
-        graft.sources.Layout.commitBatch(rollupPath, id) { staging =>
-          hourlyStatPartials(src)
-            .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
-            .repartition(col("date"))
-            .sortWithinPartitions(col("date"), col("name"),
-              col("series_key"), col("hour_start"))
-            .write.mode("overwrite").partitionBy("date").parquet(staging)
-        }
+        graft.sources.Layout.commitBatch(rollupPath, id)(
+          writeRollupStaging(hourlyStatPartials(src), _))
       }
     } finally if (rollupPath != null) { admitted.unpersist(); () }
   }
@@ -1256,12 +1273,13 @@ object Streams {
   def exemplarsSink(stream: DataFrame, path: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      idBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.Layout.commitBatch(path, id)(
+        graft.sources.Layout.commitBatch(path, idBase + id)(
           graft.sources.Layout.writeExemplars(batch, _, mode = "overwrite"))
       }
       .trigger(trigger)

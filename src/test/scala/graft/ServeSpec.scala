@@ -269,6 +269,48 @@ class ServeSpec extends SparkTestBase {
     } finally serve2.stop()
   }
 
+  test("restart after a crash mid-compaction-swap recovers the aside partition at startup") {
+    val dir = Files.createTempDirectory("graftserverecover").toString
+    val serve1 = new Serve(spark, Serve.Config(dir))
+    val ports1 = serve1.start()
+    try {
+      assert(post(s"http://127.0.0.1:${ports1.ingestHttp}/v1/metrics",
+        metricPayload("recov_m", "host", Seq((T0, 3.0)))) == 200)
+      serve1.flush()
+    } finally serve1.stop()
+    // simulate the crash window: the points partition sits ASIDE (the
+    // swap's first rename happened, the second never did)
+    val pdir = new java.io.File(s"$dir/points")
+    val dateDir = pdir.listFiles().find(_.getName.startsWith("date=")).get
+    assert(dateDir.renameTo(new java.io.File(pdir, s".old.${dateDir.getName}")))
+    // a fresh deployment must see the data WITHOUT any maintenance call
+    val serve2 = new Serve(spark, Serve.Config(dir))
+    val ports2 = serve2.start()
+    try {
+      val tSec = T0 / 1000000000L
+      val (c, body) = get(s"http://127.0.0.1:${ports2.query}/api/v1/query" +
+        s"?query=${enc("recov_m")}&time=$tSec")
+      assert(c == 200 && body.contains("\"3.0\""),
+        s"startup recovery must restore the aside partition: $body")
+      // restart CONTINUATION: new ingest must land even though the old
+      // layout already holds batch markers (ids continue past them —
+      // a naive restart would restart at 0 and the old _committed_0
+      // marker would silently swallow the first new batch)
+      assert(post(s"http://127.0.0.1:${ports2.ingestHttp}/v1/metrics",
+        metricPayload("recov_m", "host", Seq((T0 + 60000000000L, 9.0)))) == 200)
+      serve2.flush()
+      val (c2, body2) = get(s"http://127.0.0.1:${ports2.query}/api/v1/query" +
+        s"?query=${enc("recov_m")}&time=${tSec + 60}")
+      assert(c2 == 200 && body2.contains("\"9.0\""),
+        s"post-restart ingest swallowed (batch-id collision?): $body2")
+      // both generations of data live in one layout, exactly once
+      val (c3, rng) = get(s"http://127.0.0.1:${ports2.query}/api/v1/query_range" +
+        s"?query=${enc("sum_over_time(recov_m[2m])")}" +
+        s"&start=${tSec + 60}&end=${tSec + 60}&step=60")
+      assert(c3 == 200 && rng.contains("\"12.0\""), s"body: $rng")
+    } finally serve2.stop()
+  }
+
   test("parseConfig reaches every programmatic knob from the command line") {
     val cfg = Serve.parseConfig("/data", Seq("/data",
       "--ingest-bytes-per-second", "1048576", "--max-series", "1000",
