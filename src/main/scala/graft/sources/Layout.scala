@@ -235,7 +235,10 @@ object Layout {
     * prefixed bookkeeping files. One writer per layout dir (the
     * receiver unions all streams of a signal into one sink), so batch
     * ids never collide. At 100 TB the markers are one empty file per
-    * micro-batch, swept by compaction.
+    * micro-batch and are PERMANENT — [[nextBatchId]] derives the
+    * cross-restart id sequence from them, so sweeping one would let a
+    * restarted sink reuse its id and silently swallow the first
+    * post-restart batches.
     */
   def commitBatch(root: String, batchId: Long)(write: String => Unit): Unit = {
     val rootDir = new java.io.File(root)
@@ -328,14 +331,20 @@ object Layout {
   def compactPartition(spark: SparkSession, root: String, date: String,
       sortCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
       transform: DataFrame => DataFrame = identity,
-      writeOptions: Map[String, String] = Map.empty): Int = {
+      writeOptions: Map[String, String] = Map.empty,
+      include: String => Boolean = _ => true): Int = {
     val dir = new java.io.File(root, s"date=$date")
     require(dir.isDirectory, s"no partition at $dir")
     // EXPLICIT input snapshot: the merge reads exactly these files, so
     // the swap below can tell a concurrently committed batch file (not
-    // in the snapshot — carried over) from a superseded one (deleted)
+    // in the snapshot — carried over) from a superseded one (deleted).
+    // `include` evaluates settledness AT SNAPSHOT TIME — a caller-side
+    // check-then-act (maintainStorage's settled() probe, then this
+    // listing) would let a batch committed IN BETWEEN be merged away
+    // while its sidecar commit is still pending; excluded files stay
+    // out of the merge and the swap carries them over untouched.
     val srcFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
+      .filter(f => f.getName.endsWith(".parquet") && include(f.getName))
     if (srcFiles.isEmpty) return 0
     val snapshot = srcFiles.map(_.getName).toSet
     val bytes = srcFiles.map(_.length()).sum
@@ -445,12 +454,14 @@ object Layout {
     */
   def compactPointsPartition(spark: SparkSession, root: String,
       date: String, nowDate: String, policy: StoragePolicy.Policy,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      include: String => Boolean = _ => true): Int = {
     val age = StoragePolicy.ageDays(date, nowDate)
     compactPartition(spark, root, date, Seq("name", "ts_us"),
       targetFileBytes,
       transform = StoragePolicy.pointsTransform(policy, age),
-      writeOptions = StoragePolicy.writeOptions(policy, age))
+      writeOptions = StoragePolicy.writeOptions(policy, age),
+      include = include)
   }
 
   /** Policy-applying compaction of ONE logs date partition: the
@@ -462,12 +473,14 @@ object Layout {
     */
   def compactLogsPartition(spark: SparkSession, root: String,
       date: String, nowDate: String, policy: StoragePolicy.Policy,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      include: String => Boolean = _ => true): Int = {
     val age = StoragePolicy.ageDays(date, nowDate)
     compactPartition(spark, root, date,
       Seq("severity_number", "service_name", "ts_ns"), targetFileBytes,
       writeOptions = StoragePolicy.writeOptions(policy, age) +
-        ("parquet.bloom.filter.enabled#trace_id" -> "true"))
+        ("parquet.bloom.filter.enabled#trace_id" -> "true"),
+      include = include)
   }
 
   /** Policy-applying compaction of ONE spans date partition — same
@@ -476,12 +489,14 @@ object Layout {
     */
   def compactSpansPartition(spark: SparkSession, root: String,
       date: String, nowDate: String, policy: StoragePolicy.Policy,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      include: String => Boolean = _ => true): Int = {
     val age = StoragePolicy.ageDays(date, nowDate)
     compactPartition(spark, root, date, Seq("name", "start_ns"),
       targetFileBytes,
       writeOptions = StoragePolicy.writeOptions(policy, age) +
-        ("parquet.bloom.filter.enabled#trace_id" -> "true"))
+        ("parquet.bloom.filter.enabled#trace_id" -> "true"),
+      include = include)
   }
 
   /** Pre-merging compaction of ONE AttrCube date partition: streaming
@@ -497,9 +512,11 @@ object Layout {
     * live writer appends batch-tagged files the swap would race).
     */
   def compactCubePartition(spark: SparkSession, root: String, date: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      include: String => Boolean = _ => true): Int =
     compactPartition(spark, root, date,
       Seq("attr", "attr_value", "bucket_ns"), targetFileBytes,
+      include = include,
       transform = { df =>
         val keys = df.columns.filterNot(_ == "n")
         df.groupBy(keys.map(col).toIndexedSeq: _*)
@@ -516,9 +533,11 @@ object Layout {
     * so `first` is exact.
     */
   def compactRollupPartition(spark: SparkSession, root: String,
-      date: String, targetFileBytes: Long = 128L * 1024 * 1024): Int =
+      date: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      include: String => Boolean = _ => true): Int =
     compactPartition(spark, root, date,
       Seq("name", "series_key", "hour_start"), targetFileBytes,
+      include = include,
       transform = { df =>
         val aggs = RollupTiers.mergeAggs ++ Seq(
           first(col("labels")).as("labels"))
@@ -533,9 +552,11 @@ object Layout {
     * integral count/bytes stats.
     */
   def compactLogVolumePartition(spark: SparkSession, root: String,
-      date: String, targetFileBytes: Long = 128L * 1024 * 1024): Int =
+      date: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      include: String => Boolean = _ => true): Int =
     compactPartition(spark, root, date,
       Seq("series_key", "hour_start"), targetFileBytes,
+      include = include,
       transform = { df =>
         df.groupBy(col("hour_start"), col("series_key"))
           .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"),

@@ -434,13 +434,28 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         Layout.enforceTtl(s"$dataDir/$name", retentionDays, nowDate)
           .map(p => s"ttl dropped $name/$p")
       }
+    // settledness AT SNAPSHOT time: the coldDates/settled() probes
+    // below are check-then-act — a batch committed between the probe
+    // and the merge's input listing would be merged away while its own
+    // (or its dependent sidecar's) marker is still pending, and a
+    // crash in that window would lose the pending commit permanently.
+    // The include predicate re-evaluates each tagged file's
+    // settledness when compactPartition LISTS it; unsettled files stay
+    // out of the merge and carry over untouched.
+    def settledFile(root: String, deps: Seq[String])(name: String): Boolean =
+      !name.startsWith("b") || !name.contains("-") ||
+        name.substring(1, name.indexOf('-')).toLongOption.forall(id =>
+          committed(root, id) && deps.forall(committed(_, id)))
     val work = Seq[(String, String, (String, String) => Int)](
       ("cube", s"$dataDir/cube",
-        (r, d) => Layout.compactCubePartition(spark, r, d)),
+        (r, d) => Layout.compactCubePartition(spark, r, d,
+          include = settledFile(r, Nil))),
       ("rollup", s"$dataDir/rollup",
-        (r, d) => Layout.compactRollupPartition(spark, r, d)),
+        (r, d) => Layout.compactRollupPartition(spark, r, d,
+          include = settledFile(r, Nil))),
       ("logvolume", s"$dataDir/logvolume",
-        (r, d) => Layout.compactLogVolumePartition(spark, r, d)))
+        (r, d) => Layout.compactLogVolumePartition(spark, r, d,
+          include = settledFile(r, Nil))))
     val sidecarMsgs = work.flatMap { case (name, root, compact) =>
       coldDates(root)
         // needs-merge short-circuit (free idempotence): compaction
@@ -470,11 +485,14 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       // (the sidecar replay guard reads them back)
       val raws = Seq[(String, String, Seq[String], (String, String) => Int)](
         ("points", s"$dataDir/points", Seq(s"$dataDir/rollup"), (r, d) =>
-          Layout.compactPointsPartition(spark, r, d, nowDate, pol)),
+          Layout.compactPointsPartition(spark, r, d, nowDate, pol,
+            include = settledFile(r, Seq(s"$dataDir/rollup")))),
         ("logs", s"$dataDir/logs", Seq(s"$dataDir/logvolume"), (r, d) =>
-          Layout.compactLogsPartition(spark, r, d, nowDate, pol)),
+          Layout.compactLogsPartition(spark, r, d, nowDate, pol,
+            include = settledFile(r, Seq(s"$dataDir/logvolume")))),
         ("spans", s"$dataDir/spans", Seq(s"$dataDir/cube"), (r, d) =>
-          Layout.compactSpansPartition(spark, r, d, nowDate, pol)))
+          Layout.compactSpansPartition(spark, r, d, nowDate, pol,
+            include = settledFile(r, Seq(s"$dataDir/cube")))))
       raws.flatMap { case (name, root, deps, compact) =>
         coldDates(root).flatMap { d =>
           val band = bandOf(StoragePolicy.ageDays(d, nowDate))

@@ -1207,27 +1207,27 @@ object Streams {
       .trigger(trigger)
       .start()
 
-  /** Rollup-sidecar staging write shape (shared by the live sink and
-    * the restart-time settlement of a pending sidecar commit).
+  /** Hourly-sidecar staging write shape (shared by the live sinks and
+    * the restart-time settlement of a pending sidecar commit): one
+    * partials frame, date-partitioned on the hour bucket, sorted on
+    * the sidecar's ORDER BY.
     */
-  private[graft] def writeRollupStaging(partials: DataFrame,
-      staging: String): Unit =
+  private def writeHourlyStaging(partials: DataFrame, staging: String,
+      sortCols: Seq[String]): Unit =
     partials
       .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
       .repartition(col("date"))
-      .sortWithinPartitions(col("date"), col("name"),
-        col("series_key"), col("hour_start"))
+      .sortWithinPartitions(
+        (col("date") +: sortCols.map(col) :+ col("hour_start")): _*)
       .write.mode("overwrite").partitionBy("date").parquet(staging)
 
-  /** Log-volume-sidecar staging write shape (same sharing). */
+  private[graft] def writeRollupStaging(partials: DataFrame,
+      staging: String): Unit =
+    writeHourlyStaging(partials, staging, Seq("name", "series_key"))
+
   private[graft] def writeVolumeStaging(partials: DataFrame,
       staging: String): Unit =
-    partials
-      .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
-      .repartition(col("date"))
-      .sortWithinPartitions(col("date"), col("series_key"),
-        col("hour_start"))
-      .write.mode("overwrite").partitionBy("date").parquet(staging)
+    writeHourlyStaging(partials, staging, Seq("series_key"))
 
   /** The per-micro-batch commit sequence of [[pointsSink]], exposed so
     * crash-window tests can drive the PRODUCTION protocol directly
