@@ -101,6 +101,34 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 1L) // vocabulary scale
   }
 
+  test("compaction include predicate keeps unsettled batch files out of the merge, untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftinclude").toString
+    val h10 = 1704103200000000L
+    def commitBatch(id: Long, v: Double): Unit =
+      Layout.commitBatch(dir, id) { staging =>
+        Streams.hourlyStatPartials(
+          Seq((h10 + 60000000L, "cpu", Map("host" -> "a"), v))
+            .toDF("ts_us", "name", "labels", "value"))
+          .withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+          .write.mode("overwrite").partitionBy("date").parquet(staging)
+      }
+    commitBatch(0, 2.0)
+    commitBatch(1, 7.0) // "unsettled": its dependent commit is pending
+    Layout.compactRollupPartition(spark, dir, "20240101",
+      include = name => !name.startsWith("b1-"))
+    val files = new java.io.File(dir, "date=20240101").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    // b0 merged into an untagged file; b1 excluded and carried over AS IS
+    assert(files.count(_.startsWith("b1-")) == 1, files.toSeq.toString)
+    assert(files.count(!_.startsWith("b")) == 1, files.toSeq.toString)
+    // reader equality: both batches' stats still present exactly once
+    val merged = spark.read.parquet(dir)
+      .groupBy("name").agg(sum("n").as("n"), sum("sum_v").as("s")).head()
+    assert(merged.getAs[Long]("n") == 2L &&
+      merged.getAs[Double]("s") == 9.0)
+  }
+
   test("stale NaN markers never enter the stat sidecar (statTierChain invariant)") {
     import spark.implicits._
     val h10 = 1704103200000000L // 2024-01-01T10:00Z µs
