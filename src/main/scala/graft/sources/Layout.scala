@@ -275,6 +275,16 @@ object Layout {
     marker.createNewFile(): Unit
   }
 
+  /** The batch id of a `b<id>-`-tagged batch file name — the ONE
+    * parser for the tag format [[commitBatch]] writes (the settled()
+    * probe and the snapshot-time include predicate must agree on it,
+    * or the merge-away data-loss guard silently splits).
+    */
+  def batchIdOf(name: String): Option[Long] =
+    if (name.startsWith("b") && name.contains("-"))
+      name.substring(1, name.indexOf('-')).toLongOption
+    else None
+
   /** Batch ids with a `_committed_` marker in this layout root. */
   def committedIds(root: String): Set[Long] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)

@@ -406,12 +406,7 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     def tagIds(root: String, date: String): Set[Long] =
       Option(new java.io.File(root, s"date=$date").listFiles())
         .getOrElse(Array.empty)
-        .flatMap { f =>
-          val n = f.getName
-          if (n.startsWith("b") && n.contains("-"))
-            n.substring(1, n.indexOf('-')).toLongOption
-          else None
-        }.toSet
+        .flatMap(f => Layout.batchIdOf(f.getName)).toSet
     def committed(root: String, id: Long): Boolean =
       new java.io.File(root, s"_committed_$id").exists()
     def settled(root: String, date: String, deps: Seq[String]): Boolean =
@@ -443,9 +438,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     // settledness when compactPartition LISTS it; unsettled files stay
     // out of the merge and carry over untouched.
     def settledFile(root: String, deps: Seq[String])(name: String): Boolean =
-      !name.startsWith("b") || !name.contains("-") ||
-        name.substring(1, name.indexOf('-')).toLongOption.forall(id =>
-          committed(root, id) && deps.forall(committed(_, id)))
+      Layout.batchIdOf(name).forall(id =>
+        committed(root, id) && deps.forall(committed(_, id)))
     val work = Seq[(String, String, (String, String) => Int)](
       ("cube", s"$dataDir/cube",
         (r, d) => Layout.compactCubePartition(spark, r, d,
@@ -505,7 +499,14 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
               !settled(root, d, deps)) None
           else {
             val n = compact(root, d)
-            marker.createNewFile(): Unit
+            // the include predicate may have EXCLUDED an unsettled
+            // batch file (carried over untouched): recording the band
+            // as applied would permanently exempt that file from the
+            // band's transform (marker short-circuit). Leave the
+            // marker off while any tagged file remains — the next
+            // pass retries once the batch settles (the transforms are
+            // idempotent over already-compacted rows).
+            if (tagIds(root, d).isEmpty) { marker.createNewFile(): Unit }
             Some(s"$name/date=$d -> $n file(s) @band $band")
           }
         }
