@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
-import graft.api.{HttpApi, Limits}
+import graft.api.{Auth, HttpApi, Limits}
 import graft.sources.{Admission, Layout, OtlpReceiver, StoragePolicy}
 
 /** Production composition root — the `cmd/oteldb` app shape
@@ -194,7 +194,8 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     cube = liveCube.get(), tiers = liveTiers.get(),
     logTiers = liveLogTiers.get(),
     generation = () => gen.get,
-    refreshOnStale = () => refresh())
+    refreshOnStale = () => refresh(),
+    auth = Serve.sectionAuth(cfg.queryAuth, cfg.auth))
 
   private var listener: StreamingQueryListener = _
   @volatile private var stopped = false
@@ -216,13 +217,19 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
         if (e.progress.numInputRows > 0) refresh()
     }
     spark.streams.addListener(listener)
-    val ip = receiver.start(ingestPort)
+    // per-section auth override, reference shape (app.go:206-208: a
+    // section with no auth config inherits the GLOBAL one; gRPC ingest
+    // stays un-middlewared like the reference, whose collector gRPC
+    // receivers sit outside the HTTP auth middleware)
+    val ip = receiver.start(ingestPort,
+      auth = Serve.sectionAuth(cfg.ingestAuth, cfg.auth))
     val gp = receiver.startGrpc(grpcPort)
     // admin-triggered storage_maintain changes layouts without a batch
     // commit (TTL drops partitions, compaction rewrites listings):
     // invalidate through the same generation
     val ap = receiver.startAdmin(adminPort, onMaintain = _ => refresh(),
-      maintainDate = cfg.maintainDate)
+      maintainDate = cfg.maintainDate,
+      auth = Serve.sectionAuth(cfg.adminAuth, cfg.auth))
     val qp = api.start(queryPort)
     if (cfg.maintainEveryMs > 0) {
       // the reference's TTL/merge machinery runs continuously
@@ -265,7 +272,10 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
   def stop(): Unit = {
     stopped = true
     if (maintThread != null) maintThread.interrupt()
-    api.stop()
+    // bounded graceful drain (reference app.go:240-247 shuts the HTTP
+    // servers down under a 30 s context): in-flight query exchanges
+    // finish; stop returns as soon as they drain, 30 s is the bound
+    api.stop(gracefulSeconds = 30)
     receiver.stop()
     if (listener != null) spark.streams.removeListener(listener)
   }
@@ -281,10 +291,25 @@ object Serve {
       resultLimits: Limits.ResultLimits = Limits.ResultLimits(),
       rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
       maintainEveryMs: Long = 0L,
-      maintainDate: () => String = () => StoragePolicy.utcToday())
+      maintainDate: () => String = () => StoragePolicy.utcToday(),
+      // global auth applies to every HTTP server; a section override
+      // (Some(...)) replaces it for that server — Some(Nil) explicitly
+      // disables auth there (cmd/oteldb/config.go:117-118 global Auth
+      // + per-section Auth on Tempo/Prometheus/Loki/Admin configs)
+      auth: Seq[Auth.AuthConfig] = Nil,
+      queryAuth: Option[Seq[Auth.AuthConfig]] = None,
+      ingestAuth: Option[Seq[Auth.AuthConfig]] = None,
+      adminAuth: Option[Seq[Auth.AuthConfig]] = None)
 
   final case class Ports(ingestHttp: Int, ingestGrpc: Int, query: Int,
       admin: Int)
+
+  /** Section auth resolution (app.go:206-208): the section's own
+    * config when set, the global one otherwise; empty → no middleware.
+    */
+  private[graft] def sectionAuth(section: Option[Seq[Auth.AuthConfig]],
+      global: Seq[Auth.AuthConfig]): Option[Auth.Middleware] =
+    Auth.fromConfig(section.getOrElse(global))
 
   /** Flag parsing, separated for tests. Every knob the programmatic
     * [[Config]] carries is reachable from the command line — the
@@ -305,7 +330,12 @@ object Serve {
     "--retention-days", "--maintain-every-min",
     "--ingest-bytes-per-second", "--max-in-flight-bytes",
     "--max-series", "--max-series-soft", "--max-body-bytes",
-    "--downsample", "--precision", "--recompress", "--safety")
+    "--downsample", "--precision", "--recompress", "--safety",
+    "--auth-token", "--auth-basic",
+    "--query-auth-token", "--query-auth-basic",
+    "--ingest-auth-token", "--ingest-auth-basic",
+    "--admin-auth-token", "--admin-auth-basic",
+    "--config")
 
   def parseConfig(dataDir: String, args: Seq[String]): Config = {
     // strict flag validation — a typo'd flag name or a forgotten value
@@ -366,6 +396,34 @@ object Serve {
       case _ => throw new IllegalArgumentException(
         "--safety: want softRate:hardRate[:mode[:hardMode]]")
     })
+    // auth flags: `--auth-token t1[,t2]` (a `@path` entry reads the
+    // token from a file, the reference's token_file) and
+    // `--auth-basic user:pass[,user:@path]`; the per-section
+    // `--query-/--ingest-/--admin-` variants OVERRIDE the global pair
+    // for that server (config.go per-section Auth)
+    def tokenCfg(flag: String): Option[Auth.AuthConfig] =
+      flagStr(flag).map { v =>
+        Auth.AuthConfig("bearertoken", tokens = v.split(",").toSeq.map {
+          case t if t.startsWith("@") => Auth.Token(tokenFile = t.drop(1))
+          case t                      => Auth.Token(token = t)
+        })
+      }
+    def basicCfg(flag: String): Option[Auth.AuthConfig] =
+      flagStr(flag).map { v =>
+        Auth.AuthConfig("basicauth", users = v.split(",").toSeq.map { up =>
+          val i = up.indexOf(':')
+          require(i > 0, s"$flag: want user:pass, got '$up'")
+          val pass = up.drop(i + 1)
+          if (pass.startsWith("@"))
+            Auth.UserCredentials(up.take(i), passwordFile = pass.drop(1))
+          else Auth.UserCredentials(up.take(i), password = pass)
+        })
+      }
+    def sectionCfg(prefix: String): Option[Seq[Auth.AuthConfig]] = {
+      val cfgs = tokenCfg(s"$prefix-auth-token").toSeq ++
+        basicCfg(s"$prefix-auth-basic").toSeq
+      if (cfgs.isEmpty) None else Some(cfgs)
+    }
     Config(dataDir,
       limits = Admission.LimitsConfig(
         ingestBytesPerSecond = flagL("--ingest-bytes-per-second", 0L),
@@ -376,7 +434,11 @@ object Serve {
       logSafety = safety,
       storagePolicy = policy,
       retentionDays = flagL("--retention-days", 0L).toInt,
-      maintainEveryMs = flagL("--maintain-every-min", 0L) * 60000L)
+      maintainEveryMs = flagL("--maintain-every-min", 0L) * 60000L,
+      auth = tokenCfg("--auth-token").toSeq ++ basicCfg("--auth-basic").toSeq,
+      queryAuth = sectionCfg("--query"),
+      ingestAuth = sectionCfg("--ingest"),
+      adminAuth = sectionCfg("--admin"))
   }
 
   /** `runMain graft.Serve <dataDir> [flags]` — the one-binary

@@ -38,7 +38,8 @@ final class AdminApi(
     admission: Option[Admission.Stats] = None,
     safety: Option[graft.streaming.LogSafety.Metrics] = None,
     maintain: Option[() => String] = None,
-    startTimeMs: Long = System.currentTimeMillis()) {
+    startTimeMs: Long = System.currentTimeMillis(),
+    auth: Option[Auth.Middleware] = None) {
 
   import AdminApi._
 
@@ -246,8 +247,15 @@ final class AdminApi(
   private final class MethodNotAllowed(val method: String)
     extends RuntimeException(s"method $method not allowed")
 
+  /** Auth wraps every admin route like the reference's admin server
+    * wiring (cmd/oteldb/admin.go:51 passes `cfg.Auth` into `addOgen`) —
+    * the actions routes are DESTRUCTIVE (`storage_maintain` can drop
+    * TTL-expired partitions), so this server accepts the same
+    * per-section override as the query/ingest ones.
+    */
   private def handler(f: HttpExchange => String)
-      : com.sun.net.httpserver.HttpHandler = { (ex: HttpExchange) =>
+      : com.sun.net.httpserver.HttpHandler = Auth.guard(auth, {
+      (ex: HttpExchange) =>
     val (code, body) =
       try (200, f(ex))
       catch {
@@ -263,7 +271,7 @@ final class AdminApi(
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
-  }
+  })
 }
 
 object AdminApi {

@@ -27,23 +27,34 @@ object ApiEncoders {
     df.groupBy(col("labels"))
       .agg(sort_array(collect_list(struct(
         expr(s"$tsCol div $tsDivToSec").as("t"), col("value").as("v")))).as("pts"))
+      // per-series sample count rides the envelope row: the sample-cap
+      // check then costs nothing extra (single-pass guard — the
+      // reference fetches limit+1 rows in its ONE query and checks
+      // post-drain, querier_logs_query.go:95-151)
       .select(concat(
         lit("{\"metric\":"), to_json(col("labels")),
         lit(",\"values\":["),
         concat_ws(",", transform(col("pts"), pair)),
-        lit("]}")).as("series_json"))
+        lit("]}")).as("series_json"),
+        size(col("pts")).as("__n"))
       .orderBy("series_json")
   }
 
-  /** Loki /loki/api/v1/query_range matrix envelope. */
+  /** Loki /loki/api/v1/query_range matrix envelope. `maxRows` caps the
+    * TOTAL sample count across series, checked inside the one
+    * envelope collect (typed [[Limits.TooManySamples]] on overflow).
+    */
   def lokiMatrix(df: DataFrame, tsCol: String = "bucket_ns",
-      tsDivToSec: Long = 1000000000L, maxBytes: Long = 0L): String =
-    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec), maxBytes)
+      tsDivToSec: Long = 1000000000L, maxBytes: Long = 0L,
+      maxRows: Long = 0L): String =
+    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec), maxBytes,
+      maxRows)
 
   /** Prometheus /api/v1/query_range matrix envelope (µs buckets). */
   def promMatrix(df: DataFrame, tsCol: String = "bucket_us",
-      maxBytes: Long = 0L): String =
-    envelope("matrix", matrixSeries(df, tsCol, 1000000L), maxBytes)
+      maxBytes: Long = 0L, maxRows: Long = 0L): String =
+    envelope("matrix", matrixSeries(df, tsCol, 1000000L), maxBytes,
+      maxRows)
 
   /** Loki streams result for log queries: rows (ts_ns, body, labels) →
     * {"stream":{…},"values":[["<ns>","line"],…]} per stream.
@@ -332,7 +343,8 @@ object ApiEncoders {
     * frame. Grouping and sample assembly run distributed; one string
     * per series reaches the driver.
     */
-  def tempoRangeMetrics(df: DataFrame, byKey: Option[String]): String = {
+  def tempoRangeMetrics(df: DataFrame, byKey: Option[String],
+      maxRows: Long = 0L): String = {
     val (keys, labels) = tempoSeriesCols(df, byKey)
     val valueCol = if (df.columns.contains("n")) col("n") else col("value")
     val sample = (p: Column) => concat(
@@ -341,15 +353,24 @@ object ApiEncoders {
     val grouped =
       if (keys.isEmpty) df.groupBy(lit(1).as("__one"))
       else df.groupBy(keys: _*)
-    val series = grouped
+    val rows = grouped
       .agg(sort_array(collect_list(struct(
         expr("bucket_ns div 1000000").as("t"), valueCol.as("v")))).as("pts"))
       .select(concat(
         lit("{\"labels\":"), labels,
         lit(",\"samples\":["), concat_ws(",", transform(col("pts"), sample)),
-        lit("],\"exemplars\":[]}")).as("series_json"))
+        lit("],\"exemplars\":[]}")).as("series_json"),
+        size(col("pts")).as("__n"))
       .orderBy("series_json")
-      .collect().map(_.getString(0))
+      .collect()
+    // single-pass sample cap (see [[Limits.checkRows]]): counted on
+    // the same collect that assembles the envelope
+    if (maxRows > 0) {
+      var total = 0L
+      rows.foreach(r => total += r.getInt(1).toLong)
+      Limits.checkRows(total, maxRows)
+    }
+    val series = rows.map(_.getString(0))
     s"""{"series":[${series.mkString(",")}]}"""
   }
 
@@ -405,12 +426,19 @@ object ApiEncoders {
   }
 
   private def envelope(resultType: String, series: DataFrame,
-      maxBytes: Long = 0L): String = {
+      maxBytes: Long = 0L, maxRows: Long = 0L): String = {
     // one row PER SERIES; the byte cap meters each rendered series as
     // the envelope assembles (reference MaxResultBytes semantics: the
     // typed error fires before the oversized envelope is built)
     val meter = new Limits.ByteMeter(maxBytes)
     val rows = series.collect()
+    // sample-count cap, post-drain on the SAME collect (no second plan
+    // execution): frames carrying a per-series `__n` column sum it
+    if (maxRows > 0 && series.columns.contains("__n")) {
+      var total = 0L
+      rows.foreach(r => total += r.getInt(1).toLong)
+      Limits.checkRows(total, maxRows)
+    }
     val sb = new StringBuilder(
       s"""{"status":"success","data":{"resultType":"$resultType","result":[""")
     var i = 0

@@ -66,7 +66,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     tiers: => Map[Long, DataFrame] = Map.empty,
     logTiers: => Map[Long, DataFrame] = Map.empty,
     generation: () => Long = () => 0L,
-    refreshOnStale: () => Unit = () => ()) {
+    refreshOnStale: () => Unit = () => (),
+    auth: Option[Auth.Middleware] = None) {
 
   private var server: HttpServer = _
 
@@ -78,17 +79,52 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
   private def notImplemented(msg: String): Nothing =
     throw new HttpStatus(501, msg)
 
+  // ---- bounded execution (reference querier.go:119-120 + app.go:233) ----
+
+  // at most maxConcurrentQueries requests execute Spark work at once;
+  // queueDepth more wait up to queueWaitMs; the rest SHED with a typed
+  // 503 — an unbounded pool with no time cap turns a burst of slow
+  // queries into a self-inflicted DoS (the bounded-pool + shed shape)
+  private val queryGate =
+    new java.util.concurrent.Semaphore(math.max(1, limits.maxConcurrentQueries))
+  private val queueWaiters = new java.util.concurrent.atomic.AtomicInteger(0)
+  // one shared timer arms the per-request execution-time cap; cancelled
+  // tasks are removed eagerly so a busy server doesn't accumulate them
+  private lazy val capTimer = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-http-cap"); th.setDaemon(true); th
+      })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
+
   /** Starts on `port` (0 = ephemeral); returns the bound port.
     * The JDK server picks the LONGEST matching context prefix, so the
     * more specific routes shadow their parents.
     */
   def start(port: Int = 0): Int = {
+    // read-header timeout, the reference's http.Server
+    // ReadHeaderTimeout 15s (app.go:233-236) — must precede create()
+    HttpApi.tuneServerDefaults()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // the JDK server's default (null) executor runs handlers on the
-    // dispatch thread, serializing ALL requests; Spark jobs launched
-    // from handlers are thread-safe, so hand requests to a pool
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
-      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
+    // dispatch thread, serializing ALL requests. BOUNDED pool: enough
+    // threads for every executing query + every queued waiter + slack
+    // for shed responses and static routes; anything beyond parks in
+    // the executor queue briefly until a shed/response thread frees
+    // (never a new unbounded thread — the r14 probe showed pile-up,
+    // not errors, past saturation).
+    val poolSize =
+      math.max(1, limits.maxConcurrentQueries) + math.max(0, limits.queueDepth) + 8
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      poolSize, poolSize, 60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+      })
+    pool.allowCoreThreadTimeOut(true)
+    server.setExecutor(pool)
     server.createContext("/loki/api/v1/query_range", handler(lokiQueryRange))
     server.createContext("/loki/api/v1/query", handler(lokiInstant))
     server.createContext("/loki/api/v1/labels", handler(lokiLabels))
@@ -168,7 +204,13 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  /** Stops the server; `gracefulSeconds` bounds the wait for in-flight
+    * exchanges (the reference shuts down with a 30 s context,
+    * app.go:240-247 — the JDK server's stop(delay) returns as soon as
+    * the in-flight exchanges drain, the delay is only the bound).
+    */
+  def stop(gracefulSeconds: Int = 0): Unit =
+    if (server != null) server.stop(gracefulSeconds)
 
   // ---------- time bounds ----------
 
@@ -262,9 +304,9 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       } yield df
     volumePlan match {
       case Some(df) =>
-        return ApiEncoders.lokiMatrix(
-          Limits.guardRows(df, limits.maxSampleRows),
-          maxBytes = limits.maxResultBytes)
+        return ApiEncoders.lokiMatrix(df,
+          maxBytes = limits.maxResultBytes,
+          maxRows = limits.maxSampleRows)
       case None => // raw path below
     }
     // metric queries read range+offset of history before the first
@@ -305,8 +347,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       val clamped = bnds._2
         .filter(_ => gLo.columns.contains("bucket_ns"))
         .fold(gLo)(v => gLo.filter(col("bucket_ns") <= v))
-      ApiEncoders.lokiMatrix(Limits.guardRows(clamped, limits.maxSampleRows),
-        maxBytes = limits.maxResultBytes)
+      ApiEncoders.lokiMatrix(clamped,
+        maxBytes = limits.maxResultBytes, maxRows = limits.maxSampleRows)
     }
     else ApiEncoders.lokiStreams(df, newestFirst = backward,
       maxBytes = limits.maxResultBytes)
@@ -544,9 +586,9 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       } yield df
     tierPlan match {
       case Some(df) =>
-        return ApiEncoders.promMatrix(
-          Limits.guardRows(df, limits.maxSampleRows), tsCol = "ts_us",
-          maxBytes = limits.maxResultBytes)
+        return ApiEncoders.promMatrix(df, tsCol = "ts_us",
+          maxBytes = limits.maxResultBytes,
+          maxRows = limits.maxSampleRows)
       case None => // raw path below
     }
     // the scan's lower bound extends by the query's needed history
@@ -592,9 +634,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     val gHi = p.get("end").filter(_.nonEmpty).map(toNs(_) / 1000L)
     val res1 = gLo.fold(res)(v => res.filter(col("bucket_us") >= v))
     val res2 = gHi.fold(res1)(v => res1.filter(col("bucket_us") <= v))
-    ApiEncoders.promMatrix(
-      Limits.guardRows(res2, limits.maxSampleRows),
-      maxBytes = limits.maxResultBytes)
+    ApiEncoders.promMatrix(res2,
+      maxBytes = limits.maxResultBytes, maxRows = limits.maxSampleRows)
   }
 
   private def promInstant(ex: HttpExchange): String = {
@@ -779,8 +820,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     val sp = windowed(spans, p, "start_ns", 1L)
     val (df, byKey) = graft.traceql.TraceQL.metricsRange(p("q"), sp, stepNs,
       cube = cubeFor(p))
-    ApiEncoders.tempoRangeMetrics(Limits.guardRows(df, limits.maxSampleRows),
-      byKey)
+    ApiEncoders.tempoRangeMetrics(df, byKey,
+      maxRows = limits.maxSampleRows)
   }
 
   /** /api/metrics/query — the instant form: ONE step spanning
@@ -1014,37 +1055,141 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     false
   }
 
-  private def handler(f: HttpExchange => String): HttpHandler =
-    rawHandler { ex =>
-      def attempt(retriesLeft: Int): (Int, String, String) =
-        try (200, "application/json", f(ex))
-        catch {
-          case e: HttpStatus  => (e.code, "application/json", errJson(e))
-          case e: Limits.LimitExceeded =>
-            // the typed "limit exceeded" path (reference
-            // ErrLogsTooManySamples / ErrLogsResultTooLarge)
-            (422, "application/json", errJson(e))
-          case e: Throwable if retriesLeft > 0 && staleListing(e) =>
-            // mid-pass staleness: the maintenance pass may still be
-            // running (its generation bump lands at pass end) — force
-            // the live deployment to re-open before the re-plan
-            refreshOnStale()
-            attempt(retriesLeft - 1)
-          case e: Throwable   => (400, "application/json", errJson(e))
-        }
-      attempt(1)
+  /** Waits for an execution slot: immediate grant, bounded queue, or
+    * shed. Returns false = shed (503). The queue is DEPTH-bounded and
+    * WAIT-bounded — past saturation the server sheds instead of
+    * queueing unboundedly (the r14 probe's pile-up shape).
+    */
+  private def tryAcquireSlot(): Boolean =
+    queryGate.tryAcquire() || {
+      if (queueWaiters.incrementAndGet() > limits.queueDepth) {
+        queueWaiters.decrementAndGet(); false
+      } else
+        try queryGate.tryAcquire(math.max(0L, limits.queueWaitMs),
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        finally queueWaiters.decrementAndGet()
     }
 
+  private def handler(f: HttpExchange => String): HttpHandler =
+    rawHandler { ex =>
+      if (!tryAcquireSlot())
+        (503, "application/json", errJson(new RuntimeException(
+          s"server overloaded: ${limits.maxConcurrentQueries} queries " +
+            s"executing and ${limits.queueDepth} queued; retry later")))
+      else try {
+        // per-query execution-time cap (reference MaxExecutionTime,
+        // default 30 s — chstorage/querier.go:119-120): the request's
+        // Spark jobs run under their own job group; a timer cancels
+        // the group at the deadline and the request surfaces the typed
+        // 503 instead of holding its slot forever. setJobGroup is
+        // thread-local, so concurrent requests don't cross-cancel.
+        // The context comes from the backing frame (handler pool
+        // threads don't reliably carry the session thread-local); a
+        // not-yet-initialized deployment runs uncapped — its queries
+        // would fail on the same missing context anyway.
+        val scOpt =
+          try Some(logs.sparkSession.sparkContext)
+          catch { case scala.util.control.NonFatal(_) => None }
+        val groupId = s"graft-http-${HttpApi.reqCounter.incrementAndGet()}"
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        scOpt.foreach(_.setJobGroup(groupId, "graft http request",
+          interruptOnCancel = true))
+        val capTask =
+          for (sc <- scOpt if limits.maxExecutionMs > 0)
+            yield capTimer.schedule(new Runnable {
+              def run(): Unit = {
+                timedOut.set(true)
+                // cancel is idempotent; failures (no active jobs yet)
+                // are fine — the flag alone converts the next error
+                try sc.cancelJobGroup(groupId)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }, limits.maxExecutionMs,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+        def attempt(retriesLeft: Int): (Int, String, String) =
+          try (200, "application/json", f(ex))
+          catch {
+            case e: HttpStatus  => (e.code, "application/json", errJson(e))
+            case e: Limits.LimitExceeded =>
+              // the typed "limit exceeded" path (reference
+              // ErrLogsTooManySamples / ErrLogsResultTooLarge)
+              (422, "application/json", errJson(e))
+            case _: Throwable if timedOut.get =>
+              // the cancelled job group surfaces as a SparkException —
+              // report the CAUSE (the cap), typed like the reference's
+              // MaxExecutionTime overrun
+              (503, "application/json", errJson(new RuntimeException(
+                s"query execution time exceeded ${limits.maxExecutionMs}ms")))
+            case e: Throwable if retriesLeft > 0 && staleListing(e) =>
+              // mid-pass staleness: the maintenance pass may still be
+              // running (its generation bump lands at pass end) — force
+              // the live deployment to re-open before the re-plan
+              refreshOnStale()
+              attempt(retriesLeft - 1)
+            case e: Throwable   => (400, "application/json", errJson(e))
+          }
+        try attempt(1)
+        finally {
+          capTask.foreach(_.cancel(false))
+          scOpt.foreach(_.clearJobGroup())
+        }
+      } finally queryGate.release()
+    }
+
+  /** Every route flows through here, so the auth middleware wraps the
+    * WHOLE server like the reference's per-server `addOgen` wiring
+    * (cmd/oteldb/app.go:215-236: the auth middleware sits in front of
+    * every ogen route, health probes included) — and runs BEFORE any
+    * body read or Spark work.
+    */
   private def rawHandler(
       f: HttpExchange => (Int, String, String)): HttpHandler =
-    (ex: HttpExchange) => {
+    Auth.guard(auth, (ex: HttpExchange) => {
       val (code, contentType, body) =
-        try f(ex)
+        try {
+          // receive + close the request body FIRST: the JDK server
+          // keeps a connection inside its read-timeout window until
+          // the request stream is closed, so a slow query on an open
+          // stream would be killed by maxReqTime (tuneServerDefaults)
+          // even though the request arrived instantly. The body lands
+          // where rawQuery's form parser looks for it.
+          val reqBody =
+            new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          ex.getRequestBody.close()
+          ex.setAttribute("graft.form", reqBody)
+          f(ex)
+        }
         catch { case e: Throwable => (400, "application/json", errJson(e)) }
       val bytes = body.getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
+    })
+}
+
+object HttpApi {
+  /** Job-group ids are JVM-global (one SparkContext serves every API
+    * instance) — a per-instance counter would collide across servers.
+    */
+  private[graft] val reqCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JDK built-in server hardening, the analogue of the reference's
+    * `http.Server{ReadHeaderTimeout: 15s}` (cmd/oteldb/app.go:233-236):
+    * `sun.net.httpserver.maxReqTime` bounds how long a connection may
+    * sit receiving its request (seconds, enforced by the server's 1 s
+    * timer). The JDK reads these properties ONCE (ServerConfig static
+    * init), so this must run before the first HttpServer.create in the
+    * JVM — every server this library starts calls it first. Handlers
+    * close the request stream up-front (see rawHandler), which moves
+    * the connection OUT of the request window, so the cap covers
+    * request receipt only — slow QUERIES are governed by the job-group
+    * execution cap, not this.
+    */
+  private[graft] def tuneServerDefaults(): Unit =
+    if (System.getProperty("sun.net.httpserver.maxReqTime") == null) {
+      System.setProperty("sun.net.httpserver.maxReqTime", "15")
+      ()
     }
 }

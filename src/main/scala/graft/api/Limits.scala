@@ -14,12 +14,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Limits {
 
-  /** Row and byte caps for one API server instance. Zero or negative
-    * disables the corresponding cap (reference config semantics).
+  /** Row/byte/time/concurrency caps for one API server instance. Zero
+    * or negative disables the corresponding cap (reference config
+    * semantics).
+    *
+    *   - `maxExecutionMs`: per-query execution-time cap, reference
+    *     default 30 s (chstorage/querier.go:119-120 MaxExecutionTime;
+    *     config cmd/oteldb/config.go:92) — enforced by cancelling the
+    *     request's Spark job group at the deadline
+    *   - `maxConcurrentQueries` + `queueDepth` + `queueWaitMs`: the
+    *     bounded-executor shape — at most `maxConcurrentQueries`
+    *     requests execute Spark jobs at once, at most `queueDepth`
+    *     more wait up to `queueWaitMs`; anything beyond SHEDS with a
+    *     typed 503 instead of queueing unboundedly (the scale-safe
+    *     twin of the reference's bounded ClickHouse connection pool)
     */
   final case class ResultLimits(
       maxSampleRows: Long = 1000000L,
-      maxResultBytes: Long = 64L << 20)
+      maxResultBytes: Long = 64L << 20,
+      maxExecutionMs: Long = 30000L,
+      maxConcurrentQueries: Int = 16,
+      queueDepth: Int = 32,
+      queueWaitMs: Long = 10000L)
 
   sealed abstract class LimitExceeded(msg: String)
       extends RuntimeException(msg)
@@ -39,6 +55,15 @@ object Limits {
     * n+1 rows — reaching the bound proves the result exceeds the cap,
     * without materializing anything past it. The probe never collects
     * rows to the driver (count() over CollectLimit).
+    *
+    * NOTE: the serving path no longer calls this — it pays a SECOND
+    * full plan execution per cold request (the probe job plus the
+    * envelope collect). The envelopes now count samples inside the ONE
+    * collect ([[ApiEncoders]] sums per-series sample counts post-drain
+    * and calls [[checkRows]]), the reference's own single-pass shape
+    * (chstorage/querier_logs_query.go:95-151 fetches limit+1 rows in
+    * the one query and checks while draining). Kept for plans whose
+    * result never assembles an envelope.
     */
   def guardRows(df: DataFrame, limit: Long): DataFrame = {
     if (limit > 0) {
@@ -47,6 +72,10 @@ object Limits {
     }
     df
   }
+
+  /** Post-drain sample-count check (the single-pass guard's throw). */
+  def checkRows(rows: Long, limit: Long): Unit =
+    if (limit > 0 && rows > limit) throw new TooManySamples(rows, limit)
 
   /** Byte metering for envelope assembly: feed each rendered series
     * through; throws as soon as the running total crosses the cap.

@@ -126,7 +126,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       (k, _) => !map_contains_key(col("attrs"), k)),
     col("attrs"))
 
-  def start(port: Int = 0): Int = {
+  def start(port: Int = 0,
+      auth: Option[graft.api.Auth.Middleware] = None): Int = {
     // crash recovery FIRST, at startup — not deferred to the first
     // maintenance pass: a restart after a crash mid-compaction-swap
     // would otherwise serve (and replay against) a layout whose
@@ -282,25 +283,31 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     }
     spark.streams.addListener(listener)
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/v1/traces", accept(traceIn, traceTrk,
-      p => OtlpProto.decodeSpans(p).size.toLong, Otlp))
-    server.createContext("/v1/logs", accept(logIn, logTrk,
-      p => OtlpProto.decodeLogs(p).size.toLong, Otlp))
-    server.createContext("/v1/metrics", accept(metricIn, metricTrk,
-      p => OtlpProto.decodeMetrics(p).size.toLong, Otlp))
-    server.createContext("/api/v1/write", accept(promIn, promTrk,
-      _ => 0L, RetryAfter, snappyBody = true))
-    server.createContext("/loki/api/v1/push", accept(lokiIn, lokiTrk,
-      _ => 0L, RetryAfter))
+    // auth wraps every ingest route (the reference mounts its auth
+    // middleware on every HTTP server it stands up, ingest included —
+    // cmd/oteldb/app.go addOgen; an unauthenticated push is rejected
+    // BEFORE the body is read into the admission budget)
+    val g = (h: com.sun.net.httpserver.HttpHandler) =>
+      graft.api.Auth.guard(auth, h)
+    server.createContext("/v1/traces", g(accept(traceIn, traceTrk,
+      p => OtlpProto.decodeSpans(p).size.toLong, Otlp)))
+    server.createContext("/v1/logs", g(accept(logIn, logTrk,
+      p => OtlpProto.decodeLogs(p).size.toLong, Otlp)))
+    server.createContext("/v1/metrics", g(accept(metricIn, metricTrk,
+      p => OtlpProto.decodeMetrics(p).size.toLong, Otlp)))
+    server.createContext("/api/v1/write", g(accept(promIn, promTrk,
+      _ => 0L, RetryAfter, snappyBody = true)))
+    server.createContext("/loki/api/v1/push", g(accept(lokiIn, lokiTrk,
+      _ => 0L, RetryAfter)))
     // OTLP/HTTP profiles: the development-signal path (dictionary/
     // stack-table payloads per the v1development proto revision —
     // decode auto-detects and also accepts classic pprof-shaped
     // requests) plus the plain /v1/ alias local producers use
-    server.createContext("/v1development/profiles", accept(profileIn,
-      profileTrk, p => OtlpProfiles.decodeProfiles(p).size.toLong, Otlp))
-    server.createContext("/v1/profiles", accept(profileIn, profileTrk,
-      p => OtlpProfiles.decodeProfiles(p).size.toLong, Otlp))
-    server.createContext("/pyroscope/ingest", acceptPyro())
+    server.createContext("/v1development/profiles", g(accept(profileIn,
+      profileTrk, p => OtlpProfiles.decodeProfiles(p).size.toLong, Otlp)))
+    server.createContext("/v1/profiles", g(accept(profileIn, profileTrk,
+      p => OtlpProfiles.decodeProfiles(p).size.toLong, Otlp)))
+    server.createContext("/pyroscope/ingest", g(acceptPyro()))
     server.start()
     server.getAddress.getPort
   }
@@ -529,7 +536,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     */
   def startAdmin(port: Int = 0,
       onMaintain: String => Unit = _ => (),
-      maintainDate: () => String = () => StoragePolicy.utcToday()): Int = {
+      maintainDate: () => String = () => StoragePolicy.utcToday(),
+      auth: Option[graft.api.Auth.Middleware] = None): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
         addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),
@@ -555,7 +563,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         val summary = maintainStorage(maintainDate())
         onMaintain(summary)
         summary
-      }))
+      }),
+      auth = auth)
     admin.start(port)
   }
 

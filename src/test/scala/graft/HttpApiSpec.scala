@@ -822,4 +822,98 @@ class HttpApiSpec extends SparkTestBase {
       assert(code == 200 && body.contains(""""resultType":"matrix""""))
     }
   }
+
+  /** A frame whose scan stalls: every partition sleeps before
+    * emitting. Task threads are interruptible, so a job-group cancel
+    * (interruptOnCancel) kills the sleep — the per-query time cap's
+    * test vehicle (reference MaxExecutionTime, querier.go:119-120).
+    */
+  private def slowFrame(df: org.apache.spark.sql.DataFrame,
+      sleepMs: Long): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      df.rdd.mapPartitions { it => Thread.sleep(sleepMs); it }, df.schema)
+
+  test("per-query execution-time cap cancels the job group and frees the slot") {
+    import graft.api.Limits
+    val api = new HttpApi(slowFrame(logsDf, 60000L), pointsDf, spansDf,
+      limits = Limits.ResultLimits(maxExecutionMs = 1000L))
+    val port = api.start()
+    try {
+      val t0 = System.nanoTime()
+      val (code, body) = get(
+        s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${
+          enc("{app=\"api\"}")}&start=0&end=${3 * DayNs}""")
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(code == 503, s"got $code: $body")
+      assert(body.contains("execution time exceeded"), body)
+      // cancelled at the cap, not after the 60 s scan stall
+      assert(elapsedMs < 30000L, s"took ${elapsedMs}ms")
+      // the slot is released and OTHER frames still serve (no thread
+      // leak, no poisoned gate): a fast points query succeeds
+      val (c2, b2) = get(
+        s"""http://127.0.0.1:$port/api/v1/query_range?query=${enc("cpu")}&step=60""")
+      assert(c2 == 200, s"got $c2: $b2")
+    } finally api.stop()
+  }
+
+  test("saturation sheds with a typed 503 instead of queueing unboundedly") {
+    import graft.api.Limits
+    // one execution slot, zero queue: the second concurrent request
+    // must shed immediately while the first holds the slot
+    val api = new HttpApi(slowFrame(logsDf, 3000L), pointsDf, spansDf,
+      limits = Limits.ResultLimits(maxConcurrentQueries = 1,
+        queueDepth = 0, queueWaitMs = 0L))
+    val port = api.start()
+    try {
+      val url = s"""http://127.0.0.1:$port/loki/api/v1/query_range?query=${
+        enc("{app=\"api\"}")}&start=0&end=${3 * DayNs}"""
+      @volatile var first: (Int, String) = null
+      val t = new Thread(() => { first = get(url) })
+      t.start()
+      Thread.sleep(500) // let the first request take the slot
+      val (c2, b2) = get(url)
+      assert(c2 == 503, s"got $c2: $b2")
+      assert(b2.contains("overloaded"), b2)
+      t.join(30000)
+      assert(first != null && first._1 == 200,
+        s"first request should complete: $first")
+    } finally api.stop()
+  }
+
+  test("single-pass guard: the sample cap adds no extra Spark job") {
+    import graft.api.Limits
+    // jobs observed for one cold guarded request vs the same request
+    // unguarded — the r14 guard ran the plan TWICE (a limit(n+1)
+    // count probe plus the envelope collect); the single-pass guard
+    // counts samples inside the one collect
+    def jobsFor(limits: Limits.ResultLimits): Int = {
+      val api = new HttpApi(logsDf, pointsDf, spansDf, limits = limits)
+      val port = api.start()
+      try {
+        val g0 = HttpApi.reqCounter.get()
+        val (code, body) = get(
+          s"""http://127.0.0.1:$port/api/v1/query_range?query=${
+            enc("cpu")}&step=60&start=0&end=120""")
+        assert(code == 200, s"got $code: $body")
+        val g1 = HttpApi.reqCounter.get()
+        val tracker = spark.sparkContext.statusTracker
+        def count(): Int = (g0 + 1 to g1)
+          .map(g => tracker.getJobIdsForGroup(s"graft-http-$g").length).sum
+        // the status store updates off the async listener bus: settle
+        var last = -1
+        var cur = count()
+        var spins = 0
+        while (cur != last && spins < 50) {
+          last = cur; Thread.sleep(100); cur = count(); spins += 1
+        }
+        cur
+      } finally api.stop()
+    }
+    jobsFor(Limits.ResultLimits(maxSampleRows = 0L)) // warm-up: first-touch jobs
+    val unguarded = jobsFor(Limits.ResultLimits(maxSampleRows = 0L))
+    val guarded = jobsFor(Limits.ResultLimits(maxSampleRows = 1000000L))
+    assert(guarded > 0)
+    assert(guarded == unguarded,
+      s"guarded request ran $guarded jobs vs $unguarded unguarded")
+  }
 }

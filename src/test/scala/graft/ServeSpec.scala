@@ -353,6 +353,49 @@ class ServeSpec extends SparkTestBase {
     }
   }
 
+  test("one-binary auth: unauthenticated query/ingest/admin rejected; section override wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-auth").toString
+    def withAuth(url: String, token: Option[String],
+        method: String = "GET"): (Int, String) = {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      if (method == "POST") { conn.setDoOutput(true); conn.getOutputStream.close() }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(
+        Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+      Option(is).foreach(_.close())
+      (code, body)
+    }
+    // global bearer auth; the ADMIN section overrides with its own
+    // token (app.go:206-208: section config replaces global)
+    val serve = new Serve(spark, Serve.parseConfig(dir, Seq(dir,
+      "--auth-token", "global", "--admin-auth-token", "ops")))
+    val ports = serve.start()
+    try {
+      // query server: global token
+      val q = s"http://127.0.0.1:${ports.query}/api/v1/labels"
+      assert(withAuth(q, None)._1 == 401)
+      assert(withAuth(q, Some("ops"))._1 == 401) // admin token ≠ query
+      assert(withAuth(q, Some("global"))._1 == 200)
+      // ingest server: global token gates the push BEFORE admission
+      val push = s"http://127.0.0.1:${ports.ingestHttp}/v1/logs"
+      assert(withAuth(push, None, method = "POST")._1 == 401)
+      assert(withAuth(push, Some("global"), method = "POST")._1 == 200)
+      // admin server: the DESTRUCTIVE action requires the SECTION token
+      val act =
+        s"http://127.0.0.1:${ports.admin}/api/v1/actions/storage_maintain"
+      val (cNone, bodyNone) = withAuth(act, None, method = "POST")
+      assert(cNone == 401, s"got $cNone: $bodyNone")
+      assert(bodyNone ==
+        "{\"error\":\"missing or invalid Authorization header\"}\n")
+      assert(withAuth(act, Some("global"), method = "POST")._1 == 401)
+      assert(withAuth(act, Some("ops"), method = "POST")._1 == 200)
+    } finally serve.stop()
+  }
+
   test("scheduled maintenance pre-merges cold partials without any admin call") {
     val dir = Files.createTempDirectory("graftservesched").toString
     // the day after ingest's date, so T0's partition is cold; a short
