@@ -96,9 +96,11 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     * the current generation. Lock-free: ingest commits never wait on a
     * query re-open (the epoch retry re-lists only in the actual race).
     */
-  private def openOr(path: String, emptyDdl: String): DataFrame =
+  private def openOr(path: String, emptyDdl: String,
+      mergeSchema: Boolean = false): DataFrame =
     Layout.openConsistent(path) {
-      if (Layout.hasDatePartitions(path)) spark.read.parquet(path)
+      if (Layout.hasDatePartitions(path))
+        spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
@@ -107,13 +109,26 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
   // ---- serving views over the stored layouts ----
 
   private def logsView: DataFrame = {
+    // mergeSchema: a logs layout can hold files written BEFORE the
+    // attrs column was always-synthesized (enrichLogs upgrades
+    // attrs-less frames) next to files written after — default
+    // inference samples ONE file and could pick the attrs-less schema,
+    // silently nulling the column for every row. The footer merge is a
+    // distributed metadata job paid once per layout generation, not
+    // per query.
     val stored = openOr(s"${cfg.dataDir}/logs",
       "ts_ns BIGINT, body STRING, severity_number INT, " +
         "severity_text STRING, service_name STRING, trace_id_hex STRING, " +
-        "attrs MAP<STRING,STRING>, resource_attrs MAP<STRING,STRING>")
+        "attrs MAP<STRING,STRING>, resource_attrs MAP<STRING,STRING>",
+      mergeSchema = true)
     val emptyMap = map().cast("map<string,string>")
-    val res = coalesce(col("resource_attrs"), emptyMap)
-    val at = coalesce(col("attrs"), emptyMap)
+    // a layout written ENTIRELY before the attrs upgrade merges to a
+    // schema without the column at all — normalize to empty maps
+    def mapCol(name: String) =
+      if (stored.columns.contains(name)) coalesce(col(name), emptyMap)
+      else emptyMap
+    val res = mapCol("resource_attrs")
+    val at = mapCol("attrs")
     // attrs shadow resource attrs on key collision (the more specific
     // scope wins); the materialized service_name splices in last —
     // always present (enrichLogs coalesces to "unknown_service", the
@@ -335,7 +350,112 @@ object Serve {
     "--query-auth-token", "--query-auth-basic",
     "--ingest-auth-token", "--ingest-auth-basic",
     "--admin-auth-token", "--admin-auth-basic",
+    "--max-result-rows", "--max-result-bytes", "--max-execution-ms",
+    "--max-concurrent-queries", "--queue-depth", "--queue-wait-ms",
     "--config")
+
+  /** Config-file keys (snake_case twins of the flags, the reference's
+    * cmd/oteldb/config.go field names where one exists), validated
+    * STRICTLY like the flag names — yaml.Unmarshal silently ignoring a
+    * typo'd `retention_day` would fill disks.
+    */
+  private val KnownFileKeys = Set(
+    "ingest_port", "grpc_port", "query_port", "admin_port",
+    "retention_days", "maintain_every_min",
+    "ingest_bytes_per_second", "max_in_flight_bytes",
+    "max_series", "max_series_soft", "max_body_bytes",
+    "downsample", "precision", "recompress", "safety",
+    "max_result_rows", "max_result_bytes", "max_execution_ms",
+    "max_concurrent_queries", "queue_depth", "queue_wait_ms",
+    "auth", "query", "ingest", "admin")
+
+  private def checkKeys(m: Map[String, Any], allowed: Set[String],
+      ctx: String): Unit =
+    m.keys.find(!allowed(_)).foreach(k =>
+      throw new IllegalArgumentException(s"unknown $ctx key '$k'"))
+
+  /** Loads and validates the `--config` YAML file (empty map when the
+    * flag is absent). Shared by [[parseConfig]] and the port
+    * resolution in [[main]].
+    */
+  private[graft] def loadFileMap(args: Seq[String]): Map[String, Any] = {
+    val i = args.indexOf("--config")
+    if (i < 0 || i + 1 >= args.length) Map.empty
+    else graft.util.MiniYaml.parseFile(args(i + 1)) match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        checkKeys(mm, KnownFileKeys, "config")
+        mm
+      case _ => throw new IllegalArgumentException(
+        "--config: the top level must be a map")
+    }
+  }
+
+  /** `auth:` config-file section → [[Auth.AuthConfig]]s
+    * (cmd/oteldb/config.go:480-491 AuthConfig shape: `type` +
+    * `tokens`/`users`, each entry inline or file-sourced).
+    */
+  private def authFromFile(v: Any, ctx: String): Seq[Auth.AuthConfig] =
+    v match {
+      case l: List[_] => l.map {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          checkKeys(mm, Set("type", "tokens", "users"), s"$ctx auth")
+          Auth.AuthConfig(
+            mm.getOrElse("type", "").toString,
+            tokens = mm.get("tokens").map(tokensFromFile(_, ctx)).getOrElse(Nil),
+            users = mm.get("users").map(usersFromFile(_, ctx)).getOrElse(Nil))
+        case other => throw new IllegalArgumentException(
+          s"$ctx auth: each entry must be a map, got '$other'")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$ctx auth: expected a list, got '$other'")
+    }
+
+  private def tokensFromFile(v: Any, ctx: String): Seq[Auth.Token] = v match {
+    case l: List[_] => l.map {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        checkKeys(mm, Set("token", "token_file"), s"$ctx tokens")
+        Auth.Token(mm.getOrElse("token", "").toString,
+          mm.getOrElse("token_file", "").toString)
+      case other => throw new IllegalArgumentException(
+        s"$ctx tokens: each entry must be a map, got '$other'")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$ctx tokens: expected a list, got '$other'")
+  }
+
+  private def usersFromFile(v: Any, ctx: String)
+      : Seq[Auth.UserCredentials] = v match {
+    case l: List[_] => l.map {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        checkKeys(mm, Set("user", "password", "password_file"), s"$ctx users")
+        Auth.UserCredentials(mm.getOrElse("user", "").toString,
+          mm.getOrElse("password", "").toString,
+          mm.getOrElse("password_file", "").toString)
+      case other => throw new IllegalArgumentException(
+        s"$ctx users: each entry must be a map, got '$other'")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$ctx users: expected a list, got '$other'")
+  }
+
+  /** Config-file per-section block (`query:`/`ingest:`/`admin:`),
+    * currently carrying only `auth` like the reference's per-API
+    * sections.
+    */
+  private def sectionFromFile(fileMap: Map[String, Any],
+      section: String): Option[Seq[Auth.AuthConfig]] =
+    fileMap.get(section).map {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        checkKeys(mm, Set("auth"), section)
+        mm.get("auth").map(authFromFile(_, section)).getOrElse(Nil)
+      case other => throw new IllegalArgumentException(
+        s"$section: expected a map, got '$other'")
+    }
 
   def parseConfig(dataDir: String, args: Seq[String]): Config = {
     // strict flag validation — a typo'd flag name or a forgotten value
@@ -354,9 +474,19 @@ object Serve {
       val j = args.indexOf(name)
       if (j >= 0 && j + 1 < args.length) Some(args(j + 1)) else None
     }
+    // `--config file.yml` loads the snake_case twins of every flag;
+    // precedence is flag > file > default (the reference reads one
+    // YAML config; our flags stay authoritative on conflict)
+    val fileMap = loadFileMap(args)
+    def fileStr(key: String): Option[String] =
+      fileMap.get(key).collect { case s: String if s.nonEmpty => s }
+    def cfgStr(flag: String, key: String): Option[String] =
+      flagStr(flag).orElse(fileStr(key))
+    def cfgL(flag: String, key: String, default: Long): Long =
+      cfgStr(flag, key).map(_.toLong).getOrElse(default)
     def flagL(name: String, default: Long): Long =
       flagStr(name).map(_.toLong).getOrElse(default)
-    val downsample = flagStr("--downsample").toSeq
+    val downsample = cfgStr("--downsample", "downsample").toSeq
       .flatMap(_.split(",")).map { spec =>
         spec.split(":") match {
           case Array(d, s)       => StoragePolicy.DownsampleTier(
@@ -367,7 +497,7 @@ object Serve {
             s"--downsample: want afterDays:intervalSec[:agg], got '$spec'")
         }
       }
-    val precision = flagStr("--precision").toSeq
+    val precision = cfgStr("--precision", "precision").toSeq
       .flatMap(_.split(",")).map { spec =>
         spec.split(":") match {
           case Array(d, b) => StoragePolicy.PrecisionTier(d.toInt, b.toInt)
@@ -375,7 +505,7 @@ object Serve {
             s"--precision: want afterDays:bits, got '$spec'")
         }
       }
-    val recompress = flagStr("--recompress").map(_.split(":") match {
+    val recompress = cfgStr("--recompress", "recompress").map(_.split(":") match {
       case Array(d)    => StoragePolicy.Recompress(d.toInt)
       case Array(d, l) => StoragePolicy.Recompress(d.toInt, l.toInt)
       case _ => throw new IllegalArgumentException(
@@ -384,7 +514,7 @@ object Serve {
     val policy =
       if (downsample.isEmpty && precision.isEmpty && recompress.isEmpty) None
       else Some(StoragePolicy.Policy(precision, downsample, recompress))
-    val safety = flagStr("--safety").map(_.split(":") match {
+    val safety = cfgStr("--safety", "safety").map(_.split(":") match {
       case Array(s, h) => graft.streaming.LogSafety.Config(
         softMaxRatePerSecond = s.toInt, hardMaxRatePerSecond = h.toInt)
       case Array(s, h, m) => graft.streaming.LogSafety.Config(
@@ -426,19 +556,43 @@ object Serve {
     }
     Config(dataDir,
       limits = Admission.LimitsConfig(
-        ingestBytesPerSecond = flagL("--ingest-bytes-per-second", 0L),
-        maxInFlightBytes = flagL("--max-in-flight-bytes", 0L),
-        maxSeries = flagL("--max-series", 0L),
-        maxSeriesSoft = flagL("--max-series-soft", 0L),
-        maxBodyBytes = flagL("--max-body-bytes", 0L)),
+        ingestBytesPerSecond =
+          cfgL("--ingest-bytes-per-second", "ingest_bytes_per_second", 0L),
+        maxInFlightBytes =
+          cfgL("--max-in-flight-bytes", "max_in_flight_bytes", 0L),
+        maxSeries = cfgL("--max-series", "max_series", 0L),
+        maxSeriesSoft = cfgL("--max-series-soft", "max_series_soft", 0L),
+        maxBodyBytes = cfgL("--max-body-bytes", "max_body_bytes", 0L)),
       logSafety = safety,
       storagePolicy = policy,
-      retentionDays = flagL("--retention-days", 0L).toInt,
-      maintainEveryMs = flagL("--maintain-every-min", 0L) * 60000L,
-      auth = tokenCfg("--auth-token").toSeq ++ basicCfg("--auth-basic").toSeq,
-      queryAuth = sectionCfg("--query"),
-      ingestAuth = sectionCfg("--ingest"),
-      adminAuth = sectionCfg("--admin"))
+      retentionDays = cfgL("--retention-days", "retention_days", 0L).toInt,
+      maintainEveryMs =
+        cfgL("--maintain-every-min", "maintain_every_min", 0L) * 60000L,
+      resultLimits = Limits.ResultLimits(
+        maxSampleRows = cfgL("--max-result-rows", "max_result_rows",
+          1000000L),
+        maxResultBytes = cfgL("--max-result-bytes", "max_result_bytes",
+          64L << 20),
+        maxExecutionMs = cfgL("--max-execution-ms", "max_execution_ms",
+          30000L),
+        maxConcurrentQueries = cfgL("--max-concurrent-queries",
+          "max_concurrent_queries", 16L).toInt,
+        queueDepth = cfgL("--queue-depth", "queue_depth", 32L).toInt,
+        queueWaitMs = cfgL("--queue-wait-ms", "queue_wait_ms", 10000L)),
+      // auth precedence mirrors the scalar knobs: flags replace the
+      // file's section wholesale when present
+      auth = {
+        val flagged =
+          tokenCfg("--auth-token").toSeq ++ basicCfg("--auth-basic").toSeq
+        if (flagged.nonEmpty) flagged
+        else fileMap.get("auth").map(authFromFile(_, "global")).getOrElse(Nil)
+      },
+      queryAuth = sectionCfg("--query")
+        .orElse(sectionFromFile(fileMap, "query")),
+      ingestAuth = sectionCfg("--ingest")
+        .orElse(sectionFromFile(fileMap, "ingest")),
+      adminAuth = sectionCfg("--admin")
+        .orElse(sectionFromFile(fileMap, "admin")))
   }
 
   /** `runMain graft.Serve <dataDir> [flags]` — the one-binary
@@ -456,13 +610,31 @@ object Serve {
           "[--max-in-flight-bytes N] [--max-series N] [--max-series-soft N] " +
           "[--max-body-bytes N] [--downsample d:sec[:agg],...] " +
           "[--precision d:bits,...] [--recompress d[:level]] " +
-          "[--safety soft:hard[:mode[:hardMode]]]")
+          "[--safety soft:hard[:mode[:hardMode]]] " +
+          "[--config serve.yml] [--auth-token t[,t|@file]] " +
+          "[--auth-basic user:pass[,u:@file]] " +
+          "[--{query|ingest|admin}-auth-{token|basic} ...] " +
+          "[--max-result-rows N] [--max-result-bytes N] " +
+          "[--max-execution-ms N] [--max-concurrent-queries N] " +
+          "[--queue-depth N] [--queue-wait-ms N]  " +
+          "(env: INGEST_ADDR GRPC_ADDR QUERY_ADDR ADMIN_ADDR)")
       sys.exit(2)
     }
     val dataDir = args(0)
-    def flag(name: String, default: Int): Int = {
+    val fileMap = loadFileMap(args.toSeq)
+    // port precedence: flag > *_ADDR env override > config file >
+    // reference default — the env hook is the reference's
+    // `os.Getenv(strings.ToUpper(name)+"_ADDR")` (app.go:201-204);
+    // the value may be `host:port`, `:port`, or a bare port (the bind
+    // host here is always loopback-or-all per deployment)
+    def flag(name: String, envName: String, fileKey: String,
+        default: Int): Int = {
       val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) args(i + 1).toInt else default
+      if (i >= 0 && i + 1 < args.length) args(i + 1).toInt
+      else sys.env.get(envName).filter(_.nonEmpty)
+        .map(a => a.substring(a.lastIndexOf(':') + 1).toInt)
+        .orElse(fileMap.get(fileKey).map(_.toString.toInt))
+        .getOrElse(default)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.util.GraftSession
@@ -471,10 +643,10 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val serve = new Serve(spark, parseConfig(dataDir, args.toSeq))
     val ports = serve.start(
-      ingestPort = flag("--ingest-port", 4318),
-      grpcPort = flag("--grpc-port", 4317),
-      queryPort = flag("--query-port", 3200),
-      adminPort = flag("--admin-port", 13133))
+      ingestPort = flag("--ingest-port", "INGEST_ADDR", "ingest_port", 4318),
+      grpcPort = flag("--grpc-port", "GRPC_ADDR", "grpc_port", 4317),
+      queryPort = flag("--query-port", "QUERY_ADDR", "query_port", 3200),
+      adminPort = flag("--admin-port", "ADMIN_ADDR", "admin_port", 13133))
     println(s"graft.Serve up: ingest=${ports.ingestHttp} " +
       s"grpc=${ports.ingestGrpc} query=${ports.query} admin=${ports.admin} " +
       s"dataDir=$dataDir")

@@ -181,17 +181,24 @@ object Layout {
     * swap ran during the open, re-open. Deliberately NOT a lock around
     * the open — a large layout's listing takes seconds and would stall
     * every ingest commit behind each query re-open; the epoch retry
-    * costs a second listing only in the actual race window. Bounded
-    * retries keep progress under a pathological swap storm (the
-    * caller's next generation bump heals any residual staleness).
+    * costs a second listing only in the actual race window. Exhausted
+    * retries THROW (a FileNotFoundException, which the query server's
+    * stale-listing retry recognizes) rather than return the last
+    * possibly-mid-swap listing — a live deployment would otherwise
+    * memoize an incomplete frame under the current generation and keep
+    * serving it until the next bump.
     */
   def openConsistent[T](root: String)(open: => T): T = {
     var attempts = 0
     while (true) {
       val e0 = swapEpoch(root)
       val v = open
-      if (swapEpoch(root) == e0 || attempts >= 3) return v
+      if (swapEpoch(root) == e0) return v
       attempts += 1
+      if (attempts > 3)
+        throw new java.io.FileNotFoundException(
+          s"layout $root kept swapping during open ($attempts attempts); " +
+            "retry the read")
     }
     throw new IllegalStateException("unreachable")
   }
@@ -644,8 +651,16 @@ object Layout {
       val date = d.getName.stripPrefix("date=")
       val parsed =
         try Some(java.time.LocalDate.parse(date, fmt)) catch { case _: Exception => None }
+      // the drop holds the same per-root lock as the compaction swap
+      // and commitBatch's move phase: a cold backfill commit racing a
+      // TTL drop could otherwise fail its rename mid-delete or leave a
+      // half-deleted partition dir until the next pass
       parsed.filter(_.isBefore(horizon)).map { _ =>
-        deleteRecursively(d); epochOf(root).incrementAndGet(); d.getName }
+        lockFor(root).synchronized {
+          deleteRecursively(d); epochOf(root).incrementAndGet()
+        }
+        d.getName
+      }
     }.sorted
   }
 }

@@ -36,7 +36,12 @@ object Streams {
     // production schema — an attrs map holding just the stream — so
     // the stdout/stderr provenance survives the docker_stream drop
     // and the stored logs schema stays one shape (every production
-    // path, logsFromOtlp included, carries attrs already)
+    // path, logsFromOtlp included, carries attrs already).
+    // UPGRADE NOTE: a layout holding files written BEFORE this
+    // synthesis (attrs-less) next to files written after has MIXED
+    // parquet schemas; readers must open it with mergeSchema or an
+    // explicit schema (Serve.logsView does) — default inference can
+    // sample an attrs-less file and silently hide the column.
     val withAttrs =
       if (raw.columns.contains("attrs")) unwrapped
       else unwrapped.withColumn("attrs",
@@ -248,7 +253,13 @@ object Streams {
     batch
       // stale markers never enter a tier (same invariant as the batch
       // statTierChain): a Prometheus stale NaN would over-count n,
-      // poison max/avg, and ANSI decimal casts of NaN throw
+      // poison max/avg, and ANSI decimal casts of NaN throw.
+      // LIMITATION: this protects partials written from HERE ON — a
+      // rollup layout that already holds pre-fix NaN-poisoned rows
+      // keeps them (NaN propagates through the merge aggs). The safe
+      // manual repair is deleting the rollup sidecar directory:
+      // queries fall back to the raw path (correct, slower) and new
+      // ingest repopulates partials going forward
       .filter(!isnan(col("value")))
       .withColumn("__s",
         expr(s"(ts_us - 1) - (ts_us - 1) % $HourUs"))
