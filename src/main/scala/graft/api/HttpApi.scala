@@ -125,13 +125,17 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       })
     pool.allowCoreThreadTimeOut(true)
     server.setExecutor(pool)
-    server.createContext("/loki/api/v1/query_range", handler(lokiQueryRange))
-    server.createContext("/loki/api/v1/query", handler(lokiInstant))
+    server.createContext("/loki/api/v1/query_range",
+      handler(ex => cachedEnvelope(ex, "loki/range")(lokiQueryRange(ex))))
+    server.createContext("/loki/api/v1/query",
+      handler(ex => cachedEnvelope(ex, "loki/instant")(lokiInstant(ex))))
     server.createContext("/loki/api/v1/labels", handler(lokiLabels))
     server.createContext("/loki/api/v1/label/", handler(lokiLabelValues))
     server.createContext("/loki/api/v1/series", handler(lokiSeries))
-    server.createContext("/loki/api/v1/index/volume", handler(lokiVolume))
-    server.createContext("/loki/api/v1/index/volume_range", handler(lokiVolumeRange))
+    server.createContext("/loki/api/v1/index/volume",
+      handler(ex => cachedEnvelope(ex, "loki/volume")(lokiVolume(ex))))
+    server.createContext("/loki/api/v1/index/volume_range",
+      handler(ex => cachedEnvelope(ex, "loki/volume_range")(lokiVolumeRange(ex))))
     // index stats: the reference serves empty stats
     // (lokihandler.go:234-238); computed for real here (parity-plus)
     server.createContext("/loki/api/v1/index/stats", handler(lokiIndexStats))
@@ -142,8 +146,10 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
     server.createContext("/loki/api/v1/detected_fields", handler(lokiDetectedFields))
     server.createContext("/loki/api/v1/detected_field/", handler(lokiDetectedFieldValues))
-    server.createContext("/api/v1/query_range", handler(promQueryRange))
-    server.createContext("/api/v1/query", handler(promInstant))
+    server.createContext("/api/v1/query_range",
+      handler(ex => cachedEnvelope(ex, "prom/range")(promQueryRange(ex))))
+    server.createContext("/api/v1/query",
+      handler(ex => cachedEnvelope(ex, "prom/instant")(promInstant(ex))))
     server.createContext("/api/v1/labels", handler(promLabels))
     server.createContext("/api/v1/label/", handler(promLabelValues))
     server.createContext("/api/v1/series", handler(promSeries))
@@ -163,8 +169,10 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     // TraceQL metrics engine over HTTP — the reference serves
     // ErrNotImplemented here (tempohandler.go:88-120); we serve the
     // full engine (parity-plus), in the tempoapi envelope shapes
-    server.createContext("/api/metrics/query_range", handler(tempoMetricsRange))
-    server.createContext("/api/metrics/query", handler(tempoMetricsInstant))
+    server.createContext("/api/metrics/query_range",
+      handler(ex => cachedEnvelope(ex, "tempo/range")(tempoMetricsRange(ex))))
+    server.createContext("/api/metrics/query",
+      handler(ex => cachedEnvelope(ex, "tempo/instant")(tempoMetricsInstant(ex))))
     // Grafana health/version probes (tempohandler.go:62-80)
     server.createContext("/api/status/buildinfo", handler(_ =>
       s"""{"version":"2.1.0","revision":"","branch":"","buildUser":"",""" +
@@ -549,6 +557,34 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       p.get("start").filter(_.nonEmpty).map(toNs).getOrElse(Long.MinValue),
       p.get("end").filter(_.nonEmpty).map(toNs).getOrElse(Long.MaxValue))
     seriesCache.get(key)(body)
+  }
+
+  /** Result-envelope cache over the explicit-window query endpoints —
+    * what the ServeProbe FloorDecomp showed the dashboard-refresh p50
+    * is made of: an IDENTICAL request (same params) re-pays Catalyst
+    * analysis + the job floor (~300-450 ms on the tier path for a
+    * KB-sized sidecar aggregate) on every refresh. The key is the full
+    * sorted param set + route + layout GENERATION, so late-arriving
+    * data invalidates by key; only requests with an explicit window
+    * (start+end, or time) and no `since` are cacheable — anything
+    * wall-clock-derived must re-evaluate. Values are the final JSON
+    * strings (singleflight coalesces concurrent identical refreshes);
+    * oversized envelopes are served but not stored.
+    */
+  private val envelopeCache = new graft.util.SeriesCache[String](64,
+    admit = (s: String) => s.length <= (4 << 20))
+  private def cachedEnvelope(ex: HttpExchange, route: String)
+      (body: => String): String = {
+    val p = params(ex)
+    val explicitWindow =
+      (p.get("start").exists(_.nonEmpty) && p.get("end").exists(_.nonEmpty)) ||
+        p.get("time").exists(_.nonEmpty)
+    if (!explicitWindow || p.contains("since")) body
+    else {
+      val triples = ("gen", generation().toString, route) +:
+        p.toSeq.sorted.map { case (k, v) => ("p", k, v) }
+      envelopeCache.get(envelopeCache.keyOf(triples, 0L, 0L))(body)
+    }
   }
 
   /** Query-path series-resolution cache (reference

@@ -17,7 +17,11 @@ import java.util.concurrent.atomic.AtomicLong
   * skipping the scan, not caching a plan.
   */
 final class SeriesCache[V](maxEntries: Int = 256,
-    onEvict: V => Unit = (_: V) => ()) {
+    onEvict: V => Unit = (_: V) => (),
+    // admission predicate: a computed value that fails it is RETURNED
+    // but never stored (e.g. oversized envelopes that would let 64
+    // entries pin gigabytes)
+    admit: V => Boolean = (_: V) => true) {
 
   /** xxh3-128 of the canonical key rendering: matchers sorted by
     * (op, label, value) — hash equality is order-insensitive, like
@@ -66,7 +70,7 @@ final class SeriesCache[V](maxEntries: Int = 256,
     try {
       misses.incrementAndGet()
       val v = compute
-      lru.put(key, v)
+      if (admit(v)) lru.put(key, v)
       fut.complete(v)
       v
     } catch {

@@ -880,6 +880,44 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("identical explicit-window requests serve from the envelope cache; generation bump invalidates") {
+    @volatile var gen = 0L
+    val api = new HttpApi(logsDf, pointsDf, spansDf, generation = () => gen)
+    val port = api.start()
+    try {
+      val url = s"""http://127.0.0.1:$port/api/v1/query_range?query=${
+        enc("cpu")}&step=60&start=0&end=120"""
+      val (c1, b1) = get(url)
+      assert(c1 == 200)
+      val tracker = spark.sparkContext.statusTracker
+      val g0 = HttpApi.reqCounter.get()
+      val (c2, b2) = get(url)
+      assert(c2 == 200 && b2 == b1)
+      Thread.sleep(500)
+      // the cached request launched NO Spark job in its job group
+      assert(((g0 + 1) to HttpApi.reqCounter.get()).forall(g =>
+        tracker.getJobIdsForGroup(s"graft-http-$g").isEmpty),
+        "cache hit should not execute the plan")
+      // a NOW-relative request (no explicit window) is never cached
+      val inst = s"""http://127.0.0.1:$port/api/v1/query?query=${enc("cpu")}"""
+      val gInst = HttpApi.reqCounter.get()
+      get(inst); get(inst)
+      Thread.sleep(500)
+      assert(((gInst + 1) to HttpApi.reqCounter.get()).exists(g =>
+        tracker.getJobIdsForGroup(s"graft-http-$g").nonEmpty),
+        "wall-clock-derived requests must re-evaluate")
+      // a generation bump (late-arriving data) invalidates by key
+      gen = 1
+      val gBump = HttpApi.reqCounter.get()
+      val (c3, b3) = get(url)
+      assert(c3 == 200 && b3 == b1) // same backing data, same answer
+      Thread.sleep(500)
+      assert(((gBump + 1) to HttpApi.reqCounter.get()).exists(g =>
+        tracker.getJobIdsForGroup(s"graft-http-$g").nonEmpty),
+        "generation bump must re-execute")
+    } finally api.stop()
+  }
+
   test("single-pass guard: the sample cap adds no extra Spark job") {
     import graft.api.Limits
     // jobs observed for one cold guarded request vs the same request
