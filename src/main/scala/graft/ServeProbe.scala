@@ -95,11 +95,17 @@ object ServeProbe {
     code
   }
 
-  /** Sustained concurrent GETs for `seconds`; prints QPS/p50/p95. */
+  /** Sustained concurrent GETs for `seconds`; prints accepted QPS and
+    * accepted-request p50/p95, with 503 SHEDS counted separately from
+    * other errors — past saturation the bounded executor must shed
+    * (503 in ~0 ms) while ACCEPTED requests keep a bounded latency,
+    * instead of every request queueing unboundedly.
+    */
   private def regime(name: String, workers: Int, seconds: Int)
       (url: Long => String): Unit = {
     val lat = java.util.Collections.synchronizedList(
       new java.util.ArrayList[Long]())
+    val sheds = new java.util.concurrent.atomic.AtomicLong()
     val errors = new java.util.concurrent.atomic.AtomicLong()
     val stop = System.nanoTime() + seconds * 1000000000L
     val seq = new java.util.concurrent.atomic.AtomicLong()
@@ -107,15 +113,17 @@ object ServeProbe {
       while (System.nanoTime() < stop) {
         val t0 = System.nanoTime()
         val c = get(url(seq.incrementAndGet()))
-        if (c != 200) errors.incrementAndGet()
-        lat.add(System.nanoTime() - t0)
+        if (c == 200) lat.add(System.nanoTime() - t0)
+        else if (c == 503) sheds.incrementAndGet()
+        else errors.incrementAndGet()
       }
     }))
     threads.foreach(_.start()); threads.foreach(_.join())
     val a = lat.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
     def pct(p: Double) = if (a.isEmpty) 0.0 else a(((a.length - 1) * p).toInt) / 1e6
     println(f"[probe] $name%-58s workers=$workers%-3d qps=${a.length.toDouble / seconds}%7.1f " +
-      f"p50=${pct(0.5)}%8.1f ms  p95=${pct(0.95)}%8.1f ms  errors=${errors.get}")
+      f"p50=${pct(0.5)}%8.1f ms  p95=${pct(0.95)}%8.1f ms  " +
+      f"sheds=${sheds.get}  errors=${errors.get}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -227,6 +235,16 @@ object ServeProbe {
     // local[32]
     serve.receiver.stop()
     regime("instant sum(load_m), ingest streams stopped", 8, secs)(instant)
+
+    // saturation: 64 workers of cache-busting raw ranges against the
+    // DEFAULT bounded executor (16 executing / 32 queued / 10 s wait) —
+    // the overflow must SHED with instant 503s while accepted requests
+    // keep a bounded latency (the r14 probe's pile-up, fixed)
+    val shiftingFar = (n: Long) =>
+      s"$q/api/v1/query_range?query=${java.net.URLEncoder.encode(
+        "avg_over_time(load_m[7m])", "UTF-8")}&start=${startSec + 40000 + n}&end=${
+        startSec + 47200 + n}&step=61"
+    regime("cache-busting raw range at 4x oversubscription", 64, secs)(shiftingFar)
 
     serve.stop()
     spark.stop()
