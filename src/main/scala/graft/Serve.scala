@@ -457,7 +457,16 @@ object Serve {
         s"$section: expected a map, got '$other'")
     }
 
-  def parseConfig(dataDir: String, args: Seq[String]): Config = {
+  def parseConfig(dataDir: String, args: Seq[String]): Config =
+    parseConfig(dataDir, args, loadFileMap(args))
+
+  /** [[parseConfig]] over a PRE-PARSED config file: main resolves
+    * ports from the same map, and parsing once means ports and
+    * limits/auth can never come from two different versions of a file
+    * rewritten mid-boot.
+    */
+  private[graft] def parseConfig(dataDir: String, args: Seq[String],
+      fileMap: Map[String, Any]): Config = {
     // strict flag validation — a typo'd flag name or a forgotten value
     // is a STARTUP error (the same philosophy as the policy's agg
     // validation): `--retention-day 30` silently defaulting retention
@@ -476,10 +485,17 @@ object Serve {
     }
     // `--config file.yml` loads the snake_case twins of every flag;
     // precedence is flag > file > default (the reference reads one
-    // YAML config; our flags stay authoritative on conflict)
-    val fileMap = loadFileMap(args)
+    // YAML config; our flags stay authoritative on conflict).
+    // value-SHAPE mistakes are as loud as key typos: a list/map where
+    // a scalar belongs must not silently become the default (the
+    // `downsample:` written as a block list would otherwise turn
+    // downsampling off without a word); an empty scalar reads as unset
     def fileStr(key: String): Option[String] =
-      fileMap.get(key).collect { case s: String if s.nonEmpty => s }
+      fileMap.get(key).flatMap {
+        case s: String => Some(s).filter(_.nonEmpty)
+        case other => throw new IllegalArgumentException(
+          s"config key '$key': expected a scalar value, got '$other'")
+      }
     def cfgStr(flag: String, key: String): Option[String] =
       flagStr(flag).orElse(fileStr(key))
     def cfgL(flag: String, key: String, default: Long): Long =
@@ -641,7 +657,7 @@ object Serve {
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val serve = new Serve(spark, parseConfig(dataDir, args.toSeq))
+    val serve = new Serve(spark, parseConfig(dataDir, args.toSeq, fileMap))
     val ports = serve.start(
       ingestPort = flag("--ingest-port", "INGEST_ADDR", "ingest_port", 4318),
       grpcPort = flag("--grpc-port", "GRPC_ADDR", "grpc_port", 4317),

@@ -127,9 +127,16 @@ object ServeProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    try run(args)
-    finally sys.exit(0) // non-daemon server threads must not hold the fork
-
+    // explicit exit either way: non-daemon server threads must not
+    // hold the fork, and a failed probe must REPORT failure (a
+    // swallowed exception would read as a passing run with missing
+    // lines)
+    try { run(args); sys.exit(0) }
+    catch {
+      case e: Throwable =>
+        e.printStackTrace()
+        sys.exit(1)
+    }
   }
 
   private def run(args: Array[String]): Unit = {

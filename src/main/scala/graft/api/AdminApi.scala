@@ -46,6 +46,7 @@ final class AdminApi(
   private var server: HttpServer = _
 
   def start(port: Int = 0): Int = {
+    HttpApi.tuneServerDefaults() // must precede the first create in the JVM
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
       r => { val t = new Thread(r, "graft-admin"); t.setDaemon(true); t }))

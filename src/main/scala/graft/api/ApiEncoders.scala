@@ -21,10 +21,24 @@ object ApiEncoders {
     * from metric rows (tsCol, labels, value); tsDivToSec converts the
     * bucket column to integer unix seconds (e.g. 1e9 for ns buckets).
     */
-  def matrixSeries(df: DataFrame, tsCol: String, tsDivToSec: Long): DataFrame = {
+  def matrixSeries(df: DataFrame, tsCol: String, tsDivToSec: Long,
+      maxRows: Long = 0L): DataFrame = {
     val pair = (p: Column) => concat(
       lit("["), p.getField("t"), lit(",\""), p.getField("v").cast("string"), lit("\"]"))
-    df.groupBy(col("labels"))
+    // the cap BOUNDS what materializes, not just what reports: the
+    // limit stops the scan at cap+1 SAMPLE rows before any of them
+    // aggregate into per-series strings (the reference's fetch
+    // limit+1-and-stop, querier_logs_query.go:95-151) — without it a
+    // 500×-over-cap query would assemble the whole result in driver
+    // memory before the post-drain check could throw. Under the cap
+    // the limit passes everything through, so results are unchanged;
+    // over it, the truncated sum trips checkRows and nothing after
+    // cap+1 rows was ever computed.
+    val bounded =
+      if (maxRows > 0 && maxRows < Int.MaxValue - 1)
+        df.limit((maxRows + 1).toInt)
+      else df
+    bounded.groupBy(col("labels"))
       .agg(sort_array(collect_list(struct(
         expr(s"$tsCol div $tsDivToSec").as("t"), col("value").as("v")))).as("pts"))
       // per-series sample count rides the envelope row: the sample-cap
@@ -47,14 +61,14 @@ object ApiEncoders {
   def lokiMatrix(df: DataFrame, tsCol: String = "bucket_ns",
       tsDivToSec: Long = 1000000000L, maxBytes: Long = 0L,
       maxRows: Long = 0L): String =
-    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec), maxBytes,
-      maxRows)
+    envelope("matrix", matrixSeries(df, tsCol, tsDivToSec, maxRows),
+      maxBytes, maxRows)
 
   /** Prometheus /api/v1/query_range matrix envelope (µs buckets). */
   def promMatrix(df: DataFrame, tsCol: String = "bucket_us",
       maxBytes: Long = 0L, maxRows: Long = 0L): String =
-    envelope("matrix", matrixSeries(df, tsCol, 1000000L), maxBytes,
-      maxRows)
+    envelope("matrix", matrixSeries(df, tsCol, 1000000L, maxRows),
+      maxBytes, maxRows)
 
   /** Loki streams result for log queries: rows (ts_ns, body, labels) →
     * {"stream":{…},"values":[["<ns>","line"],…]} per stream.
@@ -350,9 +364,14 @@ object ApiEncoders {
     val sample = (p: Column) => concat(
       lit("{\"timestamp_ms\":"), p.getField("t"),
       lit(",\"value\":"), p.getField("v").cast("string"), lit("}"))
+    // bound materialization at cap+1 sample rows (see matrixSeries)
+    val capped =
+      if (maxRows > 0 && maxRows < Int.MaxValue - 1)
+        df.limit((maxRows + 1).toInt)
+      else df
     val grouped =
-      if (keys.isEmpty) df.groupBy(lit(1).as("__one"))
-      else df.groupBy(keys: _*)
+      if (keys.isEmpty) capped.groupBy(lit(1).as("__one"))
+      else capped.groupBy(keys: _*)
     val rows = grouped
       .agg(sort_array(collect_list(struct(
         expr("bucket_ns div 1000000").as("t"), valueCol.as("v")))).as("pts"))

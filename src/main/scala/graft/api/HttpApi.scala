@@ -90,7 +90,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
   private val queueWaiters = new java.util.concurrent.atomic.AtomicInteger(0)
   // one shared timer arms the per-request execution-time cap; cancelled
   // tasks are removed eagerly so a busy server doesn't accumulate them
-  private lazy val capTimer = {
+  // (plain val: the executor starts no thread until the first schedule)
+  private val capTimer = {
     val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => {
         val th = new Thread(r, "graft-http-cap"); th.setDaemon(true); th
@@ -142,7 +143,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     // reference-faithful static response (lokihandler.go:220-232:
     // DrilldownLimits advertises the volume capability)
     server.createContext("/loki/api/v1/drilldown-limits",
-      handler(_ => """{"limits":{"volume_enabled":true},"version":"v3.6.0"}"""))
+      lightHandler(_ => """{"limits":{"volume_enabled":true},"version":"v3.6.0"}"""))
     server.createContext("/loki/api/v1/detected_labels", handler(lokiDetectedLabels))
     server.createContext("/loki/api/v1/detected_fields", handler(lokiDetectedFields))
     server.createContext("/loki/api/v1/detected_field/", handler(lokiDetectedFieldValues))
@@ -174,7 +175,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     server.createContext("/api/metrics/query",
       handler(ex => cachedEnvelope(ex, "tempo/instant")(tempoMetricsInstant(ex))))
     // Grafana health/version probes (tempohandler.go:62-80)
-    server.createContext("/api/status/buildinfo", handler(_ =>
+    server.createContext("/api/status/buildinfo", lightHandler(_ =>
       s"""{"version":"2.1.0","revision":"","branch":"","buildUser":"",""" +
         s""""buildDate":"","goVersion":${jsonStr(
           "java" + System.getProperty("java.version", ""))}}"""))
@@ -189,7 +190,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     // (lokihandler.go:611-616); the ingest listener (OtlpReceiver)
     // accepts the same path for real — parity-plus lives there
     server.createContext("/loki/api/v1/push",
-      handler(_ => notImplemented("push is not implemented")))
+      lightHandler(_ => notImplemented("push is not implemented")))
     server.createContext("/api/search/tags", handler(tempoTags))
     server.createContext("/api/v2/search/tags", handler(tempoTagsV2))
     server.createContext("/api/search/tag/", handler(tempoTagValues(_, v2 = false)))
@@ -205,7 +206,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       server.createContext("/pyroscope/apps", handler(pyroApps))
       // ingestion rides the OTLP receiver; the push endpoint is a typed
       // 501 like the reference (profilehandler.go:78-82)
-      server.createContext("/pyroscope/ingest", handler(_ =>
+      server.createContext("/pyroscope/ingest", lightHandler(_ =>
         notImplemented("profile ingestion is handled by the OTLP receiver")))
     }
     server.start()
@@ -217,8 +218,13 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     * app.go:240-247 — the JDK server's stop(delay) returns as soon as
     * the in-flight exchanges drain, the delay is only the bound).
     */
-  def stop(gracefulSeconds: Int = 0): Unit =
+  def stop(gracefulSeconds: Int = 0): Unit = {
     if (server != null) server.stop(gracefulSeconds)
+    // the cap timer is per-instance: without this, every started API
+    // in a long-lived JVM (suites, embedded use) leaks one
+    // graft-http-cap thread
+    capTimer.shutdownNow(): Unit
+  }
 
   // ---------- time bounds ----------
 
@@ -583,7 +589,17 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     else {
       val triples = ("gen", generation().toString, route) +:
         p.toSeq.sorted.map { case (k, v) => ("p", k, v) }
-      envelopeCache.get(envelopeCache.keyOf(triples, 0L, 0L))(body)
+      // a coalesced waiter is outside job-group reach (it runs no
+      // Spark jobs to cancel) — bound its wait at the execution cap
+      // and surface the same typed 503 the cap produces
+      try envelopeCache.get(envelopeCache.keyOf(triples, 0L, 0L),
+        waitMs = limits.maxExecutionMs)(body)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new HttpStatus(503,
+            s"query execution time exceeded ${limits.maxExecutionMs}ms " +
+              "(waiting on an identical in-flight query)")
+      }
     }
   }
 
@@ -1106,6 +1122,21 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
         finally queueWaiters.decrementAndGet()
     }
 
+  /** Constant/stub responses bypass the admission gate and the
+    * job-group/cap machinery — they run NO Spark work, and a saturated
+    * query pool must not 503 a health/version probe (Grafana marks the
+    * datasource down on exactly the day operators need it up) or pay a
+    * gate slot + timer for a static string.
+    */
+  private def lightHandler(f: HttpExchange => String): HttpHandler =
+    rawHandler { ex =>
+      try (200, "application/json", f(ex))
+      catch {
+        case e: HttpStatus => (e.code, "application/json", errJson(e))
+        case e: Throwable  => (400, "application/json", errJson(e))
+      }
+    }
+
   private def handler(f: HttpExchange => String): HttpHandler =
     rawHandler { ex =>
       if (!tryAcquireSlot())
@@ -1131,7 +1162,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
         scOpt.foreach(_.setJobGroup(groupId, "graft http request",
           interruptOnCancel = true))
         val capTask =
-          for (sc <- scOpt if limits.maxExecutionMs > 0)
+          for (sc <- scOpt if limits.maxExecutionMs > 0 && !capTimer.isShutdown)
             yield capTimer.schedule(new Runnable {
               def run(): Unit = {
                 timedOut.set(true)

@@ -282,6 +282,11 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         }
     }
     spark.streams.addListener(listener)
+    // the JDK server's read-timeout knob is read ONCE at the first
+    // HttpServer.create in the JVM — in the one-binary composition the
+    // ingest server starts FIRST, so the tuning must happen here too,
+    // not only in HttpApi.start
+    graft.api.HttpApi.tuneServerDefaults()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // auth wraps every ingest route (the reference mounts its auth
     // middleware on every HTTP server it stands up, ingest included —

@@ -56,16 +56,21 @@ final class SeriesCache[V](maxEntries: Int = 256,
   /** The cached value for `key`, computing it once on miss. Concurrent
     * callers with the same key wait on the in-flight computation
     * instead of starting their own; a failed computation propagates to
-    * every waiter and caches nothing.
+    * every waiter and caches nothing. `waitMs > 0` bounds a WAITER's
+    * wait (java.util.concurrent.TimeoutException past it) — a caller
+    * under its own execution-time cap must not block unboundedly on a
+    * leader it cannot cancel.
     */
-  def get(key: String)(compute: => V): V = {
+  def get(key: String, waitMs: Long = 0L)(compute: => V): V = {
     val cached = lru.get(key)
     if (cached != null) { hits.incrementAndGet(); return cached }
     val fut = new CompletableFuture[V]()
     val prior = inflight.putIfAbsent(key, fut)
     if (prior != null) {
       coalesced.incrementAndGet()
-      return prior.join()
+      return if (waitMs > 0)
+        prior.get(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      else prior.join()
     }
     try {
       misses.incrementAndGet()

@@ -951,7 +951,11 @@ class HttpApiSpec extends SparkTestBase {
     val unguarded = jobsFor(Limits.ResultLimits(maxSampleRows = 0L))
     val guarded = jobsFor(Limits.ResultLimits(maxSampleRows = 1000000L))
     assert(guarded > 0)
-    assert(guarded == unguarded,
+    // the r14 guard ran the whole plan a second time (limit+1 count
+    // probe), i.e. guarded > unguarded; the single-pass guard adds NO
+    // execution — it may even run fewer jobs (the cap's limit(n+1)
+    // collapses AQE stages)
+    assert(guarded <= unguarded,
       s"guarded request ran $guarded jobs vs $unguarded unguarded")
   }
 }
