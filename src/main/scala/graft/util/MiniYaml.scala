@@ -51,14 +51,17 @@ object MiniYaml {
       java.nio.file.Paths.get(path)), "UTF-8"))
 
   /** Strips a trailing comment: `#` outside quotes, preceded by
-    * whitespace or at line start.
+    * whitespace or at line start. Inside double quotes a backslash
+    * escapes the next character (so `"\" #"` stays intact); single
+    * quotes escape by doubling, which plain toggling tracks correctly.
     */
   private def stripComment(s: String): String = {
     var i = 0
     var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote == '"' && c == '\\') i += 1 // skip the escaped char
+      else if (quote != 0) { if (c == quote) quote = 0 }
       else if (c == '"' || c == '\'') quote = c
       else if (c == '#' && (i == 0 || s.charAt(i - 1) == ' ')) return s.take(i)
       i += 1
@@ -161,7 +164,8 @@ object MiniYaml {
     var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote == '"' && c == '\\') i += 1 // skip the escaped char
+      else if (quote != 0) { if (c == quote) quote = 0 }
       else if (c == '"' || c == '\'') quote = c
       else if (c == ':' && (i + 1 == s.length || s.charAt(i + 1) == ' '))
         return i
@@ -171,13 +175,22 @@ object MiniYaml {
   }
 
   private def unquote(s: String, num: Int): String =
-    if (s.length >= 2 &&
-        ((s.head == '"' && s.last == '"') ||
-          (s.head == '\'' && s.last == '\''))) {
+    if (s.length >= 2 && s.head == '"' && s.last == '"') {
+      // left-to-right unescape (sequential String.replace is
+      // order-fragile over runs of backslashes)
       val inner = s.substring(1, s.length - 1)
-      if (s.head == '"') inner.replace("\\\"", "\"").replace("\\\\", "\\")
-      else inner.replace("''", "'")
+      val sb = new StringBuilder(inner.length)
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (c == '\\' && i + 1 < inner.length) {
+          sb.append(inner.charAt(i + 1)); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
     }
+    else if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
     else if (s.contains(": "))
       throw new ParseError(num, s"ambiguous scalar '$s' (quote it)")
     else s
