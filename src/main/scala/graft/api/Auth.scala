@@ -226,11 +226,6 @@ object Auth {
   def guard(mw: Option[Middleware], h: HttpHandler): HttpHandler =
     mw.fold(h)(_.wrap(h))
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  // the package's one JSON string escaper
+  private def jsonStr(s: String): String = ApiEncoders.jsonString(s)
 }

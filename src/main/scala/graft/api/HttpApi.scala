@@ -234,12 +234,28 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     * same heuristic as the template `unixToTime`).
     */
   private def toNs(v: String): Long =
-    if (v.exists(c => c == '.' || c == 'e' || c == 'E'))
+    // RFC3339 first (the Prom HTTP API accepts unix OR RFC3339 — the
+    // date shape is unambiguous vs every numeric form): promtool and
+    // the client libraries send "2026-08-16T00:00:00Z"/"+02:00"/.frac
+    if (v.length >= 10 && v.charAt(4) == '-' && v.charAt(7) == '-') {
+      val inst = java.time.OffsetDateTime.parse(v).toInstant
+      inst.getEpochSecond * 1000000000L + inst.getNano
+    }
+    else if (v.exists(c => c == '.' || c == 'e' || c == 'E'))
       (v.toDouble * 1e9).toLong
     else {
       val digits = if (v.startsWith("-")) v.length - 1 else v.length
       if (digits <= 10) v.toLong * 1000000000L else v.toLong
     }
+
+  /** `step` param: seconds as a number, or a duration string ("30s",
+    * "1m") — the Prom/Loki APIs accept both; promtool sends the
+    * duration form.
+    */
+  private def stepSec(s: String): Double =
+    s.toDoubleOption.getOrElse(
+      graft.functions.Kernels.parseDurationSeconds(s).getOrElse(
+        throw new IllegalArgumentException(s"bad step '$s'")))
 
   /** The request's [lo, hi) window in ns: explicit start/end params,
     * with `since` computing a missing start as (end | now) − since —
@@ -302,7 +318,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
 
   private def lokiQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
-    val stepNs = p.get("step").map(s => (s.toDouble * 1e9).toLong)
+    val stepNs = p.get("step").map(s => (stepSec(s) * 1e9).toLong)
     // the maintained log-volume sidecar serves grain-aligned
     // count/bytes/rate aggregations without scanning a single log line
     // (the BucketedSampleQuery offload); anything unservable falls
@@ -447,7 +463,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     val targets = p.get("targetLabels").filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Nil)
     val stepNs = p.get("step").filter(_.nonEmpty)
-      .map(s => (s.toDouble * 1e9).toLong).getOrElse(3600000000000L)
+      .map(s => (stepSec(s) * 1e9).toLong).getOrElse(3600000000000L)
     ApiEncoders.lokiMatrix(
       graft.logql.Discovery.volumeRange(src, p.getOrElse("query", "{}"),
         stepNs, targets))
@@ -508,7 +524,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     val p = params(ex)
     val src = lokiDiscoverySrc(ex)
     val stepNs = p.get("step").filter(_.nonEmpty)
-      .map(s => (s.toDouble * 1e9).toLong).getOrElse(3600000000000L)
+      .map(s => (stepSec(s) * 1e9).toLong).getOrElse(3600000000000L)
     val series = graft.logql.PatternMine.mine(src, stepNs)
       .groupBy(col("pattern"), col("level"))
       .agg(sum(col("n")).as("total"),
@@ -559,6 +575,11 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     val triples = ("route", route, "") +:
       ("gen", generation().toString, "") +:
       multiParams(ex, "match[]").sorted.map(("match", "", _))
+    // a `since` window derives from the WALL CLOCK (boundsNs): the
+    // same params an hour later mean a different window, so such
+    // requests must re-evaluate (the cachedEnvelope rule, applied to
+    // every wall-clock-derived cache)
+    if (p.contains("since")) return body
     val key = seriesCache.keyOf(triples,
       p.get("start").filter(_.nonEmpty).map(toNs).getOrElse(Long.MinValue),
       p.get("end").filter(_.nonEmpty).map(toNs).getOrElse(Long.MaxValue))
@@ -617,7 +638,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
 
   private def promQueryRange(ex: HttpExchange): String = {
     val p = params(ex)
-    val stepUs = p.get("step").map(s => (s.toDouble * 1e6).toLong)
+    val stepUs = p.get("step").map(s => (stepSec(s) * 1e6).toLong)
     val q = p("query")
     // the maintained rollup tiers serve a grain-aligned
     // `*_over_time` dashboard grid without touching raw points (the
@@ -658,7 +679,9 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     // the plan may read (the filter re-applies idempotently inside the
     // planner)
     val src = graft.promql.PromQL.cacheableSelector(q) match {
-      case Some(sel) =>
+      // a `since`-derived scan window comes from the wall clock — the
+      // same key an hour later would serve an hour-stale frame
+      case Some(sel) if !p.contains("since") =>
         // history is part of the key: two queries sharing a selector
         // but needing different slack must not share a resolved frame
         val triples = ("hist", histUs.fold("inf")(_.toString), "") +:
@@ -671,7 +694,11 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
         resolutionCache.get(key) {
           val df = src0.filter(graft.promql.PromQL.selectorFilter(sel))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count() // materialize: the cache stores results, not plans
+          // a failed/cancelled materialization must release its
+          // CacheManager entry — onEvict only covers entries that
+          // made it INTO the cache
+          try df.count() // materialize: the cache stores results, not plans
+          catch { case e: Throwable => df.unpersist(); throw e }
           df
         }
       case _ => src0
@@ -868,7 +895,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
   private def tempoMetricsRange(ex: HttpExchange): String = {
     val p = params(ex)
     val stepNs = p.get("step").filter(_.nonEmpty)
-      .map(s => (s.toDouble * 1e9).toLong).getOrElse(60000000000L)
+      .map(s => (stepSec(s) * 1e9).toLong).getOrElse(60000000000L)
     val sp = windowed(spans, p, "start_ns", 1L)
     val (df, byKey) = graft.traceql.TraceQL.metricsRange(p("q"), sp, stepNs,
       cube = cubeFor(p))
@@ -1022,7 +1049,10 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     */
   private def pathSegment(ex: HttpExchange, base: String,
       suffix: String): String = {
-    val path = ex.getRequestURI.getPath
+    // RAW path: getPath is already percent-decoded — decoding it AGAIN
+    // breaks names containing '%' (spurious 400 on the re-decode) and
+    // rewrites literal '+' to a space
+    val path = ex.getRequestURI.getRawPath
     val i = path.indexOf(base)
     require(i >= 0 && path.endsWith(suffix), s"bad path $path")
     urlDec(path.substring(i + base.length, path.length - suffix.length))
@@ -1071,13 +1101,9 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
   private def urlDec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  // one escaper for the whole package (divergent copies would skew on
+  // the next escaping fix)
+  private def jsonStr(s: String): String = ApiEncoders.jsonString(s)
 
   private def errJson(e: Throwable): String =
     s"""{"status":"error","error":${jsonStr(
@@ -1219,12 +1245,19 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
           // the request stream is closed, so a slow query on an open
           // stream would be killed by maxReqTime (tuneServerDefaults)
           // even though the request arrived instantly. The body lands
-          // where rawQuery's form parser looks for it.
-          val reqBody =
-            new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          // where rawQuery's form parser looks for it. BOUNDED read:
+          // query-API bodies are form params — a multi-GB POST must
+          // 413, not buffer onto the driver heap.
+          val bodyCap = 16 << 20
+          val raw = ex.getRequestBody.readNBytes(bodyCap + 1)
           ex.getRequestBody.close()
-          ex.setAttribute("graft.form", reqBody)
-          f(ex)
+          if (raw.length > bodyCap)
+            (413, "application/json", errJson(new RuntimeException(
+              s"request body exceeds $bodyCap bytes")))
+          else {
+            ex.setAttribute("graft.form", new String(raw, "UTF-8"))
+            f(ex)
+          }
         }
         catch { case e: Throwable => (400, "application/json", errJson(e)) }
       val bytes = body.getBytes("UTF-8")

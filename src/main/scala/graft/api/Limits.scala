@@ -1,7 +1,5 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
-
 /** Typed result-size guard rails for the query envelopes — the
   * reference bounds sample queries with a server-side LIMIT n+1 whose
   * overflow surfaces as a TYPED error, and a result-byte cap enforced
@@ -51,41 +49,44 @@ object Limits {
       extends LimitExceeded(
         s"result too large: $bytes bytes exceeds the $limit byte limit")
 
-  /** limit+1 detection on the RESULT frame: bound a probe plan at
-    * n+1 rows — reaching the bound proves the result exceeds the cap,
-    * without materializing anything past it. The probe never collects
-    * rows to the driver (count() over CollectLimit).
-    *
-    * NOTE: the serving path no longer calls this — it pays a SECOND
-    * full plan execution per cold request (the probe job plus the
-    * envelope collect). The envelopes now count samples inside the ONE
-    * collect ([[ApiEncoders]] sums per-series sample counts post-drain
-    * and calls [[checkRows]]), the reference's own single-pass shape
-    * (chstorage/querier_logs_query.go:95-151 fetches limit+1 rows in
-    * the one query and checks while draining). Kept for plans whose
-    * result never assembles an envelope.
+  /** Post-drain sample-count check — the single-pass guard's throw.
+    * The serving envelopes bound materialization with a `limit(n+1)`
+    * on the sample frame and sum per-series counts inside the ONE
+    * collect ([[ApiEncoders.matrixSeries]]), the reference's own
+    * fetch-limit+1-and-check-while-draining shape
+    * (chstorage/querier_logs_query.go:95-151); the r14-era standalone
+    * probe (`guardRows`, a second full plan execution per request) is
+    * gone.
     */
-  def guardRows(df: DataFrame, limit: Long): DataFrame = {
-    if (limit > 0) {
-      val n = df.limit((limit + 1).toInt).count()
-      if (n > limit) throw new TooManySamples(n, limit)
-    }
-    df
-  }
-
-  /** Post-drain sample-count check (the single-pass guard's throw). */
   def checkRows(rows: Long, limit: Long): Unit =
     if (limit > 0 && rows > limit) throw new TooManySamples(rows, limit)
 
   /** Byte metering for envelope assembly: feed each rendered series
     * through; throws as soon as the running total crosses the cap.
+    * Counts UTF-8 WIRE bytes (what the cap is for), not UTF-16 chars —
+    * a CJK log envelope is ~3 bytes per char and would otherwise
+    * under-enforce the cap ~3×. Allocation-free scan.
     */
   final class ByteMeter(limit: Long) {
     private var total = 0L
     def add(chunk: String): String = {
-      total += chunk.length.toLong
+      total += utf8Length(chunk)
       if (limit > 0 && total > limit) throw new ResultTooLarge(total, limit)
       chunk
+    }
+    private def utf8Length(s: String): Long = {
+      var i = 0
+      var n = 0L
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 0x80) n += 1
+        else if (c < 0x800) n += 2
+        else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+        else n += 3
+        i += 1
+      }
+      n
     }
   }
 }

@@ -111,7 +111,11 @@ final class QueryProxy(
               val conn = java.net.URI.create(base + path + q).toURL
                 .openConnection().asInstanceOf[java.net.HttpURLConnection]
               conn.setRequestMethod(ex.getRequestMethod)
-              Seq("Content-Type", "Accept", "Content-Encoding").foreach { h =>
+              // Authorization forwards too: an auth-enabled upstream
+              // (HttpApi/AdminApi with a middleware) must see the
+              // client's credentials or every proxied query 401s
+              Seq("Content-Type", "Accept", "Content-Encoding",
+                "Authorization").foreach { h =>
                 Option(ex.getRequestHeaders.getFirst(h))
                   .foreach(conn.setRequestProperty(h, _))
               }

@@ -68,9 +68,18 @@ final class SeriesCache[V](maxEntries: Int = 256,
     val prior = inflight.putIfAbsent(key, fut)
     if (prior != null) {
       coalesced.incrementAndGet()
-      return if (waitMs > 0)
+      // unwrap the future's wrapper so a waiter sees the SAME typed
+      // exception the leader threw (a TooManySamples wrapped in
+      // ExecutionException would miss every typed catch upstream)
+      try return if (waitMs > 0)
         prior.get(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       else prior.join()
+      catch {
+        case e: java.util.concurrent.ExecutionException
+            if e.getCause != null => throw e.getCause
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
     }
     try {
       misses.incrementAndGet()

@@ -880,6 +880,19 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("prom params accept RFC3339 timestamps and duration steps (promtool forms)") {
+    withApi { port =>
+      val rfc = get(s"http://127.0.0.1:$port/api/v1/query_range?query=${
+        enc("cpu")}&start=1970-01-01T00:00:00Z&end=${
+        enc("1970-01-01T00:02:00+00:00")}&step=60s")
+      assert(rfc._1 == 200, s"got $rfc")
+      val num = get(s"http://127.0.0.1:$port/api/v1/query_range?query=${
+        enc("cpu")}&start=0&end=120&step=60")
+      assert(num._1 == 200 && rfc._2 == num._2,
+        s"RFC3339/duration forms must answer like the numeric forms:\n${rfc._2}\n${num._2}")
+    }
+  }
+
   test("identical explicit-window requests serve from the envelope cache; generation bump invalidates") {
     @volatile var gen = 0L
     val api = new HttpApi(logsDf, pointsDf, spansDf, generation = () => gen)
