@@ -1287,9 +1287,22 @@ object HttpApi {
     * request receipt only — slow QUERIES are governed by the job-group
     * execution cap, not this.
     */
-  private[graft] def tuneServerDefaults(): Unit =
+  private[graft] def tuneServerDefaults(): Unit = {
     if (System.getProperty("sun.net.httpserver.maxReqTime") == null) {
       System.setProperty("sun.net.httpserver.maxReqTime", "15")
       ()
     }
+    // TCP_NODELAY: the JDK server writes response headers and body as
+    // separate small writes — with Nagle on, the body write waits for
+    // the header segment's ACK, and the client's delayed ACK turns
+    // EVERY small response (instant vectors, labels, health) into a
+    // ~40 ms floor (the ServeProbe instant regime measured a uniform
+    // 44 ms p50 that vanished with nodelay). Go's net/http sets
+    // TCP_NODELAY by default, so this also matches the reference's
+    // wire behavior.
+    if (System.getProperty("sun.net.httpserver.nodelay") == null) {
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+      ()
+    }
+  }
 }

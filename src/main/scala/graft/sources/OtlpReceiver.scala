@@ -705,7 +705,15 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     * don't abort draining the remaining sinks. `drain = false` is the
     * fast abandon for tests and emergency teardown.
     */
-  def stop(drain: Boolean = true): Unit = {
+  /** Idempotent: a deployment may stop the receiver directly AND
+    * through the composition root's stop (graft.Serve.stop always
+    * calls it) — the second call must be a no-op, not a double-stop of
+    * the gRPC event loops (Netty throws RejectedExecutionException on
+    * a terminated executor).
+    */
+  def stop(drain: Boolean = true): Unit = synchronized {
+    if (stopped) return
+    stopped = true
     if (server != null) server.stop(0)
     if (grpc != null) grpc.stop()
     if (admin != null) admin.stop()
@@ -714,4 +722,5 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     queries.foreach(_.stop())
     if (listener != null) spark.streams.removeListener(listener)
   }
+  @volatile private var stopped = false
 }
