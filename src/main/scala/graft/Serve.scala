@@ -61,27 +61,43 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
 
   // ---- layout generation ----
 
-  private val gen = new AtomicLong(0L)
+  // PER-SIGNAL counters: a committed points micro-batch must not force
+  // the logs view (whose re-open pays a distributed mergeSchema footer
+  // job) or any other untouched layout to re-list — under steady
+  // single-signal ingest a global counter would defeat the memoization
+  // for every layout. Maintenance/out-of-band changes (TTL, compaction,
+  // flush) touch multiple layouts and bump the shared `maintGen`,
+  // which every per-signal view also observes.
+  private val sigGens: Map[String, AtomicLong] =
+    Seq("logs", "points", "spans", "profiles", "exemplars")
+      .map(_ -> new AtomicLong(0L)).toMap
+  private val maintGen = new AtomicLong(0L)
 
-  /** Current layout generation (monotone; bumps on committed batches
-    * and maintenance passes).
+  /** Current layout generation (monotone; any committed batch or
+    * maintenance pass moves it) — the HttpApi result caches key on
+    * this TOTAL, so a change to any layout invalidates by key.
     */
-  def generation: Long = gen.get
+  def generation: Long = sigGens.valuesIterator.map(_.get).sum + maintGen.get
 
   /** Force the next request to re-open every layout (used after
     * out-of-band layout changes; harmless when nothing changed).
     */
-  def refresh(): Unit = { gen.incrementAndGet(); () }
+  def refresh(): Unit = { maintGen.incrementAndGet(); () }
+
+  private def genOf(signal: String): () => Long = {
+    val g = sigGens(signal)
+    () => g.get + maintGen.get
+  }
 
   /** Generation-memoized layout accessor: re-opens (re-lists) only
-    * when the generation moved since the last open. A benign race —
-    * two concurrent first requests both open — publishes one of two
-    * equally valid frames.
+    * when ITS generation (signal + maintenance) moved since the last
+    * open. A benign race — two concurrent first requests both open —
+    * publishes one of two equally valid frames.
     */
-  private final class Live[T](open: () => T) {
+  private final class Live[T](gen: () => Long, open: () => T) {
     @volatile private var state: (Long, T) = null
     def get(): T = {
-      val g = gen.get
+      val g = gen()
       val s = state
       if (s != null && s._1 == g) s._2
       else { val v = open(); state = (g, v); v }
@@ -96,15 +112,19 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     * the current generation. Lock-free: ingest commits never wait on a
     * query re-open (the epoch retry re-lists only in the actual race).
     */
-  private def openOr(path: String, emptyDdl: String,
+  private def openOrEmpty(path: String, empty: => DataFrame,
       mergeSchema: Boolean = false): DataFrame =
     Layout.openConsistent(path) {
       if (Layout.hasDatePartitions(path))
         spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+      else empty
     }
+
+  private def openOr(path: String, emptyDdl: String,
+      mergeSchema: Boolean = false): DataFrame =
+    openOrEmpty(path, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(emptyDdl)), mergeSchema)
 
   // ---- serving views over the stored layouts ----
 
@@ -150,28 +170,19 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       .select("ts_us", "name", "labels", "value")
 
   private def spansView: DataFrame =
-    Layout.openConsistent(s"${cfg.dataDir}/spans") {
-      if (Layout.hasDatePartitions(s"${cfg.dataDir}/spans"))
-        spark.read.parquet(s"${cfg.dataDir}/spans")
-      else {
-        // schema-correct empty spans, derived from the decode type so it
-        // cannot drift; withParentPath adds the stored ancestry column
-        import spark.implicits._
-        Layout.withParentPath(
-          spark.emptyDataset[graft.sources.OtlpProto.OtlpSpan].toDF())
-      }
-    }
+    openOrEmpty(s"${cfg.dataDir}/spans", {
+      // schema-correct empty spans, derived from the decode type so it
+      // cannot drift; withParentPath adds the stored ancestry column
+      import spark.implicits._
+      Layout.withParentPath(
+        spark.emptyDataset[graft.sources.OtlpProto.OtlpSpan].toDF())
+    })
 
   private def profilesView: DataFrame =
-    Layout.openConsistent(s"${cfg.dataDir}/profiles") {
-      if (Layout.hasDatePartitions(s"${cfg.dataDir}/profiles"))
-        spark.read.parquet(s"${cfg.dataDir}/profiles")
-          .select("ts_us", "name", "labels", "stack", "value")
-      else {
-        import spark.implicits._
-        spark.emptyDataset[graft.sources.OtlpProfiles.OtlpProfileSample].toDF()
-      }
-    }
+    openOrEmpty(s"${cfg.dataDir}/profiles", {
+      import spark.implicits._
+      spark.emptyDataset[graft.sources.OtlpProfiles.OtlpProfileSample].toDF()
+    }).select("ts_us", "name", "labels", "stack", "value")
 
   private def exemplarsView: DataFrame =
     openOr(s"${cfg.dataDir}/exemplars",
@@ -179,18 +190,21 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
         "exemplar_labels MAP<STRING,STRING>, value DOUBLE")
       .select("ts_us", "name", "labels", "exemplar_labels", "value")
 
-  private val liveLogs = new Live(() => logsView)
-  private val livePoints = new Live(() => pointsView)
-  private val liveSpans = new Live(() => spansView)
-  private val liveProfiles = new Live(() => profilesView)
-  private val liveExemplars = new Live(() => exemplarsView)
-  private val liveTiers = new Live(() =>
+  private val liveLogs = new Live(genOf("logs"), () => logsView)
+  private val livePoints = new Live(genOf("points"), () => pointsView)
+  private val liveSpans = new Live(genOf("spans"), () => spansView)
+  private val liveProfiles = new Live(genOf("profiles"), () => profilesView)
+  private val liveExemplars =
+    new Live(genOf("exemplars"), () => exemplarsView)
+  // the sidecars ride their parent signal's sink (rollup ← points,
+  // logvolume ← logs, cube ← spans), so they share its generation
+  private val liveTiers = new Live(genOf("points"), () =>
     Layout.openConsistent(s"${cfg.dataDir}/rollup")(
       graft.promql.PromQL.tiersFromLayout(spark, s"${cfg.dataDir}/rollup")))
-  private val liveLogTiers = new Live(() =>
+  private val liveLogTiers = new Live(genOf("logs"), () =>
     Layout.openConsistent(s"${cfg.dataDir}/logvolume")(
       graft.logql.Planner.volumeFromLayout(spark, s"${cfg.dataDir}/logvolume")))
-  private val liveCube = new Live(() =>
+  private val liveCube = new Live(genOf("spans"), () =>
     Layout.openConsistent(s"${cfg.dataDir}/cube") {
       if (Layout.hasDatePartitions(s"${cfg.dataDir}/cube"))
         Some(graft.traceql.TraceQL.attrCubeFrom(spark, s"${cfg.dataDir}/cube"))
@@ -208,7 +222,7 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     limits = cfg.resultLimits, rules = cfg.rules,
     cube = liveCube.get(), tiers = liveTiers.get(),
     logTiers = liveLogTiers.get(),
-    generation = () => gen.get,
+    generation = () => generation,
     refreshOnStale = () => refresh(),
     auth = Serve.sectionAuth(cfg.queryAuth, cfg.auth))
 
@@ -229,7 +243,13 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.numInputRows > 0) refresh()
+        if (e.progress.numInputRows > 0)
+          // attribute the batch to the ONE signal layout it wrote; an
+          // unrecognized writer falls back to the global bump
+          receiver.sinkSignals.get(e.progress.id) match {
+            case Some(sig) => sigGens(sig).incrementAndGet(): Unit
+            case None      => refresh()
+          }
     }
     spark.streams.addListener(listener)
     // per-section auth override, reference shape (app.go:206-208: a
@@ -286,7 +306,15 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
 
   def stop(): Unit = {
     stopped = true
-    if (maintThread != null) maintThread.interrupt()
+    if (maintThread != null) {
+      maintThread.interrupt()
+      // JOIN (bounded): an in-flight maintenance pass ignores the
+      // interrupt until its current Spark job ends — proceeding to
+      // stop the servers and (in main) the SparkContext under it would
+      // kill the pass mid-rewrite and lean on crash recovery for a
+      // non-crash shutdown
+      maintThread.join(30000)
+    }
     // bounded graceful drain (reference app.go:240-247 shuts the HTTP
     // servers down under a 30 s context): in-flight query exchanges
     // finish; stop returns as soon as they drain, 30 s is the bound
@@ -471,13 +499,22 @@ object Serve {
     // is a STARTUP error (the same philosophy as the policy's agg
     // validation): `--retention-day 30` silently defaulting retention
     // OFF would fill disks before anyone noticed
-    var i = args.indexWhere(_.startsWith("--"))
-    while (i >= 0 && i < args.length) {
-      val f = args(i)
-      require(KnownFlags.contains(f), s"unknown flag '$f'")
-      require(i + 1 < args.length && !args(i + 1).startsWith("--"),
-        s"flag '$f' is missing its value")
-      i = args.indexWhere(_.startsWith("--"), i + 2)
+    // EVERY token is examined: a flag must be known and valued, and a
+    // stray positional (a space where a comma belonged, a flag typed
+    // without dashes) is as loud as a typo'd flag name — the scan-only
+    // -between-flags version silently dropped both
+    var i = 0
+    while (i < args.length) {
+      val t = args(i)
+      if (t.startsWith("--")) {
+        require(KnownFlags.contains(t), s"unknown flag '$t'")
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          s"flag '$t' is missing its value")
+        i += 2
+      } else {
+        require(i == 0, s"unexpected argument '$t'")
+        i += 1
+      }
     }
     def flagStr(name: String): Option[String] = {
       val j = args.indexOf(name)
@@ -500,8 +537,6 @@ object Serve {
       flagStr(flag).orElse(fileStr(key))
     def cfgL(flag: String, key: String, default: Long): Long =
       cfgStr(flag, key).map(_.toLong).getOrElse(default)
-    def flagL(name: String, default: Long): Long =
-      flagStr(name).map(_.toLong).getOrElse(default)
     val downsample = cfgStr("--downsample", "downsample").toSeq
       .flatMap(_.split(",")).map { spec =>
         spec.split(":") match {
@@ -550,8 +585,10 @@ object Serve {
     def tokenCfg(flag: String): Option[Auth.AuthConfig] =
       flagStr(flag).map { v =>
         Auth.AuthConfig("bearertoken", tokens = v.split(",").toSeq.map {
-          case t if t.startsWith("@") => Auth.Token(tokenFile = t.drop(1))
-          case t                      => Auth.Token(token = t)
+          // "@@x" = the literal token "@x"; "@path" = token_file
+          case t if t.startsWith("@@") => Auth.Token(token = t.drop(1))
+          case t if t.startsWith("@")  => Auth.Token(tokenFile = t.drop(1))
+          case t                       => Auth.Token(token = t)
         })
       }
     def basicCfg(flag: String): Option[Auth.AuthConfig] =
@@ -560,7 +597,9 @@ object Serve {
           val i = up.indexOf(':')
           require(i > 0, s"$flag: want user:pass, got '$up'")
           val pass = up.drop(i + 1)
-          if (pass.startsWith("@"))
+          if (pass.startsWith("@@")) // literal leading @
+            Auth.UserCredentials(up.take(i), password = pass.drop(1))
+          else if (pass.startsWith("@"))
             Auth.UserCredentials(up.take(i), passwordFile = pass.drop(1))
           else Auth.UserCredentials(up.take(i), password = pass)
         })
@@ -637,6 +676,8 @@ object Serve {
       sys.exit(2)
     }
     val dataDir = args(0)
+    require(!dataDir.startsWith("--"),
+      s"first argument must be the data directory, got flag '$dataDir'")
     val fileMap = loadFileMap(args.toSeq)
     // port precedence: flag > *_ADDR env override > config file >
     // reference default — the env hook is the reference's
@@ -673,8 +714,14 @@ object Serve {
     // one Spark's hooks also run under) at a priority ABOVE Spark's
     // (Spark registers at 40), so the drain completes before the
     // context goes away.
+    // explicit hook TIMEOUT: Hadoop's default hook budget is 30 s and
+    // it cancels (interrupts) the hook on expiry — serve.stop()'s HTTP
+    // graceful drain alone may use 30 s, and a cancelled hook would
+    // skip the receiver drain and lose acknowledged payloads, the very
+    // thing the hook exists to prevent
     org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
-      new Runnable { def run(): Unit = serve.stop() }, 100)
+      new Runnable { def run(): Unit = serve.stop() }, 100,
+      120, java.util.concurrent.TimeUnit.SECONDS)
     Thread.currentThread().join() // serve until killed
   }
 }

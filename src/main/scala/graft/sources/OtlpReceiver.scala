@@ -705,6 +705,15 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     * don't abort draining the remaining sinks. `drain = false` is the
     * fast abandon for tests and emergency teardown.
     */
+  /** Sink query-id → signal name, in start order — lets a composition
+    * root attribute a micro-batch progress event to the ONE layout it
+    * wrote (per-signal freshness instead of invalidating every open
+    * frame on every batch of any signal).
+    */
+  def sinkSignals: Map[java.util.UUID, String] =
+    queries.map(_.id)
+      .zip(Seq("spans", "logs", "points", "exemplars", "profiles")).toMap
+
   /** Idempotent: a deployment may stop the receiver directly AND
     * through the composition root's stop (graft.Serve.stop always
     * calls it) — the second call must be a no-op, not a double-stop of
