@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
@@ -61,48 +59,28 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
 
   // ---- layout generation ----
 
-  // PER-SIGNAL counters: a committed points micro-batch must not force
-  // the logs view (whose re-open pays a distributed mergeSchema footer
-  // job) or any other untouched layout to re-list — under steady
-  // single-signal ingest a global counter would defeat the memoization
-  // for every layout. Maintenance/out-of-band changes (TTL, compaction,
-  // flush) touch multiple layouts and bump the shared `maintGen`,
-  // which every per-signal view also observes.
-  private val sigGens: Map[String, AtomicLong] =
-    Seq("logs", "points", "spans", "profiles", "exemplars")
-      .map(_ -> new AtomicLong(0L)).toMap
-  private val maintGen = new AtomicLong(0L)
+  // PER-SIGNAL counters + shared maintenance counter, extracted to
+  // [[graft.util.Generations]] (its two invariants — total moves on
+  // every change; a view re-opens iff its own generation moved — are
+  // property-tested over random interleavings in
+  // GenerationsPropertySpec, since the result caches' freshness builds
+  // on them)
+  private val gens = new graft.util.Generations(
+    Seq("logs", "points", "spans", "profiles", "exemplars"))
+  private type Live[T] = graft.util.Generations.Live[T]
 
   /** Current layout generation (monotone; any committed batch or
     * maintenance pass moves it) — the HttpApi result caches key on
     * this TOTAL, so a change to any layout invalidates by key.
     */
-  def generation: Long = sigGens.valuesIterator.map(_.get).sum + maintGen.get
+  def generation: Long = gens.total
 
   /** Force the next request to re-open every layout (used after
     * out-of-band layout changes; harmless when nothing changed).
     */
-  def refresh(): Unit = { maintGen.incrementAndGet(); () }
+  def refresh(): Unit = gens.refresh()
 
-  private def genOf(signal: String): () => Long = {
-    val g = sigGens(signal)
-    () => g.get + maintGen.get
-  }
-
-  /** Generation-memoized layout accessor: re-opens (re-lists) only
-    * when ITS generation (signal + maintenance) moved since the last
-    * open. A benign race — two concurrent first requests both open —
-    * publishes one of two equally valid frames.
-    */
-  private final class Live[T](gen: () => Long, open: () => T) {
-    @volatile private var state: (Long, T) = null
-    def get(): T = {
-      val g = gen()
-      val s = state
-      if (s != null && s._1 == g) s._2
-      else { val v = open(); state = (g, v); v }
-    }
-  }
+  private def genOf(signal: String): () => Long = gens.of(signal)
 
   /** Opens a layout CONSISTENTLY: both the existence probe and the
     * eager listing run inside [[Layout.openConsistent]]'s swap-epoch
@@ -216,6 +194,15 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     * Some-at-start gate would permanently hide the endpoints of a deployment
     * that starts before its first profile arrives.
     */
+  /** Structured-request-log sink (reference InjectLogger/LogRequests:
+    * one record per request on every server). Opt-in (`--request-log
+    * on` / `request_log: on`): a single-process local[32] deployment
+    * interleaves these lines with engine output, and the per-route
+    * METRICS — the half an operator queries — are always on.
+    */
+  private val requestLogSink: Option[String => Unit] =
+    if (cfg.requestLog) Some(line => System.err.println(line)) else None
+
   val api = new HttpApi(
     liveLogs.get(), livePoints.get(), liveSpans.get(),
     Some(liveProfiles.get()), Some(liveExemplars.get()),
@@ -224,7 +211,8 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     logTiers = liveLogTiers.get(),
     generation = () => generation,
     refreshOnStale = () => refresh(),
-    auth = Serve.sectionAuth(cfg.queryAuth, cfg.auth))
+    auth = Serve.sectionAuth(cfg.queryAuth, cfg.auth),
+    metrics = new graft.api.RequestMetrics("query", requestLogSink))
 
   private var listener: StreamingQueryListener = _
   @volatile private var stopped = false
@@ -247,7 +235,7 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
           // attribute the batch to the ONE signal layout it wrote; an
           // unrecognized writer falls back to the global bump
           receiver.sinkSignals.get(e.progress.id) match {
-            case Some(sig) => sigGens(sig).incrementAndGet(): Unit
+            case Some(sig) => gens.bump(sig)
             case None      => refresh()
           }
     }
@@ -256,15 +244,29 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     // section with no auth config inherits the GLOBAL one; gRPC ingest
     // stays un-middlewared like the reference, whose collector gRPC
     // receivers sit outside the HTTP auth middleware)
-    val ip = receiver.start(ingestPort,
-      auth = Serve.sectionAuth(cfg.ingestAuth, cfg.auth))
+    val ingestMw = Serve.sectionAuth(cfg.ingestAuth, cfg.auth)
+    receiver.ingestMetrics.logSink = requestLogSink
+    val ip = receiver.start(ingestPort, auth = ingestMw)
+    // the gRPC OTLP port carries no auth middleware (reference-faithful:
+    // its collector gRPC receivers sit outside the HTTP auth middleware)
+    // and binds loopback-only — but an operator who configured ingest
+    // auth may assume BOTH ingest transports are protected, so say it
+    // out loud at startup (ADVICE r15)
+    if (ingestMw.nonEmpty)
+      System.err.println("[graft.Serve] WARNING: ingest auth is " +
+        "configured but the gRPC OTLP port accepts unauthenticated " +
+        "writes (reference-faithful; bound to 127.0.0.1)")
     val gp = receiver.startGrpc(grpcPort)
     // admin-triggered storage_maintain changes layouts without a batch
     // commit (TTL drops partitions, compaction rewrites listings):
     // invalidate through the same generation
     val ap = receiver.startAdmin(adminPort, onMaintain = _ => refresh(),
       maintainDate = cfg.maintainDate,
-      auth = Serve.sectionAuth(cfg.adminAuth, cfg.auth))
+      auth = Serve.sectionAuth(cfg.adminAuth, cfg.auth),
+      // /api/v1/routes reports the query server's metrics next to the
+      // ingest and admin servers' own
+      routeMetrics = Seq(api.metrics),
+      requestLog = requestLogSink)
     val qp = api.start(queryPort)
     if (cfg.maintainEveryMs > 0) {
       // the reference's TTL/merge machinery runs continuously
@@ -333,6 +335,7 @@ object Serve {
       retentionDays: Int = 0,
       resultLimits: Limits.ResultLimits = Limits.ResultLimits(),
       rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
+      requestLog: Boolean = false,
       maintainEveryMs: Long = 0L,
       maintainDate: () => String = () => StoragePolicy.utcToday(),
       // global auth applies to every HTTP server; a section override
@@ -380,7 +383,7 @@ object Serve {
     "--admin-auth-token", "--admin-auth-basic",
     "--max-result-rows", "--max-result-bytes", "--max-execution-ms",
     "--max-concurrent-queries", "--queue-depth", "--queue-wait-ms",
-    "--config")
+    "--request-log", "--config")
 
   /** Config-file keys (snake_case twins of the flags, the reference's
     * cmd/oteldb/config.go field names where one exists), validated
@@ -395,7 +398,7 @@ object Serve {
     "downsample", "precision", "recompress", "safety",
     "max_result_rows", "max_result_bytes", "max_execution_ms",
     "max_concurrent_queries", "queue_depth", "queue_wait_ms",
-    "auth", "query", "ingest", "admin")
+    "request_log", "auth", "query", "ingest", "admin")
 
   private def checkKeys(m: Map[String, Any], allowed: Set[String],
       ctx: String): Unit =
@@ -620,6 +623,14 @@ object Serve {
         maxBodyBytes = cfgL("--max-body-bytes", "max_body_bytes", 0L)),
       logSafety = safety,
       storagePolicy = policy,
+      // boolean knob: on/off | true/false | 1/0, loudly rejecting
+      // anything else (the strict-validation philosophy)
+      requestLog = cfgStr("--request-log", "request_log").fold(false) {
+        case "on" | "true" | "1"   => true
+        case "off" | "false" | "0" => false
+        case other => throw new IllegalArgumentException(
+          s"--request-log: want on|off, got '$other'")
+      },
       retentionDays = cfgL("--retention-days", "retention_days", 0L).toInt,
       maintainEveryMs =
         cfgL("--maintain-every-min", "maintain_every_min", 0L) * 60000L,
@@ -671,7 +682,7 @@ object Serve {
           "[--{query|ingest|admin}-auth-{token|basic} ...] " +
           "[--max-result-rows N] [--max-result-bytes N] " +
           "[--max-execution-ms N] [--max-concurrent-queries N] " +
-          "[--queue-depth N] [--queue-wait-ms N]  " +
+          "[--queue-depth N] [--queue-wait-ms N] [--request-log on|off]  " +
           "(env: INGEST_ADDR GRPC_ADDR QUERY_ADDR ADMIN_ADDR)")
       sys.exit(2)
     }

@@ -86,13 +86,28 @@ object ServeProbe {
     c
   }
 
+  // the probe's OWN per-route accounting, to cross-check the admin
+  // API's /api/v1/routes report (every query-server request the probe
+  // makes flows through get())
+  private val issuedRange = new java.util.concurrent.atomic.AtomicLong()
+  private val issuedInstant = new java.util.concurrent.atomic.AtomicLong()
+
   private def get(url: String): Int = {
+    if (url.contains("/api/v1/query_range")) issuedRange.incrementAndGet()
+    else if (url.contains("/api/v1/query")) issuedInstant.incrementAndGet()
     val conn = java.net.URI.create(url).toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
     Option(is).foreach { s => s.readAllBytes(); s.close() }
     code
+  }
+
+  private def getBody(url: String): String = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val is = conn.getInputStream
+    try new String(is.readAllBytes(), UTF_8) finally is.close()
   }
 
   /** Sustained concurrent GETs for `seconds`; prints accepted QPS and
@@ -252,6 +267,35 @@ object ServeProbe {
         "avg_over_time(load_m[7m])", "UTF-8")}&start=${startSec + 40000 + n}&end=${
         startSec + 47200 + n}&step=61"
     regime("cache-busting raw range at 4x oversubscription", 64, secs)(shiftingFar)
+
+    // ---- self-observability cross-check (r16 verdict #1): the admin
+    // API's /api/v1/routes report next to the probe's own accounting —
+    // the counts must AGREE exactly (every probe request to the query
+    // server flows through get(), which counts per route; the metrics
+    // middleware measures the same exchanges server-side)
+    val routesJson = getBody(s"http://127.0.0.1:${ports.admin}/api/v1/routes")
+    def routeEntry(route: String): String = {
+      val q = java.util.regex.Pattern.quote(route)
+      // one route object spans up to its trailing total_ms field (the
+      // nested statuses object means "first }" would cut it short)
+      val m = java.util.regex.Pattern
+        .compile(s""""route":"$q".*?"total_ms":[0-9.]+""").matcher(routesJson)
+      if (m.find()) m.group() else s"route $route not reported"
+    }
+    def fieldOf(entry: String, k: String): String = {
+      val m = java.util.regex.Pattern
+        .compile(s""""$k":([0-9.]+)""").matcher(entry)
+      if (m.find()) m.group(1) else "?"
+    }
+    Seq("/api/v1/query_range" -> issuedRange.get,
+        "/api/v1/query" -> issuedInstant.get).foreach { case (route, mine) =>
+      val e = routeEntry(route)
+      val admin = fieldOf(e, "count")
+      val agree = admin == mine.toString
+      println(f"[routes] $route%-24s admin count=$admin%-8s probe issued=$mine%-8s " +
+        f"agree=$agree  p50=${fieldOf(e, "p50_ms")} ms  p95=${fieldOf(e, "p95_ms")} ms  " +
+        s"statuses=${fieldOf(e, "200")}x200/${fieldOf(e, "503")}x503")
+    }
 
     serve.stop()
     spark.stop()

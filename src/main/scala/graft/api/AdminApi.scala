@@ -39,9 +39,16 @@ final class AdminApi(
     safety: Option[graft.streaming.LogSafety.Metrics] = None,
     maintain: Option[() => String] = None,
     startTimeMs: Long = System.currentTimeMillis(),
-    auth: Option[Auth.Middleware] = None) {
+    auth: Option[Auth.Middleware] = None,
+    routeMetrics: Seq[RequestMetrics] = Nil,
+    requestLog: Option[String => Unit] = None) {
 
   import AdminApi._
+
+  /** This server's own per-route metrics (measured like every other
+    * server's) — reported by /api/v1/routes alongside `routeMetrics`.
+    */
+  val metrics = new RequestMetrics("admin", requestLog)
 
   private var server: HttpServer = _
 
@@ -55,6 +62,7 @@ final class AdminApi(
     server.createContext("/api/v1/runtime", handler(_ => runtimeStats()))
     server.createContext("/api/v1/storage/efficiency", handler(_ => efficiency()))
     server.createContext("/api/v1/storage", handler(_ => storage()))
+    server.createContext("/api/v1/routes", handler(_ => routesReport()))
     server.createContext("/api/v1/actions/", handler(runAction))
     // debug pages — the reference ships these as autozpages (OTel SDK
     // zpages mounted next to the admin surface); the JVM-true analogue
@@ -181,6 +189,18 @@ final class AdminApi(
     s"""{"storage_enabled":${layouts.nonEmpty},"signals":[$sigs]}"""
   }
 
+  /** Per-route request metrics of every wired server (query, ingest,
+    * admin): count, per-status breakdown, p50/p95/p99/mean/max — the
+    * reference's `httpmiddleware.Measure` counters
+    * (httpmiddleware.go:63-136), surfaced here instead of an external
+    * OTel scraper so the deployment observes itself. Snapshot-priced:
+    * reading sums LongAdders, no locks, no Spark.
+    */
+  private def routesReport(): String = {
+    val servers = (routeMetrics :+ metrics).map(_.snapshotJson)
+    s"""{"servers":[${servers.mkString(",")}]}"""
+  }
+
   /** Thread dump, bounded to the top frames per thread. */
   private def threadz(): String = {
     val threads = Thread.getAllStackTraces
@@ -255,7 +275,8 @@ final class AdminApi(
     * per-section override as the query/ingest ones.
     */
   private def handler(f: HttpExchange => String)
-      : com.sun.net.httpserver.HttpHandler = Auth.guard(auth, {
+      : com.sun.net.httpserver.HttpHandler =
+    metrics.measure(Auth.guard(auth, {
       (ex: HttpExchange) =>
     val (code, body) =
       try (200, f(ex))
@@ -272,7 +293,7 @@ final class AdminApi(
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
-  })
+  }))
 }
 
 object AdminApi {

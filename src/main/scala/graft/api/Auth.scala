@@ -173,7 +173,13 @@ object Auth {
 
   /** `[]AuthConfig` → authenticators (cmd/oteldb/app.go:264-293
     * makeAuthMiddlewares): empty config → None (no middleware mounted);
-    * an invalid type is a startup error.
+    * an invalid type is a startup error. A NON-empty config whose
+    * entries are all none-type yields a middleware with ZERO
+    * authenticators, which rejects every request — FAIL-CLOSED, exactly
+    * the reference (its makeAuthMiddlewares returns an Auth middleware
+    * over the empty list for that config); mounting nothing instead
+    * would leave endpoints an operator explicitly configured auth for
+    * silently unauthenticated (ADVICE r15).
     */
   def fromConfig(cfgs: Seq[AuthConfig]): Option[Middleware] = {
     val auths = cfgs.flatMap { c =>
@@ -185,7 +191,7 @@ object Auth {
           s"invalid auth type \"$other\"")
       }
     }
-    if (auths.isEmpty) None else Some(new Middleware(auths))
+    if (cfgs.isEmpty) None else Some(new Middleware(auths))
   }
 
   /** The middleware proper (auth.go:151-167 Auth): tries each

@@ -67,7 +67,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     logTiers: => Map[Long, DataFrame] = Map.empty,
     generation: () => Long = () => 0L,
     refreshOnStale: () => Unit = () => (),
-    auth: Option[Auth.Middleware] = None) {
+    auth: Option[Auth.Middleware] = None,
+    val metrics: RequestMetrics = new RequestMetrics("query")) {
 
   private var server: HttpServer = _
 
@@ -1133,6 +1134,30 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     false
   }
 
+  /** SparkContext for the job-group cap, memoized on FIRST success:
+    * the context is JVM-stable for the server's lifetime, but resolving
+    * it through the logs view evaluates the Live supplier — per-request
+    * resolution made every route (prom/tempo included) pay the logs
+    * layout re-open (with its distributed mergeSchema footer job) after
+    * each committed logs micro-batch, outside the job-group cap, and a
+    * transient open failure silently ran that request uncapped. Failed
+    * resolution retries on the next request (a not-yet-initialized
+    * deployment runs uncapped — its queries would fail on the same
+    * missing context anyway).
+    */
+  @volatile private var memoSc: org.apache.spark.SparkContext = _
+  private def sparkCtx(): Option[org.apache.spark.SparkContext] = {
+    val m = memoSc
+    if (m != null) Some(m)
+    else {
+      val r =
+        try Some(logs.sparkSession.sparkContext)
+        catch { case scala.util.control.NonFatal(_) => None }
+      r.foreach(memoSc = _)
+      r
+    }
+  }
+
   /** Waits for an execution slot: immediate grant, bounded queue, or
     * shed. Returns false = shed (503). The queue is DEPTH-bounded and
     * WAIT-bounded — past saturation the server sheds instead of
@@ -1176,13 +1201,10 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
         // the group at the deadline and the request surfaces the typed
         // 503 instead of holding its slot forever. setJobGroup is
         // thread-local, so concurrent requests don't cross-cancel.
-        // The context comes from the backing frame (handler pool
-        // threads don't reliably carry the session thread-local); a
-        // not-yet-initialized deployment runs uncapped — its queries
-        // would fail on the same missing context anyway.
-        val scOpt =
-          try Some(logs.sparkSession.sparkContext)
-          catch { case scala.util.control.NonFatal(_) => None }
+        // The context comes from the backing frame on FIRST use only
+        // (handler pool threads don't reliably carry the session
+        // thread-local) and is memoized — see sparkCtx().
+        val scOpt = sparkCtx()
         val groupId = s"graft-http-${HttpApi.reqCounter.incrementAndGet()}"
         val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
         scOpt.foreach(_.setJobGroup(groupId, "graft http request",
@@ -1233,11 +1255,13 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     * WHOLE server like the reference's per-server `addOgen` wiring
     * (cmd/oteldb/app.go:215-236: the auth middleware sits in front of
     * every ogen route, health probes included) — and runs BEFORE any
-    * body read or Spark work.
+    * body read or Spark work. The request-metrics middleware wraps
+    * OUTSIDE auth (the reference's Instrument/LogRequests stack order),
+    * so 401s and sheds are measured per route too.
     */
   private def rawHandler(
       f: HttpExchange => (Int, String, String)): HttpHandler =
-    Auth.guard(auth, (ex: HttpExchange) => {
+    metrics.measure(Auth.guard(auth, (ex: HttpExchange) => {
       val (code, contentType, body) =
         try {
           // receive + close the request body FIRST: the JDK server
@@ -1265,7 +1289,7 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
-    })
+    }))
 }
 
 object HttpApi {

@@ -53,6 +53,12 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   private val profileIn = MemoryStream[Array[Byte]]
   private val pyroIn = MemoryStream[(String, Long, Array[Byte])]
 
+  /** Per-route request metrics for the ingest HTTP server (reference
+    * httpmiddleware.Measure wraps every server, app.go:215-236) —
+    * surfaced by the admin API's /api/v1/routes.
+    */
+  val ingestMetrics = new graft.api.RequestMetrics("ingest")
+
   private var queries: Seq[StreamingQuery] = Nil
   private var server: HttpServer = _
   private var grpc: GrpcIngest = _
@@ -253,12 +259,17 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     val profilesQ = Streams.profilesSink(profiles,
       s"$dataDir/profiles", s"$dataDir/ckpt/profiles",
       Trigger.ProcessingTime(0), idBase = profilesBase)
-    queries = Seq(
-      spansQ, logsQ, pointsQ,
-      Streams.exemplarsSink(promExemplars, s"$dataDir/exemplars",
-        s"$dataDir/ckpt/promexemplars", Trigger.ProcessingTime(0),
-        idBase = exemplarsBase),
-      profilesQ)
+    val exemplarsQ = Streams.exemplarsSink(promExemplars,
+      s"$dataDir/exemplars", s"$dataDir/ckpt/promexemplars",
+      Trigger.ProcessingTime(0), idBase = exemplarsBase)
+    queries = Seq(spansQ, logsQ, pointsQ, exemplarsQ, profilesQ)
+    // built from the NAMED sink vals (like trackerByQuery below) so the
+    // signal attribution can't drift if the `queries` literal reorders —
+    // a positional zip would silently misattribute batches and the
+    // composition root would serve stale views for the affected signal
+    sinkSignalsMap = Map(
+      spansQ.id -> "spans", logsQ.id -> "logs", pointsQ.id -> "points",
+      exemplarsQ.id -> "exemplars", profilesQ.id -> "profiles")
     // in-flight release: a completed micro-batch's progress event
     // carries each source's endOffset; every payload enqueued at or
     // below it has been committed by the sink
@@ -291,9 +302,11 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     // auth wraps every ingest route (the reference mounts its auth
     // middleware on every HTTP server it stands up, ingest included —
     // cmd/oteldb/app.go addOgen; an unauthenticated push is rejected
-    // BEFORE the body is read into the admission budget)
+    // BEFORE the body is read into the admission budget); request
+    // metrics wrap OUTSIDE auth like the reference's Instrument stack,
+    // so rejected pushes are measured per route too
     val g = (h: com.sun.net.httpserver.HttpHandler) =>
-      graft.api.Auth.guard(auth, h)
+      ingestMetrics.measure(graft.api.Auth.guard(auth, h))
     server.createContext("/v1/traces", g(accept(traceIn, traceTrk,
       p => OtlpProto.decodeSpans(p).size.toLong, Otlp)))
     server.createContext("/v1/logs", g(accept(logIn, logTrk,
@@ -542,7 +555,9 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   def startAdmin(port: Int = 0,
       onMaintain: String => Unit = _ => (),
       maintainDate: () => String = () => StoragePolicy.utcToday(),
-      auth: Option[graft.api.Auth.Middleware] = None): Int = {
+      auth: Option[graft.api.Auth.Middleware] = None,
+      routeMetrics: Seq[graft.api.RequestMetrics] = Nil,
+      requestLog: Option[String => Unit] = None): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
         addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),
@@ -569,7 +584,11 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
         onMaintain(summary)
         summary
       }),
-      auth = auth)
+      auth = auth,
+      // the ingest server's own route metrics always report here; the
+      // composition root adds the query server's
+      routeMetrics = ingestMetrics +: routeMetrics,
+      requestLog = requestLog)
     admin.start(port)
   }
 
@@ -705,14 +724,13 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     * don't abort draining the remaining sinks. `drain = false` is the
     * fast abandon for tests and emergency teardown.
     */
-  /** Sink query-id → signal name, in start order — lets a composition
-    * root attribute a micro-batch progress event to the ONE layout it
-    * wrote (per-signal freshness instead of invalidating every open
-    * frame on every batch of any signal).
+  /** Sink query-id → signal name — lets a composition root attribute a
+    * micro-batch progress event to the ONE layout it wrote (per-signal
+    * freshness instead of invalidating every open frame on every batch
+    * of any signal). Populated in [[start]] from the named sink vals.
     */
-  def sinkSignals: Map[java.util.UUID, String] =
-    queries.map(_.id)
-      .zip(Seq("spans", "logs", "points", "exemplars", "profiles")).toMap
+  def sinkSignals: Map[java.util.UUID, String] = sinkSignalsMap
+  private var sinkSignalsMap: Map[java.util.UUID, String] = Map.empty
 
   /** Idempotent: a deployment may stop the receiver directly AND
     * through the composition root's stop (graft.Serve.stop always

@@ -177,15 +177,49 @@ object MiniYaml {
   private def unquote(s: String, num: Int): String =
     if (s.length >= 2 && s.head == '"' && s.last == '"') {
       // left-to-right unescape (sequential String.replace is
-      // order-fragile over runs of backslashes)
+      // order-fragile over runs of backslashes), interpreting the YAML
+      // double-quote escapes — copying the escaped character verbatim
+      // would silently mangle "a\nb" to "anb" and "A" to "u0041",
+      // so a quoted secret containing such escapes would resolve to a
+      // DIFFERENT value than the reference's yaml.Unmarshal (ADVICE
+      // r15). Unknown escapes fail loudly per the file's contract.
       val inner = s.substring(1, s.length - 1)
       val sb = new StringBuilder(inner.length)
       var i = 0
+      def hex(from: Int, digits: Int): Int = {
+        if (from + digits > inner.length)
+          throw new ParseError(num, s"truncated escape in '$s'")
+        val h = inner.substring(from, from + digits)
+        try Integer.parseInt(h, 16)
+        catch { case _: NumberFormatException =>
+          throw new ParseError(num, s"bad hex escape '\\$h'") }
+      }
       while (i < inner.length) {
         val c = inner.charAt(i)
-        if (c == '\\' && i + 1 < inner.length) {
-          sb.append(inner.charAt(i + 1)); i += 2
-        } else { sb.append(c); i += 1 }
+        if (c != '\\') { sb.append(c); i += 1 }
+        else if (i + 1 >= inner.length)
+          throw new ParseError(num, s"trailing backslash in '$s'")
+        else inner.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"'  => sb.append('"'); i += 2
+          case '/'  => sb.append('/'); i += 2
+          case ' '  => sb.append(' '); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case '0'  => sb.append('\u0000'); i += 2
+          case 'a'  => sb.append('\u0007'); i += 2
+          case 'v'  => sb.append('\u000B'); i += 2
+          case 'e'  => sb.append('\u001B'); i += 2
+          case 'x'  => sb.append(hex(i + 2, 2).toChar); i += 4
+          case 'u'  => sb.append(hex(i + 2, 4).toChar); i += 6
+          case 'U'  =>
+            sb.appendAll(Character.toChars(hex(i + 2, 8))); i += 10
+          case other =>
+            throw new ParseError(num, s"unknown escape '\\$other' in '$s'")
+        }
       }
       sb.toString
     }

@@ -170,4 +170,44 @@ class AdminApiSpec extends SparkTestBase {
         qz.contains(""""default_parallelism":"""), qz)
     } finally api.stop()
   }
+
+  test("routes endpoint round-trips per-route metrics of every wired server") {
+    // a "query" server's registry with known traffic, wired in the way
+    // the composition root wires it (routeMetrics), plus the admin
+    // server's own middleware measuring its own routes
+    val queryMetrics = new graft.api.RequestMetrics("query")
+    queryMetrics.record("/api/v1/query_range", "GET", 200, 2500L)
+    queryMetrics.record("/api/v1/query_range", "GET", 200, 3500L)
+    queryMetrics.record("/api/v1/query_range", "GET", 503, 100L)
+    queryMetrics.record("/loki/api/v1/labels", "GET", 401, 50L)
+    val api = new AdminApi(spark, routeMetrics = Seq(queryMetrics))
+    val port = api.start()
+    try {
+      val (c1, _) = get(s"http://127.0.0.1:$port/api/v1/info")
+      assert(c1 == 200)
+      val (c2, routes) = get(s"http://127.0.0.1:$port/api/v1/routes")
+      assert(c2 == 200)
+      // the query server's counters round-trip exactly
+      assert(routes.contains(""""server":"query""""), routes)
+      assert(routes.contains(
+        """"route":"/api/v1/query_range","count":3"""), routes)
+      assert(routes.contains(""""200":2""") &&
+        routes.contains(""""503":1"""), routes)
+      assert(routes.contains(
+        """"route":"/loki/api/v1/labels","count":1"""), routes)
+      // the admin server measures ITSELF: the /api/v1/info hit above
+      // is already visible in its own section
+      assert(routes.contains(""""server":"admin""""), routes)
+      assert(routes.contains(""""route":"/api/v1/info","count":1"""),
+        routes)
+      // a second read sees the FIRST /api/v1/routes request measured
+      val (_, routes2) = get(s"http://127.0.0.1:$port/api/v1/routes")
+      assert(routes2.contains(""""route":"/api/v1/routes","count":1"""),
+        routes2)
+      // latency summary fields present and sane (2.5ms and 3.5ms land
+      // in the (2048us, 4096us] bucket; the 503 in the first)
+      assert(routes.contains(""""p95_ms":"""), routes)
+      assert(routes.contains(""""mean_ms":"""), routes)
+    } finally api.stop()
+  }
 }

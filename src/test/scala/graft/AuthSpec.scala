@@ -107,9 +107,16 @@ class AuthSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Auth.fromConfig(Seq(Auth.AuthConfig("nosuch")))
     }
-    // empty or type=none configs mount NO middleware (app.go:265-267)
+    // an EMPTY config mounts no middleware (app.go:265-267)…
     assert(Auth.fromConfig(Nil).isEmpty)
-    assert(Auth.fromConfig(Seq(Auth.AuthConfig("none"))).isEmpty)
+    // …but a non-empty all-none config is FAIL-CLOSED like the
+    // reference (an Auth middleware over zero authenticators rejects
+    // every request) — a reference config carried over verbatim must
+    // not silently leave endpoints unauthenticated
+    val noneOnly = Auth.fromConfig(Seq(Auth.AuthConfig("none")))
+    assert(noneOnly.nonEmpty)
+    assert(noneOnly.get.check(Some("Bearer whatever")) ==
+      Some("missing or invalid Authorization header"))
   }
 
   // ---- OR-composition + default error body (auth_test.go TestAuth) ----

@@ -853,6 +853,8 @@ class HttpApiSpec extends SparkTestBase {
       val (c2, b2) = get(
         s"""http://127.0.0.1:$port/api/v1/query_range?query=${enc("cpu")}&step=60""")
       assert(c2 == 200, s"got $c2: $b2")
+      // the cap's 503 is measured on its route
+      assert(api.metrics.statusCount("/loki/api/v1/query_range", 503) == 1L)
     } finally api.stop()
   }
 
@@ -877,6 +879,53 @@ class HttpApiSpec extends SparkTestBase {
       t.join(30000)
       assert(first != null && first._1 == 200,
         s"first request should complete: $first")
+      // the shed is MEASURED per route (reference httpmiddleware
+      // Measure wraps outside the gate): one 503 and one 200 on the
+      // loki range route
+      assert(api.metrics.statusCount("/loki/api/v1/query_range", 503) == 1L)
+      assert(api.metrics.statusCount("/loki/api/v1/query_range", 200) == 1L)
+    } finally api.stop()
+  }
+
+  test("request metrics record per-route outcomes: 200/400/401/422") {
+    import graft.api.{Auth, Limits}
+    val api = new HttpApi(logsDf, pointsDf, spansDf,
+      limits = Limits.ResultLimits(maxSampleRows = 2L, maxResultBytes = 0L),
+      auth = Auth.fromConfig(Seq(Auth.AuthConfig("bearertoken",
+        tokens = Seq(Auth.Token("sesame"))))))
+    val port = api.start()
+    def authed(url: String): (Int, String) = {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Authorization", "Bearer sesame")
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), "UTF-8")
+      is.close(); (code, body)
+    }
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // 401: no Authorization (measured OUTSIDE the auth guard)
+      assert(get(s"$base/api/v1/query_range?query=${enc("cpu")}&step=60")._1 == 401)
+      // 422: authorized but over the 2-row sample cap
+      assert(authed(s"$base/api/v1/query_range?query=${enc("cpu")}&step=60")._1 == 422)
+      // 400: authorized, unparsable query
+      assert(authed(s"$base/api/v1/query_range?query=${enc("cpu{{{")}&step=60")._1 == 400)
+      // 200: authorized metadata read on another route
+      assert(authed(s"$base/loki/api/v1/labels")._1 == 200)
+
+      val m = api.metrics
+      assert(m.statusCount("/api/v1/query_range", 401) == 1L)
+      assert(m.statusCount("/api/v1/query_range", 422) == 1L)
+      assert(m.statusCount("/api/v1/query_range", 400) == 1L)
+      assert(m.statusCount("/loki/api/v1/labels", 200) == 1L)
+      assert(m.count("/api/v1/query_range") == 3L)
+      // the snapshot is valid JSON-shaped with latency fields
+      val snap = m.snapshotJson
+      assert(snap.contains(""""server":"query""""), snap)
+      assert(snap.contains(""""route":"/api/v1/query_range""""), snap)
+      assert(snap.contains(""""p95_ms":"""), snap)
+      assert(snap.contains(""""401":1"""), snap)
     } finally api.stop()
   }
 

@@ -16,11 +16,13 @@ object MiniYamlPropertySpec extends Properties("MiniYaml") {
     Gen.chooseNum(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ Seq('_'))).map(_.mkString))
 
-  // scalars stress quoting: spaces, #, colons, quotes, unicode
+  // scalars stress quoting: spaces, #, colons, quotes, unicode, and
+  // control characters the double-quote escapes must round-trip
   private val scalar: Gen[String] =
     Gen.chooseNum(0, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(
-        Gen.alphaNumChar, Gen.oneOf(' ', '#', ':', '\'', '"', '\\', 'é')))
+        Gen.alphaNumChar,
+        Gen.oneOf(' ', '#', ':', '\'', '"', '\\', 'é', '\n', '\t', '\r')))
         .map(_.mkString))
 
   private def tree(depth: Int): Gen[Any] =
@@ -48,7 +50,8 @@ object MiniYamlPropertySpec extends Properties("MiniYaml") {
     * items with the first entry on the dash line.
     */
   private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
 
   private def render(v: Any, indent: Int): List[String] = v match {
     case m: Map[_, _] =>
@@ -85,4 +88,23 @@ object MiniYamlPropertySpec extends Properties("MiniYaml") {
       val noisy = lines.flatMap(l => List("# noise", "", l))
       MiniYaml.parse(noisy.mkString("\n")) == m
     }
+
+  // yaml.Unmarshal parity on double-quoted escapes (ADVICE r15: the
+  // verbatim-copy scanner silently turned "a\nb" into "anb" — a quoted
+  // secret with such escapes resolved to a DIFFERENT value than the
+  // reference's)
+  property("standard double-quote escapes are interpreted") = Prop.all(
+    (MiniYaml.parse("""k: "a\nb"""") == Map("k" -> "a\nb")) :| "\\n",
+    (MiniYaml.parse("""k: "a\tb"""") == Map("k" -> "a\tb")) :| "\\t",
+    // \u built at runtime: the Scala lexer itself interprets \uXXXX
+    // in source literals, triple-quoted included
+    (MiniYaml.parse("k: \"\\" + "u0041\"") == Map("k" -> "A")) :| "\\u",
+    (MiniYaml.parse("""k: "\x41"""") == Map("k" -> "A")) :| "\\x",
+    (MiniYaml.parse("k: \"\\" + "U0001F600\"") ==
+      Map("k" -> new String(Character.toChars(0x1F600)))) :| "\\U",
+    (MiniYaml.parse("""k: "a\\nb"""") == Map("k" -> "a\\nb")) :| "\\\\",
+    Prop.throws(classOf[MiniYaml.ParseError])(
+      MiniYaml.parse("""k: "a\qb"""")) :| "unknown escape fails loudly",
+    Prop.throws(classOf[MiniYaml.ParseError])(
+      MiniYaml.parse("k: \"\\" + "u00g1\"")) :| "bad hex fails loudly")
 }

@@ -203,6 +203,17 @@ class ServeSpec extends SparkTestBase {
       val (m2, metsAfter) = get(s"$q/api/v1/query?query=${enc("serve_cpu")}&time=$tSec")
       assert(m1 == 200 && m2 == 200 && metsBefore == metsAfter,
         s"maintenance changed a served answer:\n$metsBefore\n$metsAfter")
+
+      // self-observability (r16): the one-binary admin API reports
+      // per-route metrics for ALL THREE servers — the query traffic
+      // above, the ingest pushes, and the admin's own requests
+      val (rc, routes) = get(s"http://127.0.0.1:${ports.admin}/api/v1/routes")
+      assert(rc == 200)
+      for (srv <- Seq("query", "ingest", "admin"))
+        assert(routes.contains(s""""server":"$srv""""), s"missing $srv: $routes")
+      assert(routes.contains(""""route":"/loki/api/v1/query_range""""), routes)
+      assert(routes.contains(""""route":"/v1/logs""""), routes)
+      assert(routes.contains(""""route":"/api/v1/actions/""""), routes)
     } finally serve.stop()
   }
 
@@ -317,7 +328,9 @@ class ServeSpec extends SparkTestBase {
       "--max-series-soft", "800", "--max-body-bytes", "65536",
       "--retention-days", "30", "--maintain-every-min", "60",
       "--downsample", "7:60:last,30:3600:avg", "--precision", "7:30,30:20",
-      "--recompress", "60:19", "--safety", "100:1000:sample:drop"))
+      "--recompress", "60:19", "--safety", "100:1000:sample:drop",
+      "--request-log", "on"))
+    assert(cfg.requestLog)
     assert(cfg.limits.ingestBytesPerSecond == 1048576L)
     assert(cfg.limits.maxSeries == 1000L && cfg.limits.maxSeriesSoft == 800L)
     assert(cfg.limits.maxBodyBytes == 65536L)
@@ -342,6 +355,11 @@ class ServeSpec extends SparkTestBase {
     val bare = Serve.parseConfig("/data", Seq("/data"))
     assert(bare.storagePolicy.isEmpty && bare.logSafety.isEmpty &&
       bare.retentionDays == 0 && bare.maintainEveryMs == 0L)
+    assert(!bare.requestLog)
+    // a bad boolean is loud, not a silent default
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--request-log", "yes!"))
+    }
     // a typo'd FLAG NAME is a startup error too — `--retention-day 30`
     // silently defaulting retention off would fill disks
     intercept[IllegalArgumentException] {
