@@ -23,7 +23,11 @@ import graft.sources.Admission
   *   - GET  /api/v1/storage/efficiency — bytes/row per signal straight
   *     from parquet metadata (row counts come from footers, so the
   *     endpoint stays metadata-bound at any data size)
-  *   - POST /api/v1/actions/{gc|free_os_memory|storage_maintain}
+  *   - POST /api/v1/actions/{gc|free_os_memory|storage_maintain|
+  *     repair_nan_partials}
+  *   - GET  /api/v1/routes   — per-route request metrics of every
+  *     wired server (the httpmiddleware.Measure counters, surfaced
+  *     here instead of an external scraper)
   *
   * Health checks run per request with a short budget; the handler
   * reports a failing component as `unhealthy` and the instance as
@@ -38,6 +42,7 @@ final class AdminApi(
     admission: Option[Admission.Stats] = None,
     safety: Option[graft.streaming.LogSafety.Metrics] = None,
     maintain: Option[() => String] = None,
+    repair: Option[() => String] = None,
     startTimeMs: Long = System.currentTimeMillis(),
     auth: Option[Auth.Middleware] = None,
     routeMetrics: Seq[RequestMetrics] = Nil,
@@ -69,6 +74,25 @@ final class AdminApi(
     // is a thread dump and the engine's live job/query state
     server.createContext("/debug/threadz", handler(_ => threadz()))
     server.createContext("/debug/queryz", handler(_ => queryz()))
+    // status page at "/" (the reference serves its admin frontend from
+    // the server root, adminhandler ui.go; ours is the adjudicated
+    // static page, api/AdminUi.scala) — "/" is the JDK server's
+    // longest-prefix FALLBACK context, so unknown paths land here too:
+    // serve the page only at the root, 404 the rest
+    server.createContext("/", metrics.measure(Auth.guard(auth,
+      (ex: HttpExchange) => {
+        val path = ex.getRequestURI.getPath
+        val (code, ct, body) =
+          if (path == "/" || path == "/index.html")
+            (200, "text/html; charset=utf-8", AdminUi.html)
+          else (404, "application/json",
+            s"""{"error_message":${q(s"no route $path")}}""")
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", ct)
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      })))
     server.start()
     server.getAddress.getPort
   }
@@ -252,6 +276,12 @@ final class AdminApi(
         val run = maintain.getOrElse(
           throw new IllegalArgumentException("storage maintenance is not wired"))
         s"""{"action":"storage_maintain","ok":true,"message":${q(run())}}"""
+      case "repair_nan_partials" =>
+        // opt-in one-time repair of pre-fix NaN-poisoned rollup
+        // partials (rebuilds exactly the poisoned buckets from raw)
+        val run = repair.getOrElse(
+          throw new IllegalArgumentException("partials repair is not wired"))
+        s"""{"action":"repair_nan_partials","ok":true,"message":${q(run())}}"""
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other'")
     }

@@ -1,0 +1,169 @@
+package graft.api
+
+/** Static admin STATUS PAGE served at `/` on the admin server — the
+  * adjudicated stand-in for the reference's React admin frontend
+  * (`internal/adminhandler/frontend/` + `ui.go`): a TypeScript build
+  * pipeline is outside a Spark-engine library's contract, but the
+  * operator need it serves — one page that shows instance identity,
+  * health, storage, and the per-route request metrics — is not. One
+  * self-contained HTML document (no build step, no framework, no
+  * external assets — the deployment has zero egress), rendering the
+  * SAME JSON the admin API serves programmatically:
+  *
+  *   /api/v1/info  /api/v1/health  /api/v1/runtime
+  *   /api/v1/storage  /api/v1/routes  /debug/queryz
+  *
+  * All rendering is client-side via textContent (stored label values
+  * never become markup), auto-refreshing every 5 s. The page is served
+  * behind the same auth middleware as every admin route.
+  */
+object AdminUi {
+
+  val html: String = """<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>graft admin</title>
+<style>
+  body { font: 14px/1.5 system-ui, sans-serif; margin: 1.5rem auto;
+         max-width: 72rem; padding: 0 1rem; color: #1a1a1a; }
+  h1 { font-size: 1.3rem; } h2 { font-size: 1.05rem; margin-top: 1.6rem; }
+  table { border-collapse: collapse; width: 100%; margin: .4rem 0; }
+  th, td { text-align: left; padding: .25rem .6rem;
+           border-bottom: 1px solid #ddd; font-variant-numeric: tabular-nums; }
+  th { font-weight: 600; border-bottom: 2px solid #bbb; }
+  td.num, th.num { text-align: right; }
+  .ok { color: #116329; } .bad { color: #a40e26; font-weight: 600; }
+  .muted { color: #666; }
+  #err { color: #a40e26; white-space: pre-wrap; }
+  code { background: #f4f4f4; padding: 0 .25rem; }
+  @media (prefers-color-scheme: dark) {
+    body { background: #111; color: #e6e6e6; }
+    th, td { border-color: #333; } th { border-color: #555; }
+    .ok { color: #4fbf6f; } .bad { color: #ff7b8a; }
+    .muted { color: #999; } code { background: #222; }
+  }
+</style>
+</head>
+<body>
+<h1>graft <span class="muted" id="ver"></span>
+  <span id="health" class="muted">…</span></h1>
+<div class="muted" id="identity"></div>
+<div id="err"></div>
+
+<h2>Runtime</h2>
+<table id="runtime"></table>
+
+<h2>Components</h2>
+<table id="components"><thead><tr><th>component</th><th>addr</th>
+<th>status</th><th>error</th></tr></thead><tbody></tbody></table>
+
+<h2>Storage</h2>
+<table id="storage"><thead><tr><th>signal</th><th class="num">partitions</th>
+<th class="num">files</th><th class="num">bytes</th>
+<th class="num">committed batches</th><th>dates</th></tr></thead>
+<tbody></tbody></table>
+
+<h2>Routes</h2>
+<table id="routes"><thead><tr><th>server</th><th>route</th>
+<th class="num">count</th><th>statuses</th><th class="num">mean ms</th>
+<th class="num">p50 ms</th><th class="num">p95 ms</th>
+<th class="num">p99 ms</th><th class="num">max ms</th></tr></thead>
+<tbody></tbody></table>
+
+<h2>Engine</h2>
+<table id="engine"></table>
+
+<script>
+"use strict";
+function cell(tr, text, cls) {
+  const td = document.createElement("td");
+  td.textContent = text == null ? "" : String(text);
+  if (cls) td.className = cls;
+  tr.appendChild(td);
+}
+function kvRows(el, obj) {
+  el.textContent = "";
+  for (const [k, v] of Object.entries(obj)) {
+    const tr = document.createElement("tr");
+    cell(tr, k); cell(tr, v, "num");
+    el.appendChild(tr);
+  }
+}
+function fmtBytes(n) {
+  const u = ["B", "KiB", "MiB", "GiB", "TiB"];
+  let i = 0; let x = n;
+  while (x >= 1024 && i < u.length - 1) { x /= 1024; i++; }
+  return x.toFixed(i === 0 ? 0 : 1) + " " + u[i];
+}
+async function j(path) {
+  const r = await fetch(path);
+  if (!r.ok) throw new Error(path + " -> " + r.status);
+  return r.json();
+}
+async function refresh() {
+  try {
+    const [info, health, rt, st, routes, qz] = await Promise.all([
+      j("/api/v1/info"), j("/api/v1/health"), j("/api/v1/runtime"),
+      j("/api/v1/storage"), j("/api/v1/routes"), j("/debug/queryz")]);
+    document.getElementById("err").textContent = "";
+    document.getElementById("ver").textContent = "v" + info.version;
+    const h = document.getElementById("health");
+    h.textContent = health.status;
+    h.className = health.status === "healthy" ? "ok" : "bad";
+    document.getElementById("identity").textContent =
+      info.runtime_version + " · spark " + info.spark_version + " · up " +
+      Math.round(info.uptime_seconds) + " s · " + info.os + "/" + info.arch;
+    kvRows(document.getElementById("runtime"), {
+      threads: rt.threads, cpus: rt.num_cpu, parallelism: rt.parallelism,
+      "heap used": fmtBytes(rt.heap_used_bytes),
+      "heap max": fmtBytes(rt.heap_max_bytes),
+      "gc count": rt.gc_count, "gc time ms": rt.gc_time_ms });
+    const comps = document.querySelector("#components tbody");
+    comps.textContent = "";
+    for (const c of health.components || []) {
+      const tr = document.createElement("tr");
+      cell(tr, c.name); cell(tr, c.addr);
+      cell(tr, c.status, c.status === "healthy" ? "ok" : "bad");
+      cell(tr, c.error);
+      comps.appendChild(tr);
+    }
+    const stb = document.querySelector("#storage tbody");
+    stb.textContent = "";
+    for (const s of st.signals || []) {
+      const tr = document.createElement("tr");
+      cell(tr, s.signal); cell(tr, s.partitions, "num");
+      cell(tr, s.files, "num"); cell(tr, fmtBytes(s.stored_bytes), "num");
+      cell(tr, s.committed_batches, "num");
+      cell(tr, s.min_date ? s.min_date + " … " + s.max_date : "");
+      stb.appendChild(tr);
+    }
+    const rb = document.querySelector("#routes tbody");
+    rb.textContent = "";
+    for (const srv of routes.servers || [])
+      for (const r of srv.routes || []) {
+        const tr = document.createElement("tr");
+        cell(tr, srv.server); cell(tr, r.route); cell(tr, r.count, "num");
+        cell(tr, Object.entries(r.statuses || {})
+          .map(([c, n]) => c + ":" + n).join(" "));
+        cell(tr, r.mean_ms, "num"); cell(tr, r.p50_ms, "num");
+        cell(tr, r.p95_ms, "num"); cell(tr, r.p99_ms, "num");
+        cell(tr, r.max_ms, "num");
+        rb.appendChild(tr);
+      }
+    kvRows(document.getElementById("engine"), {
+      "active jobs": (qz.active_jobs || []).length,
+      "active streams": (qz.active_streams || []).length,
+      "default parallelism": qz.default_parallelism });
+  } catch (e) {
+    document.getElementById("err").textContent = String(e);
+  }
+}
+refresh();
+setInterval(refresh, 5000);
+</script>
+</body>
+</html>
+"""
+}

@@ -564,6 +564,80 @@ object Layout {
           .select(df.columns.map(col).toIndexedSeq: _*)
       })
 
+  /** One-time repair of NaN-POISONED rollup partials in ONE date
+    * partition (ADVICE r14 #4 residue, r16 verdict #3): partials
+    * written BEFORE the sidecar writer's stale-NaN filter
+    * (Streams.hourlyStatPartials) carry NaN through min_v/max_v/sum_v
+    * (and an over-counted n), and NaN propagates through every later
+    * merge — compaction cannot heal them. This sweep detects exactly
+    * those (hour, series) buckets and REBUILDS them from the raw
+    * points layout with the current (filtering) partial computation;
+    * clean buckets are carried through the merge untouched, so a
+    * tier read off the repaired partition is bit-equal to one off
+    * clean-from-birth partials.
+    *
+    * Returns 0 without touching the partition when it holds no poison
+    * (the detection scan is one bounded aggregate over the
+    * vocabulary×hours-scale sidecar) — the idempotence contract: a
+    * second run is a metadata-only no-op.
+    *
+    * Rebuild source is what raw CURRENTLY holds: a bucket whose raw
+    * points were TTL-dropped rebuilds to nothing (the poisoned row is
+    * dropped — correct: tier readers then cover the window from raw,
+    * which is also gone) and a downsampled bucket rebuilds from the
+    * downsampled samples (the same answers raw-path queries give).
+    * Scale note: this is an OPT-IN maintenance action — the raw read
+    * is bounded by a ts_us pushdown to the poisoned hour span, not a
+    * full-layout scan.
+    */
+  def repairRollupNaNPartition(spark: SparkSession, root: String,
+      pointsRoot: String, date: String,
+      include: String => Boolean = _ => true): Int = {
+    val dir = new java.io.File(root, s"date=$date")
+    if (!dir.isDirectory) return 0
+    // NULL sum_dec is poison too: the pre-fix decimal cast of an
+    // all-NaN bucket yields NULL under non-ANSI accumulation
+    val poison = isnan(col("sum_v")) || isnan(col("min_v")) ||
+      isnan(col("max_v")) || col("sum_dec").isNull
+    val probe = spark.read.parquet(dir.getPath).filter(poison)
+      .select(unix_micros(col("hour_start")).as("h"))
+      .agg(min(col("h")), max(col("h"))).head()
+    if (probe.isNullAt(0)) return 0 // no poison: metadata-only re-run
+    val HourUs = 3600000000L
+    val (loUs, hiUs) = (probe.getLong(0), probe.getLong(1) + HourUs)
+    compactPartition(spark, root, date,
+      Seq("name", "series_key", "hour_start"),
+      include = include,
+      transform = { df =>
+        // merge partials to one row per bucket first: poison in ANY
+        // partial of a bucket poisons the merged row, so detection
+        // must run on the merged view (same fold as compaction)
+        val aggs = RollupTiers.mergeAggs :+ first(col("labels")).as("labels")
+        val merged = df
+          .groupBy(col("hour_start"), col("name"), col("series_key"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("sum_v", col("sum_dec").cast("double"))
+        val badKeys = merged.filter(poison)
+          .select(col("hour_start"), col("name"), col("series_key"))
+        // left-open (s, s+1h] buckets: the raw span is (lo, hi] — the
+        // filter lands on the parquet scan as a pushed predicate. A
+        // raw layout dropped whole (TTL horizon past the sidecar's)
+        // rebuilds every poisoned bucket to nothing.
+        val rebuilt =
+          if (!hasDatePartitions(pointsRoot)) merged.limit(0)
+          else graft.streaming.Streams.hourlyStatPartials(
+            spark.read.parquet(pointsRoot)
+              .filter(col("ts_us") > loUs && col("ts_us") <= hiUs)
+              .select(col("ts_us"), col("name"), col("labels"),
+                col("value")))
+            .join(badKeys, Seq("hour_start", "name", "series_key"),
+              "left_semi")
+        merged.filter(!poison)
+          .unionByName(rebuilt)
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      })
+  }
+
   /** Pre-merging compaction of ONE log-volume-sidecar date partition —
     * same shape as [[compactRollupPartition]] over the (stream, hour)
     * integral count/bytes stats.

@@ -542,6 +542,33 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
     else msgs.mkString("; ")
   }
 
+  /** Opt-in one-time maintenance (r16 verdict #3, ADVICE r14 #4
+    * residue): repair NaN-poisoned rollup partials — rows pre-dating
+    * the sidecar writer's stale-NaN filter (Streams.hourlyStatPartials)
+    * in ANY rollup date partition, rebuilt from the raw points layout.
+    * Serialized with compaction under the same maintain lock; only
+    * settled (marker-committed) tagged files participate, like every
+    * other partition rewrite. Idempotent: partitions without poison
+    * are probe-only.
+    */
+  def repairNaNPartials(): String = maintainLock.synchronized {
+    val root = s"$dataDir/rollup"
+    def settledTag(name: String): Boolean =
+      Layout.batchIdOf(name).forall(id =>
+        new java.io.File(root, s"_committed_$id").exists())
+    val dates = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("date="))
+      .map(_.getName.stripPrefix("date=")).sorted.toSeq
+    val msgs = dates.flatMap { d =>
+      val n = Layout.repairRollupNaNPartition(spark, root,
+        s"$dataDir/points", d, include = settledTag)
+      if (n > 0) Some(s"rollup/date=$d repaired -> $n file(s)") else None
+    }
+    if (msgs.isEmpty) "no NaN-poisoned rollup partials found"
+    else msgs.mkString("; ")
+  }
+
   /** `onMaintain` fires after every admin-triggered storage_maintain
     * pass with its summary — a live deployment (graft.Serve) hooks
     * layout-generation invalidation here (TTL drops change query
@@ -581,6 +608,13 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       safety = logSafety.map(_ => safetyStats),
       maintain = Some(() => {
         val summary = maintainStorage(maintainDate())
+        onMaintain(summary)
+        summary
+      }),
+      // opt-in NaN-partials repair; a rewrite changes listings, so the
+      // composition root's generation refresh rides the same hook
+      repair = Some(() => {
+        val summary = repairNaNPartials()
         onMaintain(summary)
         summary
       }),

@@ -254,12 +254,11 @@ object Streams {
       // stale markers never enter a tier (same invariant as the batch
       // statTierChain): a Prometheus stale NaN would over-count n,
       // poison max/avg, and ANSI decimal casts of NaN throw.
-      // LIMITATION: this protects partials written from HERE ON — a
-      // rollup layout that already holds pre-fix NaN-poisoned rows
-      // keeps them (NaN propagates through the merge aggs). The safe
-      // manual repair is deleting the rollup sidecar directory:
-      // queries fall back to the raw path (correct, slower) and new
-      // ingest repopulates partials going forward
+      // Partials written BEFORE this filter existed may still be
+      // poisoned (NaN propagates through the merge aggs) — the opt-in
+      // repair sweep rebuilds exactly those buckets from raw
+      // (Layout.repairRollupNaNPartition; admin POST
+      // /api/v1/actions/repair_nan_partials)
       .filter(!isnan(col("value")))
       .withColumn("__s",
         expr(s"(ts_us - 1) - (ts_us - 1) % $HourUs"))

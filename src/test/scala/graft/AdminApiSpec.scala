@@ -171,6 +171,35 @@ class AdminApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("status page at /, 404 fallback, repair action wiring") {
+    var repaired = 0
+    val api = new AdminApi(spark,
+      repair = Some(() => { repaired += 1; "rollup/date=20240101 repaired -> 1 file(s)" }))
+    val port = api.start()
+    try {
+      // the static status page renders over the admin JSON endpoints
+      val (c1, page) = get(s"http://127.0.0.1:$port/")
+      assert(c1 == 200)
+      for (marker <- Seq("<!doctype html>", "/api/v1/routes",
+        "/api/v1/storage", "id=\"health\""))
+        assert(page.contains(marker), s"missing $marker")
+      // "/" is the JDK fallback context: unknown paths 404, not page
+      val (c2, nf) = get(s"http://127.0.0.1:$port/no/such/route")
+      assert(c2 == 404 && nf.contains("no route"), s"$c2 $nf")
+      // opt-in NaN-partials repair action round-trips its summary
+      val (c3, rep) = post(s"http://127.0.0.1:$port/api/v1/actions/repair_nan_partials")
+      assert(c3 == 200 && rep.contains("repaired") && repaired == 1, rep)
+    } finally api.stop()
+
+    // unwired repair is a client error, not a 500
+    val bare = new AdminApi(spark)
+    val port2 = bare.start()
+    try {
+      val (c, b) = post(s"http://127.0.0.1:$port2/api/v1/actions/repair_nan_partials")
+      assert(c == 400 && b.contains("not wired"), s"$c $b")
+    } finally bare.stop()
+  }
+
   test("routes endpoint round-trips per-route metrics of every wired server") {
     // a "query" server's registry with known traffic, wired in the way
     // the composition root wires it (routeMetrics), plus the admin

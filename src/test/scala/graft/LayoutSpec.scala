@@ -101,6 +101,77 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 1L) // vocabulary scale
   }
 
+  test("NaN-partials repair rebuilds exactly the poisoned buckets from raw; idempotent second run is a no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graftnanrepair").toString
+    val rollup = s"$base/rollup"
+    val points = s"$base/points"
+    val HourUs = 3600000000L
+    val h10 = 1704103200000000L // 2024-01-01T10:00Z µs
+    val h11 = h10 + HourUs
+    // raw layout: two series over two hours; series a's hour-10 bucket
+    // contains a Prometheus stale-NaN marker among live samples
+    val raw = Seq(
+      (h10 + 60000000L, "cpu", Map("host" -> "a"), 1.0),
+      (h10 + 120000000L, "cpu", Map("host" -> "a"), Double.NaN),
+      (h10 + 180000000L, "cpu", Map("host" -> "a"), 5.0),
+      (h10 + 60000000L, "cpu", Map("host" -> "b"), 4.0),
+      (h11 + 60000000L, "cpu", Map("host" -> "a"), 7.0)
+    ).toDF("ts_us", "name", "labels", "value")
+    raw.withColumn("date", lit("20240101"))
+      .write.partitionBy("date").parquet(points)
+    // the sidecar as a PRE-FIX writer left it: series a's hour-10
+    // partial carries the marker — n over-counted, NaN-poisoned
+    // min/max/sum, NULL decimal sum (what a non-filtering accumulation
+    // produced before the stale-NaN filter landed)
+    val clean = Streams.hourlyStatPartials(
+      raw.filter(!isnan(col("value"))))
+    val isBad = col("hour_start") === timestamp_micros(lit(h10)) &&
+      col("name") === "cpu" && col("labels")("host") === "a"
+    val poisoned = clean
+      .withColumn("n", when(isBad, lit(3L)).otherwise(col("n")))
+      .withColumn("sum_dec", when(isBad,
+        lit(null).cast(clean.schema("sum_dec").dataType))
+        .otherwise(col("sum_dec")))
+      .withColumn("sum_v", when(isBad, lit(Double.NaN)).otherwise(col("sum_v")))
+      .withColumn("min_v", when(isBad, lit(Double.NaN)).otherwise(col("min_v")))
+      .withColumn("max_v", when(isBad, lit(Double.NaN)).otherwise(col("max_v")))
+    poisoned.withColumn("date", date_format(col("hour_start"), "yyyyMMdd"))
+      .write.partitionBy("date").parquet(rollup)
+    def served = {
+      val tiers = graft.promql.PromQL.tiersFromLayout(spark, rollup)
+      graft.promql.PromQL.instantTierPlan(
+        "avg_over_time(cpu[1h])", h10 + HourUs, tiers).get
+        .collect().map(r => (r.getAs[Map[String, String]](1)("host"),
+          // poison surfaces as NaN or NULL (null decimal sum / n)
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    }
+    // poisoned sidecar serves a poisoned value for series a (the bug
+    // being repaired); series b is clean
+    assert(served("a").isNaN && served("b") == 4.0, served.toString)
+    val n1 = Layout.repairRollupNaNPartition(spark, rollup, points, "20240101")
+    assert(n1 > 0, "repair must rewrite the poisoned partition")
+    // tier-served answers now hash-match the raw-path computation:
+    // avg over the live samples only, other buckets untouched
+    assert(served == Map("a" -> 3.0, "b" -> 4.0), served.toString)
+    // the repaired partition is exactly the clean-from-birth partials
+    val got = spark.read.parquet(rollup)
+      .select("hour_start", "name", "series_key", "n", "sum_dec",
+        "sum_v", "min_v", "max_v")
+      .collect().map(_.toSeq).toSet
+    val want = clean
+      .select("hour_start", "name", "series_key", "n", "sum_dec",
+        "sum_v", "min_v", "max_v")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // idempotent: a second run detects no poison and touches nothing
+    val dir = new java.io.File(rollup, "date=20240101")
+    val filesBefore = dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    assert(Layout.repairRollupNaNPartition(spark, rollup, points, "20240101") == 0)
+    assert(dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      == filesBefore, "second run must be metadata-only")
+  }
+
   test("compaction include predicate keeps unsettled batch files out of the merge, untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftinclude").toString
