@@ -251,28 +251,12 @@ object ServeProbe {
         .count(_.getName.endsWith(".parquet"))).sum
     println(s"[probe] points layout parquet files: $pointFiles")
 
-    // interference isolation: the receiver's streaming sinks tick
-    // continuously (ProcessingTime(0)) — re-run the instant regime
-    // with ingest stopped to price that tick load on the shared
-    // local[32]
-    serve.receiver.stop()
-    regime("instant sum(load_m), ingest streams stopped", 8, secs)(instant)
-
-    // saturation: 64 workers of cache-busting raw ranges against the
-    // DEFAULT bounded executor (16 executing / 32 queued / 10 s wait) —
-    // the overflow must SHED with instant 503s while accepted requests
-    // keep a bounded latency (the r14 probe's pile-up, fixed)
-    val shiftingFar = (n: Long) =>
-      s"$q/api/v1/query_range?query=${java.net.URLEncoder.encode(
-        "avg_over_time(load_m[7m])", "UTF-8")}&start=${startSec + 40000 + n}&end=${
-        startSec + 47200 + n}&step=61"
-    regime("cache-busting raw range at 4x oversubscription", 64, secs)(shiftingFar)
-
     // ---- self-observability cross-check (r16 verdict #1): the admin
     // API's /api/v1/routes report next to the probe's own accounting —
     // the counts must AGREE exactly (every probe request to the query
     // server flows through get(), which counts per route; the metrics
-    // middleware measures the same exchanges server-side)
+    // middleware measures the same exchanges server-side). Runs BEFORE
+    // receiver.stop(): stopping the receiver stops the admin server.
     val routesJson = getBody(s"http://127.0.0.1:${ports.admin}/api/v1/routes")
     def routeEntry(route: String): String = {
       val q = java.util.regex.Pattern.quote(route)
@@ -296,6 +280,24 @@ object ServeProbe {
         f"agree=$agree  p50=${fieldOf(e, "p50_ms")} ms  p95=${fieldOf(e, "p95_ms")} ms  " +
         s"statuses=${fieldOf(e, "200")}x200/${fieldOf(e, "503")}x503")
     }
+
+    // interference isolation: the receiver's streaming sinks tick
+    // continuously (ProcessingTime(0)) — re-run the instant regime
+    // with ingest stopped to price that tick load on the shared
+    // local[32]. (This also stops the admin server, so the routes
+    // cross-check above already ran.)
+    serve.receiver.stop()
+    regime("instant sum(load_m), ingest streams stopped", 8, secs)(instant)
+
+    // saturation: 64 workers of cache-busting raw ranges against the
+    // DEFAULT bounded executor (16 executing / 32 queued / 10 s wait) —
+    // the overflow must SHED with instant 503s while accepted requests
+    // keep a bounded latency (the r14 probe's pile-up, fixed)
+    val shiftingFar = (n: Long) =>
+      s"$q/api/v1/query_range?query=${java.net.URLEncoder.encode(
+        "avg_over_time(load_m[7m])", "UTF-8")}&start=${startSec + 40000 + n}&end=${
+        startSec + 47200 + n}&step=61"
+    regime("cache-busting raw range at 4x oversubscription", 64, secs)(shiftingFar)
 
     serve.stop()
     spark.stop()
