@@ -189,11 +189,6 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       else None
     })
 
-  /** The query front-end over the live layouts. Profiles/exemplars
-    * mount UNCONDITIONALLY (empty until their first batch) — a
-    * Some-at-start gate would permanently hide the endpoints of a deployment
-    * that starts before its first profile arrives.
-    */
   /** Structured-request-log sink (reference InjectLogger/LogRequests:
     * one record per request on every server). Opt-in (`--request-log
     * on` / `request_log: on`): a single-process local[32] deployment
@@ -203,6 +198,11 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
   private val requestLogSink: Option[String => Unit] =
     if (cfg.requestLog) Some(line => System.err.println(line)) else None
 
+  /** The query front-end over the live layouts. Profiles/exemplars
+    * mount UNCONDITIONALLY (empty until their first batch) — a
+    * Some-at-start gate would permanently hide the endpoints of a deployment
+    * that starts before its first profile arrives.
+    */
   val api = new HttpApi(
     liveLogs.get(), livePoints.get(), liveSpans.get(),
     Some(liveProfiles.get()), Some(liveExemplars.get()),

@@ -191,14 +191,24 @@ object Auth {
           s"invalid auth type \"$other\"")
       }
     }
-    if (cfgs.isEmpty) None else Some(new Middleware(auths))
+    if (cfgs.isEmpty) None
+    else Some(new Middleware(auths,
+      offerBasicChallenge = cfgs.exists(_.tpe == "basicauth")))
   }
 
   /** The middleware proper (auth.go:151-167 Auth): tries each
     * authenticator in sequence; first success passes the request on;
     * all-fail reports the LAST verdict via the default error body.
+    *
+    * `offerBasicChallenge`: when basic auth is among the configured
+    * mechanisms, rejections carry `WWW-Authenticate: Basic` so a
+    * BROWSER can run its credential prompt (the admin status page is
+    * unreachable under basic auth otherwise — the browser never asks,
+    * and once it has credentials its same-origin fetch() calls carry
+    * them too). Header only; the reference 401 body is unchanged.
     */
-  final class Middleware(auths: Seq[Authenticator]) {
+  final class Middleware(auths: Seq[Authenticator],
+      offerBasicChallenge: Boolean = false) {
     /** Header-level check, separated for tests and non-HttpHandler
       * callers: Some(msg) = rejected with that message.
       */
@@ -220,6 +230,9 @@ object Auth {
         case Some(msg) =>
           val body =
             (s"""{"error":${jsonStr(msg)}}""" + "\n").getBytes("UTF-8")
+          if (offerBasicChallenge)
+            ex.getResponseHeaders.set("WWW-Authenticate",
+              "Basic realm=\"graft\", charset=\"UTF-8\"")
           ex.getResponseHeaders.set(
             "Content-Type", "text/plain; charset=utf-8")
           ex.sendResponseHeaders(401, body.length.toLong)

@@ -105,7 +105,13 @@ final class RequestMetrics(val server: String,
           .map { case (c, v) => s""""$c":$v""" }.mkString("{", ",", "}")
       }
       val counts = Array.tabulate(BucketCount)(st.buckets.get)
-      def pct(q: Double): Double = quantileUs(counts, n, q) / 1000.0
+      // quantile ranks derive from the BUCKET total, not `n`: record()
+      // bumps count first and buckets last, so a snapshot racing an
+      // in-flight record can read n = bucketSum + 1 — a rank past the
+      // histogram would fall through to the open-ended top bound and
+      // report a ~71-minute p99 on a sub-millisecond route
+      val inBuckets = counts.sum
+      def pct(q: Double): Double = quantileUs(counts, inBuckets, q) / 1000.0
       def f(v: Double): String =
         "%.3f".formatLocal(java.util.Locale.ROOT, v)
       items += ((n,

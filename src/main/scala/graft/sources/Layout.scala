@@ -599,7 +599,16 @@ object Layout {
     // all-NaN bucket yields NULL under non-ANSI accumulation
     val poison = isnan(col("sum_v")) || isnan(col("min_v")) ||
       isnan(col("max_v")) || col("sum_dec").isNull
-    val probe = spark.read.parquet(dir.getPath).filter(poison)
+    // the probe reads the SAME include-filtered file set the rewrite
+    // merges — probing the whole partition would report poison in an
+    // unsettled/orphan file as "repaired" while the carry-over keeps
+    // serving it, and every later run would re-detect it and rewrite
+    // the partition again (breaking the idempotence contract)
+    val probeFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && include(f.getName))
+    if (probeFiles.isEmpty) return 0
+    val probe = spark.read
+      .parquet(probeFiles.map(_.getPath).toIndexedSeq: _*).filter(poison)
       .select(unix_micros(col("hour_start")).as("h"))
       .agg(min(col("h")), max(col("h"))).head()
     if (probe.isNullAt(0)) return 0 // no poison: metadata-only re-run

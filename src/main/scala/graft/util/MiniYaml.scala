@@ -216,7 +216,13 @@ object MiniYaml {
           case 'x'  => sb.append(hex(i + 2, 2).toChar); i += 4
           case 'u'  => sb.append(hex(i + 2, 4).toChar); i += 6
           case 'U'  =>
-            sb.appendAll(Character.toChars(hex(i + 2, 8))); i += 10
+            val cp = hex(i + 2, 8)
+            // out-of-range codepoints keep the file's ParseError
+            // contract (Character.toChars would throw a bare IAE
+            // with no line number)
+            if (!Character.isValidCodePoint(cp))
+              throw new ParseError(num, f"codepoint out of range '\\U$cp%08X'")
+            sb.appendAll(Character.toChars(cp)); i += 10
           case other =>
             throw new ParseError(num, s"unknown escape '\\$other' in '$s'")
         }

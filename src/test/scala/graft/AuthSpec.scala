@@ -164,6 +164,35 @@ class AuthSpec extends SparkTestBase {
       // auth wraps EVERY route of the server, probes included
       // (app.go:215-236: the middleware fronts the whole ogen server)
       assert(request(s"$base/api/status/buildinfo")._1 == 401)
+      // bearer-only config: no browser challenge header
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 401)
+      assert(conn.getHeaderField("WWW-Authenticate") == null)
+    } finally api.stop()
+  }
+
+  test("basic-auth rejections carry the browser challenge header") {
+    // with basic auth configured the 401 offers WWW-Authenticate so a
+    // browser can prompt (the admin status page flow); the reference
+    // 401 body is unchanged
+    val api = new AdminApi(spark, auth = Auth.fromConfig(Seq(
+      Auth.AuthConfig("basicauth",
+        users = Seq(Auth.UserCredentials("ops", password = "pw"))))))
+    val port = api.start()
+    try {
+      val conn = URI.create(s"http://127.0.0.1:$port/api/v1/info")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 401)
+      val challenge = conn.getHeaderField("WWW-Authenticate")
+      assert(challenge != null && challenge.startsWith("Basic"), challenge)
+      val body = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+      assert(body == "{\"error\":\"missing or invalid Authorization header\"}\n")
+      // authenticated flow still serves (what the browser sends after
+      // the prompt)
+      val (c2, b2) = request(s"http://127.0.0.1:$port/api/v1/info",
+        Map("Authorization" -> basicHeader("ops", "pw")))
+      assert(c2 == 200 && b2.contains("\"version\""), s"$c2 $b2")
     } finally api.stop()
   }
 

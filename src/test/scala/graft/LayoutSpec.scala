@@ -170,6 +170,23 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.repairRollupNaNPartition(spark, rollup, points, "20240101") == 0)
     assert(dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
       == filesBefore, "second run must be metadata-only")
+
+    // poison ONLY in an include-excluded (unsettled) file: the probe
+    // must read the same filtered set the rewrite merges — reporting
+    // it repaired while the carry-over keeps it would both lie and
+    // re-rewrite the partition on every later run
+    val excluded = new java.io.File(dir, "b99-poison.parquet")
+    val tmpOut = Files.createTempDirectory("graftnanexcl").toString
+    poisoned.filter(isBad).coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, excluded.toPath)
+    val before2 = dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    assert(Layout.repairRollupNaNPartition(spark, rollup, points, "20240101",
+      include = name => !name.startsWith("b99-")) == 0,
+      "unsettled-only poison must not claim a repair")
+    assert(dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      == before2, "unsettled-only poison must touch nothing")
   }
 
   test("compaction include predicate keeps unsettled batch files out of the merge, untouched") {

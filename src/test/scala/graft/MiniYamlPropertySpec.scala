@@ -106,5 +106,8 @@ object MiniYamlPropertySpec extends Properties("MiniYaml") {
     Prop.throws(classOf[MiniYaml.ParseError])(
       MiniYaml.parse("""k: "a\qb"""")) :| "unknown escape fails loudly",
     Prop.throws(classOf[MiniYaml.ParseError])(
-      MiniYaml.parse("k: \"\\" + "u00g1\"")) :| "bad hex fails loudly")
+      MiniYaml.parse("k: \"\\" + "u00g1\"")) :| "bad hex fails loudly",
+    Prop.throws(classOf[MiniYaml.ParseError])(
+      MiniYaml.parse("k: \"\\" + "U00110000\"")) :|
+      "out-of-range codepoint is a ParseError, not a bare IAE")
 }
