@@ -1209,6 +1209,16 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
         val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
         scOpt.foreach(_.setJobGroup(groupId, "graft http request",
           interruptOnCancel = true))
+        // EXPLAIN ANALYZE on request (reference httpmiddleware.Explain,
+        // explain.go:14-55): a truthy X-Graft-Profile header profiles
+        // THIS request's job group and renders the job→stage tree to
+        // the request log after the handler runs; zero overhead
+        // without the header
+        val profileT0 = System.nanoTime()
+        val profiling = ExplainProfile.requested(
+          ex.getRequestHeaders.getFirst(HttpApi.ProfileHeader)) &&
+          scOpt.nonEmpty
+        if (profiling) ExplainProfile.begin(scOpt.get, groupId)
         val capTask =
           for (sc <- scOpt if limits.maxExecutionMs > 0 && !capTimer.isShutdown)
             yield capTimer.schedule(new Runnable {
@@ -1243,8 +1253,19 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
               attempt(retriesLeft - 1)
             case e: Throwable   => (400, "application/json", errJson(e))
           }
-        try attempt(1)
-        finally {
+        try {
+          val res = attempt(1)
+          if (profiling)
+            ExplainProfile.render(groupId, ex.getRequestMethod,
+              ex.getRequestURI.getPath,
+              (System.nanoTime() - profileT0) / 1e6, res._1)
+              .foreach(line =>
+                metrics.logSink.getOrElse((s: String) =>
+                  System.err.println(s)).apply(line))
+          res
+        } finally {
+          // releases the profile registrations even when attempt threw
+          if (profiling) ExplainProfile.render(groupId, "", "", 0, 0): Unit
           capTask.foreach(_.cancel(false))
           scOpt.foreach(_.clearJobGroup())
         }
@@ -1298,6 +1319,11 @@ object HttpApi {
     */
   private[graft] val reqCounter =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-request EXPLAIN ANALYZE trigger (the reference's
+    * `X-Oteldb-Profile` convention, httpmiddleware/explain.go:18).
+    */
+  val ProfileHeader = "X-Graft-Profile"
 
   /** JDK built-in server hardening, the analogue of the reference's
     * `http.Server{ReadHeaderTimeout: 15s}` (cmd/oteldb/app.go:233-236):

@@ -887,6 +887,46 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("X-Graft-Profile renders the request's job/stage tree to the request log") {
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val metrics = new graft.api.RequestMetrics("query")
+    metrics.logSink = Some(l => { lines.add(l); () })
+    val api = new HttpApi(logsDf, pointsDf, spansDf, metrics = metrics)
+    val port = api.start()
+    def profiled(url: String): Int = {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty(HttpApi.ProfileHeader, "1")
+      val c = conn.getResponseCode
+      conn.getInputStream.readAllBytes(); c
+    }
+    try {
+      val url = s"http://127.0.0.1:$port/api/v1/query_range?query=${
+        enc("cpu")}&start=0&end=120&step=60"
+      // un-profiled request: no explain line (zero-overhead contract)
+      assert(get(url + "&time=")._1 == 200 || get(url)._1 == 200)
+      assert(!lines.toArray.exists(_.toString.contains("explain_analyze")))
+      // profiled request with a fresh window (cache-cold): real Spark
+      // work, so the rendered tree carries jobs with task metrics
+      assert(profiled(s"http://127.0.0.1:$port/api/v1/query_range?query=${
+        enc("cpu")}&start=0&end=180&step=60") == 200)
+      val line = lines.toArray.map(_.toString)
+        .find(_.contains("explain_analyze"))
+      assert(line.nonEmpty, s"no explain line in $lines")
+      assert(line.get.contains(""""jobs":[{"job":"""), line.get)
+      assert(line.get.contains(""""tasks":"""), line.get)
+      assert(line.get.contains(""""wall_ms":"""), line.get)
+      // profiled request served from the envelope cache: the tree says
+      // so — zero jobs (the operator's "did this refresh run anything")
+      assert(profiled(s"http://127.0.0.1:$port/api/v1/query_range?query=${
+        enc("cpu")}&start=0&end=180&step=60") == 200)
+      val cached = lines.toArray.map(_.toString)
+        .filter(_.contains("explain_analyze")).last
+      assert(cached.contains(""""jobs":[]"""), cached)
+    } finally api.stop()
+  }
+
   test("request metrics record per-route outcomes: 200/400/401/422") {
     import graft.api.{Auth, Limits}
     val api = new HttpApi(logsDf, pointsDf, spansDf,
