@@ -82,16 +82,10 @@ final class AdminApi(
     server.createContext("/", metrics.measure(Auth.guard(auth,
       (ex: HttpExchange) => {
         val path = ex.getRequestURI.getPath
-        val (code, ct, body) =
-          if (path == "/" || path == "/index.html")
-            (200, "text/html; charset=utf-8", AdminUi.html)
-          else (404, "application/json",
-            s"""{"error_message":${q(s"no route $path")}}""")
-        val bytes = body.getBytes("UTF-8")
-        ex.getResponseHeaders.set("Content-Type", ct)
-        ex.sendResponseHeaders(code, bytes.length.toLong)
-        val os = ex.getResponseBody
-        try os.write(bytes) finally os.close()
+        if (path == "/" || path == "/index.html")
+          send(ex, 200, "text/html; charset=utf-8", AdminUi.html)
+        else send(ex, 404, "application/json",
+          s"""{"error_message":${q(s"no route $path")}}""")
       })))
     server.start()
     server.getAddress.getPort
@@ -318,12 +312,17 @@ final class AdminApi(
         case e: Exception =>
           (500, s"""{"error_message":${q(Option(e.getMessage).getOrElse("error"))}}""")
       }
+    send(ex, code, "application/json", body)
+  }))
+
+  private def send(ex: HttpExchange, code: Int, contentType: String,
+      body: String): Unit = {
     val bytes = body.getBytes("UTF-8")
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
-  }))
+  }
 }
 
 object AdminApi {

@@ -105,6 +105,14 @@ object ExplainProfile {
     groups.put(groupId, new GroupProf): Unit
   }
 
+  /** Releases a group's registrations without rendering — the error
+    * -path twin of [[render]] (idempotent after a successful render).
+    */
+  def release(groupId: String): Unit = {
+    val g = groups.remove(groupId)
+    if (g != null) g.stages.keySet.forEach(sid => { stageToGroup.remove(sid); () })
+  }
+
   /** Renders the group's profile as one JSON line and releases every
     * registration (call after the handler finished, even on error).
     * None when [[begin]] was never called for the group.

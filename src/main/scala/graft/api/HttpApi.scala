@@ -1265,7 +1265,8 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
           res
         } finally {
           // releases the profile registrations even when attempt threw
-          if (profiling) ExplainProfile.render(groupId, "", "", 0, 0): Unit
+          // (no-op after the success path's render)
+          if (profiling) ExplainProfile.release(groupId)
           capTask.foreach(_.cancel(false))
           scOpt.foreach(_.clearJobGroup())
         }
