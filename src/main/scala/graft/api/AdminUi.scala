@@ -67,7 +67,8 @@ object AdminUi {
 
 <h2>Routes</h2>
 <table id="routes"><thead><tr><th>server</th><th>route</th>
-<th class="num">count</th><th>statuses</th><th class="num">mean ms</th>
+<th class="num">count</th><th class="num">qps</th>
+<th>statuses</th><th class="num">mean ms</th>
 <th class="num">p50 ms</th><th class="num">p95 ms</th>
 <th class="num">p99 ms</th><th class="num">max ms</th></tr></thead>
 <tbody></tbody></table>
@@ -145,6 +146,7 @@ async function refresh() {
       for (const r of srv.routes || []) {
         const tr = document.createElement("tr");
         cell(tr, srv.server); cell(tr, r.route); cell(tr, r.count, "num");
+        cell(tr, r.qps, "num");
         cell(tr, Object.entries(r.statuses || {})
           .map(([c, n]) => c + ":" + n).join(" "));
         cell(tr, r.mean_ms, "num"); cell(tr, r.p50_ms, "num");
