@@ -32,10 +32,15 @@ import java.util.concurrent.atomic.LongAdder
   */
 object ExplainProfile {
 
-  /** Truthy forms accepted by the reference (explain.go:57-64). */
+  /** Header truthiness, the reference's exact semantics
+    * (explain.go:56-66 profileRequested): DEFAULT-TRUE — a present
+    * header profiles unless it spells one of the explicit off forms
+    * ("", "0", "false", "no", "off", any case/whitespace). An absent
+    * header (null) is off.
+    */
   def requested(v: String): Boolean = v != null && (v.trim.toLowerCase match {
-    case "1" | "true" | "yes" | "on" => true
-    case _                           => false
+    case "" | "0" | "false" | "no" | "off" => false
+    case _                                 => true
   })
 
   private final class StageProf {

@@ -887,6 +887,17 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("profile-header truthiness matches the reference's profileRequested") {
+    import graft.api.ExplainProfile
+    // explain_test.go TestProfileRequested vectors, plus default-TRUE
+    // for arbitrary present values (the reference's semantics)
+    for (v <- Seq("1", "true", "yes", "on", "TRUE", "anything-else"))
+      assert(ExplainProfile.requested(v), v)
+    for (v <- Seq("", "0", "false", "no", "off", "  ", "OFF"))
+      assert(!ExplainProfile.requested(v), s"'$v'")
+    assert(!ExplainProfile.requested(null))
+  }
+
   test("X-Graft-Profile renders the request's job/stage tree to the request log") {
     val lines = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
