@@ -61,6 +61,15 @@ object ExplainProfile {
   private val groups = new ConcurrentHashMap[String, GroupProf]()
   private val stageToGroup = new ConcurrentHashMap[Int, GroupProf]()
   @volatile private var installed = false
+  // context captured at install — render() drains its listener bus so
+  // asynchronously-delivered job/task events land before reading
+  @volatile private var scRef: org.apache.spark.SparkContext = _
+
+  /** Registry occupancy (groups, stage registrations) — lifecycle
+    * tests assert both drain to zero after render/release.
+    */
+  private[graft] def registrySize: (Int, Int) =
+    (groups.size, stageToGroup.size)
 
   /** Lazily installs the ONE listener (idempotent, JVM-wide). */
   private def install(sc: org.apache.spark.SparkContext): Unit =
@@ -79,6 +88,15 @@ object ExplainProfile {
                 stageToGroup.put(sid, g)
                 g.stages.putIfAbsent(sid, new StageProf): Unit
               }
+              // release() may have swept g.stages BETWEEN the get above
+              // and these puts — its keySet walk then missed the fresh
+              // stage ids, leaking them in stageToGroup forever. After
+              // all puts are visible, re-check membership: whichever of
+              // this re-check / release's sweep runs second sees the
+              // complete picture, and remove(sid, g) is idempotent and
+              // never clobbers a later group that reused a stage id.
+              if (groups.get(gid) ne g)
+                stageIds.foreach(sid => stageToGroup.remove(sid, g): Unit)
             }
           }
           override def onTaskEnd(
@@ -107,6 +125,7 @@ object ExplainProfile {
   /** Starts profiling the job group (call before the handler runs). */
   def begin(sc: org.apache.spark.SparkContext, groupId: String): Unit = {
     install(sc)
+    scRef = sc
     groups.put(groupId, new GroupProf): Unit
   }
 
@@ -121,9 +140,21 @@ object ExplainProfile {
   /** Renders the group's profile as one JSON line and releases every
     * registration (call after the handler finished, even on error).
     * None when [[begin]] was never called for the group.
+    *
+    * Listener events arrive ASYNCHRONOUSLY on the bus, so the bus is
+    * drained (bounded) before reading — without it a short request's
+    * profile could render `"jobs":[]` while its job-start event was
+    * still queued. Jobs whose start event lands AFTER the group is
+    * released here are deliberately uncounted: the request is over, and
+    * a cap-killed request's final stage belongs to the cancellation,
+    * not the answer (mirrors the reference dropping collector output
+    * once the request context is done, explain.go:30-43).
     */
   def render(groupId: String, method: String, path: String,
       wallMs: Double, status: Int): Option[String] = {
+    val sc = scRef
+    if (sc != null && groups.containsKey(groupId))
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc, 2000L): Unit
     val g = groups.remove(groupId)
     if (g == null) return None
     val jobs = new scala.collection.mutable.ArrayBuffer[String]

@@ -1148,7 +1148,11 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
   @volatile private var memoSc: org.apache.spark.SparkContext = _
   private def sparkCtx(): Option[org.apache.spark.SparkContext] = {
     val m = memoSc
-    if (m != null) Some(m)
+    // revalidate the memo (ADVICE r16): a stopped-and-recreated session
+    // in the same JVM (test harnesses, embedded restarts) would
+    // otherwise bind setJobGroup/cancelJobGroup and the profiler to the
+    // stale stopped context — requests silently run uncapped/unprofiled
+    if (m != null && !m.isStopped) Some(m)
     else {
       val r =
         try Some(logs.sparkSession.sparkContext)

@@ -30,8 +30,12 @@ object MiniYaml {
     */
   def parse(text: String): Any = {
     val lines = text.split("\n", -1).zipWithIndex.flatMap { case (raw, i) =>
-      if (raw.contains("\t"))
-        throw new ParseError(i, "tab characters are not allowed")
+      // YAML forbids tabs in INDENTATION only — inside a quoted scalar
+      // they are legal content (go-yaml accepts both a literal and an
+      // escaped tab in double quotes, ADVICE r16), so the rejection
+      // covers just the leading-whitespace run
+      if (raw.takeWhile(c => c == ' ' || c == '\t').contains('\t'))
+        throw new ParseError(i, "tab characters are not allowed in indentation")
       val noComment = stripComment(raw)
       val content = noComment.trim
       if (content.isEmpty) None
@@ -213,6 +217,14 @@ object MiniYaml {
           case 'a'  => sb.append('\u0007'); i += 2
           case 'v'  => sb.append('\u000B'); i += 2
           case 'e'  => sb.append('\u001B'); i += 2
+          // YAML 1.1 section 5.7's remaining single-char escapes, all
+          // accepted by go-yaml (ADVICE r16): next-line, nbsp, line/
+          // paragraph separator, and an escaped LITERAL tab character
+          case 'N'  => sb.append('\u0085'); i += 2
+          case '_'  => sb.append('\u00A0'); i += 2
+          case 'L'  => sb.append('\u2028'); i += 2
+          case 'P'  => sb.append('\u2029'); i += 2
+          case '\t' => sb.append('\t'); i += 2
           case 'x'  => sb.append(hex(i + 2, 2).toChar); i += 4
           case 'u'  => sb.append(hex(i + 2, 4).toChar); i += 6
           case 'U'  =>

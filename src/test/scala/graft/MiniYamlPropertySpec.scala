@@ -103,6 +103,14 @@ object MiniYamlPropertySpec extends Properties("MiniYaml") {
     (MiniYaml.parse("k: \"\\" + "U0001F600\"") ==
       Map("k" -> new String(Character.toChars(0x1F600)))) :| "\\U",
     (MiniYaml.parse("""k: "a\\nb"""") == Map("k" -> "a\\nb")) :| "\\\\",
+    // YAML 1.1 §5.7 tail accepted by go-yaml (ADVICE r16): next-line,
+    // nbsp, line/paragraph separator, escaped literal tab
+    (MiniYaml.parse("""k: "a\Nb"""") == Map("k" -> "a\u0085b")) :| "\\N",
+    (MiniYaml.parse("""k: "a\_b"""") == Map("k" -> "a\u00A0b")) :| "\\_",
+    (MiniYaml.parse("""k: "a\Lb"""") == Map("k" -> "a\u2028b")) :| "\\L",
+    (MiniYaml.parse("""k: "a\Pb"""") == Map("k" -> "a\u2029b")) :| "\\P",
+    (MiniYaml.parse("k: \"a\\\tb\"") == Map("k" -> "a\tb")) :|
+      "escaped literal tab",
     Prop.throws(classOf[MiniYaml.ParseError])(
       MiniYaml.parse("""k: "a\qb"""")) :| "unknown escape fails loudly",
     Prop.throws(classOf[MiniYaml.ParseError])(
