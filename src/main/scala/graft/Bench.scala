@@ -31,9 +31,25 @@ object Bench {
     val sc = spark.sparkContext
 
     // ---- task-metric attribution: stage -> job group -> busy ms ----
+    // THREE time bases per group (the r16 driver-run adjudication):
+    //   run  — executorRunTime (+deser +result-ser): task WALL on the
+    //          executor thread; inflates under host CPU steal/IO stall
+    //   cpu  — executorCpuTime: actual CPU consumed; immune to
+    //          waiting-for-a-core, inflates only for real extra work
+    //          (or interpreted execution)
+    //   gc   — jvmGCTime: stop-the-world time attributed to the task
+    // compute (run-based) stays the headline for continuity with
+    // BASELINE.md and rounds 1–16; cpu/gc columns let a divergent run
+    // adjudicate ITSELF: run up + cpu flat = the host, not the code.
     val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val groupMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val groupCpuNs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val groupGcMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val taskN = new java.util.concurrent.atomic.AtomicLong()
+    def bump(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        g: String, v: Long): Unit =
+      m.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong())
+        .addAndGet(v): Unit
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -49,11 +65,12 @@ object Bench {
         taskN.incrementAndGet()
         val m = t.taskMetrics
         val g = stageGroup.get(t.stageId)
-        if (m != null && g != null)
-          groupMs.computeIfAbsent(g,
-            _ => new java.util.concurrent.atomic.AtomicLong())
-            .addAndGet(m.executorRunTime + m.executorDeserializeTime +
-              m.resultSerializationTime): Unit
+        if (m != null && g != null) {
+          bump(groupMs, g, m.executorRunTime + m.executorDeserializeTime +
+            m.resultSerializationTime)
+          bump(groupCpuNs, g, m.executorCpuTime)
+          bump(groupGcMs, g, m.jvmGCTime)
+        }
         ()
       }
     })
@@ -131,23 +148,29 @@ object Bench {
     val results = names.map { k =>
       k -> med3(byName(0)(k), byName(1)(k), byName(2)(k))
     }
-    val compute = names.map { k =>
+    def med3Of(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        k: String, unitDiv: Double): Double = {
       val samples = steadyTags.map { tag =>
-        Option(groupMs.get(s"$tag:$k")).fold(0.0)(_.get() / 1000.0 / cpus)
+        Option(m.get(s"$tag:$k")).fold(0.0)(_.get() / unitDiv / cpus)
       }
-      k -> med3(samples(0), samples(1), samples(2))
+      med3(samples(0), samples(1), samples(2))
     }
+    val compute = names.map(k => k -> med3Of(groupMs, k, 1000.0))
+    val cpu = names.map(k => k -> med3Of(groupCpuNs, k, 1e9))
+    val gc = names.map(k => k -> med3Of(groupGcMs, k, 1000.0))
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val p1total = pass1.map(_._2).sum
     val computeTotal = compute.map(_._2).sum
+    val cpuTotal = cpu.map(_._2).sum
+    val gcTotal = gc.map(_._2).sum
     val rawSteady = steadyTags.zip(steady).map { case (tag, xs) =>
       "\"" + tag + "\":" + jmap(xs)
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","regime":"steady-state (median of 3 passes, cache/GC hygiene between)","pass1_total":$p1total,"compute_total":$computeTotal,"queries":$qs,"compute":${jmap(compute)},"pass1_queries":${jmap(pass1)},"steady_passes":$rawSteady,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","regime":"steady-state (median of 3 passes, cache/GC hygiene between)","pass1_total":$p1total,"compute_total":$computeTotal,"cpu_total":$cpuTotal,"gc_total":$gcTotal,"queries":$qs,"compute":${jmap(compute)},"cpu":${jmap(cpu)},"gc":${jmap(gc)},"pass1_queries":${jmap(pass1)},"steady_passes":$rawSteady,"sf":"$sfDir"}"""
     println(full)
     // The driver keeps only a 2000-char stdout tail; a 200+-query map
     // (~7 KB) can never fit, so the full per-query timing map also goes
@@ -165,7 +188,7 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","regime":"steady-state (median of 3)","n":${results.size},"mean":${r3(mean)},"median":${r3(median)},"pass1_total":${r3(p1total)},"compute_total":${r3(computeTotal)},"compute_mean":${r3(computeMean)},"compute_note":"per-query operator compute from task metrics (sum task time / $cpus cores); wall minus compute is the local job-scheduling floor; compute_mean is the column comparable to BASELINE.md's 0.112s/query anchor","queries":$top,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","regime":"steady-state (median of 3)","n":${results.size},"mean":${r3(mean)},"median":${r3(median)},"pass1_total":${r3(p1total)},"compute_total":${r3(computeTotal)},"compute_mean":${r3(computeMean)},"cpu_total":${r3(cpuTotal)},"gc_total":${r3(gcTotal)},"compute_note":"per-query operator compute from task metrics (sum task time / $cpus cores); wall minus compute is the local job-scheduling floor; compute_mean is the column comparable to BASELINE.md's 0.112s/query anchor; cpu_total (executorCpuTime) and gc_total (jvmGCTime) adjudicate divergent runs: compute up with cpu flat pins host steal/IO, not code","queries":$top,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

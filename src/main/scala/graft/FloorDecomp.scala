@@ -34,6 +34,8 @@ object FloorDecomp {
     }
     // task-metric accumulator: executor-side busy time per task
     val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong()
     val taskN = new java.util.concurrent.atomic.AtomicLong()
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
@@ -42,6 +44,10 @@ object FloorDecomp {
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime + m.executorDeserializeTime +
             m.resultSerializationTime)
+          // cpu vs run separates waiting-for-a-core from doing work —
+          // the r16 driver-run adjudication lens
+          taskCpuNs.addAndGet(m.executorCpuTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
           taskN.incrementAndGet()
         }
         ()
@@ -81,18 +87,23 @@ object FloorDecomp {
         q.run(spark, dir).count() // steady state: pay codegen/plan once
         drain()
         val ms0 = taskMs.get()
+        val cpu0 = taskCpuNs.get()
+        val gc0 = taskGcMs.get()
         sc.setJobGroup(q.name, q.name)
         val wall = time(q.run(spark, dir).count())
         sc.clearJobGroup()
         drain()
         val compute = (taskMs.get() - ms0) / 1000.0 / cores
+        val cpuS = (taskCpuNs.get() - cpu0) / 1e9 / cores
+        val gcS = (taskGcMs.get() - gc0) / 1000.0 / cores
         val jobs = sc.statusTracker.getJobIdsForGroup(q.name)
         val stages = jobs.flatMap(id =>
           sc.statusTracker.getJobInfo(id).map(_.stageIds().length)).sum
         wallSum += wall
         computeSum += compute
         println(f"[decomp] ${q.name}%-36s wall=$wall%.3f " +
-          f"compute=$compute%.3f floor=${wall - compute}%.3f " +
+          f"compute=$compute%.3f cpu=$cpuS%.3f gc=$gcS%.3f " +
+          f"floor=${wall - compute}%.3f " +
           f"(${100 * (wall - compute) / wall}%.0f%%) jobs=${jobs.length}%2d stages=$stages%2d")
       } catch { case e: Throwable =>
         println(s"[decomp] ${q.name} failed: ${e.getMessage}")

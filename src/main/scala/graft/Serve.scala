@@ -189,14 +189,39 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       else None
     })
 
+  // ---- self-telemetry (reference go-faster/sdk/app OTLP self-export,
+  // cmd/oteldb/main.go:9) — the emitter posts to the OWN ingest port,
+  // which is only known at start(); the URL thunk reads it live
+  @volatile private var selfIngestPort: Int = -1
+  private[graft] val selfTelemetry: Option[graft.api.SelfTelemetry] =
+    if (cfg.selfTelemetryMs > 0)
+      Some(new graft.api.SelfTelemetry(
+        // by-name: `api` initializes below; the thunk runs per tick
+        () => Seq(api.metrics, receiver.ingestMetrics) ++
+          receiver.adminMetrics,
+        () => s"http://127.0.0.1:$selfIngestPort",
+        Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth)),
+        cfg.selfTelemetryMs))
+    else None
+
   /** Structured-request-log sink (reference InjectLogger/LogRequests:
-    * one record per request on every server). Opt-in (`--request-log
-    * on` / `request_log: on`): a single-process local[32] deployment
-    * interleaves these lines with engine output, and the per-route
-    * METRICS — the half an operator queries — are always on.
+    * one record per request on every server). stderr lines are opt-in
+    * (`--request-log on` / `request_log: on`): a single-process
+    * local[32] deployment interleaves these lines with engine output,
+    * and the per-route METRICS — the half an operator queries — are
+    * always on. With self-telemetry enabled the lines ALSO tee into
+    * its bounded ring regardless of the stderr opt-in — they are the
+    * "own logs" half of the reference's OTLP self-export.
     */
-  private val requestLogSink: Option[String => Unit] =
-    if (cfg.requestLog) Some(line => System.err.println(line)) else None
+  private val requestLogSink: Option[String => Unit] = {
+    val stderrSink: Option[String => Unit] =
+      if (cfg.requestLog) Some(line => System.err.println(line)) else None
+    selfTelemetry match {
+      case Some(st) =>
+        Some(line => { stderrSink.foreach(_(line)); st.offerLog(line) })
+      case None => stderrSink
+    }
+  }
 
   /** The query front-end over the live layouts. Profiles/exemplars
     * mount UNCONDITIONALLY (empty until their first batch) — a
@@ -268,6 +293,18 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       routeMetrics = Seq(api.metrics),
       requestLog = requestLogSink)
     val qp = api.start(queryPort)
+    selfIngestPort = ip
+    selfTelemetry.foreach { st =>
+      // an ingest section that self-telemetry cannot authenticate to
+      // (fail-closed all-none config, or no resolvable secret) would
+      // silently 401 every export — say it out loud at startup
+      if (Serve.sectionAuth(cfg.ingestAuth, cfg.auth).nonEmpty &&
+          Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth)).isEmpty)
+        System.err.println("[graft.Serve] WARNING: self-telemetry is on " +
+          "but no ingest credential could be derived from the auth " +
+          "config — exports will be rejected")
+      st.start()
+    }
     if (cfg.maintainEveryMs > 0) {
       // the reference's TTL/merge machinery runs continuously
       // (MergeTree TTL + background merges); the pass is idempotent
@@ -308,6 +345,9 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
 
   def stop(): Unit = {
     stopped = true
+    // before the servers: the final flush tick posts to the still-live
+    // ingest port
+    selfTelemetry.foreach(_.stop())
     if (maintThread != null) {
       maintThread.interrupt()
       // JOIN (bounded): an in-flight maintenance pass ignores the
@@ -336,6 +376,7 @@ object Serve {
       resultLimits: Limits.ResultLimits = Limits.ResultLimits(),
       rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
       requestLog: Boolean = false,
+      selfTelemetryMs: Long = 0L,
       maintainEveryMs: Long = 0L,
       maintainDate: () => String = () => StoragePolicy.utcToday(),
       // global auth applies to every HTTP server; a section override
@@ -356,6 +397,36 @@ object Serve {
   private[graft] def sectionAuth(section: Option[Seq[Auth.AuthConfig]],
       global: Seq[Auth.AuthConfig]): Option[Auth.Middleware] =
     Auth.fromConfig(section.getOrElse(global))
+
+  /** Credential the self-telemetry exporter presents to the OWN ingest
+    * section: the first resolvable bearer token, else the first basic
+    * user — the reference's self-export reads its own config the same
+    * way (OTEL_EXPORTER_OTLP_HEADERS). None when the config carries no
+    * usable secret (e.g. the fail-closed all-none config).
+    */
+  private[graft] def selfAuthHeader(
+      cfgs: Seq[Auth.AuthConfig]): Option[String] =
+    cfgs.collectFirst {
+      case c if c.tpe == "bearertoken" && c.tokens.nonEmpty =>
+        s"Bearer ${c.tokens.head.get}"
+      case c if c.tpe == "basicauth" && c.users.nonEmpty =>
+        val u = c.users.head
+        "Basic " + java.util.Base64.getEncoder.encodeToString(
+          s"${u.user}:${u.getPassword}".getBytes("UTF-8"))
+    }
+
+  /** `--self-telemetry <N>ms|<N>s|<N>m|off` → period millis (0 = off). */
+  private def parseSelfTelemetry(v: String): Long = {
+    val m = "^([0-9]+)(ms|s|m)$".r
+    v match {
+      case "off" | "0" => 0L
+      case m(n, "ms")  => n.toLong
+      case m(n, "s")   => n.toLong * 1000L
+      case m(n, "m")   => n.toLong * 60000L
+      case other => throw new IllegalArgumentException(
+        s"--self-telemetry: want <N>ms|<N>s|<N>m|off, got '$other'")
+    }
+  }
 
   /** Flag parsing, separated for tests. Every knob the programmatic
     * [[Config]] carries is reachable from the command line — the
@@ -383,7 +454,7 @@ object Serve {
     "--admin-auth-token", "--admin-auth-basic",
     "--max-result-rows", "--max-result-bytes", "--max-execution-ms",
     "--max-concurrent-queries", "--queue-depth", "--queue-wait-ms",
-    "--request-log", "--config")
+    "--request-log", "--self-telemetry", "--config")
 
   /** Config-file keys (snake_case twins of the flags, the reference's
     * cmd/oteldb/config.go field names where one exists), validated
@@ -398,7 +469,7 @@ object Serve {
     "downsample", "precision", "recompress", "safety",
     "max_result_rows", "max_result_bytes", "max_execution_ms",
     "max_concurrent_queries", "queue_depth", "queue_wait_ms",
-    "request_log", "auth", "query", "ingest", "admin")
+    "request_log", "self_telemetry", "auth", "query", "ingest", "admin")
 
   private def checkKeys(m: Map[String, Any], allowed: Set[String],
       ctx: String): Unit =
@@ -631,6 +702,10 @@ object Serve {
         case other => throw new IllegalArgumentException(
           s"--request-log: want on|off, got '$other'")
       },
+      // duration knob: <N>ms|<N>s|<N>m|off (reference
+      // OTEL_METRIC_EXPORT_INTERVAL shape), strictly validated
+      selfTelemetryMs = cfgStr("--self-telemetry", "self_telemetry")
+        .fold(0L)(parseSelfTelemetry),
       retentionDays = cfgL("--retention-days", "retention_days", 0L).toInt,
       maintainEveryMs =
         cfgL("--maintain-every-min", "maintain_every_min", 0L) * 60000L,
@@ -682,7 +757,8 @@ object Serve {
           "[--{query|ingest|admin}-auth-{token|basic} ...] " +
           "[--max-result-rows N] [--max-result-bytes N] " +
           "[--max-execution-ms N] [--max-concurrent-queries N] " +
-          "[--queue-depth N] [--queue-wait-ms N] [--request-log on|off]  " +
+          "[--queue-depth N] [--queue-wait-ms N] [--request-log on|off] " +
+          "[--self-telemetry <N>ms|<N>s|<N>m|off]  " +
           "(env: INGEST_ADDR GRPC_ADDR QUERY_ADDR ADMIN_ADDR)")
       sys.exit(2)
     }

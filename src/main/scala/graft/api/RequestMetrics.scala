@@ -134,6 +134,29 @@ final class RequestMetrics(val server: String,
       s""""routes":[${sorted.mkString(",")}]}"""
   }
 
+  /** Structured registry snapshot — the self-telemetry exporter's
+    * read path ([[SelfTelemetry]] renders it as OTLP). Same
+    * torn-read discipline as [[snapshotJson]]: per-status counts and
+    * bucket counts are each internally consistent LongAdder sums; the
+    * exporter emits them as independent cumulative series, so a
+    * snapshot racing an in-flight record() is off by at most the
+    * in-flight request on each series — monotone, and correct at the
+    * next tick.
+    */
+  def snapshot(): Seq[RequestMetrics.RouteSnapshot] = {
+    val out = Seq.newBuilder[RequestMetrics.RouteSnapshot]
+    routes.forEach { (route, st) =>
+      val statuses = {
+        val b = Map.newBuilder[Int, Long]
+        st.statuses.forEach((code, c) => b += ((code, c.sum())))
+        b.result()
+      }
+      out += RequestMetrics.RouteSnapshot(route, st.count.sum(), statuses,
+        st.totalUs.sum(), Array.tabulate(BucketCount)(st.buckets.get))
+    }
+    out.result()
+  }
+
   /** (route, status) → count, for tests and probes. */
   def statusCount(route: String, status: Int): Long =
     Option(routes.get(route))
@@ -146,8 +169,21 @@ final class RequestMetrics(val server: String,
 }
 
 object RequestMetrics {
+  /** One route's registry state at a point in time. `buckets` are the
+    * raw (non-cumulative) power-of-two histogram counts.
+    */
+  final case class RouteSnapshot(route: String, count: Long,
+      statuses: Map[Int, Long], totalUs: Long, buckets: Array[Long])
+
   /** Bucket upper bounds: 128 µs · 2^i. The last bucket is open-ended. */
   private[api] val BucketCount = 26
+
+  /** Bucket upper edge in SECONDS for index i (the last is +Inf) —
+    * the `le` label values the self-telemetry exporter emits.
+    */
+  private[graft] def bucketUpperSeconds(i: Int): Double =
+    if (i >= BucketCount - 1) Double.PositiveInfinity
+    else 128e-6 * (1L << i)
 
   private def bucketOf(durationUs: Long): Int = {
     var i = 0

@@ -1,0 +1,220 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URI}
+import java.util.concurrent.{ArrayBlockingQueue, Executors, TimeUnit}
+import java.util.concurrent.atomic.LongAdder
+
+import graft.util.ProtoW
+
+/** Self-telemetry loop — the reference binary wires `go-faster/sdk/app`
+  * (cmd/oteldb/main.go:9, app.go:15), which exports the PROCESS'S OWN
+  * OTel metrics and logs over OTLP when `OTEL_*` env is configured, so
+  * a deployment can point the exporter at itself (or a peer) and then
+  * PromQL/LogQL its own request rates and logs. Graft's analogue: a
+  * flag-gated periodic emitter that renders the three
+  * [[RequestMetrics]] registries (query/ingest/admin) as OTLP
+  * cumulative counters and the structured request-log lines as OTLP
+  * logs, POSTed into the server's OWN ingest path — after which
+  * `rate(graft_http_requests_total[5m])` and
+  * `histogram_quantile(0.95, rate(graft_http_request_duration_seconds_bucket[5m]))`
+  * work against the instance itself, giving the windowed rates the
+  * routes report's lifetime-QPS deliberately doesn't.
+  *
+  * Series emitted (classic Prometheus client-side flattening — the
+  * same shape a remote-write of a scraped Go process carries, so the
+  * stored layout and the PromQL path need nothing new):
+  *   - `graft_http_requests_total{server,route,status}`
+  *   - `graft_http_request_duration_seconds_bucket{server,route,le}`
+  *     (cumulative le over the registry's power-of-two buckets)
+  *   - `graft_http_request_duration_seconds_count/_sum{server,route}`
+  *
+  * NO-FEEDBACK-LOOP BUDGET: the emitter's own POSTs land on the ingest
+  * server's existing route contexts, so the label space CANNOT grow
+  * from self-observation — per tick the stream is ≤ 2 ingest requests,
+  * the log batch is bounded by the ring (drop-oldest, counted), and
+  * the series set is bounded by routes × (statuses + buckets + 2),
+  * every dimension a fixed property of the server, not of traffic.
+  * Values grow; series don't (asserted in ServeSpec).
+  *
+  * Cumulative-sum semantics (temporality=2, monotonic) mean a missed
+  * or failed tick loses nothing: the next tick carries the running
+  * totals and `rate()` interpolates across the gap — the reason the
+  * emitter never retries (the reference's periodic exporter makes the
+  * same choice).
+  */
+final class SelfTelemetry(
+    registries: () => Seq[RequestMetrics],
+    ingestUrl: () => String,
+    authHeader: Option[String],
+    intervalMs: Long,
+    serviceName: String = "graft") {
+  import SelfTelemetry._
+
+  private val startNs = System.currentTimeMillis() * 1000000L
+  // request-log tee: bounded ring, drop-oldest under pressure (the
+  // exporter must never block or grow on a log storm it itself causes)
+  private val ring = new ArrayBlockingQueue[String](4096)
+  val droppedLogs = new LongAdder
+  private var exec: java.util.concurrent.ScheduledExecutorService = _
+  @volatile private var consecutiveFailures = 0L
+
+  /** The log sink tee — composition roots wrap their request-log sink
+    * with this so lines reach both stderr and the self-stream.
+    */
+  def offerLog(line: String): Unit =
+    if (!ring.offer(line)) {
+      if (ring.poll() != null) droppedLogs.increment() // the evicted line
+      if (!ring.offer(line)) droppedLogs.increment() // full again (racing)
+    }
+
+  /** One OTLP ExportMetricsServiceRequest over the current registry
+    * state (public: tests decode it back through OtlpProto).
+    */
+  def metricsPayload(nowNs: Long): Array[Byte] = {
+    def dp(attrs: Seq[(String, String)], v: Double): ProtoW = {
+      val p = new ProtoW().fix64(2, startNs).fix64(3, nowNs).double(4, v)
+      attrs.foreach { case (k, s) =>
+        p.msg(7, new ProtoW().str(1, k).msg(2, new ProtoW().str(1, s)))
+      }
+      p
+    }
+    // one Sum metric per name, one datapoint per label set
+    val totals = Seq.newBuilder[ProtoW]
+    val buckets = Seq.newBuilder[ProtoW]
+    val counts = Seq.newBuilder[ProtoW]
+    val sums = Seq.newBuilder[ProtoW]
+    registries().foreach { reg =>
+      val server = reg.server
+      reg.snapshot().foreach { s =>
+        val base = Seq("server" -> server, "route" -> s.route)
+        s.statuses.foreach { case (code, n) =>
+          totals += dp(base :+ ("status" -> code.toString), n.toDouble)
+        }
+        var cum = 0L
+        var i = 0
+        while (i < s.buckets.length) {
+          cum += s.buckets(i)
+          buckets += dp(base :+ ("le" -> leLabel(
+            RequestMetrics.bucketUpperSeconds(i))), cum.toDouble)
+          i += 1
+        }
+        // _count = the +Inf bucket (the histogram stays self-consistent
+        // under a racing record(); same discipline as the routes report)
+        counts += dp(base, cum.toDouble)
+        sums += dp(base, s.totalUs / 1e6)
+      }
+    }
+    def sumMetric(name: String, unit: String, dps: Seq[ProtoW]): ProtoW = {
+      val sum = new ProtoW().vint(2, 2L).vint(3, 1L) // cumulative, monotonic
+      dps.foreach(sum.msg(1, _))
+      new ProtoW().str(1, name).str(3, unit).msg(7, sum)
+    }
+    val scopeMetrics = new ProtoW()
+      .msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+      .msg(2, sumMetric("graft_http_requests_total", "1", totals.result()))
+      .msg(2, sumMetric("graft_http_request_duration_seconds_bucket", "s",
+        buckets.result()))
+      .msg(2, sumMetric("graft_http_request_duration_seconds_count", "1",
+        counts.result()))
+      .msg(2, sumMetric("graft_http_request_duration_seconds_sum", "s",
+        sums.result()))
+    new ProtoW().msg(1, new ProtoW()
+      .msg(1, resource()).msg(2, scopeMetrics)).toByteArray
+  }
+
+  /** One OTLP ExportLogsServiceRequest carrying the given request-log
+    * lines as INFO records (body = the structured JSON line; LogQL
+    * `| json` parses it).
+    */
+  def logsPayload(lines: Seq[String], nowNs: Long): Array[Byte] = {
+    val scopeLogs = new ProtoW()
+      .msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+    lines.foreach { line =>
+      scopeLogs.msg(2, new ProtoW()
+        .fix64(1, nowNs).vint(2, 9L).str(3, "INFO")
+        .msg(5, new ProtoW().str(1, line)))
+    }
+    new ProtoW().msg(1, new ProtoW()
+      .msg(1, resource()).msg(2, scopeLogs)).toByteArray
+  }
+
+  private def resource(): ProtoW =
+    new ProtoW().msg(1, new ProtoW().str(1, "service.name")
+      .msg(2, new ProtoW().str(1, serviceName)))
+
+  /** One export round: metrics always, logs when the ring has lines.
+    * Public so tests (and a shutdown flush) can tick deterministically.
+    */
+  def tick(): Unit = {
+    val nowNs = System.currentTimeMillis() * 1000000L
+    post("/v1/metrics", metricsPayload(nowNs))
+    val lines = new java.util.ArrayList[String]
+    ring.drainTo(lines)
+    if (!lines.isEmpty)
+      post("/v1/logs", logsPayload(
+        scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq,
+        nowNs))
+  }
+
+  private def post(path: String, payload: Array[Byte]): Unit =
+    try {
+      val conn = URI.create(ingestUrl() + path).toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(2000)
+      conn.setReadTimeout(5000)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      authHeader.foreach(conn.setRequestProperty("Authorization", _))
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(payload.length)
+      val os = conn.getOutputStream
+      os.write(payload); os.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (is != null) { is.readAllBytes(); is.close() }
+      if (code != 200) fail(s"HTTP $code from $path")
+      else consecutiveFailures = 0
+    } catch { case scala.util.control.NonFatal(e) => fail(e.toString) }
+
+  private def fail(why: String): Unit = {
+    consecutiveFailures += 1
+    // first failure loudly, then once a minute's worth — a dead ingest
+    // port must not turn the interval loop into a log storm
+    if (consecutiveFailures == 1 ||
+        consecutiveFailures % math.max(1L, 60000L / math.max(1L, intervalMs)) == 0)
+      System.err.println(
+        s"[graft.SelfTelemetry] export failed ($consecutiveFailures consecutive): $why")
+  }
+
+  def start(): Unit = {
+    exec = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-self-telemetry"); t.setDaemon(true); t
+    })
+    exec.scheduleWithFixedDelay(() => tick(), intervalMs, intervalMs,
+      TimeUnit.MILLISECONDS): Unit
+  }
+
+  /** Stops the loop after one final flush tick (counters are
+    * cumulative, so the flush just pins the last totals).
+    */
+  def stop(): Unit =
+    if (exec != null) {
+      exec.shutdown()
+      try { exec.awaitTermination(5, TimeUnit.SECONDS); () }
+      catch { case _: InterruptedException => () }
+      try tick() catch { case scala.util.control.NonFatal(_) => () }
+    }
+}
+
+object SelfTelemetry {
+  /** Prometheus `le` rendering: finite bounds in decimal, +Inf spelled
+    * the Prometheus way.
+    */
+  private[graft] def leLabel(v: Double): String =
+    if (v.isPosInfinity) "+Inf"
+    else {
+      // trim trailing zeros without scientific notation (0.000128 style)
+      val s = java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
+      s
+    }
+}

@@ -63,6 +63,12 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
   private var server: HttpServer = _
   private var grpc: GrpcIngest = _
   private var admin: graft.api.AdminApi = _
+
+  /** The admin server's own route registry (None before [[startAdmin]])
+    * — the self-telemetry exporter reads all three servers' registries.
+    */
+  def adminMetrics: Option[graft.api.RequestMetrics] =
+    Option(admin).map(_.metrics)
   private var listener: StreamingQueryListener = _
 
   // ---- admission state (one budget per receiver = per tenant) ----

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{RequestMetrics, SelfTelemetry}
+import graft.sources.OtlpProto
+
+/** The self-telemetry payload builders, validated against the repo's
+  * OWN OTLP decoder (the wire format the exporter must speak is the
+  * one the ingest path reads — encode and decode are independent
+  * implementations, so the round-trip is a real check, not an inverse).
+  */
+class SelfTelemetrySpec extends AnyFunSuite {
+
+  private def emitter(regs: RequestMetrics*): SelfTelemetry =
+    new SelfTelemetry(() => regs.toSeq, () => "http://127.0.0.1:1",
+      None, 60000L)
+
+  test("metrics payload round-trips: counters, le buckets, count/sum") {
+    val reg = new RequestMetrics("query")
+    reg.record("/api/v1/query", "GET", 200, 100L)   // bucket 0 (≤128µs)
+    reg.record("/api/v1/query", "GET", 200, 300L)   // bucket 2 (≤512µs)
+    reg.record("/api/v1/query", "GET", 400, 100L)
+    reg.record("/loki/api/v1/query_range", "GET", 200, 1000L)
+    val nowNs = 1755350000000000000L
+    val ms = OtlpProto.decodeMetrics(emitter(reg).metricsPayload(nowNs))
+    assert(ms.nonEmpty)
+    // every datapoint: cumulative monotonic sum, stamped now, resourced
+    ms.foreach { m =>
+      assert(m.temporality == 2 && m.is_monotonic, m.name)
+      assert(m.ts_ns == nowNs)
+      assert(m.resource_attrs == Map("service.name" -> "graft"))
+    }
+    def of(name: String) = ms.filter(_.name == name)
+    val totals = of("graft_http_requests_total")
+    def total(route: String, status: String): Double =
+      totals.find(m => m.attrs("route") == route &&
+        m.attrs("status") == status).get.gauge.get
+    assert(total("/api/v1/query", "200") == 2.0)
+    assert(total("/api/v1/query", "400") == 1.0)
+    assert(total("/loki/api/v1/query_range", "200") == 1.0)
+    assert(totals.forall(_.attrs("server") == "query"))
+
+    // le buckets are CUMULATIVE and end at +Inf == _count
+    val buckets = of("graft_http_request_duration_seconds_bucket")
+      .filter(_.attrs("route") == "/api/v1/query")
+    assert(buckets.size == 26)
+    def le(l: String): Double =
+      buckets.find(_.attrs("le") == l).get.gauge.get
+    assert(le("0.000128") == 2.0) // the two 100µs requests
+    assert(le("0.000256") == 2.0)
+    assert(le("0.000512") == 3.0) // + the 300µs one
+    assert(le("+Inf") == 3.0)
+    val lev = buckets.map(m => SelfTelemetrySpec.leVal(m.attrs("le")))
+    assert(lev.sorted == lev, "le series must render in ascending order")
+    val count = of("graft_http_request_duration_seconds_count")
+      .find(_.attrs("route") == "/api/v1/query").get
+    assert(count.gauge.get == 3.0)
+    val sum = of("graft_http_request_duration_seconds_sum")
+      .find(_.attrs("route") == "/api/v1/query").get
+    assert(math.abs(sum.gauge.get - 500e-6) < 1e-12) // 100+300+100 µs
+  }
+
+  test("multiple registries export under their server label") {
+    val q = new RequestMetrics("query")
+    val i = new RequestMetrics("ingest")
+    q.record("/a", "GET", 200, 10L)
+    i.record("/v1/metrics", "POST", 200, 10L)
+    val ms = OtlpProto.decodeMetrics(
+      emitter(q, i).metricsPayload(1L))
+    val servers = ms.filter(_.name == "graft_http_requests_total")
+      .map(_.attrs("server")).toSet
+    assert(servers == Set("query", "ingest"))
+  }
+
+  test("logs payload round-trips as INFO records with the line as body") {
+    val lines = Seq(
+      """{"server":"query","route":"/a","status":200}""",
+      """{"server":"ingest","route":"/v1/logs","status":200}""")
+    val logs = OtlpProto.decodeLogs(emitter().logsPayload(lines, 7L))
+    assert(logs.map(_.body) == lines)
+    assert(logs.forall(l => l.severity_number == 9 &&
+      l.severity_text == "INFO" && l.ts_ns == 7L &&
+      l.resource_attrs == Map("service.name" -> "graft")))
+  }
+
+  test("log ring is bounded, drop-oldest, drops counted") {
+    val st = emitter()
+    (1 to 5000).foreach(i => st.offerLog(s"line-$i"))
+    // 4096 capacity: the NEWEST 4096 survive, 904 oldest dropped
+    assert(st.droppedLogs.sum() == 904L)
+    // drain through a tick against a dead port must not throw (export
+    // failure is counted + logged, never propagated)
+    st.tick()
+  }
+
+  test("le labels render Prometheus-style") {
+    assert(SelfTelemetry.leLabel(0.000128) == "0.000128")
+    assert(SelfTelemetry.leLabel(0.016384) == "0.016384")
+    assert(SelfTelemetry.leLabel(1.048576) == "1.048576")
+    assert(SelfTelemetry.leLabel(Double.PositiveInfinity) == "+Inf")
+  }
+}
+
+object SelfTelemetrySpec {
+  def leVal(s: String): Double =
+    if (s == "+Inf") Double.PositiveInfinity else s.toDouble
+}

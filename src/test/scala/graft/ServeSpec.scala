@@ -452,4 +452,69 @@ class ServeSpec extends SparkTestBase {
         s"scheduled maintenance changed a served answer:\n$before\n$after")
     } finally serve.stop()
   }
+  test("self-telemetry: the instance PromQL/LogQLs its own request metrics and logs") {
+    val dir = Files.createTempDirectory("graftselftel").toString
+    // scheduled interval far past the test horizon: ticks are driven
+    // MANUALLY so every exported count is deterministic
+    val serve = new Serve(spark, Serve.Config(dir, selfTelemetryMs = 3600000L))
+    val ports = serve.start()
+    val q = s"http://127.0.0.1:${ports.query}"
+    val st = serve.selfTelemetry.get
+    val lokiRoute = "/loki/api/v1/query_range"
+    def promValue(expr: String): Option[Double] = {
+      val (c, b) = get(s"$q/api/v1/query?query=${enc(expr)}")
+      assert(c == 200, s"$expr -> $b")
+      // instant vector: "value":[ts,"<v>"]
+      """\"value\":\[[0-9.]+,\"([^\"]+)\"\]""".r
+        .findFirstMatchIn(b).map(_.group(1).toDouble)
+    }
+    try {
+      // 3 requests on the loki route, then ONE export tick
+      (1 to 3).foreach(_ =>
+        assert(get(s"$q$lokiRoute?query=${enc("""{app="st"}""")}")._1 == 200))
+      st.tick()
+      serve.flush()
+      // the VERDICT criterion: PromQL over the self-metric returns the
+      // counts the admin routes report shows
+      val sel = s"""graft_http_requests_total{server="query",route="$lokiRoute",status="200"}"""
+      assert(promValue(sel).contains(3.0))
+      val (ac, routes) = get(s"http://127.0.0.1:${ports.admin}/api/v1/routes")
+      assert(ac == 200)
+      val reported = ("\"route\":\"" + lokiRoute + "\",\"count\":([0-9]+)").r
+        .findFirstMatchIn(routes).map(_.group(1).toLong)
+      assert(reported.contains(3L), s"routes: $routes")
+
+      // windowed rates (verdict item 3): two more requests, a second
+      // tick ≥1s later -> rate() and histogram_quantile(0.95, rate(...))
+      // read a real per-route window, which the lifetime-QPS routes
+      // report deliberately doesn't carry
+      (1 to 2).foreach(_ =>
+        assert(get(s"$q$lokiRoute?query=${enc("""{app="st"}""")}")._1 == 200))
+      Thread.sleep(1100)
+      st.tick()
+      serve.flush()
+      val rate = promValue(
+        s"""rate(graft_http_requests_total{server="query",route="$lokiRoute",status="200"}[5m])""")
+      assert(rate.exists(_ > 0.0), s"rate: $rate")
+      val p95 = promValue(
+        s"""histogram_quantile(0.95, rate(graft_http_request_duration_seconds_bucket{server="query",route="$lokiRoute"}[5m]))""")
+      assert(p95.exists(v => v > 0.0 && !v.isNaN), s"p95: $p95")
+
+      // the request-log lines (teed into the self-stream independent of
+      // the stderr opt-in) are LogQL-queryable on the instance itself
+      val nowNs = System.currentTimeMillis() * 1000000L
+      val (lc, lines) = get(s"$q/loki/api/v1/query_range?query=${enc(
+        s"""{service_name="graft"} |= "$lokiRoute"""")}" +
+        s"&start=${nowNs - 3600000000000L}&end=${nowNs + 3600000000000L}")
+      assert(lc == 200 && lines.contains(lokiRoute), s"logql: $lines")
+
+      // NO-FEEDBACK-LOOP budget: another tick adds VALUES, never SERIES
+      // (the emitter's own POSTs land on already-registered routes)
+      val n1 = promValue("count(graft_http_requests_total)")
+      st.tick()
+      serve.flush()
+      val n2 = promValue("count(graft_http_requests_total)")
+      assert(n1.nonEmpty && n1 == n2, s"series grew: $n1 -> $n2")
+    } finally serve.stop()
+  }
 }
