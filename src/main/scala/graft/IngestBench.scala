@@ -1,6 +1,5 @@
 package graft
 
-import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -23,30 +22,9 @@ import graft.util.GraftSession
   */
 object IngestBench {
 
-  // minimal protobuf writer (public prompb field numbers; mirrors the
-  // shape of the spec-side writers)
-  private final class PW {
-    val out = new ByteArrayOutputStream()
-    def varint(v: Long): PW = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt); this
-    }
-    def tag(field: Int, wire: Int): PW = varint((field.toLong << 3) | wire)
-    def bytes(field: Int, b: Array[Byte]): PW = {
-      tag(field, 2); varint(b.length); out.write(b); this
-    }
-    def str(field: Int, s: String): PW = bytes(field, s.getBytes("UTF-8"))
-    def msg(field: Int, m: PW): PW = bytes(field, m.out.toByteArray)
-    def vint(field: Int, v: Long): PW = { tag(field, 0); varint(v) }
-    def dbl(field: Int, v: Double): PW = {
-      tag(field, 1)
-      val bits = java.lang.Double.doubleToLongBits(v)
-      var i = 0
-      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
-      this
-    }
-  }
+  // the shared hand-rolled protobuf writer (public prompb field
+  // numbers; r17 dedup with ServeProbe and the self-telemetry exporter)
+  private type PW = graft.util.ProtoW
 
   /** One WriteRequest: `nSeries` series × `nSamples` samples each,
     * plus one trace-linked exemplar per series (prompb TimeSeries
@@ -64,19 +42,19 @@ object IngestBench {
         .msg(1, new PW().str(1, "series").str(2, s"s$s"))
       var i = 0
       while (i < nSamples) {
-        ts.msg(2, new PW().dbl(1, (frameId + s + i).toDouble)
+        ts.msg(2, new PW().double(1, (frameId + s + i).toDouble)
           .vint(2, t0Ms + i * 15000L))
         i += 1
       }
       // Exemplar: 1 labels (trace link), 2 value, 3 timestamp
       ts.msg(3, new PW()
         .msg(1, new PW().str(1, "trace_id").str(2, f"${frameId * 1000 + s}%032x"))
-        .dbl(2, (frameId + s).toDouble)
+        .double(2, (frameId + s).toDouble)
         .vint(3, t0Ms))
       w.msg(1, ts)
       s += 1
     }
-    w.out.toByteArray
+    w.toByteArray
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,7 +144,7 @@ object IngestBench {
         w.msg(1, st)
         s += 1
       }
-      graft.sources.Snappy.encodeLiteral(w.out.toByteArray)
+      graft.sources.Snappy.encodeLiteral(w.toByteArray)
     }
     val pushWire = spark.range(0, nFrames.toLong, 1, 32)
       .map(i => pushFrame(i)).persist()

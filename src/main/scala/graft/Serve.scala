@@ -193,6 +193,12 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
   // cmd/oteldb/main.go:9) — the emitter posts to the OWN ingest port,
   // which is only known at start(); the URL thunk reads it live
   @volatile private var selfIngestPort: Int = -1
+  // credential derived ONCE here (secret files are read at
+  // construction, the Auth discipline — start() must not re-read them)
+  private val selfAuthHdr: Option[String] =
+    if (cfg.selfTelemetryMs > 0)
+      Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth))
+    else None
   private[graft] val selfTelemetry: Option[graft.api.SelfTelemetry] =
     if (cfg.selfTelemetryMs > 0)
       Some(new graft.api.SelfTelemetry(
@@ -200,7 +206,7 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
         () => Seq(api.metrics, receiver.ingestMetrics) ++
           receiver.adminMetrics,
         () => s"http://127.0.0.1:$selfIngestPort",
-        Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth)),
+        selfAuthHdr,
         cfg.selfTelemetryMs))
     else None
 
@@ -218,7 +224,19 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       if (cfg.requestLog) Some(line => System.err.println(line)) else None
     selfTelemetry match {
       case Some(st) =>
-        Some(line => { stderrSink.foreach(_(line)); st.offerLog(line) })
+        Some(line => {
+          stderrSink.foreach(_(line))
+          // EXPLAIN ANALYZE lines keep their pre-self-telemetry stderr
+          // home when request logging is off: the profile is an
+          // explicitly requested diagnostic, and with the sink now
+          // Some(ring-tee) HttpApi's getOrElse-stderr fallback never
+          // fires — without this, a fail-closed self-stream would
+          // silently eat the output the operator just asked for
+          if (stderrSink.isEmpty &&
+              line.startsWith("""{"event":"explain_analyze"""))
+            System.err.println(line)
+          st.offerLog(line)
+        })
       case None => stderrSink
     }
   }
@@ -298,8 +316,9 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       // an ingest section that self-telemetry cannot authenticate to
       // (fail-closed all-none config, or no resolvable secret) would
       // silently 401 every export — say it out loud at startup
-      if (Serve.sectionAuth(cfg.ingestAuth, cfg.auth).nonEmpty &&
-          Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth)).isEmpty)
+      // ingestMw/selfAuthHdr are the instances already built — no
+      // secret-file re-read at start()
+      if (ingestMw.nonEmpty && selfAuthHdr.isEmpty)
         System.err.println("[graft.Serve] WARNING: self-telemetry is on " +
           "but no ingest credential could be derived from the auth " +
           "config — exports will be rejected")

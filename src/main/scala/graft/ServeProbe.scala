@@ -1,6 +1,5 @@
 package graft
 
-import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.SparkSession
@@ -27,25 +26,9 @@ import graft.util.GraftSession
   */
 object ServeProbe {
 
-  private class W {
-    val out = new ByteArrayOutputStream()
-    def varint(v: Long): W = {
-      var x = v
-      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt); this
-    }
-    def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
-    def bytes(field: Int, b: Array[Byte]): W = {
-      tag(field, 2); varint(b.length); out.write(b); this
-    }
-    def str(field: Int, s: String): W = bytes(field, s.getBytes(UTF_8))
-    def msg(field: Int, m: W): W = bytes(field, m.out.toByteArray)
-    def fix64(field: Int, v: Long): W = {
-      tag(field, 1)
-      var i = 0; while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
-      this
-    }
-  }
+  // the shared hand-rolled protobuf writer (r17 dedup: this file,
+  // IngestBench and the self-telemetry exporter all encode OTLP wire)
+  private type W = graft.util.ProtoW
   private def kv(k: String, v: String): W =
     new W().str(1, k).msg(2, new W().str(1, v))
 
@@ -59,10 +42,7 @@ object ServeProbe {
     var i = 0
     while (i < samples) {
       val p = new W().fix64(2, T0).fix64(3, T0 + i * 60000000000L)
-      p.tag(4, 1)
-      val bits = java.lang.Double.doubleToLongBits(
-        (i % 60).toDouble + host.length)
-      var j = 0; while (j < 8) { p.out.write(((bits >>> (8 * j)) & 0xff).toInt); j += 1 }
+        .double(4, (i % 60).toDouble + host.length)
       g.msg(1, p.msg(7, kv("host", host)))
       i += 1
     }
@@ -70,7 +50,7 @@ object ServeProbe {
       .msg(1, new W().msg(1, kv("service.name", "probe")))
       .msg(2, new W().msg(1, new W().str(1, "meter"))
         .msg(2, new W().str(1, "load_m").msg(5, g))))
-      .out.toByteArray
+      .toByteArray
   }
 
   private def post(url: String, body: Array[Byte]): Int = {

@@ -152,9 +152,15 @@ object ExplainProfile {
     */
   def render(groupId: String, method: String, path: String,
       wallMs: Double, status: Int): Option[String] = {
+    // Bounded at 1 s: the drain waits on the GLOBAL bus, which under
+    // ingest load (ProcessingTime(0) triggers) may never empty — the
+    // profiled request pays the bound while holding its query slot, so
+    // the cap trades worst-case profile completeness for not letting a
+    // handful of profiled requests shed ordinary traffic. Unprofiled
+    // traffic never reaches this line (zero-overhead contract intact).
     val sc = scRef
     if (sc != null && groups.containsKey(groupId))
-      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc, 2000L): Unit
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc, 1000L): Unit
     val g = groups.remove(groupId)
     if (g == null) return None
     val jobs = new scala.collection.mutable.ArrayBuffer[String]

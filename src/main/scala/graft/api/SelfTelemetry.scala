@@ -37,10 +37,16 @@ import graft.util.ProtoW
   * Values grow; series don't (asserted in ServeSpec).
   *
   * Cumulative-sum semantics (temporality=2, monotonic) mean a missed
-  * or failed tick loses nothing: the next tick carries the running
-  * totals and `rate()` interpolates across the gap — the reason the
-  * emitter never retries (the reference's periodic exporter makes the
-  * same choice).
+  * or failed METRICS tick loses nothing: the next tick carries the
+  * running totals and `rate()` interpolates across the gap — the
+  * reason the metrics POST never retries (the reference's periodic
+  * exporter makes the same choice). LOG lines are not cumulative, so a
+  * failed or shed logs POST re-queues its lines into the ring (behind
+  * any lines that arrived meanwhile — ordering across a failure is
+  * best-effort, loss is bounded by the ring size and counted).
+  * Success detection is OTLP-exact: 200 with an EMPTY body (a 200
+  * carrying a partial_success body is the receiver's lossless shed —
+  * every item was rejected, a failure for retry purposes).
   */
 final class SelfTelemetry(
     registries: () => Seq[RequestMetrics],
@@ -55,7 +61,9 @@ final class SelfTelemetry(
   // exporter must never block or grow on a log storm it itself causes)
   private val ring = new ArrayBlockingQueue[String](4096)
   val droppedLogs = new LongAdder
-  private var exec: java.util.concurrent.ScheduledExecutorService = _
+  // volatile: start() and stop() may run on different threads (main vs
+  // shutdown hook) with no other happens-before edge
+  @volatile private var exec: java.util.concurrent.ScheduledExecutorService = _
   @volatile private var consecutiveFailures = 0L
 
   /** The log sink tee — composition roots wrap their request-log sink
@@ -147,16 +155,23 @@ final class SelfTelemetry(
     */
   def tick(): Unit = {
     val nowNs = System.currentTimeMillis() * 1000000L
-    post("/v1/metrics", metricsPayload(nowNs))
-    val lines = new java.util.ArrayList[String]
-    ring.drainTo(lines)
-    if (!lines.isEmpty)
-      post("/v1/logs", logsPayload(
-        scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq,
-        nowNs))
+    post("/v1/metrics", metricsPayload(nowNs)): Unit
+    val drained = new java.util.ArrayList[String]
+    ring.drainTo(drained)
+    if (!drained.isEmpty) {
+      val lines =
+        scala.jdk.CollectionConverters.ListHasAsScala(drained).asScala.toSeq
+      if (!post("/v1/logs", logsPayload(lines, nowNs)))
+        // not cumulative: a failed/shed logs export re-queues (bounded
+        // by the ring; drops counted there)
+        lines.foreach(offerLog)
+    }
   }
 
-  private def post(path: String, payload: Array[Byte]): Unit =
+  /** True only on the OTLP full-success shape: 200 with an empty body
+    * (a partial_success body on 200 is the lossless shed — rejected).
+    */
+  private def post(path: String, payload: Array[Byte]): Boolean =
     try {
       val conn = URI.create(ingestUrl() + path).toURL
         .openConnection().asInstanceOf[HttpURLConnection]
@@ -171,10 +186,18 @@ final class SelfTelemetry(
       os.write(payload); os.close()
       val code = conn.getResponseCode
       val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      if (is != null) { is.readAllBytes(); is.close() }
-      if (code != 200) fail(s"HTTP $code from $path")
-      else consecutiveFailures = 0
-    } catch { case scala.util.control.NonFatal(e) => fail(e.toString) }
+      val body = if (is != null) {
+        val b = is.readAllBytes(); is.close(); b
+      } else Array.emptyByteArray
+      if (code == 200 && body.isEmpty) { consecutiveFailures = 0; true }
+      else {
+        fail(if (code == 200) s"shed (partial_success) from $path"
+        else s"HTTP $code from $path")
+        false
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) => fail(e.toString); false
+    }
 
   private def fail(why: String): Unit = {
     consecutiveFailures += 1

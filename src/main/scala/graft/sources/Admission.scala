@@ -195,24 +195,14 @@ object Admission {
   // Export*ServiceResponse has `partial_success = 1` whose message is
   // `{ int64 rejected_<items> = 1; string error_message = 2; }`) ----
 
-  private def varint(v0: Long): Array[Byte] = {
-    var v = v0
-    val out = new java.io.ByteArrayOutputStream()
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-    out.toByteArray
-  }
-
   /** Serialized Export*ServiceResponse carrying a partial_success with
     * every item rejected — the lossless-shed report (storage_policy.go
     * LimitsConfig doc; envelope fields from the public OTLP proto).
+    * r17: on the shared [[graft.util.ProtoW]] writer.
     */
-  def partialSuccess(rejected: Long, message: String): Array[Byte] = {
-    val msg = message.getBytes("UTF-8")
-    val inner = varint(0x08L) ++ varint(rejected) ++ // field 1 varint
-      varint(0x12L) ++ varint(msg.length.toLong) ++ msg // field 2 bytes
-    varint(0x0aL) ++ varint(inner.length.toLong) ++ inner // partial_success = 1
-  }
+  def partialSuccess(rejected: Long, message: String): Array[Byte] =
+    new graft.util.ProtoW().msg(1, new graft.util.ProtoW()
+      .vint(1, rejected).str(2, message)).toByteArray
 
   // ---- bounded decompression (edge size caps) ----
 
