@@ -244,6 +244,14 @@ object ScaleProbe {
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }
+      // round-17 ops: DSIR's model is a 128-bucket broadcast histogram
+      // (PlanSpec-pinned) and entropy is two doc-keyed aggregations —
+      // both linear shapes; growth must track documents
+      for (q <- Seq("pipe_dsir_weights", "pipe_unigram_entropy")
+          if want(q))
+        time3(q, tag) {
+          graft.SparkEntry.queries(q)(spark, dir).count()
+        }
       // round-12 ops: the tier-served range grid reads
       // (buckets × series) stat rows — vocabulary×time shaped, so
       // factor× raw events must leave the per-query scan FLAT once the

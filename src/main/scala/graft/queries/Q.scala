@@ -167,6 +167,7 @@ object Registry {
     QueriesPipeline4,
     QueriesPipeline5,
     QueriesPipeline6,
+    QueriesPipeline7,
     QueriesTemporal,
     QueriesPushdown,
     QueriesSafety

@@ -209,6 +209,15 @@ class PlanSpec extends SparkTestBase {
       s"flag rollup must ride ONE hash exchange, got $hashEx:\n$p")
   }
 
+  test("DSIR weights broadcast the bucket model; the corpus never shuffles rows") {
+    val p = planOf("pipe_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 128-bucket ratio model must broadcast:\n$p")
+    // the only hash exchanges are aggregation exchanges (histogram +
+    // per-doc weight rollup) — no document-sized sort-merge join side
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
+  }
+
   test("quantized dot product is one projection after an equi-join") {
     val p = planOf("pipe_embed_quantize")
     assert(!p.contains("CartesianProduct"))
