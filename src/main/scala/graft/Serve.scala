@@ -322,6 +322,19 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
         System.err.println("[graft.Serve] WARNING: self-telemetry is on " +
           "but no ingest credential could be derived from the auth " +
           "config — exports will be rejected")
+      // the traces third: every Nth request (plus every 5xx) becomes a
+      // SERVER span through the registries' hook — all three servers
+      val every = cfg.selfTelemetrySpanEvery
+      if (every > 0) {
+        val n = new java.util.concurrent.atomic.AtomicLong()
+        def wire(reg: graft.api.RequestMetrics): Unit =
+          reg.spanSink = (route, method, status, startNs, durUs) =>
+            if (status >= 500 || n.incrementAndGet() % every == 0)
+              st.offerSpan(reg.server, route, method, status, startNs, durUs)
+        wire(api.metrics)
+        wire(receiver.ingestMetrics)
+        receiver.adminMetrics.foreach(wire)
+      }
       st.start()
     }
     if (cfg.maintainEveryMs > 0) {
@@ -396,6 +409,9 @@ object Serve {
       rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
       requestLog: Boolean = false,
       selfTelemetryMs: Long = 0L,
+      // sample every Nth request as a self-span (0 = spans off; 5xx
+      // always sample); active only with selfTelemetryMs > 0
+      selfTelemetrySpanEvery: Long = 64L,
       maintainEveryMs: Long = 0L,
       maintainDate: () => String = () => StoragePolicy.utcToday(),
       // global auth applies to every HTTP server; a section override
@@ -473,7 +489,8 @@ object Serve {
     "--admin-auth-token", "--admin-auth-basic",
     "--max-result-rows", "--max-result-bytes", "--max-execution-ms",
     "--max-concurrent-queries", "--queue-depth", "--queue-wait-ms",
-    "--request-log", "--self-telemetry", "--config")
+    "--request-log", "--self-telemetry", "--self-telemetry-spans",
+    "--config")
 
   /** Config-file keys (snake_case twins of the flags, the reference's
     * cmd/oteldb/config.go field names where one exists), validated
@@ -488,7 +505,8 @@ object Serve {
     "downsample", "precision", "recompress", "safety",
     "max_result_rows", "max_result_bytes", "max_execution_ms",
     "max_concurrent_queries", "queue_depth", "queue_wait_ms",
-    "request_log", "self_telemetry", "auth", "query", "ingest", "admin")
+    "request_log", "self_telemetry", "self_telemetry_spans", "auth",
+    "query", "ingest", "admin")
 
   private def checkKeys(m: Map[String, Any], allowed: Set[String],
       ctx: String): Unit =
@@ -725,6 +743,14 @@ object Serve {
       // OTEL_METRIC_EXPORT_INTERVAL shape), strictly validated
       selfTelemetryMs = cfgStr("--self-telemetry", "self_telemetry")
         .fold(0L)(parseSelfTelemetry),
+      selfTelemetrySpanEvery =
+        cfgStr("--self-telemetry-spans", "self_telemetry_spans")
+          .fold(64L) {
+            case "off" => 0L
+            case v if v.forall(_.isDigit) && v.nonEmpty => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"--self-telemetry-spans: want <N>|off, got '$other'")
+          },
       retentionDays = cfgL("--retention-days", "retention_days", 0L).toInt,
       maintainEveryMs =
         cfgL("--maintain-every-min", "maintain_every_min", 0L) * 60000L,
@@ -777,7 +803,8 @@ object Serve {
           "[--max-result-rows N] [--max-result-bytes N] " +
           "[--max-execution-ms N] [--max-concurrent-queries N] " +
           "[--queue-depth N] [--queue-wait-ms N] [--request-log on|off] " +
-          "[--self-telemetry <N>ms|<N>s|<N>m|off]  " +
+          "[--self-telemetry <N>ms|<N>s|<N>m|off] " +
+          "[--self-telemetry-spans <N>|off]  " +
           "(env: INGEST_ADDR GRPC_ADDR QUERY_ADDR ADMIN_ADDR)")
       sys.exit(2)
     }

@@ -28,9 +28,16 @@ import graft.util.ProtoW
   *     (cumulative le over the registry's power-of-two buckets)
   *   - `graft_http_request_duration_seconds_count/_sum{server,route}`
   *
+  * The TRACES third of the self-export (the reference's sdk/app wires
+  * an OTel tracer over its handlers the same way): sampled requests
+  * become SERVER spans named after their route, POSTed to /v1/traces —
+  * TraceQL over the instance's own requests. Sampling lives in the
+  * composition root's hook (1-in-N + always-on-5xx); the budget stays
+  * traffic-shaped, not traffic-sized.
+  *
   * NO-FEEDBACK-LOOP BUDGET: the emitter's own POSTs land on the ingest
   * server's existing route contexts, so the label space CANNOT grow
-  * from self-observation — per tick the stream is ≤ 2 ingest requests,
+  * from self-observation — per tick the stream is ≤ 3 ingest requests,
   * the log batch is bounded by the ring (drop-oldest, counted), and
   * the series set is bounded by routes × (statuses + buckets + 2),
   * every dimension a fixed property of the server, not of traffic.
@@ -61,6 +68,12 @@ final class SelfTelemetry(
   // exporter must never block or grow on a log storm it itself causes)
   private val ring = new ArrayBlockingQueue[String](4096)
   val droppedLogs = new LongAdder
+  // sampled request spans (the traces third of the reference's
+  // three-signal self-export) — same bounded drop-oldest discipline
+  private val spanRing =
+    new ArrayBlockingQueue[SelfTelemetry.SpanRec](4096)
+  val droppedSpans = new LongAdder
+  private val spanSeq = new java.util.concurrent.atomic.AtomicLong()
   // volatile: start() and stop() may run on different threads (main vs
   // shutdown hook) with no other happens-before edge
   @volatile private var exec: java.util.concurrent.ScheduledExecutorService = _
@@ -74,6 +87,57 @@ final class SelfTelemetry(
       if (ring.poll() != null) droppedLogs.increment() // the evicted line
       if (!ring.offer(line)) droppedLogs.increment() // full again (racing)
     }
+
+  /** Offers one sampled request span (the caller owns the sampling
+    * decision — [[graft.Serve]] wires a 1-in-N + always-on-5xx rule).
+    */
+  def offerSpan(server: String, route: String, method: String,
+      status: Int, startNs: Long, durUs: Long): Unit = {
+    val rec = SelfTelemetry.SpanRec(server, route, method, status,
+      startNs, durUs, spanSeq.incrementAndGet())
+    if (!spanRing.offer(rec)) {
+      if (spanRing.poll() != null) droppedSpans.increment()
+      if (!spanRing.offer(rec)) droppedSpans.increment()
+    }
+  }
+
+  /** One OTLP ExportTraceServiceRequest over the given span records —
+    * each request becomes one SERVER span named after its route, with
+    * server/method/status attributes and ERROR status for 5xx (the
+    * HTTP semconv rule). Trace/span ids derive from (startNs, seq):
+    * unique within the process, no RNG on the serving path.
+    */
+  def tracesPayload(recs: Seq[SelfTelemetry.SpanRec]): Array[Byte] = {
+    def be(v: Long): Array[Byte] = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((v >>> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+      b
+    }
+    def kv(k: String, v: String): ProtoW =
+      new ProtoW().str(1, k).msg(2, new ProtoW().str(1, v))
+    val scopeSpans = new ProtoW()
+      .msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+    recs.foreach { r =>
+      // the store keys on the LOW 8 bytes of the trace id, so they mix
+      // (startNs, seq) — a bare seq would repeat across restarts and
+      // merge unrelated traces under one id
+      val low = r.startNs ^ (r.seq * 0x9E3779B97F4A7C15L)
+      val span = new ProtoW()
+        .bytes(1, be(r.seq) ++ be(low))
+        .bytes(2, be(low))
+        .str(5, r.route).vint(6, 2L) // SPAN_KIND_SERVER
+        .fix64(7, r.startNs).fix64(8, r.startNs + r.durUs * 1000L)
+        .msg(9, kv("server", r.server))
+        .msg(9, kv("method", r.method))
+        .msg(9, kv("status", r.status.toString))
+      if (r.status >= 500)
+        span.msg(15, new ProtoW().vint(3, 2L)): Unit // STATUS_CODE_ERROR
+      scopeSpans.msg(2, span): Unit
+    }
+    new ProtoW().msg(1, new ProtoW()
+      .msg(1, resource()).msg(2, scopeSpans)).toByteArray
+  }
 
   /** One OTLP ExportMetricsServiceRequest over the current registry
     * state (public: tests decode it back through OtlpProto).
@@ -166,6 +230,16 @@ final class SelfTelemetry(
         // by the ring; drops counted there)
         lines.foreach(offerLog)
     }
+    val spansDrained = new java.util.ArrayList[SelfTelemetry.SpanRec]
+    spanRing.drainTo(spansDrained)
+    if (!spansDrained.isEmpty) {
+      val recs = scala.jdk.CollectionConverters
+        .ListHasAsScala(spansDrained).asScala.toSeq
+      if (!post("/v1/traces", tracesPayload(recs)))
+        recs.foreach(r => {
+          if (!spanRing.offer(r)) droppedSpans.increment()
+        })
+    }
   }
 
   /** True only on the OTLP full-success shape: 200 with an empty body
@@ -230,6 +304,10 @@ final class SelfTelemetry(
 }
 
 object SelfTelemetry {
+  /** One sampled request, queued for the next trace export. */
+  final case class SpanRec(server: String, route: String, method: String,
+      status: Int, startNs: Long, durUs: Long, seq: Long)
+
   /** Prometheus `le` rendering: finite bounds in decimal, +Inf spelled
     * the Prometheus way.
     */

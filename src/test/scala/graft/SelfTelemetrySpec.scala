@@ -94,6 +94,37 @@ class SelfTelemetrySpec extends AnyFunSuite {
     st.tick()
   }
 
+  test("traces payload round-trips: one SERVER span per sampled request") {
+    import graft.api.SelfTelemetry.SpanRec
+    val st = emitter()
+    val recs = Seq(
+      SpanRec("query", "/api/v1/query", "GET", 200, 1000000000L, 2500L, 1L),
+      SpanRec("ingest", "/v1/logs", "POST", 503, 2000000000L, 100L, 2L))
+    val spans = OtlpProto.decodeSpans(st.tracesPayload(recs))
+    assert(spans.size == 2)
+    val q = spans.find(_.name == "/api/v1/query").get
+    assert(q.kind == 2)
+    assert(q.duration_ns == 2500000L)
+    assert(q.attrs == Map("server" -> "query", "method" -> "GET",
+      "status" -> "200"))
+    assert(q.resource_attrs == Map("service.name" -> "graft"))
+    assert(q.status_code == 0, "2xx is UNSET, not ERROR")
+    val e = spans.find(_.name == "/v1/logs").get
+    assert(e.status_code == 2, "5xx maps to STATUS_CODE_ERROR")
+    // ids derive from (startNs, seq): distinct across records
+    assert(spans.map(_.span_id).distinct.size == 2)
+    assert(spans.map(_.trace_id_hex).distinct.size == 2)
+  }
+
+  test("span ring is bounded and drops are counted") {
+    import graft.api.SelfTelemetry.SpanRec
+    val st = emitter()
+    (1 to 5000).foreach(i =>
+      st.offerSpan("query", "/r", "GET", 200, i.toLong, 1L))
+    assert(st.droppedSpans.sum() == 904L)
+    st.tick() // dead port: must not throw; spans re-queue bounded
+  }
+
   test("le labels render Prometheus-style") {
     assert(SelfTelemetry.leLabel(0.000128) == "0.000128")
     assert(SelfTelemetry.leLabel(0.016384) == "0.016384")

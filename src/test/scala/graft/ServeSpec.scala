@@ -456,7 +456,8 @@ class ServeSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graftselftel").toString
     // scheduled interval far past the test horizon: ticks are driven
     // MANUALLY so every exported count is deterministic
-    val serve = new Serve(spark, Serve.Config(dir, selfTelemetryMs = 3600000L))
+    val serve = new Serve(spark, Serve.Config(dir, selfTelemetryMs = 3600000L,
+      selfTelemetrySpanEvery = 1L)) // sample EVERY request as a self-span
     val ports = serve.start()
     val q = s"http://127.0.0.1:${ports.query}"
     val st = serve.selfTelemetry.get
@@ -508,8 +509,20 @@ class ServeSpec extends SparkTestBase {
         s"&start=${nowNs - 3600000000000L}&end=${nowNs + 3600000000000L}")
       assert(lc == 200 && lines.contains(lokiRoute), s"logql: $lines")
 
+      // the traces third: sampled requests are TraceQL-queryable SERVER
+      // spans named after their route on the instance itself
+      val (tc, traces) = get(s"$q/api/search?q=${enc(
+        """{ name = "/loki/api/v1/query_range" && span.server = "query" }""")}")
+      assert(tc == 200 && traces.contains("query_range"), s"traceql: $traces")
+
       // NO-FEEDBACK-LOOP budget: another tick adds VALUES, never SERIES
-      // (the emitter's own POSTs land on already-registered routes)
+      // (the emitter's own POSTs land on already-registered routes).
+      // One absorbing tick first: the TraceQL search above touched
+      // /api/search for the FIRST time, which legitimately adds that
+      // route's series at the next export — the invariant under test
+      // is no growth WITHOUT new routes, not no growth ever
+      st.tick()
+      serve.flush()
       val n1 = promValue("count(graft_http_requests_total)")
       st.tick()
       serve.flush()
