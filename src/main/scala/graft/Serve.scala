@@ -328,9 +328,18 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       if (every > 0) {
         val n = new java.util.concurrent.atomic.AtomicLong()
         def wire(reg: graft.api.RequestMetrics): Unit =
-          reg.spanSink = (route, method, status, startNs, durUs) =>
-            if (status >= 500 || n.incrementAndGet() % every == 0)
-              st.offerSpan(reg.server, route, method, status, startNs, durUs)
+          reg.spanSink = (route, method, status, durUs) =>
+            // getAndIncrement: the FIRST request samples (a low-traffic
+            // instance must export a trace before request #64, or the
+            // documented TraceQL check looks broken while working)
+            if (status >= 500 || n.getAndIncrement() % every == 0) {
+              // epoch timing derived HERE, after the sampling decision
+              // — unsampled requests (63 of 64) pay zero wall-clock
+              // reads in the middleware
+              val endNs = System.currentTimeMillis() * 1000000L
+              st.offerSpan(reg.server, route, method, status,
+                endNs - durUs * 1000L, durUs)
+            }
         wire(api.metrics)
         wire(receiver.ingestMetrics)
         receiver.adminMetrics.foreach(wire)
@@ -743,14 +752,25 @@ object Serve {
       // OTEL_METRIC_EXPORT_INTERVAL shape), strictly validated
       selfTelemetryMs = cfgStr("--self-telemetry", "self_telemetry")
         .fold(0L)(parseSelfTelemetry),
-      selfTelemetrySpanEvery =
-        cfgStr("--self-telemetry-spans", "self_telemetry_spans")
-          .fold(64L) {
-            case "off" => 0L
-            case v if v.forall(_.isDigit) && v.nonEmpty => v.toLong
-            case other => throw new IllegalArgumentException(
-              s"--self-telemetry-spans: want <N>|off, got '$other'")
-          },
+      selfTelemetrySpanEvery = {
+        val raw = cfgStr("--self-telemetry-spans", "self_telemetry_spans")
+        // explicitly-configured spans with self-telemetry off would be
+        // silently inert — the same loud-foot-gun convention as the
+        // gRPC-unauth and underivable-credential startup warnings
+        if (raw.nonEmpty &&
+            cfgStr("--self-telemetry", "self_telemetry")
+              .fold(true)(v => v == "off" || v == "0"))
+          System.err.println("[graft.Serve] WARNING: --self-telemetry-" +
+            "spans is set but --self-telemetry is off — no spans (or " +
+            "any self-telemetry) will be exported")
+        val num = "^([0-9]{1,18})$".r
+        raw.fold(64L) {
+          case "off"  => 0L
+          case num(v) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"--self-telemetry-spans: want <N>|off, got '$other'")
+        }
+      },
       retentionDays = cfgL("--retention-days", "retention_days", 0L).toInt,
       maintainEveryMs =
         cfgL("--maintain-every-min", "maintain_every_min", 0L) * 60000L,

@@ -47,11 +47,13 @@ final class RequestMetrics(val server: String,
     */
   @volatile var logSink: Option[String => Unit] = log
 
-  /** Self-span hook `(route, method, status, startEpochNs, durUs)` —
-    * the self-telemetry exporter's trace half sets it; null (the
-    * default) costs nothing on the hot path. The hook owns sampling.
+  /** Self-span hook `(route, method, status, durUs)` — the
+    * self-telemetry exporter's trace half sets it; null (the default)
+    * costs nothing on the hot path. The hook owns sampling AND the
+    * epoch-time derivation, so unsampled requests pay one null check
+    * and one invocation, never a wall-clock read.
     */
-  @volatile var spanSink: (String, String, Int, Long, Long) => Unit = _
+  @volatile var spanSink: (String, String, Int, Long) => Unit = _
 
   private val startNs = System.nanoTime()
   private val routes = new ConcurrentHashMap[String, RouteStats]()
@@ -87,13 +89,7 @@ final class RequestMetrics(val server: String,
       val status = ex.getResponseCode // -1 when nothing was sent
       record(route, ex.getRequestMethod, status, durUs)
       val spans = spanSink
-      if (spans != null) {
-        // epoch timing derived at END (the hot path keeps its single
-        // monotonic read; currentTimeMillis is paid only with the hook)
-        val endNs = System.currentTimeMillis() * 1000000L
-        spans(route, ex.getRequestMethod, status, endNs - durUs * 1000L,
-          durUs)
-      }
+      if (spans != null) spans(route, ex.getRequestMethod, status, durUs)
       logSink.foreach { sink =>
         val j = ApiEncoders.jsonString _
         sink(s"""{"server":${j(server)},"method":${j(

@@ -171,7 +171,7 @@ object QueriesPipeline7 extends QueryPack {
       |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
       |n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
       |SELECT cnt.doc_id, CAST(MAX(n.n) AS BIGINT) AS n_tokens,
-      |  ROUND(-SUM((c / n.n) * ln(c / n.n)), 6) AS entropy
+      |  GREATEST(0, ROUND(-SUM((c / n.n) * ln(c / n.n)), 6)) AS entropy
       |FROM cnt JOIN n ON n.doc_id = cnt.doc_id
       |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin
   ) { td =>
@@ -186,7 +186,13 @@ object QueriesPipeline7 extends QueryPack {
       .withColumn("n", sum(col("c")).over(w))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n_tokens"),
-        round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+        // GREATEST(0, …) on both sides: a single-distinct-token doc
+        // sums to an IEEE -0.0 (and fp noise to -1e-17 → -0.0 after
+        // round), whose sign DuckDB's ROUND preserves and Spark's
+        // drops — a latent cross-engine hash flip; entropy is ≥ 0 by
+        // definition, so the clamp is semantics, not a fudge
+        greatest(lit(0.0),
+          round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6))
           .as("entropy"))
       .orderBy("doc_id")
   }

@@ -329,8 +329,11 @@ class ServeSpec extends SparkTestBase {
       "--retention-days", "30", "--maintain-every-min", "60",
       "--downsample", "7:60:last,30:3600:avg", "--precision", "7:30,30:20",
       "--recompress", "60:19", "--safety", "100:1000:sample:drop",
-      "--request-log", "on"))
+      "--request-log", "on", "--self-telemetry", "30s",
+      "--self-telemetry-spans", "16"))
     assert(cfg.requestLog)
+    assert(cfg.selfTelemetryMs == 30000L)
+    assert(cfg.selfTelemetrySpanEvery == 16L)
     assert(cfg.limits.ingestBytesPerSecond == 1048576L)
     assert(cfg.limits.maxSeries == 1000L && cfg.limits.maxSeriesSoft == 800L)
     assert(cfg.limits.maxBodyBytes == 65536L)
@@ -359,6 +362,27 @@ class ServeSpec extends SparkTestBase {
     // a bad boolean is loud, not a silent default
     intercept[IllegalArgumentException] {
       Serve.parseConfig("/data", Seq("/data", "--request-log", "yes!"))
+    }
+    // self-telemetry duration grammar: off and units parse; junk and
+    // overflow are loud typed errors, not NumberFormat stack traces
+    assert(Serve.parseConfig("/data", Seq("/data",
+      "--self-telemetry", "off")).selfTelemetryMs == 0L)
+    assert(Serve.parseConfig("/data", Seq("/data",
+      "--self-telemetry", "500ms")).selfTelemetryMs == 500L)
+    assert(Serve.parseConfig("/data", Seq("/data",
+      "--self-telemetry", "2m")).selfTelemetryMs == 120000L)
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "fast"))
+    }
+    assert(Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "1s",
+      "--self-telemetry-spans", "off")).selfTelemetrySpanEvery == 0L)
+    assert(bare.selfTelemetrySpanEvery == 64L, "default 1-in-64")
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data",
+        "--self-telemetry-spans", "99999999999999999999"))
+    }
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--self-telemetry-spans", "-1"))
     }
     // a typo'd FLAG NAME is a startup error too — `--retention-day 30`
     // silently defaulting retention off would fill disks
