@@ -79,27 +79,29 @@ final class SelfTelemetry(
   @volatile private var exec: java.util.concurrent.ScheduledExecutorService = _
   @volatile private var consecutiveFailures = 0L
 
+  /** Drop-oldest bounded offer, evictions counted — both rings share
+    * the discipline (the exporter must never block or grow on a storm
+    * it itself causes).
+    */
+  private def offerBounded[T](q: ArrayBlockingQueue[T], v: T,
+      dropped: LongAdder): Unit =
+    if (!q.offer(v)) {
+      if (q.poll() != null) dropped.increment() // the evicted element
+      if (!q.offer(v)) dropped.increment() // full again (racing)
+    }
+
   /** The log sink tee — composition roots wrap their request-log sink
     * with this so lines reach both stderr and the self-stream.
     */
-  def offerLog(line: String): Unit =
-    if (!ring.offer(line)) {
-      if (ring.poll() != null) droppedLogs.increment() // the evicted line
-      if (!ring.offer(line)) droppedLogs.increment() // full again (racing)
-    }
+  def offerLog(line: String): Unit = offerBounded(ring, line, droppedLogs)
 
   /** Offers one sampled request span (the caller owns the sampling
     * decision — [[graft.Serve]] wires a 1-in-N + always-on-5xx rule).
     */
   def offerSpan(server: String, route: String, method: String,
-      status: Int, startNs: Long, durUs: Long): Unit = {
-    val rec = SelfTelemetry.SpanRec(server, route, method, status,
-      startNs, durUs, spanSeq.incrementAndGet())
-    if (!spanRing.offer(rec)) {
-      if (spanRing.poll() != null) droppedSpans.increment()
-      if (!spanRing.offer(rec)) droppedSpans.increment()
-    }
-  }
+      status: Int, startNs: Long, durUs: Long): Unit =
+    offerBounded(spanRing, SelfTelemetry.SpanRec(server, route, method,
+      status, startNs, durUs, spanSeq.incrementAndGet()), droppedSpans)
 
   /** One OTLP ExportTraceServiceRequest over the given span records —
     * each request becomes one SERVER span named after its route, with
@@ -114,10 +116,7 @@ final class SelfTelemetry(
       while (i < 8) { b(i) = ((v >>> (8 * (7 - i))) & 0xff).toByte; i += 1 }
       b
     }
-    def kv(k: String, v: String): ProtoW =
-      new ProtoW().str(1, k).msg(2, new ProtoW().str(1, v))
-    val scopeSpans = new ProtoW()
-      .msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+    val scopeSpans = scoped()
     recs.foreach { r =>
       // the store keys on the LOW 8 bytes of the trace id, so they mix
       // (startNs, seq) — a bare seq would repeat across restarts and
@@ -135,8 +134,7 @@ final class SelfTelemetry(
         span.msg(15, new ProtoW().vint(3, 2L)): Unit // STATUS_CODE_ERROR
       scopeSpans.msg(2, span): Unit
     }
-    new ProtoW().msg(1, new ProtoW()
-      .msg(1, resource()).msg(2, scopeSpans)).toByteArray
+    envelope(scopeSpans)
   }
 
   /** One OTLP ExportMetricsServiceRequest over the current registry
@@ -145,9 +143,7 @@ final class SelfTelemetry(
   def metricsPayload(nowNs: Long): Array[Byte] = {
     def dp(attrs: Seq[(String, String)], v: Double): ProtoW = {
       val p = new ProtoW().fix64(2, startNs).fix64(3, nowNs).double(4, v)
-      attrs.foreach { case (k, s) =>
-        p.msg(7, new ProtoW().str(1, k).msg(2, new ProtoW().str(1, s)))
-      }
+      attrs.foreach { case (k, s) => p.msg(7, kv(k, s)) }
       p
     }
     // one Sum metric per name, one datapoint per label set
@@ -181,8 +177,7 @@ final class SelfTelemetry(
       dps.foreach(sum.msg(1, _))
       new ProtoW().str(1, name).str(3, unit).msg(7, sum)
     }
-    val scopeMetrics = new ProtoW()
-      .msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+    val scopeMetrics = scoped()
       .msg(2, sumMetric("graft_http_requests_total", "1", totals.result()))
       .msg(2, sumMetric("graft_http_request_duration_seconds_bucket", "s",
         buckets.result()))
@@ -190,8 +185,7 @@ final class SelfTelemetry(
         counts.result()))
       .msg(2, sumMetric("graft_http_request_duration_seconds_sum", "s",
         sums.result()))
-    new ProtoW().msg(1, new ProtoW()
-      .msg(1, resource()).msg(2, scopeMetrics)).toByteArray
+    envelope(scopeMetrics)
   }
 
   /** One OTLP ExportLogsServiceRequest carrying the given request-log
@@ -199,20 +193,28 @@ final class SelfTelemetry(
     * `| json` parses it).
     */
   def logsPayload(lines: Seq[String], nowNs: Long): Array[Byte] = {
-    val scopeLogs = new ProtoW()
-      .msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+    val scopeLogs = scoped()
     lines.foreach { line =>
       scopeLogs.msg(2, new ProtoW()
         .fix64(1, nowNs).vint(2, 9L).str(3, "INFO")
         .msg(5, new ProtoW().str(1, line)))
     }
-    new ProtoW().msg(1, new ProtoW()
-      .msg(1, resource()).msg(2, scopeLogs)).toByteArray
+    envelope(scopeLogs)
   }
 
-  private def resource(): ProtoW =
-    new ProtoW().msg(1, new ProtoW().str(1, "service.name")
-      .msg(2, new ProtoW().str(1, serviceName)))
+  // ---- shared OTLP envelope fragments (all three signals nest
+  // resource(1) -> scoped records(2) under the same scope identity) ----
+
+  private def kv(k: String, v: String): ProtoW =
+    new ProtoW().str(1, k).msg(2, new ProtoW().str(1, v))
+
+  private def scoped(): ProtoW =
+    new ProtoW().msg(1, new ProtoW().str(1, "graft.self").str(2, "1"))
+
+  private def envelope(scopedRecords: ProtoW): Array[Byte] =
+    new ProtoW().msg(1, new ProtoW()
+      .msg(1, new ProtoW().msg(1, kv("service.name", serviceName)))
+      .msg(2, scopedRecords)).toByteArray
 
   /** One export round: metrics always, logs when the ring has lines.
     * Public so tests (and a shutdown flush) can tick deterministically.
@@ -220,25 +222,22 @@ final class SelfTelemetry(
   def tick(): Unit = {
     val nowNs = System.currentTimeMillis() * 1000000L
     post("/v1/metrics", metricsPayload(nowNs)): Unit
-    val drained = new java.util.ArrayList[String]
-    ring.drainTo(drained)
+    // logs and spans are NOT cumulative: a failed/shed export re-queues
+    // its batch (bounded by the ring; drops counted there)
+    drainAndPost(ring, droppedLogs, "/v1/logs",
+      lines => logsPayload(lines, nowNs))
+    drainAndPost(spanRing, droppedSpans, "/v1/traces", tracesPayload)
+  }
+
+  private def drainAndPost[T](q: ArrayBlockingQueue[T], dropped: LongAdder,
+      path: String, payload: Seq[T] => Array[Byte]): Unit = {
+    val drained = new java.util.ArrayList[T]
+    q.drainTo(drained)
     if (!drained.isEmpty) {
-      val lines =
+      val items =
         scala.jdk.CollectionConverters.ListHasAsScala(drained).asScala.toSeq
-      if (!post("/v1/logs", logsPayload(lines, nowNs)))
-        // not cumulative: a failed/shed logs export re-queues (bounded
-        // by the ring; drops counted there)
-        lines.foreach(offerLog)
-    }
-    val spansDrained = new java.util.ArrayList[SelfTelemetry.SpanRec]
-    spanRing.drainTo(spansDrained)
-    if (!spansDrained.isEmpty) {
-      val recs = scala.jdk.CollectionConverters
-        .ListHasAsScala(spansDrained).asScala.toSeq
-      if (!post("/v1/traces", tracesPayload(recs)))
-        recs.foreach(r => {
-          if (!spanRing.offer(r)) droppedSpans.increment()
-        })
+      if (!post(path, payload(items)))
+        items.foreach(offerBounded(q, _, dropped))
     }
   }
 
@@ -313,9 +312,6 @@ object SelfTelemetry {
     */
   private[graft] def leLabel(v: Double): String =
     if (v.isPosInfinity) "+Inf"
-    else {
-      // trim trailing zeros without scientific notation (0.000128 style)
-      val s = java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
-      s
-    }
+    // trim trailing zeros without scientific notation (0.000128 style)
+    else java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
 }
