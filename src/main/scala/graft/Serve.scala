@@ -309,7 +309,8 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
       // /api/v1/routes reports the query server's metrics next to the
       // ingest and admin servers' own
       routeMetrics = Seq(api.metrics),
-      requestLog = requestLogSink)
+      requestLog = requestLogSink,
+      selfTelemetry = selfTelemetry.map(st => () => st.statusJson))
     val qp = api.start(queryPort)
     selfIngestPort = ip
     selfTelemetry.foreach { st =>

@@ -46,7 +46,11 @@ final class AdminApi(
     startTimeMs: Long = System.currentTimeMillis(),
     auth: Option[Auth.Middleware] = None,
     routeMetrics: Seq[RequestMetrics] = Nil,
-    requestLog: Option[String => Unit] = None) {
+    requestLog: Option[String => Unit] = None,
+    // self-telemetry exporter health (statusJson supplier) — reported
+    // inside /api/v1/routes so the routes page answers "and is the
+    // self-export of these numbers actually delivering"
+    selfTelemetry: Option[() => String] = None) {
 
   import AdminApi._
 
@@ -216,7 +220,9 @@ final class AdminApi(
     */
   private def routesReport(): String = {
     val servers = (routeMetrics :+ metrics).map(_.snapshotJson)
-    s"""{"servers":[${servers.mkString(",")}]}"""
+    val st = selfTelemetry
+      .map(f => s""","self_telemetry":${f()}""").getOrElse("")
+    s"""{"servers":[${servers.mkString(",")}]$st}"""
   }
 
   /** Thread dump, bounded to the top frames per thread. */

@@ -83,6 +83,9 @@ object AdminUi {
 <th class="num">p99 ms</th><th class="num">max ms</th></tr></thead>
 <tbody></tbody></table>
 
+<h2>Self-telemetry</h2>
+<table id="selftel"></table>
+
 <h2>Engine</h2>
 <table id="engine"></table>
 
@@ -164,6 +167,14 @@ async function refresh() {
         cell(tr, r.max_ms, "num");
         rb.appendChild(tr);
       }
+    const stl = routes.self_telemetry;
+    kvRows(document.getElementById("selftel"), stl ? {
+      "interval ms": stl.interval_ms, "ticks": stl.ticks,
+      "consecutive failures": stl.consecutive_failures,
+      "last success": stl.last_success_unix_ms
+        ? new Date(stl.last_success_unix_ms).toISOString() : "never",
+      "dropped logs": stl.dropped_logs,
+      "dropped spans": stl.dropped_spans } : { "enabled": "off" });
     kvRows(document.getElementById("engine"), {
       "active jobs": (qz.active_jobs || []).length,
       "active streams": (qz.active_streams || []).length,

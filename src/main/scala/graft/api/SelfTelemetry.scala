@@ -78,6 +78,8 @@ final class SelfTelemetry(
   // shutdown hook) with no other happens-before edge
   @volatile private var exec: java.util.concurrent.ScheduledExecutorService = _
   @volatile private var consecutiveFailures = 0L
+  @volatile private var lastSuccessMs = 0L
+  private val exportedTicks = new LongAdder
 
   /** Drop-oldest bounded offer, evictions counted — both rings share
     * the discipline (the exporter must never block or grow on a storm
@@ -220,6 +222,7 @@ final class SelfTelemetry(
     * Public so tests (and a shutdown flush) can tick deterministically.
     */
   def tick(): Unit = {
+    exportedTicks.increment()
     val nowNs = System.currentTimeMillis() * 1000000L
     post("/v1/metrics", metricsPayload(nowNs)): Unit
     // logs and spans are NOT cumulative: a failed/shed export re-queues
@@ -228,6 +231,17 @@ final class SelfTelemetry(
       lines => logsPayload(lines, nowNs))
     drainAndPost(spanRing, droppedSpans, "/v1/traces", tracesPayload)
   }
+
+  /** Exporter health for the admin surface: is the loop delivering,
+    * and what has it dropped — the first thing an operator checks when
+    * the self-series go quiet.
+    */
+  def statusJson: String =
+    s"""{"interval_ms":$intervalMs,"ticks":${exportedTicks.sum()},""" +
+      s""""consecutive_failures":$consecutiveFailures,""" +
+      s""""last_success_unix_ms":$lastSuccessMs,""" +
+      s""""dropped_logs":${droppedLogs.sum()},""" +
+      s""""dropped_spans":${droppedSpans.sum()}}"""
 
   private def drainAndPost[T](q: ArrayBlockingQueue[T], dropped: LongAdder,
       path: String, payload: Seq[T] => Array[Byte]): Unit = {
@@ -262,7 +276,11 @@ final class SelfTelemetry(
       val body = if (is != null) {
         val b = is.readAllBytes(); is.close(); b
       } else Array.emptyByteArray
-      if (code == 200 && body.isEmpty) { consecutiveFailures = 0; true }
+      if (code == 200 && body.isEmpty) {
+        consecutiveFailures = 0
+        lastSuccessMs = System.currentTimeMillis()
+        true
+      }
       else {
         fail(if (code == 200) s"shed (partial_success) from $path"
         else s"HTTP $code from $path")

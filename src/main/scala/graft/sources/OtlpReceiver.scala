@@ -590,7 +590,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       maintainDate: () => String = () => StoragePolicy.utcToday(),
       auth: Option[graft.api.Auth.Middleware] = None,
       routeMetrics: Seq[graft.api.RequestMetrics] = Nil,
-      requestLog: Option[String => Unit] = None): Int = {
+      requestLog: Option[String => Unit] = None,
+      selfTelemetry: Option[() => String] = None): Int = {
     val listenerComponents = Seq(
       graft.api.AdminApi.Component("otlp-http",
         addr = Option(server).map(s => s"127.0.0.1:${s.getAddress.getPort}")),
@@ -628,7 +629,8 @@ final class OtlpReceiver(spark: SparkSession, dataDir: String,
       // the ingest server's own route metrics always report here; the
       // composition root adds the query server's
       routeMetrics = ingestMetrics +: routeMetrics,
-      requestLog = requestLog)
+      requestLog = requestLog,
+      selfTelemetry = selfTelemetry)
     admin.start(port)
   }
 

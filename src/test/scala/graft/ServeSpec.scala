@@ -552,6 +552,14 @@ class ServeSpec extends SparkTestBase {
       serve.flush()
       val n2 = promValue("count(graft_http_requests_total)")
       assert(n1.nonEmpty && n1 == n2, s"series grew: $n1 -> $n2")
+
+      // exporter health rides the routes report (and the status page):
+      // ticks counted, every export delivered, nothing dropped
+      val (hc, rep) = get(s"http://127.0.0.1:${ports.admin}/api/v1/routes")
+      assert(hc == 200 && rep.contains(""""self_telemetry":{"""), rep)
+      assert(rep.contains(""""consecutive_failures":0"""), rep)
+      assert(rep.contains(""""dropped_logs":0"""), rep)
+      assert(rep.contains(""""dropped_spans":0"""), rep)
     } finally serve.stop()
   }
 }
