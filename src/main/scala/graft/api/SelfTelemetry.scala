@@ -27,6 +27,10 @@ import graft.util.ProtoW
   *   - `graft_http_request_duration_seconds_bucket{server,route,le}`
   *     (cumulative le over the registry's power-of-two buckets)
   *   - `graft_http_request_duration_seconds_count/_sum{server,route}`
+  *   - process-runtime gauges/counters (the sdk/app Go-runtime
+  *     instrumentation analogue): `graft_jvm_heap_used/max_bytes`,
+  *     `graft_jvm_gc_count_total`/`graft_jvm_gc_time_ms_total`,
+  *     `graft_process_uptime_seconds`
   *
   * The TRACES third of the self-export (the reference's sdk/app wires
   * an OTel tracer over its handlers the same way): sampled requests
@@ -179,7 +183,35 @@ final class SelfTelemetry(
       dps.foreach(sum.msg(1, _))
       new ProtoW().str(1, name).str(3, unit).msg(7, sum)
     }
+    // the PROCESS-RUNTIME half of the reference's self-export (sdk/app
+    // wires Go runtime instrumentation the same way): JVM heap/GC and
+    // engine liveness as gauges/cumulative sums, no attributes — the
+    // resource identifies the instance
+    def gaugeMetric(name: String, unit: String, v: Double): ProtoW = {
+      val g = new ProtoW().msg(1, dp(Nil, v))
+      new ProtoW().str(1, name).str(3, unit).msg(5, g)
+    }
+    val rt = java.lang.management.ManagementFactory.getMemoryMXBean
+    val heap = rt.getHeapMemoryUsage
+    var gcCount = 0L
+    var gcMs = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach { b =>
+        if (b.getCollectionCount > 0) gcCount += b.getCollectionCount
+        if (b.getCollectionTime > 0) gcMs += b.getCollectionTime
+      }
+    val uptimeS =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
     val scopeMetrics = scoped()
+      .msg(2, gaugeMetric("graft_jvm_heap_used_bytes", "By",
+        heap.getUsed.toDouble))
+      .msg(2, gaugeMetric("graft_jvm_heap_max_bytes", "By",
+        heap.getMax.toDouble))
+      .msg(2, sumMetric("graft_jvm_gc_count_total", "1",
+        Seq(dp(Nil, gcCount.toDouble))))
+      .msg(2, sumMetric("graft_jvm_gc_time_ms_total", "ms",
+        Seq(dp(Nil, gcMs.toDouble))))
+      .msg(2, gaugeMetric("graft_process_uptime_seconds", "s", uptimeS))
       .msg(2, sumMetric("graft_http_requests_total", "1", totals.result()))
       .msg(2, sumMetric("graft_http_request_duration_seconds_bucket", "s",
         buckets.result()))

@@ -25,11 +25,13 @@ class SelfTelemetrySpec extends AnyFunSuite {
     val nowNs = 1755350000000000000L
     val ms = OtlpProto.decodeMetrics(emitter(reg).metricsPayload(nowNs))
     assert(ms.nonEmpty)
-    // every datapoint: cumulative monotonic sum, stamped now, resourced
+    // every datapoint stamped now and resourced; every REQUEST metric
+    // a cumulative monotonic sum (runtime gauges are, well, gauges)
     ms.foreach { m =>
-      assert(m.temporality == 2 && m.is_monotonic, m.name)
       assert(m.ts_ns == nowNs)
       assert(m.resource_attrs == Map("service.name" -> "graft"))
+      if (m.name.startsWith("graft_http_"))
+        assert(m.temporality == 2 && m.is_monotonic, m.name)
     }
     def of(name: String) = ms.filter(_.name == name)
     val totals = of("graft_http_requests_total")
@@ -59,6 +61,21 @@ class SelfTelemetrySpec extends AnyFunSuite {
     val sum = of("graft_http_request_duration_seconds_sum")
       .find(_.attrs("route") == "/api/v1/query").get
     assert(math.abs(sum.gauge.get - 500e-6) < 1e-12) // 100+300+100 µs
+  }
+
+  test("process-runtime metrics ride the same payload") {
+    val ms = OtlpProto.decodeMetrics(emitter().metricsPayload(9L))
+    def one(n: String) = {
+      val found = ms.filter(_.name == n)
+      assert(found.size == 1, n)
+      found.head
+    }
+    assert(one("graft_jvm_heap_used_bytes").gauge.exists(_ > 0))
+    assert(one("graft_jvm_heap_max_bytes").gauge.exists(_ > 0))
+    assert(one("graft_process_uptime_seconds").gauge.exists(_ > 0))
+    val gc = one("graft_jvm_gc_count_total")
+    assert(gc.temporality == 2 && gc.is_monotonic) // cumulative counter
+    assert(one("graft_jvm_gc_time_ms_total").gauge.exists(_ >= 0))
   }
 
   test("multiple registries export under their server label") {

@@ -553,6 +553,10 @@ class ServeSpec extends SparkTestBase {
       val n2 = promValue("count(graft_http_requests_total)")
       assert(n1.nonEmpty && n1 == n2, s"series grew: $n1 -> $n2")
 
+      // the process-runtime half is PromQL-queryable too (the sdk/app
+      // Go-runtime instrumentation analogue)
+      assert(promValue("graft_jvm_heap_used_bytes").exists(_ > 0))
+
       // exporter health rides the routes report (and the status page):
       // ticks counted, every export delivered, nothing dropped
       val (hc, rep) = get(s"http://127.0.0.1:${ports.admin}/api/v1/routes")
