@@ -190,23 +190,30 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     })
 
   // ---- self-telemetry (reference go-faster/sdk/app OTLP self-export,
-  // cmd/oteldb/main.go:9) — the emitter posts to the OWN ingest port,
-  // which is only known at start(); the URL thunk reads it live
+  // cmd/oteldb/main.go:9) — the emitter posts to the configured
+  // endpoint, or by default the OWN ingest port, which is only known
+  // at start(); the URL thunk reads it live
   @volatile private var selfIngestPort: Int = -1
-  // credential derived ONCE here (secret files are read at
-  // construction, the Auth discipline — start() must not re-read them)
-  private val selfAuthHdr: Option[String] =
-    if (cfg.selfTelemetryMs > 0)
-      Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth))
-    else None
+  // headers derived ONCE here (secret files are read at construction,
+  // the Auth discipline — start() must not re-read them): a configured
+  // (remote) endpoint takes the standard OTEL_EXPORTER_OTLP_HEADERS
+  // pairs (the reference's exporter reads the same env); the default
+  // self endpoint derives a credential from the OWN ingest auth config
+  private val selfHeaders: Seq[(String, String)] =
+    if (cfg.selfTelemetryMs <= 0) Nil
+    else if (cfg.selfTelemetryEndpoint.nonEmpty)
+      Serve.otlpHeadersFromEnv(sys.env.get("OTEL_EXPORTER_OTLP_HEADERS"))
+    else Serve.selfAuthHeader(cfg.ingestAuth.getOrElse(cfg.auth))
+      .map("Authorization" -> _).toSeq
   private[graft] val selfTelemetry: Option[graft.api.SelfTelemetry] =
     if (cfg.selfTelemetryMs > 0)
       Some(new graft.api.SelfTelemetry(
         // by-name: `api` initializes below; the thunk runs per tick
         () => Seq(api.metrics, receiver.ingestMetrics) ++
           receiver.adminMetrics,
-        () => s"http://127.0.0.1:$selfIngestPort",
-        selfAuthHdr,
+        () => cfg.selfTelemetryEndpoint
+          .getOrElse(s"http://127.0.0.1:$selfIngestPort"),
+        selfHeaders,
         cfg.selfTelemetryMs))
     else None
 
@@ -316,10 +323,13 @@ final class Serve(val spark: SparkSession, cfg: Serve.Config) {
     selfTelemetry.foreach { st =>
       // an ingest section that self-telemetry cannot authenticate to
       // (fail-closed all-none config, or no resolvable secret) would
-      // silently 401 every export — say it out loud at startup
-      // ingestMw/selfAuthHdr are the instances already built — no
+      // silently 401 every export — say it out loud at startup; only
+      // for the SELF endpoint (a remote sink's auth is not ours to
+      // judge from this config)
+      // ingestMw/selfHeaders are the instances already built — no
       // secret-file re-read at start()
-      if (ingestMw.nonEmpty && selfAuthHdr.isEmpty)
+      if (cfg.selfTelemetryEndpoint.isEmpty &&
+          ingestMw.nonEmpty && selfHeaders.isEmpty)
         System.err.println("[graft.Serve] WARNING: self-telemetry is on " +
           "but no ingest credential could be derived from the auth " +
           "config — exports will be rejected")
@@ -422,6 +432,9 @@ object Serve {
       // sample every Nth request as a self-span (0 = spans off; 5xx
       // always sample); active only with selfTelemetryMs > 0
       selfTelemetrySpanEvery: Long = 64L,
+      // OTLP base URL the self-exporter POSTs to (/v1/{metrics,logs,
+      // traces} appended); None = the instance's OWN ingest port
+      selfTelemetryEndpoint: Option[String] = None,
       maintainEveryMs: Long = 0L,
       maintainDate: () => String = () => StoragePolicy.utcToday(),
       // global auth applies to every HTTP server; a section override
@@ -459,6 +472,30 @@ object Serve {
         "Basic " + java.util.Base64.getEncoder.encodeToString(
           s"${u.user}:${u.getPassword}".getBytes("UTF-8"))
     }
+
+  /** `OTEL_EXPORTER_OTLP_HEADERS` pairs (`k=v,k2=v2`, values
+    * percent-encoded per the OTel spec) → exporter request headers —
+    * how the reference's exporter authenticates to a remote collector.
+    */
+  private[graft] def otlpHeadersFromEnv(
+      env: Option[String]): Seq[(String, String)] =
+    env.filter(_.nonEmpty).toSeq.flatMap(_.split(",")).map { pair =>
+      val i = pair.indexOf('=')
+      require(i > 0,
+        s"OTEL_EXPORTER_OTLP_HEADERS: want k=v[,k=v], got '$pair'")
+      pair.take(i).trim -> java.net.URLDecoder.decode(
+        pair.drop(i + 1).trim, "UTF-8")
+    }
+
+  /** `--self-telemetry-endpoint` / `OTEL_EXPORTER_OTLP_ENDPOINT`
+    * validation: an http(s) base URL, trailing slashes dropped so the
+    * `/v1/metrics` append never doubles one.
+    */
+  private[graft] def normalizeOtlpEndpoint(v: String): String = {
+    require(v.startsWith("http://") || v.startsWith("https://"),
+      s"--self-telemetry-endpoint: want http(s)://host[:port], got '$v'")
+    v.reverse.dropWhile(_ == '/').reverse
+  }
 
   /** `--self-telemetry <N>ms|<N>s|<N>m|off` → period millis (0 = off). */
   private def parseSelfTelemetry(v: String): Long = {
@@ -500,7 +537,7 @@ object Serve {
     "--max-result-rows", "--max-result-bytes", "--max-execution-ms",
     "--max-concurrent-queries", "--queue-depth", "--queue-wait-ms",
     "--request-log", "--self-telemetry", "--self-telemetry-spans",
-    "--config")
+    "--self-telemetry-endpoint", "--config")
 
   /** Config-file keys (snake_case twins of the flags, the reference's
     * cmd/oteldb/config.go field names where one exists), validated
@@ -515,8 +552,8 @@ object Serve {
     "downsample", "precision", "recompress", "safety",
     "max_result_rows", "max_result_bytes", "max_execution_ms",
     "max_concurrent_queries", "queue_depth", "queue_wait_ms",
-    "request_log", "self_telemetry", "self_telemetry_spans", "auth",
-    "query", "ingest", "admin")
+    "request_log", "self_telemetry", "self_telemetry_spans",
+    "self_telemetry_endpoint", "auth", "query", "ingest", "admin")
 
   private def checkKeys(m: Map[String, Any], allowed: Set[String],
       ctx: String): Unit =
@@ -757,10 +794,12 @@ object Serve {
         val raw = cfgStr("--self-telemetry-spans", "self_telemetry_spans")
         // explicitly-configured spans with self-telemetry off would be
         // silently inert — the same loud-foot-gun convention as the
-        // gRPC-unauth and underivable-credential startup warnings
+        // gRPC-unauth and underivable-credential startup warnings;
+        // decided on the PARSED value ("0s"/"0m" are off too, not just
+        // the literal "off"/"0" spellings)
         if (raw.nonEmpty &&
             cfgStr("--self-telemetry", "self_telemetry")
-              .fold(true)(v => v == "off" || v == "0"))
+              .fold(true)(parseSelfTelemetry(_) == 0L))
           System.err.println("[graft.Serve] WARNING: --self-telemetry-" +
             "spans is set but --self-telemetry is off — no spans (or " +
             "any self-telemetry) will be exported")
@@ -771,6 +810,22 @@ object Serve {
           case other => throw new IllegalArgumentException(
             s"--self-telemetry-spans: want <N>|off, got '$other'")
         }
+      },
+      selfTelemetryEndpoint = {
+        val ep = cfgStr("--self-telemetry-endpoint",
+          "self_telemetry_endpoint")
+          // the reference honors the standard env (cmd/oteldb/main.go:9
+          // → go-faster/sdk autootel); flag/file win on conflict
+          .orElse(sys.env.get("OTEL_EXPORTER_OTLP_ENDPOINT")
+            .filter(_.nonEmpty))
+          .map(normalizeOtlpEndpoint)
+        if (ep.nonEmpty &&
+            cfgStr("--self-telemetry", "self_telemetry")
+              .fold(true)(parseSelfTelemetry(_) == 0L))
+          System.err.println("[graft.Serve] WARNING: --self-telemetry-" +
+            "endpoint is set but --self-telemetry is off — nothing " +
+            "will be exported")
+        ep
       },
       retentionDays = cfgL("--retention-days", "retention_days", 0L).toInt,
       maintainEveryMs =
@@ -825,8 +880,10 @@ object Serve {
           "[--max-execution-ms N] [--max-concurrent-queries N] " +
           "[--queue-depth N] [--queue-wait-ms N] [--request-log on|off] " +
           "[--self-telemetry <N>ms|<N>s|<N>m|off] " +
-          "[--self-telemetry-spans <N>|off]  " +
-          "(env: INGEST_ADDR GRPC_ADDR QUERY_ADDR ADMIN_ADDR)")
+          "[--self-telemetry-spans <N>|off] " +
+          "[--self-telemetry-endpoint http(s)://host:port] " +
+          "(env: INGEST_ADDR GRPC_ADDR QUERY_ADDR ADMIN_ADDR " +
+          "OTEL_EXPORTER_OTLP_ENDPOINT OTEL_EXPORTER_OTLP_HEADERS)")
       sys.exit(2)
     }
     val dataDir = args(0)

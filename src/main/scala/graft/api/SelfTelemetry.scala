@@ -14,7 +14,12 @@ import graft.util.ProtoW
   * flag-gated periodic emitter that renders the three
   * [[RequestMetrics]] registries (query/ingest/admin) as OTLP
   * cumulative counters and the structured request-log lines as OTLP
-  * logs, POSTed into the server's OWN ingest path — after which
+  * logs, POSTed to a configurable OTLP endpoint — by default the
+  * server's OWN ingest path, or any peer/collector via
+  * `--self-telemetry-endpoint` / `OTEL_EXPORTER_OTLP_ENDPOINT` (the
+  * reference honors the same env, cmd/oteldb/main.go:9 →
+  * go-faster/sdk); a `service.instance.id` resource attribute keeps
+  * two instances' series distinct on a shared sink — after which
   * `rate(graft_http_requests_total[5m])` and
   * `histogram_quantile(0.95, rate(graft_http_request_duration_seconds_bucket[5m]))`
   * work against the instance itself, giving the windowed rates the
@@ -62,9 +67,13 @@ import graft.util.ProtoW
 final class SelfTelemetry(
     registries: () => Seq[RequestMetrics],
     ingestUrl: () => String,
-    authHeader: Option[String],
+    headers: Seq[(String, String)],
     intervalMs: Long,
-    serviceName: String = "graft") {
+    serviceName: String = "graft",
+    // `service.instance.id` resource attribute: with a CONFIGURED
+    // (shared) sink, two instances' identically-labeled series would
+    // otherwise merge into one nonsensically-resetting counter
+    val instanceId: String = SelfTelemetry.nextInstanceId()) {
   import SelfTelemetry._
 
   private val startNs = System.currentTimeMillis() * 1000000L
@@ -81,7 +90,11 @@ final class SelfTelemetry(
   // volatile: start() and stop() may run on different threads (main vs
   // shutdown hook) with no other happens-before edge
   @volatile private var exec: java.util.concurrent.ScheduledExecutorService = _
-  @volatile private var consecutiveFailures = 0L
+  // atomic, not volatile: the final flush tick in stop() can race a
+  // still-draining scheduled tick, and `+= 1` on a volatile loses one
+  // of the two increments
+  private val consecutiveFailures =
+    new java.util.concurrent.atomic.AtomicLong()
   @volatile private var lastSuccessMs = 0L
   private val exportedTicks = new LongAdder
 
@@ -205,8 +218,15 @@ final class SelfTelemetry(
     val scopeMetrics = scoped()
       .msg(2, gaugeMetric("graft_jvm_heap_used_bytes", "By",
         heap.getUsed.toDouble))
-      .msg(2, gaugeMetric("graft_jvm_heap_max_bytes", "By",
-        heap.getMax.toDouble))
+    // MemoryUsage.getMax is -1 when the JVM reports the max as
+    // undefined (containers without -Xmx): SKIP the series rather than
+    // emit a negative byte gauge that drives used/max dashboards
+    // negative — the same absent-over-bogus rule as the GC guards
+    val heapMax = readHeapMax(heap)
+    if (heapMax >= 0)
+      scopeMetrics.msg(2, gaugeMetric("graft_jvm_heap_max_bytes", "By",
+        heapMax.toDouble)): Unit
+    scopeMetrics
       .msg(2, sumMetric("graft_jvm_gc_count_total", "1",
         Seq(dp(Nil, gcCount.toDouble))))
       .msg(2, sumMetric("graft_jvm_gc_time_ms_total", "ms",
@@ -247,8 +267,16 @@ final class SelfTelemetry(
 
   private def envelope(scopedRecords: ProtoW): Array[Byte] =
     new ProtoW().msg(1, new ProtoW()
-      .msg(1, new ProtoW().msg(1, kv("service.name", serviceName)))
+      .msg(1, new ProtoW()
+        .msg(1, kv("service.name", serviceName))
+        .msg(1, kv("service.instance.id", instanceId)))
       .msg(2, scopedRecords)).toByteArray
+
+  /** Test seam for the undefined-max JVM shape (getMax == -1 on hosts
+    * without a resolvable -Xmx — SelfTelemetrySpec can't arrange one).
+    */
+  private[graft] var readHeapMax: java.lang.management.MemoryUsage => Long =
+    _.getMax
 
   /** One export round: metrics always, logs when the ring has lines.
     * Public so tests (and a shutdown flush) can tick deterministically.
@@ -269,8 +297,9 @@ final class SelfTelemetry(
     * the self-series go quiet.
     */
   def statusJson: String =
-    s"""{"interval_ms":$intervalMs,"ticks":${exportedTicks.sum()},""" +
-      s""""consecutive_failures":$consecutiveFailures,""" +
+    s"""{"interval_ms":$intervalMs,"instance_id":"$instanceId",""" +
+      s""""ticks":${exportedTicks.sum()},""" +
+      s""""consecutive_failures":${consecutiveFailures.get()},""" +
       s""""last_success_unix_ms":$lastSuccessMs,""" +
       s""""dropped_logs":${droppedLogs.sum()},""" +
       s""""dropped_spans":${droppedSpans.sum()}}"""
@@ -298,7 +327,7 @@ final class SelfTelemetry(
       conn.setReadTimeout(5000)
       conn.setRequestMethod("POST")
       conn.setRequestProperty("Content-Type", "application/x-protobuf")
-      authHeader.foreach(conn.setRequestProperty("Authorization", _))
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       conn.setDoOutput(true)
       conn.setFixedLengthStreamingMode(payload.length)
       val os = conn.getOutputStream
@@ -309,7 +338,7 @@ final class SelfTelemetry(
         val b = is.readAllBytes(); is.close(); b
       } else Array.emptyByteArray
       if (code == 200 && body.isEmpty) {
-        consecutiveFailures = 0
+        consecutiveFailures.set(0)
         lastSuccessMs = System.currentTimeMillis()
         true
       }
@@ -323,21 +352,28 @@ final class SelfTelemetry(
     }
 
   private def fail(why: String): Unit = {
-    consecutiveFailures += 1
+    val n = consecutiveFailures.incrementAndGet()
     // first failure loudly, then once a minute's worth — a dead ingest
     // port must not turn the interval loop into a log storm
-    if (consecutiveFailures == 1 ||
-        consecutiveFailures % math.max(1L, 60000L / math.max(1L, intervalMs)) == 0)
+    if (n == 1 ||
+        n % math.max(1L, 60000L / math.max(1L, intervalMs)) == 0)
       System.err.println(
-        s"[graft.SelfTelemetry] export failed ($consecutiveFailures consecutive): $why")
+        s"[graft.SelfTelemetry] export failed ($n consecutive): $why")
   }
 
   def start(): Unit = {
     exec = Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-self-telemetry"); t.setDaemon(true); t
     })
-    exec.scheduleWithFixedDelay(() => tick(), intervalMs, intervalMs,
-      TimeUnit.MILLISECONDS): Unit
+    // guard the WHOLE body: post() catches its own IO, but a throw
+    // from payload construction or the registries() thunk would
+    // otherwise cancel scheduleWithFixedDelay forever — killing the
+    // loop silently while statusJson still shows the last good state
+    exec.scheduleWithFixedDelay(
+      () => try tick() catch {
+        case scala.util.control.NonFatal(e) => fail(s"tick: $e")
+      },
+      intervalMs, intervalMs, TimeUnit.MILLISECONDS): Unit
   }
 
   /** Stops the loop after one final flush tick (counters are
@@ -346,13 +382,33 @@ final class SelfTelemetry(
   def stop(): Unit =
     if (exec != null) {
       exec.shutdown()
-      try { exec.awaitTermination(5, TimeUnit.SECONDS); () }
-      catch { case _: InterruptedException => () }
-      try tick() catch { case scala.util.control.NonFatal(_) => () }
+      // worst-case tick against a black-holed endpoint is ~21 s
+      // (3 POSTs × 2 s connect + 5 s read); awaiting less would run
+      // the final flush CONCURRENTLY with the still-blocked scheduled
+      // tick, interleaving log/span batches out of order
+      val drained =
+        try exec.awaitTermination(25, TimeUnit.SECONDS)
+        catch { case _: InterruptedException => false }
+      if (drained)
+        try tick() catch { case scala.util.control.NonFatal(_) => () }
     }
 }
 
 object SelfTelemetry {
+  private val instanceSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Default `service.instance.id`: pid@host plus a per-process
+    * sequence — unique across a fleet sharing one sink, and across two
+    * instances in one JVM (the embedded/test shape). No RNG: identity
+    * is structural, not random.
+    */
+  private def nextInstanceId(): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "localhost" }
+    s"${ProcessHandle.current().pid()}@$host/${instanceSeq.incrementAndGet()}"
+  }
+
   /** One sampled request, queued for the next trace export. */
   final case class SpanRec(server: String, route: String, method: String,
       status: Int, startNs: Long, durUs: Long, seq: Long)

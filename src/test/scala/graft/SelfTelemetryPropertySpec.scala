@@ -30,7 +30,7 @@ object SelfTelemetryPropertySpec extends Properties("SelfTelemetry") {
       val reg = new RequestMetrics("query")
       reqs.foreach { case (r, st, d) => reg.record(r, "GET", st, d) }
       val ms = OtlpProto.decodeMetrics(new SelfTelemetry(
-        () => Seq(reg), () => "http://127.0.0.1:1", None, 60000L)
+        () => Seq(reg), () => "http://127.0.0.1:1", Nil, 60000L)
         .metricsPayload(5L))
       def of(n: String) = ms.filter(_.name == n)
       val byRoute = reqs.groupBy(_._1)

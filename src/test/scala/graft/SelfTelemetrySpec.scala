@@ -14,7 +14,7 @@ class SelfTelemetrySpec extends AnyFunSuite {
 
   private def emitter(regs: RequestMetrics*): SelfTelemetry =
     new SelfTelemetry(() => regs.toSeq, () => "http://127.0.0.1:1",
-      None, 60000L)
+      Nil, 60000L)
 
   test("metrics payload round-trips: counters, le buckets, count/sum") {
     val reg = new RequestMetrics("query")
@@ -29,7 +29,9 @@ class SelfTelemetrySpec extends AnyFunSuite {
     // a cumulative monotonic sum (runtime gauges are, well, gauges)
     ms.foreach { m =>
       assert(m.ts_ns == nowNs)
-      assert(m.resource_attrs == Map("service.name" -> "graft"))
+      assert(m.resource_attrs("service.name") == "graft")
+      // service.instance.id distinguishes instances on a shared sink
+      assert(m.resource_attrs("service.instance.id").nonEmpty)
       if (m.name.startsWith("graft_http_"))
         assert(m.temporality == 2 && m.is_monotonic, m.name)
     }
@@ -78,6 +80,20 @@ class SelfTelemetrySpec extends AnyFunSuite {
     assert(one("graft_jvm_gc_time_ms_total").gauge.exists(_ >= 0))
   }
 
+  test("undefined JVM heap max (-1) skips the series, not emits it") {
+    val st = emitter()
+    st.readHeapMax = _ => -1L // the containerized no--Xmx shape
+    val ms = OtlpProto.decodeMetrics(st.metricsPayload(9L))
+    // a -1-byte gauge would drive used/max dashboards negative — the
+    // datapoint must be ABSENT, mirroring the getCollectionCount guard
+    assert(!ms.exists(_.name == "graft_jvm_heap_max_bytes"))
+    assert(ms.exists(_.name == "graft_jvm_heap_used_bytes"))
+  }
+
+  test("instance ids are distinct across emitters in one process") {
+    assert(emitter().instanceId != emitter().instanceId)
+  }
+
   test("multiple registries export under their server label") {
     val q = new RequestMetrics("query")
     val i = new RequestMetrics("ingest")
@@ -98,7 +114,8 @@ class SelfTelemetrySpec extends AnyFunSuite {
     assert(logs.map(_.body) == lines)
     assert(logs.forall(l => l.severity_number == 9 &&
       l.severity_text == "INFO" && l.ts_ns == 7L &&
-      l.resource_attrs == Map("service.name" -> "graft")))
+      l.resource_attrs("service.name") == "graft" &&
+      l.resource_attrs("service.instance.id").nonEmpty))
   }
 
   test("log ring is bounded, drop-oldest, drops counted") {
@@ -124,7 +141,8 @@ class SelfTelemetrySpec extends AnyFunSuite {
     assert(q.duration_ns == 2500000L)
     assert(q.attrs == Map("server" -> "query", "method" -> "GET",
       "status" -> "200"))
-    assert(q.resource_attrs == Map("service.name" -> "graft"))
+    assert(q.resource_attrs("service.name") == "graft")
+    assert(q.resource_attrs("service.instance.id") == st.instanceId)
     assert(q.status_code == 0, "2xx is UNSET, not ERROR")
     val e = spans.find(_.name == "/v1/logs").get
     assert(e.status_code == 2, "5xx maps to STATUS_CODE_ERROR")

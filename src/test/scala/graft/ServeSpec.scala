@@ -384,6 +384,26 @@ class ServeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Serve.parseConfig("/data", Seq("/data", "--self-telemetry-spans", "-1"))
     }
+    // exporter endpoint grammar: http(s) base URL, trailing slashes
+    // dropped (the /v1/metrics append must never double one); a bare
+    // host is a loud typed error; default None = the own ingest port
+    assert(bare.selfTelemetryEndpoint.isEmpty)
+    assert(Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "1s",
+      "--self-telemetry-endpoint", "http://collector:4318/"))
+      .selfTelemetryEndpoint.contains("http://collector:4318"))
+    intercept[IllegalArgumentException] {
+      Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "1s",
+        "--self-telemetry-endpoint", "collector:4318"))
+    }
+    // OTEL_EXPORTER_OTLP_HEADERS pairs parse, values percent-decoded
+    // (the OTel env spec); a pair without '=' is loud
+    assert(Serve.otlpHeadersFromEnv(
+      Some("Authorization=Bearer%20tok,x-a=1")) ==
+      Seq("Authorization" -> "Bearer tok", "x-a" -> "1"))
+    assert(Serve.otlpHeadersFromEnv(None).isEmpty)
+    intercept[IllegalArgumentException] {
+      Serve.otlpHeadersFromEnv(Some("noequals"))
+    }
     // a typo'd FLAG NAME is a startup error too — `--retention-day 30`
     // silently defaulting retention off would fill disks
     intercept[IllegalArgumentException] {
@@ -565,5 +585,57 @@ class ServeSpec extends SparkTestBase {
       assert(rep.contains(""""dropped_logs":0"""), rep)
       assert(rep.contains(""""dropped_spans":0"""), rep)
     } finally serve.stop()
+  }
+
+  test("self-telemetry exports to a configured peer endpoint under a distinct instance id") {
+    val dirA = Files.createTempDirectory("graftstA").toString
+    val dirB = Files.createTempDirectory("graftstB").toString
+    // B is the fleet's collector (plain instance, no self-telemetry);
+    // A ships its telemetry there — the reference's
+    // OTEL_EXPORTER_OTLP_ENDPOINT deployment, where many instances
+    // share ONE sink and service.instance.id keeps them apart
+    val serveB = new Serve(spark, Serve.Config(dirB))
+    val portsB = serveB.start()
+    val serveA = new Serve(spark, Serve.Config(dirA,
+      selfTelemetryMs = 3600000L, selfTelemetrySpanEvery = 1L,
+      selfTelemetryEndpoint =
+        Some(s"http://127.0.0.1:${portsB.ingestHttp}")))
+    val portsA = serveA.start()
+    val qA = s"http://127.0.0.1:${portsA.query}"
+    val qB = s"http://127.0.0.1:${portsB.query}"
+    val lokiRoute = "/loki/api/v1/query_range"
+    try {
+      (1 to 3).foreach(_ =>
+        assert(get(s"$qA$lokiRoute?query=${enc("""{app="st"}""")}")._1 == 200))
+      serveA.selfTelemetry.get.tick()
+      serveB.flush()
+      // PromQL on B returns A's counter, labeled with A's instance id
+      val sel = s"""graft_http_requests_total{server="query",route="$lokiRoute",status="200"}"""
+      val (c, b) = get(s"$qB/api/v1/query?query=${enc(sel)}")
+      assert(c == 200, b)
+      val v = """\"value\":\[[0-9.]+,\"([^\"]+)\"\]""".r
+        .findFirstMatchIn(b).map(_.group(1).toDouble)
+      assert(v.contains(3.0), b)
+      assert(b.contains(serveA.selfTelemetry.get.instanceId), b)
+      // A's own store never saw the export (it went to the peer)
+      val (ca, ba) = get(s"$qA/api/v1/query?query=${enc(sel)}")
+      assert(ca == 200 && !ba.contains("graft_http_requests_total"), ba)
+      // A's log lines and sampled spans land on B too — all three
+      // signals follow the endpoint
+      serveA.flush() // no-op for telemetry; keeps A's ingest quiet
+      val nowNs = System.currentTimeMillis() * 1000000L
+      val (lc, lines) = get(s"$qB/loki/api/v1/query_range?query=${enc(
+        s"""{service_name="graft"} |= "$lokiRoute"""")}" +
+        s"&start=${nowNs - 3600000000000L}&end=${nowNs + 3600000000000L}")
+      assert(lc == 200 && lines.contains(lokiRoute), s"logql on B: $lines")
+      val (tc, traces) = get(s"$qB/api/search?q=${enc(
+        s"""{ name = "$lokiRoute" && span.server = "query" }""")}")
+      assert(tc == 200 && traces.contains("query_range"),
+        s"traceql on B: $traces")
+      // exporter health on A reports delivery (to the peer) and the id
+      val (hc, rep) = get(s"http://127.0.0.1:${portsA.admin}/api/v1/routes")
+      assert(hc == 200 && rep.contains(""""consecutive_failures":0"""), rep)
+      assert(rep.contains(serveA.selfTelemetry.get.instanceId), rep)
+    } finally { serveA.stop(); serveB.stop() }
   }
 }
