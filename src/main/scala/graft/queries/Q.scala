@@ -102,7 +102,7 @@ object Fixtures {
     * work.
     */
   def materialized(spark: SparkSession, dir: String, name: String,
-      partCol: String)(build: => DataFrame): DataFrame = {
+      partCol: String, parts: Int = 32)(build: => DataFrame): DataFrame = {
     // "g_" prefix keeps the dir name from starting with '_' (Spark
     // treats underscore-prefixed paths as hidden metadata)
     val key = s"g_${dir}_${name}_$CacheVersion".replaceAll("[^A-Za-z0-9._-]", "_")
@@ -126,7 +126,7 @@ object Fixtures {
         // a 32-core scan 3-wide (at 100 TB this is the file-sizing
         // discipline the inserter applies, not a bench trick)
         build
-          .repartition(32, org.apache.spark.sql.functions.col(partCol))
+          .repartition(parts, org.apache.spark.sql.functions.col(partCol))
           .write.mode("overwrite").parquet(tmp.getPath)
         // cross-process race: losing the rename means a complete copy
         // already landed — discard ours

@@ -16,12 +16,14 @@ import graft.sources.Testdata
   *   - The DSIR model is a BUCKET HISTOGRAM (B = 128 hashed-feature
   *     buckets): the target and raw feature distributions collapse to
   *     one B-row table in a single map-side-combined aggregation over
-  *     the corpus (conditional sums — the target pass is NOT a second
-  *     scan), then BROADCAST back for the per-document weight join.
-  *     Nothing document-sized ever shuffles; the corpus is scanned
-  *     twice (histogram pass + weight pass), which at deployment scale
-  *     becomes "materialize the histogram next to the corpus once,
-  *     re-weight on read" — the same broadcast-back-summary shape as
+  *     the corpus (per-(bucket, source) counts — the target histogram
+  *     and the min(source) target choice derive from that tiny frame,
+  *     NOT from second scans), then MATERIALIZED next to the corpus
+  *     ([[Fixtures.materialized]]) and BROADCAST back for the
+  *     per-document weight join: the model is corpus metadata built
+  *     once, and every re-weighting query (weights, selection report)
+  *     reads it instead of re-deriving it. Nothing document-sized ever
+  *     shuffles — the same broadcast-back-summary shape as
   *     decontaminate and the quality percentile.
   *   - Features are hashed occurrences (unigrams + bigrams, md5-bucket
   *     mod B), so the feature space is CONSTANT regardless of corpus
@@ -98,67 +100,90 @@ object QueriesPipeline7 extends QueryPack {
        |  FROM feats f JOIN ratio r ON r.b = ${oracleBucket("f.f")}
        |  GROUP BY f.doc_id, f.source)""".stripMargin
 
-  /** Per-doc log importance weights + broadcast histogram model. */
-  private def dsirWeights(td: Testdata): DataFrame = {
-    val feats = docFeatures(td).withColumn("b", bucketCol(col("f")))
-    val tgt = td.documents.agg(min(col("source")).as("src"))
-    val hist = feats
-      .crossJoin(broadcast(tgt))
-      .groupBy(col("b"))
-      .agg(count(lit(1)).as("raw_c"),
-        sum(when(col("source") === col("src"), 1L).otherwise(0L)).as("tgt_c"))
-    // corpus totals via an unpartitioned window over the 128-row hist
-    // (a separate agg + crossJoin costs two more jobs for the same
-    // numbers; 128 rows in one partition is free)
-    val wAll = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ratio = hist
-      .withColumn("nr", sum(col("raw_c")).over(wAll))
-      .withColumn("nt", sum(col("tgt_c")).over(wAll))
-      .select(col("b"), log(
-        ((col("tgt_c") + lit(1.0)) * (col("nr") + lit(B))) /
-          ((col("raw_c") + lit(1.0)) * (col("nt") + lit(B)))).as("lr"))
-    feats
-      .join(broadcast(ratio), Seq("b"))
+  /** The B-row log-likelihood-ratio model, built ONCE per corpus and
+    * stored beside it ([[Fixtures.materialized]]) — the deployment
+    * shape the scale note above describes: the model is corpus-derived
+    * metadata, and both DSIR queries re-weight on read instead of each
+    * re-deriving it. The build itself is ONE corpus aggregation per
+    * (b, source): the target source (lexicographic min), the per-b
+    * target counts, and the raw/target totals all derive from that
+    * ≤B×|sources| frame via unpartitioned windows — neither the
+    * min(source) scalar agg nor the target histogram is a second
+    * corpus pass.
+    */
+  private def ratioModel(s: SparkSession, dir: String): DataFrame =
+    Fixtures.materialized(s, dir, "dsir_ratio", "b", parts = 1) {
+      val bySrc = docFeatures(Testdata(s, dir))
+        .withColumn("b", bucketCol(col("f")))
+        .groupBy(col("b"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bySrc
+        .withColumn("src", min(col("source")).over(wAll))
+        .withColumn("nr", sum(col("c")).over(wAll))
+        .withColumn("nt", sum(when(col("source") === col("src"), col("c"))
+          .otherwise(0L)).over(wAll))
+        .groupBy(col("b"), col("nr"), col("nt"))
+        .agg(sum(col("c")).as("raw_c"),
+          sum(when(col("source") === col("src"), col("c")).otherwise(0L))
+            .as("tgt_c"))
+        .select(col("b"), log(
+          ((col("tgt_c") + lit(1.0)) * (col("nr") + lit(B))) /
+            ((col("raw_c") + lit(1.0)) * (col("nt") + lit(B)))).as("lr"))
+    }
+
+  /** Per-doc log importance weights over the stored broadcast model. */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    docFeatures(Testdata(s, dir)).withColumn("b", bucketCol(col("f")))
+      .join(broadcast(ratioModel(s, dir)), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
+      // Det playbook note (`round` of a double sum): the per-doc sum
+      // accumulates ≤ a-few-hundred lr terms, each |lr| < ln(nr + B)
+      // ≈ 20, in partition order — vs DuckDB's own order. The orders
+      // differ by ≤ n·ε·Σ|lr| ≈ 1e3 · 2e-16 · 2e4 ≈ 4e-9, so round-6
+      // flips only if the true sum sits within ~4e-9 of a .5e-6
+      // boundary — ln-of-rational operands make an exact tie
+      // measure-zero (the perplexity precedent), and unlike entropy
+      // the weight is legitimately signed, so no -0.0 clamp applies:
+      // a -0.0 would need the sum to be EXACTLY zero, impossible for
+      // a nonempty doc since every lr term is an ln of a ratio ≠ 1
+      // (tgt_c+1 ≠ raw_c+1 scaled — the +1/+B smoothing de-rationalizes
+      // equal counts only when nt == nr, i.e. a single-source corpus,
+      // where lr ≡ ln(1) = +0.0 exactly and both engines agree).
       .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 6).as("weight"))
-  }
 
   /** DSIR importance weights: the 100 most target-like documents.
     * The resampler's raw material — `weight` is the hashed-n-gram
     * log-likelihood ratio target vs raw.
     */
-  val dsirWeightsQ: Q = q(
+  val dsirWeightsQ: Q = Q(
     "pipe_dsir_weights",
-    s"""$oracleWeights
-       |SELECT doc_id, source, CAST(n_feats AS BIGINT) AS n_feats, weight
-       |FROM w ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
-  ) { td =>
-    dsirWeights(td)
+    (s, dir) => dsirWeights(s, dir)
       .select(col("doc_id"), col("source"), col("n_feats"), col("weight"))
       .orderBy(col("weight").desc, col("doc_id"))
-      .limit(100)
-  }
+      .limit(100),
+    Some(s"""$oracleWeights
+       |SELECT doc_id, source, CAST(n_feats AS BIGINT) AS n_feats, weight
+       |FROM w ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin))
 
   /** DSIR selection summary: per source, how many documents the
     * weight>0 rule keeps — the mixture-shift report a curation run
     * reads before committing to a resample (the target domain should
     * dominate; contaminated look-alike domains surface here).
     */
-  val dsirSelect: Q = q(
+  val dsirSelect: Q = Q(
     "pipe_dsir_select",
-    s"""$oracleWeights
-       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_selected
-       |FROM w GROUP BY source ORDER BY source""".stripMargin
-  ) { td =>
-    dsirWeights(td)
+    (s, dir) => dsirWeights(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("weight") > 0, 1L).otherwise(0L)).as("n_selected"))
-      .orderBy("source")
-  }
+      .orderBy("source"),
+    Some(s"""$oracleWeights
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected
+       |FROM w GROUP BY source ORDER BY source""".stripMargin))
 
   /** Unigram entropy per document — the token-diversity quality signal
     * (low entropy = repetitive/templated text; filters of this family
