@@ -211,6 +211,14 @@ object ScaleProbe {
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }
+      // corpus-level source audits: the overlap matrix's pair explode
+      // is bounded by the source catalog (C(|sources|,2) output rows),
+      // vocab stats are two stacked aggs — both must grow with the
+      // distinct gram/token mass, never with doc pairs
+      for (q <- Seq("pipe_source_overlap", "pipe_vocab_stats") if want(q))
+        time3(q, tag) {
+          graft.SparkEntry.queries(q)(spark, dir).count()
+        }
       // SemDeDup both ways: the query's pinned k = 8 lets clusters
       // grow with the corpus (pair space ~quadratic per cluster — the
       // anti-pattern), vs k ∝ corpus where per-cluster size stays

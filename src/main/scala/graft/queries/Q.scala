@@ -168,6 +168,7 @@ object Registry {
     QueriesPipeline5,
     QueriesPipeline6,
     QueriesPipeline7,
+    QueriesPipeline8,
     QueriesTemporal,
     QueriesPushdown,
     QueriesSafety

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Testdata
+
+/** Training-data pipeline operators, part 8: corpus-level source
+  * auditing — the cross-SOURCE contamination matrix and per-source
+  * vocabulary statistics a curation run reads before fixing a mixture
+  * (the reference's pipeline ends at per-document signals; these are
+  * the corpus-level rollups built on the same shingle/token frames).
+  *
+  * Scale notes (100 TB):
+  *   - The source-overlap matrix never joins document-sized sides: the
+  *     corpus rolls up per GRAM to a source SET (collect_set dedups,
+  *     so no separate DISTINCT pass) whose size is bounded by the
+  *     source catalog (a fixed deployment property, like the label
+  *     space), and pairs explode from those ≤|sources| sets —
+  *     C(|sources|, 2) output rows total, one gram-keyed exchange end
+  *     to end shared by the pair counts AND the per-source totals
+  *     (ReusedExchange). A gram-keyed SELF-join would
+  *     carry the same information but square the hot stop-grams;
+  *     the set rollup caps them at one row each. With a large source
+  *     catalog (thousands), the standard practice this operator
+  *     inherits is to pre-filter grams by document frequency (drop
+  *     df > threshold) before the rollup — the matrix is about
+  *     distinctive overlap, and the filter is one map-side predicate.
+  *   - Vocabulary stats are two stacked aggregations on one
+  *     (source, token) exchange: the distinct-token counting happens
+  *     in the first groupBy (map-side combinable), so no count_distinct
+  *     expand and nothing wider than the vocabulary ever shuffles.
+  *     The mergeable-sketch twin for approximate type counts at
+  *     extreme cardinality is `pipe_distinct_sketch`.
+  */
+object QueriesPipeline8 extends QueryPack {
+
+  private def q(name: String, oracle: String)(f: Testdata => DataFrame): Q =
+    Q(name, (s: SparkSession, dir: String) => f(Testdata(s, dir)), Some(oracle))
+
+  /** Per-gram source sets over the corpus 3-gram shingles: collect_set
+    * dedups, so no separate DISTINCT pass — ONE gram-keyed exchange
+    * carries both downstream branches (pair counts and per-source
+    * totals share this subtree via ReusedExchange).
+    */
+  private def gramSourceSets(td: Testdata): DataFrame =
+    td.documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+      )).as("gram"))
+      .groupBy(col("gram"))
+      .agg(collect_set(col("source")).as("ss"))
+
+  private val oracleSourceGrams =
+    """g AS (
+      |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s)"""
+      .stripMargin
+
+  /** Cross-source contamination matrix: pairwise 3-gram Jaccard
+    * between sources — the audit a curation run reads to find
+    * look-alike domains before trusting a mixture (DSIR's
+    * selection report surfaces WHERE weight mass lands; this says
+    * WHY: which sources share surface text).
+    */
+  val sourceOverlap: Q = q(
+    "pipe_source_overlap",
+    s"""WITH $oracleSourceGrams,
+       |per AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+       |  ROUND(n_common / (pa.n + pb.n - n_common), 6) AS jaccard
+       |FROM inter
+       |JOIN per pa ON pa.source = src_a
+       |JOIN per pb ON pb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  ) { td =>
+    val sets = gramSourceSets(td)
+    // per-source distinct gram counts, derived from the SAME sets
+    // frame (a gram counts once per source it appears in): a
+    // |sources|-row broadcast side sharing the gram exchange
+    val per = sets.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // i<j pair explode from each gram's source SET (bounded by the
+    // source catalog) — the self-join-free intersection count
+    val pairs = sets
+      .filter(size(col("ss")) >= 2)
+      .withColumn("ss", sort_array(col("ss")))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y ->
+          |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(per.select(col("source").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      // long / long is true division (double) in BOTH engines, on the
+      // same integer operands — IEEE-identical before the round
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-source vocabulary statistics: token/type counts, hapax count
+    * (tokens seen once — the long-tail mass), and type-token ratio —
+    * the lexical-diversity fingerprint next to the per-document
+    * entropy signal.
+    */
+  val vocabStats: Q = q(
+    "pipe_vocab_stats",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  ROUND(COUNT(*) / SUM(c), 6) AS ttr
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+  ) { td =>
+    td.documents
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"))
+      .orderBy("source")
+  }
+
+  override def queries: Seq[Q] = Seq(sourceOverlap, vocabStats)
+}

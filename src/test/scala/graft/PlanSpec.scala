@@ -218,6 +218,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
   }
 
+  test("source overlap rolls up per-gram source sets — no gram self-join") {
+    val p = planOf("pipe_source_overlap")
+    // a gram-keyed self-join would square the hot stop-grams; the set
+    // rollup caps each gram at one row and the only joins left are the
+    // |sources|-row count sides, broadcast
+    assert(!p.contains("SortMergeJoin"), s"gram-sized join side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast:\n$p")
+  }
+
+  test("vocab stats are two stacked aggregations, no join") {
+    val p = planOf("pipe_vocab_stats")
+    assert(!p.contains("Join"), s"vocab stats must not join:\n$p")
+    // (source, token) exchange + the source rollup — nothing wider
+    // than the vocabulary shuffles, and no count_distinct Expand
+    assert(!p.contains("Expand"), s"count_distinct expand crept in:\n$p")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2,
+      s"expected (source,token) + source exchanges, got $hashEx:\n$p")
+  }
+
   test("quantized dot product is one projection after an equi-join") {
     val p = planOf("pipe_embed_quantize")
     assert(!p.contains("CartesianProduct"))
