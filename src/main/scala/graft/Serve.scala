@@ -481,11 +481,29 @@ object Serve {
       env: Option[String]): Seq[(String, String)] =
     env.filter(_.nonEmpty).toSeq.flatMap(_.split(",")).map { pair =>
       val i = pair.indexOf('=')
-      require(i > 0,
+      val k = if (i > 0) pair.take(i).trim else ""
+      require(k.nonEmpty,
         s"OTEL_EXPORTER_OTLP_HEADERS: want k=v[,k=v], got '$pair'")
-      pair.take(i).trim -> java.net.URLDecoder.decode(
-        pair.drop(i + 1).trim, "UTF-8")
+      k -> pctDecode(pair.drop(i + 1).trim)
     }
+
+  /** %XX-only decoding (the OTel env spec percent-encodes values, W3C
+    * baggage-octet style) — NOT URLDecoder, whose form-urlencoded
+    * semantics turn a literal '+' (routine in base64 credentials)
+    * into a space.
+    */
+  private def pctDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
 
   /** `--self-telemetry-endpoint` / `OTEL_EXPORTER_OTLP_ENDPOINT`
     * validation: an http(s) base URL, trailing slashes dropped so the
@@ -652,7 +670,10 @@ object Serve {
     * rewritten mid-boot.
     */
   private[graft] def parseConfig(dataDir: String, args: Seq[String],
-      fileMap: Map[String, Any]): Config = {
+      fileMap: Map[String, Any],
+      // env seam: tests isolate from a host's real
+      // OTEL_EXPORTER_OTLP_ENDPOINT (standard with k8s OTel operators)
+      envGet: String => Option[String] = k => sys.env.get(k)): Config = {
     // strict flag validation — a typo'd flag name or a forgotten value
     // is a STARTUP error (the same philosophy as the policy's agg
     // validation): `--retention-day 30` silently defaulting retention
@@ -816,7 +837,7 @@ object Serve {
           "self_telemetry_endpoint")
           // the reference honors the standard env (cmd/oteldb/main.go:9
           // → go-faster/sdk autootel); flag/file win on conflict
-          .orElse(sys.env.get("OTEL_EXPORTER_OTLP_ENDPOINT")
+          .orElse(envGet("OTEL_EXPORTER_OTLP_ENDPOINT")
             .filter(_.nonEmpty))
           .map(normalizeOtlpEndpoint)
         if (ep.nonEmpty &&

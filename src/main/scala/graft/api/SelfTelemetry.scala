@@ -297,7 +297,10 @@ final class SelfTelemetry(
     * the self-series go quiet.
     */
   def statusJson: String =
-    s"""{"interval_ms":$intervalMs,"instance_id":"$instanceId",""" +
+    // instanceId embeds the hostname — the one free-form string in
+    // the document, escaped like every other API string
+    s"""{"interval_ms":$intervalMs,""" +
+      s""""instance_id":${ApiEncoders.jsonString(instanceId)},""" +
       s""""ticks":${exportedTicks.sum()},""" +
       s""""consecutive_failures":${consecutiveFailures.get()},""" +
       s""""last_success_unix_ms":$lastSuccessMs,""" +

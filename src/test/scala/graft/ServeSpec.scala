@@ -386,23 +386,44 @@ class ServeSpec extends SparkTestBase {
     }
     // exporter endpoint grammar: http(s) base URL, trailing slashes
     // dropped (the /v1/metrics append must never double one); a bare
-    // host is a loud typed error; default None = the own ingest port
-    assert(bare.selfTelemetryEndpoint.isEmpty)
-    assert(Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "1s",
-      "--self-telemetry-endpoint", "http://collector:4318/"))
+    // host is a loud typed error; default None = the own ingest port.
+    // parsed through the env SEAM (noEnv/envOf): a host whose real
+    // OTEL_EXPORTER_OTLP_ENDPOINT is globally set must not leak in
+    val noEnv: String => Option[String] = _ => None
+    def parseIso(args: String*) =
+      Serve.parseConfig("/data", "/data" +: args,
+        Serve.loadFileMap(args), noEnv)
+    assert(parseIso().selfTelemetryEndpoint.isEmpty)
+    assert(parseIso("--self-telemetry", "1s",
+      "--self-telemetry-endpoint", "http://collector:4318/")
       .selfTelemetryEndpoint.contains("http://collector:4318"))
     intercept[IllegalArgumentException] {
-      Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "1s",
-        "--self-telemetry-endpoint", "collector:4318"))
+      parseIso("--self-telemetry", "1s",
+        "--self-telemetry-endpoint", "collector:4318")
     }
-    // OTEL_EXPORTER_OTLP_HEADERS pairs parse, values percent-decoded
-    // (the OTel env spec); a pair without '=' is loud
+    // the standard env is honored (reference parity), flag wins on
+    // conflict
+    val envOf = Map(
+      "OTEL_EXPORTER_OTLP_ENDPOINT" -> "http://env-collector:4318/").get _
+    assert(Serve.parseConfig("/data",
+      Seq("/data", "--self-telemetry", "1s"), Map.empty, envOf)
+      .selfTelemetryEndpoint.contains("http://env-collector:4318"))
+    assert(Serve.parseConfig("/data", Seq("/data", "--self-telemetry", "1s",
+      "--self-telemetry-endpoint", "http://flag:1"), Map.empty, envOf)
+      .selfTelemetryEndpoint.contains("http://flag:1"))
+    // OTEL_EXPORTER_OTLP_HEADERS pairs parse, values %XX-decoded ONLY
+    // (a literal '+', routine in base64 credentials, must survive —
+    // form-urlencoded decoding would turn it into a space); a pair
+    // without '=' or with a blank key is loud
     assert(Serve.otlpHeadersFromEnv(
-      Some("Authorization=Bearer%20tok,x-a=1")) ==
-      Seq("Authorization" -> "Bearer tok", "x-a" -> "1"))
+      Some("Authorization=Basic dXNl+cGFzcw==,x-a=a%2Cb")) ==
+      Seq("Authorization" -> "Basic dXNl+cGFzcw==", "x-a" -> "a,b"))
     assert(Serve.otlpHeadersFromEnv(None).isEmpty)
     intercept[IllegalArgumentException] {
       Serve.otlpHeadersFromEnv(Some("noequals"))
+    }
+    intercept[IllegalArgumentException] {
+      Serve.otlpHeadersFromEnv(Some(" =tok"))
     }
     // a typo'd FLAG NAME is a startup error too — `--retention-day 30`
     // silently defaulting retention off would fill disks
