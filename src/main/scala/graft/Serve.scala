@@ -788,6 +788,10 @@ object Serve {
         basicCfg(s"$prefix-auth-basic").toSeq
       if (cfgs.isEmpty) None else Some(cfgs)
     }
+    // parsed once: the field below and both telemetry-off foot-gun
+    // warnings read the same number
+    val selfTelemetryMsV = cfgStr("--self-telemetry", "self_telemetry")
+      .fold(0L)(parseSelfTelemetry)
     Config(dataDir,
       limits = Admission.LimitsConfig(
         ingestBytesPerSecond =
@@ -809,8 +813,7 @@ object Serve {
       },
       // duration knob: <N>ms|<N>s|<N>m|off (reference
       // OTEL_METRIC_EXPORT_INTERVAL shape), strictly validated
-      selfTelemetryMs = cfgStr("--self-telemetry", "self_telemetry")
-        .fold(0L)(parseSelfTelemetry),
+      selfTelemetryMs = selfTelemetryMsV,
       selfTelemetrySpanEvery = {
         val raw = cfgStr("--self-telemetry-spans", "self_telemetry_spans")
         // explicitly-configured spans with self-telemetry off would be
@@ -818,9 +821,7 @@ object Serve {
         // gRPC-unauth and underivable-credential startup warnings;
         // decided on the PARSED value ("0s"/"0m" are off too, not just
         // the literal "off"/"0" spellings)
-        if (raw.nonEmpty &&
-            cfgStr("--self-telemetry", "self_telemetry")
-              .fold(true)(parseSelfTelemetry(_) == 0L))
+        if (raw.nonEmpty && selfTelemetryMsV == 0L)
           System.err.println("[graft.Serve] WARNING: --self-telemetry-" +
             "spans is set but --self-telemetry is off — no spans (or " +
             "any self-telemetry) will be exported")
@@ -840,9 +841,7 @@ object Serve {
           .orElse(envGet("OTEL_EXPORTER_OTLP_ENDPOINT")
             .filter(_.nonEmpty))
           .map(normalizeOtlpEndpoint)
-        if (ep.nonEmpty &&
-            cfgStr("--self-telemetry", "self_telemetry")
-              .fold(true)(parseSelfTelemetry(_) == 0L))
+        if (ep.nonEmpty && selfTelemetryMsV == 0L)
           System.err.println("[graft.Serve] WARNING: --self-telemetry-" +
             "endpoint is set but --self-telemetry is off — nothing " +
             "will be exported")

@@ -121,13 +121,12 @@ object QueriesPipeline7 extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       bySrc
         .withColumn("src", min(col("source")).over(wAll))
-        .withColumn("nr", sum(col("c")).over(wAll))
-        .withColumn("nt", sum(when(col("source") === col("src"), col("c"))
-          .otherwise(0L)).over(wAll))
-        .groupBy(col("b"), col("nr"), col("nt"))
+        .groupBy(col("b"))
         .agg(sum(col("c")).as("raw_c"),
           sum(when(col("source") === col("src"), col("c")).otherwise(0L))
             .as("tgt_c"))
+        .withColumn("nr", sum(col("raw_c")).over(wAll))
+        .withColumn("nt", sum(col("tgt_c")).over(wAll))
         .select(col("b"), log(
           ((col("tgt_c") + lit(1.0)) * (col("nr") + lit(B))) /
             ((col("raw_c") + lit(1.0)) * (col("nt") + lit(B)))).as("lr"))
