@@ -215,7 +215,8 @@ object ScaleProbe {
       // is bounded by the source catalog (C(|sources|,2) output rows),
       // vocab stats are two stacked aggs — both must grow with the
       // distinct gram/token mass, never with doc pairs
-      for (q <- Seq("pipe_source_overlap", "pipe_vocab_stats") if want(q))
+      for (q <- Seq("pipe_source_overlap", "pipe_source_overlap_sketch",
+          "pipe_vocab_stats") if want(q))
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }

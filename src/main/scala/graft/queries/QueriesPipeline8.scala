@@ -111,6 +111,83 @@ object QueriesPipeline8 extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** MinHash components per source-signature (the sketch twin's
+    * accuracy knob: estimator std ≈ √(J(1−J)/K) ≈ 0.09 at J = 0.5 —
+    * the ranking signal a contamination audit needs; the hash chain is
+    * md5-deterministic, so the oracle reproduces it bit-exactly).
+    */
+  private val K = 32
+
+  /** Sketch twin of [[sourceOverlap]]: per-source K-component MinHash
+    * signatures instead of gram sets — at extreme gram cardinality the
+    * exact matrix's per-gram rollup still moves every distinct gram
+    * once, while this moves K hashes per source, period. Same
+    * estimator family as `pipe_minhash_lsh` (doc-level) lifted to the
+    * corpus level; agreement fraction estimates Jaccard.
+    */
+  val sourceOverlapSketch: Q = q(
+    "pipe_source_overlap_sketch",
+    s"""WITH g AS (
+       |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s),
+       |mh AS (
+       |  SELECT source, seed, MIN(md5(seed || ':' || gram)) AS m
+       |  FROM g CROSS JOIN (SELECT unnest(range($K)) AS seed)
+       |  GROUP BY source, seed),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    COUNT(*) AS agree
+       |  FROM mh a JOIN mh b
+       |    ON a.seed = b.seed AND a.m = b.m AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(agree AS BIGINT) AS agree,
+       |  ROUND(agree / $K, 6) AS est_jaccard
+       |FROM pairs ORDER BY src_a, src_b""".stripMargin
+  ) { td =>
+    // all K seeded minhashes in ONE codegen'd aggregation over the
+    // gram explode (the minhashLsh pattern: min(md5(...)) columns stay
+    // inside whole-stage codegen, where a higher-order transform would
+    // run interpreted at 3× the cpu; duplicates don't move MIN, so no
+    // distinct pass). The corpus lands in ONE parquet partition at
+    // test scale, so the K-hash kernel is explicitly spread across the
+    // cores first — the 5 KB/doc shuffle is noise next to K md5s per
+    // gram on one core (measured 14 s single-task vs sub-second
+    // spread). Then bucket on (seed, m): sources sharing a bucket
+    // agree at that seed, and the i<j pair explode counts agreements
+    // without a signature self-join.
+    val mhAggs = (0 until K).map(k =>
+      min(md5(concat(lit(s"$k:"), col("gram")))).as(s"m$k"))
+    val sig = td.documents
+      // explicit count: a column-only repartition is AQE-coalesced
+      // back to one partition at this byte size, re-serializing the
+      // hash kernel — the partition target here is CORES, not bytes
+      .repartition(32, col("doc_id"))
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+      )).as("gram"))
+      .groupBy(col("source"))
+      .agg(mhAggs.head, mhAggs.tail: _*)
+    sig
+      .select(col("source"), explode(array((0 until K).map(k =>
+        struct(lit(k).as("seed"), col(s"m$k").as("m"))): _*)).as("sm"))
+      .select(col("source"), col("sm.seed").as("seed"), col("sm.m").as("m"))
+      .groupBy(col("seed"), col("m"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y ->
+          |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("agree"))
+      .select(col("src_a"), col("src_b"), col("agree"),
+        round(col("agree") / lit(K), 6).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Per-source vocabulary statistics: token/type counts, hapax count
     * (tokens seen once — the long-tail mass), and type-token ratio —
     * the lexical-diversity fingerprint next to the per-document
@@ -141,5 +218,6 @@ object QueriesPipeline8 extends QueryPack {
       .orderBy("source")
   }
 
-  override def queries: Seq[Q] = Seq(sourceOverlap, vocabStats)
+  override def queries: Seq[Q] =
+    Seq(sourceOverlap, sourceOverlapSketch, vocabStats)
 }

@@ -229,6 +229,15 @@ class PlanSpec extends SparkTestBase {
       s"per-source counts must broadcast:\n$p")
   }
 
+  test("source-overlap sketch: one corpus scan, no signature self-join") {
+    val p = planOf("pipe_source_overlap_sketch")
+    // all K minhashes ride ONE aggregation over one gram explode; the
+    // (seed, m) bucket rollup replaces any signature self-join
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"expected a single corpus scan:\n$p")
+    assert(!p.contains("Join"), s"sketch must not join:\n$p")
+  }
+
   test("vocab stats are two stacked aggregations, no join") {
     val p = planOf("pipe_vocab_stats")
     assert(!p.contains("Join"), s"vocab stats must not join:\n$p")
