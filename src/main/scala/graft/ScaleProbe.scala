@@ -207,7 +207,7 @@ object ScaleProbe {
       // new text-pipeline ops: gram/block shuffles and the chunk
       // explode are linear shapes — growth must track documents
       for (q <- Seq("pipe_substring_dup", "pipe_block_dedup",
-          "pipe_chunk_overlap") if want(q))
+          "pipe_chunk_overlap", "pipe_cdc_dedup") if want(q))
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }

@@ -219,6 +219,95 @@ object QueriesPipeline5 extends QueryPack {
       .orderBy("gram")
   }
 
+  /** CONTENT-DEFINED CHUNKING dedup (FastCDC-family boundary rule at
+    * token granularity): a chunk boundary is declared after token `i`
+    * wherever the rolling 4-token window ending at `i` hashes to a
+    * zero first nibble (p = 1/16 → expected 16-token chunks, the
+    * variable-size counterpart of [[blockDedup]]'s fixed grid). The
+    * point of CDC is SHIFT ROBUSTNESS: boundaries are a function of
+    * local content only, so an insertion re-chunks just the chunk it
+    * lands in, while a fixed 16-token grid shifts every block after
+    * the edit and loses all downstream matches. The chunker itself is
+    * entirely IN-ROW (higher-order filter + slice over the token
+    * array — chunking is per-document by construction, so documents
+    * never shuffle to be chunked); only (digest, n_tok) chunk rows —
+    * KBs per document — reach the two rollup exchanges (corpus-wide
+    * digest counts, then the per-doc duplication report), the same
+    * back end as the fixed-grid pass.
+    */
+  /** The in-row CDC chunker behind [[cdcDedup]]: (doc_id, text) →
+    * one (doc_id, digest, n_tok) row per chunk. Cut positions
+    * (boundary AFTER token i) are i ∈ [4, len−1] where the 4-token
+    * window (i−3..i) hashes to a zero first md5 nibble. The guarded
+    * sequence upper bound keeps sequence() ascending for short docs
+    * (sequence(4, 3) would DESCEND); the `i <= size(t) - 1` predicate
+    * drops the no-op boundary after the final token, which the
+    * oracle's cumulative-sum formulation ignores by construction.
+    * Exposed for CdcChunkingSpec's shift-robustness property.
+    */
+  private[graft] def cdcChunks(documents: DataFrame): DataFrame =
+    documents
+      // no explicit core-spread repartition here (unlike the
+      // pipe_source_overlap_sketch kernel): measured 1.81 s → 2.12 s
+      // steady at sf0.1 WITH one — the chunk rows re-shuffle by digest
+      // right after, so the extra exchange buys nothing the digest
+      // exchange doesn't already provide
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .withColumn("cuts", expr(
+        """filter(sequence(4, greatest(size(t) - 1, 4)),
+          |  i -> i <= size(t) - 1 AND
+          |       substring(md5(array_join(slice(t, i - 3, 4), ' ')), 1, 1) = '0')"""
+          .stripMargin))
+      .withColumn("bounds",
+        expr("concat(array(0), cuts, array(size(t)))"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bounds) - 1),
+          |  j -> slice(t, bounds[j - 1] + 1, bounds[j] - bounds[j - 1]))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"),
+        md5(array_join(col("c"), " ")).as("digest"),
+        size(col("c")).cast("long").as("n_tok"))
+
+  val cdcDedup: Q = q(
+    "pipe_cdc_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i, t[i] AS w,
+      |    CASE WHEN i >= 4 AND i < len(t)
+      |              AND md5(array_to_string(t[i-3:i], ' ')) LIKE '0%'
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+      |chunked AS (
+      |  SELECT doc_id, i, w, COALESCE(SUM(cut) OVER (
+      |    PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM pos),
+      |chunks AS (
+      |  SELECT doc_id, cid, md5(string_agg(w, ' ' ORDER BY i)) AS digest,
+      |    COUNT(*) AS n_tok
+      |  FROM chunked GROUP BY doc_id, cid),
+      |cnt AS (SELECT digest, COUNT(*) AS c FROM chunks GROUP BY digest)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+      |  CAST(MAX(n_tok) AS BIGINT) AS max_chunk_tok
+      |FROM chunks JOIN cnt USING (digest)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { td =>
+    val chunks = cdcChunks(td.documents)
+    val cnt = chunks.groupBy(col("digest")).agg(count(lit(1)).as("c"))
+    chunks.join(cnt, "digest")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        max(col("n_tok")).as("max_chunk_tok"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("(n_dup_chunks * 1000000) div n_chunks").as("dup_ppm"),
+        col("max_chunk_tok"))
+      .orderBy("doc_id")
+  }
+
   /** RAG CHUNKING: overlapping 64-token windows at stride 48 (1/4
     * overlap), each chunk tagged with its geometry and a content
     * digest — the retrieval-corpus preparation step. Pure per-row
@@ -570,7 +659,7 @@ object QueriesPipeline5 extends QueryPack {
   }
 
   override def queries: Seq[Q] =
-    Seq(semDedup, semDedupHier, blockDedup, substringDup, chunkOverlap,
+    Seq(semDedup, semDedupHier, blockDedup, substringDup, cdcDedup, chunkOverlap,
       ivfStats, ivfHierStats, ivfStoredStats, lmPerplexity, distinctSketch,
       distinctSketchBand)
 }

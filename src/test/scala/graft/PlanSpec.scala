@@ -399,4 +399,14 @@ class PlanSpec extends SparkTestBase {
     assert(pw.contains("grcube") && !pw.contains("Generate"),
       s"windowed compare() must also ride the rollup:\n$pw")
   }
+
+  test("CDC chunker is in-row: no Window pass, no cartesian") {
+    val p = planOf("pipe_cdc_dedup")
+    // boundaries are a function of the row's own token array (filter/
+    // slice higher-order exprs), so chunking must never need a
+    // per-position window sort — the document-order Window operator
+    // the oracle's cumulative-sum formulation would imply
+    assert(!p.contains("Window"), s"per-position window crept in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
