@@ -243,16 +243,21 @@ object QueriesPipeline5 extends QueryPack {
     * (sequence(4, 3) would DESCEND); the `i <= size(t) - 1` predicate
     * drops the no-op boundary after the final token, which the
     * oracle's cumulative-sum formulation ignores by construction.
-    * Exposed for CdcChunkingSpec's shift-robustness property.
+    * Exposed for CdcChunkingSpec's shift-robustness property and the
+    * streaming ingest twin (`Streams.cdcChunkDedup`). Every non-`text`
+    * input column is carried through to the chunk rows — pass a
+    * pre-pruned frame (the batch query sends only (doc_id, text)) so
+    * the downstream digest exchange stays as narrow as the carry-set.
     */
-  private[graft] def cdcChunks(documents: DataFrame): DataFrame =
+  private[graft] def cdcChunks(documents: DataFrame): DataFrame = {
+    val carry = documents.columns.filter(_ != "text").map(col).toSeq
     documents
       // no explicit core-spread repartition here (unlike the
       // pipe_source_overlap_sketch kernel): measured 1.81 s → 2.12 s
       // steady at sf0.1 WITH one — the chunk rows re-shuffle by digest
       // right after, so the extra exchange buys nothing the digest
       // exchange doesn't already provide
-      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(carry :+ split(col("text"), " ", -1).as("t"): _*)
       .withColumn("cuts", expr(
         """filter(sequence(4, greatest(size(t) - 1, 4)),
           |  i -> i <= size(t) - 1 AND
@@ -260,13 +265,13 @@ object QueriesPipeline5 extends QueryPack {
           .stripMargin))
       .withColumn("bounds",
         expr("concat(array(0), cuts, array(size(t)))"))
-      .select(col("doc_id"), explode(expr(
+      .select(carry :+ explode(expr(
         """transform(sequence(1, size(bounds) - 1),
           |  j -> slice(t, bounds[j - 1] + 1, bounds[j] - bounds[j - 1]))"""
-          .stripMargin)).as("c"))
-      .select(col("doc_id"),
-        md5(array_join(col("c"), " ")).as("digest"),
-        size(col("c")).cast("long").as("n_tok"))
+          .stripMargin)).as("c"): _*)
+      .select(carry :+ md5(array_join(col("c"), " ")).as("digest")
+        :+ size(col("c")).cast("long").as("n_tok"): _*)
+  }
 
   val cdcDedup: Q = q(
     "pipe_cdc_dedup",
@@ -295,7 +300,7 @@ object QueriesPipeline5 extends QueryPack {
       |FROM chunks JOIN cnt USING (digest)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { td =>
-    val chunks = cdcChunks(td.documents)
+    val chunks = cdcChunks(td.documents.select("doc_id", "text"))
     val cnt = chunks.groupBy(col("digest")).agg(count(lit(1)).as("c"))
     chunks.join(cnt, "digest")
       .groupBy(col("doc_id"))

@@ -354,6 +354,26 @@ object Streams {
       .withColumn("digest", md5(col("text")))
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming CHUNK-level dedup — the ingest-time twin of the batch
+    * `pipe_cdc_dedup` pass, riding the SAME content-defined chunker
+    * (`QueriesPipeline5.cdcChunks`, a stateless in-row projection, so
+    * it streams as-is): each document explodes to its CDC chunks and
+    * only a digest's FIRST sighting within the watermark horizon
+    * survives. The CDC boundary rule is what makes this worth doing at
+    * ingest: a re-crawled document with one edited sentence re-chunks
+    * ONLY the edited region (CdcChunkingSpec's measured property), so
+    * the re-crawl emits a handful of new chunk rows instead of the
+    * whole document — the fixed-grid twin would emit every block after
+    * the edit as "new". State is one digest per distinct chunk inside
+    * the horizon, keyed by digest so it distributes, exactly like
+    * [[docDedup]] one granularity up.
+    */
+  def cdcChunkDedup(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    graft.queries.QueriesPipeline5
+      .cdcChunks(docs.select(col("doc_id"), col("timestamp"), col("text")))
+      .withWatermark("timestamp", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+
   final case class SafeRec(ts_ns: Long, body: String, attrs: Map[String, String])
   final case class SafeIn(ts_ns: Long, body: String,
       attrs: Map[String, String], ets: java.sql.Timestamp)

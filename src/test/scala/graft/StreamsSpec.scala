@@ -545,6 +545,32 @@ class StreamsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("cdcChunkDedup: a re-crawled edit emits only the edited chunks") {
+    val rnd = new scala.util.Random(31)
+    val toks = Vector.fill(300)(s"w${rnd.nextInt(97)}")
+    val edited = (toks.take(150) :+ "EDITED") ++ toks.drop(150)
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "timestamp")
+    val query = Streams.cdcChunkDedup(docs)
+      .writeStream.format("memory").queryName("cdc_chunks")
+      .outputMode("append").start()
+    input.addData((1L, toks.mkString(" "), ts(0)))
+    query.processAllAvailable()
+    val first = spark.table("cdc_chunks").count()
+    // the re-crawl: same document with one token inserted mid-text
+    input.addData((2L, edited.mkString(" "), ts(1)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("cdc_chunks")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(first >= 10L, s"expected ~19 chunks from the 300-token doc, got $first")
+    assert(rows(1L) == first)
+    // CDC shift robustness at ingest: only the edited chunk (and at
+    // most its disturbed neighbors) survives dedup as "new"
+    assert(rows.getOrElse(2L, 0L) <= 5L,
+      s"re-crawl emitted ${rows.getOrElse(2L, 0L)} chunks — the edit should be local")
+  }
+
   test("lastValueState carries per-series state across micro-batches") {
     import graft.streaming.Streams.PointIn
     val input = MemoryStream[PointIn](spark)
