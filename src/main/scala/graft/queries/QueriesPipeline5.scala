@@ -219,22 +219,6 @@ object QueriesPipeline5 extends QueryPack {
       .orderBy("gram")
   }
 
-  /** CONTENT-DEFINED CHUNKING dedup (FastCDC-family boundary rule at
-    * token granularity): a chunk boundary is declared after token `i`
-    * wherever the rolling 4-token window ending at `i` hashes to a
-    * zero first nibble (p = 1/16 → expected 16-token chunks, the
-    * variable-size counterpart of [[blockDedup]]'s fixed grid). The
-    * point of CDC is SHIFT ROBUSTNESS: boundaries are a function of
-    * local content only, so an insertion re-chunks just the chunk it
-    * lands in, while a fixed 16-token grid shifts every block after
-    * the edit and loses all downstream matches. The chunker itself is
-    * entirely IN-ROW (higher-order filter + slice over the token
-    * array — chunking is per-document by construction, so documents
-    * never shuffle to be chunked); only (digest, n_tok) chunk rows —
-    * KBs per document — reach the two rollup exchanges (corpus-wide
-    * digest counts, then the per-doc duplication report), the same
-    * back end as the fixed-grid pass.
-    */
   /** The in-row CDC chunker behind [[cdcDedup]]: (doc_id, text) →
     * one (doc_id, digest, n_tok) row per chunk. Cut positions
     * (boundary AFTER token i) are i ∈ [4, len−1] where the 4-token
@@ -273,6 +257,21 @@ object QueriesPipeline5 extends QueryPack {
         :+ size(col("c")).cast("long").as("n_tok"): _*)
   }
 
+  /** CONTENT-DEFINED CHUNKING dedup (FastCDC-family boundary rule at
+    * token granularity): a chunk boundary is declared after token `i`
+    * wherever the rolling 4-token window ending at `i` hashes to a
+    * zero first nibble (p = 1/16 → expected 16-token chunks, the
+    * variable-size counterpart of [[blockDedup]]'s fixed grid). The
+    * point of CDC is SHIFT ROBUSTNESS: boundaries are a function of
+    * local content only, so an insertion re-chunks just the chunk it
+    * lands in, while a fixed 16-token grid shifts every block after
+    * the edit and loses all downstream matches. The chunker itself is
+    * entirely IN-ROW ([[cdcChunks]] — chunking is per-document by
+    * construction, so documents never shuffle to be chunked); only
+    * (digest, n_tok) chunk rows — KBs per document — reach the two
+    * rollup exchanges (corpus-wide digest counts, then the per-doc
+    * duplication report), the same back end as the fixed-grid pass.
+    */
   val cdcDedup: Q = q(
     "pipe_cdc_dedup",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
