@@ -216,7 +216,7 @@ object ScaleProbe {
       // vocab stats are two stacked aggs — both must grow with the
       // distinct gram/token mass, never with doc pairs
       for (q <- Seq("pipe_source_overlap", "pipe_source_overlap_sketch",
-          "pipe_vocab_stats") if want(q))
+          "pipe_vocab_stats", "pipe_embed_stats") if want(q))
         time3(q, tag) {
           graft.SparkEntry.queries(q)(spark, dir).count()
         }

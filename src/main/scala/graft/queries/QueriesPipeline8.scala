@@ -218,6 +218,62 @@ object QueriesPipeline8 extends QueryPack {
       .orderBy("source")
   }
 
+  /** EMBEDDING-SPACE diagnostics: per-dimension mean and variance of
+    * the corpus embeddings — the audit a pipeline reads before the ANN
+    * family (a far-from-zero mean vector means cosine similarities are
+    * dominated by the common component: center before `pipe_semdedup`/
+    * `pipe_ann_ivf`; a near-zero-variance dimension is dead weight in
+    * every distance call: a candidate for the `pipe_embed_quantize`
+    * trim). Determinism: components are quantized with the TIE-FREE
+    * `floor(x · 10⁴)` (a decimal cast rounds, and a binary float CAN
+    * sit exactly on the half boundary — 2⁻⁵ = 0.03125 — where Spark
+    * and DuckDB tie-break differently), all aggregation happens in
+    * exact integer space, and the single final double formula is
+    * written with the identical operation order on both engines.
+    *
+    * Scale: the (vector × dim) explode never leaves its partition —
+    * the per-dim aggregation is map-side combinable, so each partition
+    * ships D partial rows and the one exchange carries
+    * partitions × D rows, corpus-size-independent. The HOF
+    * alternative (aggregate() over the array, no explode) runs
+    * interpreted — the measured 3× cpu lesson from the overlap sketch
+    * says keep the kernel in codegen'd explode + hash-agg form.
+    */
+  val embedStats: Q = q(
+    "pipe_embed_stats",
+    """WITH comp AS (
+      |  SELECT i - 1 AS dim,
+      |    CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS qv
+      |  FROM (SELECT unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings) u),
+      |per AS (SELECT dim, COUNT(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS ss
+      |        FROM comp GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 6) AS mean,
+      |  ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 100000000.0 -
+      |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0) *
+      |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0), 6) AS variance
+      |FROM per ORDER BY dim""".stripMargin
+  ) { td =>
+    td.embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(10000)).cast("long").as("qv"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qv")).as("s"),
+        sum(col("qv") * col("qv")).as("ss"))
+      .select(col("dim"), col("n").as("n_vecs"),
+        round(col("s").cast("double") / col("n").cast("double") / lit(10000.0), 6)
+          .as("mean"),
+        round(col("ss").cast("double") / col("n").cast("double") / lit(100000000.0) -
+          (col("s").cast("double") / col("n").cast("double") / lit(10000.0)) *
+          (col("s").cast("double") / col("n").cast("double") / lit(10000.0)), 6)
+          .as("variance"))
+      .orderBy("dim")
+  }
+
   override def queries: Seq[Q] =
-    Seq(sourceOverlap, sourceOverlapSketch, vocabStats)
+    Seq(sourceOverlap, sourceOverlapSketch, vocabStats, embedStats)
 }

@@ -400,6 +400,16 @@ class PlanSpec extends SparkTestBase {
       s"windowed compare() must also ride the rollup:\n$pw")
   }
 
+  test("embedding stats: map-side-combinable dim rollup, no join") {
+    val p = planOf("pipe_embed_stats")
+    assert(!p.contains("Join"), s"embed stats must not join:\n$p")
+    // the (vector x dim) explode collapses to D partial rows per
+    // partition BEFORE the exchange (partial_count/partial_sum under
+    // the Generate) — the exchange carries partitions x D rows, never
+    // the exploded component stream
+    assert(p.contains("partial_"), s"partial agg must precede the exchange:\n$p")
+  }
+
   test("CDC chunker is in-row: no Window pass, no cartesian") {
     val p = planOf("pipe_cdc_dedup")
     // boundaries are a function of the row's own token array (filter/
