@@ -169,8 +169,25 @@ object Bench {
     val rawSteady = steadyTags.zip(steady).map { case (tag, xs) =>
       "\"" + tag + "\":" + jmap(xs)
     }.mkString("{", ",", "}")
+    // Per-pass compute/cpu next to the per-pass wall: the r18 driver
+    // adjudication rule reads per-pass columns FIRST (a pass whose
+    // total is inflated, or slow samples coinciding with slow
+    // neighbors inside one pass, is a host window) — wall alone could
+    // not adjudicate a query elevated in all three passes (r18's
+    // pipe_bpe_encode); with compute and cpu per pass the artifact
+    // self-adjudicates: compute up with cpu flat = steal/IO, both up
+    // in one pass only = contention window, both up in all passes =
+    // real work or a serialized kernel.
+    def perPass(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+        unitDiv: Double): String =
+      steadyTags.map { tag =>
+        "\"" + tag + "\":" + jmap(names.map(k =>
+          k -> Option(m.get(s"$tag:$k")).fold(0.0)(_.get() / unitDiv / cpus)))
+      }.mkString("{", ",", "}")
+    val steadyCompute = perPass(groupMs, 1000.0)
+    val steadyCpu = perPass(groupCpuNs, 1e9)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","regime":"steady-state (median of 3 passes, cache/GC hygiene between)","pass1_total":$p1total,"compute_total":$computeTotal,"cpu_total":$cpuTotal,"gc_total":$gcTotal,"queries":$qs,"compute":${jmap(compute)},"cpu":${jmap(cpu)},"gc":${jmap(gc)},"pass1_queries":${jmap(pass1)},"steady_passes":$rawSteady,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","regime":"steady-state (median of 3 passes, cache/GC hygiene between)","pass1_total":$p1total,"compute_total":$computeTotal,"cpu_total":$cpuTotal,"gc_total":$gcTotal,"queries":$qs,"compute":${jmap(compute)},"cpu":${jmap(cpu)},"gc":${jmap(gc)},"pass1_queries":${jmap(pass1)},"steady_passes":$rawSteady,"steady_compute":$steadyCompute,"steady_cpu":$steadyCpu,"sf":"$sfDir"}"""
     println(full)
     // The driver keeps only a 2000-char stdout tail; a 200+-query map
     // (~7 KB) can never fit, so the full per-query timing map also goes
