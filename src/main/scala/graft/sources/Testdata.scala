@@ -58,23 +58,31 @@ object Testdata {
   private def cached(spark: SparkSession, path: String): DataFrame =
     cache.computeIfAbsent((spark, path), { case (s, p) => materialized(s, p) })
 
-  // r8a: the driver regenerated /root/testdata on 2026-08-13 (events.ts
-  // moved from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)); older cached
-  // rewrites hold the previous generation's rows.
-  private val TableCacheVersion = "r8a"
+  // r19a: fact tables re-materialize at CORE-count file fan-out (the
+  // r18-and-earlier byte-derived 4..32 formula left events at 7 files
+  // and documents/embeddings — under its 1 MB floor — at ONE row
+  // group, serializing every scan-fused kernel; measured in
+  // OPTIMIZATION_r19.md). Bump invalidates the old narrower layouts.
+  private val TableCacheVersion = "r19a"
 
   /** Parquet splits are at ROW-GROUP granularity, and the driver's
     * testdata is one row group per table — a scan (and every parser
     * stage fused into it) would run single-threaded no matter the
-    * partition-bytes setting. Tables above ~1 MB are therefore
-    * re-materialized once into a 32-file layout, which is exactly the
+    * partition-bytes setting. Fact tables (≥ ~0.5 MB) are therefore
+    * re-materialized once into a core-count file layout
+    * (defaultParallelism — SPARK_GRAFT_CPUS under the bench contract,
+    * the executor fan-out on a cluster), which is exactly the
     * part-sizing discipline a real inserter applies (the reference's
     * MergeTree parts; SURVEY §4.2) — queries read the stored layout,
     * ingest runs once. Small dims stay single-file (broadcast-sized).
+    * File count targets CORES, not bytes: the heavy per-row kernels
+    * (BPE/CDC/hash featurizers) are compute-bound per byte, and a
+    * byte-derived count left them 1–7-wide on a 32-core machine
+    * (r19 measurements: pipe_bpe_encode 1.5 s single-task → 0.3 s).
     */
   private def materialized(s: SparkSession, p: String): DataFrame = {
     val src = new java.io.File(p)
-    if (!src.isFile || src.length() < 1000000) return s.read.parquet(p)
+    if (!src.isFile || src.length() < 500000) return s.read.parquet(p)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_tables")
     val key = s"g_${p}_$TableCacheVersion".replaceAll("[^A-Za-z0-9._-]", "_")
     val target = new java.io.File(root, key)
@@ -89,10 +97,13 @@ object Testdata {
         })
         val tmp = new java.io.File(root,
           s"$key.tmp.${ProcessHandle.current().pid()}")
-        // part count sized to the table (~256 KB compressed parts,
-        // 4..32): full fan-out for the big scan-heavy tables, but no
-        // 32-task scheduling tax on 2 MB ones
-        val parts = math.max(4, math.min(32, (src.length() / 262144).toInt))
+        // part count = core count: scan parallelism follows file count
+        // (one ~4 MB-charged split per file under the default
+        // openCostInBytes packing), and the kernels fused into these
+        // scans are compute-bound, not byte-bound — measured r19:
+        // byte-derived counts (7-file events, 1-file documents) cost
+        // 2–5× on every scan-stage-heavy query at 32 cores
+        val parts = math.max(4, s.sparkContext.defaultParallelism)
         s.read.parquet(p).repartition(parts)
           .write.mode("overwrite").parquet(tmp.getPath)
         // cross-process race: losing the rename means a complete copy
