@@ -161,8 +161,11 @@ object QueriesPipeline8 extends QueryPack {
     val sig = td.documents
       // explicit count: a column-only repartition is AQE-coalesced
       // back to one partition at this byte size, re-serializing the
-      // hash kernel — the partition target here is CORES, not bytes
-      .repartition(32, col("doc_id"))
+      // hash kernel — the partition target here is CORES, not bytes,
+      // and the count comes from the session (defaultParallelism =
+      // SPARK_GRAFT_CPUS under the bench contract, the real executor
+      // fan-out on a cluster) so the same code spreads anywhere
+      .repartition(td.spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(
