@@ -635,10 +635,12 @@ object Planner {
       scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false,
         boolMod = b)
     case BinOp(op, lhs, rhs, Some(m), b) =>
-      val (pl, pr) = sharedRollup(lhs, rhs, logs, stepNs)
-        .getOrElse((planMetric(lhs, logs, stepNs),
-          planMetric(rhs, logs, stepNs)))
-      VectorMatching.bin(op, pl, pr, m, "bucket_ns", b)
+      selfGroupedBin(op, lhs, rhs, m, b, logs, stepNs).getOrElse {
+        val (pl, pr) = sharedRollup(lhs, rhs, logs, stepNs)
+          .getOrElse((planMetric(lhs, logs, stepNs),
+            planMetric(rhs, logs, stepNs)))
+        VectorMatching.bin(op, pl, pr, m, "bucket_ns", b)
+      }
     case BinOp(op, lhs, rhs, None, boolMod) =>
       val l = planMetric(lhs, logs, stepNs)
         .withColumn("__stream", VectorMatching.streamKey(col("labels")))
@@ -915,6 +917,39 @@ object Planner {
         val fine = planMetric(rhs, logs, stepNs)
         Some((VectorMatching.sumBySeries(fine, byL, "bucket_ns"), fine))
       } else None
+    case _ => None
+  }
+
+  /** Window fusion of the group_left/right shared-operand binop: for
+    * `sum by (a, b) (X) / on(b) group_left sum by (b) (X)` (and the
+    * group_right mirror) the coarse side [[sharedRollup]] would derive
+    * IS the per-(bucket, on-keys) sum of the fine side — so the binop
+    * evaluates as one window aggregate over the fine frame
+    * ([[VectorMatching.binSelfGrouped]]) with no second aggregation,
+    * no broadcast build and no join. Gated exactly like sharedRollup
+    * (same range selection, distributive integral ops) plus: on()
+    * keys must equal the coarse grouping (that is what makes the
+    * window group ≡ the join key) and there must be no include labels
+    * (group_left extras would need the join's label copy).
+    */
+  private def selfGroupedBin(op: String, lhs: MetricExpr, rhs: MetricExpr,
+      m: Ast.VectorMatch, boolMod: Boolean, logs: DataFrame,
+      stepNs: Option[Long]): Option[DataFrame] = (lhs, rhs) match {
+    case (VectorAgg("sum", byL, Nil, None, ra: RangeAgg),
+          VectorAgg("sum", byR, Nil, None, rb: RangeAgg))
+        if ra == rb && distributiveRange(ra.op) &&
+          ra.by.isEmpty && ra.without.isEmpty &&
+          byL.nonEmpty && byR.nonEmpty &&
+          m.on && m.include.isEmpty =>
+      if (m.groupSide.contains("left") && m.labels.toSet == byR.toSet &&
+          byR.toSet.subsetOf(byL.toSet))
+        Some(VectorMatching.binSelfGrouped(op,
+          planMetric(lhs, logs, stepNs), m, "bucket_ns", "left", boolMod))
+      else if (m.groupSide.contains("right") && m.labels.toSet == byL.toSet &&
+          byL.toSet.subsetOf(byR.toSet))
+        Some(VectorMatching.binSelfGrouped(op,
+          planMetric(rhs, logs, stepNs), m, "bucket_ns", "right", boolMod))
+      else None
     case _ => None
   }
 

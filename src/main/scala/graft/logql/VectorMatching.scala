@@ -140,6 +140,34 @@ object VectorMatching {
       }
   }
 
+  /** `many op (sum by (k) (many))` evaluated WITHOUT the join: when
+    * the "one" side would be [[sumBySeries]] of the SAME planned frame
+    * over exactly the on() keys (and there are no include labels), the
+    * one-value every many row joins against is just the sum of its own
+    * (bucket, match-key) group — a window aggregate over the many
+    * frame. The join can never drop rows (each many row contributes to
+    * its own group, so a matching one row always exists) and group_left
+    * keeps the many side's labels unchanged, so result rows are
+    * identical; values re-aggregate bit-exactly under the callers'
+    * gates (integral counts — the sharedRollup distributivity
+    * argument; window and hash-agg sums differ only in addition
+    * order). Plan effect vs the rollup+join: the second aggregation,
+    * the broadcast build and the join disappear — one exchange on
+    * (bucket, key) + WindowExec instead (measured r19: 2 fewer jobs
+    * on the sub-second binop path, where job count IS the wall).
+    */
+  def binSelfGrouped(op: String, many: DataFrame, m: VectorMatch,
+      bucketCol: String, manySide: String,
+      boolMod: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucketCol), matchKey(col("labels"), m))
+    val j = many.withColumn("__ov", sum(col("value")).over(w))
+    val (lv, rv) =
+      if (manySide == "left") (col("value"), col("__ov"))
+      else (col("__ov"), col("value"))
+    finish(op, j, lv, rv, bucketCol, boolMod)
+  }
+
   private def finish(op: String, j: DataFrame, lv: Column, rv: Column,
       bucketCol: String, boolMod: Boolean = false): DataFrame = {
     val v = arith(op, lv, rv)

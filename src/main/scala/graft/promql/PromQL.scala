@@ -1825,18 +1825,46 @@ object PromQL {
       // implementation of the sum-by column logic, so values are
       // bit-identical to the two-plan form while the operand's
       // scan/fan-out subtree exists once in the plan)
-      val (pl, pr) = (lhs, rhs) match {
-        case (_, Agg("sum", by, Seq(), None, None, inner))
-            if by.nonEmpty && inner == lhs =>
-          val l = rec(lhs)
-          (l, graft.logql.VectorMatching.sumBySeries(l, by, "bucket_us"))
-        case (Agg("sum", by, Seq(), None, None, inner), _)
-            if by.nonEmpty && inner == rhs =>
-          val r = rec(rhs)
-          (graft.logql.VectorMatching.sumBySeries(r, by, "bucket_us"), r)
-        case _ => (rec(lhs), rec(rhs))
+      // Window fusion of the rollup+join (the LogQL selfGroupedBin
+      // mirror): with on() == the sum's grouping, group_left and no
+      // include labels, the one-value is the many frame's own
+      // (bucket, key) window sum — no second aggregation, no
+      // broadcast, no join. Gated to integral-valued operands
+      // (count_over_time) so window-vs-hash addition order cannot
+      // move a ulp (the sharedRollup distributivity argument; rates
+      // and arbitrary-double sums stay on the join path).
+      def integralValued(e: Expr): Boolean = e match {
+        case RangeFn("count_over_time", _, _, _, _) => true
+        case RangeSub("count_over_time", _, _, _, _, _) => true
+        case _ => false
       }
-      graft.logql.VectorMatching.bin(op, pl, pr, m, "bucket_us", b)
+      (lhs, rhs) match {
+        case (_, Agg("sum", by, Seq(), None, None, inner))
+            if by.nonEmpty && inner == lhs && integralValued(lhs) &&
+              m.on && m.include.isEmpty && m.groupSide.contains("left") &&
+              m.labels.toSet == by.toSet =>
+          graft.logql.VectorMatching.binSelfGrouped(op, rec(lhs), m,
+            "bucket_us", "left", b)
+        case (Agg("sum", by, Seq(), None, None, inner), _)
+            if by.nonEmpty && inner == rhs && integralValued(rhs) &&
+              m.on && m.include.isEmpty && m.groupSide.contains("right") &&
+              m.labels.toSet == by.toSet =>
+          graft.logql.VectorMatching.binSelfGrouped(op, rec(rhs), m,
+            "bucket_us", "right", b)
+        case _ =>
+          val (pl, pr) = (lhs, rhs) match {
+            case (_, Agg("sum", by, Seq(), None, None, inner))
+                if by.nonEmpty && inner == lhs =>
+              val l = rec(lhs)
+              (l, graft.logql.VectorMatching.sumBySeries(l, by, "bucket_us"))
+            case (Agg("sum", by, Seq(), None, None, inner), _)
+                if by.nonEmpty && inner == rhs =>
+              val r = rec(rhs)
+              (graft.logql.VectorMatching.sumBySeries(r, by, "bucket_us"), r)
+            case _ => (rec(lhs), rec(rhs))
+          }
+          graft.logql.VectorMatching.bin(op, pl, pr, m, "bucket_us", b)
+      }
     case Bin(op @ ("and" | "or" | "unless"), lhs, rhs, None, _) =>
       // full-label-set matching (reference vendored engine set binops)
       graft.logql.VectorMatching.bin(op, rec(lhs), rec(rhs),

@@ -71,10 +71,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
   }
 
-  test("PARSED group_left also broadcasts the one side") {
+  test("PARSED shared-operand group_left fuses to a window — no join at all") {
+    // `sum by (a,b)(X) / on(b) group_left sum by (b)(X)`: the one side
+    // is the many side's own (bucket, on-keys) sum, so the planner
+    // evaluates the binop as ONE window aggregate over the fine frame
+    // (VectorMatching.binSelfGrouped) — the second aggregation, the
+    // broadcast build and the join disappear (r19)
     val p = planOf("logql_e2e_group_left")
-    assert(p.contains("BroadcastHashJoin"),
-      s"VectorMatching must broadcast the one side:\n$p")
+    assert(p.contains("Window"),
+      s"shared-operand group_left must fuse to a window aggregate:\n$p")
+    assert(!p.contains("Join"),
+      s"fused group_left must not build a join:\n$p")
   }
 
   test("sliding step fan-out adds no shuffle beyond the aggregations") {
@@ -372,16 +379,22 @@ class PlanSpec extends SparkTestBase {
       s"volume-served instant must not scan a log line:\n$pi")
   }
 
-  test("group_left binop: the one side re-aggregates the many side's shared subtree") {
-    // the coarse operand is a series-cardinality rollup of the fine
-    // operand; the shared scan+fan-out subtree deduplicates at runtime
-    // — pinned for BOTH planners (LogQL sharedRollup, PromQL's
-    // shared-operand Bin case)
+  test("group_left binop: shared-operand form plans the fine subtree ONCE") {
+    // r19 window fusion: the coarse operand IS the fine operand's
+    // (bucket, on-keys) sum, so the binop is one window aggregate over
+    // the fine frame — the shared subtree exists once in the PLAN
+    // (stronger than the old runtime ReusedExchange dedup of two
+    // aggregations), and no join is built — pinned for BOTH planners
+    // (LogQL selfGroupedBin, PromQL's shared-operand Bin case)
     for (q <- Seq("logql_e2e_group_left", "promql_e2e_group_left")) {
       val p = finalPlanOf(q)
-      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
-        p.contains("TableCacheQueryStage"),
-        s"$q: shared fine-side subtree must be reused, not recomputed:\n$p")
+      assert(p.contains("Window"),
+        s"$q: shared-operand group_left must fuse to a window aggregate:\n$p")
+      assert(!p.contains("Join"),
+        s"$q: fused group_left must not build a join:\n$p")
+      val scans = p.linesIterator.count(_.trim.startsWith("Scan parquet"))
+      assert(scans <= 1,
+        s"$q: the fine subtree must exist once in the plan ($scans scans):\n$p")
     }
   }
 
