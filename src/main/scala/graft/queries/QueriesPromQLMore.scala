@@ -129,8 +129,9 @@ object QueriesPromQLMore extends QueryPack {
   /** Flame-tree merge: stacks (3 levels from lineitem) fold into
     * per-prefix totals — the levels array Pyroscope renders (reference
     * internal/profilestorage/flametree.go + profilehandler.go:164-223).
-    * One aggregation per depth, unioned; at scale each is a partial-agg
-    * groupBy, and the union is append-only.
+    * The depth levels explode in-row from ONE scan (r19; the oracle's
+    * UNION ALL shape reads the table three times), then one partial-agg
+    * groupBy folds all levels at once.
     */
   val flameTree: Q = q(
     "profileql_flame_tree",
@@ -144,15 +145,21 @@ object QueriesPromQLMore extends QueryPack {
        |  FROM lineitem)
        |GROUP BY depth, path ORDER BY depth, path""".stripMargin
   ) { td =>
-    val li = td.lineitem
-    val d1 = li.select(lit(1).as("depth"), col("l_returnflag").as("path"), col("l_quantity"))
-    val d2 = li.select(lit(2).as("depth"),
-      concat_ws(";", col("l_returnflag"), col("l_linestatus")).as("path"), col("l_quantity"))
-    val d3 = li.select(lit(3).as("depth"),
-      concat(col("l_returnflag"), lit(";"), col("l_linestatus"), lit(";p"),
-        (col("l_partkey") % 5).cast("string")).as("path"), col("l_quantity"))
-    d1.unionAll(d2).unionAll(d3)
-      .groupBy(col("depth"), col("path"))
+    // ONE scan: the three prefix levels explode in-row from the same
+    // input row (identical (depth, path, quantity) rows reach the
+    // aggregation as the previous 3-scan unionAll shape, and the
+    // decimal sum is exact so regrouping order cannot move a value) —
+    // the union form scanned lineitem three times for three
+    // projections of the same 4 columns (r19: compute 0.27 → 0.10
+    // isolated, plan 3 scans → 1, same exchange count)
+    td.lineitem.select(col("l_quantity"), explode(array(
+        struct(lit(1).as("depth"), col("l_returnflag").as("path")),
+        struct(lit(2).as("depth"),
+          concat_ws(";", col("l_returnflag"), col("l_linestatus")).as("path")),
+        struct(lit(3).as("depth"),
+          concat(col("l_returnflag"), lit(";"), col("l_linestatus"), lit(";p"),
+            (col("l_partkey") % 5).cast("string")).as("path")))).as("dp"))
+      .groupBy(col("dp.depth").as("depth"), col("dp.path").as("path"))
       .agg(Det.dsum(col("l_quantity")).as("total"), count(lit(1)).as("n"))
       .orderBy("depth", "path")
   }
