@@ -58,12 +58,17 @@ object Testdata {
   private def cached(spark: SparkSession, path: String): DataFrame =
     cache.computeIfAbsent((spark, path), { case (s, p) => materialized(s, p) })
 
-  // r19a: fact tables re-materialize at CORE-count file fan-out (the
-  // r18-and-earlier byte-derived 4..32 formula left events at 7 files
-  // and documents/embeddings — under its 1 MB floor — at ONE row
-  // group, serializing every scan-fused kernel; measured in
-  // OPTIMIZATION_r19.md). Bump invalidates the old narrower layouts.
-  private val TableCacheVersion = "r19a"
+  // r19b: fact tables re-materialize byte-derived with a CORES/4 floor
+  // and a CORES cap. The r18 formula (4..32 at ~256 KB, 1 MB floor)
+  // left documents/embeddings at ONE row group, serializing every
+  // scan-fused kernel (pipe_bpe_encode 1.33 s single-task); the first
+  // r19 attempt (flat CORE-count fan-out for every table) fixed those
+  // but taxed ~50 tiny floor-dominated queries with 32 scan tasks per
+  // stage (bench total 149 → 170 s, measured and REVERTED in
+  // OPTIMIZATION_r19.md). One file is one row group is one task, so
+  // the part count must balance kernel parallelism against the
+  // local per-task dispatch floor. Bump invalidates older layouts.
+  private val TableCacheVersion = "r19b"
 
   /** Parquet splits are at ROW-GROUP granularity, and the driver's
     * testdata is one row group per table — a scan (and every parser
@@ -75,10 +80,14 @@ object Testdata {
     * part-sizing discipline a real inserter applies (the reference's
     * MergeTree parts; SURVEY §4.2) — queries read the stored layout,
     * ingest runs once. Small dims stay single-file (broadcast-sized).
-    * File count targets CORES, not bytes: the heavy per-row kernels
-    * (BPE/CDC/hash featurizers) are compute-bound per byte, and a
-    * byte-derived count left them 1–7-wide on a 32-core machine
-    * (r19 measurements: pipe_bpe_encode 1.5 s single-task → 0.3 s).
+    * File count: byte-derived (~256 KB parts) with a floor of a
+    * QUARTER of the cores and a cap of the core count — the heavy
+    * per-row kernels (BPE/CDC/hash featurizers) are compute-bound per
+    * byte and must never serialize onto one task, but every extra
+    * scan task also costs the local scheduler's per-task dispatch
+    * (r19 measured both failure modes: 1-file documents ran
+    * pipe_bpe_encode 1.33 s single-task; a flat 32-file fan-out for
+    * every table added +20 s across ~50 tiny queries).
     */
   private def materialized(s: SparkSession, p: String): DataFrame = {
     val src = new java.io.File(p)
@@ -97,13 +106,16 @@ object Testdata {
         })
         val tmp = new java.io.File(root,
           s"$key.tmp.${ProcessHandle.current().pid()}")
-        // part count = core count: scan parallelism follows file count
-        // (one ~4 MB-charged split per file under the default
-        // openCostInBytes packing), and the kernels fused into these
-        // scans are compute-bound, not byte-bound — measured r19:
-        // byte-derived counts (7-file events, 1-file documents) cost
-        // 2–5× on every scan-stage-heavy query at 32 cores
-        val parts = math.max(4, s.sparkContext.defaultParallelism)
+        // scan parallelism follows file count exactly (one ~4
+        // MB-charged split per file under the default openCostInBytes
+        // packing), so this IS the task count per scan stage:
+        // byte-derived (~256 KB parts) between cores/4 and cores —
+        // the floor keeps compute-bound kernels off a single task,
+        // the cap keeps tiny queries from paying a full-machine task
+        // dispatch per scan (both failure modes measured, r19)
+        val cores = s.sparkContext.defaultParallelism
+        val parts = math.min(math.max(4, cores),
+          math.max(math.max(4, cores / 4), (src.length() / 262144).toInt))
         s.read.parquet(p).repartition(parts)
           .write.mode("overwrite").parquet(tmp.getPath)
         // cross-process race: losing the rename means a complete copy
