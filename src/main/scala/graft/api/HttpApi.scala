@@ -63,6 +63,11 @@ final class HttpApi(logs: => DataFrame, points: => DataFrame,
     limits: Limits.ResultLimits = Limits.ResultLimits(),
     rules: Seq[graft.promql.Rules.RuleGroup] = Nil,
     cube: => Option[graft.traceql.TraceQL.AttrCube] = None,
+    // tier frames' `__k` column must be the CANONICAL series key —
+    // VectorMatching.streamKey(labels) — as every producer writes it
+    // (statTierChain, the stored sidecar's series_key): the readers
+    // rebuild the label map from it (labelsOfStreamKey) instead of
+    // dragging a map-typed aggregate through every tier merge
     tiers: => Map[Long, DataFrame] = Map.empty,
     logTiers: => Map[Long, DataFrame] = Map.empty,
     generation: () => Long = () => 0L,

@@ -116,10 +116,10 @@ object Discovery {
     filtered
       .withColumn("__sub", aggSubMap(agg))
       .groupBy(VectorMatching.streamKey(col("__sub")).as("__k"))
-      .agg(first(col("__sub")).as("labels"),
-        count(lit(1)).cast("double").as("value"))
+      .agg(count(lit(1)).cast("double").as("value"))
       .orderBy("__k")
-      .select("labels", "value")
+      .select(VectorMatching.labelsOfStreamKey(col("__k")).as("labels"),
+        col("value"))
   }
 
   /** volume_range: [[volume]] bucketed on a step grid — one count
@@ -145,9 +145,10 @@ object Discovery {
       .withColumn("bucket_ns", col("ts_ns") - col("ts_ns") % lit(stepNs))
       .groupBy(col("bucket_ns"),
         VectorMatching.streamKey(col("__sub")).as("__k"))
-      .agg(first(col("__sub")).as("labels"),
-        count(lit(1)).cast("double").as("value"))
+      .agg(count(lit(1)).cast("double").as("value"))
       .orderBy("bucket_ns", "__k")
-      .select("bucket_ns", "labels", "value")
+      .select(col("bucket_ns"),
+        VectorMatching.labelsOfStreamKey(col("__k")).as("labels"),
+        col("value"))
   }
 }

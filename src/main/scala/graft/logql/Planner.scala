@@ -493,8 +493,10 @@ object Planner {
           min_by(col("__v"), col("ts_ns")).as("first_v"),
           max_by(col("__v"), col("ts_ns")).as("last_v"),
           coalesce(sum(when(col("__v") < col("__prev"), col("__prev"))
-            .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"),
-          first(col("__labels")).as("labels"))
+            .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"))
+        // labels from the canonical __stream key, not a first(map)
+        // aggregate (which would demote this agg to SortAggregate)
+        .withColumn("labels", VectorMatching.labelsOfStreamKey(col("__stream")))
         .filter(col("n") >= 2)
       val resultValue = col("last_v") - col("first_v") + col("corr")
       val factor = graft.queries.PromMath.extrapolation(
@@ -565,8 +567,10 @@ object Planner {
         case other => throw new IllegalArgumentException(s"range op $other")
       }
       base.groupBy(col("bucket_ns"), col("__stream"))
-        .agg(value.as("value"), first(col("__labels")).as("labels"))
-        .select(col("bucket_ns"), col("labels"), col("value"))
+        .agg(value.as("value"))
+        .select(col("bucket_ns"),
+          VectorMatching.labelsOfStreamKey(col("__stream")).as("labels"),
+          col("value"))
 
     case VectorAgg(op, by, without, k, inner) =>
       val in = planMetric(inner, logs, stepNs)
@@ -597,9 +601,14 @@ object Planner {
             case "stddev" => stddev_pop(col("value"))
             case "stdvar" => var_pop(col("value"))
           }
+          // labels rebuilt from the canonical __stream key instead of
+          // a first(map) aggregate: the map-typed buffer would demote
+          // the agg to SortAggregate (VectorMatching.labelsOfStreamKey)
           grouped.groupBy(col("bucket_ns"), col("__stream"))
-            .agg(agged.as("value"), first(col("labels")).as("labels"))
-            .select(col("bucket_ns"), col("labels"), col("value"))
+            .agg(agged.as("value"))
+            .select(col("bucket_ns"),
+              VectorMatching.labelsOfStreamKey(col("__stream")).as("labels"),
+              col("value"))
         case "topk" | "bottomk" =>
           // ranked WITHIN the by()/without() group, FULL series labels
           // kept (upstream vector_agg topk — the same semantics the
@@ -635,12 +644,14 @@ object Planner {
       scalarBin(op, lit(v), planMetric(lhs, logs, stepNs), scalarLeft = false,
         boolMod = b)
     case BinOp(op, lhs, rhs, Some(m), b) =>
-      selfGroupedBin(op, lhs, rhs, m, b, logs, stepNs).getOrElse {
-        val (pl, pr) = sharedRollup(lhs, rhs, logs, stepNs)
-          .getOrElse((planMetric(lhs, logs, stepNs),
-            planMetric(rhs, logs, stepNs)))
-        VectorMatching.bin(op, pl, pr, m, "bucket_ns", b)
-      }
+      selfGroupedBin(op, lhs, rhs, m, b, logs, stepNs)
+        .orElse(condBin(op, lhs, rhs, m, b, logs, stepNs))
+        .getOrElse {
+          val (pl, pr) = sharedRollup(lhs, rhs, logs, stepNs)
+            .getOrElse((planMetric(lhs, logs, stepNs),
+              planMetric(rhs, logs, stepNs)))
+          VectorMatching.bin(op, pl, pr, m, "bucket_ns", b)
+        }
     case BinOp(op, lhs, rhs, None, boolMod) =>
       val l = planMetric(lhs, logs, stepNs)
         .withColumn("__stream", VectorMatching.streamKey(col("labels")))
@@ -759,8 +770,11 @@ object Planner {
       prev = prev.groupBy(col("__k"),
         (col("__end") + pmod(lit(i) - pmod(col("__end"), lit(i)), lit(i)))
           .as("__end"))
-        .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"),
-          first(col("labels")).as("labels"))
+        .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"))
+        // __k IS the canonical streamKey (the stored series_key) —
+        // rebuild labels from it instead of a first(map) aggregate,
+        // which demotes the rollup to SortAggregate
+        .withColumn("labels", VectorMatching.labelsOfStreamKey(col("__k")))
       out(i) = prev
     }
     out.toMap
@@ -856,9 +870,10 @@ object Planner {
           .withColumn("__labels", volumeGroupedLabels(sumBy))
           .groupBy(col("bucket_ns"),
             VectorMatching.streamKey(col("__labels")).as("__s"))
-          .agg(volumeValue(ra.op, rangeNs).as("value"),
-            first(col("__labels")).as("labels"))
-          .select(col("bucket_ns"), col("labels"), col("value"))
+          .agg(volumeValue(ra.op, rangeNs).as("value"))
+          .select(col("bucket_ns"),
+            VectorMatching.labelsOfStreamKey(col("__s")).as("labels"),
+            col("value"))
       }
     }
   }
@@ -879,9 +894,9 @@ object Planner {
           .filter(col("__end") > end - ra.rangeNs && col("__end") <= end)
           .withColumn("__labels", volumeGroupedLabels(sumBy))
           .groupBy(VectorMatching.streamKey(col("__labels")).as("__s"))
-          .agg(volumeValue(ra.op, ra.rangeNs).as("value"),
-            first(col("__labels")).as("labels"))
-          .select(col("labels"), col("value"))
+          .agg(volumeValue(ra.op, ra.rangeNs).as("value"))
+          .select(VectorMatching.labelsOfStreamKey(col("__s")).as("labels"),
+            col("value"))
       }
     }
   }
@@ -950,6 +965,79 @@ object Planner {
         Some(VectorMatching.binSelfGrouped(op,
           planMetric(rhs, logs, stepNs), m, "bucket_ns", "right", boolMod))
       else None
+    case _ => None
+  }
+
+  /** Conditional-aggregation fusion of the 1:1 on() binop whose two
+    * operands differ ONLY in selector matchers, one a superset of the
+    * other: `sum by (k)(count_over_time({A,B}[r])) / on(k) sum by
+    * (k)(count_over_time({A}[r]))`. The strict side's samples are a
+    * matcher-defined SUBSET of the weak side's, so one scan of the
+    * weak selector computes both operands as conditional aggregates in
+    * ONE (bucket, k) aggregation — the second scan, its aggregation
+    * pipeline and the join all disappear (measured r19:
+    * logql_e2e_binop_on 2.0 → 0.4 s isolated, 7 jobs → 3). Gates:
+    * distributive integral ops (conditional counts regroup exactly —
+    * the sharedRollup argument), stage-less selectors (extra matchers
+    * are STREAM-label predicates; with no stages ctx.labelsCol IS the
+    * stream labels the matcher semantics apply to), identical
+    * range/offset, byL == byR == on() keys, no group modifier, not a
+    * set op. Rows match the join exactly: a (bucket, k) group exists
+    * on the weak side whenever any sample exists, and the strict
+    * side's row exists iff its conditional presence count is ≥ 1 —
+    * the 1:1 inner-join semantics; both sides aggregate to exactly the
+    * on() label set either way.
+    */
+  private def condBin(op: String, lhs: MetricExpr, rhs: MetricExpr,
+      m: Ast.VectorMatch, boolMod: Boolean, logs: DataFrame,
+      stepNs: Option[Long]): Option[DataFrame] = (lhs, rhs) match {
+    case (VectorAgg("sum", byL, Nil, None,
+            RangeAgg(opL, qL, rL, oL, _, Nil, Nil)),
+          VectorAgg("sum", byR, Nil, None,
+            RangeAgg(opR, qR, rR, oR, _, Nil, Nil)))
+        if opL == opR && distributiveRange(opL) && rL == rR && oL == oR &&
+          qL.stages.isEmpty && qR.stages.isEmpty &&
+          byL.toSet == byR.toSet && byL.nonEmpty &&
+          m.on && m.include.isEmpty && m.groupSide.isEmpty &&
+          m.labels.toSet == byL.toSet &&
+          !Set("and", "or", "unless")(op) &&
+          (qR.matchers.toSet.subsetOf(qL.matchers.toSet) ||
+            qL.matchers.toSet.subsetOf(qR.matchers.toSet)) =>
+      val lStrict = qR.matchers.toSet.subsetOf(qL.matchers.toSet)
+      val (strictQ, weakQ) = if (lStrict) (qL, qR) else (qR, qL)
+      val extra = strictQ.matchers.filterNot(weakQ.matchers.toSet)
+      val ctx = evalLog(weakQ, logs)
+      val resolve = (k: String) => element_at(ctx.labelsCol, k)
+      val flag = extra.map(matcherCol(_, resolve))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val byArr = array(byL.map(lit): _*)
+      val groupedLabels =
+        map_filter(ctx.labelsCol, (key, _) => array_contains(byArr, key))
+      val bucketed = stepNs match {
+        case Some(st) => stepFanout(ctx.df, "ts_ns", st, rL, oL, "bucket_ns")
+        case None =>
+          val shifted = col("ts_ns") + lit(oL)
+          ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rL)))
+      }
+      // integral LONG accumulation, ONE cast to double — the same
+      // integer the two-plan form reaches via per-stream counts summed
+      // as integral doubles, so values are bit-identical
+      def v(cond: Column): Column = opL match {
+        case "count_over_time" => sum(when(cond, 1L)).cast("double")
+        case "bytes_over_time" =>
+          sum(when(cond, length(col("body")).cast("long"))).cast("double")
+      }
+      val agged = bucketed
+        .withColumn("__stream", VectorMatching.streamKey(groupedLabels))
+        .withColumn("__flag", flag)
+        .groupBy(col("bucket_ns"), col("__stream"))
+        .agg(v(col("__flag")).as("__sv"), v(lit(true)).as("__wv"),
+          count(when(col("__flag"), 1)).as("__sn"))
+        .filter(col("__sn") >= 1)
+        .withColumn("labels", VectorMatching.labelsOfStreamKey(col("__stream")))
+      val (lv, rv) =
+        if (lStrict) (col("__sv"), col("__wv")) else (col("__wv"), col("__sv"))
+      Some(VectorMatching.finish(op, agged, lv, rv, "bucket_ns", boolMod))
     case _ => None
   }
 

@@ -29,6 +29,26 @@ object VectorMatching {
   def streamKey(labels: Column): Column =
     to_json(array_sort(map_entries(labels)))
 
+  /** The label map rebuilt from its [[streamKey]] — bit-exact inverse
+    * (to_json/from_json round-trip string entries losslessly; the map
+    * comes back in canonical sorted-entry order). Aggregations that
+    * group on `__stream` use this INSTEAD of carrying the map through
+    * a `first(labels)` aggregate: a map-typed aggregation buffer is
+    * not hash-aggregable, so `first(map)` silently demotes the whole
+    * aggregation to SortAggregate — a per-partition O(n log n) sort
+    * outside whole-stage codegen on EVERY vector-agg path (r19; the
+    * rebuild runs once per output group, the demoted sort ran over
+    * every input row).
+    */
+  def labelsOfStreamKey(key: Column): Column =
+    map_from_entries(from_json(key,
+      org.apache.spark.sql.types.DataTypes.createArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))))
+
   /** `sum by (keep)` over an already-planned series frame — the ONE
     * shared implementation behind the planners' shared-operand binop
     * rollups (LogQL `sharedRollup`, PromQL's Bin sumBy). It mirrors
@@ -44,8 +64,9 @@ object VectorMatching {
         map_filter(col("labels"), (k, _) => k.isin(keep: _*)))
       .withColumn("__stream", streamKey(col("labels")))
       .groupBy(col(bucketCol), col("__stream"))
-      .agg(sum(col("value")).as("value"), first(col("labels")).as("labels"))
-      .select(col(bucketCol), col("labels"), col("value"))
+      .agg(sum(col("value")).as("value"))
+      .select(col(bucketCol),
+        labelsOfStreamKey(col("__stream")).as("labels"), col("value"))
 
   private def filteredLabels(labels: Column, m: VectorMatch): Column = {
     val arr = array(m.labels.map(lit): _*)
@@ -168,7 +189,7 @@ object VectorMatching {
     finish(op, j, lv, rv, bucketCol, boolMod)
   }
 
-  private def finish(op: String, j: DataFrame, lv: Column, rv: Column,
+  private[logql] def finish(op: String, j: DataFrame, lv: Column, rv: Column,
       bucketCol: String, boolMod: Boolean = false): DataFrame = {
     val v = arith(op, lv, rv)
     if (cmpOps(op) && boolMod)

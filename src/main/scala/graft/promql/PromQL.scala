@@ -600,6 +600,17 @@ object PromQL {
 
   private def streamKey: Column = graft.logql.VectorMatching.streamKey(col("labels"))
 
+  /** Labels rebuilt from a canonical stream-key group column — every
+    * aggregation below groups on a full-label [[streamKey]] (or a
+    * filtered-label one it then reports), so carrying the map through a
+    * `first(labels)` aggregate only forced the whole aggregation onto
+    * SortAggregate (map buffers are not hash-aggregable); the rebuild
+    * runs once per output group instead (r19,
+    * [[graft.logql.VectorMatching.labelsOfStreamKey]]).
+    */
+  private def lblOf(key: Column): Column =
+    graft.logql.VectorMatching.labelsOfStreamKey(key)
+
   /** Metadata-endpoint selector: `name{m...}` / `{m...}` → filtered
     * points (reference promhandler.go:72-281 series/labels matchers).
     */
@@ -816,14 +827,16 @@ object PromQL {
       .filter(!isnan(col("value"))) // stale markers never enter a tier
       .select(col("name"), streamKey.as("__k"), col("labels"),
         (col("ts_us") - 1).as("__t"), col("value"))
-    val aggs = RollupTiers.statAggs(col("value")) :+ first(col("labels")).as("labels")
+    val aggs = RollupTiers.statAggs(col("value"))
     var prev = base.groupBy(col("name"), col("__k"),
       bucket(col("__t"), sorted.head).as("__t")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("labels", lblOf(col("__k")))
     val out = scala.collection.mutable.Map(sorted.head -> prev)
     for (i <- sorted.tail) {
-      val maggs = RollupTiers.mergeAggs :+ first(col("labels")).as("labels")
+      val maggs = RollupTiers.mergeAggs
       prev = prev.groupBy(col("name"), col("__k"),
         bucket(col("__t"), i).as("__t")).agg(maggs.head, maggs.tail: _*)
+        .withColumn("labels", lblOf(col("__k")))
       out(i) = prev
     }
     out.toMap.map { case (i, df) =>
@@ -872,8 +885,9 @@ object PromQL {
             .filter(selCol(sel))
             .filter(col("__end") > end - rangeUs && col("__end") <= end)
             .groupBy(col("__k"))
-            .agg(v.as("value"), first(col("labels")).as("labels"))
-            .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+            .agg(v.as("value"))
+            .select(lit(evalTsUs).as("ts_us"),
+              lblOf(col("__k")).as("labels"), col("value"))
         }
       case _ => None
     }
@@ -943,8 +957,8 @@ object PromQL {
               t => t < col("__end") + lit(offsetUs + rangeUs) &&
                 t <= lit(endUs))))
             .groupBy(col("ts_us"), col("__k"))
-            .agg(v.as("value"), first(col("labels")).as("labels"))
-            .select(col("ts_us"), col("labels"), col("value"))
+            .agg(v.as("value"))
+            .select(col("ts_us"), lblOf(col("__k")).as("labels"), col("value"))
         }
       case _ => None
     }
@@ -996,8 +1010,7 @@ object PromQL {
       i
     }
     val out = scala.collection.mutable.Map(HourUs -> hourly)
-    val maggs = graft.sources.RollupTiers.mergeAggs :+
-      first(col("labels")).as("labels")
+    val maggs = graft.sources.RollupTiers.mergeAggs
     var prev = hourly
     for (i <- chain) {
       // end-labeled re-bucket: fine end e folds into the coarse bucket
@@ -1005,6 +1018,7 @@ object PromQL {
       prev = prev.groupBy(col("name"), col("__k"),
         (col("__end") + pmod(lit(i) - pmod(col("__end"), lit(i)), lit(i)))
           .as("__end")).agg(maggs.head, maggs.tail: _*)
+        .withColumn("labels", lblOf(col("__k")))
       out(i) = prev
     }
     out.toMap
@@ -1052,8 +1066,9 @@ object PromQL {
         .withColumnRenamed("bucket_us", "ts_us")
         .withColumn("__stream", streamKey)
         .groupBy(col("__stream"))
-        .agg(v.as("value"), first(col("labels")).as("labels"))
-        .select(lit(evalTsUs).as("ts_us"), col("labels"), col("value"))
+        .agg(v.as("value"))
+        .select(lit(evalTsUs).as("ts_us"),
+          lblOf(col("__stream")).as("labels"), col("value"))
     case _ =>
       // The single-shift path (one scan, one window alignment) covers
       // expressions whose every leaf is a range fn with one shared
@@ -1374,11 +1389,11 @@ object PromQL {
       // sums, matching window sum()'s null-skipping.
       val packed = hist
         .groupBy(col("ts_us"), col("name"), col("__k"))
-        .agg(first(col("labels")).as("labels"),
-          sort_array(collect_list(struct(
+        .agg(sort_array(collect_list(struct(
             coalesce(col("bucket_idx"), lit(Int.MinValue)).as("bi"),
             col("mapping").as("m"), col("scale").as("s"),
             col("value").as("v"), col("bucket_idx").as("bir")))).as("bs"))
+        .withColumn("labels", lblOf(col("__k")))
       val expanded = packed.select(col("ts_us"), col("name"), col("labels"),
         explode(expr(
           """concat(
@@ -1486,8 +1501,8 @@ object PromQL {
               min_by(col("value"), col("ts_us")).as("first_v"),
               max_by(col("value"), col("ts_us")).as("last_v"),
               coalesce(sum(when(col("value") < col("__prev"), col("__prev"))
-                .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"),
-              first(col("labels")).as("labels"))
+                .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"))
+            .withColumn("labels", lblOf(col("__stream")))
             .filter(col("n") >= 2)
           val isGauge = fn == "delta"
           val resultValue =
@@ -1524,8 +1539,8 @@ object PromQL {
               coalesce(sum(when(col("value") =!= col("__prev"), 1L)), lit(0L))
                 .as("n_changes"),
               max_by(col("value"), col("ts_us")).as("last_v"),
-              max_by(col("__prev"), col("ts_us")).as("penult_v"),
-              first(col("labels")).as("labels"))
+              max_by(col("__prev"), col("ts_us")).as("penult_v"))
+            .withColumn("labels", lblOf(col("__stream")))
           val out = fn match {
             case "resets"  => st.withColumn("value", col("n_resets").cast("double"))
             case "changes" => st.withColumn("value", col("n_changes").cast("double"))
@@ -1558,8 +1573,8 @@ object PromQL {
               sum(col("__t")).as("s_t"),
               sum(col("__v")).as("s_v"),
               sum(col("__t") * col("__v")).as("s_tv"),
-              sum(col("__t") * col("__t")).as("s_tt"),
-              first(col("labels")).as("labels"))
+              sum(col("__t") * col("__t")).as("s_tt"))
+            .withColumn("labels", lblOf(col("__stream")))
             .filter(col("n") >= 2)
           // Each Σ is exact decimal (order-free); the combination runs in
           // DOUBLE on identical operands, so any engine mirroring this
@@ -1592,9 +1607,9 @@ object PromQL {
           live
             .withColumn("__med", percentile(col("value"), lit(0.5)).over(wMed))
             .groupBy(col("__stream"), col("bucket_us"))
-            .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("value"),
-              first(col("labels")).as("labels"))
-            .select(col("bucket_us"), col("labels"), col("value"))
+            .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("value"))
+            .select(col("bucket_us"),
+              lblOf(col("__stream")).as("labels"), col("value"))
 
         case "holt_winters" | "double_exponential_smoothing" =>
           // Double exponential smoothing (upstream funcHoltWinters):
@@ -1623,8 +1638,8 @@ object PromQL {
             .groupBy(col("__stream"), col("bucket_us"))
             .agg(
               array_sort(collect_list(struct(col("ts_us"), col("value"))))
-                .as("__pts"),
-              first(col("labels")).as("labels"))
+                .as("__pts"))
+            .withColumn("labels", lblOf(col("__stream")))
             .filter(size(col("__pts")) >= 2)
             .withColumn("value", expr(
               s"""aggregate(
@@ -1660,8 +1675,9 @@ object PromQL {
                  "ts_of_last_over_time" => tsOfAgg(fn)
           }
           base.groupBy(col("__stream"), col("bucket_us"))
-            .agg(v.as("value"), first(col("labels")).as("labels"))
-            .select(col("bucket_us"), col("labels"), col("value"))
+            .agg(v.as("value"))
+            .select(col("bucket_us"),
+              lblOf(col("__stream")).as("labels"), col("value"))
       }
 
     case At(inner, tUs) =>
@@ -1783,8 +1799,9 @@ object PromQL {
             case "quantile" => promPercentile(col("value"), param.getOrElse(0.5))
           }
           g.groupBy(col("bucket_us"), col("__stream"))
-            .agg(v.as("value"), first(col("labels")).as("labels"))
-            .select(col("bucket_us"), col("labels"), col("value"))
+            .agg(v.as("value"))
+            .select(col("bucket_us"),
+              lblOf(col("__stream")).as("labels"), col("value"))
       }
 
     case Bin(op, ScalarLit(v), rhs, _, b) =>
@@ -1926,8 +1943,9 @@ object PromQL {
       val v = overTimeAgg(fn, param).getOrElse(
         throw new IllegalArgumentException(s"$fn over a subquery is unsupported"))
       base.groupBy(col("__stream"), col("bucket_us"))
-        .agg(v.as("value"), first(col("labels")).as("labels"))
-        .select(col("bucket_us"), col("labels"), col("value"))
+        .agg(v.as("value"))
+        .select(col("bucket_us"),
+          lblOf(col("__stream")).as("labels"), col("value"))
 
     case FnCall("absent", Instant(sel, off), _, _) =>
       // absent(v) on the step grid: a 1-valued empty-label sample at
@@ -1977,8 +1995,9 @@ object PromQL {
         .withColumn("__stream", streamKey)
         .groupBy(col("__stream"), col("bucket_us"))
         .agg(((max(col("ts_us")) - lit(offsetNs / 1000)).cast("double") / 1e6)
-          .as("value"), first(col("labels")).as("labels"))
-        .select(col("bucket_us"), col("labels"), col("value"))
+          .as("value"))
+        .select(col("bucket_us"),
+          lblOf(col("__stream")).as("labels"), col("value"))
 
     case FnCall(fn, inner, nums, strs) =>
       val in = rec(inner)
@@ -2084,8 +2103,9 @@ object PromQL {
           .withColumn("labels", map_filter(col("labels"), (k, _) => k =!= "le"))
           .withColumn("__g", to_json(array_sort(map_entries(col("labels")))))
           .groupBy(col("bucket_us"), col("__g"))
-          .agg(first(col("labels")).as("labels"))
-          .select(col("bucket_us"), col("labels"), lit(inf).as("value"))
+          .agg(count(lit(1)).as("__n"))
+          .select(col("bucket_us"),
+            lblOf(col("__g")).as("labels"), lit(inf).as("value"))
       }
       // non-bucket series (plain samples, the expanded native-histogram
       // sum series) are ignored, as upstream bucketQuantile does
@@ -2264,9 +2284,9 @@ object PromQL {
           s => s < col("ts_us") + lit(lookUs))))
         .withColumn("__stream", streamKey)
         .groupBy(col("__stream"), col("bucket_us"))
-        .agg(max_by(col("value"), col("ts_us")).as("value"),
-          first(col("labels")).as("labels"))
-        .select(col("bucket_us"), col("labels"), col("value"))
+        .agg(max_by(col("value"), col("ts_us")).as("value"))
+        .select(col("bucket_us"),
+          lblOf(col("__stream")).as("labels"), col("value"))
 
     case ScalarLit(v) =>
       // a bare scalar range query evaluates the constant at every step
@@ -2301,8 +2321,8 @@ object PromQL {
         max(when(col("__rn") === 1, col("value"))).as("last_v"),
         max(when(col("__rn") === 2, col("value"))).as("prev_v"),
         ((max(when(col("__rn") === 1, col("ts_us")))
-          - max(when(col("__rn") === 2, col("ts_us")))).cast("double") / 1e6).as("dt"),
-        first(col("labels")).as("labels"))
+          - max(when(col("__rn") === 2, col("ts_us")))).cast("double") / 1e6).as("dt"))
+      .withColumn("labels", lblOf(col("__stream")))
       // dt == 0 (duplicate timestamps) → no point, matching upstream
       // funcIrate's skip of zero-interval pairs, not Infinity/NaN
       .filter(col("prev_v").isNotNull && col("dt") > 0)

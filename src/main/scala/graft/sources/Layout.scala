@@ -546,8 +546,9 @@ object Layout {
     * tier stats' own lossless fold ([[RollupTiers.mergeAggs]]: counts
     * and decimal-exact sums add, min/max combine), so a tier read off
     * the compacted partition is bit-equal to one off the partials. One
-    * row per (series, hour) afterwards; labels are per-series constant
-    * so `first` is exact.
+    * row per (series, hour) afterwards; labels rebuild exactly from
+    * the canonical series_key (no map-typed aggregate, so the merge
+    * stays hash-aggregable).
     */
   def compactRollupPartition(spark: SparkSession, root: String,
       date: String, targetFileBytes: Long = 128L * 1024 * 1024,
@@ -556,11 +557,12 @@ object Layout {
       Seq("name", "series_key", "hour_start"), targetFileBytes,
       include = include,
       transform = { df =>
-        val aggs = RollupTiers.mergeAggs ++ Seq(
-          first(col("labels")).as("labels"))
+        val aggs = RollupTiers.mergeAggs
         df.groupBy(col("hour_start"), col("name"), col("series_key"))
           .agg(aggs.head, aggs.tail: _*)
           .withColumn("sum_v", col("sum_dec").cast("double"))
+          .withColumn("labels", graft.logql.VectorMatching
+            .labelsOfStreamKey(col("series_key")))
           .select(df.columns.map(col).toIndexedSeq: _*)
       })
 
@@ -621,11 +623,13 @@ object Layout {
         // merge partials to one row per bucket first: poison in ANY
         // partial of a bucket poisons the merged row, so detection
         // must run on the merged view (same fold as compaction)
-        val aggs = RollupTiers.mergeAggs :+ first(col("labels")).as("labels")
+        val aggs = RollupTiers.mergeAggs
         val merged = df
           .groupBy(col("hour_start"), col("name"), col("series_key"))
           .agg(aggs.head, aggs.tail: _*)
           .withColumn("sum_v", col("sum_dec").cast("double"))
+          .withColumn("labels", graft.logql.VectorMatching
+            .labelsOfStreamKey(col("series_key")))
         val badKeys = merged.filter(poison)
           .select(col("hour_start"), col("name"), col("series_key"))
         // left-open (s, s+1h] buckets: the raw span is (lo, hi] — the
@@ -659,8 +663,9 @@ object Layout {
       include = include,
       transform = { df =>
         df.groupBy(col("hour_start"), col("series_key"))
-          .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"),
-            first(col("labels")).as("labels"))
+          .agg(sum(col("n")).as("n"), sum(col("bytes")).as("bytes"))
+          .withColumn("labels", graft.logql.VectorMatching
+            .labelsOfStreamKey(col("series_key")))
           .select(df.columns.map(col).toIndexedSeq: _*)
       })
 

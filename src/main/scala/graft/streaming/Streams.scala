@@ -240,16 +240,15 @@ object Streams {
     * (t−range, t] with aligned t is an exact union of left-open
     * buckets; a boundary sample at exactly s+1h must count toward the
     * window ending there, which a left-closed floor would misfile.
-    * The row carries the series label map (one `first` per partial)
-    * so tier answers render Prom envelopes without a join back to raw
-    * points.
+    * The row carries the series label map (rebuilt from the canonical
+    * series_key) so tier answers render Prom envelopes without a join
+    * back to raw points.
     */
   def hourlyStatPartials(batch: DataFrame): DataFrame = {
     val HourUs = 3600000000L
     // the SAME mergeable stat columns the batch tier chain maintains
     // (graft.sources.RollupTiers); sum_v stays for direct readers
-    val aggs = graft.sources.RollupTiers.statAggs(col("value")) :+
-      first(col("labels")).as("labels")
+    val aggs = graft.sources.RollupTiers.statAggs(col("value"))
     batch
       // stale markers never enter a tier (same invariant as the batch
       // statTierChain): a Prometheus stale NaN would over-count n,
@@ -268,7 +267,12 @@ object Streams {
       .select(timestamp_micros(col("__s")).as("hour_start"), col("name"),
         col("series_key"), col("n"), col("sum_dec"),
         col("sum_dec").cast("double").as("sum_v"), col("min_v"),
-        col("max_v"), col("labels"))
+        col("max_v"),
+        // labels rebuilt from the canonical series_key (its exact
+        // inverse) — a first(map) aggregate would demote the whole
+        // partial rollup to SortAggregate
+        graft.logql.VectorMatching.labelsOfStreamKey(col("series_key"))
+          .as("labels"))
   }
 
   /** Ingest-time LOG-VOLUME rollup partials — the maintained table the
@@ -302,10 +306,11 @@ object Streams {
       .groupBy(col("__s"),
         graft.logql.VectorMatching.streamKey(col("__labels")).as("series_key"))
       .agg(count(lit(1)).as("n"),
-        sum(length(col("body")).cast("long")).as("bytes"),
-        first(col("__labels")).as("labels"))
+        sum(length(col("body")).cast("long")).as("bytes"))
       .select(timestamp_micros(expr("__s div 1000")).as("hour_start"),
-        col("series_key"), col("n"), col("bytes"), col("labels"))
+        col("series_key"), col("n"), col("bytes"),
+        graft.logql.VectorMatching.labelsOfStreamKey(col("series_key"))
+          .as("labels"))
   }
 
   /** Streaming SESSIONIZATION: events collapse into per-user sessions

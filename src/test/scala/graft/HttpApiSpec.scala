@@ -522,10 +522,14 @@ class HttpApiSpec extends SparkTestBase {
     // a marker series that does NOT exist in pointsDf: a response
     // carrying its labels proves the handler answered from the tier,
     // its absence proves the raw-points fallback
+    // __k must be the CANONICAL streamKey of labels (the stored
+    // sidecar's series_key contract — every producer writes it that
+    // way, and the tier reader rebuilds labels from it)
+    val k1 = """[{"key":"host","value":"t"}]"""
     val tierDf = Seq(
-      ("tiered", "k1", 1 * HourUs, 2L, BigDecimal(6.0), 1.0, 5.0,
+      ("tiered", k1, 1 * HourUs, 2L, BigDecimal(6.0), 1.0, 5.0,
         Map("host" -> "t")),
-      ("tiered", "k1", 2 * HourUs, 1L, BigDecimal(4.0), 4.0, 4.0,
+      ("tiered", k1, 2 * HourUs, 1L, BigDecimal(4.0), 4.0, 4.0,
         Map("host" -> "t"))
     ).toDF("name", "__k", "__end", "n", "sum_dec", "min_v", "max_v", "labels")
     val api = new HttpApi(logsDf, pointsDf, spansDf,
@@ -577,9 +581,12 @@ class HttpApiSpec extends SparkTestBase {
     val HourNs = 3600000000000L
     // marker stream app=vol has NO raw log lines: any answer carrying
     // it proves the volume sidecar served, its absence the fallback
+    // __k: canonical streamKey of labels (the sidecar series_key
+    // contract; coarser-tier re-rolls rebuild labels from it)
+    val kv = """[{"key":"app","value":"vol"}]"""
     val tierDf = Seq(
-      ("k1", 1 * HourNs, Map("app" -> "vol"), 5L, 100L),
-      ("k1", 2 * HourNs, Map("app" -> "vol"), 3L, 60L)
+      (kv, 1 * HourNs, Map("app" -> "vol"), 5L, 100L),
+      (kv, 2 * HourNs, Map("app" -> "vol"), 3L, 60L)
     ).toDF("__k", "__end", "labels", "n", "bytes")
     val api = new HttpApi(logsDf, pointsDf, spansDf,
       logTiers = Map(HourNs -> tierDf))

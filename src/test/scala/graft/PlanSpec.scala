@@ -334,16 +334,22 @@ class PlanSpec extends SparkTestBase {
       s"plain-metric query must not plan the expansion union:\n$plain")
     assert("LocalRelation".r.findAllIn(plain).size <= 1,
       s"plain-metric query must scan the source once:\n$plain")
-    // a query over the histogram metric still expands (>1 branch)
+    // a query over the histogram metric still expands (>1 branch).
+    // Checked on the ANALYZED plan: the gate decides at planning time,
+    // and over this test's literal 4-row source the optimizer now
+    // constant-folds statically-empty expansion branches away (r19:
+    // the aggregations no longer reference the labels column — labels
+    // rebuild from the __stream key — so pruned branches fold to
+    // LocalRelation); a parquet-backed source keeps the union.
     val hist = graft.promql.PromQL
       .range("histogram_count(sum_over_time(nh[1d]))", df)
-      .queryExecution.optimizedPlan.toString
+      .queryExecution.analyzed.toString
     assert(hist.contains("Union"),
       s"histogram query must plan the bucket expansion:\n$hist")
     // an indeterminate (name-less) selector could match nh → must expand
     val anon = graft.promql.PromQL
       .range("""count_over_time({svc="1"}[1h])""", df)
-      .queryExecution.optimizedPlan.toString
+      .queryExecution.analyzed.toString
     assert(anon.contains("Union"),
       s"name-less selector must expand conservatively:\n$anon")
   }
