@@ -145,34 +145,40 @@ object QueriesPipeline8 extends QueryPack {
        |  ROUND(agree / $K, 6) AS est_jaccard
        |FROM pairs ORDER BY src_a, src_b""".stripMargin
   ) { td =>
-    // all K seeded minhashes in ONE codegen'd aggregation over the
-    // gram explode (the minhashLsh pattern: min(md5(...)) columns stay
-    // inside whole-stage codegen, where a higher-order transform would
-    // run interpreted at 3× the cpu; duplicates don't move MIN, so no
-    // distinct pass). The corpus lands in ONE parquet partition at
-    // test scale, so the K-hash kernel is explicitly spread across the
-    // cores first — the 5 KB/doc shuffle is noise next to K md5s per
-    // gram on one core (measured 14 s single-task vs sub-second
-    // spread). Then bucket on (seed, m): sources sharing a bucket
-    // agree at that seed, and the i<j pair explode counts agreements
-    // without a signature self-join.
-    val mhAggs = (0 until K).map(k =>
-      min(md5(concat(lit(s"$k:"), col("gram")))).as(s"m$k"))
+    // md5 ONCE PER DISTINCT GRAM (r19): MIN(md5(k:gram)) over a
+    // source's gram OCCURRENCES equals the MIN over its DISTINCT grams
+    // (md5 is pure; duplicates never move MIN), and distinct grams are
+    // ~10× rarer than occurrences (sf0.1: 27 213 vs 260 704, and the
+    // Zipf head only grows that ratio with corpus size) — so the
+    // kernel rolls grams up to their source SET first (the exact
+    // matrix's pinned shape: partial-agg dedup map-side, every
+    // distinct gram moves once), hashes each distinct gram K times
+    // AFTER the exchange (naturally core-spread — this replaced the
+    // explicit repartition; the scan side is core-count-wide from the
+    // stored layout), re-explodes the bounded source set, and takes
+    // the per-source MIN map-side. The K min(...) columns stay one
+    // codegen'd aggregation (a higher-order transform would run
+    // interpreted at 3× the cpu — r18 measurement, still binding).
+    // Same exchange count as the occurrence-level form, ~10× fewer
+    // md5s: isolated compute 6.29 → 0.15 s, wall 6.85 → 1.42 s (r19;
+    // the compute drop exceeds the 9.6× dedup ratio because the
+    // repartition's full-text serialization went with it).
+    val hashCols = (0 until K).map(k =>
+      md5(concat(lit(s"$k:"), col("gram"))).as(s"h$k"))
+    val minAggs = (0 until K).map(k => min(col(s"h$k")).as(s"m$k"))
     val sig = td.documents
-      // explicit count: a column-only repartition is AQE-coalesced
-      // back to one partition at this byte size, re-serializing the
-      // hash kernel — the partition target here is CORES, not bytes,
-      // and the count comes from the session (defaultParallelism =
-      // SPARK_GRAFT_CPUS under the bench contract, the real executor
-      // fan-out on a cluster) so the same code spreads anywhere
-      .repartition(td.spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
       )).as("gram"))
+      .groupBy(col("gram"))
+      .agg(collect_set(col("source")).as("srcs"))
+      .select(col("srcs") +: hashCols: _*)
+      .select(explode(col("srcs")).as("source") +:
+        (0 until K).map(k => col(s"h$k")): _*)
       .groupBy(col("source"))
-      .agg(mhAggs.head, mhAggs.tail: _*)
+      .agg(minAggs.head, minAggs.tail: _*)
     sig
       .select(col("source"), explode(array((0 until K).map(k =>
         struct(lit(k).as("seed"), col(s"m$k").as("m"))): _*)).as("sm"))
