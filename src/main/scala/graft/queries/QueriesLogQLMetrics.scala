@@ -68,14 +68,19 @@ object QueriesLogQLMetrics extends QueryPack {
        |      FROM events GROUP BY 1) b USING (bucket_ns)
        |ORDER BY bucket_ns""".stripMargin
   ) { td =>
-    val err = td.events.filter(col("event_type") === "error")
+    // ONE scan, conditional counts (r19; the join form scanned events
+    // twice and joined): the error side is a subset of the all side,
+    // so both counts come out of one (bucket) aggregation. The inner
+    // join kept only buckets with ≥1 error row — n_err >= 1 is that
+    // exact condition (counts are integral; values bit-identical).
+    td.events
       .withColumn("bucket_ns", col("ts") - col("ts") % Step6hNs)
-      .groupBy(col("bucket_ns")).agg(count(lit(1)).as("n_err"))
-    val all = td.events
-      .withColumn("bucket_ns", col("ts") - col("ts") % Step6hNs)
-      .groupBy(col("bucket_ns")).agg(count(lit(1)).as("n_all"))
-    err.join(all, Seq("bucket_ns"))
-      .select(col("bucket_ns"), (col("n_err").cast("double") / col("n_all")).as("ratio"))
+      .groupBy(col("bucket_ns"))
+      .agg(count(when(col("event_type") === "error", 1)).as("n_err"),
+        count(lit(1)).as("n_all"))
+      .filter(col("n_err") >= 1)
+      .select(col("bucket_ns"),
+        (col("n_err").cast("double") / col("n_all")).as("ratio"))
       .orderBy("bucket_ns")
   }
 
