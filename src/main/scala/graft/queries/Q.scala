@@ -60,7 +60,12 @@ object Fixtures {
     */
   // r8a: /root/testdata regenerated 2026-08-13 — derived span/shingle
   // fixtures from the previous generation must not survive it.
-  private val CacheVersion = "r8a"
+  // r19b: fixtures re-land byte-derived (cores/4 .. cores at ~256 KB
+  // parts) instead of a flat 32 — one file is one row group is one
+  // scan task, and a 32-task stage on a 400 KB fixture costs more
+  // local dispatch than its scan does work (the same two-sided
+  // measurement as Testdata's table layout; OPTIMIZATION_r19.md).
+  private val CacheVersion = "r19b"
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
@@ -128,6 +133,28 @@ object Fixtures {
         build
           .repartition(parts, org.apache.spark.sql.functions.col(partCol))
           .write.mode("overwrite").parquet(tmp.getPath)
+        // right-size the stored layout now that the bytes are known
+        // (they aren't before the first write; fixture builds run once
+        // per (sfDir, name), so the extra rewrite is ingest work):
+        // byte-derived ~256 KB parts between cores/4 and the requested
+        // count — a 32-task scan stage over a 400 KB fixture costs
+        // more local dispatch than its scan does work, while the
+        // multi-MB fixtures keep wide fan-out for their real kernels
+        // (same two-sided measurement as the fact-table layout, r19)
+        val bytes = Option(tmp.listFiles())
+          .fold(0L)(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+        val cores = spark.sparkContext.defaultParallelism
+        val ideal = math.min(parts, math.min(math.max(4, cores),
+          math.max(math.max(4, cores / 4), (bytes / 262144).toInt)))
+        if (ideal < parts) {
+          val tmp2 = new java.io.File(root,
+            s"$key.tmp2.${ProcessHandle.current().pid()}")
+          spark.read.parquet(tmp.getPath)
+            .repartition(ideal, org.apache.spark.sql.functions.col(partCol))
+            .write.mode("overwrite").parquet(tmp2.getPath)
+          deleteRec(tmp)
+          if (!tmp2.renameTo(tmp)) deleteRec(tmp2)
+        }
         // cross-process race: losing the rename means a complete copy
         // already landed — discard ours
         if (!tmp.renameTo(target)) deleteRec(tmp)
