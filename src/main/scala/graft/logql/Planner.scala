@@ -24,8 +24,11 @@ import graft.functions.{GraftFunctions, Kernels}
   *
   * Scale notes: everything before the range aggregation is a narrow
   * filter/projection pipeline (one codegen span, filters pushable);
-  * stream identity is a deterministic JSON rendering of the sorted
-  * label map so the aggregation shuffles once on (bucket, stream).
+  * stream identity is the sorted label-entry list — aggregations key
+  * on the entries array directly (hash-aggregable, rebuilds the map
+  * with no JSON round trip), joins and pinned orderings render it to
+  * the canonical JSON string (VectorMatching.streamKey) — so the
+  * aggregation shuffles once on (bucket, stream).
   */
 object Planner {
   import Ast._
@@ -476,7 +479,7 @@ object Planner {
           ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rangeNs)))
       }
       val base = bucketed
-        .withColumn("__stream", VectorMatching.streamKey(ctx.labelsCol))
+        .withColumn("__stream", VectorMatching.entriesKey(ctx.labelsCol))
         .withColumn("__labels", ctx.labelsCol)
         .withColumn("__v", v)
       val wLag = Window.partitionBy(col("__stream"), col("bucket_ns"))
@@ -496,7 +499,7 @@ object Planner {
             .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"))
         // labels from the canonical __stream key, not a first(map)
         // aggregate (which would demote this agg to SortAggregate)
-        .withColumn("labels", VectorMatching.labelsOfStreamKey(col("__stream")))
+        .withColumn("labels", VectorMatching.labelsOfEntries(col("__stream")))
         .filter(col("n") >= 2)
       val resultValue = col("last_v") - col("first_v") + col("corr")
       val factor = graft.queries.PromMath.extrapolation(
@@ -521,7 +524,7 @@ object Planner {
           val woArr = array(without.map(lit): _*)
           map_filter(ctx.labelsCol, (key, _) => !array_contains(woArr, key))
         } else ctx.labelsCol
-      val streamKey = VectorMatching.streamKey(groupedLabels).as("__stream")
+      val streamKey = VectorMatching.entriesKey(groupedLabels).as("__stream")
       val bucketed = stepNs match {
         case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
         case None =>
@@ -569,7 +572,7 @@ object Planner {
       base.groupBy(col("bucket_ns"), col("__stream"))
         .agg(value.as("value"))
         .select(col("bucket_ns"),
-          VectorMatching.labelsOfStreamKey(col("__stream")).as("labels"),
+          VectorMatching.labelsOfEntries(col("__stream")).as("labels"),
           col("value"))
 
     case VectorAgg(op, by, without, k, inner) =>
@@ -589,7 +592,7 @@ object Planner {
         else map().cast("map<string,string>") // typed: downstream map ops need string keys
       val grouped = in
         .withColumn("labels", labelsOut)
-        .withColumn("__stream", VectorMatching.streamKey(col("labels")))
+        .withColumn("__stream", VectorMatching.entriesKey(col("labels")))
       op match {
         case "sum" | "avg" | "min" | "max" | "count" | "stddev" | "stdvar" =>
           val agged: Column = op match {
@@ -607,7 +610,7 @@ object Planner {
           grouped.groupBy(col("bucket_ns"), col("__stream"))
             .agg(agged.as("value"))
             .select(col("bucket_ns"),
-              VectorMatching.labelsOfStreamKey(col("__stream")).as("labels"),
+              VectorMatching.labelsOfEntries(col("__stream")).as("labels"),
               col("value"))
         case "topk" | "bottomk" =>
           // ranked WITHIN the by()/without() group, FULL series labels
@@ -1028,13 +1031,13 @@ object Planner {
           sum(when(cond, length(col("body")).cast("long"))).cast("double")
       }
       val agged = bucketed
-        .withColumn("__stream", VectorMatching.streamKey(groupedLabels))
+        .withColumn("__stream", VectorMatching.entriesKey(groupedLabels))
         .withColumn("__flag", flag)
         .groupBy(col("bucket_ns"), col("__stream"))
         .agg(v(col("__flag")).as("__sv"), v(lit(true)).as("__wv"),
           count(when(col("__flag"), 1)).as("__sn"))
         .filter(col("__sn") >= 1)
-        .withColumn("labels", VectorMatching.labelsOfStreamKey(col("__stream")))
+        .withColumn("labels", VectorMatching.labelsOfEntries(col("__stream")))
       val (lv, rv) =
         if (lStrict) (col("__sv"), col("__wv")) else (col("__wv"), col("__sv"))
       Some(VectorMatching.finish(op, agged, lv, rv, "bucket_ns", boolMod))

@@ -40,6 +40,21 @@ object VectorMatching {
     * rebuild runs once per output group, the demoted sort ran over
     * every input row).
     */
+  /** Sorted-entries grouping key — the canonical series identity
+    * WITHOUT the JSON rendering: equality matches [[streamKey]]
+    * exactly (that key IS the JSON of this array), the key is
+    * hash-aggregable, and the label map rebuilds in place with
+    * map_from_entries — no serialize on the input side, no parse on
+    * the output side. Use for PURE AGGREGATION keys; joins and
+    * windows that need a string key keep [[streamKey]].
+    */
+  def entriesKey(labels: Column): Column = array_sort(map_entries(labels))
+
+  /** Inverse of [[entriesKey]] — exact (keys are unique, order is the
+    * canonical sorted order).
+    */
+  def labelsOfEntries(key: Column): Column = map_from_entries(key)
+
   def labelsOfStreamKey(key: Column): Column =
     map_from_entries(from_json(key,
       org.apache.spark.sql.types.DataTypes.createArrayType(
@@ -62,11 +77,11 @@ object VectorMatching {
       bucketCol: String): DataFrame =
     in.withColumn("labels",
         map_filter(col("labels"), (k, _) => k.isin(keep: _*)))
-      .withColumn("__stream", streamKey(col("labels")))
+      .withColumn("__stream", entriesKey(col("labels")))
       .groupBy(col(bucketCol), col("__stream"))
       .agg(sum(col("value")).as("value"))
       .select(col(bucketCol),
-        labelsOfStreamKey(col("__stream")).as("labels"), col("value"))
+        labelsOfEntries(col("__stream")).as("labels"), col("value"))
 
   private def filteredLabels(labels: Column, m: VectorMatch): Column = {
     val arr = array(m.labels.map(lit): _*)

@@ -611,6 +611,15 @@ object PromQL {
   private def lblOf(key: Column): Column =
     graft.logql.VectorMatching.labelsOfStreamKey(key)
 
+  /** [[lblOf]] for SORTED-ENTRIES group keys (the no-JSON variant —
+    * VectorMatching.entriesKey): pure-aggregation paths key on the
+    * entries array directly, so the rebuild is map_from_entries with
+    * no parse (joins, topk orderings and stored tier keys stay on the
+    * string [[streamKey]]).
+    */
+  private def lblOfE(key: Column): Column =
+    graft.logql.VectorMatching.labelsOfEntries(key)
+
   /** Metadata-endpoint selector: `name{m...}` / `{m...}` → filtered
     * points (reference promhandler.go:72-281 series/labels matchers).
     */
@@ -1064,11 +1073,11 @@ object PromQL {
         .filter(col("bucket_us") > lit(end - rangeUs) &&
           col("bucket_us") <= lit(end))
         .withColumnRenamed("bucket_us", "ts_us")
-        .withColumn("__stream", streamKey)
+        .withColumn("__stream", graft.logql.VectorMatching.entriesKey(col("labels")))
         .groupBy(col("__stream"))
         .agg(v.as("value"))
         .select(lit(evalTsUs).as("ts_us"),
-          lblOf(col("__stream")).as("labels"), col("value"))
+          lblOfE(col("__stream")).as("labels"), col("value"))
     case _ =>
       // The single-shift path (one scan, one window alignment) covers
       // expressions whose every leaf is a range fn with one shared
@@ -1484,7 +1493,14 @@ object PromQL {
       // math anchors on the window START
       val winStart: Column =
         if (stepUs.isDefined) col("bucket_us") - lit(rangeUs) else col("bucket_us")
-      val base = bucketed.withColumn("__stream", streamKey)
+      // series identity as the SORTED-ENTRIES array, not the JSON
+      // string: same equality (streamKey is the JSON of exactly this
+      // array), but no serialize per input row and no parse per output
+      // row when the branches rebuild labels from the group key
+      // (VectorMatching.entriesKey; measured r19 — the JSON round trip
+      // showed up on bucket-cardinality outputs)
+      val base = bucketed.withColumn("__stream",
+        graft.logql.VectorMatching.entriesKey(col("labels")))
       fn match {
         case "rate" | "increase" | "delta" | "irate" =>
           // stale-NaN skip, same scope as the reference's rate offload
@@ -1502,7 +1518,7 @@ object PromQL {
               max_by(col("value"), col("ts_us")).as("last_v"),
               coalesce(sum(when(col("value") < col("__prev"), col("__prev"))
                 .cast("decimal(18,4)")), lit(0)).cast("double").as("corr"))
-            .withColumn("labels", lblOf(col("__stream")))
+            .withColumn("labels", lblOfE(col("__stream")))
             .filter(col("n") >= 2)
           val isGauge = fn == "delta"
           val resultValue =
@@ -1540,7 +1556,7 @@ object PromQL {
                 .as("n_changes"),
               max_by(col("value"), col("ts_us")).as("last_v"),
               max_by(col("__prev"), col("ts_us")).as("penult_v"))
-            .withColumn("labels", lblOf(col("__stream")))
+            .withColumn("labels", lblOfE(col("__stream")))
           val out = fn match {
             case "resets"  => st.withColumn("value", col("n_resets").cast("double"))
             case "changes" => st.withColumn("value", col("n_changes").cast("double"))
@@ -1574,7 +1590,7 @@ object PromQL {
               sum(col("__v")).as("s_v"),
               sum(col("__t") * col("__v")).as("s_tv"),
               sum(col("__t") * col("__t")).as("s_tt"))
-            .withColumn("labels", lblOf(col("__stream")))
+            .withColumn("labels", lblOfE(col("__stream")))
             .filter(col("n") >= 2)
           // Each Σ is exact decimal (order-free); the combination runs in
           // DOUBLE on identical operands, so any engine mirroring this
@@ -1609,7 +1625,7 @@ object PromQL {
             .groupBy(col("__stream"), col("bucket_us"))
             .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("value"))
             .select(col("bucket_us"),
-              lblOf(col("__stream")).as("labels"), col("value"))
+              lblOfE(col("__stream")).as("labels"), col("value"))
 
         case "holt_winters" | "double_exponential_smoothing" =>
           // Double exponential smoothing (upstream funcHoltWinters):
@@ -1639,7 +1655,7 @@ object PromQL {
             .agg(
               array_sort(collect_list(struct(col("ts_us"), col("value"))))
                 .as("__pts"))
-            .withColumn("labels", lblOf(col("__stream")))
+            .withColumn("labels", lblOfE(col("__stream")))
             .filter(size(col("__pts")) >= 2)
             .withColumn("value", expr(
               s"""aggregate(
@@ -1677,7 +1693,7 @@ object PromQL {
           base.groupBy(col("__stream"), col("bucket_us"))
             .agg(v.as("value"))
             .select(col("bucket_us"),
-              lblOf(col("__stream")).as("labels"), col("value"))
+              lblOfE(col("__stream")).as("labels"), col("value"))
       }
 
     case At(inner, tUs) =>
@@ -1786,7 +1802,7 @@ object PromQL {
         case _ =>
           val g = in.withColumn("labels", grouped)
             .withColumn("__stream",
-              graft.logql.VectorMatching.streamKey(col("labels")))
+              graft.logql.VectorMatching.entriesKey(col("labels")))
           val v: Column = op match {
             case "sum"   => sum(col("value"))
             case "avg"   => avg(col("value"))
@@ -1801,7 +1817,7 @@ object PromQL {
           g.groupBy(col("bucket_us"), col("__stream"))
             .agg(v.as("value"))
             .select(col("bucket_us"),
-              lblOf(col("__stream")).as("labels"), col("value"))
+              lblOfE(col("__stream")).as("labels"), col("value"))
       }
 
     case Bin(op, ScalarLit(v), rhs, _, b) =>
@@ -1939,13 +1955,13 @@ object PromQL {
             .drop("__first_step")
         case None =>
           pts.withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
-      }).withColumn("__stream", graft.logql.VectorMatching.streamKey(col("labels")))
+      }).withColumn("__stream", graft.logql.VectorMatching.entriesKey(col("labels")))
       val v = overTimeAgg(fn, param).getOrElse(
         throw new IllegalArgumentException(s"$fn over a subquery is unsupported"))
       base.groupBy(col("__stream"), col("bucket_us"))
         .agg(v.as("value"))
         .select(col("bucket_us"),
-          lblOf(col("__stream")).as("labels"), col("value"))
+          lblOfE(col("__stream")).as("labels"), col("value"))
 
     case FnCall("absent", Instant(sel, off), _, _) =>
       // absent(v) on the step grid: a 1-valued empty-label sample at
@@ -1992,12 +2008,12 @@ object PromQL {
           sequence(col("__first_step"),
             col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
           s => s < col("ts_us") + lit(lookUs))))
-        .withColumn("__stream", streamKey)
+        .withColumn("__stream", graft.logql.VectorMatching.entriesKey(col("labels")))
         .groupBy(col("__stream"), col("bucket_us"))
         .agg(((max(col("ts_us")) - lit(offsetNs / 1000)).cast("double") / 1e6)
           .as("value"))
         .select(col("bucket_us"),
-          lblOf(col("__stream")).as("labels"), col("value"))
+          lblOfE(col("__stream")).as("labels"), col("value"))
 
     case FnCall(fn, inner, nums, strs) =>
       val in = rec(inner)
@@ -2175,19 +2191,23 @@ object PromQL {
       lazy val sums = in.filter(fldStr === "sum")
         .select(col("bucket_us"), gKey(noMark).as("__g"),
           col("value").as("__sumv"))
+      // labels rebuild from __g (the canonical sorted-entry key of the
+      // le-less map) — a first(map) aggregate would demote these
+      // bucket-axis aggs to SortAggregate (see lblOf)
       fn match {
         case "histogram_count" =>
           df.groupBy(col("bucket_us"), col("__g"))
-            .agg(first(noLe).as("labels"), max(col("value")).as("value"))
-            .select(col("bucket_us"), col("labels"), col("value"))
+            .agg(max(col("value")).as("value"))
+            .select(col("bucket_us"), lblOf(col("__g")).as("labels"),
+              col("value"))
         case "histogram_sum" =>
           in.filter(fldStr === "sum")
             .select(col("bucket_us"), noMark.as("labels"), col("value"))
         case "histogram_avg" =>
           df.groupBy(col("bucket_us"), col("__g"))
-            .agg(first(noLe).as("labels"), max(col("value")).as("__cnt"))
+            .agg(max(col("value")).as("__cnt"))
             .join(sums, Seq("bucket_us", "__g"))
-            .select(col("bucket_us"), col("labels"),
+            .select(col("bucket_us"), lblOf(col("__g")).as("labels"),
               (col("__sumv") / col("__cnt")).as("value"))
         case "histogram_stddev" | "histogram_stdvar" =>
           val w = Window.partitionBy(col("bucket_us"), col("__g"))
@@ -2209,8 +2229,8 @@ object PromQL {
           // the SUM order must not matter (Det playbook)
           val term = (nB * pow(valB - mean, 2)).cast("decimal(38,12)")
           val grouped = st.groupBy(col("bucket_us"), col("__g"))
-            .agg(first(noLe).as("labels"),
-              (sum(term).cast("double") / max(col("__total"))).as("__var"))
+            .agg((sum(term).cast("double") / max(col("__total"))).as("__var"))
+            .withColumn("labels", lblOf(col("__g")))
           grouped.select(col("bucket_us"), col("labels"),
             (if (fn == "histogram_stddev") sqrt(col("__var"))
              else col("__var")).as("value"))
@@ -2229,10 +2249,9 @@ object PromQL {
                   (lit(x) - col("__lower")) / (col("__le") - col("__lower")))
               .otherwise(lit(0.0))
           st.groupBy(col("bucket_us"), col("__g"))
-            .agg(first(noLe).as("labels"),
-              max(fAt(hi)).as("__fhi"), max(fAt(lo)).as("__flo"),
+            .agg(max(fAt(hi)).as("__fhi"), max(fAt(lo)).as("__flo"),
               max(col("value")).as("__total"))
-            .select(col("bucket_us"), col("labels"),
+            .select(col("bucket_us"), lblOf(col("__g")).as("labels"),
               ((col("__fhi") - col("__flo")) / col("__total")).as("value"))
         case other =>
           throw new IllegalArgumentException(s"histogram function $other")
@@ -2282,11 +2301,11 @@ object PromQL {
           sequence(col("__first_step"),
             col("__first_step") + lit((nSteps - 1) * gridUs), lit(gridUs)),
           s => s < col("ts_us") + lit(lookUs))))
-        .withColumn("__stream", streamKey)
+        .withColumn("__stream", graft.logql.VectorMatching.entriesKey(col("labels")))
         .groupBy(col("__stream"), col("bucket_us"))
         .agg(max_by(col("value"), col("ts_us")).as("value"))
         .select(col("bucket_us"),
-          lblOf(col("__stream")).as("labels"), col("value"))
+          lblOfE(col("__stream")).as("labels"), col("value"))
 
     case ScalarLit(v) =>
       // a bare scalar range query evaluates the constant at every step
@@ -2322,7 +2341,7 @@ object PromQL {
         max(when(col("__rn") === 2, col("value"))).as("prev_v"),
         ((max(when(col("__rn") === 1, col("ts_us")))
           - max(when(col("__rn") === 2, col("ts_us")))).cast("double") / 1e6).as("dt"))
-      .withColumn("labels", lblOf(col("__stream")))
+      .withColumn("labels", lblOfE(col("__stream")))
       // dt == 0 (duplicate timestamps) → no point, matching upstream
       // funcIrate's skip of zero-interval pairs, not Infinity/NaN
       .filter(col("prev_v").isNotNull && col("dt") > 0)
