@@ -214,4 +214,59 @@ class LogQLSpec extends SparkTestBase {
     val kept = run("""{env="prod"} | keep env""").collect()
     assert(kept.head.getAs[Map[String, String]]("labels").keySet == Set("env"))
   }
+
+  test("subset-selector binop fuses to ONE scan and keeps join semantics") {
+    // r19 condBin: both operands differ only in selector matchers and
+    // the strict set contains the weak set — one conditional
+    // aggregation, no second scan, no join. Fixture: 4 lines/hour,
+    // 2 of them service=api, all env=prod.
+    val q = """sum by (env) (count_over_time({service="api"}[1h]))""" +
+      """ / on(env) sum by (env) (count_over_time({}[1h]))"""
+    val df = run(q)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), s"fused binop must not join:\n$plan")
+    assert(!plan.contains("Union"), s"fused binop must not union:\n$plan")
+    val rows = df.orderBy("bucket_ns").collect()
+    assert(rows.length == 3 && rows.forall(_.getDouble(2) == 0.5),
+      s"2 api of 4 total per hour: ${rows.mkString(",")}")
+
+    // comparison ops through the fused path: bool collapses to 0/1,
+    // the filter form keeps the lhs value on true
+    val ge = run(q.replace("/", ">= bool")).collect()
+    assert(ge.length == 3 && ge.forall(_.getDouble(2) == 0.0))
+    val lt = run(q.replace("/", "<")).collect()
+    assert(lt.length == 3 && lt.forall(_.getDouble(2) == 2.0))
+
+    // row semantics match the 1:1 inner join: a strict side matching
+    // NOTHING yields the empty result, not 0-valued rows
+    val none = run(
+      """sum by (env) (count_over_time({service="none"}[1h]))""" +
+        """ / on(env) sum by (env) (count_over_time({}[1h]))""").collect()
+    assert(none.isEmpty)
+  }
+
+  test("entries/stream keys invert exactly, including hostile label values") {
+    import org.apache.spark.sql.functions._
+    import graft.logql.VectorMatching._
+    val nasty = Map(
+      "q" -> """he said "hi" \ there""",
+      "u" -> "héllo wörld",
+      "plus" -> "a+b/c=d",
+      "empty" -> "",
+      "sep" -> "a,b:c[d]e{f}")
+    val df = Seq(Tuple1(nasty)).toDF("labels")
+      .withColumn("viaEntries", labelsOfEntries(entriesKey(col("labels"))))
+      .withColumn("viaJson", labelsOfStreamKey(streamKey(col("labels"))))
+    val r = df.collect().head
+    val orig = r.getAs[Map[String, String]]("labels")
+    assert(r.getAs[Map[String, String]]("viaEntries") == orig)
+    assert(r.getAs[Map[String, String]]("viaJson") == orig)
+    // and the two key forms agree on identity: the JSON string IS the
+    // rendering of the sorted entries array
+    val keys = Seq(Tuple1(nasty)).toDF("labels")
+      .select(streamKey(col("labels")).as("j"),
+        to_json(entriesKey(col("labels"))).as("je")).collect().head
+    assert(keys.getString(0) == keys.getString(1))
+  }
 }
