@@ -958,6 +958,7 @@ object Planner {
         if ra == rb && distributiveRange(ra.op) &&
           ra.by.isEmpty && ra.without.isEmpty &&
           byL.nonEmpty && byR.nonEmpty &&
+          !Set("and", "or", "unless")(op) &&
           m.on && m.include.isEmpty =>
       if (m.groupSide.contains("left") && m.labels.toSet == byR.toSet &&
           byR.toSet.subsetOf(byL.toSet))

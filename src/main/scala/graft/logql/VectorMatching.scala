@@ -29,17 +29,6 @@ object VectorMatching {
   def streamKey(labels: Column): Column =
     to_json(array_sort(map_entries(labels)))
 
-  /** The label map rebuilt from its [[streamKey]] — bit-exact inverse
-    * (to_json/from_json round-trip string entries losslessly; the map
-    * comes back in canonical sorted-entry order). Aggregations that
-    * group on `__stream` use this INSTEAD of carrying the map through
-    * a `first(labels)` aggregate: a map-typed aggregation buffer is
-    * not hash-aggregable, so `first(map)` silently demotes the whole
-    * aggregation to SortAggregate — a per-partition O(n log n) sort
-    * outside whole-stage codegen on EVERY vector-agg path (r19; the
-    * rebuild runs once per output group, the demoted sort ran over
-    * every input row).
-    */
   /** Sorted-entries grouping key — the canonical series identity
     * WITHOUT the JSON rendering: equality matches [[streamKey]]
     * exactly (that key IS the JSON of this array), the key is
@@ -55,6 +44,17 @@ object VectorMatching {
     */
   def labelsOfEntries(key: Column): Column = map_from_entries(key)
 
+  /** The label map rebuilt from its [[streamKey]] — bit-exact inverse
+    * (to_json/from_json round-trip string entries losslessly; the map
+    * comes back in canonical sorted-entry order). Aggregations that
+    * group on a string `__stream` use this INSTEAD of carrying the map
+    * through a `first(labels)` aggregate: a map-typed aggregation
+    * buffer is not hash-aggregable, so `first(map)` silently demotes
+    * the whole aggregation to SortAggregate — a per-partition
+    * O(n log n) sort outside whole-stage codegen on EVERY vector-agg
+    * path (r19; the rebuild runs once per output group, the demoted
+    * sort ran over every input row).
+    */
   def labelsOfStreamKey(key: Column): Column =
     map_from_entries(from_json(key,
       org.apache.spark.sql.types.DataTypes.createArrayType(

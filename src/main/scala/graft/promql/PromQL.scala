@@ -1871,15 +1871,18 @@ object PromQL {
         case RangeSub("count_over_time", _, _, _, _, _) => true
         case _ => false
       }
+      val setOp = Set("and", "or", "unless")(op)
       (lhs, rhs) match {
         case (_, Agg("sum", by, Seq(), None, None, inner))
             if by.nonEmpty && inner == lhs && integralValued(lhs) &&
+              !setOp &&
               m.on && m.include.isEmpty && m.groupSide.contains("left") &&
               m.labels.toSet == by.toSet =>
           graft.logql.VectorMatching.binSelfGrouped(op, rec(lhs), m,
             "bucket_us", "left", b)
         case (Agg("sum", by, Seq(), None, None, inner), _)
             if by.nonEmpty && inner == rhs && integralValued(rhs) &&
+              !setOp &&
               m.on && m.include.isEmpty && m.groupSide.contains("right") &&
               m.labels.toSet == by.toSet =>
           graft.logql.VectorMatching.binSelfGrouped(op, rec(rhs), m,
@@ -2117,9 +2120,9 @@ object PromQL {
         val inf = if (phi < 0) Double.NegativeInfinity else Double.PositiveInfinity
         return in.filter(leStr.isNotNull)
           .withColumn("labels", map_filter(col("labels"), (k, _) => k =!= "le"))
-          .withColumn("__g", to_json(array_sort(map_entries(col("labels")))))
-          .groupBy(col("bucket_us"), col("__g"))
-          .agg(count(lit(1)).as("__n"))
+          .select(col("bucket_us"),
+            to_json(array_sort(map_entries(col("labels")))).as("__g"))
+          .distinct()
           .select(col("bucket_us"),
             lblOf(col("__g")).as("labels"), lit(inf).as("value"))
       }

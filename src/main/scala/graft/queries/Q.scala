@@ -153,7 +153,10 @@ object Fixtures {
             .repartition(ideal, org.apache.spark.sql.functions.col(partCol))
             .write.mode("overwrite").parquet(tmp2.getPath)
           deleteRec(tmp)
-          if (!tmp2.renameTo(tmp)) deleteRec(tmp2)
+          // if the rename back fails, tmp2 is the only complete copy —
+          // land it at target directly rather than deleting it (losing
+          // a cross-process race there is the only benign failure)
+          if (!tmp2.renameTo(tmp) && !tmp2.renameTo(target)) deleteRec(tmp2)
         }
         // cross-process race: losing the rename means a complete copy
         // already landed — discard ours

@@ -185,6 +185,29 @@ class LogQLSpec extends SparkTestBase {
     assert(unless.toSet == Set("web"))
   }
 
+  test("set ops with group modifiers bypass the binop fusions") {
+    // the parser accepts group modifiers after and/or/unless; this
+    // shape matches the selfGroupedBin window-fusion guard except for
+    // the op, and must evaluate as a plain set op (the group modifier
+    // is ignored, pre-fusion behavior), not reach the arith finish
+    val withMod = run(
+      """sum by (service, env) (count_over_time({env="prod"}[1h])) and on(env) group_left sum by (env) (count_over_time({env="prod"}[1h]))""")
+      .collect()
+    val plain = run(
+      """sum by (service, env) (count_over_time({env="prod"}[1h]))""")
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("bucket_ns"), r.getAs[Map[String, String]]("labels"),
+        r.getAs[Double]("value"))
+    assert(withMod.map(key).toSet == plain.map(key).toSet)
+    // condBin's shape (subset matchers, by == on) with a set op stays
+    // on the join path too: unless removes the strict side's series
+    val unl = run(
+      """sum by (service) (count_over_time({env="prod"}[1h])) unless on(service) sum by (service) (count_over_time({env="prod", service="api"}[1h]))""")
+      .select($"labels.service").as[String].collect()
+    assert(unl.toSet == Set("web"))
+  }
+
   test("absent_over_time: grid anti-join") {
     // api never logs status 500 → absent in every 1h bucket
     val absent = run("""absent_over_time({service="api"} | json | status = "500" [1h])""")

@@ -789,4 +789,14 @@ class PromQLComplianceSpec extends SparkTestBase {
     assertQ("avg_over_time(rate(demo_cpu_usage_seconds_total[1m])[2m:10s])",
       expected)
   }
+
+  test("set op with group modifier bypasses the window fusion") {
+    // matches the shared-operand fusion guard in everything but the
+    // op: must evaluate as a plain set op (group modifier ignored),
+    // not route into binSelfGrouped and die in the arith finish
+    val lhs = runQ("count_over_time(demo_memory_usage_bytes[5m])")
+    val got = runQ("count_over_time(demo_memory_usage_bytes[5m]) and on(type) group_left sum by(type) (count_over_time(demo_memory_usage_bytes[5m]))")
+    assert(got.keySet == lhs.keySet)
+    lhs.foreach { case (k, v) => assert(close(got(k), v)) }
+  }
 }
