@@ -510,70 +510,28 @@ object Planner {
         (resultValue * factor / (rangeNs / 1e9)).as("value"))
 
     case RangeAgg(op, q, rangeNs, offsetNs, param, by, without) =>
-      val ctx = evalLog(q, logs)
       // by/without regroups samples on the label subset BEFORE the
       // windowed aggregation (reference range_agg.go:73-93: the grouper
       // keys the window map) — distinct from a wrapping vector agg,
       // e.g. avg_over_time(..) by (m) averages samples per m, not a
       // per-stream avg re-averaged.
-      val groupedLabels: Column =
-        if (by.nonEmpty) {
-          val byArr = array(by.map(lit): _*)
-          map_filter(ctx.labelsCol, (key, _) => array_contains(byArr, key))
-        } else if (without.nonEmpty) {
-          val woArr = array(without.map(lit): _*)
-          map_filter(ctx.labelsCol, (key, _) => !array_contains(woArr, key))
-        } else ctx.labelsCol
-      val streamKey = VectorMatching.entriesKey(groupedLabels).as("__stream")
-      val bucketed = stepNs match {
-        case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
-        case None =>
-          val shifted = col("ts_ns") + lit(offsetNs)
-          ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rangeNs)))
-      }
-      val base = bucketed
-        .withColumn("__stream", streamKey)
-        .withColumn("__labels", groupedLabels)
-      val rangeSec = rangeNs / 1e9
-      val value: Column = op match {
-        case "count_over_time" => count(lit(1)).cast("double")
-        case "rate"            => count(lit(1)).cast("double") / rangeSec
-        case "bytes_over_time" => sum(length(col("body"))).cast("double")
-        case "bytes_rate"      => sum(length(col("body"))).cast("double") / rangeSec
-        case "sum_over_time"   => sum(unwrap(ctx))
-        case "avg_over_time"   => avg(unwrap(ctx))
-        case "min_over_time"   => min(unwrap(ctx))
-        case "max_over_time"   => max(unwrap(ctx))
-        case "first_over_time" => min_by(unwrap(ctx), col("ts_ns"))
-        case "last_over_time"  => max_by(unwrap(ctx), col("ts_ns"))
-        case "stdvar_over_time" => var_pop(unwrap(ctx))
-        case "stddev_over_time" => stddev_pop(unwrap(ctx))
-        case "quantile_over_time" =>
-          // exact Prometheus linear interpolation (prom_math.go:120-147):
-          // Spark's `percentile` is the same rank-interpolation, unlike
-          // the t-digest sketch of percentile_approx; phi outside [0,1]
-          // yields the matching infinity (upstream warns + Inf)
-          val phi = param.getOrElse(0.5)
-          if (phi < 0) first(lit(Double.NegativeInfinity))
-          else if (phi > 1) first(lit(Double.PositiveInfinity))
-          else percentile(unwrap(ctx), lit(phi))
-        case "approx_quantile_over_time" =>
-          // parity-plus unbounded-window path: the mergeable GK sketch
-          // of percentile_approx holds constant space per series where
-          // the exact percentile buffers the whole window (see
-          // PromQL.promPercentileApprox)
-          val phi = param.getOrElse(0.5)
-          if (phi < 0) first(lit(Double.NegativeInfinity))
-          else if (phi > 1) first(lit(Double.PositiveInfinity))
-          else percentile_approx(unwrap(ctx), lit(phi),
-            lit(graft.promql.PromQL.ApproxQuantileAccuracy)).cast("double")
-        case other => throw new IllegalArgumentException(s"range op $other")
-      }
-      base.groupBy(col("bucket_ns"), col("__stream"))
-        .agg(value.as("value"))
-        .select(col("bucket_ns"),
-          VectorMatching.labelsOfEntries(col("__stream")).as("labels"),
-          col("value"))
+      rangeAggPlan(op, q, rangeNs, offsetNs, param, logs, stepNs,
+        lbls => subsetLabels(lbls, by, without, keepAll = true))
+
+    // Distributive vector agg over an ungrouped range agg fuses into
+    // ONE aggregation keyed directly on the vector grouping: summing
+    // per-stream integral counts over a label-partition refinement
+    // equals counting per coarse group (exact in doubles to 2^53 —
+    // the distributiveRange argument), and min/max re-aggregate under
+    // any total order. Unfused this plans TWO aggregations — two
+    // Exchanges, two AQE jobs — for one groupBy's worth of work
+    // (guide §2.4). Values and rows are bit-identical: a coarse group
+    // exists iff any of its fine groups does.
+    case VectorAgg(op, by, without, _,
+          RangeAgg(rop, q, rangeNs, offsetNs, param, Nil, Nil))
+        if fusedVectorRange((op, rop)) =>
+      rangeAggPlan(rop, q, rangeNs, offsetNs, param, logs, stepNs,
+        lbls => subsetLabels(lbls, by, without, keepAll = false))
 
     case VectorAgg(op, by, without, k, inner) =>
       val in = planMetric(inner, logs, stepNs)
@@ -582,14 +540,7 @@ object Planner {
       // only true aggregations regroup to the empty label set).
       val ranksOnly = Set("topk", "bottomk", "sort", "sort_desc").contains(op)
       val labelsOut: Column =
-        if (by.nonEmpty) {
-          val byArr = array(by.map(lit): _*)
-          map_filter(col("labels"), (key, _) => array_contains(byArr, key))
-        } else if (without.nonEmpty) {
-          val woArr = array(without.map(lit): _*)
-          map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
-        } else if (ranksOnly) col("labels")
-        else map().cast("map<string,string>") // typed: downstream map ops need string keys
+        subsetLabels(col("labels"), by, without, keepAll = ranksOnly)
       val grouped = in
         .withColumn("labels", labelsOut)
         .withColumn("__stream", VectorMatching.entriesKey(col("labels")))
@@ -715,6 +666,94 @@ object Planner {
   private def unwrap(ctx: Ctx): Column =
     ctx.unwrapped.getOrElse(
       throw new IllegalArgumentException("operator requires | unwrap"))
+
+  /** Label subset for a by()/without() grouping; with neither given,
+    * `keepAll` picks between the full map (range-agg grouping, ranked
+    * vector ops) and the empty label set (true vector aggregations).
+    */
+  private def subsetLabels(labels: Column, by: Seq[String],
+      without: Seq[String], keepAll: Boolean): Column =
+    if (by.nonEmpty) {
+      val byArr = array(by.map(lit): _*)
+      map_filter(labels, (key, _) => array_contains(byArr, key))
+    } else if (without.nonEmpty) {
+      val woArr = array(without.map(lit): _*)
+      map_filter(labels, (key, _) => !array_contains(woArr, key))
+    } else if (keepAll) labels
+    else map().cast("map<string,string>") // typed: downstream map ops need string keys
+
+  /** (vector op, range op) pairs where re-aggregating per-stream range
+    * values over a label-partition refinement is BIT-EXACT, so the
+    * vector agg can group samples directly (one aggregation, one
+    * Exchange): integral counts are exact in doubles to 2^53 and
+    * min/max are order-insensitive. `sum(rate)` divides per series
+    * BEFORE the re-sum and `sum(sum_over_time)` re-orders a double
+    * sum — both stay on the two-aggregation plan.
+    */
+  private val fusedVectorRange: Set[(String, String)] = Set(
+    "sum" -> "count_over_time", "sum" -> "bytes_over_time",
+    "min" -> "min_over_time", "max" -> "max_over_time")
+
+  /** The one range-aggregation pipeline (shared by the RangeAgg case
+    * and the fused VectorAgg-over-RangeAgg case): bucket samples,
+    * group by (bucket, `grouping` of the pipeline labels), aggregate.
+    */
+  private def rangeAggPlan(op: String, q: LogQuery, rangeNs: Long,
+      offsetNs: Long, param: Option[Double], logs: DataFrame,
+      stepNs: Option[Long], grouping: Column => Column): DataFrame = {
+    val ctx = evalLog(q, logs)
+    val groupedLabels = grouping(ctx.labelsCol)
+    val streamKey = VectorMatching.entriesKey(groupedLabels).as("__stream")
+    val bucketed = stepNs match {
+      case Some(st) => stepFanout(ctx.df, "ts_ns", st, rangeNs, offsetNs, "bucket_ns")
+      case None =>
+        val shifted = col("ts_ns") + lit(offsetNs)
+        ctx.df.withColumn("bucket_ns", shifted - (shifted % lit(rangeNs)))
+    }
+    val base = bucketed
+      .withColumn("__stream", streamKey)
+      .withColumn("__labels", groupedLabels)
+    val rangeSec = rangeNs / 1e9
+    val value: Column = op match {
+      case "count_over_time" => count(lit(1)).cast("double")
+      case "rate"            => count(lit(1)).cast("double") / rangeSec
+      case "bytes_over_time" => sum(length(col("body"))).cast("double")
+      case "bytes_rate"      => sum(length(col("body"))).cast("double") / rangeSec
+      case "sum_over_time"   => sum(unwrap(ctx))
+      case "avg_over_time"   => avg(unwrap(ctx))
+      case "min_over_time"   => min(unwrap(ctx))
+      case "max_over_time"   => max(unwrap(ctx))
+      case "first_over_time" => min_by(unwrap(ctx), col("ts_ns"))
+      case "last_over_time"  => max_by(unwrap(ctx), col("ts_ns"))
+      case "stdvar_over_time" => var_pop(unwrap(ctx))
+      case "stddev_over_time" => stddev_pop(unwrap(ctx))
+      case "quantile_over_time" =>
+        // exact Prometheus linear interpolation (prom_math.go:120-147):
+        // Spark's `percentile` is the same rank-interpolation, unlike
+        // the t-digest sketch of percentile_approx; phi outside [0,1]
+        // yields the matching infinity (upstream warns + Inf)
+        val phi = param.getOrElse(0.5)
+        if (phi < 0) first(lit(Double.NegativeInfinity))
+        else if (phi > 1) first(lit(Double.PositiveInfinity))
+        else percentile(unwrap(ctx), lit(phi))
+      case "approx_quantile_over_time" =>
+        // parity-plus unbounded-window path: the mergeable GK sketch
+        // of percentile_approx holds constant space per series where
+        // the exact percentile buffers the whole window (see
+        // PromQL.promPercentileApprox)
+        val phi = param.getOrElse(0.5)
+        if (phi < 0) first(lit(Double.NegativeInfinity))
+        else if (phi > 1) first(lit(Double.PositiveInfinity))
+        else percentile_approx(unwrap(ctx), lit(phi),
+          lit(graft.promql.PromQL.ApproxQuantileAccuracy)).cast("double")
+      case other => throw new IllegalArgumentException(s"range op $other")
+    }
+    base.groupBy(col("bucket_ns"), col("__stream"))
+      .agg(value.as("value"))
+      .select(col("bucket_ns"),
+        VectorMatching.labelsOfEntries(col("__stream")).as("labels"),
+        col("value"))
+  }
 
   /** Range ops whose values re-aggregate BIT-EXACTLY across a
     * label-partition refinement: integral counts (exact in doubles up

@@ -1435,16 +1435,82 @@ object PromQL {
 
   private def planRange(e: Expr, points: DataFrame,
       stepUs: Option[Long] = None): DataFrame =
-    planWith(e, points, stepUs, inner => planRange(inner, points, stepUs))
+    planWith(e, points, stepUs, inner => planRange(inner, points, stepUs),
+      fuseRange = true)
+
+  /** (vector op, range fn) pairs where re-aggregating per-series range
+    * values over a label-partition refinement is BIT-EXACT, so the
+    * vector agg can group samples directly in ONE aggregation (one
+    * Exchange instead of two): integral counts are exact in doubles to
+    * 2^53, min/max are order-insensitive under Spark's NaN-greatest
+    * total order. `sum(sum_over_time)` re-orders a double sum and
+    * rate/avg/stat fns are not re-aggregable — all stay on the
+    * two-aggregation plan.
+    */
+  private val fusedAggRange: Set[(String, String)] = Set(
+    "sum" -> "count_over_time",
+    "min" -> "min_over_time", "max" -> "max_over_time")
 
   /** The plan builder, with the structural recursion (agg / binop /
     * function / histogram_quantile nodes) routed through `rec` — the
     * range path recurses into itself, the instant path ([[evalInstant]])
     * substitutes lookback evaluation at the leaves and reuses every
-    * structural case unchanged.
+    * structural case unchanged. `fuseRange` marks the RANGE recursion:
+    * only there does a RangeFn under an Agg evaluate with this case's
+    * own windowing (the instant path anchors windows at the eval time
+    * instead, so the fused single-aggregation form must not fire).
     */
   private def planWith(e: Expr, points: DataFrame,
-      stepUs: Option[Long], rec: Expr => DataFrame): DataFrame = e match {
+      stepUs: Option[Long], rec: Expr => DataFrame,
+      fuseRange: Boolean = false): DataFrame = e match {
+    // Distributive vector agg over an over-time range fn: ONE
+    // aggregation keyed directly on the vector grouping (guide §2.4 —
+    // the per-series aggregation, its Exchange and its AQE job
+    // disappear; values and rows are bit-identical, see fusedAggRange)
+    case Agg(op, by, without, _, _, RangeFn(rfn, sel, rangeNs, offsetNs, _))
+        if fuseRange && fusedAggRange(op -> rfn) =>
+      val rangeUs = rangeNs / 1000
+      val offsetUs = offsetNs / 1000
+      val src =
+        if (offsetUs == 0) points
+        else points.withColumn("ts_us", col("ts_us") + lit(offsetUs))
+      val bucketed = stepUs match {
+        case Some(st) =>
+          val nSteps = rangeUs / st + 1
+          src.filter(selCol(sel))
+            .withColumn("__first_step",
+              expr(s"((ts_us + ${st - 1}) div $st) * $st"))
+            .withColumn("bucket_us", explode(filter(
+              sequence(col("__first_step"),
+                col("__first_step") + lit((nSteps - 1) * st), lit(st)),
+              s => s < col("ts_us") + lit(rangeUs))))
+            .drop("__first_step")
+        case None =>
+          src.filter(selCol(sel))
+            .withColumn("bucket_us", col("ts_us") - col("ts_us") % lit(rangeUs))
+      }
+      val grouped =
+        if (by.nonEmpty) {
+          val byArr = array(by.map(lit): _*)
+          map_filter(col("labels"), (key, _) => array_contains(byArr, key))
+        } else if (without.nonEmpty) {
+          val woArr = array(without.map(lit): _*)
+          map_filter(col("labels"), (key, _) => !array_contains(woArr, key))
+        } else map().cast("map<string,string>")
+      val v: Column = (op, rfn) match {
+        case ("sum", "count_over_time") => count(lit(1)).cast("double")
+        case ("min", "min_over_time")   => min(col("value"))
+        case ("max", "max_over_time")   => max(col("value"))
+        case other => throw new IllegalStateException(s"unfusable $other")
+      }
+      bucketed
+        .withColumn("__stream",
+          graft.logql.VectorMatching.entriesKey(grouped))
+        .groupBy(col("__stream"), col("bucket_us"))
+        .agg(v.as("value"))
+        .select(col("bucket_us"),
+          lblOfE(col("__stream")).as("labels"), col("value"))
+
     case RangeFn("absent_over_time", sel, rangeNs, offsetNs, _) =>
       // grid over the table extent anti-joined with present buckets —
       // same shape as the LogQL absent path (logqlmetric/aggregator.go)

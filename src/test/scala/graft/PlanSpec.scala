@@ -71,6 +71,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
   }
 
+  test("distributive vector agg over a range agg fuses to ONE aggregation") {
+    // `sum by (svc)(count_over_time(m[r]))`: summing per-series integral
+    // counts over a label-partition refinement equals counting per
+    // coarse group, so both planners group samples directly on the
+    // vector grouping — the per-series aggregation, its Exchange and
+    // its AQE job disappear (r20). One partial+final pair, one hash
+    // exchange; the remaining exchange is the output sort.
+    // node headers `(n) HashAggregate` count each operator once (the
+    // formatted dump also repeats names in the tree sketch)
+    def nodes(p: String, name: String): Int =
+      s"""\\(\\d+\\) $name""".r.findAllIn(p).size
+    Seq("promql_e2e_sum_count", "logql_e2e_rate").foreach { name =>
+      val p = planOf(name)
+      val aggs = nodes(p, "HashAggregate")
+      assert(aggs == 2, s"$name: expected one partial+final pair, got $aggs:\n$p")
+      assert(!p.contains("SortAggregate"), s"$name demoted to SortAggregate:\n$p")
+      val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$name: expected one hash exchange, got $hashEx:\n$p")
+    }
+    // the ranked wrapper rides the same fused inner: agg pair + window,
+    // nothing else aggregates
+    val topk = planOf("logql_e2e_topk")
+    assert(nodes(topk, "HashAggregate") == 2,
+      s"topk inner must stay one fused aggregation pair:\n$topk")
+    assert(!topk.contains("SortAggregate"))
+  }
+
   test("PARSED shared-operand group_left fuses to a window — no join at all") {
     // `sum by (a,b)(X) / on(b) group_left sum by (b)(X)`: the one side
     // is the many side's own (bucket, on-keys) sum, so the planner
