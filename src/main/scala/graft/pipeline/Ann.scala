@@ -34,22 +34,41 @@ object Ann {
   private def cos6(a: Column, b: Column): Column =
     round(graft.functions.GraftFunctions.cosine_sim(a, b), 6)
 
+  /** In-row argmax over a scored candidate list: the element with max
+    * round-6 cosine, ties → lowest rid — the exact total order
+    * `max_by(rid, struct(g_c, -rid))` ranked by, as a fold (the order
+    * is total on distinct rids, so the fold result is independent of
+    * list order). The argmax runs where the row already is: no
+    * candidate fan-out rows, no groupBy Exchange (an AQE job per
+    * assignment level), and no SortAggregate demotion from the
+    * struct/array aggregation buffers the r19 audit flagged (r20).
+    */
+  private def argmaxRid(scored: Column): Column =
+    aggregate(scored, element_at(scored, 1),
+      (acc, x) => when(
+        x.getField("c") > acc.getField("c") ||
+          (x.getField("c") === acc.getField("c") &&
+            x.getField("rid") < acc.getField("rid")), x).otherwise(acc),
+      acc => acc.getField("rid"))
+
+  private def scoredAgainst(vecCol: String): Column =
+    transform(col("__refs"), r => struct(
+      r.getField("rid").as("rid"), cos6(col(vecCol), r.getField("rv")).as("c")))
+
   /** Best reference for each row of `df` by max cosine (ties → lowest
     * reference id). `refs` must be broadcast-sized with columns
     * (rid, rv); the result keeps all of `df`'s columns plus the chosen
-    * reference id as `outCol`. The crossJoin is against a BROADCAST
-    * reference set and the group-by partial-aggregates map-side, so
-    * `df` itself never shuffles.
+    * reference id as `outCol`. The reference set broadcasts as ONE
+    * array row and the argmax folds in-row, so `df` neither fans out
+    * nor shuffles. Callers guarantee a non-empty `refs`.
     */
   private def assignBest(df: DataFrame, idCol: String, vecCol: String,
-      refs: DataFrame, outCol: String): DataFrame = {
-    val carry = df.columns.filterNot(_ == idCol)
-    df.crossJoin(broadcast(refs))
-      .withColumn("g_c", cos6(col(vecCol), col("rv")))
-      .groupBy(col(idCol))
-      .agg(max_by(col("rid"), struct(col("g_c"), -col("rid"))).as(outCol),
-        carry.map(c => first(col(c)).as(c)): _*)
-  }
+      refs: DataFrame, outCol: String): DataFrame =
+    df.crossJoin(broadcast(
+        refs.agg(collect_list(struct(col("rid"), col("rv"))).as("__refs"))))
+      .withColumn("__scored", scoredAgainst(vecCol))
+      .withColumn(outCol, argmaxRid(col("__scored")))
+      .drop("__refs", "__scored")
 
   /** Two-level coarse assignment: returns `vecs` plus a `cid` column
     * naming each vector's centroid. `vecs` = (idCol, vecCol, ...);
@@ -75,16 +94,18 @@ object Ann {
     // level 1: centroids and vectors each pick their super bucket
     val centsS = assignBest(cents, "cid", "cv", supers, "sid")
     val vecsS = assignBest(vecs, idCol, vecCol, supers, "sid")
-    // level 2: equi-join on the super id against the BROADCAST bucketed
-    // centroid list (k rows), then per-vector argmax — again collapsed
-    // map-side by the max_by partial aggregation
+    // level 2: equi-join on the super id against the BROADCAST per-
+    // super candidate lists (k rows grouped to √k array rows), then
+    // the same in-row argmax — the corpus still never shuffles, and
+    // the per-vector groupBy Exchange of the fan-out form is gone
+    val bucketed = centsS.groupBy(col("sid"))
+      .agg(collect_list(struct(col("cid").as("rid"), col("cv").as("rv")))
+        .as("__refs"))
     vecsS
-      .join(broadcast(centsS.select(col("sid"), col("cid").as("rid"),
-        col("cv").as("rv"))), Seq("sid"))
-      .withColumn("g_c", cos6(col(vecCol), col("rv")))
-      .groupBy(col(idCol))
-      .agg(max_by(col("rid"), struct(col("g_c"), -col("rid"))).as("cid"),
-        vecs.columns.filterNot(_ == idCol).map(c => first(col(c)).as(c)): _*)
+      .join(broadcast(bucketed), Seq("sid"))
+      .withColumn("__scored", scoredAgainst(vecCol))
+      .withColumn("cid", argmaxRid(col("__scored")))
+      .drop("sid", "__refs", "__scored")
   }
 
   /** SemDeDup over a pre-assigned corpus: within-cluster pairs above

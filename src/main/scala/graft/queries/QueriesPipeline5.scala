@@ -70,18 +70,34 @@ object QueriesPipeline5 extends QueryPack {
       |WHERE sim >= 0.42
       |ORDER BY cluster, keep_id, drop_id""".stripMargin
   ) { td =>
-    def dot(a: String, b: String) =
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val e = td.embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     val c = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val best = e.crossJoin(broadcast(c))
-      .withColumn("cos",
-        dot("v", "cv") / (sqrt(dot("v", "v")) * sqrt(dot("cv", "cv"))))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
-    val ev = best.join(e, "vec_id")
+    // centroids broadcast as ONE array row and the argmax folds in-row
+    // (max cos, ties → lowest cid — the total order the previous
+    // max_by(cid, struct(cos, -cid)) ranked by, so the winner is
+    // identical for any list order; the unrounded cosine expression is
+    // the same left-fold dot product, bit-for-bit). r20: the per-vector
+    // groupBy Exchange and the join re-attaching v both disappear —
+    // the embedding table is never shuffled before the pair stage.
+    val cArr = c.agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
+    val ev = e.crossJoin(broadcast(cArr))
+      .withColumn("__scored", transform(col("__cents"), cc => struct(
+        cc.getField("cid").as("cid"),
+        (dot(col("v"), cc.getField("cv")) /
+          (sqrt(dot(col("v"), col("v"))) *
+            sqrt(dot(cc.getField("cv"), cc.getField("cv"))))).as("c"))))
+      .withColumn("cid",
+        aggregate(col("__scored"), element_at(col("__scored"), 1),
+          (acc, x) => when(
+            x.getField("c") > acc.getField("c") ||
+              (x.getField("c") === acc.getField("c") &&
+                x.getField("cid") < acc.getField("cid")), x).otherwise(acc),
+          acc => acc.getField("cid")))
+      .drop("__cents", "__scored")
     val a = ev.select(col("cid"), col("vec_id").as("keep_id"), col("v").as("va"))
     val b = ev.select(col("cid"), col("vec_id").as("drop_id"), col("v").as("vb"))
     a.join(b, Seq("cid")) // shuffles by cluster id — the bounded pair space
