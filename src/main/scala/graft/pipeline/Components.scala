@@ -89,28 +89,35 @@ object Components {
         .select(col("src").as("id"), col("src").as("component"))
         .distinct())
     var edges = flagged.filter(!col("__iso")).select("src", "dst")
-    var prev = checksum(edges)
     var round = 0
     // Small-residual fast path: after the bypass, what's left is the
     // cross-bucket bridging structure — typically a few hundred edges.
-    // The checksum already counted it for free; when it fits a single
-    // task's memory with room to spare, a driver-local union-find
-    // replaces 2+ contraction iterations (each a checkpoint job + a
-    // checksum job + their AQE stage jobs) with ONE collect. The
-    // distributed loop below remains the path for residuals above the
-    // bound — the same adaptive shape as AQE's runtime broadcast
-    // conversion, with an explicit ceiling instead of a guess.
-    if (prev._1 > 0 && prev._1 <= driverMaxEdges && longKeyed(edges)) {
-      val cc = driverUnionFind(edges.collect().map(r =>
-        (r.getLong(0), r.getLong(1))))
-      val spark = edges0.sparkSession
-      import spark.implicits._
-      val ccDf = cc.toSeq.toDF("id", "component")
-        .select(col("id").cast(edges.schema("src").dataType).as("id"),
-          col("component").cast(edges.schema("src").dataType)
-            .as("component"))
-      return (ccDf.unionAll(isoCc), round)
+    // ONE bounded collect (limit = ceiling + 1, ~3 MB of longs at the
+    // ceiling) answers emptiness (converged with zero rounds) and
+    // smallness (driver-local union-find) together — r19 spent a
+    // separate checksum job deciding before collecting, one whole job
+    // floor on the common path. The distributed loop below remains the
+    // path for residuals above the bound — the same adaptive shape as
+    // AQE's runtime broadcast conversion, with an explicit ceiling
+    // instead of a guess; oversized residuals pay the probe's bounded
+    // collect once, nothing more.
+    if (longKeyed(edges)) {
+      val probe = edges
+        .limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.isEmpty) return (isoCc, round) // nothing beyond pure stars
+      if (probe.length <= driverMaxEdges) {
+        val cc = driverUnionFind(probe.map(r => (r.getLong(0), r.getLong(1))))
+        val spark = edges0.sparkSession
+        import spark.implicits._
+        val ccDf = cc.toSeq.toDF("id", "component")
+          .select(col("id").cast(edges.schema("src").dataType).as("id"),
+            col("component").cast(edges.schema("src").dataType)
+              .as("component"))
+        return (ccDf.unionAll(isoCc), round)
+      }
     }
+    var prev = checksum(edges)
     var converged = prev._1 == 0L // nothing beyond pure stars
     while (!converged && round < maxRounds) {
       // localCheckpoint truncates the per-iteration lineage growth (the

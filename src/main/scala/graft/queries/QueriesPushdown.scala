@@ -283,7 +283,6 @@ object QueriesPushdown extends QueryPack {
       |  FROM tiered WHERE tier = 2 GROUP BY name, ts_us - ts_us % 21600000000
       |) ORDER BY name, tier, ts_us""".stripMargin
   ) { td =>
-    import graft.sources.StoragePolicy
     val DayUs = 86400000000L
     val pts = td.events.select(
       col("event_type").as("name"),
@@ -295,11 +294,30 @@ object QueriesPushdown extends QueryPack {
       .withColumn("tier",
         when(col("age") >= 5, 2).when(col("age") >= 2, 1).otherwise(0))
       .select("name", "tier", "ts_us", "value")
-    val t1 = StoragePolicy.downsample(
-      tiered.filter(col("tier") === 1), 3600000000L, "last")
-    val t2 = StoragePolicy.downsample(
-      tiered.filter(col("tier") === 2), 21600000000L, "count")
-    t1.unionByName(t2).orderBy("name", "tier", "ts_us")
+    // Both tiers in ONE grouped pass over ONE scan (r20; was two
+    // StoragePolicy.downsample calls over two scans + a union — three
+    // scans and two aggregation exchanges for one pass's work): every
+    // row belongs to exactly one tier, so it buckets by its own tier's
+    // interval and (name, tier, bucket) is a single grouping; the
+    // tier-1 "last" representative and the tier-2 count aggregate side
+    // by side and the output picks by tier. Exactly
+    // StoragePolicy.downsample's per-tier semantics — "last" = value
+    // at max (ts, value), count = rows — per (name, tier, bucket)
+    // group, which the oracle replays unchanged. The per-partition
+    // maintenance path keeps using downsample(); this is the query's
+    // one-pass composition of the same tier table.
+    tiered.filter(col("tier") >= 1)
+      .withColumn("__bucket",
+        when(col("tier") === 1, col("ts_us") - col("ts_us") % 3600000000L)
+          .otherwise(col("ts_us") - col("ts_us") % 21600000000L))
+      .groupBy(col("name"), col("tier"), col("__bucket"))
+      .agg(
+        max(struct(col("ts_us"), col("value"))).getField("value").as("__last"),
+        count(lit(1)).cast("double").as("__n"))
+      .select(col("name"), col("tier"), col("__bucket").as("ts_us"),
+        when(col("tier") === 1, col("__last")).otherwise(col("__n"))
+          .as("value"))
+      .orderBy("name", "tier", "ts_us")
   }
 
   /** `__error__` propagation: failed extractions KEEP the row and label
