@@ -98,13 +98,19 @@ object QueriesPipeline8 extends QueryPack {
           |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
+    // both totals from ONE broadcast source→n map (r20; two aliased
+    // broadcast joins built two hash relations, each recomputing the
+    // per-aggregation — one broadcast-build job each): pair endpoints
+    // come FROM the source sets, so the lookups can never miss
+    val perMap = per.agg(
+      map_from_entries(collect_list(struct(col("source"), col("n"))))
+        .as("__per"))
     pairs
-      .join(broadcast(per.select(col("source").as("src_a"), col("n").as("na"))),
-        Seq("src_a"))
-      .join(broadcast(per.select(col("source").as("src_b"), col("n").as("nb"))),
-        Seq("src_b"))
+      .crossJoin(broadcast(perMap))
       // long / long is true division (double) in BOTH engines, on the
       // same integer operands — IEEE-identical before the round
+      .withColumn("na", element_at(col("__per"), col("src_a")))
+      .withColumn("nb", element_at(col("__per"), col("src_b")))
       .select(col("src_a"), col("src_b"), col("n_common"),
         round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
           .as("jaccard"))

@@ -1055,7 +1055,16 @@ object TraceQL {
           if (stepNs == c.grainNs && originNs == 0L) tagged0
           else tagged0.withColumn("bucket_ns",
             col("bucket_ns") - ((col("bucket_ns") - lit(originNs)) % lit(stepNs)))
-        Some(tagged.groupBy("meta_type", "attr", "attr_value", "bucket_ns")
+        // ONE exchange for the whole compare() tail (guide §2.4): the
+        // cube is already ingest-aggregated (cube-sized rows), so
+        // hash-distributing it by (meta_type, attr) BEFORE the re-roll
+        // satisfies the groupBy's clustering (subset of its keys) AND
+        // both ranking windows' — the agg's own exchange and the two
+        // window exchanges all disappear (r20 plan: 3 hash exchanges →
+        // 1). Parallelism is unchanged: the ranking window was always
+        // (meta_type, attr)-partitioned.
+        Some(tagged.repartition(col("meta_type"), col("attr"))
+          .groupBy("meta_type", "attr", "attr_value", "bucket_ns")
           .agg(sum(col("n")).cast("double").as("n")))
       }
     }
@@ -1078,9 +1087,15 @@ object TraceQL {
           map_entries(col("resource_attrs")))).as("kv"))
       .select(col("bucket_ns"), col("meta_type"),
         col("kv.key").as("attr"), col("kv.value").as("attr_value"))
+    // the count shuffle stays keyed by the full (group, attr, value,
+    // bucket) — partial aggregation must collapse the data-sized
+    // explode map-side — and the cube-sized COUNTS re-distribute once
+    // by (meta_type, attr) so both ranking windows ride that one
+    // exchange instead of one each (guide §2.4)
     val counts = exploded
       .groupBy("meta_type", "attr", "attr_value", "bucket_ns")
       .agg(count(lit(1)).cast("double").as("n"))
+      .repartition(col("meta_type"), col("attr"))
     rankCompareTopN(counts, topN)
   }
 

@@ -255,12 +255,13 @@ class PlanSpec extends SparkTestBase {
   test("source overlap rolls up per-gram source sets — no gram self-join") {
     val p = planOf("pipe_source_overlap")
     // a gram-keyed self-join would square the hot stop-grams; the set
-    // rollup caps each gram at one row and the only joins left are the
-    // |sources|-row count sides, broadcast
+    // rollup caps each gram at one row and both per-source totals come
+    // from ONE broadcast source→n map row (r20; was two aliased
+    // broadcast hash joins, a build job each)
     assert(!p.contains("SortMergeJoin"), s"gram-sized join side:\n$p")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-source counts must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the totals map must attach as one broadcast row:\n$p")
   }
 
   test("source-overlap sketch: one corpus scan, no signature self-join") {
